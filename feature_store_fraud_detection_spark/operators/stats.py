@@ -1,0 +1,54 @@
+"""Column statistics and encoding operators (reference P11-P13, A1-A4, M6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dict_encode(df: DataFrame, col: str, out_col: str | None = None) -> DataFrame:
+    """Dictionary-encode a key column to dense 0..n-1 ids (reference P11,
+    ``load_data.py:20`` ``pd.factorize`` — there, ids ordered by first
+    appearance in a pre-sorted file, i.e. by key order).
+
+    Scale design: a global ``dense_rank`` window would funnel ALL rows through
+    one partition. Instead: rank only the distinct keys (tiny), then broadcast
+    hash join the mapping back — no global sort of the fact table, no skew.
+    """
+    out_col = out_col or f"{col}_idx"
+    mapping = (
+        df.select(col)
+        .distinct()
+        .withColumn(
+            out_col,
+            (F.dense_rank().over(Window.orderBy(col)) - 1).cast("int"),
+        )
+    )
+    return df.join(F.broadcast(mapping), col, "inner")
+
+
+def summary_stats(df: DataFrame, col: str) -> DataFrame:
+    """count/mean/std/min/max of one numeric column (reference P13/A4,
+    ``load_data.py:18`` ``describe()``). One partial-aggregate pass."""
+    return df.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg(col), 4).alias(f"avg_{col}"),
+        F.round(F.stddev_samp(col), 4).alias(f"std_{col}"),
+        F.round(F.min(col), 4).alias(f"min_{col}"),
+        F.round(F.max(col), 4).alias(f"max_{col}"),
+    )
+
+
+def monotonic_check(df: DataFrame, key: str, order: str) -> DataFrame:
+    """Diagnostic: is ``order`` non-decreasing within each key (reference P12,
+    ``load_data.py:13`` sortedness assert)? Returns one row per key with a
+    boolean — a window lag + min, not a driver-side loop."""
+    w = Window.partitionBy(key).orderBy(order)
+    lagged = df.withColumn("__prev", F.lag(order).over(w))
+    return lagged.groupBy(key).agg(
+        F.min(
+            F.when(F.col("__prev").isNull(), F.lit(True)).otherwise(
+                F.col(order) >= F.col("__prev")
+            )
+        ).alias("is_sorted")
+    )

@@ -1,0 +1,381 @@
+"""Query registry: every operator declared to the driver harness.
+
+Each entry pairs a Spark DataFrame query (spark, sf_dir) -> DataFrame with the
+equivalent ANSI SQL for the DuckDB oracle (or None for non-SQL-expressible
+ops, which get a rows-only check).
+
+Determinism rules (the oracle hash is order-insensitive but value-exact):
+- computed doubles are rounded to 4 decimals on BOTH sides;
+- big-sum aggregates go through DECIMAL(18,4) so the sum is exact and
+  order-independent, then cast back to double;
+- every top-N / limit query has a total order (unique tie-break column);
+- DuckDB type quirks are normalized in the SQL (hour() -> INT,
+  dayofweek()+1 -> Spark's 1=Sunday, row_number -> INT, sum(int) -> BIGINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_store_fraud_detection_spark.operators.relational import (
+    bulk_export,
+    point_lookup,
+    range_scan,
+    stats_with_latest,
+    sync_offline_to_online,
+)
+from feature_store_fraud_detection_spark.operators.stats import (
+    dict_encode,
+    summary_stats,
+)
+from feature_store_fraud_detection_spark.operators.windows import latest_n_per_key
+from feature_store_fraud_detection_spark.plans.batch_pipeline import (
+    compute_features,
+    events_as_transactions,
+)
+from feature_store_fraud_detection_spark.schemas import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None -> rows-only check
+
+
+# --------------------------------------------------------------------------
+# Feature-store core (reference batch path + serving surface)
+# --------------------------------------------------------------------------
+
+# Shared CTE: the events->transactions adapter (plans/batch_pipeline.py
+# events_as_transactions) expressed in SQL for the oracle.
+_TXNS_CTE = """
+txns AS (
+  SELECT
+    ts,
+    user_id AS cc_num,
+    event_type AS category,
+    value AS amt,
+    CASE WHEN user_id % 2 = 0 THEN 'M' ELSE 'F' END AS gender,
+    30.0 + (event_id % 1000) / 100.0 AS lat,
+    -100.0 + (event_id % 2000) / 100.0 AS lon,
+    CAST(user_id * 1000 + 10000 AS BIGINT) AS city_pop,
+    CAST(CAST(1960 + user_id % 40 AS VARCHAR) || '-01-15 00:00:00' AS TIMESTAMP) AS dob,
+    30.0 + (user_id % 1000) / 50.0 AS merch_lat,
+    -100.0 + (user_id % 2000) / 50.0 AS merch_lon,
+    CAST(event_type = 'error' AS INT) AS is_fraud,
+    epoch_us(ts) // 1000000 AS unix_time
+  FROM events
+)
+"""
+
+
+def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feat = compute_features(events_as_transactions(load_table(spark, sf_dir, "events")))
+    return feat.select(
+        "cc_num",
+        "amt",
+        "hour_of_day",
+        "day_of_week",
+        F.round("age_at_txn", 4).alias("age_at_txn"),
+        F.round("distance_to_merchant", 4).alias("distance_to_merchant"),
+        "txn_count_last_10_min",
+        F.round("avg_amt_last_1_hour", 4).alias("avg_amt_last_1_hour"),
+        "category",
+        "gender",
+        "city_pop",
+        "feature_timestamp",
+        "is_fraud",
+    )
+
+
+_FLAGSHIP_SQL = f"""
+WITH {_TXNS_CTE}
+SELECT
+  cc_num,
+  amt,
+  CAST(hour(ts) AS INT) AS hour_of_day,
+  CAST(dayofweek(ts) + 1 AS INT) AS day_of_week,
+  round((unix_time - epoch_us(dob) // 1000000) / 31557600.0, 4) AS age_at_txn,
+  round(2 * 3963.0 * asin(sqrt(
+      pow(sin((radians(merch_lat) - radians(lat)) / 2), 2)
+      + cos(radians(lat)) * cos(radians(merch_lat))
+        * pow(sin((radians(merch_lon) - radians(lon)) / 2), 2))), 4)
+    AS distance_to_merchant,
+  count(*) OVER w600 AS txn_count_last_10_min,
+  round(avg(amt) OVER w3600, 4) AS avg_amt_last_1_hour,
+  category,
+  gender,
+  city_pop,
+  ts AS feature_timestamp,
+  is_fraud
+FROM txns
+WINDOW
+  w600 AS (PARTITION BY cc_num ORDER BY unix_time
+           RANGE BETWEEN 600 PRECEDING AND CURRENT ROW),
+  w3600 AS (PARTITION BY cc_num ORDER BY unix_time
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return point_lookup(load_table(spark, sf_dir, "events"), "user_id", 7)
+
+
+def _q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return range_scan(
+        load_table(spark, sf_dir, "events"), "ts", "2024-01-10", "2024-01-19"
+    )
+
+
+def _q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return latest_n_per_key(ev, "user_id", "ts", n=1, tiebreak="event_id").select(
+        "user_id", "event_id", "ts", "event_type", "value", "rn"
+    )
+
+
+def _q_latest5_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return latest_n_per_key(ev, "user_id", "ts", n=5, tiebreak="event_id").select(
+        "user_id", "event_id", "ts", "event_type", "value", "rn"
+    )
+
+
+def _latest_sql(n: int) -> str:
+    return f"""
+SELECT user_id, event_id, ts, event_type, value, CAST(rn AS INT) AS rn
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn <= {n}
+"""
+
+
+def _q_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return dict_encode(ev, "user_id").select("event_id", "user_id", "user_id_idx")
+
+
+def _q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return summary_stats(load_table(spark, sf_dir, "events"), "value")
+
+
+def _q_stats_with_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return stats_with_latest(ev, "user_id", "ts", "value", tiebreak="event_id")
+
+
+def _q_sync_offline_online(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    online = ev.select("event_id", "user_id", "value", "event_type")
+    offline = (
+        ev.filter(F.col("user_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value"), 4).alias("value"))
+    )
+    return sync_offline_to_online(online, offline, "user_id", ["value"])
+
+
+def _q_bulk_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bulk_export(load_table(spark, sf_dir, "events"), "event_id", limit=100)
+
+
+# --------------------------------------------------------------------------
+# Relational surface (TPC-H-style queries over the star schema)
+# --------------------------------------------------------------------------
+
+
+# Money arithmetic in DECIMAL end-to-end: raw columns cast to decimal once
+# (safe — raw values are ~2-decimal, far from rounding boundaries), then all
+# products/sums are exact decimal ops, identical in Spark and DuckDB
+# regardless of aggregation order. Casting a *double product* to decimal is
+# NOT safe: true 6-decimal values hit exact-half cases where the engines'
+# double->decimal roundings disagree.
+
+
+def _disc_price_dec() -> F.Column:
+    ext = F.col("l_extendedprice").cast("decimal(12,4)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    return ext * (F.lit(1).cast("decimal(6,4)") - disc)
+
+
+def _charge_dec() -> F.Column:
+    tax = F.col("l_tax").cast("decimal(6,4)")
+    return _disc_price_dec() * (F.lit(1).cast("decimal(6,4)") + tax)
+
+
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,4))"
+    " * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))"
+)
+_CHARGE_SQL = (
+    f"{_DISC_PRICE_SQL} * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))"
+)
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(12,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec(F.col("l_quantity"))).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(dec(F.col("l_extendedprice"))).cast("double"), 4).alias("sum_base_price"),
+            F.round(F.sum(_disc_price_dec()).cast("double"), 4).alias("sum_disc_price"),
+            F.round(F.sum(_charge_dec()).cast("double"), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 4) AS sum_qty,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE), 4) AS sum_base_price,
+  round(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 4) AS sum_disc_price,
+  round(CAST(SUM({_CHARGE_SQL}) AS DOUBLE), 4) AS sum_charge,
+  round(AVG(l_quantity), 4) AS avg_qty,
+  round(AVG(l_extendedprice), 4) AS avg_price,
+  round(AVG(l_discount), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    na = load_table(spark, sf_dir, "nation")
+    revenue = _disc_price_dec()
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue).cast("double"), 4).alias("revenue"))
+    )
+
+
+_REVENUE_BY_NATION_SQL = f"""
+SELECT n_name,
+       round(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _disc_price_dec()
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(revenue).cast("double"), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+_TOP_CUSTOMERS_SQL = f"""
+SELECT c_custkey, c_name,
+       round(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "flagship_features": QuerySpec(_q_flagship, _FLAGSHIP_SQL),
+    "point_lookup": QuerySpec(
+        _q_point_lookup, "SELECT * FROM events WHERE user_id = 7"
+    ),
+    "range_scan": QuerySpec(
+        _q_range_scan,
+        """
+        SELECT * FROM events
+        WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                     AND TIMESTAMP '2024-01-19 23:59:59.999999'
+        """,
+    ),
+    "latest_per_key": QuerySpec(_q_latest_per_key, _latest_sql(1)),
+    "latest5_per_key": QuerySpec(_q_latest5_per_key, _latest_sql(5)),
+    "dict_encode": QuerySpec(
+        _q_dict_encode,
+        """
+        SELECT event_id, user_id,
+               CAST(dense_rank() OVER (ORDER BY user_id) - 1 AS INT) AS user_id_idx
+        FROM events
+        """,
+    ),
+    "summary_stats": QuerySpec(
+        _q_summary_stats,
+        """
+        SELECT count(*) AS cnt,
+               round(avg(value), 4) AS avg_value,
+               round(stddev_samp(value), 4) AS std_value,
+               round(min(value), 4) AS min_value,
+               round(max(value), 4) AS max_value
+        FROM events
+        """,
+    ),
+    "stats_with_latest": QuerySpec(
+        _q_stats_with_latest,
+        """
+        WITH stats AS (
+          SELECT user_id, count(*) AS txn_count, round(avg(value), 4) AS avg_value
+          FROM events GROUP BY user_id
+        ), latest AS (
+          SELECT user_id, ts AS latest_ts, value AS latest_value FROM (
+            SELECT user_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+          ) WHERE rn = 1
+        )
+        SELECT s.user_id, s.txn_count, s.avg_value, l.latest_ts, l.latest_value
+        FROM stats s JOIN latest l USING (user_id)
+        """,
+    ),
+    "sync_offline_online": QuerySpec(
+        _q_sync_offline_online,
+        """
+        WITH offline AS (
+          SELECT user_id, round(avg(value), 4) AS off_value
+          FROM events WHERE user_id % 2 = 0 GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id,
+               coalesce(o.off_value, e.value) AS value, e.event_type
+        FROM events e LEFT JOIN offline o USING (user_id)
+        """,
+    ),
+    "bulk_export": QuerySpec(
+        _q_bulk_export, "SELECT * FROM events ORDER BY event_id LIMIT 100"
+    ),
+    "pricing_summary": QuerySpec(_q_pricing_summary, _PRICING_SQL),
+    "revenue_by_nation": QuerySpec(_q_revenue_by_nation, _REVENUE_BY_NATION_SQL),
+    "top_customers": QuerySpec(_q_top_customers, _TOP_CUSTOMERS_SQL),
+}
