@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Each query executes fully via the noop sink (no driver-side collect cost in
+the measurement, all executor work included). Session build + JVM warmup are
+excluded from per-query times, matching how the reference reports its own
+numbers (BASELINE.md measures compute, not process startup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from feature_store_fraud_detection_spark.plans.registry import QUERIES
+from feature_store_fraud_detection_spark.session import get_spark
+
+# Headline set: the flagship feature pipeline plus the heaviest operators of
+# each family (windows, joins, aggregation, top-k).
+HEADLINE = [
+    "flagship_features",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "latest5_per_key",
+    "stats_with_latest",
+    "dict_encode",
+    "sync_offline_online",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="bench")
+    # JVM/codegen warmup outside the measurement
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = QUERIES.get(name)
+        if spec is None:
+            continue
+        t0 = time.time()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
