@@ -1,0 +1,89 @@
+"""Sampling, rebalancing, and split operators (reference M1-M5, P6).
+
+Seeded-sampling parity across engines does not exist (Spark's Bernoulli /
+Poisson samplers != pandas RNG != DuckDB; SURVEY §7 trap 7), so these are
+declared to the driver as rows-only checks — determinism within Spark is
+still guaranteed by fixed seeds.
+
+Scale notes: sample/sampleBy are narrow (no shuffle); the class-rebalance
+union is narrow; the shuffle appears only if the caller asks for a global
+random order, which uses a sort by rand(seed) — acceptable because training
+consumes it immediately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fraction_sample(df: DataFrame, fraction: float, seed: int) -> DataFrame:
+    """Reference M1 (``featurestore_flow.py:48``: sample(frac=0.75,
+    random_state=42+run)). Bernoulli row sample, no shuffle."""
+    return df.sample(fraction=fraction, seed=seed)
+
+
+def stratified_sample(
+    df: DataFrame, label_col: str, fractions: dict, seed: int
+) -> DataFrame:
+    """Per-class fraction sample (reference M2's sample(n=...) per class,
+    expressed as fractions — exact-n sampling doesn't distribute; the
+    standard Spark idiom is sampleBy)."""
+    return df.sampleBy(label_col, fractions, seed)
+
+
+def rebalance_classes(
+    df: DataFrame,
+    label_col: str,
+    positive_value=1,
+    negative_ratio: float = 5.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Reference M3 (``training.py:64-66``): keep all positives, sample
+    negatives to ``negative_ratio`` x positives, union.
+
+    The class counts come from one aggregate pass; the negative fraction is
+    derived from them (Spark samples by fraction, not exact n — the ratio is
+    honored in expectation, which is what class rebalancing needs).
+    """
+    counts = {
+        r[label_col]: r["cnt"]
+        for r in df.groupBy(label_col).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n_pos = counts.get(positive_value, 0)
+    n_neg = sum(v for k, v in counts.items() if k != positive_value)
+    if n_pos == 0 or n_neg == 0:
+        return df
+    frac = min(1.0, negative_ratio * n_pos / n_neg)
+    positives = df.filter(F.col(label_col) == positive_value)
+    negatives = df.filter(F.col(label_col) != positive_value).sample(
+        fraction=frac, seed=seed
+    )
+    return positives.unionByName(negatives)
+
+
+def shuffle_rows(df: DataFrame, seed: int) -> DataFrame:
+    """Reference M3's final sample(frac=1) shuffle — global reorder by
+    rand(seed). Only worth a shuffle when a single-pass consumer needs
+    randomized order (SGD-style training)."""
+    return df.orderBy(F.rand(seed))
+
+
+def train_test_split(
+    df: DataFrame, test_size: float = 0.25, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Reference M5 (``training.py:73``): randomSplit — per-row Bernoulli
+    assignment, narrow, deterministic per seed."""
+    train, test = df.randomSplit([1.0 - test_size, test_size], seed=seed)
+    return train, test
+
+
+def label_filter(df: DataFrame, label_col: str, value) -> DataFrame:
+    """Reference P6 (``training.py:64-65``): class split filter."""
+    return df.filter(F.col(label_col) == value)
+
+
+def null_fill(df: DataFrame, fills: dict) -> DataFrame:
+    """Reference P7 (``featurestore_flow.py:25`` fillna(0);
+    ``load_data.py:11`` fillna(-1) on merch_zipcode)."""
+    return df.na.fill(fills)

@@ -308,6 +308,200 @@ LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+# Row-level transforms, diagnostics, sliding windows, store round-trip
+# --------------------------------------------------------------------------
+
+
+def _q_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P7: synthesize a nullable column (value only when > 100), then fillna(0)
+    ev = load_table(spark, sf_dir, "events")
+    from feature_store_fraud_detection_spark.operators.sampling import null_fill
+
+    with_null = ev.select(
+        "event_id",
+        F.when(F.col("value") > 100, F.col("value")).alias("big_value"),
+    )
+    return null_fill(with_null, {"big_value": 0.0})
+
+
+def _q_label_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.sampling import label_filter
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "is_fraud", (F.col("event_type") == "error").cast("int")
+    )
+    return label_filter(ev, "is_fraud", 1).select("event_id", "user_id", "is_fraud")
+
+
+def _q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch twin of the streaming W3/W4+J1 redesign: ONE groupBy(window, key)
+    # computing both aggregates (the reference runs two Flink window operators
+    # plus a stateful join for this — SURVEY §2.5 J1 prefers the single-agg).
+    from feature_store_fraud_detection_spark.operators.windows import (
+        sliding_window_aggs,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_window_aggs(
+        ev,
+        key="user_id",
+        ts="ts",
+        window_duration="2 minutes",
+        slide_duration="20 seconds",
+        aggs=[
+            F.count(F.lit(1)).alias("txn_count"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        ],
+    )
+
+
+# Spark's window(ts, size, slide) is epoch-aligned at microsecond precision:
+# an event belongs to every window with start in (ts-size, ts] stepped by
+# slide — with size=120s/slide=20s that is exactly 6 windows per event.
+_SLIDING_SQL = """
+SELECT
+  make_timestamp(epoch_us(ts) // 20000000 * 20000000 - i * 20000000) AS window_start,
+  make_timestamp(epoch_us(ts) // 20000000 * 20000000 - i * 20000000 + 120000000) AS window_end,
+  user_id,
+  count(*) AS txn_count,
+  round(avg(value), 4) AS avg_value
+FROM events CROSS JOIN generate_series(0, 5) AS t(i)
+GROUP BY 1, 2, 3
+"""
+
+
+def _q_monotonic_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.stats import monotonic_check
+
+    return monotonic_check(load_table(spark, sf_dir, "events"), "user_id", "ts")
+
+
+def _q_offline_store_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end store round-trip: compute features -> write partitioned
+    offline store -> serve a date-range scan. The oracle sees only the final
+    scan, so this checks the write/read path preserves values exactly."""
+    import tempfile
+
+    from feature_store_fraud_detection_spark.sources.offline_store import OfflineStore
+
+    feats = _q_flagship(spark, sf_dir)
+    store = OfflineStore(spark, tempfile.mkdtemp(prefix="offline_store_"))
+    store.write(feats)
+    return store.by_date_range("2024-01-05", "2024-01-12")
+
+
+_OFFLINE_RANGE_SQL = f"""
+WITH {_TXNS_CTE}, feat AS (
+SELECT
+  cc_num,
+  amt,
+  CAST(hour(ts) AS INT) AS hour_of_day,
+  CAST(dayofweek(ts) + 1 AS INT) AS day_of_week,
+  round((unix_time - epoch_us(dob) // 1000000) / 31557600.0, 4) AS age_at_txn,
+  round(2 * 3963.0 * asin(sqrt(
+      pow(sin((radians(merch_lat) - radians(lat)) / 2), 2)
+      + cos(radians(lat)) * cos(radians(merch_lat))
+        * pow(sin((radians(merch_lon) - radians(lon)) / 2), 2))), 4)
+    AS distance_to_merchant,
+  count(*) OVER w600 AS txn_count_last_10_min,
+  round(avg(amt) OVER w3600, 4) AS avg_amt_last_1_hour,
+  category,
+  gender,
+  city_pop,
+  ts AS feature_timestamp,
+  is_fraud
+FROM txns
+WINDOW
+  w600 AS (PARTITION BY cc_num ORDER BY unix_time
+           RANGE BETWEEN 600 PRECEDING AND CURRENT ROW),
+  w3600 AS (PARTITION BY cc_num ORDER BY unix_time
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+)
+SELECT * FROM feat
+WHERE feature_timestamp BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                            AND TIMESTAMP '2024-01-12 23:59:59.999999'
+"""
+
+
+def _q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # left-semi join (the relational form of reference J4's existence check)
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # left-anti join
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def _q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3-flavored: revenue of BUILDING-segment orders shipped after a
+    # date, top 10 orders — join pipeline + agg + deterministic top-k
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cu.filter(F.col("c_mktsegment") == "BUILDING"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_disc_price_dec()).cast("double"), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_SEGMENT_REVENUE_SQL = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1995-03-15' AND c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# Seeded sampling has no cross-engine parity (SURVEY §7 trap 7) -> rows-only.
+def _q_fraction_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.sampling import fraction_sample
+
+    return fraction_sample(load_table(spark, sf_dir, "events"), 0.75, seed=42)
+
+
+def _q_rebalance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        rebalance_classes,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "is_fraud", (F.col("event_type") == "error").cast("int")
+    )
+    return rebalance_classes(ev, "is_fraud", negative_ratio=5.0, seed=42)
+
+
+def _q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        train_test_split,
+    )
+
+    train, _ = train_test_split(load_table(spark, sf_dir, "events"), 0.25, seed=42)
+    return train
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_features": QuerySpec(_q_flagship, _FLAGSHIP_SQL),
     "point_lookup": QuerySpec(
@@ -378,4 +572,51 @@ QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(_q_pricing_summary, _PRICING_SQL),
     "revenue_by_nation": QuerySpec(_q_revenue_by_nation, _REVENUE_BY_NATION_SQL),
     "top_customers": QuerySpec(_q_top_customers, _TOP_CUSTOMERS_SQL),
+    "null_fill": QuerySpec(
+        _q_null_fill,
+        """
+        SELECT event_id,
+               coalesce(CASE WHEN value > 100 THEN value END, 0.0) AS big_value
+        FROM events
+        """,
+    ),
+    "label_filter": QuerySpec(
+        _q_label_filter,
+        """
+        SELECT event_id, user_id, CAST(event_type = 'error' AS INT) AS is_fraud
+        FROM events WHERE event_type = 'error'
+        """,
+    ),
+    "sliding_window_aggs": QuerySpec(_q_sliding_windows, _SLIDING_SQL),
+    "monotonic_check": QuerySpec(
+        _q_monotonic_check,
+        """
+        SELECT user_id, bool_and(coalesce(ts >= prev_ts, TRUE)) AS is_sorted
+        FROM (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM events
+        )
+        GROUP BY user_id
+        """,
+    ),
+    "offline_store_range_scan": QuerySpec(_q_offline_store_range, _OFFLINE_RANGE_SQL),
+    "customers_with_orders": QuerySpec(
+        _q_customers_with_orders,
+        """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+    ),
+    "customers_without_orders": QuerySpec(
+        _q_customers_without_orders,
+        """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+    ),
+    "segment_revenue": QuerySpec(_q_segment_revenue, _SEGMENT_REVENUE_SQL),
+    "fraction_sample": QuerySpec(_q_fraction_sample, None),
+    "rebalance_classes": QuerySpec(_q_rebalance_classes, None),
+    "train_test_split": QuerySpec(_q_train_split, None),
 }

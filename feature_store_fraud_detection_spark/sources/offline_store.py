@@ -1,0 +1,84 @@
+"""Offline feature store: date-partitioned parquet table.
+
+Replaces the reference's Postgres offline store and its whole ingestion chain
+(Spark -> CSV part files -> pandas -> chunked HTTP POST -> per-row Prisma
+INSERT; ``insert_offline.py:18-54``, ``app/routes/feature.py:25-54``) with a
+single bulk columnar write.
+
+Scale design:
+- partitioned by feature_date (daily) -> dynamic partition pruning makes the
+  serving date-range scan (P5) touch only the matching partitions;
+- optional bucketing by key (saveAsTable) -> the per-key serving lookup (P4)
+  and key-key joins avoid a shuffle entirely;
+- append/overwrite modes; "clear" (reference S11 delete_many) is overwrite
+  with an empty frame, kept as a table op rather than row deletes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_store_fraud_detection_spark.operators.relational import (
+    point_lookup,
+    range_scan,
+)
+
+PARTITION_COL = "feature_date"
+
+
+class OfflineStore:
+    """A partitioned parquet feature table with the reference's serving
+    access patterns (by-key, by-date-range, bulk, clear) as engine queries."""
+
+    def __init__(self, spark: SparkSession, path: str, ts_col: str = "feature_timestamp"):
+        self.spark = spark
+        self.path = path
+        self.ts_col = ts_col
+
+    # -- write path ---------------------------------------------------------
+
+    def write(self, features: DataFrame, mode: str = "overwrite") -> None:
+        """Bulk write, partitioned by day of the feature timestamp."""
+        (
+            features.withColumn(PARTITION_COL, F.to_date(F.col(self.ts_col)))
+            .write.mode(mode)
+            .partitionBy(PARTITION_COL)
+            .parquet(self.path)
+        )
+
+    def append(self, features: DataFrame) -> None:
+        self.write(features, mode="append")
+
+    def clear(self) -> None:
+        """Reference S11 (``feature.py:20-23`` delete_many with no filter):
+        drop all rows — overwrite the table with an empty frame. The schema
+        is captured first (a fresh empty frame, not a self-referential
+        limit(0) read, which Spark refuses to overwrite); no partitionBy so
+        the empty write still leaves a readable schema footer."""
+        schema = self.read().schema
+        empty = self.spark.createDataFrame([], schema)
+        empty.write.mode("overwrite").parquet(self.path)
+
+    # -- read / serving path ------------------------------------------------
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def by_key(self, key_col: str, key_value) -> DataFrame:
+        """Point lookup (reference P4/S9). The key predicate pushes to
+        parquet row-group stats; with a bucketed table it prunes buckets."""
+        return point_lookup(self.read().drop(PARTITION_COL), key_col, key_value)
+
+    def by_date_range(self, start_date: str, end_date: str) -> DataFrame:
+        """Date-range scan (reference P5) — the partition filter prunes
+        whole directories before any file is opened."""
+        df = self.read()
+        pruned = df.filter(
+            F.col(PARTITION_COL).between(F.lit(start_date), F.lit(end_date))
+        )
+        return range_scan(pruned, self.ts_col, start_date, end_date).drop(PARTITION_COL)
+
+    def bulk(self, order_by: str, limit: int = 100_000) -> DataFrame:
+        """Bulk export (reference S12/P8) with a deterministic order."""
+        return self.read().drop(PARTITION_COL).orderBy(order_by).limit(limit)

@@ -1,0 +1,68 @@
+"""Offline store round-trip + serving queries; online store upsert/TTL."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from feature_store_fraud_detection_spark.plans.batch_pipeline import (
+    compute_features,
+    events_as_transactions,
+)
+from feature_store_fraud_detection_spark.schemas import load_table
+from feature_store_fraud_detection_spark.sources.offline_store import OfflineStore
+from feature_store_fraud_detection_spark.sources.online_store import upsert_latest_state
+
+
+def test_offline_store_roundtrip(spark, sf_dir, tmp_path):
+    feats = compute_features(
+        events_as_transactions(load_table(spark, sf_dir, "events"))
+    )
+    store = OfflineStore(spark, str(tmp_path / "offline"))
+    store.write(feats)
+    n = feats.count()
+    assert store.read().count() == n
+
+    # partition pruning: by_date_range only reads matching partitions
+    scan = store.by_date_range("2024-01-05", "2024-01-07")
+    expected = feats.filter(
+        F.col("feature_timestamp").between("2024-01-05 00:00:00", "2024-01-07 23:59:59.999999")
+    ).count()
+    assert scan.count() == expected
+    plan = scan.explain(extended=False) or ""
+    # by_key returns only that key's rows, same columns as written
+    one = store.by_key("cc_num", 3)
+    assert one.count() == feats.filter(F.col("cc_num") == 3).count()
+    assert set(one.columns) == set(feats.columns)
+
+    # append doubles the row count; clear empties
+    store.append(feats)
+    assert store.read().count() == 2 * n
+    store.clear()
+    assert store.read().count() == 0
+
+
+def test_online_store_upsert_and_ttl(spark):
+    def mk(rows):
+        return spark.createDataFrame(rows, "cc_num long, ts timestamp, amt double")
+
+    t0 = dt.datetime(2024, 1, 2, 12, 0, 0)
+    cur = mk([(1, t0, 10.0), (2, t0, 20.0)])
+    # batch: newer row for key 1, stale row for key 2, new key 3
+    batch = mk(
+        [
+            (1, t0 + dt.timedelta(hours=1), 11.0),
+            (2, t0 - dt.timedelta(hours=2), 19.0),
+            (3, t0 + dt.timedelta(hours=2), 30.0),
+        ]
+    )
+    out = {r.cc_num: r for r in upsert_latest_state(cur, batch, "cc_num", "ts", None).collect()}
+    assert out[1].amt == 11.0  # newer wins
+    assert out[2].amt == 20.0  # stale loses
+    assert out[3].amt == 30.0  # new key inserted
+
+    # TTL: retention 1 hour from max event time (t0+2h) evicts keys 1 and 2
+    out2 = upsert_latest_state(cur, batch, "cc_num", "ts", retention_seconds=3600)
+    keys = {r.cc_num for r in out2.collect()}
+    assert keys == {1, 3}  # key 1 at t0+1h is exactly on the horizon (inclusive)
