@@ -502,6 +502,290 @@ def _q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train
 
 
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators (documents / embeddings tables)
+# --------------------------------------------------------------------------
+
+# Shared SQL substrates for the oracle (mirror text_analysis.tokens /
+# word_shingles exactly: split on \s+ of lower(trim(text)), distinct word
+# 3-grams).
+_TOKS_CTE = r"""
+tk AS (
+  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+)
+"""
+
+_SHINGLES_CTE = (
+    _TOKS_CTE
+    + r""", sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM tk
+)
+"""
+)
+
+
+def _q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        text_profile,
+    )
+
+    return text_profile(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_TEXT_PROFILE_SQL = f"""
+WITH {_TOKS_CTE}
+SELECT
+  doc_id,
+  CAST(len(toks) AS INT) AS n_tokens,
+  CAST(length(text) AS INT) AS n_chars_measured,
+  round(len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is')))
+        / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio,
+  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+  round(list_reduce(list_transform(toks, t -> CAST(length(t) AS DOUBLE)),
+                    (a, b) -> a + b) / len(toks), 4) AS avg_token_len,
+  round((least(len(toks) / 50.0, 1.0)
+         + least((len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is')))
+                  / CAST(len(toks) AS DOUBLE)) * 5.0, 1.0)
+         + greatest(1.0 - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                    / CAST(length(text) AS DOUBLE)) * 10.0, 0.0)) / 3.0, 4) AS quality,
+  CASE
+    WHEN len(list_filter(toks, t -> t IN ('der','die','das','und','ist')))
+           >= greatest(len(list_filter(toks, t -> t IN ('the','a','of','and','in'))),
+                       len(list_filter(toks, t -> t IN ('el','la','de','los','que'))))
+         AND len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) > 0
+      THEN 'de'
+    WHEN len(list_filter(toks, t -> t IN ('the','a','of','and','in')))
+           >= len(list_filter(toks, t -> t IN ('el','la','de','los','que')))
+         AND len(list_filter(toks, t -> t IN ('the','a','of','and','in'))) > 0
+      THEN 'en'
+    WHEN len(list_filter(toks, t -> t IN ('el','la','de','los','que'))) > 0
+      THEN 'es'
+    ELSE 'und'
+  END AS lang_pred,
+  md5(text) AS fingerprint,
+  list_min(list_transform(
+      list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+      s -> md5(s))) AS winnow_fp
+FROM tk
+"""
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.2
+    )
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter, jaccard FROM (
+  SELECT id_a, id_b, n_inter,
+         round(n_inter / CAST(na.n + nb.n - n_inter AS DOUBLE), 4) AS jaccard
+  FROM inter
+  JOIN sizes na ON id_a = na.doc_id
+  JOIN sizes nb ON id_b = nb.doc_id
+) WHERE jaccard >= 0.2
+"""
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=3,
+        num_hashes=16,
+        threshold=0.2,
+    )
+
+
+_MINHASH_SQL = f"""
+WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, i AS perm, min(md5(i::VARCHAR || '|' || shingle)) AS minhash
+  FROM sh CROSS JOIN generate_series(0, 15) AS t(i)
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.perm = b.perm AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT id_a, id_b,
+         round(n_inter / CAST(na.n + nb.n - n_inter AS DOUBLE), 4) AS jaccard
+  FROM inter
+  JOIN sizes na ON id_a = na.doc_id
+  JOIN sizes nb ON id_b = nb.doc_id
+)
+SELECT c.id_a, c.id_b, e.jaccard
+FROM cand c JOIN exact e USING (id_a, id_b)
+WHERE e.jaccard >= 0.2
+"""
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        simhash_fingerprints,
+    )
+
+    return simhash_fingerprints(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", bits=32
+    )
+
+
+_SIMHASH_SQL = rf"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tk),
+per_bit AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN ((strpos('0123456789abcdef',
+                                substr(md5(tok), b // 4 + 1, 1)) - 1)
+                        >> (b % 4)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM tok CROSS JOIN generate_series(0, 31) AS t(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+_VEC_CTE = """
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+),
+vn AS (
+  SELECT vec_id, vd,
+         sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+)
+"""
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    return embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.25,
+        max_id=300,
+    )
+
+
+_EMB_NEARDUP_SQL = f"""
+WITH {_VEC_CTE}
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_reduce(list_transform(range(1, len(a.vd) + 1),
+                                          i -> a.vd[i] * b.vd[i]),
+                           (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS cosine
+  FROM vn a JOIN vn b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 300 AND b.vec_id < 300
+) WHERE cosine >= 0.25
+"""
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        query_max_id=10,
+        top_k=5,
+    )
+
+
+_COSINE_TOPK_SQL = f"""
+WITH {_VEC_CTE},
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         round(list_reduce(list_transform(range(1, len(q.vd) + 1),
+                                          i -> q.vd[i] * n.vd[i]),
+                           (x, y) -> x + y) / (q.nrm * n.nrm), 4) AS cosine
+  FROM vn q JOIN vn n ON q.vec_id != n.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        query_max_id=10,
+        top_k=5,
+        num_planes=8,
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.multimodal import (
+        extract_binary_features,
+        with_binary_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_binary_features(with_binary_payload(docs, "doc_id", "text"))
+
+
+# Synthetic docs are ASCII, so byte values == codepoints; a real media blob
+# would skip the oracle (no SQL twin for decode) and use a rows-only check.
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       md5(text) AS digest,
+       list_transform(range(1, least(4, length(text)) + 1),
+                      i -> ascii(substr(text, i, 1))) AS head_bytes
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_features": QuerySpec(_q_flagship, _FLAGSHIP_SQL),
     "point_lookup": QuerySpec(
@@ -619,4 +903,20 @@ QUERIES: dict[str, QuerySpec] = {
     "fraction_sample": QuerySpec(_q_fraction_sample, None),
     "rebalance_classes": QuerySpec(_q_rebalance_classes, None),
     "train_test_split": QuerySpec(_q_train_split, None),
+    "text_profile": QuerySpec(_q_text_profile, _TEXT_PROFILE_SQL),
+    "exact_dedup": QuerySpec(
+        _q_exact_dedup,
+        """
+        SELECT md5(text) AS fingerprint, min(doc_id) AS canonical_id,
+               count(*) AS n_dupes
+        FROM documents GROUP BY 1
+        """,
+    ),
+    "ngram_jaccard_pairs": QuerySpec(_q_ngram_jaccard, _NGRAM_JACCARD_SQL),
+    "minhash_lsh_pairs": QuerySpec(_q_minhash_lsh, _MINHASH_SQL),
+    "simhash_fingerprints": QuerySpec(_q_simhash, _SIMHASH_SQL),
+    "embedding_neardup_pairs": QuerySpec(_q_embedding_neardup, _EMB_NEARDUP_SQL),
+    "cosine_topk": QuerySpec(_q_cosine_topk, _COSINE_TOPK_SQL),
+    "lsh_topk": QuerySpec(_q_lsh_topk, None),
+    "multimodal_features": QuerySpec(_q_multimodal_features, _MULTIMODAL_SQL),
 }

@@ -1,0 +1,102 @@
+"""Dedup / similarity / text-analysis / multimodal operators on hand fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_fraud_detection_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from feature_store_fraud_detection_spark.operators.multimodal import (
+    decode_image,
+    extract_binary_features,
+    with_binary_payload,
+)
+from feature_store_fraud_detection_spark.operators.similarity import cosine_topk
+from feature_store_fraud_detection_spark.operators.text_analysis import text_profile
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+        (2, "completely different words about database engines and query plans"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = exact_dedup(_docs(spark), "doc_id", "text").collect()
+    groups = {r.canonical_id: r.n_dupes for r in out}
+    assert groups[0] == 2  # docs 0 and 3 share a fingerprint
+    assert len(out) == 3
+
+
+def test_ngram_jaccard_and_minhash_agree(spark):
+    docs = _docs(spark)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2).collect()
+    }
+    # exact dup pair has jaccard 1.0; near-dup pair is high but < 1
+    assert exact[(0, 3)] == 1.0
+    assert 0.5 < exact[(0, 1)] < 1.0
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2).collect()
+    }
+    assert lsh == exact  # K=16 r=1 banding recalls everything on this fixture
+
+
+def test_simhash_identical_docs_equal(spark):
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(_docs(spark), "doc_id", "text").collect()}
+    assert fps[0] == fps[3]
+    assert len(fps[0]) == 32 and set(fps[0]) <= {"0", "1"}
+    assert fps[0] != fps[2]
+
+
+def test_cosine_topk_identical_vector_ranks_first(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),   # identical to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [0.9, 0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, "vec_id", "embedding", query_max_id=1, top_k=3).collect()
+    by_rank = {r.rank: r for r in out}
+    assert by_rank[1].neighbor_id == 1 and by_rank[1].cosine == 1.0
+    assert by_rank[3].neighbor_id == 2 and abs(by_rank[3].cosine) < 1e-9
+
+
+def test_text_profile_values(spark):
+    out = {
+        r.doc_id: r
+        for r in text_profile(_docs(spark), "doc_id", "text").collect()
+    }
+    r0 = out[0]
+    assert r0.n_tokens == 13
+    assert r0.lang_pred == "en"  # 'the' appears 3x
+    assert 0 < r0.quality <= 1
+    assert out[3].fingerprint == r0.fingerprint
+
+
+def test_multimodal_plumbing(spark):
+    feats = extract_binary_features(
+        with_binary_payload(_docs(spark), "doc_id", "text")
+    ).collect()
+    by_id = {r.doc_id: r for r in feats}
+    assert by_id[0].byte_len == len(
+        "the quick brown fox jumps over the lazy dog near the river bank"
+    )
+    assert by_id[0].digest == by_id[3].digest
+    assert by_id[0].head_bytes == [ord(c) for c in "the "]
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
