@@ -786,6 +786,57 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Streaming-state twin + ML pipeline
+# --------------------------------------------------------------------------
+
+
+def _q_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming online-store state: the same latest_txn
+    aggregate (max_by over the watermarked stream) applied to the events
+    table mapped into the stream-event shape."""
+    from feature_store_fraud_detection_spark.streaming.pipeline import latest_txn
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("txn_"), F.col("event_id").cast("string")).alias("txn_id"),
+        F.col("user_id").alias("cc_num"),
+        F.col("value").alias("amount"),
+        F.col("ts").alias("event_time"),
+    )
+    return latest_txn(ev)
+
+
+_STREAM_LATEST_SQL = """
+SELECT user_id AS cc_num,
+       max(ts) AS latest_ts,
+       arg_max(value, ts) AS latest_amount,
+       arg_max('txn_' || CAST(event_id AS VARCHAR), ts) AS latest_txn_id
+FROM events GROUP BY user_id
+"""
+
+
+def _q_ml_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the MLlib fraud pipeline on flagship features and score the
+    held-out split. Not SQL-expressible (iterative optimizer) -> rows-only;
+    correctness of the model path is covered by tests/test_ml.py."""
+    from feature_store_fraud_detection_spark.ml.pipeline import (
+        FraudModelConfig,
+        train,
+    )
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        train_test_split,
+    )
+
+    feats = compute_features(
+        events_as_transactions(load_table(spark, sf_dir, "events"))
+    ).na.fill(0)
+    tr, te = train_test_split(feats, 0.25, seed=42)
+    model = train(tr, FraudModelConfig(model="logistic", max_iter=20))
+    return model.transform(te).select(
+        "cc_num", "feature_timestamp", "is_fraud", "prediction"
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_features": QuerySpec(_q_flagship, _FLAGSHIP_SQL),
     "point_lookup": QuerySpec(
@@ -919,4 +970,6 @@ QUERIES: dict[str, QuerySpec] = {
     "cosine_topk": QuerySpec(_q_cosine_topk, _COSINE_TOPK_SQL),
     "lsh_topk": QuerySpec(_q_lsh_topk, None),
     "multimodal_features": QuerySpec(_q_multimodal_features, _MULTIMODAL_SQL),
+    "stream_latest_state": QuerySpec(_q_stream_latest_state, _STREAM_LATEST_SQL),
+    "ml_train_score": QuerySpec(_q_ml_train_score, None),
 }

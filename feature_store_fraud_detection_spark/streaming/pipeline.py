@@ -1,0 +1,149 @@
+"""Streaming feature pipeline (reference ``stream_processing/pipeline.py``).
+
+Reference architecture: Kafka JSON -> Flink map(json.loads) -> per-record
+Python haversine -> two sliding-window operators (W3/W4) -> two stateful
+CoProcessFunction joins (J1/J2) -> per-record Redis writes. Four keyed
+shuffles, every hop crossing JVM<->Python, unbounded ValueState (T4), and
+processing-time windows despite configured watermarks (T1 — dead code).
+
+This engine (SURVEY §3.2 "Spark lifecycle equivalent"):
+
+    readStream -> from_json(typed schema) -> shared feature exprs
+    -> withWatermark(5s)
+    -> ONE groupBy(window, key).agg(count, avg)        [replaces W3+W4+J1]
+    -> foreachBatch MERGE into the keyed online store   [replaces J2+Redis]
+
+One keyed shuffle total; watermarks actually bound state and late data; no
+per-record Python anywhere. The same feature expressions as batch — the
+reference's three divergent implementations collapse to one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feature_store_fraud_detection_spark.functions.geo import haversine_miles
+from feature_store_fraud_detection_spark.schemas import STREAM_EVENT_SCHEMA
+
+# Reference window geometry (pipeline.py:61,66) — kept, but event-time.
+COUNT_WINDOW = ("2 minutes", "20 seconds")
+AVG_WINDOW = ("5 minutes", "1 minute")
+WATERMARK_DELAY = "5 seconds"  # pipeline.py:47 bounded out-of-orderness
+
+
+def parse_stream(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Typed ingest: JSON strings -> STREAM_EVENT_SCHEMA columns.
+
+    Replaces the reference's stringly pipeline (every field a string end to
+    end, re-parsed ad hoc; ``pipeline.py:44``, ``stream_features.py:14``).
+    Works identically on a streaming or batch DataFrame.
+    """
+    return (
+        raw.select(
+            F.from_json(F.col(value_col).cast("string"), STREAM_EVENT_SCHEMA).alias(
+                "e"
+            )
+        )
+        .select("e.*")
+        .withColumnRenamed("timestamp", "event_time")
+    )
+
+
+def enrich(events: DataFrame) -> DataFrame:
+    """Per-event derived columns (the streaming twin of the batch scalar
+    features — same shared expressions, reference ``pipeline.py:51-57``)."""
+    return events.withColumn(
+        "distance_to_merchant",
+        haversine_miles("lat", "long", "merch_lat", "merch_long"),
+    )
+
+
+def windowed_stats(events: DataFrame, window=COUNT_WINDOW) -> DataFrame:
+    """The single watermarked sliding-window aggregate.
+
+    The reference computes count and avg in two separate window operators
+    with different geometries and then joins them statefully (J1). Computing
+    both in ONE agg removes the join, its state, and two shuffles; SURVEY
+    §2.5 J1 marks this re-design as preferred. Window geometry follows the
+    count window; the avg over the same pane preserves the semantic intent
+    ("recent count and recent average per card").
+    """
+    size, slide = window
+    return (
+        events.withWatermark("event_time", WATERMARK_DELAY)
+        .groupBy(F.window("event_time", size, slide), F.col("cc_num"))
+        .agg(
+            F.count(F.lit(1)).alias("txn_count"),
+            F.avg("amount").alias("avg_amount"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "cc_num",
+            "txn_count",
+            "avg_amount",
+        )
+    )
+
+
+def latest_txn(events: DataFrame) -> DataFrame:
+    """Per-key latest transaction (the Redis ZSET timeline head, W5) as a
+    streaming-safe aggregate: max_by over the watermarked stream."""
+    return (
+        events.withWatermark("event_time", WATERMARK_DELAY)
+        .groupBy("cc_num")
+        .agg(
+            F.max("event_time").alias("latest_ts"),
+            F.max_by("amount", "event_time").alias("latest_amount"),
+            F.max_by("txn_id", "event_time").alias("latest_txn_id"),
+        )
+    )
+
+
+class OnlineStoreSink:
+    """foreachBatch sink: MERGE each micro-batch of per-key stats into the
+    keyed online store with event-time retention (replaces RedisWriter's
+    per-record HSET/ZADD/EXPIRE, ``redis_writer.py:17-44``)."""
+
+    def __init__(self, key: str = "cc_num", ts: str = "latest_ts", retention_seconds: int = 86_400):
+        self.key = key
+        self.ts = ts
+        self.retention_seconds = retention_seconds
+        self.state: DataFrame | None = None
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from feature_store_fraud_detection_spark.sources.online_store import (
+            upsert_latest_state,
+        )
+
+        if batch_df.isEmpty():
+            return
+        merged = upsert_latest_state(
+            self.state, batch_df, self.key, self.ts, self.retention_seconds
+        )
+        # materialize the new state so the next merge doesn't re-execute a
+        # growing lineage chain (at scale this is a Delta MERGE instead)
+        self.state = batch_df.sparkSession.createDataFrame(
+            merged.collect(), merged.schema
+        )
+
+
+def run_stream_to_online_store(
+    raw: DataFrame,
+    sink: OnlineStoreSink | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Wire the full streaming job: typed ingest -> enrich -> per-key latest
+    state -> foreachBatch upsert. Returns the StreamingQuery."""
+    sink = sink or OnlineStoreSink()
+    events = enrich(parse_stream(raw))
+    latest = latest_txn(events)
+    writer = (
+        latest.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

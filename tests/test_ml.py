@@ -1,0 +1,46 @@
+"""MLlib pipeline: train/evaluate/score end-to-end on testdata features."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feature_store_fraud_detection_spark.ml.pipeline import (
+    FraudModelConfig,
+    evaluate,
+    train,
+)
+from feature_store_fraud_detection_spark.operators.sampling import train_test_split
+from feature_store_fraud_detection_spark.plans.batch_pipeline import (
+    compute_features,
+    events_as_transactions,
+)
+from feature_store_fraud_detection_spark.schemas import load_table
+
+
+def test_train_evaluate_score(spark, sf_dir):
+    feats = compute_features(
+        events_as_transactions(load_table(spark, sf_dir, "events"))
+    ).na.fill(0)
+    tr, te = train_test_split(feats, 0.25, seed=42)
+    # logistic for test speed; MLP shares every other pipeline stage
+    model = train(tr, FraudModelConfig(model="logistic", max_iter=20))
+    pred = model.transform(te)
+    assert pred.count() == te.count()
+    assert {"prediction", "probability"} <= set(pred.columns)
+    # is_fraud == (category='error'); a single indexed categorical is not
+    # linearly separable, so expect informative-but-imperfect
+    metrics = evaluate(model, te)
+    assert metrics["areaUnderROC"] > 0.7
+    assert 0 <= metrics["accuracy"] <= 1
+    # distributed scoring: no driver loop, one narrow transform
+    assert pred.filter(F.col("prediction").isin(0.0, 1.0)).count() == pred.count()
+
+
+def test_mlp_parity_geometry(spark, sf_dir):
+    feats = compute_features(
+        events_as_transactions(load_table(spark, sf_dir, "events"))
+    ).na.fill(0).limit(300)
+    model = train(feats, FraudModelConfig(model="mlp", hidden_layers=[8], max_iter=5))
+    clf = model.stages[-1]
+    assert clf.getLayers() == [10, 8, 2]
+    assert model.transform(feats).count() == 300

@@ -1,0 +1,113 @@
+"""Structured Streaming pipeline: typed ingest, watermarked windows,
+foreachBatch online-store upsert — exercised end-to-end with a file source
+and availableNow trigger (deterministic, no sleeps)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from feature_store_fraud_detection_spark.streaming.pipeline import (
+    OnlineStoreSink,
+    enrich,
+    parse_stream,
+    run_stream_to_online_store,
+    windowed_stats,
+)
+from feature_store_fraud_detection_spark.streaming.producer import synthetic_batch
+
+
+def _write_jsonl(tmp_path, events):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    with open(src / "part-0.json", "w") as f:
+        for e in events:
+            f.write(json.dumps({"value": json.dumps(e)}) + "\n")
+    return str(src)
+
+
+def _mk_events():
+    base = "2024-01-01T00:{m:02d}:{s:02d}"
+    out = []
+    for i in range(60):
+        out.append(
+            {
+                "txn_id": f"txn_{i}",
+                "cc_num": i % 3,
+                "amount": float(10 + i),
+                "lat": 38.0, "long": -90.0,
+                "merch_lat": 39.0, "merch_long": -91.0,
+                "timestamp": base.format(m=i // 6, s=(i % 6) * 10),
+            }
+        )
+    return out
+
+
+def test_stream_windowed_stats_matches_batch(spark, tmp_path):
+    events = _mk_events()
+    src = _write_jsonl(tmp_path, events)
+    raw_stream = spark.readStream.schema("value string").json(src)
+    stats = windowed_stats(enrich(parse_stream(raw_stream)))
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("win_stats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("win_stats")
+
+    # batch twin over the identical data (same code path, batch DataFrame)
+    raw_batch = spark.read.schema("value string").json(src)
+    expected = windowed_stats(enrich(parse_stream(raw_batch)))
+    # streaming append emits only watermark-closed windows; every emitted
+    # window must match the batch result exactly
+    joined = got.join(
+        expected.withColumnRenamed("txn_count", "exp_count").withColumnRenamed(
+            "avg_amount", "exp_avg"
+        ),
+        ["window_start", "window_end", "cc_num"],
+        "inner",
+    )
+    n_got = got.count()
+    assert n_got > 0
+    assert joined.count() == n_got
+    assert joined.filter(
+        (F.col("txn_count") != F.col("exp_count"))
+        | (F.abs(F.col("avg_amount") - F.col("exp_avg")) > 1e-9)
+    ).count() == 0
+
+
+def test_stream_to_online_store_end_to_end(spark, tmp_path):
+    events = _mk_events()
+    src = _write_jsonl(tmp_path, events)
+    raw_stream = spark.readStream.schema("value string").json(src)
+    sink = OnlineStoreSink()
+    q = run_stream_to_online_store(
+        raw_stream, sink, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    state = sink.state
+    assert state is not None
+    rows = {r.cc_num: r for r in state.collect()}
+    assert set(rows) == {0, 1, 2}
+    # latest event per key: keys cycle 0,1,2 -> latest for key 2 is txn_59
+    assert rows[2].latest_txn_id == "txn_59"
+    assert rows[2].latest_amount == 69.0
+    assert rows[0].latest_txn_id == "txn_57"
+
+
+def test_synthetic_producer_distributions(spark):
+    df = synthetic_batch(spark, 20_000, seed=42)
+    stats = df.agg(
+        F.avg("amount").alias("avg_amt"),
+        F.avg("lat").alias("avg_lat"),
+        F.stddev("lat").alias("std_lat"),
+        F.countDistinct("cc_num").alias("n_keys"),
+    ).first()
+    assert abs(stats.avg_amt - 70.0) < 3.0     # Exp(70) mean
+    assert abs(stats.avg_lat - 38.5) < 0.2     # N(38.5, 5.1)
+    assert abs(stats.std_lat - 5.1) < 0.2
+    assert stats.n_keys > 900                  # 983-key pool mostly covered
