@@ -837,6 +837,163 @@ def _q_ml_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Additional relational surface (TPC-H q4/q6/q10 flavors) + text statistics
+# --------------------------------------------------------------------------
+
+
+def _q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q6 flavor: single-scan filtered aggregate — pure pushdown + map-side agg
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,4)")
+        * F.col("l_discount").cast("decimal(6,4)")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+    )
+
+
+_FORECAST_REVENUE_SQL = """
+SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                     * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def _q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q4 flavor: orders with any lineitem shipped >60d after order date,
+    # counted by priority — semi join + group
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(
+        od, F.col("l_orderkey") == F.col("o_orderkey")
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (
+        od.join(late.select("l_orderkey").distinct(),
+                F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_PRIORITY_LATE_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+def _q_top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q10 flavor: top 20 customers by returned-item revenue, with nation
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_disc_price_dec()).cast("double"), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_TOP_RETURNING_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       round(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def _q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HLL++ sketch — engine-specific estimate, no cross-engine oracle
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx")
+    )
+
+
+def _q_token_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF per (doc, token): tf = in-doc count, idf = ln(N/df).
+    One explode + two aggregates; the df table (distinct terms) broadcasts.
+    """
+    from feature_store_fraud_detection_spark.operators.text_analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("doc_id"), F.explode(tokens("text")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = (
+        tok.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df_counts), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+_TFIDF_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfc AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, token, tf, df,
+       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+FROM tf JOIN dfc USING (token) CROSS JOIN n
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_features": QuerySpec(_q_flagship, _FLAGSHIP_SQL),
     "point_lookup": QuerySpec(
@@ -972,4 +1129,17 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_features": QuerySpec(_q_multimodal_features, _MULTIMODAL_SQL),
     "stream_latest_state": QuerySpec(_q_stream_latest_state, _STREAM_LATEST_SQL),
     "ml_train_score": QuerySpec(_q_ml_train_score, None),
+    "forecast_revenue": QuerySpec(_q_forecast_revenue, _FORECAST_REVENUE_SQL),
+    "priority_late_orders": QuerySpec(_q_priority_late_orders, _PRIORITY_LATE_SQL),
+    "top_returning_customers": QuerySpec(_q_top_returning_customers, _TOP_RETURNING_SQL),
+    "count_distinct": QuerySpec(
+        _q_count_distinct,
+        """
+        SELECT count(DISTINCT user_id) AS n_users,
+               count(DISTINCT event_type) AS n_types
+        FROM events
+        """,
+    ),
+    "approx_count_distinct": QuerySpec(_q_approx_distinct, None),
+    "token_tfidf": QuerySpec(_q_token_tfidf, _TFIDF_SQL),
 }

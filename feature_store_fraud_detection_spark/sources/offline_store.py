@@ -50,6 +50,27 @@ class OfflineStore:
     def append(self, features: DataFrame) -> None:
         self.write(features, mode="append")
 
+    def write_bucketed(
+        self,
+        features: DataFrame,
+        table_name: str,
+        key_col: str = "cc_num",
+        num_buckets: int = 32,
+    ) -> None:
+        """Bucketed + sorted variant (saveAsTable; bucketing needs catalog
+        metadata). Joins and aggregations keyed on ``key_col`` between
+        bucketed tables with matching bucket counts skip the shuffle
+        entirely — at 100 TB this is the difference between a network-bound
+        and a scan-bound feature join. Verified shuffle-free in
+        tests/test_stores.py."""
+        (
+            features.write.mode("overwrite")
+            .bucketBy(num_buckets, key_col)
+            .sortBy(key_col)
+            .format("parquet")
+            .saveAsTable(table_name)
+        )
+
     def clear(self) -> None:
         """Reference S11 (``feature.py:20-23`` delete_many with no filter):
         drop all rows — overwrite the table with an empty frame. The schema

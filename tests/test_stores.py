@@ -43,6 +43,28 @@ def test_offline_store_roundtrip(spark, sf_dir, tmp_path):
     assert store.read().count() == 0
 
 
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    feats = compute_features(
+        events_as_transactions(load_table(spark, sf_dir, "events"))
+    )
+    store = OfflineStore(spark, "unused")
+    store.write_bucketed(feats, "feat_bucketed_a", "cc_num", num_buckets=4)
+    store.write_bucketed(
+        feats.select("cc_num", "amt"), "feat_bucketed_b", "cc_num", num_buckets=4
+    )
+    a = spark.table("feat_bucketed_a")
+    b = spark.table("feat_bucketed_b").groupBy("cc_num").agg(
+        F.avg("amt").alias("avg_amt")
+    )
+    joined = a.join(b, "cc_num")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-located: neither side shuffles for the join OR the aggregation
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == feats.count()
+    spark.sql("DROP TABLE feat_bucketed_a")
+    spark.sql("DROP TABLE feat_bucketed_b")
+
+
 def test_online_store_upsert_and_ttl(spark):
     def mk(rows):
         return spark.createDataFrame(rows, "cc_num long, ts timestamp, amt double")

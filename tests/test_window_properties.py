@@ -1,0 +1,67 @@
+"""Property-based check of the trailing range-window semantics (W1/W2):
+for arbitrary keyed event sets, the Spark RANGE-frame results must equal a
+brute-force per-row recomputation (all rows of the key with ts in
+[t-600, t], ties included)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from feature_store_fraud_detection_spark.operators.windows import trailing_range_aggs
+
+BASE = dt.datetime(2024, 1, 7, 12, 0, 0)
+
+event = st.tuples(
+    st.integers(min_value=0, max_value=2),            # key
+    st.integers(min_value=0, max_value=2000),         # offset seconds
+    st.floats(min_value=0.5, max_value=100, allow_nan=False, width=32),
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(event, min_size=1, max_size=25))
+def test_trailing_range_matches_bruteforce(spark, events):
+    rows = [
+        (k, BASE + dt.timedelta(seconds=off), float(round(v, 2)))
+        for k, off, v in events
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = trailing_range_aggs(
+        df,
+        key="k",
+        ts="ts",
+        aggs=[(F.count(F.lit(1)), 600, "cnt"), (F.avg("v"), 3600, "avg_v")],
+    ).collect()
+
+    # brute force: per output row, scan all input rows of the key
+    def window_rows(k, t, sec):
+        return [
+            r for r in rows
+            if r[0] == k and t - dt.timedelta(seconds=sec) <= r[1] <= t
+        ]
+
+    # rows may duplicate (same k/ts/v) — compare as sorted multisets
+    got = sorted((r.k, r.ts, r.v, r.cnt, round(r.avg_v, 9)) for r in out)
+    exp = sorted(
+        (
+            k,
+            t,
+            v,
+            len(window_rows(k, t, 600)),
+            round(
+                sum(r[2] for r in window_rows(k, t, 3600))
+                / len(window_rows(k, t, 3600)),
+                9,
+            ),
+        )
+        for k, t, v in rows
+    )
+    for g, e in zip(got, exp):
+        assert g[:4] == e[:4]
+        assert math.isclose(g[4], e[4], rel_tol=1e-9)
+    assert len(got) == len(exp)
