@@ -1,0 +1,74 @@
+"""Skew-mitigation operators for hot keys.
+
+At the reference's scale (983 card keys, ~1.3k rows/key) skew is invisible;
+at 100 TB a single hot card/merchant key can hold a whole shuffle hostage.
+AQE's skew-join splitting covers joins automatically (enabled in
+session.py); aggregations over skewed keys need the two-level (salted)
+pattern below — partial aggregates over (key, salt) first, then the final
+combine over the now-uniform key space.
+
+Only algebraic aggregates (count/sum/min/max and things derivable from
+them, like avg = sum/count) can be salted this way; holistic aggregates
+(exact median) need different machinery (approx_percentile).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_stats(
+    df: DataFrame,
+    key: str,
+    value: str,
+    num_salts: int = 16,
+) -> DataFrame:
+    """Two-level count/sum/avg/min/max per key.
+
+    Level 1 aggregates (key, salt) — hot keys fan out over ``num_salts``
+    reducers; level 2 combines ``num_salts`` partials per key — uniform by
+    construction. Returns (key, cnt, sum_v, avg_v, min_v, max_v).
+    """
+    salted = df.withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(num_salts)))
+    partial = salted.groupBy(key, "__salt").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(value).alias("__sum"),
+        F.min(value).alias("__min"),
+        F.max(value).alias("__max"),
+    )
+    return (
+        partial.groupBy(key)
+        .agg(
+            F.sum("__cnt").alias("cnt"),
+            F.sum("__sum").alias("sum_v"),
+            F.min("__min").alias("min_v"),
+            F.max("__max").alias("max_v"),
+        )
+        .withColumn("avg_v", F.col("sum_v") / F.col("cnt"))
+        .select(key, "cnt", "sum_v", "avg_v", "min_v", "max_v")
+    )
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    num_salts: int = 8,
+) -> DataFrame:
+    """Skew-proof fact⋈dim equi-join: salt the fact side's key, replicate the
+    dim side across all salts, join on (key, salt).
+
+    Prefer ``F.broadcast(dim)`` when the dim fits in memory (no shuffle at
+    all) and AQE skew-join for sort-merge cases; this explicit form is for
+    the middle ground — a dim too big to broadcast joined against a fact
+    with pathological key skew.
+    """
+    salted_facts = facts.withColumn(
+        "__salt", F.pmod(F.spark_partition_id(), F.lit(num_salts))
+    )
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    out = salted_facts.join(replicated_dim, [key, "__salt"])
+    return out.drop("__salt")

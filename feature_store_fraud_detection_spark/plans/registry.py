@@ -994,6 +994,33 @@ FROM tf JOIN dfc USING (token) CROSS JOIN n
 """
 
 
+def _q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (salted) per-key stats — must equal a plain groupBy; the
+    oracle IS the plain SQL, proving the skew path changes the shuffle
+    shape, not the answer."""
+    from feature_store_fraud_detection_spark.operators.skew import salted_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_stats(ev, "user_id", "value", num_salts=8)
+    return out.select(
+        "user_id",
+        "cnt",
+        F.round("sum_v", 4).alias("sum_v"),
+        F.round("avg_v", 4).alias("avg_v"),
+        "min_v",
+        "max_v",
+    )
+
+
+_SALTED_STATS_SQL = """
+SELECT user_id, count(*) AS cnt,
+       round(sum(value), 4) AS sum_v,
+       round(sum(value) / count(*), 4) AS avg_v,
+       min(value) AS min_v, max(value) AS max_v
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_features": QuerySpec(_q_flagship, _FLAGSHIP_SQL),
     "point_lookup": QuerySpec(
@@ -1142,4 +1169,5 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "approx_count_distinct": QuerySpec(_q_approx_distinct, None),
     "token_tfidf": QuerySpec(_q_token_tfidf, _TFIDF_SQL),
+    "salted_stats": QuerySpec(_q_salted_stats, _SALTED_STATS_SQL),
 }

@@ -17,14 +17,23 @@ from feature_store_fraud_detection_spark.schemas import TRANSACTIONS_SCHEMA
 
 
 def read_transactions_csv(
-    spark: SparkSession, path: str, schema: T.StructType = TRANSACTIONS_SCHEMA
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = TRANSACTIONS_SCHEMA,
+    timestamp_format: str | None = None,
 ) -> DataFrame:
     """CSV scan with explicit schema (replaces reference S1's inferSchema).
 
     ``path`` may be a file, directory, or glob — a directory of part files is
     read as one DataFrame (replaces reference S3's pandas glob+concat).
+    ``timestamp_format`` defaults to Spark's own (round-trips Spark-written
+    CSV); the reference's raw dump uses "yyyy-MM-dd HH:mm:ss", which that
+    default also parses.
     """
-    return spark.read.csv(path, header=True, schema=schema, timestampFormat="yyyy-MM-dd HH:mm:ss")
+    reader = spark.read.option("header", True).schema(schema)
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    return reader.csv(path)
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
