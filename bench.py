@@ -33,6 +33,13 @@ HEADLINE = [
     "stats_with_latest",
     "dict_encode",
     "sync_offline_online",
+    "sliding_window_aggs",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "text_profile",
+    "cosine_topk",
+    "token_tfidf",
+    "salted_stats",
 ]
 
 

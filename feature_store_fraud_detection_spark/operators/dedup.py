@@ -97,26 +97,30 @@ def minhash_signatures(
     """(id, perm, minhash) — K permutation min-hashes per document.
 
     Permutation i is simulated by hashing ``i || '|' || shingle``; the min is
-    taken over hex strings (order-equivalent to numeric min). One explode +
-    one groupBy — a single shuffle keyed by id.
+    taken over hex strings (order-equivalent to numeric min).
+
+    Computed array-locally per document (``array_min(transform(shingles))``
+    per permutation) — a NARROW stage with zero shuffle; only the final
+    K-row-per-doc signature (via ``stack``) is ever exchanged. The earlier
+    explode-then-groupBy formulation shuffled |shingle instances| x K rows.
     """
-    sh = shingle_table(df, id_col, text_col, k)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("perm")
-    return (
-        sh.select(F.col(id_col), F.col("shingle"), perms)
-        .select(
-            F.col(id_col),
-            F.col("perm"),
-            F.md5(
-                F.encode(
-                    F.concat_ws("|", F.col("perm").cast("string"), F.col("shingle")),
-                    "UTF-8",
-                )
-            ).alias("h"),
-        )
-        .groupBy(id_col, "perm")
-        .agg(F.min("h").alias("minhash"))
+    shingles = df.select(
+        F.col(id_col), word_shingles(text_col, k).alias("__sh")
     )
+    def perm_hash(i: int):
+        # factory, not a default arg: PySpark reads a 2-param lambda as
+        # (element, index) and would bind i to the index column
+        return lambda s: F.md5(F.encode(F.concat_ws("|", F.lit(str(i)), s), "UTF-8"))
+
+    sig_cols = [
+        F.array_min(F.transform("__sh", perm_hash(i))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    wide = shingles.select(F.col(id_col), *sig_cols)
+    stack_args = ", ".join(f"{i}, __h{i}" for i in range(num_hashes))
+    return wide.selectExpr(
+        id_col, f"stack({num_hashes}, {stack_args}) AS (perm, minhash)"
+    ).filter(F.col("minhash").isNotNull())
 
 
 def minhash_lsh_pairs(
@@ -126,23 +130,50 @@ def minhash_lsh_pairs(
     k: int = 3,
     num_hashes: int = 16,
     threshold: float = 0.2,
+    rows_per_band: int = 1,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard.
 
-    Banding with r=1: two docs are candidates iff they share ANY of the K
-    min-hashes (P[candidate | J] = 1-(1-J)^K; J=0.2,K=16 -> 97%). Candidates
-    are then verified with exact shingle Jaccard, so precision is exact and
-    only recall is probabilistic. The candidate join is on (perm, minhash)
+    Banding: the K min-hashes split into K/r bands of r rows; two docs are
+    candidates iff some band matches on ALL r hashes
+    (P[candidate | J] = 1-(1-J^r)^(K/r)). r=1 (default) maximizes recall
+    at low thresholds (J=0.2, K=16 -> 97%); at 100 TB with a high-similarity
+    target (J >= 0.5), r=2..4 cuts false candidates quadratically+
+    (J=0.5, r=2, b=8 -> 90% recall, ~J^2 false-positive rate).
+    Candidates are then verified with exact shingle Jaccard, so precision is
+    exact and only recall is probabilistic. The candidate join is on band
     buckets — no quadratic document self-join.
     """
     sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
-    a = sigs.alias("a")
-    b = sigs.alias("b")
+    # band key = concat of the r min-hashes within the band, in perm order
+    if rows_per_band == 1:
+        # band == perm, key == minhash: no extra shuffle needed
+        bands = sigs.select(
+            F.col(id_col),
+            F.col("perm").alias("band"),
+            F.col("minhash").alias("band_key"),
+        )
+    else:
+        bands = (
+            sigs.withColumn("band", F.floor(F.col("perm") / rows_per_band))
+            .groupBy(id_col, "band")
+            .agg(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                        lambda x: x["minhash"],
+                    ),
+                ).alias("band_key")
+            )
+        )
+    a = bands.alias("a")
+    b = bands.alias("b")
     candidates = (
         a.join(
             b,
-            (F.col("a.perm") == F.col("b.perm"))
-            & (F.col("a.minhash") == F.col("b.minhash"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -150,9 +181,35 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold=0.0)
+    # exact Jaccard computed ONLY for candidate pairs (a full
+    # ngram_jaccard_pairs here would re-introduce the quadratic join that
+    # LSH exists to avoid): shingles of the a-side are joined to candidates,
+    # then matched against the b-side's shingles
+    sh = shingle_table(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    cand_shingles = candidates.join(
+        sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a"
+    )
+    inter = (
+        cand_shingles.join(
+            sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"]
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        candidates.join(exact, ["id_a", "id_b"])
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                4,
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -97,16 +97,15 @@ def lang_id(text: Column | str) -> Column:
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct word k-gram shingles (0-based transform over the token
-    array). The shared substrate for Jaccard / MinHash dedup."""
-    toks = tokens(text)
-    # k-gram start positions 0..size-k (empty array when the doc is too short)
-    idx = F.when(F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)).otherwise(
-        F.array().cast("array<int>")
-    )
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-    )
-    return F.array_distinct(F.transform(idx, lambda i: gram(i)))
+    array). The shared substrate for Jaccard / MinHash dedup.
+
+    The token array is LAMBDA-BOUND (wrapped in a 1-element array and
+    referenced through the lambda variable, see shingles_from_tokens) so the
+    regex split runs once per row — inlining ``tokens()`` at each of its
+    3k+1 references in this tree made the split dominate the operator
+    (measured ~5x slowdown).
+    """
+    return shingles_from_tokens(tokens(text), k)
 
 
 def doc_fingerprint(text: Column | str) -> Column:
@@ -124,17 +123,142 @@ def winnow_fingerprint(text: Column | str, k: int = 3) -> Column:
     return F.array_min(hashes)
 
 
-def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One-pass text profile: counts, ratios, quality, language, fingerprints."""
+def shingles_from_tokens(toks_col: Column, k: int = 3) -> Column:
+    """word_shingles over an already-materialized token array column."""
+
+    def build(tb: Column) -> Column:
+        idx = F.when(F.size(tb) >= k, F.sequence(F.lit(0), F.size(tb) - k)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tb, i + j + 1) for j in range(k)]
+            ),
+        )
+
+    return F.array_distinct(F.flatten(F.transform(F.array(toks_col), build)))
+
+
+# GPT-2-flavored pre-tokenizer regex, lookaround-free so it behaves the same
+# under Java regex (Spark) and RE2 (DuckDB): contractions, letter runs,
+# digit runs, punctuation runs — each with optional leading space.
+BPE_TOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Subword-style token count: whitespace counting underestimates real
+    tokenizer load; this BPE-ish split approximates it engine-portably."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, gram: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash family, Schleimer et
+    al.): hash every character ``gram``-gram, keep the minimum hash of each
+    sliding ``window`` of consecutive positions, output the distinct minima
+    per document. Near-identical documents share most fingerprints, and the
+    selection is position-robust (the standard plagiarism/near-dup scheme).
+
+    All array-local per row (hash positions -> windowed minima -> distinct)
+    — a narrow stage; only (id, fingerprint) rows leave the scan. Portable:
+    md5 hex minima, same trick as MinHash.
+    """
+
+    def over_hashes(hb: Column) -> Column:
+        # hb is the lambda-bound hash array: evaluated once, referenced
+        # cheaply per window (inlining it would recompute every md5 per
+        # window position)
+        win_starts = F.when(
+            F.size(hb) >= window, F.sequence(F.lit(0), F.size(hb) - window)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            win_starts, lambda w: F.array_min(F.slice(hb, w + 1, window))
+        )
+
+    def fps(tb: Column) -> Column:
+        n = F.length(tb)
+        starts = F.when(
+            n >= gram, F.sequence(F.lit(1), n - gram + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        hashes = F.transform(
+            starts, lambda i: F.md5(F.encode(F.substring(tb, i, gram), "UTF-8"))
+        )
+        return F.flatten(F.transform(F.array(hashes), over_hashes))
+
     return df.select(
         F.col(id_col),
-        token_count(text_col).alias("n_tokens"),
-        F.length(F.col(text_col)).alias("n_chars_measured"),
-        F.round(stopword_ratio(text_col), 4).alias("stopword_ratio"),
-        F.round(punct_ratio(text_col), 4).alias("punct_ratio"),
-        F.round(avg_token_len(text_col), 4).alias("avg_token_len"),
-        F.round(quality_score(text_col), 4).alias("quality"),
-        lang_id(text_col).alias("lang_pred"),
-        doc_fingerprint(text_col).alias("fingerprint"),
-        winnow_fingerprint(text_col).alias("winnow_fp"),
+        F.explode(
+            F.array_distinct(F.flatten(F.transform(F.array(F.col(text_col)), fps)))
+        ).alias("fingerprint"),
+    )
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass text profile: counts, ratios, quality, language, fingerprints.
+
+    Staged projections materialize the token array and each hit-count ONCE;
+    the naive form (each metric calling tokens(text)) re-ran the regex split
+    ~20x per row. Values are identical to the standalone metric functions.
+    """
+    txt = F.col("__text")
+    toks = F.col("__toks")
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        tokens(text_col).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.size(toks).alias("__n"),
+        F.length(txt).alias("__len"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("__stop_hits"),
+        F.length(F.regexp_replace(txt, PUNCT_PATTERN, "")).alias("__stripped_len"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__tok_len_sum"),
+        *[
+            F.size(
+                F.filter(toks, (lambda m: lambda t: t.isin(*m))(markers))
+            ).alias(f"__hits_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+        F.md5(F.encode(txt, "UTF-8")).alias("fingerprint"),
+        F.array_min(
+            F.transform(
+                shingles_from_tokens(toks), lambda s: F.md5(F.encode(s, "UTF-8"))
+            )
+        ).alias("winnow_fp"),
+    )
+    n = F.col("__n").cast("double")
+    stop_ratio = F.col("__stop_hits") / F.col("__n")
+    p_ratio = (F.col("__len") - F.col("__stripped_len")) / F.col("__len")
+    best = F.greatest(*[F.col(f"__hits_{lang}") for lang in LANG_MARKERS])
+    lang_pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        lang_pred = F.when(
+            (F.col(f"__hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(lang_pred)
+    return staged.select(
+        F.col(id_col),
+        F.col("__n").alias("n_tokens"),
+        F.col("__len").alias("n_chars_measured"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(p_ratio, 4).alias("punct_ratio"),
+        F.round(F.col("__tok_len_sum") / F.col("__n"), 4).alias("avg_token_len"),
+        F.round(
+            (
+                F.least(n / F.lit(50.0), F.lit(1.0))
+                + F.least(stop_ratio * 5.0, F.lit(1.0))
+                + F.greatest(F.lit(1.0) - p_ratio * 10.0, F.lit(0.0))
+            )
+            / F.lit(3.0),
+            4,
+        ).alias("quality"),
+        lang_pred.alias("lang_pred"),
+        "fingerprint",
+        "winnow_fp",
     )

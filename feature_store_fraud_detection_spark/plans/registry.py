@@ -994,6 +994,73 @@ FROM tf JOIN dfc USING (token) CROSS JOIN n
 """
 
 
+def _q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    return winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", gram=8, window=4
+    )
+
+
+_WINNOWING_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - 6, 1)),
+                        i -> md5(substr(text, i, 8))) AS hashes
+  FROM documents
+)
+SELECT DISTINCT doc_id,
+       unnest(list_transform(range(0, greatest(len(hashes) - 3, 0)),
+                             w -> list_min(hashes[w+1:w+4]))) AS fingerprint
+FROM h
+"""
+
+
+def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        bpe_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_count("text").alias("n_bpe_tokens"))
+
+
+_BPE_COUNT_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
+         AS INT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def _q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P9 batch form: typed JSON-path extraction from the events.props column
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+_JSON_EXTRACT_SQL = """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
 def _q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level (salted) per-key stats — must equal a plain groupBy; the
     oracle IS the plain SQL, proving the skew path changes the shuffle
@@ -1170,4 +1237,7 @@ QUERIES: dict[str, QuerySpec] = {
     "approx_count_distinct": QuerySpec(_q_approx_distinct, None),
     "token_tfidf": QuerySpec(_q_token_tfidf, _TFIDF_SQL),
     "salted_stats": QuerySpec(_q_salted_stats, _SALTED_STATS_SQL),
+    "winnowing_fingerprints": QuerySpec(_q_winnowing_fingerprints, _WINNOWING_SQL),
+    "bpe_token_counts": QuerySpec(_q_bpe_token_counts, _BPE_COUNT_SQL),
+    "json_extract_stats": QuerySpec(_q_json_extract_stats, _JSON_EXTRACT_SQL),
 }

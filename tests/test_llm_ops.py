@@ -53,6 +53,15 @@ def test_ngram_jaccard_and_minhash_agree(spark):
         for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2).collect()
     }
     assert lsh == exact  # K=16 r=1 banding recalls everything on this fixture
+    # r=2 banding: high-J pairs still found (J=1.0 certain; J~0.8 whp)
+    lsh2 = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.2, rows_per_band=2
+        ).collect()
+    }
+    assert (0, 3) in lsh2 and lsh2[(0, 3)] == 1.0
+    assert (0, 1) in lsh2
 
 
 def test_simhash_identical_docs_equal(spark):
