@@ -167,42 +167,60 @@ def minhash_lsh_pairs(
                 ).alias("band_key")
             )
         )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # candidate pairs by grouping each band bucket and expanding pairs
+    # array-locally — the signature subtree is computed ONCE (a self-join
+    # would recompute it per side; Spark cannot reuse the un-exchanged probe
+    # side of a broadcast join). Bucket sizes are hash-bounded, so the
+    # per-bucket pair expansion is small; at extreme scale, too-common
+    # buckets would be dropped before expansion (standard LSH practice).
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
     # exact Jaccard computed ONLY for candidate pairs (a full
     # ngram_jaccard_pairs here would re-introduce the quadratic join that
-    # LSH exists to avoid): shingles of the a-side are joined to candidates,
-    # then matched against the b-side's shingles
-    sh = shingle_table(df, id_col, text_col, k).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    cand_shingles = candidates.join(
-        sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a"
+    # LSH exists to avoid). The per-doc shingle ARRAYS join to the candidate
+    # pairs — both sides broadcastable — and the intersection is an
+    # array-local op: the verification stage needs no shuffle at all.
+    sh_arrays = df.select(
+        F.col(id_col), word_shingles(text_col, k).alias("__sh")
     )
-    inter = (
-        cand_shingles.join(
-            sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"]
+    a_side = sh_arrays.select(
+        F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
+    )
+    b_side = sh_arrays.select(
+        F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")
+    )
+    scored = (
+        candidates.join(a_side, "id_a")
+        .join(b_side, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sh_a", "__sh_b")).alias("n_inter"),
+            F.size("__sh_a").alias("n_a"),
+            F.size("__sh_b").alias("n_b"),
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        scored.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter")
