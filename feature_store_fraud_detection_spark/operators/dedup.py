@@ -233,6 +233,64 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, canonical_id).
+
+    Iterative min-label propagation (small-star style): every node starts
+    labeled with itself; each round, a node adopts the minimum label among
+    itself and its neighbors; stop at fixed point. Iterations are bounded by
+    the graph diameter — near-dup clusters are shallow (usually 2-3 hops),
+    so this converges in a handful of rounds even at 100 TB. Each round is
+    one join + one aggregate; ``localCheckpoint`` truncates the growing
+    lineage so round N doesn't replay rounds 1..N-1.
+
+    This is the canonical "keep one doc per duplicate cluster" reducer fed
+    by minhash_lsh_pairs / ngram_jaccard_pairs output.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = all_ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("canonical_id"))
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32
 ) -> DataFrame:

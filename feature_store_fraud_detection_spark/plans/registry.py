@@ -1061,6 +1061,41 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact interpolated percentiles (Spark `percentile` == DuckDB
+    # quantile_cont, verified bit-equal); approx_percentile is the 100TB
+    # path but is sketch-based and engine-specific
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> canonical doc per cluster.
+    Iterative (driver-side loop over joins) -> rows-only check; convergence
+    and cluster correctness are covered by tests/test_llm_ops.py."""
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2)
+    return dedup_clusters(pairs, docs, "doc_id")
+
+
 def _q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level (salted) per-key stats — must equal a plain groupBy; the
     oracle IS the plain SQL, proving the skew path changes the shuffle
@@ -1240,4 +1275,6 @@ QUERIES: dict[str, QuerySpec] = {
     "winnowing_fingerprints": QuerySpec(_q_winnowing_fingerprints, _WINNOWING_SQL),
     "bpe_token_counts": QuerySpec(_q_bpe_token_counts, _BPE_COUNT_SQL),
     "json_extract_stats": QuerySpec(_q_json_extract_stats, _JSON_EXTRACT_SQL),
+    "percentiles": QuerySpec(_q_percentiles, _PERCENTILES_SQL),
+    "dedup_clusters": QuerySpec(_q_dedup_clusters, None),
 }

@@ -87,6 +87,15 @@ def windowed_stats(events: DataFrame, window=COUNT_WINDOW) -> DataFrame:
     )
 
 
+def dedupe_stream(events: DataFrame, id_col: str = "txn_id") -> DataFrame:
+    """Exactly-once event semantics over an at-least-once source: drop
+    duplicate txn ids within the watermark horizon. State is bounded by the
+    watermark (old ids age out) — the streaming twin of exact dedup."""
+    return events.withWatermark("event_time", WATERMARK_DELAY).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
 def latest_txn(events: DataFrame) -> DataFrame:
     """Per-key latest transaction (the Redis ZSET timeline head, W5) as a
     streaming-safe aggregate: max_by over the watermarked stream."""

@@ -64,6 +64,18 @@ def test_ngram_jaccard_and_minhash_agree(spark):
     assert (0, 1) in lsh2
 
 
+def test_dedup_clusters_connected_components(spark):
+    from feature_store_fraud_detection_spark.operators.dedup import dedup_clusters
+
+    # chain 1-2-3 plus pair 5-6; 4 isolated -> clusters {1,2,3},{5,6},{4}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    out = {r.doc_id: r.canonical_id for r in dedup_clusters(pairs, ids, "doc_id").collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
 def test_simhash_identical_docs_equal(spark):
     fps = {r.doc_id: r.simhash for r in simhash_fingerprints(_docs(spark), "doc_id", "text").collect()}
     assert fps[0] == fps[3]

@@ -99,6 +99,27 @@ def test_stream_to_online_store_end_to_end(spark, tmp_path):
     assert rows[0].latest_txn_id == "txn_57"
 
 
+def test_dedupe_stream_drops_duplicate_ids(spark, tmp_path):
+    from feature_store_fraud_detection_spark.streaming.pipeline import dedupe_stream
+
+    events = _mk_events()
+    dup_events = events + events[:10]  # re-deliver the first 10
+    src = _write_jsonl(tmp_path, dup_events)
+    raw = spark.readStream.schema("value string").json(src)
+    deduped = dedupe_stream(parse_stream(raw))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("deduped")
+    assert got.count() == len(events)
+    assert got.select("txn_id").distinct().count() == len(events)
+
+
 def test_synthetic_producer_distributions(spark):
     df = synthetic_batch(spark, 20_000, seed=42)
     stats = df.agg(
