@@ -88,44 +88,65 @@ def cosine_topk(
     )
 
 
+def hyperplane_value(plane: Column, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-7.5, 7.5]: the
+    first hex nibble of md5('plane,dim') minus 7.5. Portable to any engine
+    with md5 — no driver-side RNG arrays to broadcast."""
+    h = F.md5(
+        F.encode(
+            F.concat_ws(",", plane.cast("string"), dim.cast("string")), "UTF-8"
+        )
+    )
+    # conv(hex_digit, 16, 10) == strpos('0123456789abcdef', c) - 1, which is
+    # how the DuckDB oracle spells the same nibble
+    return F.conv(F.substring(h, 1, 1), 16, 10).cast("double") - F.lit(7.5)
+
+
+def bucket_expr(vec_d: Column, num_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket key as a pure array-local expression:
+    bit p = sign of <vec, H_p>, concatenated over planes. Sequential
+    left-fold dot products — deterministic and engine-portable (the
+    alternating explode/groupBy formulation sums in shuffle order, whose
+    low-bit nondeterminism can flip signs near zero)."""
+
+    def plane_bit(vb: Column, p: Column) -> Column:
+        dot = F.aggregate(
+            F.zip_with(
+                vb,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vb) - 1),
+                    lambda d: hyperplane_value(p, d),
+                ),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.element_at(
+        F.transform(
+            F.array(vec_d),
+            lambda vb: F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(num_planes - 1)),
+                    lambda p: plane_bit(vb, p),
+                ),
+            ),
+        ),
+        1,
+    )
+
+
 def lsh_buckets(
     df: DataFrame, id_col: str, vec_col: str, num_planes: int = 8
 ) -> DataFrame:
-    """Assign each vector a random-hyperplane LSH bucket key.
-
-    bucket bit p = sign of <vec, H_p> where H_p[d] = (first hex nibble of
-    md5('p,d')) - 7.5 — a deterministic pseudo-random hyperplane, portable
-    to any engine with md5, no driver-side RNG arrays to broadcast.
-    Cosine-similar vectors agree on most signs, so near neighbors collide.
-    """
-    plane = F.explode(F.sequence(F.lit(0), F.lit(num_planes - 1))).alias("plane")
-    exploded = df.select(F.col(id_col), plane, F.col(vec_col))
-    per_dim = exploded.select(
-        F.col(id_col),
-        F.col("plane"),
-        F.posexplode(_to_double(F.col(vec_col))).alias("dim", "x"),
-    )
-    contrib = per_dim.withColumn(
-        "hp",
-        F.expr(
-            "instr('0123456789abcdef', substring("
-            "md5(encode(concat_ws(',', cast(plane as string), cast(dim as string)), 'UTF-8')),"
-            " 1, 1)) - 1 - 7.5"
-        ),
-    ).withColumn("c", F.col("x") * F.col("hp"))
-    signs = (
-        contrib.groupBy(id_col, "plane")
-        .agg(F.sum("c").alias("s"))
-        .withColumn("bit", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
-    )
-    return signs.groupBy(id_col).agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("plane", "bit"))),
-                lambda x: x["bit"],
-            ),
-        ).alias("bucket")
+    """Assign each vector its hyperplane-LSH bucket key — one narrow
+    projection, no shuffle. Cosine-similar vectors agree on most signs, so
+    near neighbors collide."""
+    return df.select(
+        F.col(id_col), bucket_expr(_to_double(F.col(vec_col)), num_planes).alias("bucket")
     )
 
 

@@ -751,6 +751,41 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
 """
 
 
+# bucket bit p = sign of <vec, H_p>, H_p[d] = nibble(md5('p,d')) - 7.5 —
+# the exact expression of similarity.bucket_expr; folds are sequential so
+# doubles (hence signs, hence buckets) match Spark's bit-for-bit
+_BUCKET_SQL_EXPR = """
+array_to_string(list_transform(range(0, 8), p ->
+  CASE WHEN list_reduce(
+         list_transform(range(1, len(vd) + 1),
+           d -> vd[d] * (strpos('0123456789abcdef',
+                  substr(md5(p::VARCHAR || ',' || (d-1)::VARCHAR), 1, 1))
+                  - 1 - 7.5)),
+         (x, y) -> x + y) > 0
+  THEN '1' ELSE '0' END), '')
+"""
+
+_LSH_TOPK_SQL = f"""
+WITH {_VEC_CTE},
+vb AS (
+  SELECT vec_id, vd, nrm, {_BUCKET_SQL_EXPR} AS bucket FROM vn
+),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         round(list_reduce(list_transform(range(1, len(q.vd) + 1),
+                                          i -> q.vd[i] * n.vd[i]),
+                           (x, y) -> x + y) / (q.nrm * n.nrm), 4) AS cosine
+  FROM vb q JOIN vb n ON q.bucket = n.bucket AND q.vec_id != n.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_fraud_detection_spark.operators.similarity import lsh_topk
 
@@ -1254,7 +1289,7 @@ QUERIES: dict[str, QuerySpec] = {
     "simhash_fingerprints": QuerySpec(_q_simhash, _SIMHASH_SQL),
     "embedding_neardup_pairs": QuerySpec(_q_embedding_neardup, _EMB_NEARDUP_SQL),
     "cosine_topk": QuerySpec(_q_cosine_topk, _COSINE_TOPK_SQL),
-    "lsh_topk": QuerySpec(_q_lsh_topk, None),
+    "lsh_topk": QuerySpec(_q_lsh_topk, _LSH_TOPK_SQL),
     "multimodal_features": QuerySpec(_q_multimodal_features, _MULTIMODAL_SQL),
     "stream_latest_state": QuerySpec(_q_stream_latest_state, _STREAM_LATEST_SQL),
     "ml_train_score": QuerySpec(_q_ml_train_score, None),
