@@ -100,6 +100,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (columnar parquet scan; Catalyst prunes
     columns/filters into the scan automatically)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The driver may hand us a session with a non-UTC timezone; timestamp
+    # literals and unix_timestamp would then shift against the TZ-naive
+    # DuckDB oracle. Pin UTC here — the one chokepoint every query reads
+    # through.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":

@@ -156,3 +156,26 @@ def run_stream_to_online_store(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def run_stats_to_online_store(
+    raw: DataFrame,
+    sink: OnlineStoreSink | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """The stats half of the reference's online store (Redis
+    ``txn:{cc}:stats`` hash): watermarked sliding-window count+avg per key,
+    keeping each key's most recent closed window in the keyed state table
+    (the J2 merge, minus the stateful join the single-agg design removed).
+    """
+    sink = sink or OnlineStoreSink(key="cc_num", ts="window_end")
+    events = enrich(parse_stream(raw))
+    stats = windowed_stats(events)
+    writer = (
+        stats.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

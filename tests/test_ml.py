@@ -36,6 +36,22 @@ def test_train_evaluate_score(spark, sf_dir):
     assert pred.filter(F.col("prediction").isin(0.0, 1.0)).count() == pred.count()
 
 
+def test_model_save_load_roundtrip(spark, sf_dir, tmp_path):
+    # reference ML2 checkpoints to fraud_model.pth; MLlib twin: save/load
+    from pyspark.ml import PipelineModel
+
+    feats = compute_features(
+        events_as_transactions(load_table(spark, sf_dir, "events"))
+    ).na.fill(0).limit(400)
+    model = train(feats, FraudModelConfig(model="logistic", max_iter=5))
+    path = str(tmp_path / "fraud_model")
+    model.write().overwrite().save(path)
+    loaded = PipelineModel.load(path)
+    orig = model.transform(feats).select("cc_num", "feature_timestamp", "prediction")
+    re = loaded.transform(feats).select("cc_num", "feature_timestamp", "prediction")
+    assert orig.exceptAll(re).count() == 0
+
+
 def test_mlp_parity_geometry(spark, sf_dir):
     feats = compute_features(
         events_as_transactions(load_table(spark, sf_dir, "events"))

@@ -99,6 +99,26 @@ def test_stream_to_online_store_end_to_end(spark, tmp_path):
     assert rows[0].latest_txn_id == "txn_57"
 
 
+def test_stats_to_online_store(spark, tmp_path):
+    from feature_store_fraud_detection_spark.streaming.pipeline import (
+        run_stats_to_online_store,
+    )
+
+    src = _write_jsonl(tmp_path, _mk_events())
+    raw = spark.readStream.schema("value string").json(str(src))
+    sink = OnlineStoreSink(key="cc_num", ts="window_end")
+    q = run_stats_to_online_store(raw, sink, checkpoint_dir=str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+    state = sink.state
+    assert state is not None
+    rows = {r.cc_num: r for r in state.collect()}
+    # one row per key: its latest closed window's stats
+    assert set(rows) == {0, 1, 2}
+    for r in rows.values():
+        assert r.txn_count >= 1 and r.avg_amount > 0
+        assert r.window_end > r.window_start
+
+
 def test_dedupe_stream_drops_duplicate_ids(spark, tmp_path):
     from feature_store_fraud_detection_spark.streaming.pipeline import dedupe_stream
 
