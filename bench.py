@@ -60,6 +60,15 @@ def main() -> None:
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
+    # steady-state feature throughput (2nd run excludes plan-compile cost;
+    # reference baseline: pandas computes the same features at ~2.9k rows/s,
+    # BASELINE.md 451s / 1.3M rows)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    t0 = time.time()
+    QUERIES["flagship_features"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    steady = time.time() - t0
     print(
         json.dumps(
             {
@@ -68,6 +77,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "flagship_rows_per_sec": round(n_events / steady),
             }
         )
     )

@@ -77,6 +77,63 @@ def latest_n_per_key(
     return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n)
 
 
+def rolling_rows_aggs(
+    df: DataFrame,
+    key: str,
+    order_cols: Sequence[str],
+    aggs: Sequence[tuple[Column, int, str]],
+) -> DataFrame:
+    """Trailing ROWS-frame aggregates (last-N-rows, vs the RANGE frames of
+    trailing_range_aggs): e.g. mean of the last 5 transactions regardless of
+    their spacing. ``order_cols`` must define a total order per key
+    (timestamp + unique tiebreak) or the frame contents are nondeterministic.
+    """
+    out = df
+    for agg_expr, n_rows, name in aggs:
+        w = (
+            Window.partitionBy(key)
+            .orderBy(*order_cols)
+            .rowsBetween(-(n_rows - 1), Window.currentRow)
+        )
+        out = out.withColumn(name, agg_expr.over(w))
+    return out
+
+
+def inter_event_gaps(
+    df: DataFrame, key: str, ts: str, tiebreak: str
+) -> DataFrame:
+    """Seconds since the previous event per key (lag) and until the next
+    (lead) — the classic recency features a fraud model wants next to the
+    trailing counts. Null at partition edges (first/last event)."""
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    ts_s = unix_time(ts)
+    return df.withColumn(
+        "secs_since_prev", ts_s - F.lag(ts_s).over(w)
+    ).withColumn("secs_until_next", F.lead(ts_s).over(w) - ts_s)
+
+
+def session_window_aggs(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap: str,
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Sessionization: group each key's events into sessions separated by
+    >= ``gap`` of inactivity (``F.session_window`` — dynamic, data-driven
+    windows; works identically on batch and streams). Returns
+    (session_start, session_end, key, *aggs) where session_end = last event
+    + gap (Spark's convention)."""
+    agged = df.groupBy(F.session_window(ts, gap), F.col(key)).agg(*aggs)
+    agg_names = [c for c in agged.columns if c not in ("session_window", key)]
+    return agged.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        F.col(key),
+        *[F.col(c) for c in agg_names],
+    )
+
+
 def sliding_window_aggs(
     df: DataFrame,
     key: str,

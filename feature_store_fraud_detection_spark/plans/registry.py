@@ -476,6 +476,17 @@ LIMIT 10
 
 
 # Seeded sampling has no cross-engine parity (SURVEY §7 trap 7) -> rows-only.
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return stratified_sample(
+        ev, "event_type", {"error": 1.0, "purchase": 0.5, "view": 0.1}, seed=42
+    )
+
+
 def _q_fraction_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_fraud_detection_spark.operators.sampling import fraction_sample
 
@@ -1096,6 +1107,108 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.windows import (
+        session_window_aggs,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_window_aggs(
+        ev,
+        key="user_id",
+        ts="ts",
+        gap="30 minutes",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+    )
+
+
+# Islands formulation: a new session starts when the gap from the previous
+# event is >= 30min (Spark's session window is [start, last+gap), so an
+# event exactly at prev_ts+gap opens a new session); session_end = last+gap.
+_SESSION_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def _q_rolling_rows_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.windows import (
+        rolling_rows_aggs,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_rows_aggs(
+        ev,
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        aggs=[
+            (F.avg("value"), 5, "avg_last_5"),
+            (F.sum("value"), 3, "sum_last_3"),
+        ],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("avg_last_5", 4).alias("avg_last_5"),
+        F.round("sum_last_3", 4).alias("sum_last_3"),
+    )
+
+
+_ROLLING_ROWS_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER w5, 4) AS avg_last_5,
+       round(sum(value) OVER w3, 4) AS sum_last_3
+FROM events
+WINDOW
+  w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+  w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.windows import (
+        inter_event_gaps,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return inter_event_gaps(ev, "user_id", "ts", "event_id").select(
+        "event_id", "user_id", "secs_since_prev", "secs_until_next"
+    )
+
+
+_INTER_EVENT_SQL = """
+SELECT event_id, user_id,
+       epoch_us(ts) // 1000000
+         - lag(epoch_us(ts) // 1000000) OVER w AS secs_since_prev,
+       lead(epoch_us(ts) // 1000000) OVER w
+         - epoch_us(ts) // 1000000 AS secs_until_next
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact interpolated percentiles (Spark `percentile` == DuckDB
     # quantile_cont, verified bit-equal); approx_percentile is the 100TB
@@ -1312,4 +1425,8 @@ QUERIES: dict[str, QuerySpec] = {
     "json_extract_stats": QuerySpec(_q_json_extract_stats, _JSON_EXTRACT_SQL),
     "percentiles": QuerySpec(_q_percentiles, _PERCENTILES_SQL),
     "dedup_clusters": QuerySpec(_q_dedup_clusters, None),
+    "rolling_rows_avg": QuerySpec(_q_rolling_rows_avg, _ROLLING_ROWS_SQL),
+    "inter_event_gaps": QuerySpec(_q_inter_event_gaps, _INTER_EVENT_SQL),
+    "session_windows": QuerySpec(_q_session_windows, _SESSION_SQL),
+    "stratified_sample": QuerySpec(_q_stratified_sample, None),
 }

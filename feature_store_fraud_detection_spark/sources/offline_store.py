@@ -31,10 +31,19 @@ class OfflineStore:
     """A partitioned parquet feature table with the reference's serving
     access patterns (by-key, by-date-range, bulk, clear) as engine queries."""
 
-    def __init__(self, spark: SparkSession, path: str, ts_col: str = "feature_timestamp"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        ts_col: str = "feature_timestamp",
+        compression: str = "zstd",
+    ):
         self.spark = spark
         self.path = path
         self.ts_col = ts_col
+        # zstd: ~parquet-snappy read speed at notably better ratio — at
+        # 100 TB the scan is IO-bound, so the ratio IS the scan speed
+        self.compression = compression
 
     # -- write path ---------------------------------------------------------
 
@@ -43,6 +52,7 @@ class OfflineStore:
         (
             features.withColumn(PARTITION_COL, F.to_date(F.col(self.ts_col)))
             .write.mode(mode)
+            .option("compression", self.compression)
             .partitionBy(PARTITION_COL)
             .parquet(self.path)
         )
