@@ -634,8 +634,7 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_SQL = f"""
-WITH {_SHINGLES_CTE},
+_MINHASH_CTES = f"""{_SHINGLES_CTE},
 sigs AS (
   SELECT doc_id, i AS perm, min(md5(i::VARCHAR || '|' || shingle)) AS minhash
   FROM sh CROSS JOIN generate_series(0, 15) AS t(i)
@@ -658,10 +657,35 @@ exact AS (
   FROM inter
   JOIN sizes na ON id_a = na.doc_id
   JOIN sizes nb ON id_b = nb.doc_id
+),
+lsh_pairs AS (
+  SELECT c.id_a, c.id_b, e.jaccard
+  FROM cand c JOIN exact e USING (id_a, id_b)
+  WHERE e.jaccard >= 0.2
+)"""
+
+_MINHASH_SQL = f"""
+WITH {_MINHASH_CTES}
+SELECT id_a, id_b, jaccard FROM lsh_pairs
+"""
+
+# Connected components over the LSH pair graph: transitive closure via a
+# recursive CTE (terminates — UNION dedups the finite (node, root) set),
+# then min reachable id per node == the converged min-label propagation.
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM lsh_pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT e.dst AS node, reach.r AS r
+  FROM reach JOIN edges e ON e.src = reach.node
 )
-SELECT c.id_a, c.id_b, e.jaccard
-FROM cand c JOIN exact e USING (id_a, id_b)
-WHERE e.jaccard >= 0.2
+SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node
 """
 
 
@@ -977,6 +1001,63 @@ LIMIT 20
 """
 
 
+def _q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q14 flavor: conditional aggregation — promo parts' share of revenue
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    promo_rev = F.sum(
+        F.when(F.col("p_type").startswith("PROMO"), _disc_price_dec()).otherwise(
+            F.lit(0).cast("decimal(12,4)")
+        )
+    )
+    total_rev = F.sum(_disc_price_dec())
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0) * promo_rev.cast("double") / total_rev.cast("double"), 4
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+_PROMO_SHARE_SQL = f"""
+SELECT round(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN {_DISC_PRICE_SQL}
+                                   ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+              / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 4) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-07-01'
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PIVOT: per-user event-type count matrix (explicit value list keeps the
+    # output schema static — required for a distributed plan anyway)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+_EVENTS_PIVOT_SQL = f"""
+SELECT user_id,
+  {", ".join(f"count(*) FILTER (event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
 def _q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.agg(
@@ -1232,8 +1313,8 @@ FROM events GROUP BY event_type
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> connected components -> canonical doc per cluster.
-    Iterative (driver-side loop over joins) -> rows-only check; convergence
-    and cluster correctness are covered by tests/test_llm_ops.py."""
+    Iterative min-label propagation; the oracle computes the same components
+    with a recursive-CTE transitive closure."""
     from feature_store_fraud_detection_spark.operators.dedup import (
         dedup_clusters,
         minhash_lsh_pairs,
@@ -1424,9 +1505,11 @@ QUERIES: dict[str, QuerySpec] = {
     "bpe_token_counts": QuerySpec(_q_bpe_token_counts, _BPE_COUNT_SQL),
     "json_extract_stats": QuerySpec(_q_json_extract_stats, _JSON_EXTRACT_SQL),
     "percentiles": QuerySpec(_q_percentiles, _PERCENTILES_SQL),
-    "dedup_clusters": QuerySpec(_q_dedup_clusters, None),
+    "dedup_clusters": QuerySpec(_q_dedup_clusters, _DEDUP_CLUSTERS_SQL),
     "rolling_rows_avg": QuerySpec(_q_rolling_rows_avg, _ROLLING_ROWS_SQL),
     "inter_event_gaps": QuerySpec(_q_inter_event_gaps, _INTER_EVENT_SQL),
     "session_windows": QuerySpec(_q_session_windows, _SESSION_SQL),
     "stratified_sample": QuerySpec(_q_stratified_sample, None),
+    "promo_revenue_share": QuerySpec(_q_promo_revenue_share, _PROMO_SHARE_SQL),
+    "events_pivot": QuerySpec(_q_events_pivot, _EVENTS_PIVOT_SQL),
 }
