@@ -1058,6 +1058,66 @@ FROM events GROUP BY user_id
 """
 
 
+def _q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hierarchical totals: (nation, segment) -> nation -> grand total
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("n_name", "c_mktsegment")
+        .agg(F.round(F.sum(_disc_price_dec()).cast("double"), 4).alias("revenue"))
+    )
+
+
+_ROLLUP_SQL = f"""
+SELECT n_name, c_mktsegment,
+       round(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+"""
+
+
+def _q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ntile decile bucketing by revenue — standard feature-engineering op
+    from pyspark.sql import Window
+
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(F.round(F.sum(_disc_price_dec()).cast("double"), 4).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return rev.select(
+        "c_custkey", "revenue", F.ntile(10).over(w).alias("decile")
+    )
+
+
+_DECILES_SQL = f"""
+WITH rev AS (
+  SELECT c_custkey,
+         round(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 4) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT c_custkey, revenue,
+       CAST(ntile(10) OVER (ORDER BY revenue DESC, c_custkey) AS INT) AS decile
+FROM rev
+"""
+
+
 def _q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.agg(
@@ -1512,4 +1572,6 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(_q_stratified_sample, None),
     "promo_revenue_share": QuerySpec(_q_promo_revenue_share, _PROMO_SHARE_SQL),
     "events_pivot": QuerySpec(_q_events_pivot, _EVENTS_PIVOT_SQL),
+    "rollup_revenue": QuerySpec(_q_rollup_revenue, _ROLLUP_SQL),
+    "customer_revenue_deciles": QuerySpec(_q_customer_deciles, _DECILES_SQL),
 }
