@@ -39,6 +39,28 @@ def summary_stats(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def table_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Whole-table data-quality profile in ONE aggregate pass: per column,
+    non-null count, null count, distinct count. The quality gate a training
+    pipeline runs before ingesting a new drop. Returns one row per column
+    (unpivoted from the single-pass wide aggregate — no per-column jobs)."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__dist_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __null_{c}, __dist_{c}" for c in columns
+    )
+    return wide.selectExpr(
+        f"stack({len(columns)}, {stack_args}) AS "
+        "(column_name, n_non_null, n_null, n_distinct)"
+    )
+
+
 def monotonic_check(df: DataFrame, key: str, order: str) -> DataFrame:
     """Diagnostic: is ``order`` non-decreasing within each key (reference P12,
     ``load_data.py:13`` sortedness assert)? Returns one row per key with a

@@ -1058,6 +1058,34 @@ FROM events GROUP BY user_id
 """
 
 
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.stats import table_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return table_profile(ev, ["user_id", "event_type", "value", "props"])
+
+
+_TABLE_PROFILE_SQL = """
+SELECT * FROM (
+  SELECT 'user_id' AS column_name, count(user_id) AS n_non_null,
+         count(CASE WHEN user_id IS NULL THEN 1 END) AS n_null,
+         count(DISTINCT user_id) AS n_distinct FROM events
+  UNION ALL
+  SELECT 'event_type', count(event_type),
+         count(CASE WHEN event_type IS NULL THEN 1 END),
+         count(DISTINCT event_type) FROM events
+  UNION ALL
+  SELECT 'value', count(value),
+         count(CASE WHEN value IS NULL THEN 1 END),
+         count(DISTINCT value) FROM events
+  UNION ALL
+  SELECT 'props', count(props),
+         count(CASE WHEN props IS NULL THEN 1 END),
+         count(DISTINCT props) FROM events
+)
+"""
+
+
 def _q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hierarchical totals: (nation, segment) -> nation -> grand total
     cu = load_table(spark, sf_dir, "customer")
@@ -1574,4 +1602,5 @@ QUERIES: dict[str, QuerySpec] = {
     "events_pivot": QuerySpec(_q_events_pivot, _EVENTS_PIVOT_SQL),
     "rollup_revenue": QuerySpec(_q_rollup_revenue, _ROLLUP_SQL),
     "customer_revenue_deciles": QuerySpec(_q_customer_deciles, _DECILES_SQL),
+    "table_profile": QuerySpec(_q_table_profile, _TABLE_PROFILE_SQL),
 }

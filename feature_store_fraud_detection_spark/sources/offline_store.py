@@ -47,11 +47,24 @@ class OfflineStore:
 
     # -- write path ---------------------------------------------------------
 
-    def write(self, features: DataFrame, mode: str = "overwrite") -> None:
-        """Bulk write, partitioned by day of the feature timestamp."""
+    def write(
+        self,
+        features: DataFrame,
+        mode: str = "overwrite",
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Bulk write, partitioned by day of the feature timestamp.
+
+        ``sort_cols`` (e.g. the serving key) sorts within output files so
+        parquet row-group min/max stats become selective — point lookups
+        then skip most row groups inside each date partition, the poor
+        man's clustering when bucketing's catalog dependency is unwanted.
+        """
+        df = features.withColumn(PARTITION_COL, F.to_date(F.col(self.ts_col)))
+        if sort_cols:
+            df = df.sortWithinPartitions(*sort_cols)
         (
-            features.withColumn(PARTITION_COL, F.to_date(F.col(self.ts_col)))
-            .write.mode(mode)
+            df.write.mode(mode)
             .option("compression", self.compression)
             .partitionBy(PARTITION_COL)
             .parquet(self.path)
