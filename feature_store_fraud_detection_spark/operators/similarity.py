@@ -150,6 +150,23 @@ def lsh_buckets(
     )
 
 
+def label_centroids(
+    df: DataFrame, label_col: str, vec_col: str
+) -> DataFrame:
+    """Per-label centroid of an embedding column as (label, dim, value)
+    rows — posexplode + one partial-aggregated groupBy. The long format
+    keeps the shuffle rows tiny and is what a downstream IVF coarse
+    quantizer or class-prototype classifier consumes."""
+    exploded = df.select(
+        F.col(label_col),
+        F.posexplode(_to_double(F.col(vec_col))).alias("d0", "v"),
+    )
+    return (
+        exploded.groupBy(label_col, (F.col("d0") + 1).alias("d"))
+        .agg(F.round(F.avg("v"), 4).alias("c"))
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str,

@@ -834,6 +834,26 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "label", "embedding")
+
+
+_LABEL_CENTROIDS_SQL = """
+SELECT label, CAST(d AS INT) AS d, round(avg(v), 4) AS c FROM (
+  SELECT label,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM embeddings
+)
+GROUP BY 1, 2
+"""
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_fraud_detection_spark.operators.multimodal import (
         extract_binary_features,
@@ -1603,4 +1623,5 @@ QUERIES: dict[str, QuerySpec] = {
     "rollup_revenue": QuerySpec(_q_rollup_revenue, _ROLLUP_SQL),
     "customer_revenue_deciles": QuerySpec(_q_customer_deciles, _DECILES_SQL),
     "table_profile": QuerySpec(_q_table_profile, _TABLE_PROFILE_SQL),
+    "label_centroids": QuerySpec(_q_label_centroids, _LABEL_CENTROIDS_SQL),
 }

@@ -108,6 +108,43 @@ def test_text_profile_values(spark):
     assert out[3].fingerprint == r0.fingerprint
 
 
+def test_winnowing_and_bpe(spark):
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        bpe_token_count,
+        winnowing_fingerprints,
+    )
+
+    docs = _docs(spark)
+    fps = winnowing_fingerprints(docs, "doc_id", "text").collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[0] == by_doc[3]                    # identical docs
+    shared = by_doc[0] & by_doc[1]
+    assert len(shared) / len(by_doc[0]) > 0.5        # near-dups share most
+    assert not (by_doc[0] & by_doc[2])               # unrelated share none
+    counts = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", bpe_token_count("text").alias("n")
+        ).collect()
+    }
+    assert counts[0] == 13  # pure word tokens, no punctuation/contractions
+
+
+def test_label_centroids_values(spark):
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 3.0]), (0, [3.0, 5.0]), (1, [2.0, 2.0])],
+        "label int, embedding array<float>",
+    )
+    out = {(r.label, r.d): r.c for r in label_centroids(df, "label", "embedding").collect()}
+    assert out == {(0, 1): 2.0, (0, 2): 4.0, (1, 1): 2.0, (1, 2): 2.0}
+
+
 def test_multimodal_plumbing(spark):
     feats = extract_binary_features(
         with_binary_payload(_docs(spark), "doc_id", "text")
