@@ -150,6 +150,85 @@ def lsh_buckets(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_max_id: int,
+    top_k: int = 5,
+    num_clusters: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    partitions the corpus; each query searches only its ``n_probe`` nearest
+    cluster lists. The second ANN family next to hyperplane LSH — better
+    recall/cost control when the corpus is clusterable.
+
+    The quantizer trains once (MLlib KMeans, seeded) and broadcasts inside
+    the assignment transform; at 100 TB the centroid table is tiny (k x dim)
+    and list scans are |corpus|/k per probe. Iterative + RNG -> declared
+    rows-only to the oracle gate; ranking quality is test-covered.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window
+
+    vecs = df.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("__vec_d")
+    ).withColumn("__features", array_to_vector("__vec_d"))
+    km = KMeans(k=num_clusters, seed=seed, featuresCol="__features", predictionCol="__cluster")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs)
+
+    # distance of every query to every centroid -> n_probe nearest lists
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(centroids, "cluster int, centroid array<double>")
+    q = assigned.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"), F.col("__vec_d").alias("__qvec")
+    )
+    q_cent = q.crossJoin(F.broadcast(cent_df)).select(
+        "query_id",
+        "__qvec",
+        "cluster",
+        F.aggregate(
+            F.zip_with("__qvec", "centroid", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dist2"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("dist2", "cluster")
+    probes = q_cent.withColumn("pr", F.row_number().over(w_probe)).filter(
+        F.col("pr") <= n_probe
+    ).select("query_id", "__qvec", "cluster")
+
+    norms = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__cluster").alias("cluster"),
+        F.col("__vec_d").alias("__nvec"),
+        F.sqrt(dot_expr(F.col("__vec_d"), F.col("__vec_d"))).alias("__nnorm"),
+    )
+    pairs = F.broadcast(probes).join(norms, "cluster").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot_expr(F.col("__qvec"), F.col("__nvec"))
+            / (F.sqrt(dot_expr(F.col("__qvec"), F.col("__qvec"))) * F.col("__nnorm")),
+            4,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def label_centroids(
     df: DataFrame, label_col: str, vec_col: str
 ) -> DataFrame:

@@ -854,6 +854,37 @@ GROUP BY 1, 2
 """
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer + probed-list search). Iterative
+    seeded clustering -> rows-only; ranking covered by tests."""
+    from feature_store_fraud_detection_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, "vec_id", "embedding", query_max_id=10, top_k=5,
+        num_clusters=8, n_probe=2,
+    )
+
+
+def _q_mlp_batch_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepFraudNet-geometry MLP scoring via predict_batch_udf (Arrow
+    batches, executor-side — replaces the reference's driver loop).
+    Python-UDF path -> rows-only; distributed==local verified in tests."""
+    from feature_store_fraud_detection_spark.ml.torch_scoring import score_dataframe
+
+    feats = compute_features(
+        events_as_transactions(load_table(spark, sf_dir, "events"))
+    ).na.fill(0)
+    cols = [
+        "amt", "hour_of_day", "day_of_week", "age_at_txn",
+        "distance_to_merchant", "txn_count_last_10_min",
+        "avg_amt_last_1_hour", "city_pop",
+    ]
+    return score_dataframe(feats, cols).select(
+        "cc_num", "feature_timestamp", F.round("fraud_prob", 4).alias("fraud_prob")
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_fraud_detection_spark.operators.multimodal import (
         extract_binary_features,
@@ -1624,4 +1655,6 @@ QUERIES: dict[str, QuerySpec] = {
     "customer_revenue_deciles": QuerySpec(_q_customer_deciles, _DECILES_SQL),
     "table_profile": QuerySpec(_q_table_profile, _TABLE_PROFILE_SQL),
     "label_centroids": QuerySpec(_q_label_centroids, _LABEL_CENTROIDS_SQL),
+    "ivf_topk": QuerySpec(_q_ivf_topk, None),
+    "mlp_batch_scoring": QuerySpec(_q_mlp_batch_scoring, None),
 }

@@ -140,6 +140,43 @@ def test_dedupe_stream_drops_duplicate_ids(spark, tmp_path):
     assert got.select("txn_id").distinct().count() == len(events)
 
 
+def test_streaming_session_windows(spark, tmp_path):
+    from feature_store_fraud_detection_spark.operators.windows import (
+        session_window_aggs,
+    )
+
+    src = _write_jsonl(tmp_path, _mk_events())
+    raw = spark.readStream.schema("value string").json(str(src))
+    ev = parse_stream(raw).withWatermark("event_time", "5 seconds")
+    # per-key events are 30s apart; a 15s gap closes every session as the
+    # watermark passes it (a gap larger than the spacing would leave one
+    # open session per key and emit nothing in append mode)
+    sessions = session_window_aggs(
+        ev, key="cc_num", ts="event_time", gap="15 seconds",
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sessions")
+    # batch twin over the same data must agree on every closed session
+    batch_ev = parse_stream(spark.read.schema("value string").json(str(src)))
+    expected = session_window_aggs(
+        batch_ev, key="cc_num", ts="event_time", gap="15 seconds",
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    n = got.count()
+    assert n > 0
+    assert got.join(
+        expected, ["session_start", "session_end", "cc_num", "n_events"]
+    ).count() == n
+
+
 def test_synthetic_producer_distributions(spark):
     df = synthetic_batch(spark, 20_000, seed=42)
     stats = df.agg(
