@@ -99,27 +99,29 @@ def minhash_signatures(
     Permutation i is simulated by hashing ``i || '|' || shingle``; the min is
     taken over hex strings (order-equivalent to numeric min).
 
-    Computed array-locally per document (``array_min(transform(shingles))``
-    per permutation) — a NARROW stage with zero shuffle; only the final
-    K-row-per-doc signature (via ``stack``) is ever exchanged. The earlier
-    explode-then-groupBy formulation shuffled |shingle instances| x K rows.
+    Computed array-locally per document — a NARROW stage with zero shuffle;
+    only the final K-row-per-doc signature is ever exchanged. All K minhashes
+    come from ONE nested higher-order expression (transform over the perm
+    range, array_min(transform(shingles)) inside), not K separate columns:
+    the single-expression form analyzes/optimizes in O(1) plan nodes where
+    the K-column + stack form paid ~9 s of Catalyst time at K=16.
     """
     shingles = df.select(
         F.col(id_col), word_shingles(text_col, k).alias("__sh")
     )
-    def perm_hash(i: int):
-        # factory, not a default arg: PySpark reads a 2-param lambda as
-        # (element, index) and would bind i to the index column
-        return lambda s: F.md5(F.encode(F.concat_ws("|", F.lit(str(i)), s), "UTF-8"))
-
-    sig_cols = [
-        F.array_min(F.transform("__sh", perm_hash(i))).alias(f"__h{i}")
-        for i in range(num_hashes)
-    ]
-    wide = shingles.select(F.col(id_col), *sig_cols)
-    stack_args = ", ".join(f"{i}, __h{i}" for i in range(num_hashes))
-    return wide.selectExpr(
-        id_col, f"stack({num_hashes}, {stack_args}) AS (perm, minhash)"
+    perm_sigs = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                "__sh",
+                lambda s: F.md5(
+                    F.encode(F.concat_ws("|", i.cast("string"), s), "UTF-8")
+                ),
+            )
+        ),
+    )
+    return shingles.select(
+        F.col(id_col), F.posexplode(perm_sigs).alias("perm", "minhash")
     ).filter(F.col("minhash").isNotNull())
 
 
@@ -144,7 +146,43 @@ def minhash_lsh_pairs(
     exact and only recall is probabilistic. The candidate join is on band
     buckets — no quadratic document self-join.
     """
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    # One shared base computes shingles AND signatures exactly once, persisted:
+    # the bucket path and both verify-join sides all derive from it. Without
+    # this, the shingle regex work ran 3x and the md5 work 1x, all narrow over
+    # however few partitions the scan produced. Fan out first when the input
+    # is fewer files than cores (inputFiles() is a metadata probe — no plan
+    # execution): a single small parquet would otherwise pin the CPU-bound
+    # K x |shingles| hashing to one core. At 100 TB the scan already has
+    # thousands of partitions and the branch never triggers; there you would
+    # also materialize `base` to parquet instead of memory (standard LSH
+    # practice: signatures are written once, reused by every band pass).
+    target = df.sparkSession.sparkContext.defaultParallelism
+    work = df
+    try:
+        few_inputs = len(df.inputFiles()) < target
+    except Exception:  # non-file source (e.g. in-memory test frame)
+        few_inputs = True
+    if few_inputs:
+        work = df.repartition(target, F.col(id_col))
+    perm_sigs = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                "__sh",
+                lambda s: F.md5(
+                    F.encode(F.concat_ws("|", i.cast("string"), s), "UTF-8")
+                ),
+            )
+        ),
+    )
+    base = (
+        work.select(F.col(id_col), word_shingles(text_col, k).alias("__sh"))
+        .withColumn("__sigs", perm_sigs)
+        .persist()
+    )
+    sigs = base.select(
+        F.col(id_col), F.posexplode("__sigs").alias("perm", "minhash")
+    ).filter(F.col("minhash").isNotNull())
     # band key = concat of the r min-hashes within the band, in perm order
     if rows_per_band == 1:
         # band == perm, key == minhash: no extra shuffle needed
@@ -199,9 +237,7 @@ def minhash_lsh_pairs(
     # LSH exists to avoid). The per-doc shingle ARRAYS join to the candidate
     # pairs — both sides broadcastable — and the intersection is an
     # array-local op: the verification stage needs no shuffle at all.
-    sh_arrays = df.select(
-        F.col(id_col), word_shingles(text_col, k).alias("__sh")
-    )
+    sh_arrays = base.select(F.col(id_col), F.col("__sh"))
     a_side = sh_arrays.select(
         F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
     )
