@@ -56,6 +56,143 @@ def trailing_range_aggs(
     return out.drop("__unix_ts")
 
 
+def bucketed_trailing_aggs(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    seconds: int,
+    row_id: str,
+) -> DataFrame:
+    """Skew-resistant EXACT twin of ``trailing_range_aggs`` for one trailing
+    width: per-row count/sum/avg over ``[t - seconds, t]`` per key, computed
+    with **no** ``partitionBy(key)`` window anywhere in the plan.
+
+    ``trailing_range_aggs`` (reference W1/W2, ``batch_processing.py:41-45``)
+    shuffles on the key alone: a single pathologically hot key (one card with
+    billions of rows at 100 TB) serializes one reducer and no salting can
+    help, because the running frame must see the whole key partition in time
+    order. This operator decomposes the trailing window algebraically so
+    every shuffle is on ``(key, time_bucket)`` — a hot key fans out across
+    its time range and the per-task working set is bounded by one
+    window-width of one key's data, independent of total key volume.
+
+    Decomposition (bucket width == window width W, so a trailing window
+    spans at most its own bucket b and bucket b-1):
+
+        window(t)  =  running_own(t)            -- events in b with u <= t
+                   +  total(b-1)                -- per-(key,bucket) partials
+                   -  strict_before(b-1, t - W) -- events in b-1 with u < t-W
+
+    ``running_own`` is a range frame within (key, bucket); ``total`` a plain
+    groupBy; ``strict_before`` is evaluated by unioning one probe row per
+    event (at time t-W in bucket b-1) with the events and taking a running
+    sum ordered by (time, is_event) — probes sort before events at equal
+    time, so a row at exactly t-W is *excluded* from the subtraction and
+    therefore *included* in the closed window, matching RANGE BETWEEN
+    W PRECEDING AND CURRENT ROW tie semantics exactly.
+
+    Cost: 3 shuffles on (key, bucket) + 1 join-back on ``row_id`` vs the
+    plain form's single shuffle — use only when the key histogram is
+    pathological; correctness is identical (hash-checked against the plain
+    form's oracle). ``row_id`` must be unique and non-null.
+
+    Returns (row_id, key, cnt_w, cnt_v, sum_w, avg_w): count(*) over the
+    window, count(value), sum(value), avg(value) (null iff cnt_v = 0).
+    """
+    w = int(seconds)
+    base = df.select(
+        F.col(row_id),
+        F.col(key),
+        unix_time(ts).alias("__u"),
+        F.col(value).alias("__v"),
+    ).withColumn("__bkt", F.floor(F.col("__u") / w))
+
+    # per-(key, bucket) running aggregates — range frame keeps tie semantics
+    w_run = (
+        Window.partitionBy(key, "__bkt")
+        .orderBy("__u")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    own = (
+        base.withColumn("__run_cnt", F.count(F.lit(1)).over(w_run))
+        .withColumn("__run_cv", F.count("__v").over(w_run))
+        .withColumn("__run_sum", F.sum("__v").over(w_run))
+    )
+
+    totals = base.groupBy(key, "__bkt").agg(
+        F.count(F.lit(1)).alias("__tot_cnt"),
+        F.count("__v").alias("__tot_cv"),
+        F.sum("__v").alias("__tot_sum"),
+    )
+
+    # probe at (key, b-1, t-W): running events strictly before the probe
+    events_side = base.select(
+        F.col(key),
+        F.col("__bkt"),
+        F.col("__u").alias("__t"),
+        F.lit(1).alias("__is_event"),
+        F.lit(1).alias("__c"),
+        F.when(F.col("__v").isNotNull(), 1).otherwise(0).alias("__cv"),
+        F.col("__v").alias("__s"),
+        F.lit(None).cast(df.schema[row_id].dataType).alias(row_id),
+    )
+    probe_side = base.select(
+        F.col(key),
+        (F.col("__bkt") - 1).alias("__bkt"),
+        (F.col("__u") - w).alias("__t"),
+        F.lit(0).alias("__is_event"),
+        F.lit(0).alias("__c"),
+        F.lit(0).alias("__cv"),
+        F.lit(None).cast(df.schema[value].dataType).alias("__s"),
+        F.col(row_id),
+    )
+    w_pre = (
+        Window.partitionBy(key, "__bkt")
+        .orderBy("__t", "__is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    strict = (
+        events_side.unionByName(probe_side)
+        .withColumn("__pre_cnt", F.sum("__c").over(w_pre))
+        .withColumn("__pre_cv", F.sum("__cv").over(w_pre))
+        .withColumn("__pre_sum", F.sum("__s").over(w_pre))
+        .filter(F.col("__is_event") == 0)
+        .select(F.col(row_id), F.col(key), "__bkt", "__pre_cnt", "__pre_cv", "__pre_sum")
+    )
+
+    # prev-bucket contribution = total(b-1) - strict_before(t-W); both sides
+    # are already partitioned on (key, bucket), so this join adds no new
+    # exchange of the big side
+    prev = strict.join(totals, [key, "__bkt"], "left").select(
+        F.col(row_id).alias("__rid"),
+        (F.coalesce("__tot_cnt", F.lit(0)) - F.col("__pre_cnt")).alias("__prev_cnt"),
+        (F.coalesce("__tot_cv", F.lit(0)) - F.col("__pre_cv")).alias("__prev_cv"),
+        (
+            F.coalesce("__tot_sum", F.lit(0).cast(df.schema[value].dataType))
+            - F.coalesce("__pre_sum", F.lit(0).cast(df.schema[value].dataType))
+        ).alias("__prev_sum"),
+    )
+
+    out = own.join(prev, own[row_id] == prev["__rid"])
+    cnt_v = (F.col("__run_cv") + F.col("__prev_cv")).alias("cnt_v")
+    sum_w = (
+        F.coalesce("__run_sum", F.lit(0).cast(df.schema[value].dataType))
+        + F.col("__prev_sum")
+    )
+    return out.select(
+        F.col(row_id),
+        F.col(key),
+        (F.col("__run_cnt") + F.col("__prev_cnt")).alias("cnt_w"),
+        cnt_v,
+        sum_w.alias("sum_w"),
+        F.when(
+            F.col("__run_cv") + F.col("__prev_cv") > 0,
+            sum_w / (F.col("__run_cv") + F.col("__prev_cv")),
+        ).alias("avg_w"),
+    )
+
+
 def latest_n_per_key(
     df: DataFrame,
     key: str,

@@ -371,6 +371,39 @@ GROUP BY 1, 2, 3
 """
 
 
+def _q_bucketed_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Skew-resistant exact twin of the flagship's W1/W2 trailing windows:
+    # same closed-interval RANGE semantics, but every shuffle keyed on
+    # (user_id, time_bucket) so one hot key cannot serialize a reducer.
+    # Oracle = the PLAIN window SQL — proving the decomposition is exact.
+    from feature_store_fraud_detection_spark.operators.windows import (
+        bucketed_trailing_aggs,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    c600 = bucketed_trailing_aggs(
+        ev, key="user_id", ts="ts", value="value", seconds=600, row_id="event_id"
+    ).select("event_id", "user_id", F.col("cnt_w").alias("cnt_600"))
+    a3600 = bucketed_trailing_aggs(
+        ev, key="user_id", ts="ts", value="value", seconds=3600, row_id="event_id"
+    ).select("event_id", F.round("avg_w", 4).alias("avg_3600"))
+    return c600.join(a3600, "event_id").select(
+        "event_id", "user_id", "cnt_600", "avg_3600"
+    )
+
+
+_BUCKETED_TRAILING_SQL = """
+SELECT
+  event_id,
+  user_id,
+  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS cnt_600,
+  round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS avg_3600
+FROM events
+"""
+
+
 def _q_monotonic_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_fraud_detection_spark.operators.stats import monotonic_check
 
@@ -1577,6 +1610,9 @@ QUERIES: dict[str, QuerySpec] = {
         """,
     ),
     "sliding_window_aggs": QuerySpec(_q_sliding_windows, _SLIDING_SQL),
+    "bucketed_trailing_features": QuerySpec(
+        _q_bucketed_trailing, _BUCKETED_TRAILING_SQL
+    ),
     "monotonic_check": QuerySpec(
         _q_monotonic_check,
         """

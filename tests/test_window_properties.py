@@ -12,7 +12,10 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from feature_store_fraud_detection_spark.operators.windows import trailing_range_aggs
+from feature_store_fraud_detection_spark.operators.windows import (
+    bucketed_trailing_aggs,
+    trailing_range_aggs,
+)
 
 BASE = dt.datetime(2024, 1, 7, 12, 0, 0)
 
@@ -65,3 +68,54 @@ def test_trailing_range_matches_bruteforce(spark, events):
         assert g[:4] == e[:4]
         assert math.isclose(g[4], e[4], rel_tol=1e-9)
     assert len(got) == len(exp)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(event, min_size=1, max_size=25))
+def test_bucketed_trailing_matches_plain_window(spark, events):
+    """The skew-resistant bucketed decomposition must be bit-identical to the
+    plain partitionBy(key) RANGE frame — including boundary rows at exactly
+    t-W and timestamp ties."""
+    rows = [
+        (i, k, BASE + dt.timedelta(seconds=off), float(round(v, 2)))
+        for i, (k, off, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "rid long, k long, ts timestamp, v double")
+    for sec in (600, 3600):
+        plain = trailing_range_aggs(
+            df,
+            key="k",
+            ts="ts",
+            aggs=[(F.count(F.lit(1)), sec, "cnt"), (F.avg("v"), sec, "avg_v")],
+        )
+        exp = {r.rid: (r.cnt, r.avg_v) for r in plain.collect()}
+        got = bucketed_trailing_aggs(
+            df, key="k", ts="ts", value="v", seconds=sec, row_id="rid"
+        ).collect()
+        assert len(got) == len(exp)
+        for r in got:
+            ec, ea = exp[r.rid]
+            assert r.cnt_w == ec
+            assert math.isclose(r.avg_w, ea, rel_tol=1e-12)
+
+
+def test_bucketed_trailing_no_bare_key_exchange(spark):
+    """Every exchange in the bucketed plan must partition on (key, bucket) —
+    a hashpartitioning on the key alone would reintroduce the hot-key
+    serialization the operator exists to avoid."""
+    import re
+
+    df = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), 1.0)],
+        "rid long, k long, ts timestamp, v double",
+    )
+    plan = (
+        bucketed_trailing_aggs(df, "k", "ts", "v", 600, "rid")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        cols = m.group(1)
+        if cols.startswith("k#"):
+            assert "__bkt" in cols, f"bare-key exchange found: {cols}"
