@@ -308,6 +308,222 @@ LIMIT 10
 """
 
 
+def _q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q13 flavor: LEFT OUTER join aggregate -> histogram of the aggregate.
+    # Exercises the null-producing outer join (count(o_orderkey) skips nulls,
+    # so customers whose only orders are filtered out land in bucket 0) and
+    # a re-aggregation of an aggregate.
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_ORDER_COUNT_DIST_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def _q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q18 flavor: semi-join against a HAVING aggregate. The qualifying-order
+    # aggregate and the join back to orders share the l_orderkey/o_orderkey
+    # partitioning, so Catalyst plans no extra exchange between them.
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(12,4)")).cast("double"), 4
+            ).alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") > 200)
+    )
+    return (
+        big.join(od, big.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+_LARGE_ORDERS_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey,
+         round(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 4) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE sum_qty > 200
+"""
+
+
+def _q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q19 flavor: OR-of-conjunctions spanning both join sides. The shared
+    # p_size/l_quantity bounds still push down per side; the residual
+    # disjunction evaluates post-join on the broadcast hash join.
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    clause = (
+        (
+            F.col("p_brand").isin("Brand#1", "Brand#12", "Brand#13")
+            & F.col("l_quantity").between(1, 15)
+            & F.col("p_size").between(1, 20)
+        )
+        | (
+            F.col("p_brand").isin("Brand#2", "Brand#23", "Brand#24")
+            & F.col("l_quantity").between(10, 25)
+            & F.col("p_size").between(1, 30)
+        )
+        | (
+            F.col("p_brand").isin("Brand#3", "Brand#34", "Brand#35")
+            & F.col("l_quantity").between(20, 40)
+            & F.col("p_size").between(1, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .filter(clause)
+        .agg(
+            F.round(F.sum(_disc_price_dec()).cast("double"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("matched_lines"),
+        )
+    )
+
+
+_DISJUNCTIVE_SQL = f"""
+SELECT
+  round(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 4) AS revenue,
+  COUNT(*) AS matched_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand IN ('Brand#1','Brand#12','Brand#13')
+       AND l_quantity BETWEEN 1 AND 15 AND p_size BETWEEN 1 AND 20)
+   OR (p_brand IN ('Brand#2','Brand#23','Brand#24')
+       AND l_quantity BETWEEN 10 AND 25 AND p_size BETWEEN 1 AND 30)
+   OR (p_brand IN ('Brand#3','Brand#34','Brand#35')
+       AND l_quantity BETWEEN 20 AND 40 AND p_size BETWEEN 1 AND 40)
+"""
+
+
+def _q_cold_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q22 flavor: scalar-subquery threshold (broadcast 1-row cross join) +
+    # NOT EXISTS anti-join. Threshold is computed DECIMAL-exact then divided
+    # in double so both engines agree bit-for-bit on the boundary.
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    thr = (
+        cu.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(12,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__thr")
+        )
+    )
+    urgent = od.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        cu.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("__thr"))
+        .join(urgent, cu.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(12,4)")).cast("double"), 4
+            ).alias("totacctbal"),
+        )
+    )
+
+
+_COLD_CUSTOMERS_SQL = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       round(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE), 4) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+def _q_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Set operations (absent from the reference; part of the relational
+    # surface): (1995-buyers INTERSECT high-balance) EXCEPT urgent-buyers.
+    # intersect/subtract are DISTINCT set semantics, matching SQL defaults.
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    buyers_95 = (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .filter(
+            F.col("o_orderdate").between(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("1995-12-31").cast("timestamp"),
+            )
+        )
+        .select("c_custkey")
+    )
+    high_bal = cu.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    urgent_buyers = (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("c_custkey")
+    )
+    return buyers_95.intersect(high_bal).subtract(urgent_buyers)
+
+
+_SEGMENT_SET_OPS_SQL = """
+(SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+ WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'
+ INTERSECT
+ SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+EXCEPT
+SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def _q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUBE over (priority, returnflag): all four grouping combinations in one
+    # pass (rollup_revenue covers the hierarchy case; CUBE the full lattice).
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .cube("o_orderpriority", "l_returnflag")
+        .agg(
+            F.round(F.sum(_disc_price_dec()).cast("double"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_CUBE_REVENUE_SQL = f"""
+SELECT o_orderpriority, l_returnflag,
+       round(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY CUBE (o_orderpriority, l_returnflag)
+"""
+
+
 # --------------------------------------------------------------------------
 # Row-level transforms, diagnostics, sliding windows, store round-trip
 # --------------------------------------------------------------------------
@@ -1594,6 +1810,14 @@ QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(_q_pricing_summary, _PRICING_SQL),
     "revenue_by_nation": QuerySpec(_q_revenue_by_nation, _REVENUE_BY_NATION_SQL),
     "top_customers": QuerySpec(_q_top_customers, _TOP_CUSTOMERS_SQL),
+    "order_count_distribution": QuerySpec(
+        _q_order_count_distribution, _ORDER_COUNT_DIST_SQL
+    ),
+    "large_orders": QuerySpec(_q_large_orders, _LARGE_ORDERS_SQL),
+    "disjunctive_revenue": QuerySpec(_q_disjunctive_revenue, _DISJUNCTIVE_SQL),
+    "cold_customers": QuerySpec(_q_cold_customers, _COLD_CUSTOMERS_SQL),
+    "segment_set_ops": QuerySpec(_q_segment_set_ops, _SEGMENT_SET_OPS_SQL),
+    "cube_revenue": QuerySpec(_q_cube_revenue, _CUBE_REVENUE_SQL),
     "null_fill": QuerySpec(
         _q_null_fill,
         """
