@@ -374,11 +374,22 @@ WHERE sum_qty > 200
 
 
 def _q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # q19 flavor: OR-of-conjunctions spanning both join sides. The shared
-    # p_size/l_quantity bounds still push down per side; the residual
-    # disjunction evaluates post-join on the broadcast hash join.
-    li = load_table(spark, sf_dir, "lineitem")
-    pa = load_table(spark, sf_dir, "part")
+    # q19 flavor: OR-of-conjunctions spanning both join sides. Catalyst does
+    # not factor per-side implications out of a cross-side disjunction, so
+    # the convex hull of each side's bounds is stated explicitly — these
+    # redundant conjuncts reach the parquet scans as PushedFilters (row-group
+    # pruning) while the exact disjunction evaluates post-join.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 40)
+    )
+    pa = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(1, 40)
+        & F.col("p_brand").isin(
+            "Brand#1", "Brand#12", "Brand#13",
+            "Brand#2", "Brand#23", "Brand#24",
+            "Brand#3", "Brand#34", "Brand#35",
+        )
+    )
     clause = (
         (
             F.col("p_brand").isin("Brand#1", "Brand#12", "Brand#13")

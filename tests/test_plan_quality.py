@@ -52,3 +52,27 @@ def test_revenue_joins_broadcast(spark, sf_dir):
     plan = _physical(df)
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_disjunctive_hull_filters_reach_scans(spark, sf_dir):
+    """q19 flavor: the hand-stated convex-hull conjuncts must reach both
+    parquet scans as data filters (Catalyst cannot factor them out of the
+    cross-side OR on its own)."""
+    df = QUERIES["disjunctive_revenue"].fn(spark, sf_dir)
+    plan = _analyzed(df)
+    scans = [l for l in plan.split("\n") if "FileScan" in l]
+    li_scan = next(l for l in scans if "lineitem.parquet" in l)
+    pa_scan = next(l for l in scans if "/part.parquet" in l)
+    assert "l_quantity" in li_scan and "PushedFilters: [" in li_scan
+    assert "p_size" in pa_scan and "p_brand" in pa_scan
+
+
+def test_large_orders_reuses_agg_partitioning(spark, sf_dir):
+    """q18 flavor: the HAVING aggregate leaves the big side partitioned on
+    l_orderkey; the join back to orders must not re-exchange it. With two
+    scans + one agg + two joins, 3 exchanges (agg, orders side, customer
+    side at most) is the ceiling — a 4th would mean the agg output was
+    re-shuffled."""
+    df = QUERIES["large_orders"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert plan.count("Exchange hashpartitioning") <= 3
