@@ -75,3 +75,91 @@ def extract_binary_features(binary_df: DataFrame, head_n: int = 4) -> DataFrame:
             )
 
     return binary_df.mapInPandas(extract, schema=BINARY_FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_len", T.IntegerType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    frame_width: int = 100,
+    step: int = 2,
+) -> DataFrame:
+    """Frame sampling: split each payload into fixed-width frames and keep
+    every ``step``-th one — the video-frame-sampling plumbing (one input row
+    fans out to N output rows inside the Arrow batch; no shuffle, no
+    explode node). A real deployment decodes actual frames here; the
+    deterministic fake slices the payload by characters so the exact same
+    rows are DuckDB-oracle-checkable (substring + md5 on both engines).
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, digs = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                for i in range(0, (len(payload) + frame_width - 1) // frame_width, step):
+                    frame = payload[i * frame_width : (i + 1) * frame_width]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(frame))
+                    digs.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_digest": pd.Series(digs, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb_head", T.StringType()),
+        T.StructField("thumb_digest", T.StringType()),
+    ]
+)
+
+
+def resize_payload(
+    df: DataFrame, id_col: str, payload_col: str, target: int = 64
+) -> DataFrame:
+    """Resize-to-fixed-dimensions plumbing: every payload becomes exactly
+    ``target`` units (truncate long, pad short) — the shape contract of an
+    image resize, on a deterministic character fake ('.'-padding) so the
+    output is oracle-checkable. Arrow-batched mapInPandas, narrow stage."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = pdf[payload_col].map(
+                lambda s: s[:target].ljust(target, ".") if s is not None else None
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "thumb_head": thumbs.map(
+                        lambda s: s[:8] if s is not None else None
+                    ),
+                    "thumb_digest": thumbs.map(
+                        lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+                        if s is not None
+                        else None
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, schema=THUMB_SCHEMA)

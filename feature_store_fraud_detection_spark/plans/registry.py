@@ -1167,6 +1167,46 @@ FROM documents
 """
 
 
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(docs, "doc_id", "text", frame_width=100, step=2)
+
+
+# Uncorrelated frame-index series (this DuckDB build lacks lateral
+# generate_series) guarded by the per-doc length; the fake frames are
+# character slices, so substring+md5 reproduce the UDF exactly. The 0..63
+# bound covers docs up to 6400 chars (testdata max ~600).
+_FRAME_SAMPLE_SQL = """
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(length(substring(text, CAST(i AS INT) * 100 + 1, 100)) AS INT) AS frame_len,
+       md5(substring(text, CAST(i AS INT) * 100 + 1, 100)) AS frame_digest
+FROM documents CROSS JOIN generate_series(0, 63) AS t(i)
+WHERE i % 2 = 0 AND i * 100 < length(text)
+"""
+
+
+def _q_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.multimodal import (
+        resize_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_payload(docs, "doc_id", "text", target=64)
+
+
+_RESIZE_SQL = """
+SELECT doc_id,
+       substring(rpad(substring(text, 1, 64), 64, '.'), 1, 8) AS thumb_head,
+       md5(rpad(substring(text, 1, 64), 64, '.')) AS thumb_digest
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Streaming-state twin + ML pipeline
 # --------------------------------------------------------------------------
@@ -1895,6 +1935,8 @@ QUERIES: dict[str, QuerySpec] = {
     "cosine_topk": QuerySpec(_q_cosine_topk, _COSINE_TOPK_SQL),
     "lsh_topk": QuerySpec(_q_lsh_topk, _LSH_TOPK_SQL),
     "multimodal_features": QuerySpec(_q_multimodal_features, _MULTIMODAL_SQL),
+    "frame_sample": QuerySpec(_q_frame_sample, _FRAME_SAMPLE_SQL),
+    "resize_thumbs": QuerySpec(_q_resize_thumbs, _RESIZE_SQL),
     "stream_latest_state": QuerySpec(_q_stream_latest_state, _STREAM_LATEST_SQL),
     "ml_train_score": QuerySpec(_q_ml_train_score, None),
     "forecast_revenue": QuerySpec(_q_forecast_revenue, _FORECAST_REVENUE_SQL),

@@ -157,3 +157,33 @@ def test_multimodal_plumbing(spark):
     assert by_id[0].head_bytes == [ord(c) for c in "the "]
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_frame_sample_fanout_and_narrow_plan(spark):
+    import hashlib
+
+    from feature_store_fraud_detection_spark.operators.multimodal import (
+        resize_payload,
+        sample_frames,
+    )
+
+    text = "abcdefghij" * 25  # 250 chars -> frames 0,1,2 (width 100); keep 0,2
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    frames = sample_frames(df, "doc_id", "text", frame_width=100, step=2)
+    rows = {r.frame_idx: r for r in frames.collect()}
+    assert set(rows) == {0, 2}
+    assert rows[0].frame_len == 100 and rows[2].frame_len == 50
+    assert rows[2].frame_digest == hashlib.md5(text[200:].encode()).hexdigest()
+    # one narrow stage: the 1->N fan-out happens inside the Arrow batch
+    assert "Exchange" not in frames._jdf.queryExecution().executedPlan().toString()
+
+    thumbs = resize_payload(df, "doc_id", "text", target=64).collect()
+    assert thumbs[0].thumb_head == text[:8]
+    assert thumbs[0].thumb_digest == hashlib.md5(text[:64].encode()).hexdigest()
+    short = resize_payload(
+        spark.createDataFrame([(2, "hi")], "doc_id long, text string"),
+        "doc_id",
+        "text",
+        target=8,
+    ).collect()[0]
+    assert short.thumb_digest == hashlib.md5(b"hi......").hexdigest()
