@@ -1212,6 +1212,45 @@ FROM documents
 # --------------------------------------------------------------------------
 
 
+def _q_stream_join_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the J2 append-mode stream-stream join: the SAME
+    stream_stream_join code path run on batch frames (it only uses
+    watermark + join, both batch-legal), so the watermarked join's time-range
+    semantics sit under the DuckDB oracle gate."""
+    from feature_store_fraud_detection_spark.streaming.pipeline import (
+        stream_stream_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    txns = ev.select(
+        F.concat(F.lit("txn_"), F.col("event_id").cast("string")).alias("txn_id"),
+        F.col("user_id").alias("cc_num"),
+        F.col("value").alias("amount"),
+        F.col("ts").alias("event_time"),
+    )
+    companion = ev.select(
+        F.col("user_id").alias("cc_num"),
+        F.col("ts").alias("event_time"),
+        F.col("event_id").alias("ping_id"),
+    )
+    return stream_stream_join(txns, companion, max_lag="1 minute")
+
+
+_STREAM_JOIN_TWIN_SQL = """
+SELECT 'txn_' || CAST(a.event_id AS VARCHAR) AS txn_id,
+       a.user_id AS cc_num,
+       a.value AS amount,
+       a.ts AS event_time,
+       b.ts AS c_event_time,
+       b.event_id AS c_ping_id
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts - INTERVAL 1 MINUTE
+ AND b.ts <= a.ts
+"""
+
+
 def _q_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming online-store state: the same latest_txn
     aggregate (max_by over the watermarked stream) applied to the events
@@ -1938,6 +1977,9 @@ QUERIES: dict[str, QuerySpec] = {
     "frame_sample": QuerySpec(_q_frame_sample, _FRAME_SAMPLE_SQL),
     "resize_thumbs": QuerySpec(_q_resize_thumbs, _RESIZE_SQL),
     "stream_latest_state": QuerySpec(_q_stream_latest_state, _STREAM_LATEST_SQL),
+    "stream_join_batch_twin": QuerySpec(
+        _q_stream_join_batch_twin, _STREAM_JOIN_TWIN_SQL
+    ),
     "ml_train_score": QuerySpec(_q_ml_train_score, None),
     "forecast_revenue": QuerySpec(_q_forecast_revenue, _FORECAST_REVENUE_SQL),
     "priority_late_orders": QuerySpec(_q_priority_late_orders, _PRIORITY_LATE_SQL),

@@ -96,6 +96,46 @@ def dedupe_stream(events: DataFrame, id_col: str = "txn_id") -> DataFrame:
     )
 
 
+def stream_stream_join(
+    txns: DataFrame,
+    companion: DataFrame,
+    max_lag: str = "1 minute",
+) -> DataFrame:
+    """Reference J2 (``stream_features.py:34-47``) as the append-mode
+    alternative SURVEY §2.5 names: a watermark-bounded stream-stream INNER
+    join on ``cc_num`` with a time-range condition — each transaction joins
+    companion events for the same card from the trailing ``max_lag``.
+
+    The reference's CoProcessFunction keeps one unbounded ValueState per key
+    per side (SURVEY §2.9 T4); here both sides' state is provably evictable:
+    the watermark plus the time-range bound tell Spark exactly how long a
+    buffered row can still match, so state is dropped as event time
+    advances. Emit-on-update last-value semantics live in
+    ``streaming/stateful.py``; this form trades per-update re-emission for
+    bounded state and exactly-once append output — the right default at
+    100 TB stream volumes.
+
+    ``companion`` must have columns (cc_num, event_time, ...); its
+    non-key columns are joined in with a ``c_`` prefix.
+    """
+    t = txns.withWatermark("event_time", WATERMARK_DELAY)
+    c = companion.select(
+        F.col("cc_num").alias("c_cc_num"),
+        F.col("event_time").alias("c_event_time"),
+        *[
+            F.col(n).alias(f"c_{n}")
+            for n in companion.columns
+            if n not in ("cc_num", "event_time")
+        ],
+    ).withWatermark("c_event_time", WATERMARK_DELAY)
+    cond = (
+        (t["cc_num"] == c["c_cc_num"])
+        & (c["c_event_time"] >= t["event_time"] - F.expr(f"INTERVAL {max_lag}"))
+        & (c["c_event_time"] <= t["event_time"])
+    )
+    return t.join(c, cond, "inner").drop("c_cc_num")
+
+
 def latest_txn(events: DataFrame) -> DataFrame:
     """Per-key latest transaction (the Redis ZSET timeline head, W5) as a
     streaming-safe aggregate: max_by over the watermarked stream."""

@@ -189,3 +189,42 @@ def test_synthetic_producer_distributions(spark):
     assert abs(stats.avg_lat - 38.5) < 0.2     # N(38.5, 5.1)
     assert abs(stats.std_lat - 5.1) < 0.2
     assert stats.n_keys > 900                  # 983-key pool mostly covered
+
+
+def test_stream_stream_join_bounded_state(spark, tmp_path):
+    """J2 append-mode: watermarked stream-stream join with time-range bound
+    must equal the identical join over the same data in batch."""
+    from feature_store_fraud_detection_spark.streaming.pipeline import (
+        stream_stream_join,
+    )
+
+    events = _mk_events()
+    src = _write_jsonl(tmp_path, events)
+
+    def sides(reader):
+        parsed = parse_stream(reader.schema("value string").json(src))
+        txns = parsed.select("txn_id", "cc_num", "amount", "event_time")
+        companion = parsed.select("cc_num", "event_time", "lat")
+        return txns, companion
+
+    t_s, c_s = sides(spark.readStream)
+    q = (
+        stream_stream_join(t_s, c_s, max_lag="1 minute")
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ssj")
+
+    t_b, c_b = sides(spark.read)
+    exp = stream_stream_join(t_b, c_b, max_lag="1 minute")
+    assert got.count() == exp.count() > 0
+    # spot-check join semantics: txn_0 (t=00:00:00) matches only the
+    # companion event at its own timestamp (prior events for card 0: none)
+    assert got.filter(F.col("txn_id") == "txn_0").count() == 1
+    # txn_57 (card 0, t=00:09:30) has card-0 companions at 09:30, 09:00,
+    # 08:30 within the trailing minute -> 3 matches
+    assert got.filter(F.col("txn_id") == "txn_57").count() == 3
