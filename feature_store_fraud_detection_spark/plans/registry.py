@@ -475,6 +475,84 @@ GROUP BY c_nationkey
 """
 
 
+def _q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q17 flavor: correlated scalar subquery (per-part 20%-of-average
+    # threshold). Expressed as its decorrelated form — aggregate once per
+    # part, join back — which is exactly what Catalyst rewrites the
+    # correlated subquery into; stating it directly keeps the plan explicit
+    # (one agg + two joins, threshold side partitioned on the join key).
+    # Threshold arithmetic is DECIMAL-sum-exact then double, same
+    # expression order both engines, so the < boundary is bit-stable.
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#23", "Brand#12")
+    )
+    thr = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(12,4)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("thr")
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(thr, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,4)")).cast("double")
+                / 7.0,
+                4,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_SMALL_QTY_SQL = """
+SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / 7.0, 4)
+         AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand IN ('Brand#23', 'Brand#12')
+  AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,4))) AS DOUBLE)
+                      / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def _q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit GROUPING SETS (arbitrary set list, vs ROLLUP's hierarchy and
+    # CUBE's lattice): per (priority), per (returnflag), and grand total —
+    # but NOT the (priority, returnflag) cross, which CUBE would include.
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(od, li.l_orderkey == od.o_orderkey)
+    joined.createOrReplaceTempView("__gs_joined")
+    return joined.sparkSession.sql(
+        f"""
+        SELECT o_orderpriority, l_returnflag,
+               round(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 4) AS revenue,
+               COUNT(*) AS n_items
+        FROM __gs_joined
+        GROUP BY GROUPING SETS ((o_orderpriority), (l_returnflag), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT o_orderpriority, l_returnflag,
+       round(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY GROUPING SETS ((o_orderpriority), (l_returnflag), ())
+"""
+
+
 def _q_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Set operations (absent from the reference; part of the relational
     # surface): (1995-buyers INTERSECT high-balance) EXCEPT urgent-buyers.
@@ -1907,6 +1985,10 @@ QUERIES: dict[str, QuerySpec] = {
     "disjunctive_revenue": QuerySpec(_q_disjunctive_revenue, _DISJUNCTIVE_SQL),
     "cold_customers": QuerySpec(_q_cold_customers, _COLD_CUSTOMERS_SQL),
     "segment_set_ops": QuerySpec(_q_segment_set_ops, _SEGMENT_SET_OPS_SQL),
+    "small_quantity_revenue": QuerySpec(_q_small_quantity_revenue, _SMALL_QTY_SQL),
+    "grouping_sets_revenue": QuerySpec(
+        _q_grouping_sets_revenue, _GROUPING_SETS_SQL
+    ),
     "cube_revenue": QuerySpec(_q_cube_revenue, _CUBE_REVENUE_SQL),
     "null_fill": QuerySpec(
         _q_null_fill,
