@@ -109,3 +109,60 @@ def emit_on_update_join(tagged: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def emit_on_update_join_tws(tagged: DataFrame, ttl_ms: int = 3_600_000) -> DataFrame:
+    """Same semantics on the Spark 4 ``transformWithStateInPandas`` API
+    (SURVEY §2.5 J1 names it as the modern realization): typed per-key
+    ``ValueState`` with a NATIVE state TTL — the state store itself ages
+    entries out after ``ttl_ms``, replacing the manual timeout bookkeeping
+    the ``applyInPandasWithState`` variant needs. Requires the RocksDB state
+    store provider (the scale-grade provider anyway; set
+    ``spark.sql.streaming.stateStore.providerClass`` accordingly) and the
+    Python ``protobuf`` runtime (transformWithState runs a protobuf-speaking
+    state server; absent in this container, so the applyInPandasWithState
+    variant carries the tests here)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _EmitOnUpdate(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "latest", _STATE_SCHEMA, ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cc_num = key[0]
+            if self._state.exists():
+                lv, lt, rv, rt = self._state.get()
+            else:
+                lv = lt = rv = rt = None
+            out_rows = []
+            for pdf in rows:
+                pdf = pdf.sort_values("event_ts")
+                for row in pdf.itertuples(index=False):
+                    ts_us = int(pd.Timestamp(row.event_ts).value // 1000)
+                    if row.side == "L":
+                        lv, lt = float(row.value), ts_us
+                    else:
+                        rv, rt = float(row.value), ts_us
+                    if lv is not None and rv is not None:
+                        out_rows.append((cc_num, lv, rv, row.event_ts))
+            self._state.update((lv, lt, rv, rt))
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=["cc_num", "left_value", "right_value", "event_ts"],
+                )
+
+        def close(self) -> None:
+            pass
+
+    return tagged.groupBy("cc_num").transformWithStateInPandas(
+        _EmitOnUpdate(),
+        outputStructType=_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
