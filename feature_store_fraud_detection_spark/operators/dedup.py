@@ -133,6 +133,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     threshold: float = 0.2,
     rows_per_band: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard.
 
@@ -145,6 +146,14 @@ def minhash_lsh_pairs(
     Candidates are then verified with exact shingle Jaccard, so precision is
     exact and only recall is probabilistic. The candidate join is on band
     buckets — no quadratic document self-join.
+
+    ``max_bucket_size`` drops band buckets holding more than that many docs
+    BEFORE pair expansion — the 100 TB guard against degenerate buckets
+    (boilerplate headers, empty-ish docs share a minhash and would expand
+    O(n^2) pairs from one bucket). Precision is unaffected (verification is
+    exact); recall only drops for pairs whose EVERY matching band is
+    oversized, which at web scale are exactly the boilerplate-dominated
+    pairs you don't want anyway. None (default) disables the cap.
     """
     # One shared base computes shingles AND signatures exactly once, persisted:
     # the bucket path and both verify-join sides all derive from it. Without
@@ -208,14 +217,14 @@ def minhash_lsh_pairs(
     # candidate pairs by grouping each band bucket and expanding pairs
     # array-locally — the signature subtree is computed ONCE (a self-join
     # would recompute it per side; Spark cannot reuse the un-exchanged probe
-    # side of a broadcast join). Bucket sizes are hash-bounded, so the
-    # per-bucket pair expansion is small; at extreme scale, too-common
-    # buckets would be dropped before expansion (standard LSH practice).
+    # side of a broadcast join).
     buckets = (
         bands.groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     pair_structs = F.flatten(
         F.transform(
             "ids",

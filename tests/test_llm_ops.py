@@ -187,3 +187,27 @@ def test_frame_sample_fanout_and_narrow_plan(spark):
         target=8,
     ).collect()[0]
     assert short.thumb_digest == hashlib.md5(b"hi......").hexdigest()
+
+
+def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    # 6 identical docs (one degenerate bucket of 6) + one distinct near-pair
+    rows = [(i, "common boilerplate header text repeated everywhere") for i in range(6)]
+    rows += [
+        (10, "the quick brown fox jumps over the lazy dog today"),
+        (11, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.2)
+    capped = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.2, max_bucket_size=4
+    )
+    unc = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    cap = {(r.id_a, r.id_b) for r in capped.collect()}
+    # uncapped finds the 15 identical pairs plus the fox pair
+    assert (10, 11) in unc and len(unc) == 16
+    # cap=4 drops the 6-doc bucket entirely; the fox pair survives
+    assert cap == {(10, 11)}
