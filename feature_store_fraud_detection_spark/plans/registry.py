@@ -475,6 +475,85 @@ GROUP BY c_nationkey
 """
 
 
+def _q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q5 flavor: the widest join graph in the registry (6 tables), with the
+    # local-supplier twist — customer and supplier must sit in the SAME
+    # nation, so the supplier join carries an extra non-key conjunct. All
+    # dims broadcast; lineitem (the fact) never shuffles until the final
+    # groupBy.
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(su),
+            (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey),
+        )
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_disc_price_dec()).cast("double"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_LOCAL_SUPPLIER_SQL = f"""
+SELECT n_name,
+       round(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def _q_value_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Analytic-function breadth beyond frames/ranking already covered:
+    # percent_rank / cume_dist (relative standing of each event's value
+    # within its user's history) and first/last_value over the full
+    # partition. One window spec -> one shuffle+sort serves all four.
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.round(F.first_value("value").over(w_full), 4).alias("min_value"),
+        F.round(F.last_value("value").over(w_full), 4).alias("max_value"),
+    )
+
+
+_VALUE_DIST_SQL = """
+SELECT event_id,
+       user_id,
+       round(percent_rank() OVER w, 4) AS pct_rank,
+       round(cume_dist() OVER w, 4) AS cume,
+       round(first_value(value) OVER w_full, 4) AS min_value,
+       round(last_value(value) OVER w_full, 4) AS max_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id),
+       w_full AS (PARTITION BY user_id ORDER BY value, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def _q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q17 flavor: correlated scalar subquery (per-part 20%-of-average
     # threshold). Expressed as its decorrelated form — aggregate once per
@@ -1986,6 +2065,12 @@ QUERIES: dict[str, QuerySpec] = {
     "cold_customers": QuerySpec(_q_cold_customers, _COLD_CUSTOMERS_SQL),
     "segment_set_ops": QuerySpec(_q_segment_set_ops, _SEGMENT_SET_OPS_SQL),
     "small_quantity_revenue": QuerySpec(_q_small_quantity_revenue, _SMALL_QTY_SQL),
+    "local_supplier_volume": QuerySpec(
+        _q_local_supplier_volume, _LOCAL_SUPPLIER_SQL
+    ),
+    "value_distribution_windows": QuerySpec(
+        _q_value_distribution_windows, _VALUE_DIST_SQL
+    ),
     "grouping_sets_revenue": QuerySpec(
         _q_grouping_sets_revenue, _GROUPING_SETS_SQL
     ),
