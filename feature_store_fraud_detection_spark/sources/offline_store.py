@@ -73,6 +73,23 @@ class OfflineStore:
     def append(self, features: DataFrame) -> None:
         self.write(features, mode="append")
 
+    def backfill(self, features: DataFrame) -> None:
+        """Incremental backfill: overwrite ONLY the date partitions present
+        in ``features`` (dynamic partition overwrite), leaving every other
+        partition untouched. This is the daily-recompute pattern that keeps
+        a 100 TB feature table maintainable — re-running one day rewrites
+        one directory, not the table. Plain ``mode("overwrite")`` without
+        the option would drop ALL partitions first (the reference's
+        equivalent is delete-everything-then-reinsert)."""
+        df = features.withColumn(PARTITION_COL, F.to_date(F.col(self.ts_col)))
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", self.compression)
+            .partitionBy(PARTITION_COL)
+            .parquet(self.path)
+        )
+
     def write_bucketed(
         self,
         features: DataFrame,

@@ -88,3 +88,26 @@ def test_online_store_upsert_and_ttl(spark):
     out2 = upsert_latest_state(cur, batch, "cc_num", "ts", retention_seconds=3600)
     keys = {r.cc_num for r in out2.collect()}
     assert keys == {1, 3}  # key 1 at t0+1h is exactly on the horizon (inclusive)
+
+
+def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
+    store = OfflineStore(spark, str(tmp_path / "bf_store"), ts_col="feature_timestamp")
+    day1 = dt.datetime(2024, 1, 1, 10)
+    day2 = dt.datetime(2024, 1, 2, 10)
+    initial = spark.createDataFrame(
+        [(1, 10.0, day1), (2, 20.0, day1), (3, 30.0, day2)],
+        "cc_num long, amt double, feature_timestamp timestamp",
+    )
+    store.write(initial)
+
+    # recompute day 2 only: one corrected row replaces the old day-2 content
+    fixed = spark.createDataFrame(
+        [(3, 99.0, day2), (4, 44.0, day2)],
+        "cc_num long, amt double, feature_timestamp timestamp",
+    )
+    store.backfill(fixed)
+
+    rows = {r.cc_num: r.amt for r in store.read().collect()}
+    # day 1 untouched; day 2 fully replaced (old row 3 gone, not appended-to)
+    assert rows == {1: 10.0, 2: 20.0, 3: 99.0, 4: 44.0}
+    assert store.read().count() == 4
