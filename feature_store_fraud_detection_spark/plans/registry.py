@@ -1004,6 +1004,63 @@ FROM tk
 """
 
 
+def _q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The end-to-end training-corpus prep flow as ONE declarative plan:
+    # profile -> exact-dedup (keep lowest doc_id per fingerprint) ->
+    # language + quality gate -> per-source corpus stats. Everything stays
+    # JVM-side; Catalyst fuses the profile expressions into the scan
+    # projection and the dedup window shares its shuffle with nothing else
+    # (fingerprint is the only wide key).
+    from pyspark.sql import Window
+
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        text_profile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    prof = text_profile(docs, "doc_id", "text")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    keep = prof.withColumn("rn", F.row_number().over(w)).filter(
+        (F.col("rn") == 1)
+        & (F.col("lang_pred") == "en")
+        & (F.col("quality") >= 0.5)
+    )
+    return (
+        keep.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(10,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_quality"),
+        )
+    )
+
+
+# Reuses the full profile SQL as a derived table so the quality/lang/
+# fingerprint expressions cannot drift from the oracle-proven ones.
+# quality is rounded to 4 on both engines BEFORE the >= 0.5 gate and the
+# DECIMAL-exact average, so boundary rows agree bit-for-bit.
+def _corpus_prep_sql() -> str:
+    return f"""
+SELECT d.source AS source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(CAST(p.quality AS DECIMAL(10,4))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_quality
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM ({_TEXT_PROFILE_SQL}) prof
+) p
+JOIN documents d ON p.doc_id = d.doc_id
+WHERE p.rn = 1 AND p.lang_pred = 'en' AND p.quality >= 0.5
+GROUP BY d.source
+"""
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_fraud_detection_spark.operators.dedup import exact_dedup
 
@@ -2126,6 +2183,7 @@ QUERIES: dict[str, QuerySpec] = {
     "rebalance_classes": QuerySpec(_q_rebalance_classes, None),
     "train_test_split": QuerySpec(_q_train_split, None),
     "text_profile": QuerySpec(_q_text_profile, _TEXT_PROFILE_SQL),
+    "corpus_prep_pipeline": QuerySpec(_q_corpus_prep, _corpus_prep_sql()),
     "exact_dedup": QuerySpec(
         _q_exact_dedup,
         """
