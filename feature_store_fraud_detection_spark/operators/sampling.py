@@ -87,3 +87,32 @@ def null_fill(df: DataFrame, fills: dict) -> DataFrame:
     """Reference P7 (``featurestore_flow.py:25`` fillna(0);
     ``load_data.py:11`` fillna(-1) on merch_zipcode)."""
     return df.na.fill(fills)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic content-hash sampling: keep rows whose md5(salt||id)
+    falls below ``fraction`` of the hash space.
+
+    The scalable twin of seeded ``sample()``: the decision is a pure
+    function of the row id, so it is reproducible across engines, runs,
+    partitionings and cluster sizes (Spark's seeded sample is
+    partition-dependent and can't be cross-checked), composable (the same
+    row is in or out in every stage of a pipeline), and expandable — growing
+    fraction f1 -> f2 keeps the f1 sample as a strict subset. Different
+    ``salt`` values draw independent samples. Narrow (no shuffle): the
+    predicate evaluates in the scan projection.
+
+    Uses the first 15 hex digits (60 bits) of the md5 compared against
+    fraction * 16^15 — exact integer threshold arithmetic, no float
+    comparison on the hash itself.
+    """
+    threshold = int(fraction * (16**15))
+    digest = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    return df.filter(
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("decimal(20,0)")
+        < F.lit(threshold).cast("decimal(20,0)")
+    )

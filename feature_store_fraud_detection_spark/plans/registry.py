@@ -904,6 +904,26 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic content-hash sample: unlike seeded sample() (partition-
+    # dependent -> rows-only check), the hash decision is a pure function of
+    # the id, so this sampling family IS oracle-checkable.
+    from feature_store_fraud_detection_spark.operators.sampling import hash_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return hash_sample(ev, "event_id", 0.25, salt="r1").select(
+        "event_id", "user_id", "value"
+    )
+
+
+_HASH_SAMPLE_SQL = f"""
+SELECT event_id, user_id, value
+FROM events
+WHERE CAST('0x' || substring(md5('r1|' || CAST(event_id AS VARCHAR)), 1, 15)
+           AS BIGINT) < {int(0.25 * 16**15)}
+"""
+
+
 def _q_fraction_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_fraud_detection_spark.operators.sampling import fraction_sample
 
@@ -2180,6 +2200,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "segment_revenue": QuerySpec(_q_segment_revenue, _SEGMENT_REVENUE_SQL),
     "fraction_sample": QuerySpec(_q_fraction_sample, None),
+    "hash_sample": QuerySpec(_q_hash_sample, _HASH_SAMPLE_SQL),
     "rebalance_classes": QuerySpec(_q_rebalance_classes, None),
     "train_test_split": QuerySpec(_q_train_split, None),
     "text_profile": QuerySpec(_q_text_profile, _TEXT_PROFILE_SQL),

@@ -48,3 +48,21 @@ def test_label_filter_and_null_fill(spark):
     assert label_filter(df, "is_fraud", 1).count() == 1
     filled = null_fill(df, {"merch_zipcode": -1.0})
     assert filled.filter(F.col("merch_zipcode") == -1.0).count() == 1
+
+
+def test_hash_sample_deterministic_and_expandable(spark):
+    from feature_store_fraud_detection_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s10 = {r.k for r in hash_sample(df, "k", 0.1).collect()}
+    s30 = {r.k for r in hash_sample(df, "k", 0.3).collect()}
+    # deterministic: same call, same rows
+    assert s10 == {r.k for r in hash_sample(df, "k", 0.1).collect()}
+    # expandable: growing the fraction keeps the smaller sample as a subset
+    assert s10 <= s30
+    # rates land near nominal (md5 is uniform; 2000 draws)
+    assert 0.05 < len(s10) / 2000 < 0.15
+    assert 0.24 < len(s30) / 2000 < 0.36
+    # independent draw under a different salt
+    s30b = {r.k for r in hash_sample(df, "k", 0.3, salt="other").collect()}
+    assert s30b != s30
