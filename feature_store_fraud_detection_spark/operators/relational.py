@@ -53,9 +53,18 @@ def stats_with_latest(
     Here: one aggregate + one broadcast-able equi-join. The aggregated side is
     |keys| rows — tiny relative to events — so we broadcast it explicitly.
     """
+    # avg through a DECIMAL sum (double summation is order-dependent; the
+    # raw value column is 2-decimal money, so the cast is exact), then
+    # floor-based rounding: Spark round() rounds the shortest decimal repr
+    # while DuckDB rounds the binary value, and quotients can land exactly
+    # on a half (both divergences observed at sf0.1). floor(x*1e4+0.5)/1e4
+    # is bit-identical double arithmetic on both engines (positive values).
+    avg_q = F.sum(F.col(value).cast("decimal(18,2)")).cast("double") / F.count(
+        F.lit(1)
+    )
     stats = events.groupBy(key).agg(
         F.count(F.lit(1)).alias("txn_count"),
-        F.round(F.avg(value), 4).alias("avg_value"),
+        (F.floor(avg_q * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("avg_value"),
     )
     latest = latest_n_per_key(events, key, ts, n=1, tiebreak=tiebreak).select(
         F.col(key),

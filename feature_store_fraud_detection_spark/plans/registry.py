@@ -46,6 +46,20 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL, or None -> rows-only check
 
 
+def _round4_pos(col: F.Column) -> F.Column:
+    """Cross-engine-stable 4-decimal rounding for POSITIVE quotients.
+
+    Spark's round() rounds the double's shortest decimal representation
+    (HALF_UP via BigDecimal.valueOf), DuckDB rounds the binary value — they
+    disagree exactly when a quotient's shortest form lands on a half (e.g.
+    3148.24/64 = "49.19125" -> Spark 49.1913, DuckDB 49.1912). floor(x*1e4
+    + 0.5)/1e4 is pure double arithmetic, bit-identical on both engines; the
+    SQL twin is floor(x * 10000 + 0.5) / 10000. Use for any avg/ratio
+    OUTPUT column; plain round() stays fine for sums of 2-decimal money
+    (never near a half) and for values rounded before comparison."""
+    return F.floor(col * 10000 + F.lit(0.5)) / F.lit(10000.0)
+
+
 # --------------------------------------------------------------------------
 # Feature-store core (reference batch path + serving surface)
 # --------------------------------------------------------------------------
@@ -176,7 +190,12 @@ def _q_sync_offline_online(spark: SparkSession, sf_dir: str) -> DataFrame:
     offline = (
         ev.filter(F.col("user_id") % 2 == 0)
         .groupBy("user_id")
-        .agg(F.round(F.avg("value"), 4).alias("value"))
+        .agg(
+            _round4_pos(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("value")
+        )
     )
     return sync_offline_to_online(online, offline, "user_id", ["value"])
 
@@ -1051,10 +1070,9 @@ def _q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-            F.round(
+            _round4_pos(
                 F.sum(F.col("quality").cast("decimal(10,4)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
+                / F.count(F.lit(1))
             ).alias("avg_quality"),
         )
     )
@@ -1069,8 +1087,8 @@ def _corpus_prep_sql() -> str:
 SELECT d.source AS source,
        COUNT(*) AS n_docs,
        CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
-       round(CAST(SUM(CAST(p.quality AS DECIMAL(10,4))) AS DOUBLE)
-             / COUNT(*), 4) AS avg_quality
+       floor(CAST(SUM(CAST(p.quality AS DECIMAL(10,4))) AS DOUBLE)
+             / COUNT(*) * 10000 + 0.5) / 10000 AS avg_quality
 FROM (
   SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
   FROM ({_TEXT_PROFILE_SQL}) prof
@@ -2043,22 +2061,28 @@ def _q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, not the answer."""
     from feature_store_fraud_detection_spark.operators.skew import salted_stats
 
-    ev = load_table(spark, sf_dir, "events")
+    # value cast to DECIMAL(14,2) (exact: raw column is 2-decimal money) so
+    # the two-level summation is order-independent — double sums diverge
+    # from the oracle once keys hold enough rows (seen at sf0.1).
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(14,2)")
+    )
     out = salted_stats(ev, "user_id", "value", num_salts=8)
     return out.select(
         "user_id",
         "cnt",
-        F.round("sum_v", 4).alias("sum_v"),
-        F.round("avg_v", 4).alias("avg_v"),
-        "min_v",
-        "max_v",
+        F.round(F.col("sum_v").cast("double"), 4).alias("sum_v"),
+        _round4_pos(F.col("sum_v").cast("double") / F.col("cnt")).alias("avg_v"),
+        F.col("min_v").cast("double").alias("min_v"),
+        F.col("max_v").cast("double").alias("max_v"),
     )
 
 
 _SALTED_STATS_SQL = """
 SELECT user_id, count(*) AS cnt,
-       round(sum(value), 4) AS sum_v,
-       round(sum(value) / count(*), 4) AS avg_v,
+       round(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_v,
+       floor(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+             * 10000 + 0.5) / 10000 AS avg_v,
        min(value) AS min_v, max(value) AS max_v
 FROM events GROUP BY user_id
 """
@@ -2102,7 +2126,9 @@ QUERIES: dict[str, QuerySpec] = {
         _q_stats_with_latest,
         """
         WITH stats AS (
-          SELECT user_id, count(*) AS txn_count, round(avg(value), 4) AS avg_value
+          SELECT user_id, count(*) AS txn_count,
+                 floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*) * 10000 + 0.5) / 10000 AS avg_value
           FROM events GROUP BY user_id
         ), latest AS (
           SELECT user_id, ts AS latest_ts, value AS latest_value FROM (
@@ -2120,7 +2146,9 @@ QUERIES: dict[str, QuerySpec] = {
         _q_sync_offline_online,
         """
         WITH offline AS (
-          SELECT user_id, round(avg(value), 4) AS off_value
+          SELECT user_id,
+                 floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*) * 10000 + 0.5) / 10000 AS off_value
           FROM events WHERE user_id % 2 = 0 GROUP BY user_id
         )
         SELECT e.event_id, e.user_id,
