@@ -494,6 +494,46 @@ GROUP BY c_nationkey
 """
 
 
+def _q_product_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q9 flavor (no partsupp table in the testdata star, so profit reduces
+    # to discounted revenue): LIKE-filtered part dim + per-(nation, year)
+    # rollup. The substring filter pushes to the part scan; year extraction
+    # stays a scan-side expression.
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    su = load_table(spark, sf_dir, "supplier")
+    od = load_table(spark, sf_dir, "orders")
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(
+            F.col("n_name"), F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(
+            F.round(F.sum(_disc_price_dec()).cast("double"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_PRODUCT_REVENUE_SQL = f"""
+SELECT n_name,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       round(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+"""
+
+
 def _q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q5 flavor: the widest join graph in the registry (6 tables), with the
     # local-supplier twist — customer and supplier must sit in the SAME
@@ -2172,6 +2212,9 @@ QUERIES: dict[str, QuerySpec] = {
     "small_quantity_revenue": QuerySpec(_q_small_quantity_revenue, _SMALL_QTY_SQL),
     "local_supplier_volume": QuerySpec(
         _q_local_supplier_volume, _LOCAL_SUPPLIER_SQL
+    ),
+    "product_revenue_by_year": QuerySpec(
+        _q_product_revenue_by_year, _PRODUCT_REVENUE_SQL
     ),
     "value_distribution_windows": QuerySpec(
         _q_value_distribution_windows, _VALUE_DIST_SQL
