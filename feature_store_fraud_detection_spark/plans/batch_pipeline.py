@@ -56,14 +56,23 @@ def compute_features(txns: DataFrame) -> DataFrame:
             haversine_miles("lat", "long", "merch_lat", "merch_long"),
         )
     )
+    # avg as DECIMAL-exact windowed sum / count (amt is 2-decimal money, so
+    # the cast is exact): a plain avg(double) over the frame depends on
+    # summation order, so its low bits vary with partitioning/engine — this
+    # form is bit-stable, which the cross-engine oracle requires. All three
+    # frames share one (cc_num, unix_time) sort -> still ONE Window node.
     df = trailing_range_aggs(
         df,
         key="cc_num",
         ts="trans_date_trans_time",
         aggs=[
             (F.count(F.lit(1)), 600, "txn_count_last_10_min"),
-            (F.avg("amt"), 3600, "avg_amt_last_1_hour"),
+            (F.sum(F.col("amt").cast("decimal(14,2)")), 3600, "__amt_sum_1h"),
+            (F.count("amt"), 3600, "__amt_cnt_1h"),
         ],
+    ).withColumn(
+        "avg_amt_last_1_hour",
+        F.col("__amt_sum_1h").cast("double") / F.col("__amt_cnt_1h"),
     )
     return df.withColumn("feature_timestamp", F.col("trans_date_trans_time")).select(
         *FEATURE_COLUMNS

@@ -97,7 +97,7 @@ def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("age_at_txn", 4).alias("age_at_txn"),
         F.round("distance_to_merchant", 4).alias("distance_to_merchant"),
         "txn_count_last_10_min",
-        F.round("avg_amt_last_1_hour", 4).alias("avg_amt_last_1_hour"),
+        _round4_pos(F.col("avg_amt_last_1_hour")).alias("avg_amt_last_1_hour"),
         "category",
         "gender",
         "city_pop",
@@ -120,7 +120,8 @@ SELECT
         * pow(sin((radians(merch_lon) - radians(lon)) / 2), 2))), 4)
     AS distance_to_merchant,
   count(*) OVER w600 AS txn_count_last_10_min,
-  round(avg(amt) OVER w3600, 4) AS avg_amt_last_1_hour,
+  floor(CAST(sum(CAST(amt AS DECIMAL(14,2))) OVER w3600 AS DOUBLE)
+        / count(amt) OVER w3600 * 10000 + 0.5) / 10000 AS avg_amt_last_1_hour,
   category,
   gender,
   city_pop,
@@ -248,9 +249,18 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dec(F.col("l_extendedprice"))).cast("double"), 4).alias("sum_base_price"),
             F.round(F.sum(_disc_price_dec()).cast("double"), 4).alias("sum_disc_price"),
             F.round(F.sum(_charge_dec()).cast("double"), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _round4_pos(
+                F.sum(dec(F.col("l_quantity"))).cast("double")
+                / F.count("l_quantity")
+            ).alias("avg_qty"),
+            _round4_pos(
+                F.sum(dec(F.col("l_extendedprice"))).cast("double")
+                / F.count("l_extendedprice")
+            ).alias("avg_price"),
+            _round4_pos(
+                F.sum(F.col("l_discount").cast("decimal(8,4)")).cast("double")
+                / F.count("l_discount")
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -264,9 +274,12 @@ SELECT
   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE), 4) AS sum_base_price,
   round(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 4) AS sum_disc_price,
   round(CAST(SUM({_CHARGE_SQL}) AS DOUBLE), 4) AS sum_charge,
-  round(AVG(l_quantity), 4) AS avg_qty,
-  round(AVG(l_extendedprice), 4) AS avg_price,
-  round(AVG(l_discount), 4) AS avg_disc,
+  floor(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)
+        / COUNT(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty,
+  floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+        / COUNT(l_extendedprice) * 10000 + 0.5) / 10000 AS avg_price,
+  floor(CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)
+        / COUNT(l_discount) * 10000 + 0.5) / 10000 AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -592,8 +605,8 @@ def _q_value_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        _round4_pos(F.percent_rank().over(w)).alias("pct_rank"),
+        _round4_pos(F.cume_dist().over(w)).alias("cume"),
         F.round(F.first_value("value").over(w_full), 4).alias("min_value"),
         F.round(F.last_value("value").over(w_full), 4).alias("max_value"),
     )
@@ -602,8 +615,8 @@ def _q_value_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame
 _VALUE_DIST_SQL = """
 SELECT event_id,
        user_id,
-       round(percent_rank() OVER w, 4) AS pct_rank,
-       round(cume_dist() OVER w, 4) AS cume,
+       floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS pct_rank,
+       floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cume,
        round(first_value(value) OVER w_full, 4) AS min_value,
        round(last_value(value) OVER w_full, 4) AS max_value
 FROM events
@@ -794,7 +807,10 @@ def _q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         slide_duration="20 seconds",
         aggs=[
             F.count(F.lit(1)).alias("txn_count"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            _round4_pos(
+                F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
         ],
     )
 
@@ -808,7 +824,8 @@ SELECT
   make_timestamp(epoch_us(ts) // 20000000 * 20000000 - i * 20000000 + 120000000) AS window_end,
   user_id,
   count(*) AS txn_count,
-  round(avg(value), 4) AS avg_value
+  floor(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+        / COUNT(value) * 10000 + 0.5) / 10000 AS avg_value
 FROM events CROSS JOIN generate_series(0, 5) AS t(i)
 GROUP BY 1, 2, 3
 """
@@ -823,13 +840,23 @@ def _q_bucketed_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed_trailing_aggs,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    # value cast to DECIMAL(14,2) (exact for the 2-decimal column) so the
+    # decomposed partial sums are order-independent; avg via the
+    # floor-rounded exact quotient (see _round4_pos).
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(14,2)")
+    )
     c600 = bucketed_trailing_aggs(
         ev, key="user_id", ts="ts", value="value", seconds=600, row_id="event_id"
     ).select("event_id", "user_id", F.col("cnt_w").alias("cnt_600"))
     a3600 = bucketed_trailing_aggs(
         ev, key="user_id", ts="ts", value="value", seconds=3600, row_id="event_id"
-    ).select("event_id", F.round("avg_w", 4).alias("avg_3600"))
+    ).select(
+        "event_id",
+        _round4_pos(F.col("sum_w").cast("double") / F.col("cnt_v")).alias(
+            "avg_3600"
+        ),
+    )
     return c600.join(a3600, "event_id").select(
         "event_id", "user_id", "cnt_600", "avg_3600"
     )
@@ -841,8 +868,12 @@ SELECT
   user_id,
   count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
                  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS cnt_600,
-  round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS avg_3600
+  floor(CAST(sum(CAST(value AS DECIMAL(14,2)))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / count(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        * 10000 + 0.5) / 10000 AS avg_3600
 FROM events
 """
 
@@ -881,7 +912,8 @@ SELECT
         * pow(sin((radians(merch_lon) - radians(lon)) / 2), 2))), 4)
     AS distance_to_merchant,
   count(*) OVER w600 AS txn_count_last_10_min,
-  round(avg(amt) OVER w3600, 4) AS avg_amt_last_1_hour,
+  floor(CAST(sum(CAST(amt AS DECIMAL(14,2))) OVER w3600 AS DOUBLE)
+        / count(amt) OVER w3600 * 10000 + 0.5) / 10000 AS avg_amt_last_1_hour,
   category,
   gender,
   city_pop,
@@ -1944,7 +1976,11 @@ def _q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            # int sum is exact in double; floor-round the quotient (Spark
+            # round() vs DuckDB round() diverge on shortest-repr halves)
+            _round4_pos(
+                F.sum("k").cast("double") / F.count("k")
+            ).alias("avg_k"),
             F.sum("k").alias("sum_k"),
         )
     )
@@ -1952,7 +1988,9 @@ def _q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_EXTRACT_SQL = """
 SELECT event_type, count(*) AS n,
-       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       floor(CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+             / COUNT(CAST(json_extract_string(props, '$.k') AS INT))
+             * 10000 + 0.5) / 10000 AS avg_k,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """

@@ -37,9 +37,12 @@ def test_pricing_prunes_columns(spark, sf_dir):
 def test_flagship_single_window_shuffle(spark, sf_dir):
     df = QUERIES["flagship_features"].fn(spark, sf_dir)
     plan = _physical(df)
-    # both range frames share one partitionBy(cc_num) exchange + sort
+    # all range frames share ONE partitionBy(cc_num) exchange and ONE sort;
+    # Spark may split the frames across Window nodes (the decimal-cast sum
+    # needs its own pre-projection) but never re-exchanges or re-sorts
     assert plan.count("Exchange") == 1
-    assert plan.count("Window") == 1
+    assert plan.count("+- Sort") == 1
+    assert 1 <= plan.count("Window") <= 2
 
 
 def test_latest_n_uses_window_group_limit(spark, sf_dir):
