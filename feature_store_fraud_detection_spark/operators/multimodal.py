@@ -27,7 +27,10 @@ BINARY_FEATURES_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("byte_len", T.IntegerType()),
         T.StructField("digest", T.StringType()),
-        T.StructField("head_bytes", T.ArrayType(T.IntegerType())),
+        # Comma-joined string, not array<int>: downstream hashers /
+        # row-oriented consumers (and the driver's pandas canonicalizer)
+        # need a hashable scalar; split(',') recovers the array when needed.
+        T.StructField("head_bytes", T.StringType()),
     ]
 )
 
@@ -69,7 +72,7 @@ def extract_binary_features(binary_df: DataFrame, head_n: int = 4) -> DataFrame:
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
                     ),
                     "head_bytes": payloads.map(
-                        lambda b: [int(x) for x in bytes(b)[:head_n]]
+                        lambda b: ",".join(str(int(x)) for x in bytes(b)[:head_n])
                     ),
                 }
             )

@@ -1485,8 +1485,8 @@ _MULTIMODAL_SQL = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS INT) AS byte_len,
        md5(text) AS digest,
-       list_transform(range(1, least(4, length(text)) + 1),
-                      i -> ascii(substr(text, i, 1))) AS head_bytes
+       array_to_string(list_transform(range(1, least(4, length(text)) + 1),
+                                      i -> ascii(substr(text, i, 1))), ',') AS head_bytes
 FROM documents
 """
 

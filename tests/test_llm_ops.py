@@ -154,7 +154,7 @@ def test_multimodal_plumbing(spark):
         "the quick brown fox jumps over the lazy dog near the river bank"
     )
     assert by_id[0].digest == by_id[3].digest
-    assert by_id[0].head_bytes == [ord(c) for c in "the "]
+    assert by_id[0].head_bytes == ",".join(str(ord(c)) for c in "the ")
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
 
