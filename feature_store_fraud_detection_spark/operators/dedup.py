@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from feature_store_fraud_detection_spark.functions.numeric import round4_stable
 from feature_store_fraud_detection_spark.operators.text_analysis import (
     doc_fingerprint,
     word_shingles,
@@ -80,10 +81,9 @@ def ngram_jaccard_pairs(
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.round(
+            round4_stable(
                 F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                4,
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -267,10 +267,9 @@ def minhash_lsh_pairs(
     return (
         scored.withColumn(
             "jaccard",
-            F.round(
+            round4_stable(
                 F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                4,
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -403,14 +402,13 @@ def embedding_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(
+            round4_stable(
                 cosine_expr(
                     F.col("a.__vec_d"),
                     F.col("b.__vec_d"),
                     F.col("a.__norm"),
                     F.col("b.__norm"),
-                ),
-                4,
+                )
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

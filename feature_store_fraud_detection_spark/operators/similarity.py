@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from feature_store_fraud_detection_spark.functions.numeric import round4_stable
+
 
 def _to_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -71,11 +73,10 @@ def cosine_topk(
     scored = pairs.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(
+        round4_stable(
             cosine_expr(
                 F.col("__qvec"), F.col("__vec_d"), F.col("__qnorm"), F.col("__norm")
-            ),
-            4,
+            )
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -215,10 +216,9 @@ def ivf_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(
+        round4_stable(
             dot_expr(F.col("__qvec"), F.col("__nvec"))
-            / (F.sqrt(dot_expr(F.col("__qvec"), F.col("__qvec"))) * F.col("__nnorm")),
-            4,
+            / (F.sqrt(dot_expr(F.col("__qvec"), F.col("__qvec"))) * F.col("__nnorm"))
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -233,16 +233,28 @@ def label_centroids(
     df: DataFrame, label_col: str, vec_col: str
 ) -> DataFrame:
     """Per-label centroid of an embedding column as (label, dim, value)
-    rows — posexplode + one partial-aggregated groupBy. The long format
-    keeps the shuffle rows tiny and is what a downstream IVF coarse
-    quantizer or class-prototype classifier consumes."""
+    rows — posexplode + one groupBy. The long format keeps the shuffle rows
+    tiny and is what a downstream IVF coarse quantizer or class-prototype
+    classifier consumes.
+
+    The mean is a SORTED sequential fold, not ``avg``: partial-aggregate
+    summation order differs between Spark partials and any other engine, so
+    a plain ``avg`` over raw doubles can flip the 4th decimal near a
+    rounding boundary. Sorting the group's values first fixes one IEEE
+    summation order that any engine reproduces (DuckDB:
+    ``list_reduce(list_sort(list(v)))``). Cost is a per-(label, dim)
+    collect_list — bounded by |docs with that label|; at 100 TB scale,
+    switch to plain ``avg`` and a tolerance check instead of exact hashes.
+    """
     exploded = df.select(
         F.col(label_col),
         F.posexplode(_to_double(F.col(vec_col))).alias("d0", "v"),
     )
+    vs = F.array_sort(F.collect_list("v"))
+    mean = F.aggregate(vs, F.lit(0.0), lambda acc, x: acc + x) / F.size(vs)
     return (
         exploded.groupBy(label_col, (F.col("d0") + 1).alias("d"))
-        .agg(F.round(F.avg("v"), 4).alias("c"))
+        .agg(round4_stable(mean).alias("c"))
     )
 
 
@@ -275,11 +287,10 @@ def lsh_topk(
     scored = pairs.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(
+        round4_stable(
             cosine_expr(
                 F.col("__qvec"), F.col("__vec_d"), F.col("__qnorm"), F.col("__norm")
-            ),
-            4,
+            )
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(

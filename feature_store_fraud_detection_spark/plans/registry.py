@@ -46,18 +46,13 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL, or None -> rows-only check
 
 
-def _round4_pos(col: F.Column) -> F.Column:
-    """Cross-engine-stable 4-decimal rounding for POSITIVE quotients.
-
-    Spark's round() rounds the double's shortest decimal representation
-    (HALF_UP via BigDecimal.valueOf), DuckDB rounds the binary value — they
-    disagree exactly when a quotient's shortest form lands on a half (e.g.
-    3148.24/64 = "49.19125" -> Spark 49.1913, DuckDB 49.1912). floor(x*1e4
-    + 0.5)/1e4 is pure double arithmetic, bit-identical on both engines; the
-    SQL twin is floor(x * 10000 + 0.5) / 10000. Use for any avg/ratio
-    OUTPUT column; plain round() stays fine for sums of 2-decimal money
-    (never near a half) and for values rounded before comparison."""
-    return F.floor(col * 10000 + F.lit(0.5)) / F.lit(10000.0)
+# Cross-engine-stable 4-decimal quotient rounding — see functions/numeric.py
+# for the rationale (Spark round() vs DuckDB round() diverge on shortest-repr
+# halves). Use for any avg/ratio OUTPUT column; plain round() stays fine for
+# sums of 2-decimal money (never near a half).
+from feature_store_fraud_detection_spark.functions.numeric import (  # noqa: E402
+    round4_stable as _round4_pos,
+)
 
 
 # --------------------------------------------------------------------------
@@ -1197,7 +1192,8 @@ inter AS (
 )
 SELECT id_a, id_b, n_inter, jaccard FROM (
   SELECT id_a, id_b, n_inter,
-         round(n_inter / CAST(na.n + nb.n - n_inter AS DOUBLE), 4) AS jaccard
+         floor(n_inter / CAST(na.n + nb.n - n_inter AS DOUBLE)
+               * 10000 + 0.5) / 10000 AS jaccard
   FROM inter
   JOIN sizes na ON id_a = na.doc_id
   JOIN sizes nb ON id_b = nb.doc_id
@@ -1237,7 +1233,8 @@ inter AS (
 ),
 exact AS (
   SELECT id_a, id_b,
-         round(n_inter / CAST(na.n + nb.n - n_inter AS DOUBLE), 4) AS jaccard
+         floor(n_inter / CAST(na.n + nb.n - n_inter AS DOUBLE)
+               * 10000 + 0.5) / 10000 AS jaccard
   FROM inter
   JOIN sizes na ON id_a = na.doc_id
   JOIN sizes nb ON id_b = nb.doc_id
@@ -1331,9 +1328,10 @@ _EMB_NEARDUP_SQL = f"""
 WITH {_VEC_CTE}
 SELECT id_a, id_b, cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_reduce(list_transform(range(1, len(a.vd) + 1),
+         floor(list_reduce(list_transform(range(1, len(a.vd) + 1),
                                           i -> a.vd[i] * b.vd[i]),
-                           (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS cosine
+                           (x, y) -> x + y) / (a.nrm * b.nrm)
+               * 10000 + 0.5) / 10000 AS cosine
   FROM vn a JOIN vn b ON a.vec_id < b.vec_id
   WHERE a.vec_id < 300 AND b.vec_id < 300
 ) WHERE cosine >= 0.25
@@ -1356,9 +1354,10 @@ _COSINE_TOPK_SQL = f"""
 WITH {_VEC_CTE},
 scored AS (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-         round(list_reduce(list_transform(range(1, len(q.vd) + 1),
+         floor(list_reduce(list_transform(range(1, len(q.vd) + 1),
                                           i -> q.vd[i] * n.vd[i]),
-                           (x, y) -> x + y) / (q.nrm * n.nrm), 4) AS cosine
+                           (x, y) -> x + y) / (q.nrm * n.nrm)
+               * 10000 + 0.5) / 10000 AS cosine
   FROM vn q JOIN vn n ON q.vec_id != n.vec_id
   WHERE q.vec_id < 10
 )
@@ -1391,9 +1390,10 @@ vb AS (
 ),
 scored AS (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-         round(list_reduce(list_transform(range(1, len(q.vd) + 1),
+         floor(list_reduce(list_transform(range(1, len(q.vd) + 1),
                                           i -> q.vd[i] * n.vd[i]),
-                           (x, y) -> x + y) / (q.nrm * n.nrm), 4) AS cosine
+                           (x, y) -> x + y) / (q.nrm * n.nrm)
+               * 10000 + 0.5) / 10000 AS cosine
   FROM vb q JOIN vb n ON q.bucket = n.bucket AND q.vec_id != n.vec_id
   WHERE q.vec_id < 10
 )
@@ -1428,7 +1428,10 @@ def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LABEL_CENTROIDS_SQL = """
-SELECT label, CAST(d AS INT) AS d, round(avg(v), 4) AS c FROM (
+SELECT label, CAST(d AS INT) AS d,
+       floor(list_reduce(list_sort(list(v)), (a, b) -> a + b) / count(v)
+             * 10000 + 0.5) / 10000 AS c
+FROM (
   SELECT label,
          unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
          unnest(range(1, len(embedding) + 1)) AS d
