@@ -1594,11 +1594,17 @@ def _q_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_LATEST_SQL = """
-SELECT user_id AS cc_num,
-       max(ts) AS latest_ts,
-       arg_max(value, ts) AS latest_amount,
-       arg_max('txn_' || CAST(event_id AS VARCHAR), ts) AS latest_txn_id
-FROM events GROUP BY user_id
+SELECT cc_num, latest_ts, latest_amount, latest_txn_id FROM (
+  SELECT user_id AS cc_num,
+         ts AS latest_ts,
+         value AS latest_amount,
+         'txn_' || CAST(event_id AS VARCHAR) AS latest_txn_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY ts DESC, 'txn_' || CAST(event_id AS VARCHAR) DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
 """
 
 

@@ -4,24 +4,36 @@ Replaces the reference's Redis online store (hashes ``txn:{cc}:stats`` /
 ``txn:{cc}:data:{id}`` + ZSET timeline, ``redis_writer.py:17-44``) with an
 engine-native keyed table:
 
-- state = one row per key (latest by event time);
-- upsert = MERGE-style union + latest-per-key, used by the streaming job's
-  foreachBatch (streaming/pipeline.py);
+- state = one row per key (latest by event time, with an optional tiebreak
+  column so ordering is total — equal-timestamp redelivery would otherwise
+  make the surviving row nondeterministic);
+- upsert = MERGE-style union + latest-per-key;
 - TTL (Redis EXPIRE 86400, ``redis_writer.py:25,38``) = retention filter on
   event time — state older than (max event time - retention) drops out on
   the next upsert; event-time-driven, so deterministic and replayable.
 
-Storage is a parquet/in-memory DataFrame snapshot; on a cluster the same
-MERGE pattern targets a Delta/Iceberg table (not available in this
-container, so the snapshot form keeps it runnable everywhere).
+Two forms:
+
+- :func:`upsert_latest_state` — the pure DataFrame merge (state in, state
+  out), used directly by batch serving paths and tests;
+- :class:`ParquetOnlineStore` — the durable form the streaming sink uses: a
+  parquet table hash-partitioned into key buckets. Each upsert touches ONLY
+  the buckets present in the micro-batch (dynamic partition overwrite — the
+  same trick ``OfflineStore.backfill`` uses for date partitions), so per
+  batch the engine reads |touched buckets| worth of state and rewrites the
+  same, never the full table and never through the driver. On a cluster the
+  identical pattern targets a Delta/Iceberg MERGE; bucket-partitioned
+  parquet keeps it runnable everywhere (no Delta in this container).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from feature_store_fraud_detection_spark.operators.windows import latest_n_per_key
+
+BUCKET_COL = "__kb"
 
 
 def upsert_latest_state(
@@ -30,15 +42,19 @@ def upsert_latest_state(
     key: str,
     ts: str,
     retention_seconds: int | None = 86_400,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Merge a micro-batch of per-key rows into the keyed state table.
 
-    Latest row per key wins (by ``ts``). The per-key reduction is one hash
-    shuffle on the key; the retention horizon is a scalar aggregate (cheap,
-    partial-agg'd) evaluated per upsert, not a global window funnel.
+    Latest row per key wins (by ``ts``, then ``tiebreak`` descending when
+    given — pass the txn id so equal-timestamp redelivery is deterministic,
+    matching the batch serving paths which tiebreak on ``event_id``). The
+    per-key reduction is one hash shuffle on the key; the retention horizon
+    is a scalar aggregate (cheap, partial-agg'd) evaluated per upsert, not a
+    global window funnel.
     """
     unioned = batch if current is None else current.unionByName(batch)
-    latest = latest_n_per_key(unioned, key, ts, n=1).drop("rn")
+    latest = latest_n_per_key(unioned, key, ts, n=1, tiebreak=tiebreak).drop("rn")
     if retention_seconds is not None:
         horizon_row = unioned.agg(F.max(F.col(ts)).alias("m")).first()
         if horizon_row is not None and horizon_row["m"] is not None:
@@ -48,3 +64,87 @@ def upsert_latest_state(
                 - F.expr(f"INTERVAL {retention_seconds} SECONDS")
             )
     return latest
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe — works for any scheme Spark can read."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+class ParquetOnlineStore:
+    """Durable keyed latest-state table over bucket-partitioned parquet.
+
+    Layout: ``{path}/__kb={0..num_buckets-1}/part-*.parquet`` where
+    ``__kb = pmod(xxhash64(key), num_buckets)``. An upsert:
+
+    1. computes the batch's touched buckets (distinct bucket ids — at most
+       ``num_buckets`` small ints cross the driver, never rows);
+    2. reads ONLY those buckets of the existing state (partition pruning on
+       the bucket column);
+    3. merges latest-per-key + retention via :func:`upsert_latest_state`;
+    4. rewrites ONLY the touched buckets with dynamic partition overwrite.
+
+    State volume per upsert is |keys in touched buckets|, independent of
+    total state size; nothing materializes on the driver. ``localCheckpoint``
+    before the write breaks the plan's lineage to the path being
+    overwritten (Spark refuses a self-overwriting scan otherwise).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str = "cc_num",
+        ts: str = "latest_ts",
+        retention_seconds: int | None = 86_400,
+        num_buckets: int = 64,
+        tiebreak: str | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.key = key
+        self.ts = ts
+        self.retention_seconds = retention_seconds
+        self.num_buckets = num_buckets
+        self.tiebreak = tiebreak
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            BUCKET_COL,
+            F.pmod(
+                F.xxhash64(F.col(self.key).cast("string")), F.lit(self.num_buckets)
+            ).cast("int"),
+        )
+
+    def exists(self) -> bool:
+        return _path_exists(self.spark, self.path)
+
+    def read(self) -> DataFrame:
+        """Full state scan (serving S12 'all keys'); per-key lookups on top
+        of this prune to one bucket via the partition column."""
+        return self.spark.read.parquet(self.path).drop(BUCKET_COL)
+
+    def upsert(self, batch: DataFrame) -> None:
+        b = self._with_bucket(batch)
+        if self.exists():
+            touched = [r[0] for r in b.select(BUCKET_COL).distinct().collect()]
+            cur = self.spark.read.parquet(self.path).filter(
+                F.col(BUCKET_COL).isin(touched)
+            )
+            merged = upsert_latest_state(
+                cur, b, self.key, self.ts, self.retention_seconds, self.tiebreak
+            )
+        else:
+            merged = upsert_latest_state(
+                None, b, self.key, self.ts, self.retention_seconds, self.tiebreak
+            )
+        (
+            merged.localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.path)
+        )

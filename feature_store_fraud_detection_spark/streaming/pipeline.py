@@ -138,14 +138,21 @@ def stream_stream_join(
 
 def latest_txn(events: DataFrame) -> DataFrame:
     """Per-key latest transaction (the Redis ZSET timeline head, W5) as a
-    streaming-safe aggregate: max_by over the watermarked stream."""
+    streaming-safe aggregate: max_by over the watermarked stream.
+
+    The ordering key is (event_time, txn_id) — a TOTAL order. With
+    event_time alone, two events on the same timestamp (e.g. a redelivered
+    batch) would leave the winner to aggregation order; the struct tiebreak
+    keeps the result deterministic (the Redis ZSET analog breaks score ties
+    lexically by member)."""
+    order = F.struct(F.col("event_time"), F.col("txn_id"))
     return (
         events.withWatermark("event_time", WATERMARK_DELAY)
         .groupBy("cc_num")
         .agg(
             F.max("event_time").alias("latest_ts"),
-            F.max_by("amount", "event_time").alias("latest_amount"),
-            F.max_by("txn_id", "event_time").alias("latest_txn_id"),
+            F.max_by("amount", order).alias("latest_amount"),
+            F.max_by("txn_id", order).alias("latest_txn_id"),
         )
     )
 
@@ -153,29 +160,70 @@ def latest_txn(events: DataFrame) -> DataFrame:
 class OnlineStoreSink:
     """foreachBatch sink: MERGE each micro-batch of per-key stats into the
     keyed online store with event-time retention (replaces RedisWriter's
-    per-record HSET/ZADD/EXPIRE, ``redis_writer.py:17-44``)."""
+    per-record HSET/ZADD/EXPIRE, ``redis_writer.py:17-44``).
 
-    def __init__(self, key: str = "cc_num", ts: str = "latest_ts", retention_seconds: int = 86_400):
+    State lives in a ``ParquetOnlineStore`` — a bucket-partitioned parquet
+    table where each upsert reads and rewrites only the key buckets the
+    micro-batch touches (dynamic partition overwrite). No state rows ever
+    cross the driver, and the table outlives the SparkSession; point
+    ``path`` somewhere durable for a real deployment (default: a temp dir
+    owned by the sink, right for tests).
+
+    ``tiebreak`` (e.g. the txn id) makes same-timestamp redelivery
+    deterministic — without it, which duplicate survives is engine whim.
+    """
+
+    def __init__(
+        self,
+        key: str = "cc_num",
+        ts: str = "latest_ts",
+        retention_seconds: int = 86_400,
+        path: str | None = None,
+        tiebreak: str | None = None,
+        num_buckets: int = 64,
+    ):
+        import tempfile
+
         self.key = key
         self.ts = ts
         self.retention_seconds = retention_seconds
-        self.state: DataFrame | None = None
+        self.tiebreak = tiebreak
+        self.num_buckets = num_buckets
+        self._tmpdir = None
+        if path is None:
+            self._tmpdir = tempfile.TemporaryDirectory(prefix="online_store_")
+            path = f"{self._tmpdir.name}/state"
+        self.path = path
+        self._store = None
+
+    def _store_for(self, spark) -> "ParquetOnlineStore":
+        from feature_store_fraud_detection_spark.sources.online_store import (
+            ParquetOnlineStore,
+        )
+
+        if self._store is None:
+            self._store = ParquetOnlineStore(
+                spark,
+                self.path,
+                key=self.key,
+                ts=self.ts,
+                retention_seconds=self.retention_seconds,
+                num_buckets=self.num_buckets,
+                tiebreak=self.tiebreak,
+            )
+        return self._store
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        from feature_store_fraud_detection_spark.sources.online_store import (
-            upsert_latest_state,
-        )
-
         if batch_df.isEmpty():
             return
-        merged = upsert_latest_state(
-            self.state, batch_df, self.key, self.ts, self.retention_seconds
-        )
-        # materialize the new state so the next merge doesn't re-execute a
-        # growing lineage chain (at scale this is a Delta MERGE instead)
-        self.state = batch_df.sparkSession.createDataFrame(
-            merged.collect(), merged.schema
-        )
+        self._store_for(batch_df.sparkSession).upsert(batch_df)
+
+    @property
+    def state(self) -> DataFrame | None:
+        """The current state table (None before the first non-empty batch)."""
+        if self._store is None or not self._store.exists():
+            return None
+        return self._store.read()
 
 
 def run_stream_to_online_store(
@@ -185,7 +233,7 @@ def run_stream_to_online_store(
 ):
     """Wire the full streaming job: typed ingest -> enrich -> per-key latest
     state -> foreachBatch upsert. Returns the StreamingQuery."""
-    sink = sink or OnlineStoreSink()
+    sink = sink or OnlineStoreSink(tiebreak="latest_txn_id")
     events = enrich(parse_stream(raw))
     latest = latest_txn(events)
     writer = (

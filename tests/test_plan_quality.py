@@ -70,6 +70,20 @@ def test_disjunctive_hull_filters_reach_scans(spark, sf_dir):
     assert "p_size" in pa_scan and "p_brand" in pa_scan
 
 
+def test_no_driver_collect_in_streaming_sources():
+    """The streaming hot path must never materialize rows on the driver:
+    state merges go through the bucket-partitioned ParquetOnlineStore, not
+    collect()/createDataFrame round-trips. Guarded at the source level so a
+    regression is caught even where no test exercises the specific sink."""
+    import pathlib
+
+    import feature_store_fraud_detection_spark.streaming as streaming_pkg
+
+    pkg_dir = pathlib.Path(streaming_pkg.__file__).parent
+    for src in pkg_dir.glob("*.py"):
+        assert ".collect()" not in src.read_text(), f"driver collect in {src.name}"
+
+
 def test_large_orders_reuses_agg_partitioning(spark, sf_dir):
     """q18 flavor: the HAVING aggregate leaves the big side partitioned on
     l_orderkey; the join back to orders must not re-exchange it. With two

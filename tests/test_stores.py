@@ -12,7 +12,10 @@ from feature_store_fraud_detection_spark.plans.batch_pipeline import (
 )
 from feature_store_fraud_detection_spark.schemas import load_table
 from feature_store_fraud_detection_spark.sources.offline_store import OfflineStore
-from feature_store_fraud_detection_spark.sources.online_store import upsert_latest_state
+from feature_store_fraud_detection_spark.sources.online_store import (
+    ParquetOnlineStore,
+    upsert_latest_state,
+)
 
 
 def test_offline_store_roundtrip(spark, sf_dir, tmp_path):
@@ -88,6 +91,78 @@ def test_online_store_upsert_and_ttl(spark):
     out2 = upsert_latest_state(cur, batch, "cc_num", "ts", retention_seconds=3600)
     keys = {r.cc_num for r in out2.collect()}
     assert keys == {1, 3}  # key 1 at t0+1h is exactly on the horizon (inclusive)
+
+
+def test_parquet_online_store_upserts_and_survives_sessions(spark, tmp_path):
+    """The durable online store: bucket-partitioned parquet state that (a)
+    merges latest-per-key across upserts with a deterministic tiebreak, (b)
+    rewrites only touched buckets, and (c) outlives the SparkSession that
+    wrote it."""
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "cc_num long, ts timestamp, amt double, txn_id string")
+
+    path = str(tmp_path / "pq_online")
+    store = ParquetOnlineStore(
+        spark, path, key="cc_num", ts="ts", retention_seconds=None,
+        num_buckets=8, tiebreak="txn_id",
+    )
+    t0 = dt.datetime(2024, 1, 2, 12, 0, 0)
+    store.upsert(mk([(1, t0, 10.0, "a"), (2, t0, 20.0, "a")]))
+    # second batch: newer for key 1, same-ts redelivery for key 2 (tiebreak
+    # picks the max txn_id), new key 3
+    store.upsert(
+        mk(
+            [
+                (1, t0 + dt.timedelta(hours=1), 11.0, "b"),
+                (2, t0, 19.0, "z"),
+                (3, t0 + dt.timedelta(hours=2), 30.0, "c"),
+            ]
+        )
+    )
+    out = {r.cc_num: r for r in store.read().collect()}
+    assert out[1].amt == 11.0   # newer wins
+    assert out[2].amt == 19.0   # same ts -> max txn_id ('z') wins, deterministically
+    assert out[3].amt == 30.0
+
+    # one row per key, and the table is bucket-partitioned on disk
+    assert store.read().count() == 3
+    import os
+
+    assert any(d.startswith("__kb=") for d in os.listdir(path))
+
+    # state survives a fresh session (new session state, same path)
+    spark2 = spark.newSession()
+    store2 = ParquetOnlineStore(
+        spark2, path, key="cc_num", ts="ts", retention_seconds=None,
+        num_buckets=8, tiebreak="txn_id",
+    )
+    again = {r.cc_num: r.amt for r in store2.read().collect()}
+    assert again == {1: 11.0, 2: 19.0, 3: 30.0}
+
+    # retention applies on upsert: a far-future event evicts old keys in
+    # the buckets it touches AND keeps untouched buckets' rows intact
+    bucket_of = {
+        r.k: r.b
+        for r in spark.createDataFrame([(1,), (2,), (3,)], "k long")
+        .select(
+            "k",
+            F.pmod(F.xxhash64(F.col("k").cast("string")), F.lit(8)).cast("int").alias("b"),
+        )
+        .collect()
+    }
+    store3 = ParquetOnlineStore(
+        spark, path, key="cc_num", ts="ts", retention_seconds=3600,
+        num_buckets=8, tiebreak="txn_id",
+    )
+    store3.upsert(mk([(1, t0 + dt.timedelta(days=30), 99.0, "d")]))
+    final = {r.cc_num: r.amt for r in store3.read().collect()}
+    assert final[1] == 99.0
+    for k in (2, 3):
+        if bucket_of[k] == bucket_of[1]:
+            assert k not in final   # same bucket: old row aged out by TTL
+        else:
+            assert k in final       # untouched bucket preserved verbatim
 
 
 def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
