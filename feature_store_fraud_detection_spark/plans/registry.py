@@ -1836,9 +1836,16 @@ GROUP BY ROLLUP (n_name, c_mktsegment)
 
 
 def _q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ntile decile bucketing by revenue — standard feature-engineering op
-    from pyspark.sql import Window
+    """Revenue-decile bucketing by VALUE QUANTILES, not a global ntile.
 
+    A ``Window.orderBy`` with no partition funnels every customer through
+    one reducer — the classic scale killer. Instead: compute the 9 decile
+    cut points as one scalar aggregate (exact interpolated ``percentile``;
+    bit-equal to DuckDB ``quantile_cont`` — at 100 TB swap in
+    ``approx_percentile``), broadcast the single cut-point row, and assign
+    each customer's decile as ``10 - #cuts_below`` — a narrow map over the
+    aggregated table. Decile 1 = top 10% by revenue; boundary ties share
+    the lower decile (value semantics, vs ntile's forced equal counts)."""
     cu = load_table(spark, sf_dir, "customer")
     od = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -1848,9 +1855,18 @@ def _q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.round(F.sum(_disc_price_dec()).cast("double"), 4).alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-    return rev.select(
-        "c_custkey", "revenue", F.ntile(10).over(w).alias("decile")
+    cuts = rev.agg(
+        F.array(
+            *[F.expr(f"percentile(revenue, {i / 10})") for i in range(1, 10)]
+        ).alias("__cuts")
+    )
+    return rev.crossJoin(F.broadcast(cuts)).select(
+        "c_custkey",
+        "revenue",
+        (
+            F.lit(10)
+            - F.size(F.filter("__cuts", lambda q: F.col("revenue") > q))
+        ).alias("decile"),
     )
 
 
@@ -1862,10 +1878,18 @@ WITH rev AS (
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
   GROUP BY c_custkey
+),
+cuts AS (
+  SELECT [quantile_cont(revenue, 0.1), quantile_cont(revenue, 0.2),
+          quantile_cont(revenue, 0.3), quantile_cont(revenue, 0.4),
+          quantile_cont(revenue, 0.5), quantile_cont(revenue, 0.6),
+          quantile_cont(revenue, 0.7), quantile_cont(revenue, 0.8),
+          quantile_cont(revenue, 0.9)] AS qs
+  FROM rev
 )
 SELECT c_custkey, revenue,
-       CAST(ntile(10) OVER (ORDER BY revenue DESC, c_custkey) AS INT) AS decile
-FROM rev
+       CAST(10 - len(list_filter(qs, q -> revenue > q)) AS INT) AS decile
+FROM rev CROSS JOIN cuts
 """
 
 
