@@ -14,8 +14,14 @@ the engine's custom-stateful-operator escape hatch:
 - every input row updates its side and emits iff both sides are present
   (emit-on-update, last-value join);
 - unlike the reference (unbounded ValueState, SURVEY §2.9 T4), state has an
-  optional event-time TTL via GroupStateTimeout so 100 TB key cardinality
-  cannot pin the state store.
+  optional PROCESSING-TIME TTL (``GroupStateTimeout.ProcessingTimeTimeout``
+  + ``setTimeoutDuration``; the tws variant's ttl is likewise wall-clock),
+  so 100 TB key cardinality cannot pin the state store. Note this makes
+  eviction replay-dependent: a re-run that processes faster keeps more
+  state alive. Event-time eviction (``EventTimeTimeout`` +
+  ``setTimeoutTimestamp`` against the watermark) would be deterministic
+  under replay — use it if exact replayability of evictions matters more
+  than wall-clock hygiene.
 
 This is the slow-path operator by design (Arrow-batched Python per group);
 the single-agg redesign stays the default.
