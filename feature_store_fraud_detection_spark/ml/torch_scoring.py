@@ -38,6 +38,57 @@ def init_weights(n_features: int = 11, seed: int = 42) -> dict[str, np.ndarray]:
     return weights
 
 
+#: nn.Sequential indices in the reference DeepFraudNet (model/training.py:36-50):
+#: Linear at 0/4/8/12, BatchNorm1d at 1/5/9 (ReLU+Dropout hold the gaps).
+_LINEAR_IDX = (0, 4, 8, 12)
+_BN_IDX = (1, 5, 9)
+
+
+def from_state_dict_arrays(
+    arrays: dict[str, np.ndarray], eps: float = 1e-5
+) -> dict[str, np.ndarray]:
+    """Import a trained DeepFraudNet torch state_dict exported as plain
+    numpy arrays (no torch required HERE; the training side exports with
+    ``np.savez(path, **{k: v.numpy() for k, v in model.state_dict().items()})``
+    — reading a torch-pickled ``.pth`` directly would need torch, which this
+    container lacks).
+
+    Maps ``model.{i}.weight/bias`` Linear params (transposing torch's
+    (out, in) layout to our (in, out)) and FOLDS each eval-mode BatchNorm
+    into an affine pair: ``scale = gamma / sqrt(running_var + eps)``,
+    ``shift = beta - running_mean * scale`` — exactly what BN computes at
+    inference, so scores match torch eval output.
+    """
+    out: dict[str, np.ndarray] = {}
+    for i, li in enumerate(_LINEAR_IDX):
+        out[f"w{i}"] = np.asarray(arrays[f"model.{li}.weight"], dtype=np.float64).T
+        out[f"b{i}"] = np.asarray(arrays[f"model.{li}.bias"], dtype=np.float64)
+    for i, bi in enumerate(_BN_IDX):
+        gamma = np.asarray(arrays[f"model.{bi}.weight"], dtype=np.float64)
+        beta = np.asarray(arrays[f"model.{bi}.bias"], dtype=np.float64)
+        mean = np.asarray(arrays[f"model.{bi}.running_mean"], dtype=np.float64)
+        var = np.asarray(arrays[f"model.{bi}.running_var"], dtype=np.float64)
+        scale = gamma / np.sqrt(var + eps)
+        out[f"bn_scale{i}"] = scale
+        out[f"bn_shift{i}"] = beta - mean * scale
+    return out
+
+
+def save_weights(weights: dict[str, np.ndarray], path: str) -> None:
+    """Persist folded weights as npz (the serving-side format)."""
+    np.savez(path, **weights)
+
+
+def load_weights(path: str) -> dict[str, np.ndarray]:
+    """Load weights saved by :func:`save_weights`, or a raw exported
+    state_dict npz (detected by its ``model.*`` keys and folded)."""
+    with np.load(path) as data:
+        arrays = {k: data[k] for k in data.files}
+    if any(k.startswith("model.") for k in arrays):
+        return from_state_dict_arrays(arrays)
+    return arrays
+
+
 def forward(x: np.ndarray, weights: dict[str, np.ndarray]) -> np.ndarray:
     """Eval-mode forward pass: Linear -> BN(affine) -> ReLU per block,
     Linear -> sigmoid head. Dropout is identity at inference."""
