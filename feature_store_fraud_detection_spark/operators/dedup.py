@@ -17,7 +17,9 @@ Scale design (the whole point at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import random
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from feature_store_fraud_detection_spark.functions.numeric import round4_stable
@@ -91,37 +93,86 @@ def ngram_jaccard_pairs(
     )
 
 
+#: Mersenne prime 2^31-1 — the modulus of the universal-hash permutation
+#: family h_i(x) = (a_i*x + b_i) mod p. Small enough that a_i * x stays
+#: under 2^62 (no 64-bit overflow on either engine), large enough that
+#: base-hash collisions are negligible at millions of distinct shingles.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def minhash_perm_consts(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) constants for the K permutations. Generated
+    once from a seeded RNG and embedded as LITERALS in both the Spark
+    expression and the DuckDB oracle SQL — no engine RNG parity needed."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def shingle_base_hash(s: Column) -> Column:
+    """ONE md5 per shingle -> 60-bit int (first 15 hex chars) -> mod p.
+    The K permutations derive from this single digest with multiply-add
+    arithmetic; hashing cost is O(|shingles|), not O(K x |shingles|) (the
+    previous per-permutation-md5 form paid 16x the digest work and
+    dominated the operator's runtime). DuckDB twin:
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT % p``."""
+    return (
+        F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_PRIME
+    )
+
+
+def _perm_sigs_expr(shingles_col: str, num_hashes: int) -> Column:
+    """K min-hashes straight from the shingle array as ONE nested
+    higher-order expression — O(1) plan nodes where a K-column + stack form
+    paid ~9 s of Catalyst time at K=16. The base-hash array is bound via a
+    transform over a single-element array wrapper (the engine's let-binding
+    idiom, same as ``similarity.bucket_expr``) so each shingle is md5'd
+    exactly ONCE even though K permutations read it — a materialized
+    intermediate column would be inlined K times by projection collapse.
+    Constants index in by permutation position."""
+    consts = minhash_perm_consts(num_hashes)
+    a_lit = F.array(*[F.lit(a) for a, _ in consts])
+    b_lit = F.array(*[F.lit(b) for _, b in consts])
+    return F.element_at(
+        F.transform(
+            F.array(F.transform(shingles_col, shingle_base_hash)),
+            lambda hs: F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.array_min(
+                    F.transform(
+                        hs,
+                        lambda h: (
+                            F.element_at(a_lit, i + 1) * h
+                            + F.element_at(b_lit, i + 1)
+                        )
+                        % MINHASH_PRIME,
+                    )
+                ),
+            ),
+        ),
+        1,
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 16
 ) -> DataFrame:
-    """(id, perm, minhash) — K permutation min-hashes per document.
-
-    Permutation i is simulated by hashing ``i || '|' || shingle``; the min is
-    taken over hex strings (order-equivalent to numeric min).
+    """(id, perm, minhash) — K permutation min-hashes per document, via the
+    universal-hash family over one base digest per shingle (see
+    :func:`shingle_base_hash`).
 
     Computed array-locally per document — a NARROW stage with zero shuffle;
-    only the final K-row-per-doc signature is ever exchanged. All K minhashes
-    come from ONE nested higher-order expression (transform over the perm
-    range, array_min(transform(shingles)) inside), not K separate columns:
-    the single-expression form analyzes/optimizes in O(1) plan nodes where
-    the K-column + stack form paid ~9 s of Catalyst time at K=16.
+    only the final K-row-per-doc signature is ever exchanged.
     """
     shingles = df.select(
         F.col(id_col), word_shingles(text_col, k).alias("__sh")
     )
-    perm_sigs = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                "__sh",
-                lambda s: F.md5(
-                    F.encode(F.concat_ws("|", i.cast("string"), s), "UTF-8")
-                ),
-            )
-        ),
-    )
     return shingles.select(
-        F.col(id_col), F.posexplode(perm_sigs).alias("perm", "minhash")
+        F.col(id_col),
+        F.posexplode(_perm_sigs_expr("__sh", num_hashes)).alias("perm", "minhash"),
     ).filter(F.col("minhash").isNotNull())
 
 
@@ -173,20 +224,9 @@ def minhash_lsh_pairs(
         few_inputs = True
     if few_inputs:
         work = df.repartition(target, F.col(id_col))
-    perm_sigs = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                "__sh",
-                lambda s: F.md5(
-                    F.encode(F.concat_ws("|", i.cast("string"), s), "UTF-8")
-                ),
-            )
-        ),
-    )
     base = (
         work.select(F.col(id_col), word_shingles(text_col, k).alias("__sh"))
-        .withColumn("__sigs", perm_sigs)
+        .withColumn("__sigs", _perm_sigs_expr("__sh", num_hashes))
         .persist()
     )
     sigs = base.select(
@@ -209,7 +249,7 @@ def minhash_lsh_pairs(
                     "|",
                     F.transform(
                         F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
-                        lambda x: x["minhash"],
+                        lambda x: x["minhash"].cast("string"),
                     ),
                 ).alias("band_key")
             )
@@ -344,35 +384,57 @@ def simhash_fingerprints(
     -> nibble -> bit extraction, no platform hash). Bit b of the document =
     sign of sum over tokens of (+-1). Near-dup docs differ in few bits
     (Hamming); grouping by the fingerprint gives coarse clusters.
+
+    Computed ARRAY-LOCALLY per document: each token is md5'd once into the
+    32-bit int of its first 8 hex digits (bound via the single-element-array
+    let idiom so projection collapse cannot duplicate the digest work), and
+    bit b tests that int against a precomputed mask replicating the
+    nibble-bit layout above. Zero shuffle, zero row explosion — the
+    previous explode(|tokens| x bits) + groupBy form pushed 16M+ shuffle
+    rows at sf0.1 and would be the scan's bottleneck at 100 TB. The sign
+    sums are integers, so the result is bit-identical to the exploded form
+    (and to the DuckDB oracle, which keeps the relational formulation).
     """
     from feature_store_fraud_detection_spark.operators.text_analysis import tokens
 
-    tok = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
-    ).withColumn("h", F.md5(F.encode(F.col("tok"), "UTF-8")))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    per_bit = (
-        tok.select(F.col(id_col), F.col("h"), bit)
-        .withColumn(
-            "nibble",
-            F.expr("instr('0123456789abcdef', substring(h, b div 4 + 1, 1)) - 1"),
-        )
-        .withColumn(
-            "contrib",
-            F.expr("CASE WHEN (nibble >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END"),
-        )
-        .groupBy(id_col, "b")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn("bit", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
+    if bits > 32:
+        raise ValueError("simhash_fingerprints supports at most 32 bits")
+    # mask for bit b: nibble b//4 sits at int bits [4*(7-b//4), +3], so the
+    # oracle's "bit (b%4) of hex digit b//4" is int bit 4*(7-b//4) + b%4
+    masks = [1 << (4 * (7 - b // 4) + (b % 4)) for b in range(bits)]
+    mask_lit = F.array(*[F.lit(m) for m in masks])
+    tok_ints = F.transform(
+        F.array_distinct(tokens(text_col)),
+        lambda t: F.conv(
+            F.substring(F.md5(F.encode(t, "UTF-8")), 1, 8), 16, 10
+        ).cast("bigint"),
     )
-    return (
-        per_bit.groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                "", F.transform(F.array_sort(F.collect_list(F.struct("b", "bit"))), lambda x: x["bit"])
-            ).alias("simhash")
-        )
+    sig = F.element_at(
+        F.transform(
+            F.array(tok_ints),
+            lambda hs: F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bits - 1)),
+                    lambda b: F.when(
+                        F.aggregate(
+                            hs,
+                            F.lit(0),
+                            lambda acc, v: acc
+                            + F.when(
+                                v.bitwiseAND(F.element_at(mask_lit, b + 1)) != 0,
+                                1,
+                            ).otherwise(-1),
+                        )
+                        > 0,
+                        F.lit("1"),
+                    ).otherwise(F.lit("0")),
+                ),
+            ),
+        ),
+        1,
     )
+    return df.select(F.col(id_col), sig.alias("simhash"))
 
 
 def embedding_neardup_pairs(

@@ -1226,10 +1226,28 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the same (a_i, b_i) literals the Spark expression embeds — one md5 per
+# shingle, K universal-hash permutations (operators/dedup.py)
+def _minhash_perms_values() -> str:
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        minhash_perm_consts,
+    )
+
+    return ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_perm_consts(16))
+    )
+
+
 _MINHASH_CTES = f"""{_SHINGLES_CTE},
+shh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h
+  FROM sh
+),
+perms AS (SELECT * FROM (VALUES {_minhash_perms_values()}) AS t(perm, a, b)),
 sigs AS (
-  SELECT doc_id, i AS perm, min(md5(i::VARCHAR || '|' || shingle)) AS minhash
-  FROM sh CROSS JOIN generate_series(0, 15) AS t(i)
+  SELECT doc_id, perm, min((a * h + b) % 2147483647) AS minhash
+  FROM shh CROSS JOIN perms
   GROUP BY 1, 2
 ),
 cand AS (

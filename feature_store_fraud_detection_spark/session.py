@@ -32,6 +32,11 @@ _DEFAULT_CONF: dict[str, str] = {
     # Window group limit pushdown (Spark 3.5+) makes latest-N-per-key prune
     # before the full sort; keep it explicit because serving relies on it.
     "spark.sql.window.group.limit.threshold": "1000",
+    # The generated-class cache defaults to 100 entries; a mixed workload of
+    # HOF-heavy queries (minhash/simhash/text ops emit several codegen units
+    # each) evicts and re-Janino-compiles multi-second expression trees.
+    # Cache entries are just compiled classes — cheap to keep.
+    "spark.sql.codegen.cache.maxEntries": "1000",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }
