@@ -29,11 +29,28 @@ def dict_encode(df: DataFrame, col: str, out_col: str | None = None) -> DataFram
 
 def summary_stats(df: DataFrame, col: str) -> DataFrame:
     """count/mean/std/min/max of one numeric column (reference P13/A4,
-    ``load_data.py:18`` ``describe()``). One partial-aggregate pass."""
+    ``load_data.py:18`` ``describe()``). One partial-aggregate pass.
+
+    Determinism: ``avg``/``stddev`` over raw doubles is partial-aggregate
+    order-dependent, so the 4th decimal can flip between engines near a
+    rounding boundary. Instead sum the RAW column (and its square) through
+    exact DECIMAL arithmetic — order-independent on any engine — then do
+    ONE double division/cancellation at the end and round. The sums are
+    decimal(38,6)/decimal(38,12): exact up to ~1e32, far past 100 TB row
+    counts. Mirrors the money-math rule in ``plans/registry`` docs.
+    """
+    dec = F.col(col).cast("decimal(18,6)")
+    cnt = F.count(F.lit(1))
+    s = F.sum(dec)
+    sq = F.sum((dec * dec).cast("decimal(38,12)"))
+    mean_d = s.cast("double") / cnt
+    var = (sq.cast("double") - s.cast("double") * s.cast("double") / cnt) / (
+        cnt - 1
+    )
     return df.agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.round(F.avg(col), 4).alias(f"avg_{col}"),
-        F.round(F.stddev_samp(col), 4).alias(f"std_{col}"),
+        cnt.alias("cnt"),
+        F.round(mean_d, 4).alias(f"avg_{col}"),
+        F.round(F.sqrt(var), 4).alias(f"std_{col}"),
         F.round(F.min(col), 4).alias(f"min_{col}"),
         F.round(F.max(col), 4).alias(f"max_{col}"),
     )

@@ -2255,12 +2255,21 @@ QUERIES: dict[str, QuerySpec] = {
     "summary_stats": QuerySpec(
         _q_summary_stats,
         """
-        SELECT count(*) AS cnt,
-               round(avg(value), 4) AS avg_value,
-               round(stddev_samp(value), 4) AS std_value,
-               round(min(value), 4) AS min_value,
-               round(max(value), 4) AS max_value
-        FROM events
+        -- exact decimal sums (order-independent), ONE double division at
+        -- the end — mirrors operators/stats.summary_stats determinism note
+        WITH sums AS (
+          SELECT count(*) AS cnt,
+                 sum(CAST(value AS DECIMAL(18,6))) AS s,
+                 sum(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS sq,
+                 min(value) AS mn, max(value) AS mx
+          FROM events
+        )
+        SELECT cnt,
+               round(CAST(s AS DOUBLE) / cnt, 4) AS avg_value,
+               round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1)), 4) AS std_value,
+               round(mn, 4) AS min_value,
+               round(mx, 4) AS max_value
+        FROM sums
         """,
     ),
     "stats_with_latest": QuerySpec(
