@@ -2229,7 +2229,129 @@ FROM events GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Point-in-time (as-of) + interval joins (operators/temporal.py) — the
+# leakage-free training-set join the reference approximates with pandas
+# sorts; here one window carry-forward, oracle-checked vs DuckDB ASOF JOIN
+# --------------------------------------------------------------------------
+
+# snapshots: every 7th event acts as a per-user feature-state write; the
+# rest are the labeled events that must see only past state
+_ASOF_SNAPS_CTE = """
+snaps AS (
+  SELECT user_id, ts, value AS snap_value, event_id AS snap_event_id,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_id % 7 = 0
+),
+f AS (SELECT user_id, ts, snap_value, snap_event_id FROM snaps WHERE rn = 1),
+e AS (SELECT * FROM events WHERE event_id % 7 <> 0)
+"""
+
+
+def _asof_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = load_table(spark, sf_dir, "events")
+    feats = ev.filter(F.col("event_id") % 7 == 0).select(
+        "user_id",
+        "ts",
+        F.col("value").alias("snap_value"),
+        F.col("event_id").alias("snap_event_id"),
+    )
+    return ev.filter(F.col("event_id") % 7 != 0), feats
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.temporal import asof_join
+
+    events, feats = _asof_sides(spark, sf_dir)
+    out = asof_join(
+        events,
+        feats,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["snap_value", "snap_event_id"],
+        tiebreak="snap_event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "value", "snap_value", "snap_event_id", "asof_age_us"
+    )
+
+
+_ASOF_JOIN_SQL = f"""
+WITH {_ASOF_SNAPS_CTE}
+SELECT e.event_id, e.user_id, e.value,
+       f.snap_value, f.snap_event_id,
+       epoch_us(e.ts) - epoch_us(f.ts) AS asof_age_us
+FROM e ASOF LEFT JOIN f ON e.user_id = f.user_id AND e.ts >= f.ts
+"""
+
+
+def _q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.temporal import asof_join
+
+    events, feats = _asof_sides(spark, sf_dir)
+    out = asof_join(
+        events,
+        feats,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["snap_value", "snap_event_id"],
+        tiebreak="snap_event_id",
+        tolerance_sec=7200,
+    )
+    return out.select("event_id", "user_id", "snap_event_id", "asof_age_us")
+
+
+_ASOF_TOLERANCE_SQL = f"""
+WITH {_ASOF_SNAPS_CTE},
+m AS (
+  SELECT e.event_id, e.user_id, f.snap_event_id,
+         epoch_us(e.ts) - epoch_us(f.ts) AS age_us
+  FROM e ASOF LEFT JOIN f ON e.user_id = f.user_id AND e.ts >= f.ts
+)
+SELECT event_id, user_id,
+       CASE WHEN age_us <= CAST(7200 AS BIGINT) * 1000000 THEN snap_event_id END AS snap_event_id,
+       CASE WHEN age_us <= CAST(7200 AS BIGINT) * 1000000 THEN age_us END AS asof_age_us
+FROM m
+"""
+
+
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.temporal import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    # every 97th event opens a 2-hour per-user attribution window
+    iv = ev.filter(F.col("event_id") % 97 == 0).select(
+        "user_id",
+        F.col("ts").alias("iv_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("iv_end"),
+        F.col("event_id").alias("iv_id"),
+    )
+    out = interval_join(
+        ev, iv, key="user_id", ts="ts", start="iv_start", end="iv_end",
+        bucket_sec=7200,
+    )
+    return out.select("event_id", "iv_id")
+
+
+_INTERVAL_JOIN_SQL = """
+WITH iv AS (
+  SELECT user_id, ts AS iv_start, ts + INTERVAL 2 HOUR AS iv_end,
+         event_id AS iv_id
+  FROM events WHERE event_id % 97 = 0
+)
+SELECT e.event_id, iv.iv_id
+FROM events e JOIN iv
+  ON e.user_id = iv.user_id
+ AND iv.iv_start <= e.ts AND e.ts < iv.iv_end
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "asof_join_features": QuerySpec(_q_asof_join, _ASOF_JOIN_SQL),
+    "asof_join_tolerance": QuerySpec(_q_asof_join_tolerance, _ASOF_TOLERANCE_SQL),
+    "interval_join_attribution": QuerySpec(_q_interval_join, _INTERVAL_JOIN_SQL),
     "flagship_features": QuerySpec(_q_flagship, _FLAGSHIP_SQL),
     "point_lookup": QuerySpec(
         _q_point_lookup, "SELECT * FROM events WHERE user_id = 7"
