@@ -2230,6 +2230,280 @@ FROM events GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# Relational pattern completions (q2/q7/q8/q11/q15/q21 flavors, adapted to
+# the testdata schema — no partsupp/commitdate/receiptdate columns exist)
+# --------------------------------------------------------------------------
+
+
+def _q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q7 flavor: bilateral trade volume between two nations by ship year.
+    # The nation dim joins TWICE (customer side and supplier side) under
+    # different roles; the pair filter is a disjunction over the two role
+    # columns. All dims broadcast — lineitem never shuffles before the agg.
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    na_c = na.select(
+        F.col("n_nationkey").alias("__cnk"), F.col("n_name").alias("cust_nation")
+    )
+    na_s = na.select(
+        F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        ((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2"))
+        | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na_c), cu.c_nationkey == F.col("__cnk"))
+        .join(F.broadcast(na_s), su.s_nationkey == F.col("__snk"))
+        .filter(pair)
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(_disc_price_dec()).cast("double"), 4).alias("revenue"))
+    )
+
+
+_NATION_TRADE_SQL = f"""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+   OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def _q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q8 flavor: NATION_4 suppliers' share of ASIA-customer revenue by
+    # order year — a conditional-sum / total-sum ratio. Both sums are
+    # decimal-exact; ONE double quotient at the end, floor-form rounded.
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    na_s = na.select(
+        F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation")
+    )
+    zero = F.lit(0).cast("decimal(14,4)")
+    target = F.sum(
+        F.when(F.col("supp_nation") == "NATION_4", _disc_price_dec()).otherwise(zero)
+    )
+    total = F.sum(_disc_price_dec())
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na_s), su.s_nationkey == F.col("__snk"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _round4_pos(target.cast("double") / total.cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+_MARKET_SHARE_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       floor(CAST(SUM(CASE WHEN sn.n_name = 'NATION_4'
+                           THEN {_DISC_PRICE_SQL}
+                           ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+             / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) * 10000 + 0.5) / 10000
+         AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+def _q_part_value_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q11 flavor: parts whose traded value exceeds a fraction of the GLOBAL
+    # total — group agg + broadcast scalar threshold. The threshold compare
+    # stays entirely in exact DECIMAL arithmetic (sum and multiply), so the
+    # boundary is bit-identical across engines; only the reported value is
+    # cast to double.
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(F.sum(_disc_price_dec()).alias("__val"))
+    thr = pv.agg(
+        (F.sum("__val") * F.lit("0.0005").cast("decimal(8,6)")).alias("__thr")
+    )
+    return (
+        pv.join(F.broadcast(thr))
+        .filter(F.col("__val") > F.col("__thr"))
+        .select(
+            "l_partkey", F.round(F.col("__val").cast("double"), 4).alias("part_value")
+        )
+    )
+
+
+_PART_VALUE_SQL = f"""
+WITH pv AS (
+  SELECT l_partkey, SUM({_DISC_PRICE_SQL}) AS val
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, round(CAST(val AS DOUBLE), 4) AS part_value
+FROM pv
+WHERE val > (SELECT SUM(val) * CAST(0.0005 AS DECIMAL(8,6)) FROM pv)
+"""
+
+
+def _q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q15 flavor: supplier(s) achieving the MAXIMUM quarterly revenue —
+    # agg, then equi-join against the max-of-agg scalar. The max compare is
+    # on exact decimals (ties -> all maximal suppliers, a deterministic set).
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_disc_price_dec()).alias("__rev"))
+    )
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.__rev == mx.__mx)
+        .join(F.broadcast(su), rev.l_suppkey == su.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("__rev").cast("double"), 4).alias("total_revenue"),
+        )
+    )
+
+
+_TOP_SUPPLIER_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_DISC_PRICE_SQL}) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, round(CAST(r AS DOUBLE), 4) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+"""
+
+
+def _q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q2 flavor: per part, the supplier quoting the minimum price. A window
+    # min over the part key replaces the correlated scalar subquery (one
+    # shuffle, no self-join); min(suppkey) breaks price ties totally.
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_partkey")
+    best = (
+        li.withColumn("__minp", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("__minp"))
+        .groupBy("l_partkey")
+        .agg(
+            F.min("l_suppkey").alias("best_suppkey"),
+            F.first("__minp").alias("__p"),
+        )
+    )
+    return best.join(F.broadcast(su), best.best_suppkey == su.s_suppkey).select(
+        "l_partkey",
+        "best_suppkey",
+        "s_name",
+        F.col("__p").alias("min_price"),
+    )
+
+
+_MIN_PRICE_SQL = """
+WITH pp AS (
+  SELECT l_partkey, MIN(l_extendedprice) AS minp FROM lineitem GROUP BY 1
+)
+SELECT pp.l_partkey, MIN(l.l_suppkey) AS best_suppkey,
+       any_value(s.s_name) AS s_name, pp.minp AS min_price
+FROM pp
+JOIN lineitem l ON l.l_partkey = pp.l_partkey AND l.l_extendedprice = pp.minp
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+GROUP BY pp.l_partkey, pp.minp
+"""
+
+
+def _q_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q21 flavor: suppliers who were the ONLY late shipper on multi-supplier
+    # orders (late = shipped >90 days after the order date). The classic
+    # EXISTS / NOT EXISTS pair is rewritten as ONE per-order aggregate
+    # (distinct suppliers, distinct late suppliers) joined back to the late
+    # pairs — two shuffles total, no correlated self-joins. The oracle keeps
+    # the textbook EXISTS/NOT-EXISTS formulation to pin equivalence.
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    lo = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("__late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
+            "__n_late"
+        ),
+    )
+    late_pairs = lo.filter("__late").select("l_orderkey", "l_suppkey").distinct()
+    return (
+        late_pairs.join(per_order, "l_orderkey")
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_LATE_SOLE_SQL = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+late_pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late
+)
+SELECT p.l_suppkey, COUNT(*) AS numwait
+FROM late_pairs p
+WHERE EXISTS (
+    SELECT 1 FROM lo o
+    WHERE o.l_orderkey = p.l_orderkey AND o.l_suppkey <> p.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lo o
+    WHERE o.l_orderkey = p.l_orderkey AND o.l_suppkey <> p.l_suppkey AND o.late
+  )
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Point-in-time (as-of) + interval joins (operators/temporal.py) — the
 # leakage-free training-set join the reference approximates with pandas
 # sorts; here one window carry-forward, oracle-checked vs DuckDB ASOF JOIN
@@ -2349,6 +2623,12 @@ FROM events e JOIN iv
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "nation_trade_volume": QuerySpec(_q_nation_trade_volume, _NATION_TRADE_SQL),
+    "market_share": QuerySpec(_q_market_share, _MARKET_SHARE_SQL),
+    "part_value_threshold": QuerySpec(_q_part_value_threshold, _PART_VALUE_SQL),
+    "top_supplier_revenue": QuerySpec(_q_top_supplier_revenue, _TOP_SUPPLIER_SQL),
+    "min_price_supplier": QuerySpec(_q_min_price_supplier, _MIN_PRICE_SQL),
+    "late_sole_suppliers": QuerySpec(_q_late_sole_suppliers, _LATE_SOLE_SQL),
     "asof_join_features": QuerySpec(_q_asof_join, _ASOF_JOIN_SQL),
     "asof_join_tolerance": QuerySpec(_q_asof_join_tolerance, _ASOF_TOLERANCE_SQL),
     "interval_join_attribution": QuerySpec(_q_interval_join, _INTERVAL_JOIN_SQL),

@@ -93,3 +93,20 @@ def test_large_orders_reuses_agg_partitioning(spark, sf_dir):
     df = QUERIES["large_orders"].fn(spark, sf_dir)
     plan = _physical(df)
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_double_role_nation_joins_broadcast(spark, sf_dir):
+    """q7/q8 flavors join the nation dim twice under different roles; every
+    dim side must broadcast — the lineitem fact shuffles only for the agg."""
+    for name in ("nation_trade_volume", "market_share"):
+        plan = _physical(QUERIES[name].fn(spark, sf_dir))
+        assert "SortMergeJoin" not in plan, name
+        assert plan.count("BroadcastHashJoin") >= 4, name
+
+
+def test_part_value_threshold_broadcasts_scalar(spark, sf_dir):
+    """q11 flavor: the global threshold is one row — it must arrive at the
+    filter via broadcast, never a shuffled join."""
+    plan = _physical(QUERIES["part_value_threshold"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
