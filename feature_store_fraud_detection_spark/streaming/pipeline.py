@@ -267,3 +267,55 @@ def run_stats_to_online_store(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def run_point_in_time_enrich(
+    raw: DataFrame,
+    features: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    key: str = "cc_num",
+    event_ts: str = "event_time",
+    feature_ts: str = "snap_ts",
+    value_cols: tuple[str, ...] = ("snap_value",),
+    tiebreak: str | None = None,
+    tolerance_sec: int | None = None,
+):
+    """Streaming twin of the offline point-in-time join: every incoming
+    transaction is enriched with the newest feature snapshot at-or-before
+    its OWN event time (``operators/temporal.asof_join``), then appended to
+    a parquet feature log.
+
+    The as-of join runs per micro-batch inside ``foreachBatch`` against the
+    static ``features`` table, so the result is batch-equivalent by
+    construction (a snapshot visible to an event is a pure function of the
+    event's timestamp, not of arrival batching) — asserted in
+    ``tests/test_streaming.py``. At scale the features side is the offline
+    store's bucketed layout; the per-batch window carry-forward shuffles
+    only the micro-batch plus the relevant feature partitions.
+    """
+    from feature_store_fraud_detection_spark.operators.temporal import asof_join
+
+    events = enrich(parse_stream(raw))
+
+    def _enrich_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = asof_join(
+            batch_df,
+            features,
+            key=key,
+            left_ts=event_ts,
+            right_ts=feature_ts,
+            value_cols=list(value_cols),
+            tiebreak=tiebreak,
+            tolerance_sec=tolerance_sec,
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    writer = (
+        events.writeStream.outputMode("append")
+        .foreachBatch(_enrich_batch)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

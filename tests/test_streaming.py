@@ -228,3 +228,62 @@ def test_stream_stream_join_bounded_state(spark, tmp_path):
     # txn_57 (card 0, t=00:09:30) has card-0 companions at 09:30, 09:00,
     # 08:30 within the trailing minute -> 3 matches
     assert got.filter(F.col("txn_id") == "txn_57").count() == 3
+
+
+def test_stream_point_in_time_enrich_matches_batch(spark, tmp_path):
+    """Per-micro-batch as-of enrichment == the batch asof_join over the same
+    data: snapshot visibility is a pure function of event time, so arrival
+    batching cannot change the result."""
+    from feature_store_fraud_detection_spark.operators.temporal import asof_join
+    from feature_store_fraud_detection_spark.streaming.pipeline import (
+        run_point_in_time_enrich,
+    )
+
+    events = _mk_events()
+    src = _write_jsonl(tmp_path, events)
+    # per-key snapshots: every 7th txn acts as a feature-state write
+    feats = spark.createDataFrame(
+        [
+            (e["cc_num"], e["timestamp"], e["amount"], e["txn_id"])
+            for i, e in enumerate(events)
+            if i % 7 == 0
+        ],
+        "cc_num bigint, t string, snap_value double, snap_id string",
+    ).select("cc_num", F.to_timestamp("t").alias("snap_ts"), "snap_value", "snap_id")
+
+    out_dir = str(tmp_path / "enriched")
+    raw_stream = spark.readStream.schema("value string").json(src)
+    q = run_point_in_time_enrich(
+        raw_stream,
+        feats,
+        out_dir,
+        checkpoint_dir=str(tmp_path / "ckpt_pit"),
+        value_cols=("snap_value", "snap_id"),
+        tiebreak="snap_id",
+    )
+    q.awaitTermination(120)
+    got = {
+        r.txn_id: (r.snap_id, r.snap_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    raw_batch = spark.read.schema("value string").json(src)
+    from feature_store_fraud_detection_spark.streaming.pipeline import (
+        enrich as _enrich,
+        parse_stream as _parse,
+    )
+
+    expected_df = asof_join(
+        _enrich(_parse(raw_batch)),
+        feats,
+        key="cc_num",
+        left_ts="event_time",
+        right_ts="snap_ts",
+        value_cols=["snap_value", "snap_id"],
+        tiebreak="snap_id",
+    )
+    expected = {
+        r.txn_id: (r.snap_id, r.snap_value) for r in expected_df.collect()
+    }
+    assert len(got) == 60
+    assert got == expected
