@@ -262,3 +262,83 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "fingerprint",
         "winnow_fp",
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into token windows of ``chunk_size`` with step
+    ``stride`` (overlapping when stride < chunk_size) — the packing step of
+    an LLM training-data pipeline. Emits (id, chunk_idx, chunk_text,
+    n_tokens); empty documents emit nothing.
+
+    Array-local: the token array is built once per row and every chunk is a
+    ``slice`` of it — a NARROW stage (posexplode fans out rows but needs no
+    shuffle). At 100 TB this runs at scan speed; the output is ~size/stride
+    larger than the input, which the downstream writer re-partitions.
+    """
+    toks = tokens(text_col)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)),
+        lambda s: s < F.size(toks),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_size)).alias("chunk_text"),
+            F.least(F.lit(chunk_size), F.size(toks) - s).alias("n_tokens"),
+        ),
+    )
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+    )
+
+
+def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the fraction
+    of adjacent-bigram occurrences taken by the single most frequent bigram
+    (boilerplate/spam marker) plus token counts. Documents with fewer than
+    2 tokens report 0.0.
+
+    Relational formulation — explode bigrams, count per (doc, bigram), max
+    per doc — so the heavy mode-finding is a hash aggregate on (doc,
+    bigram) keys, never an O(n^2)-per-document array pass. Shuffle rows are
+    (id, 16-byte md5 of the bigram), not the text.
+    """
+    toks = tokens(text_col)
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda t, i: F.md5(
+            F.concat_ws(" ", t, F.element_at(toks, i + 2))
+        ),
+    )
+    pairs = (
+        df.select(F.col(id_col), F.size(toks).alias("n_tokens"), bigrams.alias("__bg"))
+        .filter(F.size("__bg") > 0)
+        .select(id_col, "n_tokens", F.explode("__bg").alias("__b"))
+    )
+    per_bigram = pairs.groupBy(id_col, "n_tokens", "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    from feature_store_fraud_detection_spark.functions.numeric import round4_stable
+
+    per_doc = per_bigram.groupBy(id_col, "n_tokens").agg(
+        F.max("__c").alias("__top"), F.sum("__c").alias("__total")
+    )
+    short = df.select(
+        F.col(id_col), F.size(toks).alias("n_tokens")
+    ).filter(F.size(toks) < 2)
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        round4_stable(F.col("__top") / F.col("__total")).alias("top_bigram_frac"),
+    ).unionByName(
+        short.withColumn("top_bigram_frac", F.lit(0.0))
+    )

@@ -2230,6 +2230,71 @@ FROM events GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# LLM-pipeline: document chunking + repetition quality signals
+# --------------------------------------------------------------------------
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_size=64, stride=48)
+
+
+_DOC_CHUNKS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS g FROM t)
+SELECT doc_id,
+       CAST(g // 48 AS INT) AS chunk_idx,
+       array_to_string(toks[g+1:g+64], ' ') AS chunk_text,
+       CAST(least(64, len(toks) - g) AS INT) AS n_tokens
+FROM s
+"""
+
+
+def _q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        repetition_profile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_profile(docs, "doc_id", "text")
+
+
+_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         unnest(range(1, len(toks))) AS i, toks
+  FROM t WHERE len(toks) >= 2
+),
+cnt AS (
+  SELECT doc_id, n_tokens, md5(toks[i] || ' ' || toks[i+1]) AS b,
+         count(*) AS c
+  FROM bg GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT doc_id, n_tokens, max(c) AS top, sum(c) AS total
+  FROM cnt GROUP BY 1, 2
+)
+SELECT doc_id, n_tokens,
+       floor(top / total * 10000 + 0.5) / 10000 AS top_bigram_frac
+FROM agg
+UNION ALL
+SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, 0.0 AS top_bigram_frac
+FROM t WHERE len(toks) < 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Relational pattern completions (q2/q7/q8/q11/q15/q21 flavors, adapted to
 # the testdata schema — no partsupp/commitdate/receiptdate columns exist)
 # --------------------------------------------------------------------------
@@ -2623,6 +2688,8 @@ FROM events e JOIN iv
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "doc_chunks": QuerySpec(_q_doc_chunks, _DOC_CHUNKS_SQL),
+    "repetition_profile": QuerySpec(_q_repetition_profile, _REPETITION_SQL),
     "nation_trade_volume": QuerySpec(_q_nation_trade_volume, _NATION_TRADE_SQL),
     "market_share": QuerySpec(_q_market_share, _MARKET_SHARE_SQL),
     "part_value_threshold": QuerySpec(_q_part_value_threshold, _PART_VALUE_SQL),

@@ -211,3 +211,44 @@ def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
     assert (10, 11) in unc and len(unc) == 16
     # cap=4 drops the 6-doc bucket entirely; the fox pair survives
     assert cap == {(10, 11)}
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "solo"), (3, "   ")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_size=4, stride=3)
+    rows = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens) for r in out.collect()}
+    # 10 tokens, stride 3 -> starts 0,3,6,9; overlapping size-4 windows
+    assert rows[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert rows[(1, 1)] == ("w3 w4 w5 w6", 4)
+    assert rows[(1, 3)] == ("w9", 1)  # tail shorter than chunk_size
+    assert rows[(2, 0)] == ("solo", 1)
+    # whitespace-only doc emits nothing
+    assert not any(d == 3 for d, _ in rows)
+
+
+def test_repetition_profile_values(spark):
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        repetition_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # bigram 'spam spam' x3 of 3 -> 1.0
+            (2, "a b c d"),  # all bigrams distinct -> 1/3
+            (3, "single"),  # <2 tokens -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.top_bigram_frac) for r in repetition_profile(
+        df, "doc_id", "text"
+    ).collect()}
+    assert got[1] == (4, 1.0)
+    assert got[2] == (4, 0.3333)
+    assert got[3] == (1, 0.0)
