@@ -142,18 +142,19 @@ def interval_join(
     shuffle is on (key, bucket): bounded fan-out, prunable, skew-safe as
     long as bucket_sec is within ~100x of the median interval length.
     """
-    usec = F.lit(1_000_000 * bucket_sec)
-    ev = events.withColumn(
-        "__bucket", (F.unix_micros(F.col(ts)) / usec).cast("bigint")
-    )
+    # exact integer division (`div`), never floor(a/b) on doubles — at
+    # epoch-microsecond magnitudes the double quotient can land one ulp
+    # under an exact boundary and truncate into the previous bucket
+    usec = 1_000_000 * int(bucket_sec)
+    ev = events.withColumn("__bucket", F.expr(f"unix_micros({ts}) div {usec}"))
     iv = intervals.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                (F.unix_micros(F.col(start)) / usec).cast("bigint"),
+                F.expr(f"unix_micros({start}) div {usec}"),
                 # end is exclusive: a zero-length tail bucket is still
                 # generated (harmless; the exact predicate drops misses)
-                (F.unix_micros(F.col(end)) / usec).cast("bigint"),
+                F.expr(f"unix_micros({end}) div {usec}"),
             )
         ),
     )
@@ -161,3 +162,62 @@ def interval_join(
         (F.col(start) <= F.col(ts)) & (F.col(ts) < F.col(end))
     )
     return joined.drop("__bucket")
+
+
+def resample_carry_forward(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    bucket_sec: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Resample an event series to a regular ``bucket_sec`` grid per key,
+    gap-filling missing buckets by carrying the last observed value forward
+    — the materialization step that turns an irregular transaction log into
+    the fixed-cadence feature series a model trainer consumes.
+
+    Output: (key, bucket, value, observed) — ``bucket`` is the integer
+    epoch bucket (``epoch_us div (bucket_sec * 1e6)``, exact integer
+    division on both engines — a double ``floor(a/b)`` could misbucket near
+    boundaries at large epochs), ``observed`` is False for gap-filled rows.
+
+    Scale: events first compact to one row per (key, bucket) — the ONLY
+    shuffle proportional to input size; the grid explode and carry-forward
+    window run on the compacted series (|keys| x |buckets|). Dense grids
+    (years of seconds) should raise bucket_sec rather than explode.
+    """
+    usec = int(bucket_sec) * 1_000_000
+    bucket = F.expr(f"unix_micros({ts}) div {usec}")
+    order = (
+        [F.col(ts), F.col(tiebreak)] if tiebreak else [F.col(ts)]
+    )
+    per_bucket = (
+        df.withColumn("__b", bucket)
+        .groupBy(key, "__b")
+        .agg(
+            F.max_by(F.col(value_col), F.struct(*order)).alias("__v"),
+        )
+    )
+    grid = (
+        per_bucket.groupBy(key)
+        .agg(F.min("__b").alias("__b0"), F.max("__b").alias("__b1"))
+        .select(
+            F.col(key),
+            F.explode(F.sequence("__b0", "__b1")).alias("__b"),
+        )
+    )
+    joined = grid.join(per_bucket, [key, "__b"], "left").withColumn(
+        "observed", F.col("__v").isNotNull()
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col(key),
+        F.col("__b").alias("bucket"),
+        F.last(F.col("__v"), ignorenulls=True).over(w).alias("value"),
+        "observed",
+    )

@@ -2687,7 +2687,47 @@ FROM events e JOIN iv
 """
 
 
+def _q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.temporal import (
+        resample_carry_forward,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_carry_forward(
+        ev, key="user_id", ts="ts", value_col="value", bucket_sec=21600,
+        tiebreak="event_id",
+    )
+
+
+_RESAMPLE_SQL = """
+WITH pb AS (
+  SELECT user_id, b, value FROM (
+    SELECT user_id, epoch_us(ts) // 21600000000 AS b, value,
+           row_number() OVER (
+             PARTITION BY user_id, epoch_us(ts) // 21600000000
+             ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+bounds AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM pb GROUP BY 1),
+grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS b FROM bounds),
+j AS (
+  SELECT g.user_id, g.b, pb.value AS v, pb.b IS NOT NULL AS observed
+  FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.b = pb.b
+)
+SELECT user_id, b AS bucket,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value,
+       observed
+FROM j
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "resample_gapfill": QuerySpec(_q_resample_gapfill, _RESAMPLE_SQL),
     "doc_chunks": QuerySpec(_q_doc_chunks, _DOC_CHUNKS_SQL),
     "repetition_profile": QuerySpec(_q_repetition_profile, _REPETITION_SQL),
     "nation_trade_volume": QuerySpec(_q_nation_trade_volume, _NATION_TRADE_SQL),

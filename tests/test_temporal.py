@@ -103,3 +103,26 @@ def test_interval_join_matches_naive(spark, sf_dir):
     fast_set = {(r["event_id"], r["iv_id"]) for r in fast.select("event_id", "iv_id").collect()}
     naive_set = {(r["event_id"], r["iv_id"]) for r in naive.select("event_id", "iv_id").collect()}
     assert fast_set == naive_set
+
+
+def test_resample_carry_forward(spark):
+    from feature_store_fraud_detection_spark.operators.temporal import (
+        resample_carry_forward,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 5, 10.0, 1),   # bucket 0
+            (1, 8, 11.0, 2),   # bucket 0, later ts -> wins bucket 0
+            (1, 25, 12.0, 3),  # bucket 2 (buckets of 10s); bucket 1 is a gap
+            (2, 35, 1.0, 4),   # single-bucket key
+        ],
+        "k int, t int, v double, eid int",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "v", "eid")
+    out = resample_carry_forward(df, "k", "ts", "v", bucket_sec=10, tiebreak="eid")
+    rows = {(r.k, r.bucket): (r.value, r.observed) for r in out.collect()}
+    assert rows[(1, 0)] == (11.0, True)   # max-ts row wins the bucket
+    assert rows[(1, 1)] == (11.0, False)  # gap carried forward
+    assert rows[(1, 2)] == (12.0, True)
+    assert rows[(2, 3)] == (1.0, True)
+    assert len(rows) == 4
