@@ -221,3 +221,43 @@ def resample_carry_forward(
         F.last(F.col("__v"), ignorenulls=True).over(w).alias("value"),
         "observed",
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: Sequence[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Materialize an event log as slowly-changing-dimension type-2
+    history: one validity interval per state write, ``valid_from`` = the
+    write's timestamp, ``valid_to`` = the next write's timestamp for the
+    key (null while current). The interval form is what the as-of join
+    consumes when features live in a dimension table instead of a log.
+
+    Duplicate (key, ts) writes collapse to the max-``tiebreak`` row first —
+    the same total-order convention as :func:`asof_join`, so
+    ``asof_join(events, log) == interval lookup on scd2_intervals(log)``.
+
+    One shuffle on the key; the dedupe and the ``lead`` share the same
+    partitioning and sort.
+    """
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    wd = W.partitionBy(key, ts).orderBy(
+        *[c.desc() for c in ([F.col(tiebreak)] if tiebreak else [F.lit(0)])]
+    )
+    deduped = (
+        df.withColumn("__rn", F.row_number().over(wd))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    wl = W.partitionBy(key).orderBy(*order)
+    return deduped.select(
+        F.col(key),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(wl).alias("valid_to"),
+        *[F.col(c) for c in value_cols],
+    ).withColumn("is_current", F.col("valid_to").isNull())

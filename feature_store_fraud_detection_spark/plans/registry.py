@@ -2726,7 +2726,67 @@ FROM j
 """
 
 
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.temporal import scd2_intervals
+
+    _, feats = _asof_sides(spark, sf_dir)
+    return scd2_intervals(
+        feats,
+        key="user_id",
+        ts="ts",
+        value_cols=["snap_value", "snap_event_id"],
+        tiebreak="snap_event_id",
+    )
+
+
+_SCD2_SQL = """
+WITH snaps AS (
+  SELECT user_id, ts, snap_value, snap_event_id FROM (
+    SELECT user_id, ts, value AS snap_value, event_id AS snap_event_id,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 7 = 0
+  ) WHERE rn = 1
+)
+SELECT user_id, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       snap_value, snap_event_id,
+       lead(ts) OVER w IS NULL AS is_current
+FROM snaps
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, snap_event_id)
+"""
+
+
+def _q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # global token frequency top-100: per-partition partial counts merge
+    # map-side; the final top-k is TakeOrderedAndProject (per-partition
+    # heads merged on the driver), never a single-partition global window
+    from feature_store_fraud_detection_spark.operators.text_analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(100)
+    )
+
+
+_TOP_TOKENS_SQL = r"""
+SELECT token, count(*) AS n
+FROM (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+)
+GROUP BY 1
+ORDER BY n DESC, token
+LIMIT 100
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "scd2_history": QuerySpec(_q_scd2_history, _SCD2_SQL),
+    "top_tokens": QuerySpec(_q_top_tokens, _TOP_TOKENS_SQL),
     "resample_gapfill": QuerySpec(_q_resample_gapfill, _RESAMPLE_SQL),
     "doc_chunks": QuerySpec(_q_doc_chunks, _DOC_CHUNKS_SQL),
     "repetition_profile": QuerySpec(_q_repetition_profile, _REPETITION_SQL),

@@ -126,3 +126,32 @@ def test_resample_carry_forward(spark):
     assert rows[(1, 2)] == (12.0, True)
     assert rows[(2, 3)] == (1.0, True)
     assert len(rows) == 4
+
+
+def test_scd2_intervals_consistent_with_asof(spark):
+    from feature_store_fraud_detection_spark.operators.temporal import scd2_intervals
+
+    events, feats = _fixture(spark)
+    hist = scd2_intervals(
+        feats, key="k", ts="fts", value_cols=["snap", "fid"], tiebreak="fid"
+    )
+    rows = hist.collect()
+    # equal-ts duplicate (t=20) collapsed to the max-tiebreak row
+    assert {(r.k, r.valid_from.second, r.fid) for r in rows} == {
+        (1, 10, 100), (1, 20, 102), (2, 30, 103),
+    }
+    assert {r.fid for r in rows if r.is_current} == {102, 103}
+    # interval lookup over the history == asof_join over the raw log
+    looked_up = events.join(
+        hist,
+        (events.k == hist.k)
+        & (hist.valid_from <= events.ets)
+        & (hist.valid_to.isNull() | (events.ets < hist.valid_to)),
+        "left",
+    ).select("eid", "snap", "fid")
+    via_asof = asof_join(
+        events, feats, "k", "ets", "fts", ["snap", "fid"], tiebreak="fid"
+    ).select("eid", "snap", "fid")
+    assert {tuple(r) for r in looked_up.collect()} == {
+        tuple(r) for r in via_asof.collect()
+    }
