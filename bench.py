@@ -42,6 +42,7 @@ HEADLINE = [
     "dict_encode",
     "sync_offline_online",
     "sliding_window_aggs",
+    "asof_join_features",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "text_profile",

@@ -91,3 +91,61 @@ def monotonic_check(df: DataFrame, key: str, order: str) -> DataFrame:
             )
         ).alias("is_sorted")
     )
+
+
+def drift_psi(
+    base: DataFrame, curr: DataFrame, col: str, n_bins: int = 10
+) -> DataFrame:
+    """Population-stability-index drift report between a baseline and a
+    current window of one numeric feature — the train/serving drift check
+    an ML-ops pipeline runs before trusting a model on fresh traffic.
+
+    Bins are the baseline's ``n_bins``-quantile cut points (exact
+    interpolated ``percentile``, one scalar aggregate broadcast to both
+    sides — the same no-global-window pattern as the decile query); each
+    side reduces to per-bin counts, and the PSI term uses Laplace-smoothed
+    shares ``(n + 0.5) / (total + n_bins/2)`` so empty bins stay finite and
+    both engines compute identical doubles. Output: one row per occupied
+    bin (bin, n_base, n_curr, psi_term); the scalar PSI is the sum of
+    terms (left to the caller — a 10-row sum has no stable engine-neutral
+    order to hash).
+
+    Scale: two scans + two tiny per-bin aggregates; nothing wider than
+    ``n_bins`` rows ever joins or broadcasts except the one cut-point row.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import round4_stable
+
+    cuts = base.agg(
+        F.array(
+            *[F.expr(f"percentile({col}, {i / n_bins})") for i in range(1, n_bins)]
+        ).alias("__cuts")
+    )
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(cuts))
+            .select(
+                F.size(F.filter("__cuts", lambda q: F.col(col) > q)).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    j = (
+        binned(base, "n_base")
+        .join(binned(curr, "n_curr"), "bin", "full")
+        .fillna(0, ["n_base", "n_curr"])
+    )
+    totals = j.agg(
+        F.sum("n_base").alias("__ta"), F.sum("n_curr").alias("__tb")
+    )
+    half = F.lit(0.5)
+    pad = F.lit(n_bins / 2.0)
+    p_base = (F.col("n_base") + half) / (F.col("__ta") + pad)
+    p_curr = (F.col("n_curr") + half) / (F.col("__tb") + pad)
+    return j.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n_base",
+        "n_curr",
+        round4_stable((p_curr - p_base) * F.log(p_curr / p_base)).alias("psi_term"),
+    )

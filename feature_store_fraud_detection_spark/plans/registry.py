@@ -2784,7 +2784,56 @@ LIMIT 100
 """
 
 
+def _q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.stats import drift_psi
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-15").cast("timestamp")
+    return drift_psi(
+        ev.filter(F.col("ts") < split),
+        ev.filter(F.col("ts") >= split),
+        "value",
+        n_bins=10,
+    )
+
+
+_DRIFT_PSI_SQL = """
+WITH a AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+b AS (SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-15'),
+cuts AS (
+  SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+          quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+          quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+          quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+          quantile_cont(value, 0.9)] AS qs
+  FROM a
+),
+abin AS (
+  SELECT CAST(len(list_filter(qs, q -> value > q)) AS INT) AS bin,
+         count(*) AS n_base
+  FROM a CROSS JOIN cuts GROUP BY 1
+),
+bbin AS (
+  SELECT CAST(len(list_filter(qs, q -> value > q)) AS INT) AS bin,
+         count(*) AS n_curr
+  FROM b CROSS JOIN cuts GROUP BY 1
+),
+j AS (
+  SELECT coalesce(abin.bin, bbin.bin) AS bin,
+         coalesce(n_base, 0) AS n_base, coalesce(n_curr, 0) AS n_curr
+  FROM abin FULL JOIN bbin ON abin.bin = bbin.bin
+),
+t AS (SELECT sum(n_base) AS ta, sum(n_curr) AS tb FROM j)
+SELECT bin, n_base, n_curr,
+       floor(((n_curr + 0.5) / (tb + 5.0) - (n_base + 0.5) / (ta + 5.0))
+             * ln(((n_curr + 0.5) / (tb + 5.0)) / ((n_base + 0.5) / (ta + 5.0)))
+             * 10000 + 0.5) / 10000 AS psi_term
+FROM j CROSS JOIN t
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "feature_drift_psi": QuerySpec(_q_feature_drift_psi, _DRIFT_PSI_SQL),
     "scd2_history": QuerySpec(_q_scd2_history, _SCD2_SQL),
     "top_tokens": QuerySpec(_q_top_tokens, _TOP_TOKENS_SQL),
     "resample_gapfill": QuerySpec(_q_resample_gapfill, _RESAMPLE_SQL),

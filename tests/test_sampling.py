@@ -66,3 +66,22 @@ def test_hash_sample_deterministic_and_expandable(spark):
     # independent draw under a different salt
     s30b = {r.k for r in hash_sample(df, "k", 0.3, salt="other").collect()}
     assert s30b != s30
+
+
+def test_drift_psi_identical_and_shifted(spark):
+    """PSI of a distribution against itself is ~0 in every bin; a shifted
+    window produces strictly positive terms in the moved mass's bins."""
+    from pyspark.sql import functions as F
+
+    from feature_store_fraud_detection_spark.operators.stats import drift_psi
+
+    base = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = drift_psi(base, base, "v", n_bins=10).collect()
+    assert len(same) == 10
+    assert all(abs(r.psi_term) < 1e-9 for r in same)
+
+    shifted = spark.range(1000).select(
+        ((F.col("id") % 100) + 50).cast("double").alias("v")
+    )
+    drifted = drift_psi(base, shifted, "v", n_bins=10).collect()
+    assert sum(r.psi_term for r in drifted) > 0.25  # "significant drift" bar
