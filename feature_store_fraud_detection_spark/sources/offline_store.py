@@ -111,6 +111,35 @@ class OfflineStore:
             .saveAsTable(table_name)
         )
 
+    def compact(self, sort_cols: list[str] | None = None) -> None:
+        """Rewrite the table so each date partition holds ONE file (small-
+        file compaction — the maintenance op that keeps a long-lived 100 TB
+        table scannable after months of incremental appends, each of which
+        leaves per-batch part files). ``repartition(feature_date)`` routes
+        every date to exactly one task, so the dynamic-partition overwrite
+        emits one file per date directory; ``sort_cols`` re-establishes
+        within-file clustering for row-group pruning at the same time.
+
+        At real scale, run per date range (``by_date_range`` + ``backfill``)
+        instead of whole-table, and raise the per-date file count by adding
+        a salt column to the repartition when one day exceeds a task.
+
+        The read is materialized (``localCheckpoint``) before the write —
+        Spark refuses to overwrite a path it is still lazily reading from;
+        a cluster job would stage into executor-local blocks the same way
+        (or write to a sibling dir and swap).
+        """
+        df = self.read().repartition(F.col(PARTITION_COL)).localCheckpoint()
+        if sort_cols:
+            df = df.sortWithinPartitions(*sort_cols)
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", self.compression)
+            .partitionBy(PARTITION_COL)
+            .parquet(self.path)
+        )
+
     def clear(self) -> None:
         """Reference S11 (``feature.py:20-23`` delete_many with no filter):
         drop all rows — overwrite the table with an empty frame. The schema

@@ -165,6 +165,42 @@ def test_parquet_online_store_upserts_and_survives_sessions(spark, tmp_path):
             assert k in final       # untouched bucket preserved verbatim
 
 
+def test_compact_leaves_one_file_per_partition(spark, tmp_path):
+    """Small-file compaction: after N appends a date partition holds N part
+    files; compact() rewrites each date to exactly one file with content
+    unchanged."""
+    import os
+
+    store = OfflineStore(spark, str(tmp_path / "cmp_store"), ts_col="feature_timestamp")
+    day1 = dt.datetime(2024, 1, 1, 10)
+    day2 = dt.datetime(2024, 1, 2, 10)
+    for i in range(3):  # three appends -> >=3 files per touched date
+        store.append(
+            spark.createDataFrame(
+                [(i, float(i), day1), (10 + i, float(10 + i), day2)],
+                "cc_num long, amt double, feature_timestamp timestamp",
+            )
+        )
+
+    def files_per_date():
+        root = str(tmp_path / "cmp_store")
+        return {
+            d: len([f for f in os.listdir(os.path.join(root, d)) if f.startswith("part-")])
+            for d in os.listdir(root)
+            if d.startswith("feature_date=")
+        }
+
+    before = files_per_date()
+    assert all(n >= 3 for n in before.values())
+    rows_before = sorted((r.cc_num, r.amt) for r in store.read().collect())
+
+    store.compact(sort_cols=["cc_num"])
+    after = files_per_date()
+    assert set(after) == set(before)
+    assert all(n == 1 for n in after.values())
+    assert sorted((r.cc_num, r.amt) for r in store.read().collect()) == rows_before
+
+
 def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
     store = OfflineStore(spark, str(tmp_path / "bf_store"), ts_col="feature_timestamp")
     day1 = dt.datetime(2024, 1, 1, 10)
