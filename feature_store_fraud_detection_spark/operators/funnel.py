@@ -1,0 +1,80 @@
+"""Ordered funnel analysis: how many users progress through an ordered
+sequence of event types, where each step must occur strictly AFTER the
+user's first qualifying occurrence of the previous step.
+
+The classic product/fraud-ops question (signup -> view -> click ->
+purchase), answered relationally:
+
+- step 1 anchor: min ts per user of the first step's type;
+- step i: min ts per user of type_i events strictly after the user's step
+  i-1 timestamp — one keyed join + one keyed groupBy per step.
+
+Scale shape: every join/agg keys on the user column (hash-partitioned,
+map-side partial mins); the per-step filters push down to the scan. Funnel
+depth is small and fixed, so the chain of |steps| keyed stages is cheap; at
+extreme depth the alternative is one sort-within-user pass folding a step
+counter over collected (ts, type) arrays — a single shuffle, at the price of
+materializing per-user event arrays.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feature_store_fraud_detection_spark.functions.numeric import round4_stable
+
+
+def funnel_counts(
+    df: DataFrame,
+    key: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """(step, step_order, n_users, conversion) — users reaching each funnel
+    step in order; ``conversion`` = n_users / step-1 users, floor-rounded.
+
+    A user "reaches" step i when they have a type_i event strictly after
+    their first qualifying type_{i-1} event (first-touch attribution)."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    reached: list[DataFrame] = []
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(key)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    reached.append(cur)
+    for step in steps[1:]:
+        nxt = (
+            df.filter(F.col(type_col) == step)
+            .join(cur.select(key, F.col("__t").alias("__prev_t")), key)
+            .filter(F.col(ts_col) > F.col("__prev_t"))
+            .groupBy(key)
+            .agg(F.min(ts_col).alias("__t"))
+        )
+        reached.append(nxt)
+        cur = nxt
+    counts = [
+        r.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(s).alias("step"),
+            F.lit(i + 1).alias("step_order"),
+            F.col("n_users"),
+        )
+        for i, (s, r) in enumerate(zip(steps, reached))
+    ]
+    unioned = reduce(lambda a, b: a.unionByName(b), counts)
+    base = unioned.filter(F.col("step_order") == 1).select(
+        F.col("n_users").alias("__base_n")
+    )
+    return unioned.crossJoin(F.broadcast(base)).select(
+        "step",
+        "step_order",
+        "n_users",
+        round4_stable(
+            F.col("n_users") / F.col("__base_n").cast("double")
+        ).alias("conversion"),
+    )

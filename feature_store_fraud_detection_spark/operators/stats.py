@@ -149,3 +149,58 @@ def drift_psi(
         "n_curr",
         round4_stable((p_curr - p_base) * F.log(p_curr / p_base)).alias("psi_term"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    key: str,
+    val: str,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Per-key robust outlier flags via median/MAD (Iglewicz-Hoaglin
+    modified z-score): z = 0.6745 * |x - median| / MAD, outlier when the
+    4-decimal-rounded z exceeds ``z_threshold``.
+
+    Median/MAD instead of mean/stddev because fraud-style value columns are
+    heavy-tailed — a single large transaction drags the mean enough to mask
+    every other outlier; the breakdown point of the median is 50%.
+
+    Scale shape: two keyed aggregations (median, then MAD over deviations)
+    and two keyed joins — every exchange is on the key, no global sort. The
+    medians here are EXACT (sort-based within each key group) so the oracle
+    can hash them; at 100 TB swap ``percentile`` for ``percentile_approx``
+    (t-digest, partial-aggregated, no per-group sort) and tolerance-check.
+    MAD = 0 (constant-valued key) yields NULL z and outlier = 0 rather than
+    a division blow-up.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import round4_stable
+
+    med = df.groupBy(key).agg(
+        F.percentile(F.col(val), F.lit(0.5)).alias("med")
+    )
+    with_med = df.join(med, key)
+    mad = (
+        with_med.withColumn("__absdev", F.abs(F.col(val) - F.col("med")))
+        .groupBy(key)
+        .agg(
+            F.min("med").alias("med"),
+            F.percentile(F.col("__absdev"), F.lit(0.5)).alias("mad"),
+        )
+    )
+    z = round4_stable(
+        F.lit(0.6745)
+        * F.abs(F.col(val) - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0))
+    )
+    return (
+        df.join(mad, key)
+        .withColumn("robust_z", z)
+        .withColumn(
+            "is_outlier",
+            F.coalesce(
+                (F.col("robust_z") > z_threshold).cast("int"), F.lit(0)
+            ),
+        )
+        .withColumn("med", round4_stable(F.col("med")))
+        .withColumn("mad", round4_stable(F.col("mad")))
+    )

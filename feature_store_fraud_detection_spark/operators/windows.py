@@ -299,3 +299,41 @@ def sliding_window_aggs(
         F.col(key),
         *[F.col(c) for c in agg_names],
     )
+
+
+def activity_bursts(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    burst_threshold: int = 2,
+) -> DataFrame:
+    """Per-key velocity + streak profile: max events in any 1-hour bucket,
+    number of "burst" hours (>= ``burst_threshold`` events), and the longest
+    run of consecutive active DAYS (gaps-and-islands via the date minus
+    row_number trick — consecutive dates share ``d - row_number``).
+
+    The fraud-ops cut of sessionization: bucketed counts instead of
+    gap-based sessions, so every aggregation is a keyed hash groupBy with
+    map-side partial aggregation — integer/date logic only, no floats, no
+    global windows. The row_number window partitions by key over active
+    days (<= days in retention per key), never over raw events.
+    """
+    hourly = df.groupBy(
+        F.col(key), F.date_trunc("hour", F.col(ts)).alias("__h")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    hstats = hourly.groupBy(key).agg(
+        F.max("__n").alias("max_hourly_events"),
+        F.sum((F.col("__n") >= burst_threshold).cast("int"))
+        .cast("bigint")
+        .alias("n_burst_hours"),
+    )
+    days = df.select(F.col(key), F.to_date(F.col(ts)).alias("__d")).distinct()
+    w = Window.partitionBy(key).orderBy("__d")
+    streaks = (
+        days.withColumn("__g", F.date_sub(F.col("__d"), F.row_number().over(w)))
+        .groupBy(key, "__g")
+        .agg(F.count(F.lit(1)).alias("__len"))
+        .groupBy(key)
+        .agg(F.max("__len").alias("longest_day_streak"))
+    )
+    return hstats.join(streaks, key)

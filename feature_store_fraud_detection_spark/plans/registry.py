@@ -2832,7 +2832,314 @@ FROM j CROSS JOIN t
 """
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benchmark = every 10th document (deterministic stand-in for an eval
+    # set); candidates = the rest. The benchmark's distinct shingle set
+    # broadcasts, so the corpus side is never shuffled by the probe join.
+    from feature_store_fraud_detection_spark.operators.decontaminate import (
+        benchmark_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return benchmark_contamination(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        k=3,
+        threshold=0.5,
+    )
+
+
+_DECONTAMINATE_SQL = f"""
+WITH {_SHINGLES_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+cand AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM cand GROUP BY doc_id),
+ov AS (
+  SELECT c.doc_id, count(*) AS n_overlap
+  FROM cand c JOIN bench b USING (shingle) GROUP BY c.doc_id
+)
+SELECT doc_id, n_shingles, n_overlap, overlap_ratio,
+       CAST(overlap_ratio >= 0.5 AS INT) AS contaminated
+FROM (
+  SELECT s.doc_id, s.n_shingles,
+         coalesce(o.n_overlap, 0) AS n_overlap,
+         floor(coalesce(o.n_overlap, 0) / CAST(s.n_shingles AS DOUBLE)
+               * 10000 + 0.5) / 10000 AS overlap_ratio
+  FROM sizes s LEFT JOIN ov o ON s.doc_id = o.doc_id
+)
+"""
+
+
+def _q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.similarity import sq8_topk
+
+    return sq8_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        query_max_id=10,
+        top_k=5,
+    )
+
+
+# SQ8: per-dim scale = max|v_d|; code = floor(v/s*127 + 0.5); rank on the
+# dequantized (code*s/127) vectors with the same sequential-fold cosine as
+# _COSINE_TOPK_SQL. floor-form halves make codes bit-identical cross-engine.
+_SQ8_TOPK_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(vd) AS val, generate_subscripts(vd, 1) AS d FROM v
+),
+scales AS (
+  SELECT list(s ORDER BY d) AS ss
+  FROM (SELECT d, max(abs(val)) AS s FROM ex GROUP BY d)
+),
+deq AS (
+  SELECT vec_id,
+         list_transform(range(1, len(vd) + 1),
+           i -> (CASE WHEN ss[i] = 0 THEN 0
+                      ELSE CAST(floor(vd[i] / ss[i] * 127 + 0.5) AS INT) END)
+                * ss[i] / 127) AS dv
+  FROM v CROSS JOIN scales
+),
+dn AS (
+  SELECT vec_id, dv,
+         sqrt(list_reduce(list_transform(dv, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM deq
+),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         floor(list_reduce(list_transform(range(1, len(q.dv) + 1),
+                                          i -> q.dv[i] * n.dv[i]),
+                           (x, y) -> x + y) / (q.nrm * n.nrm)
+               * 10000 + 0.5) / 10000 AS qcosine
+  FROM dn q JOIN dn n ON q.vec_id != n.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, qcosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY qcosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def _q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.stats import robust_outliers
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return robust_outliers(ev, "user_id", "value", z_threshold=3.5)
+
+
+# Exact per-key median/MAD; z floor-rounded BEFORE the > 3.5 gate so
+# boundary events classify identically. quantile_cont == Spark percentile
+# (both linear-interpolated exact quantiles).
+_ROBUST_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY user_id
+),
+mad AS (
+  SELECT e.user_id, min(m.med) AS med,
+         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (user_id)
+  GROUP BY e.user_id
+)
+SELECT event_id, user_id, value,
+       floor(med * 10000 + 0.5) / 10000 AS med,
+       floor(mad * 10000 + 0.5) / 10000 AS mad,
+       robust_z,
+       coalesce(CAST(robust_z > 3.5 AS INT), 0) AS is_outlier
+FROM (
+  SELECT e.event_id, e.user_id, e.value, m.med, m.mad,
+         floor(0.6745 * abs(e.value - m.med) / nullif(m.mad, 0.0)
+               * 10000 + 0.5) / 10000 AS robust_z
+  FROM events e JOIN mad m USING (user_id)
+)
+"""
+
+
+def _q_activity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.windows import activity_bursts
+
+    return activity_bursts(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", burst_threshold=2
+    )
+
+
+_ACTIVITY_BURSTS_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+hs AS (
+  SELECT user_id, max(n) AS max_hourly_events,
+         CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_burst_hours
+  FROM hourly GROUP BY user_id
+),
+days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+grp AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS g
+  FROM days
+),
+st AS (
+  SELECT user_id, max(len) AS longest_day_streak FROM (
+    SELECT user_id, g, count(*) AS len FROM grp GROUP BY 1, 2
+  ) GROUP BY user_id
+)
+SELECT hs.user_id, max_hourly_events, n_burst_hours, longest_day_streak
+FROM hs JOIN st USING (user_id)
+"""
+
+
+def _q_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fold assignment + the balance check a CV pipeline runs first: rows and
+    # positive-label counts per fold (md5-based folds are stable under
+    # appends/repartitioning, unlike row_number folds).
+    from feature_store_fraud_detection_spark.operators.encoders import kfold_assign
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        kfold_assign(ev, "event_id", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("event_type") == "error").cast("int"))
+            .cast("bigint")
+            .alias("n_errors"),
+        )
+    )
+
+
+_KFOLD_SQL = """
+SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+            % 5 AS INT) AS fold,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors
+FROM events GROUP BY 1
+"""
+
+
+def _q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.encoders import (
+        target_encode_loo,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("event_type") == "error").cast("int").alias("is_err"),
+    )
+    return target_encode_loo(ev, "user_id", "is_err").select(
+        "event_id", "user_id", "loo_te"
+    )
+
+
+# integer label sums are exact on both engines; only the final quotient is
+# a double, floor-rounded. Singletons (n=1) fall back to the global mean.
+_TARGET_ENCODING_SQL = """
+WITH base AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS lbl
+  FROM events
+),
+pc AS (SELECT user_id, sum(lbl) AS s, count(*) AS n FROM base GROUP BY 1),
+g AS (SELECT sum(lbl) AS gs, count(*) AS gn FROM base)
+SELECT event_id, user_id,
+       floor((CASE WHEN n > 1 THEN (s - lbl) / CAST(n - 1 AS DOUBLE)
+                   ELSE gs / CAST(gn AS DOUBLE) END) * 10000 + 0.5) / 10000
+         AS loo_te
+FROM base JOIN pc USING (user_id) CROSS JOIN g
+"""
+
+
+def _q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.encoders import feature_hash
+
+    return feature_hash(
+        load_table(spark, sf_dir, "events"),
+        "event_id",
+        ["event_type", "user_id"],
+        num_buckets=32,
+    )
+
+
+_FEATURE_HASH_SQL = """
+WITH sel AS (
+  SELECT event_id,
+         ('0x' || substr(md5('event_type=' || event_type), 1, 15))::BIGINT AS h
+  FROM events
+  UNION ALL
+  SELECT event_id,
+         ('0x' || substr(md5('user_id=' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+)
+SELECT event_id, CAST(h % 32 AS INT) AS feature_idx,
+       CAST(sum(CASE WHEN (h >> 32) & 1 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+         AS feature_val
+FROM sel GROUP BY 1, 2
+HAVING sum(CASE WHEN (h >> 32) & 1 = 0 THEN 1 ELSE -1 END) <> 0
+"""
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        "ts",
+        ["view", "click", "purchase"],
+    )
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+),
+u AS (
+  SELECT 'view' AS step, 1 AS step_order, count(*) AS n_users FROM s1
+  UNION ALL
+  SELECT 'click', 2, count(*) FROM s2
+  UNION ALL
+  SELECT 'purchase', 3, count(*) FROM s3
+),
+base AS (SELECT n_users AS base_n FROM u WHERE step_order = 1)
+SELECT step, step_order, n_users,
+       floor(n_users / CAST(base_n AS DOUBLE) * 10000 + 0.5) / 10000
+         AS conversion
+FROM u CROSS JOIN base
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "funnel_steps": QuerySpec(_q_funnel, _FUNNEL_SQL),
+    "kfold_balance": QuerySpec(_q_kfold_balance, _KFOLD_SQL),
+    "target_encoding_loo": QuerySpec(_q_target_encoding, _TARGET_ENCODING_SQL),
+    "feature_hash_events": QuerySpec(_q_feature_hash, _FEATURE_HASH_SQL),
+    "decontaminate_benchmark": QuerySpec(_q_decontaminate, _DECONTAMINATE_SQL),
+    "sq8_topk": QuerySpec(_q_sq8_topk, _SQ8_TOPK_SQL),
+    "robust_outliers": QuerySpec(_q_robust_outliers, _ROBUST_OUTLIERS_SQL),
+    "activity_bursts": QuerySpec(_q_activity_bursts, _ACTIVITY_BURSTS_SQL),
     "feature_drift_psi": QuerySpec(_q_feature_drift_psi, _DRIFT_PSI_SQL),
     "scd2_history": QuerySpec(_q_scd2_history, _SCD2_SQL),
     "top_tokens": QuerySpec(_q_top_tokens, _TOP_TOKENS_SQL),

@@ -252,3 +252,59 @@ def test_repetition_profile_values(spark):
     assert got[1] == (4, 1.0)
     assert got[2] == (4, 0.3333)
     assert got[3] == (1, 0.0)
+
+
+def test_benchmark_contamination_flags_and_ratio(spark):
+    from feature_store_fraud_detection_spark.operators.decontaminate import (
+        benchmark_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # exact: every shingle overlaps
+            (2, "alpha beta gamma zeta eta"),   # 1 of 3 shingles overlaps
+            (3, "one two three four five"),     # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in benchmark_contamination(
+            docs, bench, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    assert out[1].overlap_ratio == 1.0 and out[1].contaminated == 1
+    assert out[2].n_overlap == 1 and out[2].n_shingles == 3
+    assert out[2].contaminated == 0
+    assert out[3].n_overlap == 0 and out[3].overlap_ratio == 0.0
+
+
+def test_sq8_quantization_codes_and_rank_parity(spark):
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        cosine_topk,
+        sq8_quantize,
+        sq8_topk,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 2.0]),
+            (1, [1.0, 0.0, 2.0]),    # identical to the query
+            (2, [-1.0, 0.5, -2.0]),  # opposite direction
+            (3, [0.5, -0.5, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    codes = {r.vec_id: r["__codes"] for r in sq8_quantize(df, "vec_id", "embedding").collect()}
+    # scale per dim = (1.0, 0.5, 2.0); vec 0 -> codes (127, 0, 127)
+    assert codes[0] == [127, 0, 127]
+    assert codes[2] == [-127, 127, -127]
+
+    sq = sq8_topk(df, "vec_id", "embedding", query_max_id=1, top_k=3).collect()
+    exact = cosine_topk(df, "vec_id", "embedding", query_max_id=1, top_k=3).collect()
+    # identical vector still ranks first; rank order survives quantization
+    assert [r.neighbor_id for r in sq] == [r.neighbor_id for r in exact]
+    assert sq[0].neighbor_id == 1 and abs(sq[0].qcosine - 1.0) < 1e-9

@@ -76,3 +76,68 @@ def test_csv_reader_roundtrip(spark, sf_dir, tmp_path):
     assert (
         back.agg(F.sum("amt")).first()[0] == txns.agg(F.sum("amt")).first()[0]
     )
+
+
+def test_robust_outliers_median_mad(spark):
+    from feature_store_fraud_detection_spark.operators.stats import robust_outliers
+
+    rows = [(i, 1, 10.0 + (i % 5) * 0.1) for i in range(20)] + [(99, 1, 500.0)]
+    rows += [(200 + i, 2, 7.0) for i in range(5)]  # constant key: MAD = 0
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    out = {r.event_id: r for r in robust_outliers(df, "user_id", "value").collect()}
+    assert out[99].is_outlier == 1          # the 500.0 spike
+    assert out[0].is_outlier == 0
+    # constant-valued key: MAD 0 -> NULL z, not a crash, and never an outlier
+    assert out[200].robust_z is None and out[200].is_outlier == 0
+
+
+def test_activity_bursts_streaks(spark):
+    import datetime as dt
+
+    from feature_store_fraud_detection_spark.operators.windows import activity_bursts
+
+    def e(eid, uid, day, hour, minute=0):
+        return (eid, uid, dt.datetime(2024, 1, day, hour, minute))
+
+    rows = [
+        # user 1: 3 events in one hour (burst), active days 1,2,3 then 5
+        e(1, 1, 1, 9), e(2, 1, 1, 9, 10), e(3, 1, 1, 9, 20),
+        e(4, 1, 2, 8), e(5, 1, 3, 8), e(6, 1, 5, 8),
+        # user 2: one event per day, days 10 and 12 (no streak, no burst)
+        e(7, 2, 10, 9), e(8, 2, 12, 9),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r.user_id: r for r in activity_bursts(df, "user_id", "ts").collect()}
+    assert out[1].max_hourly_events == 3
+    assert out[1].n_burst_hours == 1
+    assert out[1].longest_day_streak == 3
+    assert out[2].max_hourly_events == 1
+    assert out[2].n_burst_hours == 0
+    assert out[2].longest_day_streak == 1
+
+
+def test_funnel_counts_strict_order(spark):
+    import datetime as dt
+
+    from feature_store_fraud_detection_spark.operators.funnel import funnel_counts
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    rows = [
+        # user 1 completes the funnel in order
+        (1, "view", t(0)), (1, "click", t(5)), (1, "purchase", t(9)),
+        # user 2 clicks BEFORE viewing -> click doesn't count; no purchase
+        (2, "click", t(0)), (2, "view", t(5)),
+        # user 3 views only
+        (3, "view", t(1)),
+        # user 4 purchases without ever viewing -> not even step 1
+        (4, "purchase", t(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r.step: r for r in funnel_counts(
+        df, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    ).collect()}
+    assert out["view"].n_users == 3
+    assert out["click"].n_users == 1      # only user 1 clicked after viewing
+    assert out["purchase"].n_users == 1
+    assert out["view"].conversion == 1.0
+    assert abs(out["click"].conversion - 0.3333) < 1e-9
