@@ -3131,7 +3131,49 @@ FROM u CROSS JOIN base
 """
 
 
+def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Morton key over (user_id, whole-dollar value band), 10 bits each —
+    # the clustering key a 2-D-pruned offline table sorts by
+    # (OfflineStore.write/compact sort_cols). Saturating clamp, not a
+    # wrap-around mask, so out-of-range tails stay ordered.
+    from feature_store_fraud_detection_spark.functions.zorder import (
+        clamp_bits,
+        morton_key,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    zx = clamp_bits(F.col("user_id"), 10)
+    zy = clamp_bits(F.floor(F.col("value")), 10)
+    return ev.select(
+        "event_id",
+        zx.alias("zx"),
+        zy.alias("zy"),
+        morton_key(zx, zy, bits=10).alias("zkey"),
+    )
+
+
+def _morton_sql_expr(x: str, y: str, bits: int = 10) -> str:
+    terms = [f"((({x} >> {i}) & 1) << {2 * i})" for i in range(bits)] + [
+        f"((({y} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)
+    ]
+    return " + ".join(terms)
+
+
+_ZORDER_SQL = f"""
+WITH b AS (
+  SELECT event_id,
+         least(CAST(user_id AS BIGINT), 1023) AS zx,
+         least(CAST(floor(value) AS BIGINT), 1023) AS zy
+  FROM events
+)
+SELECT event_id, zx, zy,
+       CAST({_morton_sql_expr('zx', 'zy')} AS BIGINT) AS zkey
+FROM b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "zorder_keys": QuerySpec(_q_zorder_keys, _ZORDER_SQL),
     "funnel_steps": QuerySpec(_q_funnel, _FUNNEL_SQL),
     "kfold_balance": QuerySpec(_q_kfold_balance, _KFOLD_SQL),
     "target_encoding_loo": QuerySpec(_q_target_encoding, _TARGET_ENCODING_SQL),

@@ -222,3 +222,55 @@ def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
     # day 1 untouched; day 2 fully replaced (old row 3 gone, not appended-to)
     assert rows == {1: 10.0, 2: 20.0, 3: 99.0, 4: 44.0}
     assert store.read().count() == 4
+
+
+def test_morton_key_reference_and_locality(spark, sf_dir):
+    """morton_key matches a bit-twiddling python reference, and sorting by
+    it clusters BOTH dimensions: consecutive chunks of the z-sorted table
+    have far smaller (user x value) bounding boxes than a time-sorted
+    layout — the property that makes 2-D row-group pruning work."""
+    from feature_store_fraud_detection_spark.functions.zorder import (
+        clamp_bits,
+        morton_key,
+    )
+    from feature_store_fraud_detection_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    zx = clamp_bits(F.col("user_id"), 10)
+    zy = clamp_bits(F.floor(F.col("value")), 10)
+    rows = (
+        ev.select(
+            F.col("user_id"),
+            F.col("value"),
+            F.col("ts"),
+            zx.alias("zx"),
+            zy.alias("zy"),
+            morton_key(zx, zy, 10).alias("zkey"),
+        )
+        .collect()
+    )
+
+    def py_morton(x, y):
+        z = 0
+        for i in range(10):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in rows[:500]:
+        assert r.zkey == py_morton(r.zx, r.zy)
+
+    def chunked_bbox_area(seq, chunk=100):
+        areas = []
+        for i in range(0, len(seq) - chunk, chunk):
+            c = seq[i : i + chunk]
+            xs = [r.zx for r in c]
+            ys = [r.zy for r in c]
+            areas.append((max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1))
+        return sum(areas) / len(areas)
+
+    z_sorted = sorted(rows, key=lambda r: r.zkey)
+    t_sorted = sorted(rows, key=lambda r: r.ts)
+    # z-order keeps consecutive rows inside small 2-D tiles; time order
+    # scatters them across the full (user x value) plane
+    assert chunked_bbox_area(z_sorted) * 5 < chunked_bbox_area(t_sorted)
