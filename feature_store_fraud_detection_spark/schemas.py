@@ -85,10 +85,13 @@ TESTDATA_TABLES = (
 )
 
 
-# Timestamp columns per testdata table. The driver's parquet stores these as
-# INT64 TIMESTAMP(NANOS), which Spark's vectorized reader rejects; we read
-# them as long nanos (legacy conf) and truncate to microseconds — exactly what
-# DuckDB's reader does, so oracle comparisons agree.
+# Timestamp columns per testdata table. The driver's parquet has stored these
+# two ways across rounds: INT64 TIMESTAMP(NANOS) (vectorized reader rejects;
+# read as long nanos via legacy conf, truncate to micros) and plain
+# TIMESTAMP(MICROS) without the UTC flag (Spark 4 infers TIMESTAMP_NTZ unless
+# told otherwise). Both are normalized to TimestampType in session-UTC below —
+# exactly the wall-clock values DuckDB's TZ-naive reader sees, so oracle
+# comparisons agree.
 _TS_COLUMNS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -100,6 +103,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (columnar parquet scan; Catalyst prunes
     columns/filters into the scan automatically)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Parquet TIMESTAMP(MICROS) without isAdjustedToUTC would otherwise read
+    # as TIMESTAMP_NTZ, which unix_micros/casts reject; with session tz pinned
+    # to UTC the LTZ reading has identical wall-clock values.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # The driver may hand us a session with a non-UTC timezone; timestamp
     # literals and unix_timestamp would then shift against the TZ-naive
     # DuckDB oracle. Pin UTC here — the one chokepoint every query reads

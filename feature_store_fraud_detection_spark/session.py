@@ -29,6 +29,10 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.sql.session.timeZone": "UTC",
+    # Testdata parquet stores TIMESTAMP(MICROS) without the UTC flag; read it
+    # as TimestampType (session-UTC wall clock, matching the DuckDB oracle)
+    # instead of TIMESTAMP_NTZ, which many chrono expressions reject.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Window group limit pushdown (Spark 3.5+) makes latest-N-per-key prune
     # before the full sort; keep it explicit because serving relies on it.
     "spark.sql.window.group.limit.threshold": "1000",
