@@ -317,6 +317,42 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicate_ngram_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document corpus-duplication signal: for each doc, the fraction of
+    its distinct word-k-grams that occur in at least one OTHER document —
+    the standard "duplicate n-gram fraction" filter of web-corpus pipelines
+    (docs dominated by corpus-repeated n-grams are boilerplate/templates
+    even when no single near-dup pair catches them).
+
+    Scale design: the inverted index shuffles 32-char md5 digests, never
+    shingle text; the per-digest doc-frequency aggregate combines map-side;
+    the digest->doc join is shuffle-on-digest (both sides already keyed by
+    it). Nothing is quadratic — cost is O(total shingles), same as one
+    MinHash pass.
+    """
+    sh = shingle_table(df, id_col, text_col, k).select(
+        F.col(id_col), F.md5(F.encode("shingle", "UTF-8")).alias("__h")
+    )
+    # shingles are distinct per doc, so count(*) per digest == doc frequency
+    freq = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        sh.join(freq, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_ngrams"),
+        )
+        .withColumn(
+            "dup_fraction",
+            round4_stable(F.col("n_dup_ngrams") / F.col("n_ngrams").cast("double")),
+        )
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     all_ids: DataFrame,

@@ -116,3 +116,31 @@ def hash_sample(
         F.conv(F.substring(digest, 1, 15), 16, 10).cast("decimal(20,0)")
         < F.lit(threshold).cast("decimal(20,0)")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame, id_col: str, weight_col: str, salt: str = ""
+) -> DataFrame:
+    """Per-row weighted deterministic sampling: keep a row with probability
+    equal to its ``weight_col`` (clamped to [0,1]) — the quality-/temperature-
+    weighted corpus downsampling step of training-data pipelines ("keep
+    high-quality docs always, low-quality ones rarely").
+
+    Same md5-threshold construction as :func:`hash_sample`, but the
+    threshold varies per row: keep iff hash_frac(id) < weight, where
+    hash_frac is the first 60 hash bits scaled to [0,1). The decision stays
+    a pure function of (salt, id, weight): reproducible across engines and
+    cluster sizes, and monotone in the weight — raising a doc's weight can
+    only add it to the sample. Narrow, scan-bound; the weight is typically a
+    computed quality score, so the whole gate fuses into the scan projection.
+
+    Cross-engine note: hash_frac is an exact 60-bit integer divided by the
+    double 16^15 — both engines compute the identical double, and the
+    comparison against a 4-decimal-rounded weight is therefore exact.
+    """
+    digest = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    hash_frac = F.conv(F.substring(digest, 1, 15), 16, 10).cast("double") / F.lit(
+        float(16**15)
+    )
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(hash_frac < w)

@@ -3172,7 +3172,132 @@ FROM b
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus hygiene: duplicate-ngram fraction, PII redaction, weighted sampling
+# --------------------------------------------------------------------------
+
+
+def _q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        duplicate_ngram_stats,
+    )
+
+    return duplicate_ngram_stats(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+_DUP_NGRAM_SQL = f"""
+WITH {_SHINGLES_CTE},
+hs AS (
+  SELECT doc_id, md5(shingle) AS h FROM sh
+),
+freq AS (
+  SELECT h, count(*) AS df FROM hs GROUP BY h
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_ngrams,
+       floor(CAST(sum(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 10000 + 0.5) / 10000 AS dup_fraction
+FROM hs JOIN freq USING (h)
+GROUP BY doc_id
+"""
+
+
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The synthetic documents carry no real PII, so the query plants
+    # deterministic contact lines on every 5th doc (same expression in the
+    # oracle) and the redactor must find exactly those.
+    from feature_store_fraud_detection_spark.operators.text_cleaning import (
+        clean_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com or https://example.com/u/"),
+                F.col("doc_id"),
+                F.lit(" or 555-123-4567"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return clean_corpus(enriched, "doc_id", "text")
+
+
+_PII_REDACTION_SQL = r"""
+WITH enriched AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || doc_id
+                   || '@example.com or https://example.com/u/' || doc_id
+                   || ' or 555-123-4567'
+              ELSE text END AS text
+  FROM documents
+),
+redacted AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS masked
+  FROM enriched
+)
+SELECT doc_id,
+       trim(regexp_replace(masked, '\s+', ' ', 'g')) AS clean_text,
+       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text,
+         '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INT) AS n_phones,
+       CAST(length(text) AS INT) AS n_chars_raw,
+       CAST(length(trim(regexp_replace(masked, '\s+', ' ', 'g'))) AS INT)
+         AS n_chars_clean
+FROM redacted
+"""
+
+
+def _q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Keep each doc with probability = its (4-decimal-rounded) quality
+    # score: deterministic hash-threshold per row, so the oracle reproduces
+    # the exact sample.
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        text_profile,
+    )
+
+    prof = text_profile(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select("doc_id", "quality")
+    return weighted_hash_sample(prof, "doc_id", "quality", salt="q1")
+
+
+_QUALITY_SAMPLE_SQL = f"""
+SELECT doc_id, quality
+FROM ({_TEXT_PROFILE_SQL}) p
+WHERE CAST('0x' || substring(md5('q1|' || CAST(doc_id AS VARCHAR)), 1, 15)
+           AS BIGINT) / {float(16**15)!r} < quality
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dup_ngram_stats": QuerySpec(_q_dup_ngram_stats, _DUP_NGRAM_SQL),
+    "pii_redaction": QuerySpec(_q_pii_redaction, _PII_REDACTION_SQL),
+    "quality_weighted_sample": QuerySpec(
+        _q_quality_weighted_sample, _QUALITY_SAMPLE_SQL
+    ),
     "zorder_keys": QuerySpec(_q_zorder_keys, _ZORDER_SQL),
     "funnel_steps": QuerySpec(_q_funnel, _FUNNEL_SQL),
     "kfold_balance": QuerySpec(_q_kfold_balance, _KFOLD_SQL),

@@ -308,3 +308,65 @@ def test_sq8_quantization_codes_and_rank_parity(spark):
     # identical vector still ranks first; rank order survives quantization
     assert [r.neighbor_id for r in sq] == [r.neighbor_id for r in exact]
     assert sq[0].neighbor_id == 1 and abs(sq[0].qcosine - 1.0) < 1e-9
+
+
+def test_duplicate_ngram_stats_fractions(spark):
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        duplicate_ngram_stats,
+    )
+
+    out = {
+        r.doc_id: r
+        for r in duplicate_ngram_stats(_docs(spark), "doc_id", "text").collect()
+    }
+    # docs 0 and 3 are identical: every 3-gram duplicated
+    assert out[0].n_dup_ngrams == out[0].n_ngrams
+    assert out[0].dup_fraction == 1.0
+    assert out[3].dup_fraction == 1.0
+    # doc 2 shares nothing with anyone
+    assert out[2].n_dup_ngrams == 0 and out[2].dup_fraction == 0.0
+    # doc 1 differs from 0/3 only in the last word: all 3-grams except the
+    # final two (which contain "bend") are duplicated
+    assert 0 < out[1].n_dup_ngrams < out[1].n_ngrams
+
+
+def test_clean_corpus_redacts_and_counts(spark):
+    from feature_store_fraud_detection_spark.operators.text_cleaning import (
+        clean_corpus,
+    )
+
+    rows = [
+        (0, "mail me at alice@example.org  or visit https://ex.com/a now"),
+        (1, "call 555-123-4567   twice"),
+        (2, "plain prose with no contact info"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in clean_corpus(df, "doc_id", "text").collect()}
+    assert out[0].n_emails == 1 and out[0].n_urls == 1 and out[0].n_phones == 0
+    assert "<EMAIL>" in out[0].clean_text and "<URL>" in out[0].clean_text
+    assert "alice@example.org" not in out[0].clean_text
+    assert "  " not in out[0].clean_text  # whitespace collapsed
+    assert out[1].n_phones == 1 and "<PHONE>" in out[1].clean_text
+    assert out[2].clean_text == rows[2][1]
+    assert out[2].n_chars_clean == out[2].n_chars_raw
+
+
+def test_weighted_hash_sample_bounds_and_monotone(spark):
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    df = spark.range(500).select(
+        F.col("id"),
+        F.lit(0.0).alias("w0"),
+        F.lit(1.0).alias("w1"),
+        (F.col("id") % 10 / 10.0).alias("wv"),
+    )
+    assert weighted_hash_sample(df, "id", "w0").count() == 0
+    assert weighted_hash_sample(df, "id", "w1").count() == 500
+    # monotone in the weight: the low-weight sample is a subset of the
+    # sample drawn with every weight doubled
+    low = {r.id for r in weighted_hash_sample(df, "id", "wv").collect()}
+    doubled = df.withColumn("wv", F.col("wv") * 2)
+    high = {r.id for r in weighted_hash_sample(doubled, "id", "wv").collect()}
+    assert low <= high
