@@ -342,3 +342,43 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).unionByName(
         short.withColumn("top_bigram_frac", F.lit(0.0))
     )
+
+
+def unigram_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram language model — the CCNet-style LM quality signal (docs with
+    high NLL are out-of-distribution noise; low NLL is repetitive
+    boilerplate), with the corpus itself standing in for an external KenLM.
+
+    p(term) = corpus_count(term) / total_tokens; score(doc) =
+    -(1/dl) * sum over tokens of ln(p(term)).
+
+    Scale design: term counts and per-doc tf are hash aggregates keyed by
+    term; their join is co-partitioned on term (no broadcast needed — the
+    vocabulary can be arbitrarily large). The per-doc reduction folds the
+    SORTED contribution list (the repo's fixed-IEEE-order rule for float
+    sums, see similarity.label_centroids); its size is bounded by the doc's
+    distinct-term count.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import round4_stable
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ct"))
+    tot = tok.agg(F.count(F.lit(1)).alias("total_tokens"))
+    contribs = (
+        tf.join(tc, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(id_col),
+            F.col("tf"),
+            (F.col("tf") * F.log(F.col("ct") / F.col("total_tokens"))).alias("c"),
+        )
+    )
+    s = F.aggregate(
+        F.array_sort(F.collect_list("c")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return contribs.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        round4_stable((-s) / F.sum("tf")).alias("nll"),
+    )

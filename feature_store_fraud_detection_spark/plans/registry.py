@@ -3292,7 +3292,117 @@ WHERE CAST('0x' || substring(md5('q1|' || CAST(doc_id AS VARCHAR)), 1, 15)
 """
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        capacity=256, n_shards=8,
+    )
+
+
+_PACK_SEQUENCES_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 8 AS shard
+  FROM documents
+),
+o AS (
+  SELECT *,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shard_offset
+  FROM tk
+)
+SELECT doc_id, n_tokens, shard, shard_offset,
+       shard_offset // 256 AS pack_id,
+       shard_offset % 256 AS pack_offset,
+       CAST(shard_offset % 256 + n_tokens > 256 AS INT) AS spans_boundary
+FROM o
+"""
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        query_terms=["table", "scan", "merge"], n=10,
+    )
+
+
+# Literal parenthesization mirrors the Spark expression tree exactly
+# (left-assoc * and /), so every intermediate double is bit-identical.
+_BM25_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tk)
+  WHERE term IN ('table', 'scan', 'merge')
+  GROUP BY 1, 2
+),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl
+                / (CAST(total_dl AS DOUBLE) / n_docs)))) AS c
+  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_matched_terms,
+       floor((coalesce(max(CASE WHEN term = 'table' THEN c END), 0)
+              + coalesce(max(CASE WHEN term = 'scan' THEN c END), 0)
+              + coalesce(max(CASE WHEN term = 'merge' THEN c END), 0))
+             * 10000 + 0.5) / 10000 AS score
+FROM contrib
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+def _q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        unigram_nll,
+    )
+
+    return unigram_nll(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_UNIGRAM_NLL_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+tc AS (SELECT term, count(*) AS ct FROM tok GROUP BY 1),
+tot AS (SELECT count(*) AS total_tokens FROM tok),
+contribs AS (
+  SELECT doc_id, tf, tf * ln(ct / total_tokens) AS c
+  FROM tf JOIN tc USING (term) CROSS JOIN tot
+)
+SELECT doc_id,
+       sum(tf) AS n_tokens,
+       floor(((-list_reduce(list_sort(list(c)), (a, b) -> a + b)) / sum(tf))
+             * 10000 + 0.5) / 10000 AS nll
+FROM contribs
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "unigram_nll": QuerySpec(_q_unigram_nll, _UNIGRAM_NLL_SQL),
+    "pack_sequences": QuerySpec(_q_pack_sequences, _PACK_SEQUENCES_SQL),
+    "bm25_topk": QuerySpec(_q_bm25_topk, _BM25_SQL),
     "dup_ngram_stats": QuerySpec(_q_dup_ngram_stats, _DUP_NGRAM_SQL),
     "pii_redaction": QuerySpec(_q_pii_redaction, _PII_REDACTION_SQL),
     "quality_weighted_sample": QuerySpec(

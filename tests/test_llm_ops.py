@@ -370,3 +370,90 @@ def test_weighted_hash_sample_bounds_and_monotone(spark):
     doubled = df.withColumn("wv", F.col("wv") * 2)
     high = {r.id for r in weighted_hash_sample(doubled, "id", "wv").collect()}
     assert low <= high
+
+
+def test_pack_sequences_offsets_and_boundaries(spark):
+    from feature_store_fraud_detection_spark.operators.packing import pack_sequences
+
+    rows = [
+        (0, "a b c"),          # 3 tokens
+        (1, "d e f g"),        # 4 tokens
+        (2, "h i"),            # 2 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in pack_sequences(
+            df, "doc_id", "text", capacity=5, n_shards=1
+        ).collect()
+    }
+    assert [out[i].shard_offset for i in range(3)] == [0, 3, 7]
+    assert [out[i].pack_id for i in range(3)] == [0, 0, 1]
+    assert [out[i].pack_offset for i in range(3)] == [0, 3, 2]
+    # doc 1 starts at offset 3 and runs 4 tokens past capacity 5
+    assert [out[i].spans_boundary for i in range(3)] == [0, 1, 0]
+
+
+def test_pack_sequences_shards_are_dense_prefixes(spark):
+    from feature_store_fraud_detection_spark.operators.packing import pack_sequences
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w "), F.repeat(F.lit("x "), (F.col("id") % 7).cast("int"))).alias("text"),
+    )
+    out = pack_sequences(df, "doc_id", "text", capacity=10, n_shards=4)
+    # within every shard, offsets are the exclusive prefix sums in id order
+    for shard_rows in (
+        out.groupBy("shard")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_tokens", "shard_offset"))).alias("rs"))
+        .collect()
+    ):
+        run = 0
+        for r in shard_rows.rs:
+            assert r.shard_offset == run
+            run += r.n_tokens
+
+
+def test_bm25_ranking_and_exact_score(spark):
+    import math
+
+    from feature_store_fraud_detection_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        (0, "apple apple apple banana"),
+        (1, "apple banana cherry date"),
+        (2, "banana cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, "doc_id", "text", ["apple"], n=10).collect()
+    ids = [r.doc_id for r in out]
+    assert ids == [0, 1]  # doc 2 matches nothing; doc 0 has higher tf
+    # hand-computed Okapi/Lucene score for doc 0
+    n_docs, docfreq, tf, dl, avgdl, k1, b = 3, 2, 3, 4, 10 / 3, 1.2, 0.75
+    idf = math.log((n_docs - docfreq + 0.5) / (docfreq + 0.5) + 1.0)
+    expected = idf * (tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)))
+    assert out[0].score == math.floor(expected * 10000 + 0.5) / 10000
+    assert out[0].n_matched_terms == 1
+
+
+def test_unigram_nll_orders_rare_docs_higher(spark):
+    import math
+
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        unigram_nll,
+    )
+
+    rows = [
+        (0, "common common common common"),
+        (1, "common common rare1 rare2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_nll(df, "doc_id", "text").collect()}
+    # corpus: common x6, rare1 x1, rare2 x1, total 8
+    nll0 = -math.log(6 / 8)
+    contribs1 = sorted([2 * math.log(6 / 8), math.log(1 / 8), math.log(1 / 8)])
+    nll1 = -sum(contribs1) / 4
+    assert out[0].n_tokens == 4 and out[1].n_tokens == 4
+    assert out[0].nll == math.floor(nll0 * 10000 + 0.5) / 10000
+    assert out[1].nll == math.floor(nll1 * 10000 + 0.5) / 10000
+    assert out[1].nll > out[0].nll  # rare-token doc is less likely
