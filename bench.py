@@ -66,6 +66,11 @@ def main() -> None:
             spec = QUERIES.get(name)
             if spec is not None:
                 spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+    # Drop every persisted intermediate the warmups left behind (operators
+    # like minhash persist a shared base). Leaked cache entries accumulate
+    # across the 16+ query runs below and the resulting old-gen GC pauses
+    # add multi-second noise to later queries' timings.
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -75,6 +80,7 @@ def main() -> None:
         t0 = time.time()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     # steady-state feature throughput (2nd run excludes plan-compile cost;
     # reference baseline: pandas computes the same features at ~2.9k rows/s,
