@@ -78,3 +78,53 @@ def funnel_counts(
             F.col("n_users") / F.col("__base_n").cast("double")
         ).alias("conversion"),
     )
+
+
+def cohort_retention(
+    df: DataFrame, key: str, ts_col: str, max_offset: int = 8
+) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by their first-activity
+    week, tracked for the share still active N weeks later — the standard
+    growth/retention report, and (for fraud ops) the "does this signup
+    cohort keep transacting" signal.
+
+    Relational shape: one distinct (user, week) activity table; cohort =
+    min(week) per user (keyed agg); activity ⋈ cohort on user (both sides
+    hash-partitioned by user); then one hash agg on (cohort_week, offset)
+    counting distinct users, joined to cohort sizes. Every stage keys on
+    user or on the tiny (cohort, offset) pair — nothing global, nothing
+    windowed, scales linearly in |events|.
+
+    Week bucketing is ``date_trunc('week')`` (ISO Monday on both engines);
+    the offset is exact integer day-diff div 7.
+    """
+    # cast to DATE: a week bucket is a calendar date, and DuckDB's
+    # date_trunc('week') returns DATE where Spark's returns TIMESTAMP
+    activity = df.select(
+        F.col(key), F.date_trunc("week", F.col(ts_col)).cast("date").alias("week")
+    ).distinct()
+    cohorts = activity.groupBy(key).agg(F.min("week").alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    joined = activity.join(cohorts, key).withColumn(
+        "week_offset",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("bigint"),
+    )
+    retained = (
+        joined.filter(F.col("week_offset") <= max_offset)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(key).alias("n_active"))
+    )
+    return (
+        retained.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            round4_stable(
+                F.col("n_active") / F.col("n_cohort").cast("double")
+            ).alias("retention"),
+        )
+    )

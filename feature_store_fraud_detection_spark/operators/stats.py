@@ -204,3 +204,45 @@ def robust_outliers(
         .withColumn("med", round4_stable(F.col("med")))
         .withColumn("mad", round4_stable(F.col("mad")))
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    p_low: float = 0.01,
+    p_high: float = 0.99,
+    id_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Percentile clipping (winsorization): cap ``value_col`` at its exact
+    [p_low, p_high] quantiles — the standard robust-feature step before
+    scaling/training (outlier transactions would otherwise dominate a
+    standard scaler's variance).
+
+    The two cut points come from one exact ``percentile`` aggregate
+    (linear interpolation — DuckDB ``quantile_cont`` twin, parity proven by
+    the percentiles query) broadcast back over the rows as a 1-row cross
+    join. Exact percentile buffers values per group; at 100 TB swap in
+    ``approx_percentile`` with a tolerance-checked gate — the operator
+    contract (clip at quantile cut points) is unchanged.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import round4_stable
+
+    cuts = df.agg(
+        F.percentile(value_col, F.lit(p_low)).alias("__lo"),
+        F.percentile(value_col, F.lit(p_high)).alias("__hi"),
+    )
+    keep = [F.col(c) for c in id_cols] or [F.col(c) for c in df.columns]
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .select(
+            *keep,
+            F.col(value_col).alias("raw_value"),
+            round4_stable(
+                F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
+            ).alias("clipped_value"),
+            (
+                (F.col(value_col) < F.col("__lo"))
+                | (F.col(value_col) > F.col("__hi"))
+            ).cast("int").alias("was_clipped"),
+        )
+    )

@@ -3399,7 +3399,67 @@ GROUP BY doc_id
 """
 
 
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    return cohort_retention(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", max_offset=8
+    )
+
+
+_COHORT_RETENTION_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+cohorts AS (
+  SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, count(*) AS n_cohort FROM cohorts GROUP BY cohort_week
+),
+retained AS (
+  SELECT c.cohort_week,
+         date_diff('day', c.cohort_week, a.week) // 7 AS week_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM activity a JOIN cohorts c USING (user_id)
+  WHERE date_diff('day', c.cohort_week, a.week) // 7 <= 8
+  GROUP BY 1, 2
+)
+SELECT r.cohort_week, r.week_offset, r.n_active, s.n_cohort,
+       floor(r.n_active / CAST(s.n_cohort AS DOUBLE) * 10000 + 0.5) / 10000
+         AS retention
+FROM retained r JOIN sizes s USING (cohort_week)
+"""
+
+
+def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.stats import winsorize
+
+    return winsorize(
+        load_table(spark, sf_dir, "events"), "value",
+        p_low=0.01, p_high=0.99, id_cols=("event_id",),
+    )
+
+
+_WINSORIZE_SQL = """
+WITH cuts AS (
+  SELECT quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+  FROM events
+)
+SELECT event_id,
+       value AS raw_value,
+       floor(least(greatest(value, lo), hi) * 10000 + 0.5) / 10000
+         AS clipped_value,
+       CAST(value < lo OR value > hi AS INT) AS was_clipped
+FROM events CROSS JOIN cuts
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "cohort_retention": QuerySpec(_q_cohort_retention, _COHORT_RETENTION_SQL),
+    "winsorize_values": QuerySpec(_q_winsorize, _WINSORIZE_SQL),
     "unigram_nll": QuerySpec(_q_unigram_nll, _UNIGRAM_NLL_SQL),
     "pack_sequences": QuerySpec(_q_pack_sequences, _PACK_SEQUENCES_SQL),
     "bm25_topk": QuerySpec(_q_bm25_topk, _BM25_SQL),

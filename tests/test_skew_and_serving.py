@@ -141,3 +141,47 @@ def test_funnel_counts_strict_order(spark):
     assert out["purchase"].n_users == 1
     assert out["view"].conversion == 1.0
     assert abs(out["click"].conversion - 0.3333) < 1e-9
+
+
+def test_cohort_retention_matrix(spark):
+    from feature_store_fraud_detection_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    # weeks starting Mon 2024-01-01, 2024-01-08, 2024-01-15
+    rows = [
+        (1, "2024-01-02 10:00:00"),  # cohort W0, active W0
+        (1, "2024-01-09 10:00:00"),  # ... and W1
+        (2, "2024-01-03 10:00:00"),  # cohort W0, active W0 only
+        (3, "2024-01-10 10:00:00"),  # cohort W1, active W1
+        (3, "2024-01-16 10:00:00"),  # ... and W2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t string").select(
+        "user_id", F.to_timestamp("t").alias("ts")
+    )
+    out = {
+        (str(r.cohort_week), r.week_offset): (r.n_active, r.n_cohort, r.retention)
+        for r in cohort_retention(df, "user_id", "ts").collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert out[("2024-01-08", 1)] == (1, 1, 1.0)
+    assert len(out) == 4
+
+
+def test_winsorize_clips_at_exact_percentiles(spark):
+    from feature_store_fraud_detection_spark.operators.stats import winsorize
+
+    df = spark.range(1, 101).select(
+        F.col("id").alias("event_id"), F.col("id").cast("double").alias("value")
+    )
+    out = winsorize(df, "value", 0.10, 0.90, id_cols=("event_id",)).collect()
+    # exact linear-interpolated percentiles of 1..100: p10=10.9, p90=90.1
+    clipped = [r.clipped_value for r in out]
+    assert min(clipped) == 10.9 and max(clipped) == 90.1
+    n_clipped = sum(r.was_clipped for r in out)
+    assert n_clipped == 20  # values 1..10 and 91..100
+    # interior values pass through unchanged
+    by_id = {r.event_id: r for r in out}
+    assert by_id[50].clipped_value == 50.0 and by_id[50].was_clipped == 0
