@@ -110,3 +110,34 @@ def test_part_value_threshold_broadcasts_scalar(spark, sf_dir):
     plan = _physical(QUERIES["part_value_threshold"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_broadcasts_stats_and_filters_in_scan_stage(spark, sf_dir):
+    """BM25: the df table and corpus stats are tiny — both must broadcast
+    (the postings side never re-shuffles for them), and the query-term
+    filter must sit in the same stage as the explode so non-matching tokens
+    never leave the scan stage."""
+    plan = _physical(QUERIES["bm25_topk"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats cross join
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+
+
+def test_pack_sequences_single_shard_exchange(spark, sf_dir):
+    """Sequence packing must shuffle exactly once — by shard — and sort
+    once for the prefix-sum window; a global (unpartitioned) window would
+    serialize the corpus through one task."""
+    plan = _physical(QUERIES["pack_sequences"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "shard" in plan.split("Exchange hashpartitioning", 1)[1][:80]
+    assert plan.count("Exchange SinglePartition") == 0
+
+
+def test_dup_ngram_stats_shuffles_digests_not_text(spark, sf_dir):
+    """The inverted-index exchanges must carry the md5 digest column, never
+    the raw shingle text (32-char keys at 100 TB, not documents)."""
+    plan = _physical(QUERIES["dup_ngram_stats"].fn(spark, sf_dir))
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        keys = seg[:120]
+        assert "shingle#" not in keys, keys
