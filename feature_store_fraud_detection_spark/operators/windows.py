@@ -337,3 +337,36 @@ def activity_bursts(
         .agg(F.max("__len").alias("longest_day_streak"))
     )
     return hstats.join(streaks, key)
+
+
+def sliding_distinct_counts(
+    df: DataFrame, key: str, ts_col: str, window_days: int = 7
+) -> DataFrame:
+    """Exact rolling ``window_days``-day distinct-key counts per day (the
+    "7-day active users" metric) — the one sliding aggregate that is NOT
+    algebraic, so no window frame computes it.
+
+    Scale shape: reduce to the distinct (key, day) activity table first
+    (one keyed agg — |keys x active days|, tiny vs |events|), then explode
+    each activity day to the ``window_days`` trailing windows it feeds
+    (bounded x``window_days`` fan-out of the SMALL table) and run one
+    hash countDistinct per day. Cost is O(|activity| x window_days) with
+    map-side partials — never a per-day scan of history, never a global
+    sort. Days outside the observed range are dropped by a semi-join
+    against the present days.
+    """
+    days = df.select(
+        F.col(key), F.col(ts_col).cast("date").alias("d")
+    ).distinct()
+    present = days.select(F.col("d").alias("day")).distinct()
+    covered = days.select(
+        F.col(key),
+        F.explode(
+            F.expr(f"sequence(d, date_add(d, {window_days - 1}), interval 1 day)")
+        ).alias("day"),
+    )
+    return (
+        covered.join(present, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct(key).alias("n_active"))
+    )

@@ -3457,7 +3457,70 @@ FROM events CROSS JOIN cuts
 """
 
 
+def _q_incremental_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Split events at a cutoff: aggregate "history", aggregate the "new
+    # batch", merge — the oracle recomputes the same state from scratch
+    # over ALL events, proving merge == full recompute exactly.
+    from feature_store_fraud_detection_spark.operators.incremental import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = "2024-01-20 00:00:00"
+    hist = aggregate_state(
+        ev.filter(F.col("ts") < cutoff), "user_id", "ts", "value"
+    )
+    batch = aggregate_state(
+        ev.filter(F.col("ts") >= cutoff), "user_id", "ts", "value"
+    )
+    return merge_aggregate_state(hist, batch, "user_id")
+
+
+_INCREMENTAL_MERGE_SQL = """
+SELECT user_id,
+       count(*) AS txn_count,
+       sum(CAST(value AS DECIMAL(18,2))) AS value_sum,
+       min(value) AS value_min,
+       max(value) AS value_max,
+       max(ts) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+def _q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.windows import (
+        sliding_distinct_counts,
+    )
+
+    return sliding_distinct_counts(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", window_days=7
+    )
+
+
+_SLIDING_DISTINCT_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+cov AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+                                     CAST(d + 6 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM days
+)
+SELECT cov.day, count(DISTINCT cov.user_id) AS n_active
+FROM cov SEMI JOIN (SELECT DISTINCT d FROM days) p ON cov.day = p.d
+GROUP BY cov.day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "incremental_state_merge": QuerySpec(
+        _q_incremental_state_merge, _INCREMENTAL_MERGE_SQL
+    ),
+    "sliding_distinct_users": QuerySpec(_q_sliding_distinct, _SLIDING_DISTINCT_SQL),
     "cohort_retention": QuerySpec(_q_cohort_retention, _COHORT_RETENTION_SQL),
     "winsorize_values": QuerySpec(_q_winsorize, _WINSORIZE_SQL),
     "unigram_nll": QuerySpec(_q_unigram_nll, _UNIGRAM_NLL_SQL),

@@ -274,3 +274,64 @@ def test_morton_key_reference_and_locality(spark, sf_dir):
     # z-order keeps consecutive rows inside small 2-D tiles; time order
     # scatters them across the full (user x value) plane
     assert chunked_bbox_area(z_sorted) * 5 < chunked_bbox_area(t_sorted)
+
+
+def test_incremental_state_merge_equals_full_recompute(spark):
+    from feature_store_fraud_detection_spark.operators.incremental import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10.0),
+        (1, "2024-01-02 00:00:00", 20.0),
+        (2, "2024-01-03 00:00:00", 5.0),
+        (1, "2024-01-10 00:00:00", 1.5),   # batch 2
+        (3, "2024-01-11 00:00:00", 99.0),  # batch 2, NEW key
+        (2, "2024-01-20 00:00:00", 0.25),  # batch 3
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t string, value double").select(
+        "user_id", F.to_timestamp("t").alias("ts"), "value"
+    )
+    full = aggregate_state(df, "user_id", "ts", "value")
+    # replay as three chained daily merges
+    state = aggregate_state(df.filter("ts < '2024-01-05'"), "user_id", "ts", "value")
+    for lo, hi in [("2024-01-05", "2024-01-15"), ("2024-01-15", "2024-01-25")]:
+        b = aggregate_state(
+            df.filter(f"ts >= '{lo}' and ts < '{hi}'"), "user_id", "ts", "value"
+        )
+        state = merge_aggregate_state(state, b, "user_id")
+    as_rows = lambda d: {
+        r.user_id: (r.txn_count, str(r.value_sum), r.value_min, r.value_max, r.last_ts)
+        for r in d.collect()
+    }
+    assert as_rows(state) == as_rows(full)
+    # merging an EMPTY batch is the identity
+    empty = aggregate_state(df.filter("value < 0"), "user_id", "ts", "value")
+    assert as_rows(merge_aggregate_state(state, empty, "user_id")) == as_rows(full)
+
+
+def test_sliding_distinct_counts_fixture(spark):
+    from feature_store_fraud_detection_spark.operators.windows import (
+        sliding_distinct_counts,
+    )
+
+    rows = [
+        (1, "2024-01-01 09:00:00"),
+        (2, "2024-01-01 10:00:00"),
+        (1, "2024-01-05 09:00:00"),
+        (3, "2024-01-09 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t string").select(
+        "user_id", F.to_timestamp("t").alias("ts")
+    )
+    out = {
+        str(r.day): r.n_active
+        for r in sliding_distinct_counts(df, "user_id", "ts", window_days=7).collect()
+    }
+    # only observed days appear; each counts the trailing 7-day distinct set
+    assert out == {
+        "2024-01-01": 2,          # users 1,2 on the day itself
+        "2024-01-05": 2,          # users 1,2 (Jan 1) + 1 (Jan 5) -> {1,2}
+        "2024-01-09": 2,          # user 3 (Jan 9) + user 1 (Jan 5 within 7d)
+    }
