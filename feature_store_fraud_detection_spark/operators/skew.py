@@ -72,3 +72,35 @@ def salted_join(
     )
     out = salted_facts.join(replicated_dim, [key, "__salt"])
     return out.drop("__salt")
+
+
+def key_skew_profile(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
+    """Key-distribution diagnostic: the top-N heaviest keys with their row
+    counts, traffic share, and ratio to a uniform key (ratio 40x means this
+    key's reducer gets 40 keys' worth of rows — the number that tells you
+    whether the plain keyed shuffle survives or needs `salted_stats`/
+    `bucketed_trailing_aggs`).
+
+    One keyed count (map-side combined), a broadcast 1-row total, and a
+    total-order top-N (count desc, key) via TakeOrderedAndProject — safe to
+    run on the full 100 TB fact table as a planning probe.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__n_keys")
+    )
+    from feature_store_fraud_detection_spark.functions.numeric import round4_stable
+
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(key),
+            F.col("cnt"),
+            round4_stable(F.col("cnt") / F.col("__total")).alias("share"),
+            round4_stable(
+                F.col("cnt").cast("double") * F.col("__n_keys") / F.col("__total")
+            ).alias("ratio_to_uniform"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col(key))
+        .limit(top_n)
+    )

@@ -3516,7 +3516,33 @@ GROUP BY cov.day
 """
 
 
+def _q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.skew import (
+        key_skew_profile,
+    )
+
+    return key_skew_profile(
+        load_table(spark, sf_dir, "events"), "user_id", top_n=20
+    )
+
+
+_KEY_SKEW_SQL = """
+WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+),
+totals AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM counts)
+SELECT user_id, cnt,
+       floor(cnt / CAST(total AS DOUBLE) * 10000 + 0.5) / 10000 AS share,
+       floor((CAST(cnt AS DOUBLE) * n_keys / total) * 10000 + 0.5) / 10000
+         AS ratio_to_uniform
+FROM counts CROSS JOIN totals
+ORDER BY cnt DESC, user_id
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "key_skew_profile": QuerySpec(_q_key_skew_profile, _KEY_SKEW_SQL),
     "incremental_state_merge": QuerySpec(
         _q_incremental_state_merge, _INCREMENTAL_MERGE_SQL
     ),

@@ -319,3 +319,37 @@ def run_point_in_time_enrich(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+class IdempotentBatchSink:
+    """foreachBatch sink with exactly-once REPLAY semantics.
+
+    Structured Streaming's foreachBatch is at-least-once: after a failure,
+    the last uncommitted micro-batch is re-delivered with the SAME
+    batch_id. A plain append would duplicate it. This sink writes every
+    batch into its own ``batch_id=N`` partition with dynamic partition
+    overwrite, so a re-delivered batch REPLACES its own partition — output
+    equals exactly-once regardless of retries. (The same idempotence
+    contract a Delta `txnVersion`/MERGE gives; expressed here on plain
+    partitioned parquet.)
+
+    Scale: each micro-batch touches only its own partition; no read-back,
+    no state, no driver materialization.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.path)
+        )
+
+    def read(self, spark) -> DataFrame:
+        return spark.read.parquet(self.path)

@@ -185,3 +185,19 @@ def test_winsorize_clips_at_exact_percentiles(spark):
     # interior values pass through unchanged
     by_id = {r.event_id: r for r in out}
     assert by_id[50].clipped_value == 50.0 and by_id[50].was_clipped == 0
+
+
+def test_key_skew_profile_identifies_hot_key(spark):
+    from feature_store_fraud_detection_spark.operators.skew import (
+        key_skew_profile,
+    )
+
+    df = spark.range(100).select(
+        F.when(F.col("id") < 60, F.lit(7)).otherwise(F.col("id")).alias("k")
+    )
+    out = key_skew_profile(df, "k", top_n=3).collect()
+    assert out[0].k == 7 and out[0].cnt == 60
+    assert out[0].share == 0.6
+    # 41 distinct keys, uniform would be 100/41 rows; key 7 carries 60
+    assert out[0].ratio_to_uniform == round(60 * 41 / 100, 4)
+    assert all(r.cnt == 1 for r in out[1:])
