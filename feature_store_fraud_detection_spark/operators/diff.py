@@ -1,0 +1,71 @@
+"""Snapshot differencing (CDC): what changed between two versions of a
+keyed table.
+
+The feature-store audit question — "which keys' features changed since
+yesterday's snapshot, and how" — answered with ONE keyed full-outer join:
+rows only in the new snapshot are ``added``, only in the old are
+``removed``, present in both with any differing compare column are
+``updated``; unchanged rows are dropped (the overwhelming majority at
+scale, so the output is the small changeset).
+
+Scale: both snapshots hash-partition on the key once; comparison is a
+row-local struct equality (null-safe <=>), no second pass. With bucketed
+snapshot layouts the join needs no shuffle at all. The changeset feeds
+an online-store upsert directly (only touched keys re-publish).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """(key, change_type, <old_/new_ compare columns>) for every key whose
+    row was added, removed, or updated between the two snapshots."""
+    # presence markers, not column nullness: a present row may legitimately
+    # hold NULL in every compare column
+    o = old.select(
+        F.col(key),
+        F.lit(1).alias("__in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(key),
+        F.lit(1).alias("__in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, key, "full_outer")
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
+    unchanged = reduce_and(
+        [F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")) for c in compare_cols]
+    )
+    return (
+        j.withColumn(
+            "change_type",
+            F.when(~in_old, F.lit("added"))
+            .when(~in_new, F.lit("removed"))
+            .when(unchanged, F.lit("unchanged"))
+            .otherwise(F.lit("updated")),
+        )
+        .filter(F.col("change_type") != "unchanged")
+        .select(
+            key,
+            "change_type",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )
+
+
+def reduce_and(conds) -> "F.Column":
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out

@@ -1,0 +1,72 @@
+"""Declarative data-quality validation: run a rule set over a table in ONE
+aggregation pass and emit a violations report.
+
+The pre-publish gate of a feature pipeline ("don't ship a snapshot whose
+null rate jumped"): each rule compiles to a conditional-count column
+expression, so N rules cost one scan + one 1-row aggregate — never N
+passes. Referential-integrity rules add one left-anti probe against the
+(broadcastable or key-shuffled) parent keys.
+
+Rules are plain data (name, predicate column), so pipelines can assemble
+them programmatically; the report is a DataFrame (rule, n_violations,
+violation_rate) — joinable, storable, alertable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from feature_store_fraud_detection_spark.functions.numeric import round4_stable
+
+
+def not_null(col: str) -> tuple[str, Column]:
+    return (f"{col}_not_null", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo: float, hi: float) -> tuple[str, Column]:
+    return (f"{col}_in_range", (F.col(col) >= lo) & (F.col(col) <= hi))
+
+
+def one_of(col: str, allowed: list) -> tuple[str, Column]:
+    return (f"{col}_one_of", F.col(col).isin(allowed))
+
+
+def matches(col: str, pattern: str) -> tuple[str, Column]:
+    return (f"{col}_matches", F.col(col).rlike(pattern))
+
+
+def validate(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
+    """One-pass violations report: (rule, n_violations, violation_rate).
+    A NULL predicate result counts as a violation (unknown fails the gate).
+    """
+    total = F.count(F.lit(1))
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)
+        ).alias(f"__v_{name}")
+        for name, pred in rules
+    ]
+    row = df.agg(total.alias("__total"), *aggs)
+    reports = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col(f"__v_{name}").cast("bigint").alias("n_violations"),
+            round4_stable(
+                F.col(f"__v_{name}") / F.col("__total").cast("double")
+            ).alias("violation_rate"),
+        )
+        for name, _ in rules
+    ]
+    return (
+        row.select(F.explode(F.array(*reports)).alias("r"))
+        .select("r.rule", "r.n_violations", "r.violation_rate")
+    )
+
+
+def referential_violations(
+    child: DataFrame, parent: DataFrame, fk: str, pk: str
+) -> DataFrame:
+    """Child rows whose foreign key has no parent (left-anti join — the
+    probe side broadcasts when the parent key set is bounded)."""
+    return child.join(parent.select(F.col(pk).alias(fk)), fk, "left_anti")

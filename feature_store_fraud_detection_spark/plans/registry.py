@@ -3541,7 +3541,104 @@ LIMIT 20
 """
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDC between yesterday's feature snapshot (events < cutoff) and
+    # today's (all events): new-key rows are 'added', keys with
+    # post-cutoff activity are 'updated', quiet keys drop out.
+    from feature_store_fraud_detection_spark.operators.diff import table_diff
+    from feature_store_fraud_detection_spark.operators.incremental import (
+        aggregate_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = "2024-01-20 00:00:00"
+    old = aggregate_state(
+        ev.filter(F.col("ts") < cutoff), "user_id", "ts", "value"
+    ).select("user_id", "txn_count", "value_sum")
+    new = aggregate_state(ev, "user_id", "ts", "value").select(
+        "user_id", "txn_count", "value_sum"
+    )
+    return table_diff(old, new, "user_id", ["txn_count", "value_sum"])
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT user_id, count(*) AS txn_count,
+         sum(CAST(value AS DECIMAL(18,2))) AS value_sum
+  FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00' GROUP BY user_id
+),
+new AS (
+  SELECT user_id, count(*) AS txn_count,
+         sum(CAST(value AS DECIMAL(18,2))) AS value_sum
+  FROM events GROUP BY user_id
+),
+j AS (
+  SELECT coalesce(o.user_id, n.user_id) AS user_id,
+         o.user_id IS NOT NULL AS in_old, n.user_id IS NOT NULL AS in_new,
+         o.txn_count AS old_txn_count, o.value_sum AS old_value_sum,
+         n.txn_count AS new_txn_count, n.value_sum AS new_value_sum
+  FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+)
+SELECT user_id,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            ELSE 'updated' END AS change_type,
+       old_txn_count, old_value_sum, new_txn_count, new_value_sum
+FROM j
+WHERE NOT (in_old AND in_new
+           AND old_txn_count IS NOT DISTINCT FROM new_txn_count
+           AND old_value_sum IS NOT DISTINCT FROM new_value_sum)
+"""
+
+
+def _q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators import validate as V
+
+    ev = load_table(spark, sf_dir, "events")
+    rules = [
+        V.not_null("value"),
+        V.in_range("value", 0.0, 100.0),
+        V.one_of("event_type", ["click", "view", "purchase", "signup"]),
+        V.matches("props", r"^\{"),
+    ]
+    return V.validate(ev, rules)
+
+
+_VALIDATE_SQL = r"""
+WITH agg AS (
+  SELECT count(*) AS total,
+         sum(CASE WHEN coalesce(value IS NOT NULL, FALSE) THEN 0 ELSE 1 END)
+           AS v1,
+         sum(CASE WHEN coalesce(value >= 0.0 AND value <= 100.0, FALSE)
+                  THEN 0 ELSE 1 END) AS v2,
+         sum(CASE WHEN coalesce(event_type IN
+                    ('click', 'view', 'purchase', 'signup'), FALSE)
+                  THEN 0 ELSE 1 END) AS v3,
+         sum(CASE WHEN coalesce(regexp_matches(props, '^\{'), FALSE)
+                  THEN 0 ELSE 1 END) AS v4
+  FROM events
+)
+SELECT 'value_not_null' AS rule, CAST(v1 AS BIGINT) AS n_violations,
+       floor(v1 / CAST(total AS DOUBLE) * 10000 + 0.5) / 10000 AS violation_rate
+FROM agg
+UNION ALL
+SELECT 'value_in_range', CAST(v2 AS BIGINT),
+       floor(v2 / CAST(total AS DOUBLE) * 10000 + 0.5) / 10000
+FROM agg
+UNION ALL
+SELECT 'event_type_one_of', CAST(v3 AS BIGINT),
+       floor(v3 / CAST(total AS DOUBLE) * 10000 + 0.5) / 10000
+FROM agg
+UNION ALL
+SELECT 'props_matches', CAST(v4 AS BIGINT),
+       floor(v4 / CAST(total AS DOUBLE) * 10000 + 0.5) / 10000
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "snapshot_diff": QuerySpec(_q_snapshot_diff, _SNAPSHOT_DIFF_SQL),
+    "validate_events": QuerySpec(_q_validate_events, _VALIDATE_SQL),
     "key_skew_profile": QuerySpec(_q_key_skew_profile, _KEY_SKEW_SQL),
     "incremental_state_merge": QuerySpec(
         _q_incremental_state_merge, _INCREMENTAL_MERGE_SQL

@@ -172,3 +172,59 @@ class OfflineStore:
     def bulk(self, order_by: str, limit: int = 100_000) -> DataFrame:
         """Bulk export (reference S12/P8) with a deterministic order."""
         return self.read().drop(PARTITION_COL).orderBy(order_by).limit(limit)
+
+
+class SnapshotStore:
+    """Versioned immutable snapshots over plain parquet — the "training
+    dataset version" contract a feature store owes its consumers: publish
+    writes a new numbered snapshot, readers PIN a version (reproducible
+    training/backtests), latest() serves the current one, and two versions
+    diff into a changeset.
+
+    Layout: ``<root>/v=<N>/`` parquet dirs, one per version, never mutated
+    after publish (publish writes to the next free N). On a lakehouse this
+    is Delta/Iceberg time travel; the contract here is identical on plain
+    parquet, with the version listing coming from the directory names (a
+    production deployment would record them in a catalog table — the
+    read/pin/diff API is unchanged).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        import os
+
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def versions(self) -> list[int]:
+        import os
+
+        return sorted(
+            int(d[2:])
+            for d in os.listdir(self.root)
+            if d.startswith("v=") and d[2:].isdigit()
+        )
+
+    def publish(self, df: DataFrame) -> int:
+        vs = self.versions()
+        v = (vs[-1] + 1) if vs else 1
+        df.write.mode("errorifexists").parquet(f"{self.root}/v={v}")
+        return v
+
+    def read_version(self, v: int) -> DataFrame:
+        return self.spark.read.parquet(f"{self.root}/v={v}")
+
+    def latest(self) -> DataFrame:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no snapshots under {self.root}")
+        return self.read_version(vs[-1])
+
+    def diff(
+        self, v_old: int, v_new: int, key: str, compare_cols: list[str]
+    ) -> DataFrame:
+        from feature_store_fraud_detection_spark.operators.diff import table_diff
+
+        return table_diff(
+            self.read_version(v_old), self.read_version(v_new), key, compare_cols
+        )

@@ -335,3 +335,71 @@ def test_sliding_distinct_counts_fixture(spark):
         "2024-01-05": 2,          # users 1,2 (Jan 1) + 1 (Jan 5) -> {1,2}
         "2024-01-09": 2,          # user 3 (Jan 9) + user 1 (Jan 5 within 7d)
     }
+
+
+def test_table_diff_change_types(spark):
+    from feature_store_fraud_detection_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, None, "c")],
+        "k long, v int, s string",
+    )
+    new = spark.createDataFrame(
+        [(2, 21, "b"), (3, None, "c"), (4, 40, "d")],
+        "k long, v int, s string",
+    )
+    out = {r.k: r for r in table_diff(old, new, "k", ["v", "s"]).collect()}
+    assert out[1].change_type == "removed" and out[1].new_v is None
+    assert out[2].change_type == "updated" and (out[2].old_v, out[2].new_v) == (20, 21)
+    assert out[4].change_type == "added" and out[4].old_v is None
+    # key 3 is unchanged (NULL v on both sides compares equal null-safely)
+    assert 3 not in out
+
+
+def test_validate_rules_and_referential(spark):
+    from feature_store_fraud_detection_spark.operators import validate as V
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "click"), (2, -1.0, "click"), (3, None, "hack"), (4, 50.0, "view")],
+        "id long, value double, event_type string",
+    )
+    report = {
+        r.rule: (r.n_violations, r.violation_rate)
+        for r in V.validate(
+            df,
+            [
+                V.not_null("value"),
+                V.in_range("value", 0.0, 10.0),
+                V.one_of("event_type", ["click", "view"]),
+            ],
+        ).collect()
+    }
+    assert report["value_not_null"] == (1, 0.25)
+    # -1 out of range, None fails the gate too, 50 out of range
+    assert report["value_in_range"] == (3, 0.75)
+    assert report["event_type_one_of"] == (1, 0.25)
+
+    child = spark.createDataFrame([(1, 100), (2, 999)], "id long, fk long")
+    parent = spark.createDataFrame([(100,)], "pk long")
+    orphans = V.referential_violations(child, parent, "fk", "pk").collect()
+    assert [r.id for r in orphans] == [2]
+
+
+def test_snapshot_store_versions_pin_and_diff(spark, tmp_path):
+    from feature_store_fraud_detection_spark.sources.offline_store import (
+        SnapshotStore,
+    )
+
+    store = SnapshotStore(spark, str(tmp_path / "snaps"))
+    v1 = store.publish(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    )
+    v2 = store.publish(
+        spark.createDataFrame([(2, 21.0), (3, 30.0)], "k long, v double")
+    )
+    assert (v1, v2) == (1, 2) and store.versions() == [1, 2]
+    # pinned reads are immutable and independent
+    assert {r.k for r in store.read_version(1).collect()} == {1, 2}
+    assert {r.k for r in store.latest().collect()} == {2, 3}
+    d = {r.k: r.change_type for r in store.diff(1, 2, "k", ["v"]).collect()}
+    assert d == {1: "removed", 2: "updated", 3: "added"}
