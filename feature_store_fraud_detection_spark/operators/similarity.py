@@ -392,3 +392,75 @@ def sq8_topk(
         .filter(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "qcosine", "rank")
     )
+
+
+def knn_classify(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_max_id: int,
+    k: int = 5,
+) -> DataFrame:
+    """k-nearest-neighbor label prediction: each query vector (id <
+    query_max_id) takes the majority label of its k nearest (cosine)
+    neighbors in the labeled corpus (id >= query_max_id), ties broken
+    toward the smaller label — fully deterministic, so the prediction is
+    oracle-checkable end to end.
+
+    Scale: identical profile to cosine_topk (broadcast queries, one corpus
+    scan, WindowGroupLimit top-k) plus two tiny aggregates over |queries| x
+    k rows. Swap the scan side for lsh/ivf bucket probes at 100 TB — the
+    voting stages are unchanged.
+    """
+    from pyspark.sql import Window
+
+    vec_d = _to_double(F.col(vec_col))
+    base = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        vec_d.alias("__vec_d"),
+        F.sqrt(dot_expr(vec_d, vec_d)).alias("__norm"),
+    )
+    q = base.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__vec_d").alias("__qvec"),
+        F.col("__norm").alias("__qnorm"),
+    )
+    corpus = base.filter(F.col(id_col) >= query_max_id)
+    scored = (
+        F.broadcast(q)
+        .join(corpus)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            round4_stable(
+                cosine_expr(
+                    F.col("__qvec"), F.col("__vec_d"),
+                    F.col("__qnorm"), F.col("__norm"),
+                )
+            ).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = scored.withColumn("rn", F.row_number().over(w_rank)).filter(
+        F.col("rn") <= k
+    )
+    votes = topk.groupBy("query_id", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("neighbor_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_label").alias("predicted_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+    )

@@ -3636,7 +3636,62 @@ FROM agg
 """
 
 
+def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    return knn_classify(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        "label", query_max_id=20, k=5,
+    )
+
+
+_KNN_CLASSIFY_SQL = """
+WITH vl AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+),
+vn AS (
+  SELECT vec_id, label, vd,
+         sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b))
+           AS nrm
+  FROM vl
+),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         n.label AS neighbor_label,
+         floor(list_reduce(list_transform(range(1, len(q.vd) + 1),
+                                          i -> q.vd[i] * n.vd[i]),
+                           (x, y) -> x + y) / (q.nrm * n.nrm)
+               * 10000 + 0.5) / 10000 AS cosine
+  FROM vn q JOIN vn n ON n.vec_id >= 20
+  WHERE q.vec_id < 20
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM scored
+  ) WHERE rn <= 5
+),
+votes AS (
+  SELECT query_id, neighbor_label, count(*) AS n_votes
+  FROM topk GROUP BY 1, 2
+)
+SELECT query_id, neighbor_label AS predicted_label,
+       CAST(n_votes AS BIGINT) AS n_votes
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, neighbor_label) AS vr
+  FROM votes
+) WHERE vr = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "knn_classify": QuerySpec(_q_knn_classify, _KNN_CLASSIFY_SQL),
     "snapshot_diff": QuerySpec(_q_snapshot_diff, _SNAPSHOT_DIFF_SQL),
     "validate_events": QuerySpec(_q_validate_events, _VALIDATE_SQL),
     "key_skew_profile": QuerySpec(_q_key_skew_profile, _KEY_SKEW_SQL),

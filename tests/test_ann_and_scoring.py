@@ -128,3 +128,29 @@ def test_state_dict_import_scores_bit_equal(spark, tmp_path):
     assert all(got_a[i] == got_b[i] for i in range(len(x)))
     local = forward(x, w_direct)
     assert np.allclose([got_a[i] for i in range(len(x))], local, atol=1e-12)
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    # query 0 points along +x; corpus: labels 1,2,2 nearest in that order
+    rows = [
+        (0, [1.0, 0.0], 9),    # query (own label ignored)
+        (10, [1.0, 0.1], 1),   # cos ~0.9950, nearest
+        (11, [1.0, -0.1], 2),  # cos ~0.9950 (equal after rounding)
+        (12, [0.9, 0.2], 2),   # cos ~0.9762
+        (13, [0.0, 1.0], 3),
+        (14, [0.1, 1.0], 3),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    # k=3: votes {1:1, 2:2} -> majority label 2
+    out = knn_classify(df, "vec_id", "embedding", "label", query_max_id=5, k=3).collect()
+    assert len(out) == 1 and out[0].query_id == 0
+    assert out[0].predicted_label == 2 and out[0].n_votes == 2
+
+    # k=2: neighbors 10 and 11 (equal cosine, id tiebreak) -> one vote
+    # each for labels 1 and 2; the SMALLER label wins the tie
+    out2 = knn_classify(df, "vec_id", "embedding", "label", query_max_id=5, k=2).collect()
+    assert out2[0].predicted_label == 1 and out2[0].n_votes == 1
