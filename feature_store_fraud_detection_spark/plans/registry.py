@@ -3690,7 +3690,75 @@ FROM (
 """
 
 
+def _q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-3 event types per day by event count — the "trending items per
+    # window" report: one (bucket, type) hash agg, then a per-bucket top-N
+    # (WindowGroupLimit prunes before the sort; total order via type).
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            F.col("ts").cast("date").alias("day"),
+            F.col("event_type"),
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("day", "event_type", "n_events", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_TRENDING_TOPK_SQL = """
+WITH counts AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, n_events, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY day
+                               ORDER BY n_events DESC, event_type) AS rank
+  FROM counts
+) WHERE rank <= 3
+"""
+
+
+def _q_value_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the analytic-rank surface in one query: percent_rank / cume_dist /
+    # quartile per value within its event type (total order via event_id
+    # tiebreak so every rank function is deterministic)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value"), F.col("event_id")
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        _round4_pos(F.percent_rank().over(w)).alias("pct_rank"),
+        _round4_pos(F.cume_dist().over(w)).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+_VALUE_RANK_SQL = """
+SELECT event_id, event_type, value,
+       floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS pct_rank,
+       floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cume,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "trending_topk": QuerySpec(_q_trending_topk, _TRENDING_TOPK_SQL),
+    "value_rank_profile": QuerySpec(_q_value_rank_profile, _VALUE_RANK_SQL),
     "knn_classify": QuerySpec(_q_knn_classify, _KNN_CLASSIFY_SQL),
     "snapshot_diff": QuerySpec(_q_snapshot_diff, _SNAPSHOT_DIFF_SQL),
     "validate_events": QuerySpec(_q_validate_events, _VALIDATE_SQL),

@@ -141,3 +141,11 @@ def test_dup_ngram_stats_shuffles_digests_not_text(spark, sf_dir):
     for seg in plan.split("Exchange hashpartitioning")[1:]:
         keys = seg[:120]
         assert "shingle#" not in keys, keys
+
+
+def test_trending_topk_uses_window_group_limit(spark, sf_dir):
+    """Per-window top-N must prune per partition (WindowGroupLimit) before
+    the rank sort — the plan that keeps 'trending per window' cheap when
+    windows hold millions of candidates."""
+    plan = _physical(QUERIES["trending_topk"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
