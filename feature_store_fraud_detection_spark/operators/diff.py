@@ -69,3 +69,34 @@ def reduce_and(conds) -> "F.Column":
     for c in conds[1:]:
         out = out & c
     return out
+
+
+def apply_diff(old: DataFrame, changeset: DataFrame, key: str, compare_cols: list[str]) -> DataFrame:
+    """Reconstruct the new snapshot from the old one plus a table_diff
+    changeset — the consumer side of CDC (apply yesterday's snapshot +
+    today's changeset instead of re-shipping the full table).
+
+    removed keys drop, updated keys take their new_ values, added keys
+    insert; ``apply_diff(old, table_diff(old, new), ...) == new`` exactly
+    (the round-trip law the tests assert). One keyed outer join, same
+    scale profile as table_diff.
+    """
+    ch = changeset.select(
+        F.col(key),
+        F.col("change_type"),
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )
+    o = old.select(F.col(key), *[F.col(c).alias(f"old_{c}") for c in compare_cols])
+    j = o.join(ch, key, "full_outer")
+    keep = F.col("change_type").isNull() | (F.col("change_type") != "removed")
+    return j.filter(keep).select(
+        F.col(key),
+        *[
+            F.when(
+                F.col("change_type").isin("added", "updated"), F.col(f"new_{c}")
+            )
+            .otherwise(F.col(f"old_{c}"))
+            .alias(c)
+            for c in compare_cols
+        ],
+    )

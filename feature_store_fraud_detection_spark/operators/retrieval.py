@@ -83,3 +83,124 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(n)
     )
+
+
+def _md5_int(prefix: str, col: Column) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def hashed_doc_vectors(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 64
+) -> DataFrame:
+    """Sparse document vectors via the hashing trick: token -> md5 bucket in
+    [0, dim), signed (second salted hash bit), weighted by exact TF-IDF —
+    text similarity WITHOUT an embedding model, at tokenizer cost.
+
+    Long format (doc_id, bucket, w): the natural layout for inverted-index
+    dot products and for feeding `similarity`'s dense kernels after a
+    pivot. No vocabulary fit, no driver state — every stage is a keyed
+    hash aggregate, so the transform is stateless and streamable.
+
+    Determinism: bucket collisions sum multiple tokens' weights — the fold
+    runs over the SORTED contribution list (fixed IEEE order, the repo
+    rule), and weights round to 4 before anything downstream reads them.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    term_c = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    sign = F.when(_md5_int("s|", F.col("term")) % 2 == 0, F.lit(1.0)).otherwise(
+        F.lit(-1.0)
+    )
+    contribs = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            (_md5_int("b|", F.col("term")) % dim).alias("bucket"),
+            (sign * term_c).alias("c"),
+        )
+    )
+    folded = F.aggregate(
+        F.array_sort(F.collect_list("c")), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        contribs.groupBy(id_col, "bucket")
+        .agg(round4_stable(folded).alias("w"))
+        .filter(F.col("w") != 0.0)
+    )
+
+
+def hashed_vector_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_max_id: int,
+    dim: int = 64,
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-k most-similar documents per query doc (id < query_max_id) by
+    cosine over the hashed TF-IDF vectors — sparse dot products computed as
+    an inverted-index join on the bucket id, so disjoint vectors never
+    meet and shuffle traffic is |matching (doc, bucket) postings|.
+
+    The dot-product sum per pair and the norm sum per doc both fold sorted
+    lists (engine-fixed IEEE order). Output ranks with a total order
+    (cosine desc, neighbor id).
+    """
+    from pyspark.sql import Window
+
+    vecs = hashed_doc_vectors(df, id_col, text_col, dim)
+    norms = vecs.groupBy(id_col).agg(
+        F.sqrt(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.col("w") * F.col("w"))),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("nrm")
+    )
+    q = vecs.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"), "bucket", F.col("w").alias("wq")
+    )
+    c = vecs.select(
+        F.col(id_col).alias("neighbor_id"), "bucket", F.col("w").alias("wc")
+    )
+    dots = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.col("wq") * F.col("wc"))),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("dot")
+        )
+    )
+    qn = norms.select(F.col(id_col).alias("query_id"), F.col("nrm").alias("qn"))
+    cn = norms.select(
+        F.col(id_col).alias("neighbor_id"), F.col("nrm").alias("cn")
+    )
+    scored = (
+        dots.join(qn, "query_id")
+        .join(cn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            round4_stable(F.col("dot") / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )

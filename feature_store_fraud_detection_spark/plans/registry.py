@@ -3756,7 +3756,93 @@ WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
 """
 
 
+def _q_hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.retrieval import (
+        hashed_doc_vectors,
+    )
+
+    return hashed_doc_vectors(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", dim=64
+    )
+
+
+def _q_hashed_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.retrieval import (
+        hashed_vector_topk,
+    )
+
+    return hashed_vector_topk(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        query_max_id=10, dim=64, top_k=5,
+    )
+
+
+# shared substrate: signed hashed TF-IDF vectors, sorted-fold per bucket
+_HASHED_VECS_CTE = r"""
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+contribs AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5('b|' || term), 1, 15) AS BIGINT) % 64
+           AS bucket,
+         (CASE WHEN CAST('0x' || substring(md5('s|' || term), 1, 15)
+                         AS BIGINT) % 2 = 0
+               THEN 1.0 ELSE -1.0 END)
+           * (tf * ln(CAST(n_docs AS DOUBLE) / df)) AS c
+  FROM tf JOIN dfc USING (term) CROSS JOIN n
+),
+vecs AS (
+  SELECT doc_id, bucket,
+         floor(list_reduce(list_sort(list(c)), (a, b) -> a + b)
+               * 10000 + 0.5) / 10000 AS w
+  FROM contribs GROUP BY 1, 2
+  HAVING floor(list_reduce(list_sort(list(c)), (a, b) -> a + b)
+               * 10000 + 0.5) / 10000 != 0.0
+)
+"""
+
+_HASHED_VECS_SQL = f"""
+WITH {_HASHED_VECS_CTE}
+SELECT doc_id, bucket, w FROM vecs
+"""
+
+_HASHED_TOPK_SQL = f"""
+WITH {_HASHED_VECS_CTE},
+norms AS (
+  SELECT doc_id,
+         sqrt(list_reduce(list_sort(list(w * w)), (a, b) -> a + b)) AS nrm
+  FROM vecs GROUP BY 1
+),
+dots AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         list_reduce(list_sort(list(q.w * c.w)), (a, b) -> a + b) AS dot
+  FROM vecs q JOIN vecs c USING (bucket)
+  WHERE q.doc_id < 10 AND q.doc_id != c.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         floor(dot / (qn.nrm * cn.nrm) * 10000 + 0.5) / 10000 AS cosine
+  FROM dots
+  JOIN norms qn ON qn.doc_id = query_id
+  JOIN norms cn ON cn.doc_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "hashed_doc_vectors": QuerySpec(_q_hashed_doc_vectors, _HASHED_VECS_SQL),
+    "hashed_vector_topk": QuerySpec(_q_hashed_vector_topk, _HASHED_TOPK_SQL),
     "trending_topk": QuerySpec(_q_trending_topk, _TRENDING_TOPK_SQL),
     "value_rank_profile": QuerySpec(_q_value_rank_profile, _VALUE_RANK_SQL),
     "knn_classify": QuerySpec(_q_knn_classify, _KNN_CLASSIFY_SQL),

@@ -457,3 +457,28 @@ def test_unigram_nll_orders_rare_docs_higher(spark):
     assert out[0].nll == math.floor(nll0 * 10000 + 0.5) / 10000
     assert out[1].nll == math.floor(nll1 * 10000 + 0.5) / 10000
     assert out[1].nll > out[0].nll  # rare-token doc is less likely
+
+
+def test_hashed_vectors_identical_docs_and_ranking(spark):
+    from feature_store_fraud_detection_spark.operators.retrieval import (
+        hashed_doc_vectors,
+        hashed_vector_topk,
+    )
+
+    docs = _docs(spark)
+    vecs = hashed_doc_vectors(docs, "doc_id", "text", dim=16)
+    v0 = {(r.bucket, r.w) for r in vecs.filter("doc_id = 0").collect()}
+    v3 = {(r.bucket, r.w) for r in vecs.filter("doc_id = 3").collect()}
+    assert v0 == v3 and len(v0) > 0  # identical text -> identical vector
+
+    top = hashed_vector_topk(
+        docs, "doc_id", "text", query_max_id=4, dim=16, top_k=3
+    ).collect()
+    by_query = {}
+    for r in top:
+        by_query.setdefault(r.query_id, []).append(r)
+    # doc 0's nearest neighbor is its exact duplicate 3 at cosine 1.0
+    assert by_query[0][0].neighbor_id == 3 and by_query[0][0].cosine == 1.0
+    # the near-duplicate doc 1 ranks its twins 0/3 above the unrelated doc 2
+    n1 = [r.neighbor_id for r in sorted(by_query[1], key=lambda r: r.rank)]
+    assert set(n1[:2]) == {0, 3}

@@ -403,3 +403,23 @@ def test_snapshot_store_versions_pin_and_diff(spark, tmp_path):
     assert {r.k for r in store.latest().collect()} == {2, 3}
     d = {r.k: r.change_type for r in store.diff(1, 2, "k", ["v"]).collect()}
     assert d == {1: "removed", 2: "updated", 3: "added"}
+
+
+def test_apply_diff_roundtrip_reconstructs_new(spark):
+    from feature_store_fraud_detection_spark.operators.diff import (
+        apply_diff,
+        table_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, None, "c"), (5, 50, "e")],
+        "k long, v int, s string",
+    )
+    new = spark.createDataFrame(
+        [(2, 21, "b"), (3, None, "c"), (4, 40, "d"), (5, 50, "x")],
+        "k long, v int, s string",
+    )
+    ch = table_diff(old, new, "k", ["v", "s"])
+    rebuilt = apply_diff(old, ch, "k", ["v", "s"])
+    as_set = lambda d: {tuple(r) for r in d.collect()}
+    assert as_set(rebuilt) == as_set(new)
