@@ -3840,7 +3840,96 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first-order Markov transition counts + probabilities between
+    # consecutive event types per user (lag window ordered by (ts,
+    # event_id) total order) — the behavioral-sequence features of a fraud
+    # model ("view -> purchase" vs "error -> error" patterns).
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        counts.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            _round4_pos(F.col("n") / F.col("row_total").cast("double")).alias(
+                "p"
+            ),
+        )
+    )
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+totals AS (SELECT from_type, sum(n) AS row_total FROM counts GROUP BY 1)
+SELECT from_type, to_type, n,
+       floor(n / CAST(row_total AS DOUBLE) * 10000 + 0.5) / 10000 AS p
+FROM counts JOIN totals USING (from_type)
+"""
+
+
+def _q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shannon entropy of each user's event-type distribution — the
+    # "behavioral diversity" feature (bots are low-entropy). p*ln(p) terms
+    # are one per (user, type), summed in a SORTED fold (repo float rule).
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("user_id").agg(F.sum("n").alias("total"))
+    terms = counts.join(totals, "user_id").select(
+        "user_id",
+        (
+            -(F.col("n") / F.col("total"))
+            * F.log(F.col("n") / F.col("total"))
+        ).alias("t"),
+    )
+    s = F.aggregate(
+        F.array_sort(F.collect_list("t")), F.lit(0.0), lambda a, x: a + x
+    )
+    return terms.groupBy("user_id").agg(_round4_pos(s).alias("entropy"))
+
+
+_BEHAVIOR_ENTROPY_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+),
+totals AS (SELECT user_id, sum(n) AS total FROM counts GROUP BY 1),
+terms AS (
+  SELECT user_id,
+         -(n / CAST(total AS DOUBLE)) * ln(n / CAST(total AS DOUBLE)) AS t
+  FROM counts JOIN totals USING (user_id)
+)
+SELECT user_id,
+       floor(list_reduce(list_sort(list(t)), (a, b) -> a + b)
+             * 10000 + 0.5) / 10000 AS entropy
+FROM terms GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "event_transitions": QuerySpec(_q_event_transitions, _EVENT_TRANSITIONS_SQL),
+    "behavior_entropy": QuerySpec(_q_behavior_entropy, _BEHAVIOR_ENTROPY_SQL),
     "hashed_doc_vectors": QuerySpec(_q_hashed_doc_vectors, _HASHED_VECS_SQL),
     "hashed_vector_topk": QuerySpec(_q_hashed_vector_topk, _HASHED_TOPK_SQL),
     "trending_topk": QuerySpec(_q_trending_topk, _TRENDING_TOPK_SQL),

@@ -201,3 +201,64 @@ def test_key_skew_profile_identifies_hot_key(spark):
     # 41 distinct keys, uniform would be 100/41 rows; key 7 carries 60
     assert out[0].ratio_to_uniform == round(60 * 41 / 100, 4)
     assert all(r.cnt == 1 for r in out[1:])
+
+
+def test_event_transitions_probabilities(spark):
+    from feature_store_fraud_detection_spark.plans.registry import QUERIES  # noqa
+    from pyspark.sql import Window
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        (2, 1, "a"), (2, 2, "a"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, seq int, event_type string").select(
+        "user_id",
+        F.to_timestamp(F.concat(F.lit("2024-01-0"), F.col("seq"))).alias("ts"),
+        F.col("seq").cast("long").alias("event_id"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = df.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = {
+        (r.from_type, r.to_type): r.n
+        for r in pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # user1: a->b, b->a, a->b; user2: a->a
+    assert counts == {("a", "b"): 2, ("b", "a"): 1, ("a", "a"): 1}
+
+
+def test_behavior_entropy_bounds(spark):
+    import math
+
+    from feature_store_fraud_detection_spark.plans.registry import (
+        _q_behavior_entropy,
+    )
+
+    # user 1: uniform over 2 types -> ln(2); user 2: single type -> 0
+    rows = [
+        (1, "2024-01-01 00:00:00", "a"), (1, "2024-01-02 00:00:00", "b"),
+        (2, "2024-01-01 00:00:00", "a"), (2, "2024-01-02 00:00:00", "a"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t string, event_type string").select(
+        "user_id", F.to_timestamp("t").alias("ts"), "event_type"
+    )
+    counts = df.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("user_id").agg(F.sum("n").alias("total"))
+    terms = counts.join(totals, "user_id").select(
+        "user_id",
+        (-(F.col("n") / F.col("total")) * F.log(F.col("n") / F.col("total"))).alias("t"),
+    )
+    s = F.aggregate(F.array_sort(F.collect_list("t")), F.lit(0.0), lambda a, x: a + x)
+    from feature_store_fraud_detection_spark.functions.numeric import round4_stable
+
+    out = {
+        r.user_id: r.entropy
+        for r in terms.groupBy("user_id").agg(round4_stable(s).alias("entropy")).collect()
+    }
+    assert out[1] == math.floor(math.log(2) * 10000 + 0.5) / 10000
+    assert out[2] == 0.0

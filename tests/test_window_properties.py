@@ -119,3 +119,42 @@ def test_bucketed_trailing_no_bare_key_exchange(spark):
         cols = m.group(1)
         if cols.startswith("k#"):
             assert "__bkt" in cols, f"bare-key exchange found: {cols}"
+
+
+# --- incremental state merge: random splits must equal full recompute ----
+
+merge_event = st.tuples(
+    st.integers(min_value=0, max_value=4),           # user
+    st.integers(min_value=0, max_value=10_000),      # offset seconds
+    st.floats(min_value=0.5, max_value=500, allow_nan=False, width=32),
+    st.integers(min_value=0, max_value=2),           # batch assignment
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(merge_event, min_size=1, max_size=30))
+def test_merge_aggregate_state_equals_full_recompute(spark, events):
+    from feature_store_fraud_detection_spark.operators.incremental import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+
+    rows = [
+        (u, BASE + dt.timedelta(seconds=off), round(float(v), 2), b)
+        for u, off, v, b in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, batch int"
+    )
+    full = aggregate_state(df, "user_id", "ts", "value")
+    state = aggregate_state(df.filter("batch = 0"), "user_id", "ts", "value")
+    for b in (1, 2):
+        part = aggregate_state(
+            df.filter(f"batch = {b}"), "user_id", "ts", "value"
+        )
+        state = merge_aggregate_state(state, part, "user_id")
+    canon = lambda d: {
+        r.user_id: (r.txn_count, str(r.value_sum), r.value_min, r.value_max, r.last_ts)
+        for r in d.collect()
+    }
+    assert canon(state) == canon(full)
