@@ -1,0 +1,79 @@
+"""Spatial proximity join: all point pairs within a radius, grid-bucketed.
+
+The geo analogue of LSH dedup: an all-pairs distance join is quadratic, so
+points are first snapped to a (lat, lon) grid whose cell edge exceeds the
+search radius; any qualifying pair then lies in the same or an adjacent
+cell. One side expands to its 3x3 cell neighborhood (bounded x9 fan-out),
+the other keeps its own cell, and the equi-join on cell ids yields the
+candidate set — each pair exactly once (B's cell occurs once in A's cover).
+Exact haversine verifies candidates.
+
+Scale: the join is a keyed hash join on integer cell ids; shuffle traffic
+is 9x|points| cover rows + |points| — never |points|^2. Dense cells (a
+Manhattan of transactions) are the skew case: cap or sub-split hot cells
+exactly like `dedup.minhash_lsh_pairs`'s max_bucket_size.
+
+Choose ``cell_deg`` >= radius/69mi (1 degree latitude ~= 69 miles) — the
+default 0.05 deg (~3.5 mi) is safe for radii up to ~2.4 mi at |lat| < 60.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feature_store_fraud_detection_spark.functions.geo import haversine_miles
+from feature_store_fraud_detection_spark.functions.numeric import round4_stable
+
+
+def proximity_pairs(
+    df: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    radius_miles: float = 1.0,
+    cell_deg: float = 0.05,
+) -> DataFrame:
+    """(id_a, id_b, dist) for every pair within ``radius_miles`` (id_a <
+    id_b). The distance is 4-decimal rounded BEFORE the radius comparison
+    so the keep set is bit-reproducible across engines."""
+    pts = df.select(
+        F.col(id_col),
+        F.col(lat_col).alias("__lat"),
+        F.col(lon_col).alias("__lon"),
+        F.floor(F.col(lat_col) / cell_deg).alias("__cy"),
+        F.floor(F.col(lon_col) / cell_deg).alias("__cx"),
+    )
+    neighbor_cells = F.array(
+        *[
+            F.struct(
+                (F.col("__cy") + dy).alias("cy"), (F.col("__cx") + dx).alias("cx")
+            )
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    cover = pts.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__lat").alias("lat_a"),
+        F.col("__lon").alias("lon_a"),
+        F.explode(neighbor_cells).alias("c"),
+    ).select("id_a", "lat_a", "lon_a", F.col("c.cy").alias("__cy"), F.col("c.cx").alias("__cx"))
+    right = pts.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__lat").alias("lat_b"),
+        F.col("__lon").alias("lon_b"),
+        "__cy",
+        "__cx",
+    )
+    cand = cover.join(right, ["__cy", "__cx"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    dist = round4_stable(
+        haversine_miles("lat_a", "lon_a", "lat_b", "lon_b")
+    )
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= radius_miles)
+        .select("id_a", "id_b", "dist")
+    )

@@ -3927,7 +3927,63 @@ FROM terms GROUP BY user_id
 """
 
 
+def _q_geo_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairs of (synthesized-coordinate) transactions within 1 mile among
+    # the first 2000 events — grid-bucketed spatial self-join, haversine
+    # verified. Coordinates use the same adapter expressions as _TXNS_CTE.
+    from feature_store_fraud_detection_spark.operators.spatial import (
+        proximity_pairs,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    pts = ev.select(
+        "event_id",
+        (F.lit(30.0) + (F.col("event_id") % 1000) / 100.0).alias("lat"),
+        (F.lit(-100.0) + (F.col("event_id") % 2000) / 100.0).alias("lon"),
+    )
+    return proximity_pairs(
+        pts, "event_id", "lat", "lon", radius_miles=1.0, cell_deg=0.05
+    )
+
+
+_GEO_PROXIMITY_SQL = """
+WITH pts AS (
+  SELECT event_id,
+         30.0 + (event_id % 1000) / 100.0 AS lat,
+         -100.0 + (event_id % 2000) / 100.0 AS lon,
+         CAST(floor((30.0 + (event_id % 1000) / 100.0) / 0.05) AS BIGINT)
+           AS cy,
+         CAST(floor((-100.0 + (event_id % 2000) / 100.0) / 0.05) AS BIGINT)
+           AS cx
+  FROM events WHERE event_id < 2000
+),
+cover AS (
+  SELECT p.event_id AS id_a, p.lat AS lat_a, p.lon AS lon_a,
+         p.cy + dys.dy AS cy, p.cx + dxs.dx AS cx
+  FROM pts p
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) dys
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) dxs
+),
+cand AS (
+  SELECT c.id_a, c.lat_a, c.lon_a,
+         b.event_id AS id_b, b.lat AS lat_b, b.lon AS lon_b
+  FROM cover c JOIN pts b ON c.cy = b.cy AND c.cx = b.cx
+  WHERE c.id_a < b.event_id
+)
+SELECT id_a, id_b, dist FROM (
+  SELECT id_a, id_b,
+         floor(2 * 3963.0 * asin(sqrt(
+             pow(sin((radians(lat_b) - radians(lat_a)) / 2), 2)
+             + cos(radians(lat_a)) * cos(radians(lat_b))
+               * pow(sin((radians(lon_b) - radians(lon_a)) / 2), 2)))
+           * 10000 + 0.5) / 10000 AS dist
+  FROM cand
+) WHERE dist <= 1.0
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "geo_proximity_pairs": QuerySpec(_q_geo_proximity_pairs, _GEO_PROXIMITY_SQL),
     "event_transitions": QuerySpec(_q_event_transitions, _EVENT_TRANSITIONS_SQL),
     "behavior_entropy": QuerySpec(_q_behavior_entropy, _BEHAVIOR_ENTROPY_SQL),
     "hashed_doc_vectors": QuerySpec(_q_hashed_doc_vectors, _HASHED_VECS_SQL),

@@ -262,3 +262,42 @@ def test_behavior_entropy_bounds(spark):
     }
     assert out[1] == math.floor(math.log(2) * 10000 + 0.5) / 10000
     assert out[2] == 0.0
+
+
+def test_proximity_pairs_radius_and_cell_boundary(spark):
+    from feature_store_fraud_detection_spark.operators.spatial import (
+        proximity_pairs,
+    )
+
+    # B is ~0.69 mi north of A; D sits just across A's grid-cell boundary
+    # (cover join must still find it); C is ~69 mi away
+    rows = [
+        (1, 40.000, -100.0),
+        (2, 40.010, -100.0),
+        (3, 41.000, -100.0),
+        (4, 39.999, -100.0),
+    ]
+    df = spark.createDataFrame(rows, "pid long, lat double, lon double")
+    out = {(r.id_a, r.id_b): r.dist for r in proximity_pairs(
+        df, "pid", "lat", "lon", radius_miles=1.0, cell_deg=0.05
+    ).collect()}
+    assert set(out) == {(1, 2), (1, 4), (2, 4)}
+    assert abs(out[(1, 2)] - 0.6917) < 0.01
+    # exactly once per pair (the cover join must not double-count)
+    assert len(out) == 3
+
+
+def test_approx_percentile_tolerance_for_scale_swap(spark, sf_dir):
+    """The 100 TB story for exact-percentile operators (winsorize, robust
+    outliers, deciles) is a percentile_approx swap; assert the approximate
+    cut points actually land within tolerance of exact on real data."""
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.percentile("value", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx"),
+        F.percentile("value", F.lit(0.99)).alias("exact99"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("approx99"),
+    ).collect()[0]
+    spread = ev.agg((F.max("value") - F.min("value")).alias("s")).collect()[0].s
+    assert abs(row.exact - row.approx) <= 0.01 * spread
+    assert abs(row.exact99 - row.approx99) <= 0.01 * spread
