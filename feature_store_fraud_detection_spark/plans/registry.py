@@ -3982,7 +3982,30 @@ SELECT id_a, id_b, dist FROM (
 """
 
 
+def _q_events_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UNPIVOT (melt): the wide per-user count matrix back to long
+    # (user_id, event_type, n) — pivot's inverse, via the native unpivot
+    # operator (a row-local generator, no shuffle beyond the pivot's own).
+    wide = _q_events_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=list(_EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="n",
+    ).filter(F.col("n") > 0)
+
+
+_EVENTS_MELT_SQL = f"""
+WITH wide AS ({_EVENTS_PIVOT_SQL})
+SELECT user_id, event_type, n
+FROM wide
+UNPIVOT (n FOR event_type IN ({", ".join(_EVENT_TYPES)}))
+WHERE n > 0
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_melt": QuerySpec(_q_events_melt, _EVENTS_MELT_SQL),
     "geo_proximity_pairs": QuerySpec(_q_geo_proximity_pairs, _GEO_PROXIMITY_SQL),
     "event_transitions": QuerySpec(_q_event_transitions, _EVENT_TRANSITIONS_SQL),
     "behavior_entropy": QuerySpec(_q_behavior_entropy, _BEHAVIOR_ENTROPY_SQL),
