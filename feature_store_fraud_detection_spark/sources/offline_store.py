@@ -140,6 +140,63 @@ class OfflineStore:
             .parquet(self.path)
         )
 
+    def delete_keys(self, key_col: str, values: list) -> None:
+        """Targeted key deletion (the right-to-be-forgotten op): rewrite
+        ONLY the date partitions that contain the keys, anti-joined against
+        the deletion set, via dynamic partition overwrite — every other
+        partition's files are untouched. Cost is proportional to the
+        partitions the keys appear in, not the table (at 100 TB: one user's
+        history lives in a few hundred daily directories, not 36,000).
+
+        The touched-partition read is materialized (localCheckpoint) before
+        overwriting the same path, like ``compact``. On a lakehouse this is
+        a Delta DELETE; the partition-surgical rewrite here is the same
+        physical plan Delta executes without the transaction log.
+        """
+        df = self.read()
+        touched = [
+            r[0]
+            for r in df.filter(F.col(key_col).isin(values))
+            .select(PARTITION_COL)
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return
+        remaining = (
+            df.filter(F.col(PARTITION_COL).isin(touched))
+            .filter(~F.col(key_col).isin(values))
+            .localCheckpoint()
+        )
+        (
+            remaining.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", self.compression)
+            .partitionBy(PARTITION_COL)
+            .parquet(self.path)
+        )
+        # dynamic overwrite only replaces partitions PRESENT in the written
+        # data — a partition whose every row was deleted produces no rows
+        # and would silently keep its old files. Drop those directories
+        # explicitly (Hadoop FS API, so the same code runs on HDFS/S3A).
+        kept = {
+            r[0]
+            for r in remaining.select(PARTITION_COL).distinct().collect()
+        }
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        for p in set(touched) - kept:
+            hpath = jvm.org.apache.hadoop.fs.Path(
+                f"{self.path}/{PARTITION_COL}={p}"
+            )
+            hpath.getFileSystem(conf).delete(hpath, True)
+
+    def read_merged_schema(self) -> DataFrame:
+        """Schema-evolution read: union the footers of every file so rows
+        written before a column existed surface it as NULL (additive
+        evolution on plain parquet; renames/drops need a rewrite)."""
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+
     def clear(self) -> None:
         """Reference S11 (``feature.py:20-23`` delete_many with no filter):
         drop all rows — overwrite the table with an empty frame. The schema

@@ -423,3 +423,54 @@ def test_apply_diff_roundtrip_reconstructs_new(spark):
     rebuilt = apply_diff(old, ch, "k", ["v", "s"])
     as_set = lambda d: {tuple(r) for r in d.collect()}
     assert as_set(rebuilt) == as_set(new)
+
+
+def test_delete_keys_partition_surgical(spark, tmp_path):
+    import os
+
+    from feature_store_fraud_detection_spark.sources.offline_store import (
+        OfflineStore,
+        PARTITION_COL,
+    )
+
+    store = OfflineStore(spark, str(tmp_path / "gdpr"), ts_col="ts")
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (2, "2024-01-01 11:00:00", 2.0),
+        (1, "2024-01-02 10:00:00", 3.0),   # day 2 holds ONLY user 1
+        (3, "2024-01-03 10:00:00", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t string, value double").select(
+        "user_id", F.to_timestamp("t").alias("ts"), "value"
+    )
+    store.write(df)
+    day3_dir = str(tmp_path / "gdpr" / f"{PARTITION_COL}=2024-01-03")
+    day3_files = sorted(os.listdir(day3_dir))
+
+    store.delete_keys("user_id", [1])
+    out = store.read()
+    assert out.filter("user_id = 1").count() == 0
+    assert {r.user_id for r in out.collect()} == {2, 3}
+    # the fully-emptied day-2 partition is gone, not lingering
+    assert not os.path.exists(str(tmp_path / "gdpr" / f"{PARTITION_COL}=2024-01-02"))
+    # untouched partitions keep their exact files (surgical rewrite)
+    assert sorted(os.listdir(day3_dir)) == day3_files
+
+
+def test_read_merged_schema_additive_evolution(spark, tmp_path):
+    from feature_store_fraud_detection_spark.sources.offline_store import (
+        OfflineStore,
+    )
+
+    store = OfflineStore(spark, str(tmp_path / "evolve"), ts_col="ts")
+    v1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.0)], "user_id long, t string, value double"
+    ).select("user_id", F.to_timestamp("t").alias("ts"), "value")
+    store.write(v1)
+    v2 = v1.select("user_id", F.expr("ts + interval 1 day").alias("ts"),
+                   "value").withColumn("new_score", F.lit(0.5))
+    store.append(v2)
+    merged = store.read_merged_schema()
+    assert "new_score" in merged.columns
+    rows = {r.new_score for r in merged.collect()}
+    assert rows == {None, 0.5}  # old rows surface the new column as NULL
