@@ -83,3 +83,34 @@ def merge_aggregate_state(
             F.coalesce(F.col("__b_last_ts"), F.col("__s_last_ts")),
         ).alias("last_ts"),
     )
+
+
+def distinct_sketch_state(df: DataFrame, key: str, col: str) -> DataFrame:
+    """Per-key HLL sketch of a column's distinct values — the incremental
+    substrate for the one aggregate ``merge_aggregate_state`` cannot carry
+    algebraically (COUNT DISTINCT). The sketch is a few-KB binary per key;
+    batches merge with ``merge_distinct_sketch`` and the union-of-sketches
+    estimate equals the full-recompute estimate exactly (same sketch, same
+    registers — asserted in tests), so daily refreshes never rescan
+    history for distinct counts either."""
+    return df.groupBy(key).agg(F.hll_sketch_agg(col).alias("distinct_sketch"))
+
+
+def merge_distinct_sketch(
+    state: DataFrame, batch_state: DataFrame, key: str
+) -> DataFrame:
+    """Union per-key sketches from stored state and a batch (either side
+    may introduce new keys)."""
+    return (
+        state.unionByName(batch_state)
+        .groupBy(key)
+        .agg(F.hll_union_agg("distinct_sketch").alias("distinct_sketch"))
+    )
+
+
+def distinct_estimate(state: DataFrame, key: str) -> DataFrame:
+    """(key, n_distinct) read view over sketch state."""
+    return state.select(
+        F.col(key),
+        F.hll_sketch_estimate("distinct_sketch").cast("bigint").alias("n_distinct"),
+    )

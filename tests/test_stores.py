@@ -474,3 +474,33 @@ def test_read_merged_schema_additive_evolution(spark, tmp_path):
     assert "new_score" in merged.columns
     rows = {r.new_score for r in merged.collect()}
     assert rows == {None, 0.5}  # old rows surface the new column as NULL
+
+
+def test_distinct_sketch_merge_equals_full(spark):
+    from feature_store_fraud_detection_spark.operators.incremental import (
+        distinct_estimate,
+        distinct_sketch_state,
+        merge_distinct_sketch,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") % 300).cast("string").alias("v"),
+        (F.col("id") % 3).alias("batch"),
+    )
+    full = distinct_estimate(distinct_sketch_state(df, "k", "v"), "k")
+    state = distinct_sketch_state(df.filter("batch = 0"), "k", "v")
+    for b in (1, 2):
+        state = merge_distinct_sketch(
+            state, distinct_sketch_state(df.filter(f"batch = {b}"), "k", "v"), "k"
+        )
+    merged = distinct_estimate(state, "k")
+    canon = lambda d: {r.k: r.n_distinct for r in d.collect()}
+    assert canon(merged) == canon(full)
+    # sanity: estimates are near the true distinct counts
+    truth = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    for k, est in canon(full).items():
+        assert abs(est - truth[k]) <= 0.05 * truth[k] + 3

@@ -158,3 +158,42 @@ def test_merge_aggregate_state_equals_full_recompute(spark, events):
         for r in d.collect()
     }
     assert canon(state) == canon(full)
+
+
+# --- CDC round-trip law: apply(old, diff(old, new)) == new ---------------
+
+snapshot_row = st.tuples(
+    st.integers(min_value=0, max_value=9),           # key
+    st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+    st.sampled_from(["a", "b", "c"]),
+)
+
+
+def _dedupe_keys(rows):
+    seen, out = set(), []
+    for k, v, s in rows:
+        if k not in seen:
+            seen.add(k)
+            out.append((k, v, s))
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(snapshot_row, min_size=0, max_size=10),
+    st.lists(snapshot_row, min_size=0, max_size=10),
+)
+def test_diff_apply_roundtrip_law(spark, old_rows, new_rows):
+    from feature_store_fraud_detection_spark.operators.diff import (
+        apply_diff,
+        table_diff,
+    )
+
+    schema = "k long, v int, s string"
+    old = spark.createDataFrame(_dedupe_keys(old_rows), schema)
+    new = spark.createDataFrame(_dedupe_keys(new_rows), schema)
+    ch = table_diff(old, new, "k", ["v", "s"])
+    rebuilt = apply_diff(old, ch, "k", ["v", "s"])
+    assert {tuple(r) for r in rebuilt.collect()} == {
+        tuple(r) for r in new.collect()
+    }
