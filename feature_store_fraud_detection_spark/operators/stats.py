@@ -246,3 +246,58 @@ def winsorize(
             ).cast("int").alias("was_clipped"),
         )
     )
+
+
+def leakage_scan(
+    df: DataFrame, feature_cols: list[str], label_col: str
+) -> DataFrame:
+    """Target-leakage / feature-screen report: the point-biserial
+    correlation of every numeric feature against a binary label, in ONE
+    aggregation pass (N features cost N*4 conditional sums, never N scans).
+    |corr| near 1 means the feature leaks the label (or IS the label
+    through a proxy) and must not ship to training.
+
+    corr_pb = (m1 - m0) * sqrt(p * (1 - p)) / std, with m1/m0 the label-
+    conditional means, p the positive rate, std the population std.
+
+    Determinism: every sum runs in exact DECIMAL from the raw columns; the
+    five sums convert to double ONCE at the end (the repo's money-math
+    rule), so partial-aggregation order cannot move the result.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import round4_stable
+
+    is_pos = F.col(label_col) == 1
+    aggs = [F.count(F.lit(1)).alias("__n"), F.sum(is_pos.cast("long")).alias("__n1")]
+    for c in feature_cols:
+        d = F.col(c).cast("decimal(18,6)")
+        d2 = (d * d).cast("decimal(38,12)")
+        aggs += [
+            F.sum(d).alias(f"__s_{c}"),
+            F.sum(d2).alias(f"__s2_{c}"),
+            F.sum(F.when(is_pos, d)).alias(f"__s1_{c}"),
+        ]
+    row = df.agg(*aggs)
+    n = F.col("__n").cast("double")
+    n1 = F.col("__n1").cast("double")
+    p = n1 / n
+    reports = []
+    for c in feature_cols:
+        s = F.col(f"__s_{c}").cast("double")
+        s2 = F.col(f"__s2_{c}").cast("double")
+        s1 = F.col(f"__s1_{c}").cast("double")
+        m = s / n
+        m1 = s1 / n1
+        m0 = (s - s1) / (n - n1)
+        var = s2 / n - m * m
+        corr = (m1 - m0) * F.sqrt(p * (1 - p)) / F.sqrt(var)
+        reports.append(
+            F.struct(
+                F.lit(c).alias("feature"),
+                round4_stable(corr).alias("corr_pb"),
+                round4_stable(F.abs(corr)).alias("abs_corr"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*reports)).alias("r"))
+        .select("r.feature", "r.corr_pb", "r.abs_corr")
+    )

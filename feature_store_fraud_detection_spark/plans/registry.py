@@ -4004,7 +4004,68 @@ WHERE n > 0
 """
 
 
+def _q_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # feature screen vs the is_fraud label over the txn adapter's numeric
+    # features (amt / city_pop / hour_of_day)
+    from feature_store_fraud_detection_spark.operators.stats import leakage_scan
+
+    ev = load_table(spark, sf_dir, "events")
+    feats = ev.select(
+        F.col("value").alias("amt"),
+        (F.col("user_id") * 1000 + 10000).cast("bigint").alias("city_pop"),
+        F.hour("ts").alias("hour_of_day"),
+        (F.col("event_type") == "error").cast("int").alias("is_fraud"),
+    )
+    return leakage_scan(feats, ["amt", "city_pop", "hour_of_day"], "is_fraud")
+
+
+def _leakage_sql_for(col: str) -> str:
+    return f"""
+SELECT '{col}' AS feature,
+  floor(((s1_{col} / n1 - (s_{col} - s1_{col}) / (n - n1))
+         * sqrt(p * (1 - p)) / sqrt(s2_{col} / n - s_{col} / n * (s_{col} / n)))
+        * 10000 + 0.5) / 10000 AS corr_pb,
+  floor(abs((s1_{col} / n1 - (s_{col} - s1_{col}) / (n - n1))
+            * sqrt(p * (1 - p)) / sqrt(s2_{col} / n - s_{col} / n * (s_{col} / n)))
+        * 10000 + 0.5) / 10000 AS abs_corr
+FROM agg
+"""
+
+
+_LEAKAGE_SQL = f"""
+WITH feats AS (
+  SELECT value AS amt,
+         CAST(user_id * 1000 + 10000 AS BIGINT) AS city_pop,
+         hour(ts) AS hour_of_day,
+         CAST(event_type = 'error' AS INT) AS is_fraud
+  FROM events
+),
+raw AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CASE WHEN is_fraud = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         {", ".join(
+             f'''CAST(sum(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS s_{c},
+         -- DECIMAL(24,6) operands force DuckDB's int128 multiply path
+         -- (18,6 squares overflow its int64 kernel); the product is exact
+         -- either way, so it still matches Spark's decimal(18,6) square
+         CAST(sum(CAST(CAST({c} AS DECIMAL(24,6)) * CAST({c} AS DECIMAL(24,6))
+                  AS DECIMAL(38,12))) AS DOUBLE) AS s2_{c},
+         CAST(sum(CASE WHEN is_fraud = 1
+                  THEN CAST({c} AS DECIMAL(18,6)) END) AS DOUBLE) AS s1_{c}'''
+             for c in ("amt", "city_pop", "hour_of_day"))}
+  FROM feats
+),
+agg AS (SELECT *, n1 / n AS p FROM raw)
+{_leakage_sql_for("amt")}
+UNION ALL
+{_leakage_sql_for("city_pop")}
+UNION ALL
+{_leakage_sql_for("hour_of_day")}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "leakage_scan": QuerySpec(_q_leakage_scan, _LEAKAGE_SQL),
     "events_melt": QuerySpec(_q_events_melt, _EVENTS_MELT_SQL),
     "geo_proximity_pairs": QuerySpec(_q_geo_proximity_pairs, _GEO_PROXIMITY_SQL),
     "event_transitions": QuerySpec(_q_event_transitions, _EVENT_TRANSITIONS_SQL),

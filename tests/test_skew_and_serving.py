@@ -301,3 +301,16 @@ def test_approx_percentile_tolerance_for_scale_swap(spark, sf_dir):
     spread = ev.agg((F.max("value") - F.min("value")).alias("s")).collect()[0].s
     assert abs(row.exact - row.approx) <= 0.01 * spread
     assert abs(row.exact99 - row.approx99) <= 0.01 * spread
+
+
+def test_leakage_scan_flags_perfect_leak(spark):
+    from feature_store_fraud_detection_spark.operators.stats import leakage_scan
+
+    df = spark.range(200).select(
+        (F.col("id") % 2).cast("int").alias("is_fraud"),
+        ((F.col("id") % 2) * 100).cast("double").alias("leaky"),   # == label*100
+        (F.col("id") % 7).cast("double").alias("benign"),
+    )
+    out = {r.feature: r for r in leakage_scan(df, ["leaky", "benign"], "is_fraud").collect()}
+    assert out["leaky"].abs_corr == 1.0      # perfect point-biserial correlation
+    assert out["benign"].abs_corr < 0.2
