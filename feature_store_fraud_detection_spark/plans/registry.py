@@ -4064,7 +4064,78 @@ UNION ALL
 """
 
 
+def _q_training_set_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The end-to-end training-set build as ONE declarative plan (the
+    # feature-store twin of corpus_prep_pipeline): flagship features ->
+    # winsorized amounts (exact-percentile cut points, broadcast back) ->
+    # deterministic md5 train/test assignment. Catalyst fuses the clip and
+    # split into the feature projection; the only wide stages remain the
+    # flagship window's single exchange and the 1-row cut-point aggregate.
+    feats = _q_flagship(spark, sf_dir)
+    cuts = feats.agg(
+        F.percentile("amt", F.lit(0.01)).alias("__lo"),
+        F.percentile("amt", F.lit(0.99)).alias("__hi"),
+    )
+    threshold = int(0.75 * (16**15))
+    split_digest = F.md5(
+        F.concat_ws(
+            "|",
+            F.lit("sp"),
+            F.col("cc_num").cast("string"),
+            F.unix_timestamp("feature_timestamp").cast("string"),
+        )
+    )
+    return (
+        feats.crossJoin(F.broadcast(cuts))
+        .select(
+            "cc_num",
+            "feature_timestamp",
+            _round4_pos(
+                F.least(F.greatest(F.col("amt"), F.col("__lo")), F.col("__hi"))
+            ).alias("amt_w"),
+            "hour_of_day",
+            "day_of_week",
+            "age_at_txn",
+            "distance_to_merchant",
+            "txn_count_last_10_min",
+            "avg_amt_last_1_hour",
+            "is_fraud",
+            F.when(
+                F.conv(F.substring(split_digest, 1, 15), 16, 10).cast(
+                    "decimal(20,0)"
+                )
+                < F.lit(threshold).cast("decimal(20,0)"),
+                F.lit("train"),
+            )
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+
+
+_TRAINING_SET_SQL = f"""
+WITH flag AS ({_FLAGSHIP_SQL}),
+cuts AS (
+  SELECT quantile_cont(amt, 0.01) AS lo, quantile_cont(amt, 0.99) AS hi
+  FROM flag
+)
+SELECT cc_num, feature_timestamp,
+       floor(least(greatest(amt, lo), hi) * 10000 + 0.5) / 10000 AS amt_w,
+       hour_of_day, day_of_week, age_at_txn, distance_to_merchant,
+       txn_count_last_10_min, avg_amt_last_1_hour, is_fraud,
+       CASE WHEN CAST('0x' || substring(md5('sp|' || CAST(cc_num AS VARCHAR)
+                 || '|' || CAST(epoch_us(feature_timestamp) // 1000000
+                                AS VARCHAR)), 1, 15) AS BIGINT)
+                 < {int(0.75 * (16**15))}
+            THEN 'train' ELSE 'test' END AS split
+FROM flag CROSS JOIN cuts
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "training_set_pipeline": QuerySpec(
+        _q_training_set_pipeline, _TRAINING_SET_SQL
+    ),
     "leakage_scan": QuerySpec(_q_leakage_scan, _LEAKAGE_SQL),
     "events_melt": QuerySpec(_q_events_melt, _EVENTS_MELT_SQL),
     "geo_proximity_pairs": QuerySpec(_q_geo_proximity_pairs, _GEO_PROXIMITY_SQL),
