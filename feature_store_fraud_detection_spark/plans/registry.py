@@ -4132,7 +4132,71 @@ FROM flag CROSS JOIN cuts
 """
 
 
+def _q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reliability diagram data: bucket a score into deciles by exact
+    # quantile cut points (broadcast — no global ntile window, same pattern
+    # as customer_revenue_deciles) and report observed positive rate per
+    # bucket. Using the txn amount as the pseudo-score against is_fraud.
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "error").cast("int").alias("label"),
+    )
+    cuts = scored.agg(
+        F.array(
+            *[F.expr(f"percentile(score, {i / 10})") for i in range(1, 10)]
+        ).alias("__cuts")
+    )
+    binned = scored.crossJoin(F.broadcast(cuts)).select(
+        F.size(F.filter("__cuts", lambda q: F.col("score") > q)).alias("bin"),
+        "score",
+        "label",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").cast("bigint").alias("n_pos"),
+            _round4_pos(
+                F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_score"),
+            _round4_pos(
+                F.sum("label") / F.count(F.lit(1)).cast("double")
+            ).alias("pos_rate"),
+        )
+    )
+
+
+_CALIBRATION_SQL = """
+WITH scored AS (
+  SELECT value AS score, CAST(event_type = 'error' AS INT) AS label
+  FROM events
+),
+cuts AS (
+  SELECT [
+    quantile_cont(score, 0.1), quantile_cont(score, 0.2),
+    quantile_cont(score, 0.3), quantile_cont(score, 0.4),
+    quantile_cont(score, 0.5), quantile_cont(score, 0.6),
+    quantile_cont(score, 0.7), quantile_cont(score, 0.8),
+    quantile_cont(score, 0.9)
+  ] AS cs
+  FROM scored
+)
+SELECT len(list_filter(cs, q -> score > q)) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(label) AS BIGINT) AS n_pos,
+       floor(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+             * 10000 + 0.5) / 10000 AS avg_score,
+       floor(sum(label) / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+         AS pos_rate
+FROM scored CROSS JOIN cuts
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "calibration_bins": QuerySpec(_q_calibration_bins, _CALIBRATION_SQL),
     "training_set_pipeline": QuerySpec(
         _q_training_set_pipeline, _TRAINING_SET_SQL
     ),
