@@ -511,3 +511,48 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 3,
+    prefix_len: int = 12,
+    block_len: int = 4,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Edit-distance near-dup pairs over a text prefix, with prefix
+    blocking: candidates must share their first ``block_len`` characters
+    (typos rarely hit the very head of a string; recall loss concentrates
+    there by design), then exact Levenshtein on the ``prefix_len`` head
+    filters to ``max_dist``.
+
+    The classic record-linkage shape: blocking bounds the quadratic join
+    to within-block, exactly like minhash banding; ``max_block_size`` drops
+    degenerate blocks before pair expansion (same guard as
+    ``minhash_lsh_pairs``). At scale, union several blocking functions
+    (head, tail, sorted-token key) to recover head-typo pairs.
+    """
+    keyed = df.select(
+        F.col(id_col),
+        F.lower(F.substring(F.col(text_col), 1, prefix_len)).alias("__k"),
+    ).withColumn("__b", F.substring("__k", 1, block_len))
+    if max_block_size is not None:
+        sizes = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__bn"))
+        keyed = keyed.join(
+            sizes.filter(F.col("__bn") <= max_block_size).select("__b"), "__b"
+        )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("__k").alias("__ka"), "__b"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("__k").alias("__kb"), "__b"
+    )
+    return (
+        a.join(b, "__b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("__ka", "__kb"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "edit_dist")
+    )

@@ -4195,7 +4195,89 @@ GROUP BY 1
 """
 
 
+def _q_fraud_capture_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gains/lift table: reviewing the top-k score deciles captures what
+    # share of all fraud? Builds on the calibration bins; the cumulative
+    # window runs over the 10-ROW aggregate (bounded, fine unpartitioned —
+    # the raw table never sees a global window).
+    from pyspark.sql import Window
+
+    bins = _q_calibration_bins(spark, sf_dir)
+    w = (
+        Window.orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = bins.agg(
+        F.sum("n").alias("__tn"), F.sum("n_pos").alias("__tp")
+    )
+    return (
+        bins.crossJoin(F.broadcast(totals))
+        .withColumn("cum_n", F.sum("n").over(w))
+        .withColumn("cum_pos", F.sum("n_pos").over(w))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.col("cum_n").cast("bigint").alias("cum_n"),
+            F.col("cum_pos").cast("bigint").alias("cum_pos"),
+            _round4_pos(
+                F.col("cum_pos") / F.col("__tp").cast("double")
+            ).alias("capture_rate"),
+            _round4_pos(
+                (F.col("cum_pos") / F.col("cum_n").cast("double"))
+                / (F.col("__tp") / F.col("__tn").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+_CAPTURE_CURVE_SQL = f"""
+WITH bins AS ({_CALIBRATION_SQL}),
+totals AS (SELECT sum(n) AS tn, sum(n_pos) AS tp FROM bins)
+SELECT bin, n, n_pos,
+       CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+       CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos,
+       floor(sum(n_pos) OVER w / CAST(tp AS DOUBLE) * 10000 + 0.5) / 10000
+         AS capture_rate,
+       floor((sum(n_pos) OVER w / CAST(sum(n) OVER w AS DOUBLE))
+             / (tp / CAST(tn AS DOUBLE)) * 10000 + 0.5) / 10000 AS lift
+FROM bins CROSS JOIN totals
+WINDOW w AS (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+"""
+
+
+def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.dedup import fuzzy_pairs
+
+    return fuzzy_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        max_dist=3, prefix_len=12, block_len=4, max_block_size=200,
+    )
+
+
+_FUZZY_PAIRS_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lower(substring(text, 1, 12)) AS k,
+         substring(lower(substring(text, 1, 12)), 1, 4) AS b
+  FROM documents
+),
+blocked AS (
+  SELECT * FROM keyed
+  WHERE b IN (SELECT b FROM keyed GROUP BY b HAVING count(*) <= 200)
+)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       CAST(levenshtein(a.k, c.k) AS INT) AS edit_dist
+FROM blocked a JOIN blocked c ON a.b = c.b AND a.doc_id < c.doc_id
+WHERE levenshtein(a.k, c.k) <= 3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "fuzzy_pairs": QuerySpec(_q_fuzzy_pairs, _FUZZY_PAIRS_SQL),
+    "fraud_capture_curve": QuerySpec(
+        _q_fraud_capture_curve, _CAPTURE_CURVE_SQL
+    ),
     "calibration_bins": QuerySpec(_q_calibration_bins, _CALIBRATION_SQL),
     "training_set_pipeline": QuerySpec(
         _q_training_set_pipeline, _TRAINING_SET_SQL

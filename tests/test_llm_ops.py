@@ -482,3 +482,26 @@ def test_hashed_vectors_identical_docs_and_ranking(spark):
     # the near-duplicate doc 1 ranks its twins 0/3 above the unrelated doc 2
     n1 = [r.neighbor_id for r in sorted(by_query[1], key=lambda r: r.rank)]
     assert set(n1[:2]) == {0, 3}
+
+
+def test_fuzzy_pairs_blocking_and_distance(spark):
+    from feature_store_fraud_detection_spark.operators.dedup import fuzzy_pairs
+
+    rows = [
+        (0, "transaction batch alpha"),
+        (1, "transactiom batch alpha"),   # 1 substitution within prefix 12
+        (2, "transfer batch alpha"),      # shares block 'tran', dist > 3
+        (3, "zebra payment"),             # different block entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.edit_dist for r in fuzzy_pairs(
+        df, "doc_id", "text", max_dist=3, prefix_len=12, block_len=4
+    ).collect()}
+    assert out == {(0, 1): 1}
+    # degenerate-block cap drops oversized blocks before pair expansion
+    big = spark.createDataFrame(
+        [(i, "same prefix words") for i in range(10)], "doc_id long, text string"
+    )
+    assert fuzzy_pairs(
+        big, "doc_id", "text", max_block_size=5
+    ).count() == 0
