@@ -1,0 +1,51 @@
+"""Model-evaluation aggregates that stay exact and distributed.
+
+``exact_auc`` computes ROC AUC WITHOUT a global per-row rank: group rows
+by score first (the distinct-score table is orders of magnitude smaller
+than the row table at any real scale), then apply the tie-aware
+Mann-Whitney identity over score groups:
+
+    2 * numerator = sum over groups g of  n_pos_g * (2 * cum_neg_below_g
+                                                      + n_neg_g)
+    AUC = numerator / (n_pos_total * n_neg_total)
+
+Everything up to the final division is INTEGER arithmetic — no float
+summation order to pin, bit-identical on any engine/partitioning; ties
+contribute the standard 1/2 credit via the ``+ n_neg_g`` term.
+
+Scale: one keyed aggregate by score, then a cumulative window over the
+aggregated distinct-score rows. If distinct scores themselves are huge,
+pre-bucket scores (quantize to 1e-4) or run the same cumsum two-level
+(per-range partials + prefix), exactly like ``bucketed_trailing_aggs``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from feature_store_fraud_detection_spark.functions.numeric import round4_stable
+
+
+def exact_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """One-row (n_pos, n_neg, auc) for a binary label and numeric score."""
+    groups = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.sum((F.col(label_col) == 1).cast("long")).alias("__np"),
+        F.sum((F.col(label_col) != 1).cast("long")).alias("__nn"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = groups.withColumn(
+        "__cum_nn", F.coalesce(F.sum("__nn").over(w), F.lit(0))
+    ).select(
+        (F.col("__np") * (2 * F.col("__cum_nn") + F.col("__nn"))).alias("__c"),
+        "__np",
+        "__nn",
+    )
+    return contrib.agg(
+        F.sum("__np").cast("bigint").alias("n_pos"),
+        F.sum("__nn").cast("bigint").alias("n_neg"),
+        round4_stable(
+            F.sum("__c").cast("double")
+            / (2.0 * F.sum("__np") * F.sum("__nn"))
+        ).alias("auc"),
+    )

@@ -4273,7 +4273,45 @@ WHERE levenshtein(a.k, c.k) <= 3
 """
 
 
+def _q_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.evaluation import exact_auc
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "error").cast("int").alias("label"),
+    )
+    return exact_auc(scored, "score", "label")
+
+
+_EXACT_AUC_SQL = """
+WITH scored AS (
+  SELECT value AS score, CAST(event_type = 'error' AS INT) AS label
+  FROM events
+),
+groups AS (
+  SELECT score,
+         sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS np,
+         sum(CASE WHEN label != 1 THEN 1 ELSE 0 END) AS nn
+  FROM scored GROUP BY score
+),
+contrib AS (
+  SELECT np, nn,
+         np * (2 * coalesce(sum(nn) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + nn) AS c
+  FROM groups
+)
+SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       CAST(sum(nn) AS BIGINT) AS n_neg,
+       floor(CAST(sum(c) AS DOUBLE) / (2.0 * sum(np) * sum(nn))
+             * 10000 + 0.5) / 10000 AS auc
+FROM contrib
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "exact_auc": QuerySpec(_q_exact_auc, _EXACT_AUC_SQL),
     "fuzzy_pairs": QuerySpec(_q_fuzzy_pairs, _FUZZY_PAIRS_SQL),
     "fraud_capture_curve": QuerySpec(
         _q_fraud_capture_curve, _CAPTURE_CURVE_SQL

@@ -154,3 +154,35 @@ def test_knn_classify_majority_and_tiebreak(spark):
     # each for labels 1 and 2; the SMALLER label wins the tie
     out2 = knn_classify(df, "vec_id", "embedding", "label", query_max_id=5, k=2).collect()
     assert out2[0].predicted_label == 1 and out2[0].n_votes == 1
+
+
+def test_exact_auc_matches_brute_force(spark):
+    import itertools
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        exact_auc,
+    )
+
+    rows = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.7, 0), (0.6, 1),
+        (0.5, 0), (0.5, 0), (0.5, 1), (0.3, 0), (0.1, 0),
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = exact_auc(df, "score", "label").collect()[0]
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p, n in itertools.product(pos, neg)
+    )
+    expected = wins / (len(pos) * len(neg))
+    import math
+
+    assert out.n_pos == 4 and out.n_neg == 6
+    assert out.auc == math.floor(expected * 10000 + 0.5) / 10000
+
+    # degenerate sanity: a perfectly separating score gives AUC 1.0
+    perfect = spark.createDataFrame(
+        [(float(i), int(i >= 5)) for i in range(10)], "score double, label int"
+    )
+    assert exact_auc(perfect, "score", "label").collect()[0].auc == 1.0
