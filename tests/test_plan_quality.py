@@ -149,3 +149,12 @@ def test_trending_topk_uses_window_group_limit(spark, sf_dir):
     windows hold millions of candidates."""
     plan = _physical(QUERIES["trending_topk"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_training_set_pipeline_single_wide_stage(spark, sf_dir):
+    """The composite training-set build must add NO wide stage beyond the
+    flagship window's one hash exchange — winsorize cut points arrive as a
+    broadcast, the split is a scan-side expression."""
+    plan = _physical(QUERIES["training_set_pipeline"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row cut points
