@@ -301,3 +301,56 @@ def leakage_scan(
         row.select(F.explode(F.array(*reports)).alias("r"))
         .select("r.feature", "r.corr_pb", "r.abs_corr")
     )
+
+
+def drift_ks(
+    base: DataFrame, curr: DataFrame, col: str, n_bins: int = 10
+) -> DataFrame:
+    """Kolmogorov-Smirnov-style drift report: per baseline-quantile bin,
+    the gap between the two samples' cumulative shares — the scalar KS
+    statistic is the max of ``cdf_gap`` (left to the caller, like
+    ``drift_psi``'s sum). Complements PSI: KS localizes WHERE in the
+    distribution the shift happened; PSI weights by magnitude.
+
+    Same scale shape as drift_psi: two scans reduce to n_bins counts; the
+    cumulative window runs over the bounded bin table, never raw rows.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import round4_stable
+
+    cuts = base.agg(
+        F.array(
+            *[F.expr(f"percentile({col}, {i / n_bins})") for i in range(1, n_bins)]
+        ).alias("__cuts")
+    )
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(cuts))
+            .select(
+                F.size(F.filter("__cuts", lambda q: F.col(col) > q)).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    j = (
+        binned(base, "n_base")
+        .join(binned(curr, "n_curr"), "bin", "full")
+        .fillna(0, ["n_base", "n_curr"])
+    )
+    totals = j.agg(F.sum("n_base").alias("__ta"), F.sum("n_curr").alias("__tb"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        j.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_base",
+            "n_curr",
+            round4_stable(
+                F.abs(
+                    F.sum("n_base").over(w) / F.col("__ta").cast("double")
+                    - F.sum("n_curr").over(w) / F.col("__tb").cast("double")
+                )
+            ).alias("cdf_gap"),
+        )
+    )

@@ -4310,7 +4310,142 @@ FROM contrib
 """
 
 
+def _q_feature_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.stats import drift_ks
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-15").cast("timestamp")
+    return drift_ks(
+        ev.filter(F.col("ts") < split),
+        ev.filter(F.col("ts") >= split),
+        "value",
+        n_bins=10,
+    )
+
+
+_DRIFT_KS_SQL = """
+WITH a AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+b AS (SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-15'),
+cuts AS (
+  SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+          quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+          quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+          quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+          quantile_cont(value, 0.9)] AS qs
+  FROM a
+),
+abin AS (
+  SELECT CAST(len(list_filter(qs, q -> value > q)) AS INT) AS bin,
+         count(*) AS n_base
+  FROM a CROSS JOIN cuts GROUP BY 1
+),
+bbin AS (
+  SELECT CAST(len(list_filter(qs, q -> value > q)) AS INT) AS bin,
+         count(*) AS n_curr
+  FROM b CROSS JOIN cuts GROUP BY 1
+),
+j AS (
+  SELECT coalesce(abin.bin, bbin.bin) AS bin,
+         coalesce(n_base, 0) AS n_base, coalesce(n_curr, 0) AS n_curr
+  FROM abin FULL JOIN bbin ON abin.bin = bbin.bin
+),
+t AS (SELECT sum(n_base) AS ta, sum(n_curr) AS tb FROM j)
+SELECT bin, n_base, n_curr,
+       floor(abs(sum(n_base) OVER w / CAST(ta AS DOUBLE)
+                 - sum(n_curr) OVER w / CAST(tb AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS cdf_gap
+FROM j CROSS JOIN t
+WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # last-touch attribution: each purchase credits the user's most recent
+    # PRECEDING non-purchase event type — one lag window under a total
+    # order over the filtered pre-projection, then a tiny channel rollup.
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    touched = ev.withColumn(
+        "last_touch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        touched.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_touch").isNotNull()
+        )
+        .groupBy(F.col("last_touch").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("revenue"),
+        )
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH touched AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type != 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_touch
+  FROM events
+)
+SELECT last_touch AS channel,
+       count(*) AS n_purchases,
+       sum(CAST(value AS DECIMAL(18,2))) AS revenue
+FROM touched
+WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+GROUP BY last_touch
+"""
+
+
+def _q_time_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # leakage-safe temporal split: train strictly before (cutoff - embargo),
+    # test at/after cutoff, the embargo gap rows dropped so trailing-window
+    # features of early test rows cannot overlap train rows. Output is the
+    # per-split summary (bounds + counts) the pipeline records.
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    embargo = F.expr("INTERVAL 1 HOUR")
+    labeled = ev.withColumn(
+        "split",
+        F.when(F.col("ts") < cutoff - embargo, F.lit("train"))
+        .when(F.col("ts") >= cutoff, F.lit("test"))
+        .otherwise(F.lit("embargo")),
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+_TIME_EMBARGO_SQL = """
+SELECT split, count(*) AS n_rows, min(ts) AS min_ts, max(ts) AS max_ts
+FROM (
+  SELECT ts,
+         CASE WHEN ts < TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 1 HOUR
+              THEN 'train'
+              WHEN ts >= TIMESTAMP '2024-01-25 00:00:00' THEN 'test'
+              ELSE 'embargo' END AS split
+  FROM events
+)
+GROUP BY split
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "attribution_last_touch": QuerySpec(
+        _q_attribution_last_touch, _ATTRIBUTION_SQL
+    ),
+    "time_embargo_split": QuerySpec(_q_time_embargo_split, _TIME_EMBARGO_SQL),
+    "feature_drift_ks": QuerySpec(_q_feature_drift_ks, _DRIFT_KS_SQL),
     "exact_auc": QuerySpec(_q_exact_auc, _EXACT_AUC_SQL),
     "fuzzy_pairs": QuerySpec(_q_fuzzy_pairs, _FUZZY_PAIRS_SQL),
     "fraud_capture_curve": QuerySpec(

@@ -314,3 +314,41 @@ def test_leakage_scan_flags_perfect_leak(spark):
     out = {r.feature: r for r in leakage_scan(df, ["leaky", "benign"], "is_fraud").collect()}
     assert out["leaky"].abs_corr == 1.0      # perfect point-biserial correlation
     assert out["benign"].abs_corr < 0.2
+
+
+def test_attribution_last_touch_credits_preceding_event(spark):
+    from feature_store_fraud_detection_spark.plans.registry import (  # noqa
+        _q_attribution_last_touch,
+    )
+    from pyspark.sql import Window
+
+    rows = [
+        (1, 1, "view", 0.0), (1, 2, "purchase", 10.0),   # credit: view
+        (1, 3, "click", 0.0), (1, 4, "purchase", 5.0),   # credit: click
+        (2, 5, "purchase", 7.0),                         # no touch -> dropped
+        (2, 6, "view", 0.0), (2, 7, "purchase", 3.0),    # credit: view
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(mins=F.col("event_id").cast("int")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    touched = df.withColumn(
+        "last_touch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    out = {
+        r.channel: (r.n_purchases, float(r.revenue))
+        for r in touched.filter(
+            (F.col("event_type") == "purchase") & F.col("last_touch").isNotNull()
+        )
+        .groupBy(F.col("last_touch").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("revenue"),
+        )
+        .collect()
+    }
+    assert out == {"view": (2, 13.0), "click": (1, 5.0)}
