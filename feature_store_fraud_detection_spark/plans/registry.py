@@ -4440,7 +4440,145 @@ GROUP BY split
 """
 
 
+def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RFM segmentation: per-user recency (seconds to corpus max ts),
+    # frequency, monetary; each scored 1-3 by tercile cut points computed
+    # once and broadcast (the no-global-ntile decile pattern). Output one
+    # row per user with the three scores and the combined segment code.
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("monetary"),
+    )
+    anchor = ev.agg(F.max("ts").alias("__anchor"))
+    base = per_user.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_s",
+        (
+            F.unix_timestamp("__anchor") - F.unix_timestamp("last_ts")
+        ).cast("bigint"),
+    )
+    cuts = base.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"__{c}_{int(q * 3)}")
+            for c in ("recency_s", "frequency", "monetary")
+            for q in (1 / 3, 2 / 3)
+        ]
+    )
+
+    def score(c: str, invert: bool) -> F.Column:
+        lo, hi = F.col(f"__{c}_1"), F.col(f"__{c}_2")
+        raw = (
+            F.when(F.col(c) <= lo, 1)
+            .when(F.col(c) <= hi, 2)
+            .otherwise(3)
+        )
+        return (4 - raw if invert else raw).cast("int")
+
+    return (
+        base.crossJoin(F.broadcast(cuts))
+        .select(
+            "user_id",
+            "recency_s",
+            "frequency",
+            "monetary",
+            score("recency_s", invert=True).alias("r_score"),
+            score("frequency", invert=False).alias("f_score"),
+            score("monetary", invert=False).alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws(
+                "",
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ),
+        )
+    )
+
+
+_RFM_SQL = """
+WITH per_user AS (
+  SELECT user_id, max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(CAST(value AS DECIMAL(18,2))) AS monetary
+  FROM events GROUP BY user_id
+),
+anchor AS (SELECT max(ts) AS a FROM events),
+base AS (
+  SELECT user_id, frequency, monetary,
+         CAST(epoch_us(a) // 1000000 - epoch_us(last_ts) // 1000000
+              AS BIGINT) AS recency_s
+  FROM per_user CROSS JOIN anchor
+),
+cuts AS (
+  SELECT quantile_cont(recency_s, 1.0/3) AS r1, quantile_cont(recency_s, 2.0/3) AS r2,
+         quantile_cont(frequency, 1.0/3) AS f1, quantile_cont(frequency, 2.0/3) AS f2,
+         quantile_cont(monetary, 1.0/3) AS m1, quantile_cont(monetary, 2.0/3) AS m2
+  FROM base
+),
+scored AS (
+  SELECT user_id, recency_s, frequency, monetary,
+         CAST(4 - (CASE WHEN recency_s <= r1 THEN 1
+                        WHEN recency_s <= r2 THEN 2 ELSE 3 END) AS INT) AS r_score,
+         CAST(CASE WHEN frequency <= f1 THEN 1
+                   WHEN frequency <= f2 THEN 2 ELSE 3 END AS INT) AS f_score,
+         CAST(CASE WHEN monetary <= m1 THEN 1
+                   WHEN monetary <= m2 THEN 2 ELSE 3 END AS INT) AS m_score
+  FROM base CROSS JOIN cuts
+)
+SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+          || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+"""
+
+
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # confusion matrix of the marker-word language-ID heuristic against the
+    # documents table's declared lang column — the eval loop for any
+    # heuristic classifier in the corpus pipeline.
+    from feature_store_fraud_detection_spark.operators.text_analysis import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("lang"), lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# the lang CASE mirrors _TEXT_PROFILE_SQL's lang_pred expression verbatim
+_LANG_CONFUSION_SQL = r"""
+WITH tk AS (
+  SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+    CASE
+      WHEN len(list_filter(toks, t -> t IN ('der','die','das','und','ist')))
+             >= greatest(len(list_filter(toks, t -> t IN ('the','a','of','and','in'))),
+                         len(list_filter(toks, t -> t IN ('el','la','de','los','que'))))
+           AND len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) > 0
+        THEN 'de'
+      WHEN len(list_filter(toks, t -> t IN ('the','a','of','and','in')))
+             >= len(list_filter(toks, t -> t IN ('el','la','de','los','que')))
+           AND len(list_filter(toks, t -> t IN ('the','a','of','and','in'))) > 0
+        THEN 'en'
+      WHEN len(list_filter(toks, t -> t IN ('el','la','de','los','que'))) > 0
+        THEN 'es'
+      ELSE 'und'
+    END AS lang_pred
+  FROM tk
+)
+SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "rfm_segments": QuerySpec(_q_rfm_segments, _RFM_SQL),
+    "lang_confusion": QuerySpec(_q_lang_confusion, _LANG_CONFUSION_SQL),
     "attribution_last_touch": QuerySpec(
         _q_attribution_last_touch, _ATTRIBUTION_SQL
     ),
