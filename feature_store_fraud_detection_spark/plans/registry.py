@@ -4576,7 +4576,84 @@ SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2
 """
 
 
+def _q_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source duplication report: docs, unique fingerprints, dup rate —
+    # the "which crawl source is feeding me copies" dashboard number.
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.md5(F.encode("text", "UTF-8")).alias("__fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("__fp").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            _round4_pos(
+                (F.col("n_docs") - F.col("n_unique"))
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+    )
+
+
+_DEDUP_BY_SOURCE_SQL = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       floor((count(*) - count(DISTINCT md5(text)))
+             / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS dup_rate
+FROM documents
+GROUP BY source
+"""
+
+
+def _q_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # documents-table quality gate incl. a cross-column consistency rule
+    # (the stored n_chars must equal the measured text length)
+    from feature_store_fraud_detection_spark.operators import validate as V
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = [
+        V.not_null("text"),
+        V.one_of("lang", ["en", "es", "de"]),
+        ("n_chars_consistent", F.col("n_chars") == F.length("text")),
+        V.in_range("n_chars", 1.0, 100000.0),
+    ]
+    return V.validate(docs, rules)
+
+
+_VALIDATE_DOCS_SQL = """
+WITH agg AS (
+  SELECT count(*) AS total,
+         sum(CASE WHEN coalesce(text IS NOT NULL, FALSE) THEN 0 ELSE 1 END) AS v1,
+         sum(CASE WHEN coalesce(lang IN ('en', 'es', 'de'), FALSE)
+                  THEN 0 ELSE 1 END) AS v2,
+         sum(CASE WHEN coalesce(n_chars = length(text), FALSE)
+                  THEN 0 ELSE 1 END) AS v3,
+         sum(CASE WHEN coalesce(n_chars >= 1.0 AND n_chars <= 100000.0, FALSE)
+                  THEN 0 ELSE 1 END) AS v4
+  FROM documents
+)
+SELECT 'text_not_null' AS rule, CAST(v1 AS BIGINT) AS n_violations,
+       floor(v1 / CAST(total AS DOUBLE) * 10000 + 0.5) / 10000 AS violation_rate
+FROM agg
+UNION ALL
+SELECT 'lang_one_of', CAST(v2 AS BIGINT),
+       floor(v2 / CAST(total AS DOUBLE) * 10000 + 0.5) / 10000 FROM agg
+UNION ALL
+SELECT 'n_chars_consistent', CAST(v3 AS BIGINT),
+       floor(v3 / CAST(total AS DOUBLE) * 10000 + 0.5) / 10000 FROM agg
+UNION ALL
+SELECT 'n_chars_in_range', CAST(v4 AS BIGINT),
+       floor(v4 / CAST(total AS DOUBLE) * 10000 + 0.5) / 10000 FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_by_source": QuerySpec(_q_dedup_by_source, _DEDUP_BY_SOURCE_SQL),
+    "validate_documents": QuerySpec(_q_validate_documents, _VALIDATE_DOCS_SQL),
     "rfm_segments": QuerySpec(_q_rfm_segments, _RFM_SQL),
     "lang_confusion": QuerySpec(_q_lang_confusion, _LANG_CONFUSION_SQL),
     "attribution_last_touch": QuerySpec(
