@@ -197,3 +197,50 @@ def test_diff_apply_roundtrip_law(spark, old_rows, new_rows):
     assert {tuple(r) for r in rebuilt.collect()} == {
         tuple(r) for r in new.collect()
     }
+
+
+# --- spatial proximity join == brute-force all-pairs within radius -------
+
+point = st.tuples(
+    st.integers(min_value=0, max_value=14),                 # id (unique-d)
+    st.floats(min_value=30.0, max_value=30.2, allow_nan=False),
+    st.floats(min_value=-100.2, max_value=-100.0, allow_nan=False),
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(point, min_size=2, max_size=15))
+def test_proximity_pairs_equals_brute_force(spark, pts):
+    from feature_store_fraud_detection_spark.operators.spatial import (
+        proximity_pairs,
+    )
+
+    seen, rows = set(), []
+    for pid, lat, lon in pts:
+        if pid not in seen:
+            seen.add(pid)
+            rows.append((pid, float(lat), float(lon)))
+    df = spark.createDataFrame(rows, "pid long, lat double, lon double")
+    got = {
+        (r.id_a, r.id_b)
+        for r in proximity_pairs(
+            df, "pid", "lat", "lon", radius_miles=1.0, cell_deg=0.05
+        ).collect()
+    }
+
+    def hav(a, b):
+        rl1, rl2 = math.radians(a[1]), math.radians(b[1])
+        dlat, dlon = rl2 - rl1, math.radians(b[2]) - math.radians(a[2])
+        x = (
+            math.sin(dlat / 2) ** 2
+            + math.cos(rl1) * math.cos(rl2) * math.sin(dlon / 2) ** 2
+        )
+        return 2 * 3963.0 * math.asin(math.sqrt(x))
+
+    expected = set()
+    for i, p in enumerate(rows):
+        for q in rows[i + 1 :]:
+            lo, hi = sorted([p, q], key=lambda r: r[0])
+            if math.floor(hav(lo, hi) * 10000 + 0.5) / 10000 <= 1.0:
+                expected.add((lo[0], hi[0]))
+    assert got == expected
