@@ -85,3 +85,19 @@ def test_drift_psi_identical_and_shifted(spark):
     )
     drifted = drift_psi(base, shifted, "v", n_bins=10).collect()
     assert sum(r.psi_term for r in drifted) > 0.25  # "significant drift" bar
+
+
+def test_weighted_hash_sample_rate_tracks_mean_weight(spark):
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+    from pyspark.sql import functions as F
+
+    # constant weight w: the md5 threshold keeps ~w of rows (binomial
+    # tolerance), and the SAME rows on every run/partitioning
+    df = spark.range(4000).select(F.col("id"), F.lit(0.3).alias("w"))
+    kept = weighted_hash_sample(df, "id", "w")
+    n = kept.count()
+    assert abs(n - 1200) < 150  # ~5 sigma for Binomial(4000, 0.3)
+    again = {r.id for r in weighted_hash_sample(df.repartition(7), "id", "w").collect()}
+    assert {r.id for r in kept.collect()} == again
