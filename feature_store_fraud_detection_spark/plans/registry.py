@@ -3317,9 +3317,10 @@ o AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shard_offset
   FROM tk
 )
-SELECT doc_id, n_tokens, shard, shard_offset,
-       shard_offset // 256 AS pack_id,
-       shard_offset % 256 AS pack_offset,
+SELECT doc_id, n_tokens, shard,
+       CAST(shard_offset AS BIGINT) AS shard_offset,
+       CAST(shard_offset // 256 AS BIGINT) AS pack_id,
+       CAST(shard_offset % 256 AS BIGINT) AS pack_offset,
        CAST(shard_offset % 256 + n_tokens > 256 AS INT) AS spans_boundary
 FROM o
 """
@@ -3391,7 +3392,7 @@ contribs AS (
   FROM tf JOIN tc USING (term) CROSS JOIN tot
 )
 SELECT doc_id,
-       sum(tf) AS n_tokens,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
        floor(((-list_reduce(list_sort(list(c)), (a, b) -> a + b)) / sum(tf))
              * 10000 + 0.5) / 10000 AS nll
 FROM contribs
@@ -3474,13 +3475,24 @@ def _q_incremental_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = aggregate_state(
         ev.filter(F.col("ts") >= cutoff), "user_id", "ts", "value"
     )
-    return merge_aggregate_state(hist, batch, "user_id")
+    merged = merge_aggregate_state(hist, batch, "user_id")
+    # driver-proof boundary: merge arithmetic stays exact DECIMAL; only the
+    # OUTPUT casts to rounded double (see rfm_segments note).
+    return merged.select(
+        "user_id",
+        "txn_count",
+        _round4_pos(F.col("value_sum").cast("double")).alias("value_sum"),
+        "value_min",
+        "value_max",
+        "last_ts",
+    )
 
 
 _INCREMENTAL_MERGE_SQL = """
 SELECT user_id,
        count(*) AS txn_count,
-       sum(CAST(value AS DECIMAL(18,2))) AS value_sum,
+       floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 10000 + 0.5)
+         / 10000 AS value_sum,
        min(value) AS value_min,
        max(value) AS value_max,
        max(ts) AS last_ts
@@ -3558,7 +3570,21 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = aggregate_state(ev, "user_id", "ts", "value").select(
         "user_id", "txn_count", "value_sum"
     )
-    return table_diff(old, new, "user_id", ["txn_count", "value_sum"])
+    diff = table_diff(old, new, "user_id", ["txn_count", "value_sum"])
+    # driver-proof boundary: the diff itself compares exact DECIMAL sums;
+    # only the OUTPUT casts to rounded double (see rfm_segments note).
+    return diff.select(
+        "user_id",
+        "change_type",
+        "old_txn_count",
+        _round4_pos(F.col("old_value_sum").cast("double")).alias(
+            "old_value_sum"
+        ),
+        "new_txn_count",
+        _round4_pos(F.col("new_value_sum").cast("double")).alias(
+            "new_value_sum"
+        ),
+    )
 
 
 _SNAPSHOT_DIFF_SQL = """
@@ -3583,7 +3609,12 @@ SELECT user_id,
        CASE WHEN NOT in_old THEN 'added'
             WHEN NOT in_new THEN 'removed'
             ELSE 'updated' END AS change_type,
-       old_txn_count, old_value_sum, new_txn_count, new_value_sum
+       old_txn_count,
+       floor(CAST(old_value_sum AS DOUBLE) * 10000 + 0.5) / 10000
+         AS old_value_sum,
+       new_txn_count,
+       floor(CAST(new_value_sum AS DOUBLE) * 10000 + 0.5) / 10000
+         AS new_value_sum
 FROM j
 WHERE NOT (in_old AND in_new
            AND old_txn_count IS NOT DISTINCT FROM new_txn_count
@@ -4382,7 +4413,11 @@ def _q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("last_touch").alias("channel"))
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("revenue"),
+            # exact DECIMAL sum, rounded-double at the boundary (see
+            # rfm_segments note on the driver's pandas canonicalizer)
+            _round4_pos(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            ).alias("revenue"),
         )
     )
 
@@ -4398,7 +4433,8 @@ WITH touched AS (
 )
 SELECT last_touch AS channel,
        count(*) AS n_purchases,
-       sum(CAST(value AS DECIMAL(18,2))) AS revenue
+       floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 10000 + 0.5)
+         / 10000 AS revenue
 FROM touched
 WHERE event_type = 'purchase' AND last_touch IS NOT NULL
 GROUP BY last_touch
@@ -4481,7 +4517,12 @@ def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "recency_s",
             "frequency",
-            "monetary",
+            # driver-proof boundary: DECIMAL stays exact through the agg and
+            # the tercile comparisons above, but leaves the query as a
+            # rounded double (the driver's pandas canonicalizer renders
+            # DuckDB DECIMAL as float64 while Spark Decimal stays object,
+            # so 'x.40' vs x.4 hash-diverges).
+            _round4_pos(F.col("monetary").cast("double")).alias("monetary"),
             score("recency_s", invert=True).alias("r_score"),
             score("frequency", invert=False).alias("f_score"),
             score("monetary", invert=False).alias("m_score"),
@@ -4528,7 +4569,10 @@ scored AS (
                    WHEN monetary <= m2 THEN 2 ELSE 3 END AS INT) AS m_score
   FROM base CROSS JOIN cuts
 )
-SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+SELECT user_id, recency_s, frequency,
+       floor(CAST(monetary AS DOUBLE) * 10000 + 0.5) / 10000 AS monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
           || CAST(m_score AS VARCHAR) AS segment
 FROM scored
 """
