@@ -29,3 +29,25 @@ ROUND4_SQL = "floor(({expr}) * 10000 + 0.5) / 10000"
 def round4_stable(col: Column) -> Column:
     """4-decimal rounding as pure double arithmetic (see module docstring)."""
     return F.floor(col * 10000 + F.lit(0.5)) / F.lit(10000.0)
+
+
+def overflow_checked(col: Column, bound: float, context: str) -> Column:
+    """Fail-loud guard for the exact-DECIMAL aggregation paths.
+
+    Under non-ANSI mode a Spark decimal cast silently NULLs values that
+    don't fit, and ``F.sum`` then silently skips them — an aggregate
+    quietly computed over an undetected subset. This guard makes the
+    precondition explicit: any value with ``|x| >= bound`` aborts the job
+    with a message naming the operator, instead of skewing its output.
+    (DuckDB's behavior for the oracle twin is already fail-loud: a decimal
+    cast overflow raises.) Cost: one vectorized comparison per row.
+    """
+    return F.when(col.isNull() | (F.abs(col) < F.lit(bound)), col).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"{context}: |value| >= {bound:g} overflows the exact-decimal "
+                "aggregation path (value=%s)",
+                col.cast("string"),
+            )
+        ).cast("double")
+    )

@@ -39,7 +39,7 @@ def aggregate_state(df: DataFrame, key: str, ts_col: str, value_col: str) -> Dat
     path — also the per-batch partial aggregation)."""
     return df.groupBy(key).agg(
         F.count(F.lit(1)).alias("txn_count"),
-        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("value_sum"),
+        F.sum(F.col(value_col).cast("decimal(38,2)")).alias("value_sum"),
         F.min(value_col).alias("value_min"),
         F.max(value_col).alias("value_max"),
         F.max(ts_col).alias("last_ts"),
@@ -67,9 +67,9 @@ def merge_aggregate_state(
             + F.coalesce(F.col("__b_txn_count"), zero)
         ).alias("txn_count"),
         (
-            F.coalesce(F.col("__s_value_sum"), F.lit(0).cast("decimal(18,2)"))
-            + F.coalesce(F.col("__b_value_sum"), F.lit(0).cast("decimal(18,2)"))
-        ).cast("decimal(18,2)").alias("value_sum"),
+            F.coalesce(F.col("__s_value_sum"), F.lit(0).cast("decimal(38,2)"))
+            + F.coalesce(F.col("__b_value_sum"), F.lit(0).cast("decimal(38,2)"))
+        ).cast("decimal(38,2)").alias("value_sum"),
         F.least(
             F.coalesce(F.col("__s_value_min"), F.col("__b_value_min")),
             F.coalesce(F.col("__b_value_min"), F.col("__s_value_min")),

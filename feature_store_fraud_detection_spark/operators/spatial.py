@@ -13,11 +13,17 @@ is 9x|points| cover rows + |points| — never |points|^2. Dense cells (a
 Manhattan of transactions) are the skew case: cap or sub-split hot cells
 exactly like `dedup.minhash_lsh_pairs`'s max_bucket_size.
 
-Choose ``cell_deg`` >= radius/69mi (1 degree latitude ~= 69 miles) — the
-default 0.05 deg (~3.5 mi) is safe for radii up to ~2.4 mi at |lat| < 60.
+A longitude cell is only ``cell_deg * 69 * cos(lat)`` miles wide (cells
+narrow toward the poles), so the safe bound is
+``radius_miles <= cell_deg * 69 * cos(max_abs_lat)``: the default 0.05 deg
+grid covers radii up to ~1.7 mi at |lat| < 60 (and ~2.4 mi only at
+|lat| < 45). ``proximity_pairs`` validates this at call time against the
+declared ``max_abs_lat`` rather than silently missing cross-cell pairs.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -33,10 +39,23 @@ def proximity_pairs(
     lon_col: str,
     radius_miles: float = 1.0,
     cell_deg: float = 0.05,
+    max_abs_lat: float = 60.0,
 ) -> DataFrame:
     """(id_a, id_b, dist) for every pair within ``radius_miles`` (id_a <
     id_b). The distance is 4-decimal rounded BEFORE the radius comparison
-    so the keep set is bit-reproducible across engines."""
+    so the keep set is bit-reproducible across engines.
+
+    ``max_abs_lat`` declares the data's latitude extent; the grid is
+    rejected up front if a longitude cell at that latitude is narrower
+    than the radius (adjacent-cell cover would miss qualifying pairs).
+    """
+    lon_cell_miles = cell_deg * 69.0 * math.cos(math.radians(max_abs_lat))
+    if radius_miles > lon_cell_miles:
+        raise ValueError(
+            f"radius_miles={radius_miles} exceeds the longitude cell width "
+            f"{lon_cell_miles:.2f} mi at |lat|={max_abs_lat}; increase "
+            "cell_deg or lower max_abs_lat"
+        )
     pts = df.select(
         F.col(id_col),
         F.col(lat_col).alias("__lat"),

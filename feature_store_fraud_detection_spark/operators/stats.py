@@ -5,6 +5,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from feature_store_fraud_detection_spark.functions.numeric import overflow_checked
+
 
 def dict_encode(df: DataFrame, col: str, out_col: str | None = None) -> DataFrame:
     """Dictionary-encode a key column to dense 0..n-1 ids (reference P11,
@@ -39,7 +41,11 @@ def summary_stats(df: DataFrame, col: str) -> DataFrame:
     decimal(38,6)/decimal(38,12): exact up to ~1e32, far past 100 TB row
     counts. Mirrors the money-math rule in ``plans/registry`` docs.
     """
-    dec = F.col(col).cast("decimal(18,6)")
+    # fail-loud precondition: decimal(18,6) holds |x| < 1e12; out-of-range
+    # values abort instead of silently NULLing out of the sums.
+    dec = overflow_checked(F.col(col), 1e12, f"summary_stats({col})").cast(
+        "decimal(18,6)"
+    )
     cnt = F.count(F.lit(1))
     s = F.sum(dec)
     sq = F.sum((dec * dec).cast("decimal(38,12)"))
@@ -112,9 +118,14 @@ def drift_psi(
 
     Scale: two scans + two tiny per-bin aggregates; nothing wider than
     ``n_bins`` rows ever joins or broadcasts except the one cut-point row.
+
+    NULL feature values are excluded up front (see ``drift_ks``: they would
+    otherwise count as bin 0 and inflate the lowest decile).
     """
     from feature_store_fraud_detection_spark.functions.numeric import round4_stable
 
+    base = base.filter(F.col(col).isNotNull())
+    curr = curr.filter(F.col(col).isNotNull())
     cuts = base.agg(
         F.array(
             *[F.expr(f"percentile({col}, {i / n_bins})") for i in range(1, n_bins)]
@@ -269,7 +280,11 @@ def leakage_scan(
     is_pos = F.col(label_col) == 1
     aggs = [F.count(F.lit(1)).alias("__n"), F.sum(is_pos.cast("long")).alias("__n1")]
     for c in feature_cols:
-        d = F.col(c).cast("decimal(18,6)")
+        # fail-loud precondition (see summary_stats): |x| >= 1e12 would
+        # silently NULL out of decimal(18,6) and skew corr_pb undetected.
+        d = overflow_checked(F.col(c), 1e12, f"leakage_scan({c})").cast(
+            "decimal(18,6)"
+        )
         d2 = (d * d).cast("decimal(38,12)")
         aggs += [
             F.sum(d).alias(f"__s_{c}"),
@@ -314,9 +329,15 @@ def drift_ks(
 
     Same scale shape as drift_psi: two scans reduce to n_bins counts; the
     cumulative window runs over the bounded bin table, never raw rows.
+
+    NULL feature values are excluded up front: an unfiltered NULL yields an
+    empty filtered-cuts array and would land in bin 0 while still counting
+    toward the totals, inflating the lowest decile on both sides.
     """
     from feature_store_fraud_detection_spark.functions.numeric import round4_stable
 
+    base = base.filter(F.col(col).isNotNull())
+    curr = curr.filter(F.col(col).isNotNull())
     cuts = base.agg(
         F.array(
             *[F.expr(f"percentile({col}, {i / n_bins})") for i in range(1, n_bins)]

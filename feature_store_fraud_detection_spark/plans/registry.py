@@ -2798,8 +2798,10 @@ def _q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DRIFT_PSI_SQL = """
-WITH a AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-15'),
-b AS (SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-15'),
+WITH a AS (SELECT value FROM events
+       WHERE ts < TIMESTAMP '2024-01-15' AND value IS NOT NULL),
+b AS (SELECT value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15' AND value IS NOT NULL),
 cuts AS (
   SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
           quantile_cont(value, 0.3), quantile_cont(value, 0.4),
@@ -4169,7 +4171,9 @@ def _q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as customer_revenue_deciles) and report observed positive rate per
     # bucket. Using the txn amount as the pseudo-score against is_fraud.
     ev = load_table(spark, sf_dir, "events")
-    scored = ev.select(
+    # NULL scores excluded: an empty filtered-cuts array would silently
+    # land them in bin 0 (same fix as drift_ks/drift_psi).
+    scored = ev.filter(F.col("value").isNotNull()).select(
         F.col("value").alias("score"),
         (F.col("event_type") == "error").cast("int").alias("label"),
     )
@@ -4202,7 +4206,7 @@ def _q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CALIBRATION_SQL = """
 WITH scored AS (
   SELECT value AS score, CAST(event_type = 'error' AS INT) AS label
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 cuts AS (
   SELECT [
@@ -4355,8 +4359,10 @@ def _q_feature_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DRIFT_KS_SQL = """
-WITH a AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-15'),
-b AS (SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-15'),
+WITH a AS (SELECT value FROM events
+       WHERE ts < TIMESTAMP '2024-01-15' AND value IS NOT NULL),
+b AS (SELECT value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15' AND value IS NOT NULL),
 cuts AS (
   SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
           quantile_cont(value, 0.3), quantile_cont(value, 0.4),

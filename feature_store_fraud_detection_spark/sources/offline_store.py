@@ -163,9 +163,14 @@ class OfflineStore:
         ]
         if not touched:
             return
+        # keep predicate must be NULL-safe: ~isin(values) evaluates to NULL
+        # (not true) for NULL keys, which would silently drop NULL-key rows
+        # that merely share a partition with a deleted key.
         remaining = (
             df.filter(F.col(PARTITION_COL).isin(touched))
-            .filter(~F.col(key_col).isin(values))
+            .filter(
+                F.col(key_col).isNull() | ~F.col(key_col).isin(values)
+            )
             .localCheckpoint()
         )
         (

@@ -101,3 +101,49 @@ def test_weighted_hash_sample_rate_tracks_mean_weight(spark):
     assert abs(n - 1200) < 150  # ~5 sigma for Binomial(4000, 0.3)
     again = {r.id for r in weighted_hash_sample(df.repartition(7), "id", "w").collect()}
     assert {r.id for r in kept.collect()} == again
+
+
+def test_drift_psi_ignores_null_values(spark):
+    """NULL feature values must be excluded from binning entirely — an
+    unfiltered NULL yields an empty filtered-cuts array and lands in bin 0
+    while counting toward totals, inflating the lowest decile."""
+    from pyspark.sql import functions as F
+
+    from feature_store_fraud_detection_spark.operators.stats import (
+        drift_ks,
+        drift_psi,
+    )
+
+    base = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    with_nulls = spark.range(1500).select(
+        F.when(F.col("id") < 1000, (F.col("id") % 100).cast("double")).alias("v")
+    )
+    for op in (drift_psi, drift_ks):
+        rows = op(base, with_nulls, "v", n_bins=10).collect()
+        # 500 NULL rows contribute nothing: both sides bin identically
+        assert sum(r.n_curr for r in rows) == sum(r.n_base for r in rows) == 1000
+        by_bin = {r.bin: (r.n_base, r.n_curr) for r in rows}
+        assert all(nb == nc for nb, nc in by_bin.values())
+
+
+def test_overflow_checked_aborts_instead_of_silent_null(spark):
+    """The exact-decimal aggregation guard: values past the decimal(18,6)
+    range abort the job with the operator's name, instead of silently
+    NULLing out of F.sum and skewing the aggregate."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from feature_store_fraud_detection_spark.operators.stats import (
+        leakage_scan,
+        summary_stats,
+    )
+
+    ok = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    assert summary_stats(ok, "v").collect()[0]["cnt"] == 10
+
+    bad = ok.union(spark.createDataFrame([(1e13,)], "v double"))
+    with pytest.raises(Exception, match="summary_stats"):
+        summary_stats(bad, "v").collect()
+    with pytest.raises(Exception, match="leakage_scan"):
+        labeled = bad.withColumn("y", (F.col("v") > 5).cast("int"))
+        leakage_scan(labeled, ["v"], "y").collect()

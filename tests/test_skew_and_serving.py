@@ -352,3 +352,27 @@ def test_attribution_last_touch_credits_preceding_event(spark):
         .collect()
     }
     assert out == {"view": (2, 13.0), "click": (1, 5.0)}
+
+
+def test_proximity_pairs_rejects_undersized_grid(spark):
+    """Longitude cells narrow by cos(lat): a grid whose cell is narrower
+    than the radius at the declared max latitude would silently miss
+    cross-cell pairs, so the operator must refuse it up front."""
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.spatial import (
+        proximity_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 59.0, 10.0)], "pid long, lat double, lon double"
+    )
+    # 0.05 deg * 69 mi * cos(60 deg) ~= 1.72 mi < 2.0 mi radius
+    with pytest.raises(ValueError, match="exceeds the longitude cell"):
+        proximity_pairs(
+            df, "pid", "lat", "lon", radius_miles=2.0, cell_deg=0.05
+        )
+    # same radius is fine with a wide-enough cell
+    proximity_pairs(
+        df, "pid", "lat", "lon", radius_miles=2.0, cell_deg=0.06
+    ).collect()

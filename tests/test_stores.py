@@ -504,3 +504,26 @@ def test_distinct_sketch_merge_equals_full(spark):
     }
     for k, est in canon(full).items():
         assert abs(est - truth[k]) <= 0.05 * truth[k] + 3
+
+
+def test_delete_keys_keeps_null_key_rows(spark, tmp_path):
+    """NULL-safe keep predicate: ~isin(values) is NULL (not true) for a
+    NULL key, which would silently drop NULL-key rows that merely share a
+    rewritten partition with a deleted key."""
+    from feature_store_fraud_detection_spark.sources.offline_store import (
+        OfflineStore,
+    )
+
+    store = OfflineStore(spark, str(tmp_path / "gdpr_null"), ts_col="ts")
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (None, "2024-01-01 11:00:00", 2.0),  # shares day-1 with user 1
+        (3, "2024-01-02 10:00:00", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, t string, value double"
+    ).select("user_id", F.to_timestamp("t").alias("ts"), "value")
+    store.write(df)
+    store.delete_keys("user_id", [1])
+    kept = {r.user_id for r in store.read().collect()}
+    assert kept == {None, 3}
