@@ -56,6 +56,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs word-k-gram Jaccard >= threshold.
 
@@ -63,8 +64,29 @@ def ngram_jaccard_pairs(
     aggregated, so disjoint documents never meet (the join is |shared
     shingles|, not |docs|^2). Still quadratic in the worst case — use
     minhash_lsh_pairs at scale and this as the verifier on candidates.
+
+    ``max_df`` is the hot-shingle cap (the analogue of
+    ``minhash_lsh_pairs``'s ``max_bucket_size``): a boilerplate shingle
+    present in 10k documents alone generates 10^8 candidate pairs before
+    the threshold filter. Shingles with document frequency > max_df are
+    dropped from EVERY document before the join — sizes and intersections
+    are both computed over the capped vocabulary, so the Jaccard stays a
+    true Jaccard of the filtered shingle sets (classic stopword removal,
+    not an approximation of the unfiltered score). The df pre-aggregation
+    shuffles on the same shingle key the self-join needs, so the cap rides
+    the existing exchange.
     """
-    sh = shingle_table(df, id_col, text_col, k).cache()
+    sh = shingle_table(df, id_col, text_col, k)
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        sh = (
+            sh.join(dfreq, "shingle")
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -1189,17 +1189,26 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
+    # max_df=100: the hot-shingle cap (stop-shingles in >100 docs would
+    # dominate the candidate-pair count quadratically at scale)
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.2
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=3,
+        threshold=0.2,
+        max_df=100,
     )
 
 
 _NGRAM_JACCARD_SQL = f"""
 WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 100),
+shf AS (SELECT doc_id, shingle FROM sh ANTI JOIN hot USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, n_inter, jaccard FROM (

@@ -505,3 +505,37 @@ def test_fuzzy_pairs_blocking_and_distance(spark):
     assert fuzzy_pairs(
         big, "doc_id", "text", max_block_size=5
     ).count() == 0
+
+
+def test_ngram_jaccard_max_df_drops_planted_stop_shingle(spark):
+    """Hot-shingle cap: a boilerplate k-gram planted in every document
+    must not manufacture candidate pairs once its document frequency
+    exceeds max_df; surviving pairs score Jaccard over the capped
+    vocabulary (true stopword-removed Jaccard, not an approximation)."""
+    boiler = "all rights reserved"
+    rows = [
+        # two near-dup docs sharing real content + the boilerplate
+        (1, f"{boiler} alpha beta gamma delta epsilon zeta"),
+        (2, f"{boiler} alpha beta gamma delta epsilon eta"),
+    ] + [
+        # unrelated docs that share ONLY the boilerplate shingle
+        (i, f"{boiler} unique{i} token{i} word{i} филлер{i}")
+        for i in range(3, 23)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.01
+    )
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.01, max_df=5
+    )
+    # without the cap the boilerplate shingle links every doc pair
+    assert uncapped.count() == 22 * 21 // 2
+    got = {(r.id_a, r.id_b): (r.n_inter, r.jaccard) for r in capped.collect()}
+    # with it, only the genuinely-overlapping pair survives
+    assert set(got) == {(1, 2)}
+    # docs 1/2 each have 6 shingles minus the boilerplate-prefixed hot
+    # ones; intersection/union computed over the capped vocabulary
+    n_inter, jac = got[(1, 2)]
+    assert n_inter >= 1 and 0 < jac <= 1.0
