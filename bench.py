@@ -49,6 +49,14 @@ HEADLINE = [
     "cosine_topk",
     "token_tfidf",
     "salted_stats",
+    # round-2/3 operator families (regressions here must be visible)
+    "bm25_topk",
+    "pack_sequences",
+    "geo_proximity_pairs",
+    "fuzzy_pairs",
+    "sq8_topk",
+    "value_rank_profile",
+    "ngram_jaccard_pairs",
 ]
 
 
@@ -57,6 +65,13 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="bench")
+    # Quiet the log tail: the only WARN-level noise these queries emit is
+    # WindowExec's "No Partition Defined" — every partition-less window in
+    # the registry runs over a bounded post-aggregation frame (distinct
+    # scores / bins / keys), asserted by
+    # tests/test_plan_quality.py::test_global_windows_only_over_aggregated_frames,
+    # so the warning is expected-and-safe here, not a single-partition bug.
+    spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warmup outside the measurement: compile every headline
     # query's codegen once against the tiny sf (see module docstring)
     spark.range(1000).selectExpr("sum(id)").collect()

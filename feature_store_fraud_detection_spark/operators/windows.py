@@ -370,3 +370,91 @@ def sliding_distinct_counts(
         .groupBy("day")
         .agg(F.countDistinct(key).alias("n_active"))
     )
+
+
+def bucketed_value_ranks(
+    df: DataFrame,
+    part_col: str,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """percent_rank / cume_dist / ntile(4) per partition WITHOUT a
+    per-partition total-order sort — the scale-safe twin of
+    ``Window.partitionBy(part).orderBy(value, id)`` rank functions.
+
+    A low-cardinality partition key (5 event types) means the naive window
+    sorts ~1/5 of the table in ONE task at any scale. Instead, the total
+    order is decomposed exactly (same two-level idea as
+    ``bucketed_trailing_aggs``):
+
+    1. per-partition quantile cut points (one scalar aggregate, broadcast);
+    2. each row binned by cut points — rows in bucket b all precede rows in
+       bucket b+1 under (value, id) order, since the bin is a function of
+       value alone;
+    3. ``row_number`` runs per (partition, bucket) — every sorted run is
+       ~|part|/n_buckets rows, bounded by the bucket, not the partition;
+    4. bucket offsets (a tiny counts-per-bucket table) broadcast back, so
+       global_rn = offset + local_rn, exactly.
+
+    All three outputs derive from the global row number over distinct
+    (value, id) keys: percent_rank = (rn-1)/(n-1), cume_dist = rn/n, and
+    ntile(t) by the standard first-(n mod t)-tiles-get-one-extra split.
+
+    At 100 TB swap ``percentile`` for ``percentile_approx`` — bin balance
+    shifts but every output is exact regardless of where the cuts land
+    (they only shard the sort; correctness never depends on them).
+    """
+    cuts = df.groupBy(part_col).agg(
+        F.array(
+            *[
+                F.expr(f"percentile({value_col}, {i / n_buckets})")
+                for i in range(1, n_buckets)
+            ]
+        ).alias("__cuts")
+    )
+    binned = (
+        df.join(F.broadcast(cuts), part_col)
+        .withColumn(
+            "__bin",
+            F.size(F.filter("__cuts", lambda q: F.col(value_col) > q)),
+        )
+        .drop("__cuts")
+    )
+    counts = binned.groupBy(part_col, "__bin").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    # cumulative offsets + totals over the bounded per-bucket counts table
+    woff = (
+        Window.partitionBy(part_col)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy(part_col)
+    offsets = counts.select(
+        part_col,
+        "__bin",
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(wtot).alias("__n"),
+    )
+    win = Window.partitionBy(part_col, "__bin").orderBy(
+        F.col(value_col), F.col(id_col)
+    )
+    rn = F.row_number().over(win) + F.col("__off")
+    n = F.col("__n")
+    q, rem = F.floor(n / 4), n % 4
+    big = rem * (q + 1)
+    quartile = F.when(rn <= big, F.floor((rn - 1) / (q + 1)) + 1).otherwise(
+        rem + F.floor((rn - big - 1) / q) + 1
+    )
+    return (
+        binned.join(F.broadcast(offsets), [part_col, "__bin"])
+        .select(
+            *df.columns,
+            F.when(n == 1, F.lit(0.0))
+            .otherwise((rn - 1) / (n - 1).cast("double"))
+            .alias("__pct_rank"),
+            (rn / n.cast("double")).alias("__cume"),
+            quartile.cast("int").alias("__quartile"),
+        )
+    )

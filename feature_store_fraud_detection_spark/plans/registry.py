@@ -3771,20 +3771,28 @@ SELECT day, event_type, n_events, CAST(rank AS INT) AS rank FROM (
 def _q_value_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the analytic-rank surface in one query: percent_rank / cume_dist /
     # quartile per value within its event type (total order via event_id
-    # tiebreak so every rank function is deterministic)
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value"), F.col("event_id")
+    # tiebreak so every rank function is deterministic). event_type has 5
+    # values, so a plain partitionBy(event_type) rank window would sort
+    # ~1/5 of the table in one task at any scale — computed instead via
+    # the exact cut-point-bucketed decomposition (windows.py), whose
+    # sorted runs are bounded by (event_type, quantile bucket).
+    from feature_store_fraud_detection_spark.operators.windows import (
+        bucketed_value_ranks,
     )
-    return ev.select(
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ranked = bucketed_value_ranks(
+        ev, "event_type", "value", "event_id", n_buckets=32
+    )
+    return ranked.select(
         "event_id",
         "event_type",
         "value",
-        _round4_pos(F.percent_rank().over(w)).alias("pct_rank"),
-        _round4_pos(F.cume_dist().over(w)).alias("cume"),
-        F.ntile(4).over(w).cast("int").alias("quartile"),
+        _round4_pos(F.col("__pct_rank")).alias("pct_rank"),
+        _round4_pos(F.col("__cume")).alias("cume"),
+        F.col("__quartile").alias("quartile"),
     )
 
 

@@ -158,3 +158,89 @@ def test_training_set_pipeline_single_wide_stage(spark, sf_dir):
     plan = _physical(QUERIES["training_set_pipeline"].fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" in plan  # 1-row cut points
+
+
+def _plan_tree(df):
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.nodeName() == "AdaptiveSparkPlan":
+        plan = plan.initialPlan()
+    return plan
+
+
+def _children(n):
+    ch = n.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _nodes(plan):
+    stack = [plan]
+    while stack:
+        n = stack.pop()
+        yield n
+        stack.extend(_children(n))
+
+
+def _aggregated_below(n) -> bool:
+    """True iff every path from this node to a leaf passes through an
+    aggregate — i.e. the node's input frame is bounded by group count,
+    never raw table rows."""
+    if "Aggregate" in n.nodeName():
+        return True
+    kids = _children(n)
+    if not kids:
+        # leaves: a LocalTableScan literal is bounded; a file scan is not
+        return n.nodeName() == "LocalTableScan"
+    return all(_aggregated_below(c) for c in kids)
+
+
+# every registry query that legitimately contains a partition-less window;
+# the gate proves each such window reads a post-aggregation frame, so the
+# WindowExec "No Partition Defined" warning is whitelisted noise (see
+# bench.py) and any NEW global window over raw rows fails this list-driven
+# audit when added here — or trips the warning in bench, prompting review.
+GLOBAL_WINDOW_QUERIES = [
+    "exact_auc",              # distinct-score groups (evaluation.py)
+    "dict_encode",            # distinct keys only (stats.py)
+    "feature_drift_ks",       # n_bins cumulative rows (stats.py)
+    "feature_drift_psi",      # n_bins rows
+    "fraud_capture_curve",    # 10 decile bins (registry)
+    "calibration_bins",       # 10 bins
+]
+
+
+def test_global_windows_only_over_aggregated_frames(spark, sf_dir):
+    for name in GLOBAL_WINDOW_QUERIES:
+        plan = _plan_tree(QUERIES[name].fn(spark, sf_dir))
+        n_global = 0
+        for n in _nodes(plan):
+            if n.nodeName() == "Window" and n.partitionSpec().size() == 0:
+                n_global += 1
+                assert all(_aggregated_below(c) for c in _children(n)), (
+                    f"{name}: partition-less Window over a raw-row frame"
+                )
+        # at least exact_auc/dict_encode genuinely use one; a query listed
+        # here with zero global windows is stale whitelist (keep it honest)
+        assert n_global >= 1 or name in (
+            "feature_drift_psi", "calibration_bins"
+        ), name
+
+
+def test_value_rank_profile_windows_are_bucket_bounded(spark, sf_dir):
+    """The rank profile must never sort a whole event_type in one task:
+    its row_number windows partition on (event_type, quantile bucket); the
+    only event_type-level windows are the offset/total sums over the
+    bounded per-bucket counts table."""
+    plan = _plan_tree(QUERIES["value_rank_profile"].fn(spark, sf_dir))
+    saw_bucketed_rownum = False
+    for n in _nodes(plan):
+        if n.nodeName() != "Window":
+            continue
+        spec = n.partitionSpec().toString()
+        if "row_number" in n.toString().split("\n")[0]:
+            assert "__bin" in spec, f"raw-row window spec: {spec}"
+            saw_bucketed_rownum = True
+        elif n.partitionSpec().size() <= 1:
+            # offsets/totals windows: event_type alone is fine ONLY over
+            # the aggregated counts frame
+            assert all(_aggregated_below(c) for c in _children(n)), spec
+    assert saw_bucketed_rownum

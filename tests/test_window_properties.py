@@ -244,3 +244,54 @@ def test_proximity_pairs_equals_brute_force(spark, pts):
             if math.floor(hav(lo, hi) * 10000 + 0.5) / 10000 <= 1.0:
                 expected.add((lo[0], hi[0]))
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # partition key
+            st.integers(min_value=0, max_value=9),  # value (ties likely)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_bucketed_value_ranks_equal_plain_window(spark, rows):
+    """The cut-point-bucketed rank decomposition must be EXACTLY the plain
+    partitionBy(part).orderBy(value, id) window for percent_rank /
+    cume_dist / ntile(4) — for arbitrary key skew, tie patterns, and
+    bucket counts (including buckets >> distinct values)."""
+    from pyspark.sql import Window
+
+    from feature_store_fraud_detection_spark.operators.windows import (
+        bucketed_value_ranks,
+    )
+
+    data = [
+        (i, k, float(v)) for i, (k, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "id long, part long, value double")
+    w = Window.partitionBy("part").orderBy(F.col("value"), F.col("id"))
+    expected = {
+        r.id: (r.pr, r.cd, r.nt)
+        for r in df.select(
+            "id",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.ntile(4).over(w).alias("nt"),
+        ).collect()
+    }
+    for n_buckets in (1, 4, 64):
+        got = {
+            r["id"]: (r["__pct_rank"], r["__cume"], r["__quartile"])
+            for r in bucketed_value_ranks(
+                df, "part", "value", "id", n_buckets=n_buckets
+            ).collect()
+        }
+        assert set(got) == set(expected)
+        for i, (pr, cd, nt) in expected.items():
+            gpr, gcd, gnt = got[i]
+            assert math.isclose(gpr, pr, abs_tol=1e-12), (n_buckets, i)
+            assert math.isclose(gcd, cd, abs_tol=1e-12), (n_buckets, i)
+            assert gnt == nt, (n_buckets, i)
