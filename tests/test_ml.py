@@ -60,3 +60,32 @@ def test_mlp_parity_geometry(spark, sf_dir):
     clf = model.stages[-1]
     assert clf.getLayers() == [10, 8, 2]
     assert model.transform(feats).count() == 300
+
+
+def test_metric_parity_report(spark, sf_dir, capsys):
+    """Metric-parity report vs the reference's published numbers
+    (reference README.md:152-156: feature-store MLP reaches accuracy
+    0.9714 / precision 0.9666 / recall 0.8564 / F1 0.9080 on its Kaggle
+    fraud data). Exact parity is impossible here — the driver data is
+    synthetic and the container has no torch — so this runs the SAME
+    pipeline shape (indexers -> assembler -> train-only scaler -> MLP with
+    a reduced hidden geometry for test time) and asserts the full ML3
+    evaluator suite produces sane, informative metrics; the numbers are
+    recorded in PERF.md.
+    """
+    feats = compute_features(
+        events_as_transactions(load_table(spark, sf_dir, "events"))
+    ).na.fill(0)
+    tr, te = train_test_split(feats, 0.25, seed=42)
+    model = train(tr, FraudModelConfig(model="mlp", hidden_layers=[16, 8], max_iter=40))
+    metrics = evaluate(model, te)
+    # full reference ML3 suite present
+    assert set(metrics) == {
+        "areaUnderROC", "areaUnderPR", "accuracy", "f1", "precision", "recall",
+    }
+    # loose bounds: the synthetic label (category=='error') is learnable
+    # from the indexed categorical, so the model must beat chance clearly
+    assert metrics["areaUnderROC"] > 0.8
+    assert metrics["accuracy"] > 0.8
+    assert all(0.0 <= v <= 1.0 for v in metrics.values())
+    print("METRIC_PARITY " + " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items())))
