@@ -127,3 +127,42 @@ def feature_hash(
         # keep the output truly sparse
         .filter(F.col("feature_val") != 0)
     )
+
+
+def collapse_rare_categories(
+    df: DataFrame,
+    col: str,
+    min_count: int,
+    other_label: str = "__other__",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Long-tail bucketing: category values seen fewer than ``min_count``
+    times collapse to ``other_label`` — the standard high-cardinality
+    categorical prep before encoding (a tail of one-off merchant names
+    would otherwise blow up any one-hot/target-encode vocabulary and leak
+    singleton identities into features).
+
+    Scale shape = ``dict_encode``: the frequent-category set comes from ONE
+    keyed aggregation (tiny — bounded by the number of categories above
+    the threshold, not rows) and broadcasts; the fact table takes a narrow
+    projection, no global sort, no second shuffle. The collapse is
+    membership against the broadcast frequent set, so the mapping is
+    deterministic regardless of partitioning.
+    """
+    out_col = out_col or f"{col}_collapsed"
+    frequent = (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select(F.col(col), F.lit(True).alias("__keep"))
+    )
+    return (
+        df.join(F.broadcast(frequent), col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("__keep"), F.col(col)).otherwise(
+                F.lit(other_label)
+            ),
+        )
+        .drop("__keep")
+    )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -374,4 +376,122 @@ def drift_ks(
                 )
             ).alias("cdf_gap"),
         )
+    )
+
+
+#: Benford's-law expected first-digit shares log10(1 + 1/d), embedded as
+#: Python-computed literals in BOTH engines (libm log10 is not correctly
+#: rounded, so computing them engine-side risks last-ulp divergence).
+BENFORD_EXPECTED = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_profile(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law, per group —
+    the forensic-accounting fraud screen (fabricated amounts over-sample
+    mid digits; organic money follows log10(1+1/d)).
+
+    The digit is extracted from the DECIMAL(18,2) string rendering (both
+    engines print decimals identically), NOT via floor(log10(v)) — libm
+    log10 can land 1 ulp under an integer boundary and flip the floor.
+    Rows whose amount has no nonzero digit (zero) are excluded.
+
+    Output per (group, digit): count, observed share, expected share, and
+    the chi-square contribution (n_d - N*p_d)^2 / (N*p_d) — the scalar
+    statistic is the per-group sum, left to the caller (same convention as
+    drift_psi). Scale: one scan, one (group x 9)-key aggregation; the
+    group-total join is against a tiny aggregate.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    # nullif('') before the cast: a zero amount extracts no digit and the
+    # empty string would fail an ANSI cast (mirrors the oracle's NULLIF)
+    digit = F.nullif(
+        F.regexp_extract(
+            F.col(value_col).cast("decimal(18,2)").cast("string"), "[1-9]", 0
+        ),
+        F.lit(""),
+    )
+    counts = (
+        df.select(F.col(group_col), digit.cast("int").alias("digit"))
+        .filter(F.col("digit").isNotNull())
+        .groupBy(group_col, "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy(group_col).agg(F.sum("n").alias("__total"))
+    expected = F.element_at(
+        F.array(*[F.lit(BENFORD_EXPECTED[d]) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    e_n = F.col("__total") * expected
+    return counts.join(F.broadcast(totals), group_col).select(
+        group_col,
+        "digit",
+        "n",
+        round4_stable(F.col("n") / F.col("__total").cast("double")).alias(
+            "observed"
+        ),
+        round4_stable(expected).alias("expected"),
+        round4_stable(
+            (F.col("n") - e_n) * (F.col("n") - e_n) / e_n
+        ).alias("chi2_term"),
+    )
+
+
+def mutual_information_binned(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Binned mutual information between a numeric feature and a binary
+    label — the feature-relevance screen complementing ``leakage_scan``'s
+    linear correlation (MI catches non-monotone dependence corr misses).
+
+    The feature bins by its own quantile cut points (one scalar aggregate,
+    broadcast — the drift_psi pattern); the joint table reduces to at most
+    ``n_bins x 2`` rows, and every probability ratio is computed over that
+    bounded frame. Output per (bin, label): n and the MI term
+    p_xy * log(p_xy / (p_x * p_y)); the scalar MI is the sum (caller's,
+    like psi). NULL feature values are excluded up front (bin-0 inflation,
+    see drift_ks).
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    df = df.filter(F.col(value_col).isNotNull())
+    cuts = df.agg(
+        F.array(
+            *[
+                F.expr(f"percentile({value_col}, {i / n_bins})")
+                for i in range(1, n_bins)
+            ]
+        ).alias("__cuts")
+    )
+    joint = (
+        df.crossJoin(F.broadcast(cuts))
+        .select(
+            F.size(
+                F.filter("__cuts", lambda q: F.col(value_col) > q)
+            ).alias("bin"),
+            F.col(label_col).cast("int").alias("label"),
+        )
+        .groupBy("bin", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wx = Window.partitionBy("bin")
+    wy = Window.partitionBy("label")
+    wt = Window.partitionBy()
+    n = F.col("n").cast("double")
+    nx = F.sum("n").over(wx).cast("double")
+    ny = F.sum("n").over(wy).cast("double")
+    nt = F.sum("n").over(wt).cast("double")
+    p_xy, p_x, p_y = n / nt, nx / nt, ny / nt
+    return joint.select(
+        "bin",
+        "label",
+        "n",
+        round4_stable(p_xy * F.log(p_xy / (p_x * p_y))).alias("mi_term"),
     )

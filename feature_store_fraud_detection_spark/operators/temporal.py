@@ -261,3 +261,158 @@ def scd2_intervals(
         F.lead(ts).over(wl).alias("valid_to"),
         *[F.col(c) for c in value_cols],
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def duplicate_transactions(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    ts_col: str,
+    value_col: str,
+    window_sec: int = 600,
+) -> DataFrame:
+    """Near-duplicate transaction pairs: same key, identical value, within
+    ``window_sec`` — the classic double-charge / replay-fraud detector.
+
+    Blocked self-join, the 1-D time analogue of ``spatial.proximity_pairs``:
+    rows snap to time buckets of width ``window_sec``; any qualifying pair
+    lies in the same or an adjacent bucket, so side A expands to its
+    3-bucket cover (bounded x3 fan-out) and equi-joins side B's own bucket
+    on (key, value, bucket) — each pair met exactly once (B's bucket occurs
+    once in A's cover), then the exact |dt| <= window filter verifies.
+
+    Scale: a naive same-key self-join is quadratic per key; here the join
+    key (key, value, bucket) bounds candidates to one window-width of one
+    key at one value — shuffle is 3x|rows| cover + |rows|, never |key|^2.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(id_col).alias("__id"),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).alias("__v"),
+        F.floor(F.unix_timestamp(ts_col) / window_sec).alias("__b"),
+    )
+    cover = base.select(
+        F.col("__k"),
+        F.col("__id").alias("id_a"),
+        F.col("__ts").alias("__ts_a"),
+        F.col("__v"),
+        F.explode(
+            F.array(F.col("__b") - 1, F.col("__b"), F.col("__b") + 1)
+        ).alias("__b"),
+    )
+    other = base.select(
+        F.col("__k"),
+        F.col("__id").alias("id_b"),
+        F.col("__ts").alias("__ts_b"),
+        F.col("__v"),
+        F.col("__b"),
+    )
+    return (
+        cover.join(other, ["__k", "__v", "__b"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.abs(
+                    F.unix_timestamp("__ts_a") - F.unix_timestamp("__ts_b")
+                )
+                <= window_sec
+            )
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            "id_a",
+            "id_b",
+            F.col("__v").alias(value_col),
+            F.abs(
+                F.unix_timestamp("__ts_a") - F.unix_timestamp("__ts_b")
+            ).cast("int").alias("gap_sec"),
+        )
+        .distinct()
+    )
+
+
+def seasonal_baseline_anomalies(
+    base: DataFrame,
+    curr: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Seasonal-profile anomaly counts: per (group, hour-of-day), the
+    baseline window's mean/std (exact-DECIMAL sums, one double division at
+    the end — the ``summary_stats`` money-math rule) scores the current
+    window's rows; a row is anomalous when its 4-decimal-rounded |z|
+    exceeds ``z_threshold`` (rounded-before-compare so the flag is
+    bit-reproducible cross-engine).
+
+    Scale: two scans reduce to a (group x 24)-row profile that broadcasts
+    back onto the current side — no window functions, no self-joins; the
+    per-row z is a narrow projection against the broadcast profile.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        overflow_checked,
+        round4_stable,
+    )
+
+    hour = lambda c: F.hour(F.col(c))  # noqa: E731
+    dec = overflow_checked(
+        F.col(value_col), 1e12, "seasonal_baseline_anomalies"
+    ).cast("decimal(18,6)")
+    prof = (
+        base.groupBy(
+            F.col(group_col), hour(ts_col).alias("hour_of_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_base"),
+            F.sum(dec).alias("__s"),
+            F.sum((dec * dec).cast("decimal(38,12)")).alias("__s2"),
+        )
+        .withColumn(
+            "__mean", F.col("__s").cast("double") / F.col("n_base")
+        )
+        .withColumn(
+            "__std",
+            # guarded: a single-row baseline cell has no sample std (the
+            # (n-1) division would be /0 under ANSI); NULL std scores no
+            # anomalies for that cell
+            F.when(
+                F.col("n_base") > 1,
+                F.sqrt(
+                    (
+                        F.col("__s2").cast("double")
+                        - F.col("__s").cast("double")
+                        * F.col("__s").cast("double")
+                        / F.col("n_base")
+                    )
+                    / (F.col("n_base") - 1)
+                ),
+            ),
+        )
+    )
+    scored = curr.select(
+        F.col(group_col), hour(ts_col).alias("hour_of_day"), F.col(value_col)
+    ).join(
+        F.broadcast(prof.select(group_col, "hour_of_day", "n_base", "__mean", "__std")),
+        [group_col, "hour_of_day"],
+    )
+    # z only where a positive std exists (lazy branch guards the division;
+    # a zero/NULL std cell — constant or single-row baseline — flags none)
+    anomaly = F.when(
+        F.col("__std") > 0,
+        (
+            round4_stable(
+                F.abs((F.col(value_col) - F.col("__mean")) / F.col("__std"))
+            )
+            > z_threshold
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    return (
+        scored.groupBy(group_col, "hour_of_day")
+        .agg(
+            F.max("n_base").alias("n_base"),
+            F.count(F.lit(1)).alias("n_curr"),
+            F.sum(anomaly).alias("n_anomalies"),
+        )
+    )

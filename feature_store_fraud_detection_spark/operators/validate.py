@@ -70,3 +70,59 @@ def referential_violations(
     """Child rows whose foreign key has no parent (left-anti join — the
     probe side broadcasts when the parent key set is bounded)."""
     return child.join(parent.select(F.col(pk).alias(fk)), fk, "left_anti")
+
+
+def reconcile_order_totals(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    tolerance: float = 0.01,
+) -> DataFrame:
+    """Cross-table reconciliation: recompute each order's total from its
+    line items — sum(extendedprice * (1 - discount) * (1 + tax)) — and
+    report, per order status, how many orders disagree with the stored
+    ``o_totalprice`` beyond ``tolerance``. The financial-integrity audit a
+    feature pipeline runs before trusting a denormalized total.
+
+    Determinism: the per-line charge is exact DECIMAL throughout —
+    (18,2) price x (5,2)-scaled factors keeps every product exact, the
+    per-order sum is order-independent — and converts to double ONCE for
+    the stored-total comparison; the difference is 4-decimal rounded
+    BEFORE the tolerance test so the mismatch flag is bit-reproducible.
+
+    Scale: lineitem pre-aggregates to one row per order (map-side partial
+    on the natural key), then joins orders on o_orderkey — co-partitioned
+    if both sides are bucketed by order key, AQE sort-merge otherwise; the
+    final rollup is a tiny per-status aggregate. max_abs_diff is a MAX
+    (order-independent), never a cross-engine double sum.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    charge = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(5,2)") - F.col("l_discount").cast("decimal(5,2)"))
+        * (F.lit(1).cast("decimal(5,2)") + F.col("l_tax").cast("decimal(5,2)"))
+    )
+    recomputed = lineitem.groupBy("l_orderkey").agg(
+        F.sum(charge).alias("__recomputed")
+    )
+    diff4 = round4_stable(
+        F.abs(
+            F.col("__recomputed").cast("double") - F.col("o_totalprice")
+        )
+    )
+    joined = orders.join(
+        recomputed, orders["o_orderkey"] == recomputed["l_orderkey"], "left"
+    ).select(
+        "o_orderstatus",
+        F.coalesce(diff4, F.lit(-1.0)).alias("__diff"),  # -1: no line items
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((F.col("__diff") < 0).cast("long")).alias("n_no_lines"),
+        F.sum(
+            ((F.col("__diff") >= 0) & (F.col("__diff") > tolerance)).cast("long")
+        ).alias("n_mismatched"),
+        round4_stable(F.max("__diff")).alias("max_abs_diff"),
+    )

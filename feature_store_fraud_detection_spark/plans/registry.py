@@ -5001,6 +5001,319 @@ QUERIES: dict[str, QuerySpec] = {
 
 
 # --------------------------------------------------------------------------
+# Round-3 additions: basket co-occurrence, forensic digit profile, duplicate
+# transactions, seasonal anomalies, mutual information, long-tail collapse,
+# cross-table reconciliation
+# --------------------------------------------------------------------------
+
+
+def _q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.market_basket import (
+        basket_pairs,
+    )
+
+    return basket_pairs(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_support=2,
+        max_basket=50,
+    )
+
+
+_BASKET_PAIRS_SQL = """
+WITH it0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+ok AS (SELECT o FROM it0 GROUP BY o HAVING count(*) <= 50),
+it AS (SELECT it0.o, it0.i FROM it0 JOIN ok USING (o)),
+tot AS (SELECT count(*) AS n_orders FROM ok),
+marg AS (SELECT i, count(*) AS n FROM it GROUP BY i),
+pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab
+  FROM it a JOIN it b ON a.o = b.o AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+       floor(CAST(n_ab * n_orders AS DOUBLE) / (ma.n * mb.n)
+             * 10000 + 0.5) / 10000 AS lift
+FROM pairs
+JOIN marg ma ON item_a = ma.i
+JOIN marg mb ON item_b = mb.i
+CROSS JOIN tot
+"""
+
+
+def _q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.stats import (
+        benford_profile,
+    )
+
+    return benford_profile(
+        load_table(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+def _benford_expected_sql() -> str:
+    from feature_store_fraud_detection_spark.operators.stats import (
+        BENFORD_EXPECTED,
+    )
+
+    # the same Python-computed literals the Spark expression embeds (libm
+    # log10 is not correctly rounded; engine-side computation could differ).
+    # ::DOUBLE per element — DuckDB otherwise parses decimal literals as
+    # DECIMAL(17,16) and downstream multiplies overflow
+    return (
+        "["
+        + ", ".join(
+            f"CAST({BENFORD_EXPECTED[d]!r} AS DOUBLE)" for d in range(1, 10)
+        )
+        + "]"
+    )
+
+
+_BENFORD_SQL = f"""
+WITH d AS (
+  SELECT event_type,
+         CAST(NULLIF(regexp_extract(
+           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), '[1-9]'
+         ), '') AS INT) AS digit
+  FROM events
+),
+counts AS (
+  SELECT event_type, digit, count(*) AS n
+  FROM d WHERE digit IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT event_type, sum(n) AS total FROM counts GROUP BY 1)
+SELECT c.event_type, digit, CAST(n AS BIGINT) AS n,
+       floor(n / CAST(total AS DOUBLE) * 10000 + 0.5) / 10000 AS observed,
+       floor(({_benford_expected_sql()})[digit] * 10000 + 0.5) / 10000
+         AS expected,
+       floor((n - total * ({_benford_expected_sql()})[digit])
+             * (n - total * ({_benford_expected_sql()})[digit])
+             / (total * ({_benford_expected_sql()})[digit])
+             * 10000 + 0.5) / 10000 AS chi2_term
+FROM counts c JOIN tot t ON c.event_type = t.event_type
+"""
+
+
+def _q_duplicate_txns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-duplicate suspects: same user, same value band (floor(v/10)),
+    # within 10 minutes — the double-charge / replay screen, blocked on
+    # (user, band, time bucket) so no per-user quadratic join
+    from feature_store_fraud_detection_spark.operators.temporal import (
+        duplicate_transactions,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_band", F.floor(F.col("value") / 10)
+    )
+    return duplicate_transactions(
+        ev, "user_id", "event_id", "ts", "value_band", window_sec=600
+    )
+
+
+_DUPLICATE_TXNS_SQL = """
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       CAST(floor(a.value / 10) AS BIGINT) AS value_band,
+       CAST(abs(date_diff('second', b.ts, a.ts)) AS INT) AS gap_sec
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND floor(a.value / 10) = floor(b.value / 10)
+ AND a.event_id < b.event_id
+ AND abs(date_diff('second', b.ts, a.ts)) <= 600
+"""
+
+
+def _q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.temporal import (
+        seasonal_baseline_anomalies,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-15").cast("timestamp")
+    return seasonal_baseline_anomalies(
+        ev.filter(F.col("ts") < split),
+        ev.filter(F.col("ts") >= split),
+        "event_type",
+        "ts",
+        "value",
+        z_threshold=2.0,
+    )
+
+
+_SEASONAL_SQL = """
+WITH base AS (
+  SELECT event_type, hour(ts) AS hour_of_day, value
+  FROM events WHERE ts < TIMESTAMP '2024-01-15'
+),
+curr AS (
+  SELECT event_type, hour(ts) AS hour_of_day, value
+  FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+),
+prof AS (
+  SELECT event_type, hour_of_day, count(*) AS n_base,
+         sum(CAST(value AS DECIMAL(18,6))) AS s,
+         sum(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+                  AS DECIMAL(38,12))) AS s2
+  FROM base GROUP BY 1, 2
+),
+profd AS (
+  SELECT event_type, hour_of_day, n_base,
+         CAST(s AS DOUBLE) / n_base AS mean,
+         CASE WHEN n_base > 1 THEN
+           sqrt((CAST(s2 AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_base)
+                / (n_base - 1))
+         END AS std
+  FROM prof
+)
+SELECT c.event_type, c.hour_of_day,
+       CAST(max(n_base) AS BIGINT) AS n_base,
+       CAST(count(*) AS BIGINT) AS n_curr,
+       CAST(sum(CASE WHEN std > 0
+                      AND floor(abs((value - mean) / std) * 10000 + 0.5)
+                          / 10000 > 2.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM curr c JOIN profd p
+  ON c.event_type = p.event_type AND c.hour_of_day = p.hour_of_day
+GROUP BY 1, 2
+"""
+
+
+def _q_mutual_info_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.stats import (
+        mutual_information_binned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "error").alias("label")
+    )
+    return mutual_information_binned(ev, "value", "label", n_bins=10)
+
+
+_MUTUAL_INFO_SQL = """
+WITH e AS (
+  SELECT value, CAST(event_type = 'error' AS INT) AS label
+  FROM events WHERE value IS NOT NULL
+),
+cuts AS (
+  SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+          quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+          quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+          quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+          quantile_cont(value, 0.9)] AS qs
+  FROM e
+),
+joint AS (
+  SELECT CAST(len(list_filter(qs, q -> value > q)) AS INT) AS bin, label,
+         count(*) AS n
+  FROM e CROSS JOIN cuts GROUP BY 1, 2
+)
+SELECT bin, label, CAST(n AS BIGINT) AS n,
+       floor((nd / nt) * ln((nd / nt) / ((nx / nt) * (ny / nt)))
+             * 10000 + 0.5) / 10000 AS mi_term
+FROM (
+  SELECT bin, label, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sum(n) OVER (PARTITION BY bin) AS DOUBLE) AS nx,
+         CAST(sum(n) OVER (PARTITION BY label) AS DOUBLE) AS ny,
+         CAST(sum(n) OVER () AS DOUBLE) AS nt
+  FROM joint
+)
+"""
+
+
+def _q_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # long-tail collapse on the documents' leading token (a natural Zipf
+    # tail in this corpus): values below the frequency floor become
+    # '__other__'; report the collapsed distribution
+    from feature_store_fraud_detection_spark.operators.encoders import (
+        collapse_rare_categories,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "first_word",
+        F.split(F.trim(F.col("text")), r"\s+").getItem(0),
+    )
+    collapsed = collapse_rare_categories(docs, "first_word", min_count=15)
+    return collapsed.groupBy(
+        F.col("first_word_collapsed").alias("category")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("first_word").alias("n_source_values"),
+    )
+
+
+_RARE_CATEGORIES_SQL = r"""
+WITH w AS (
+  SELECT (string_split_regex(trim(text), '\s+'))[1] AS fw FROM documents
+),
+freq AS (SELECT fw, count(*) AS c FROM w GROUP BY 1)
+SELECT CASE WHEN c >= 15 THEN w.fw ELSE '__other__' END AS category,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT w.fw) AS BIGINT) AS n_source_values
+FROM w JOIN freq USING (fw)
+GROUP BY 1
+"""
+
+
+def _q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.validate import (
+        reconcile_order_totals,
+    )
+
+    return reconcile_order_totals(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        tolerance=0.01,
+    )
+
+
+_ORDER_RECON_SQL = """
+WITH rec AS (
+  SELECT l_orderkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))
+             * (CAST(1 AS DECIMAL(5,2)) + CAST(l_tax AS DECIMAL(5,2))))
+           AS recomputed
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o_orderstatus,
+         coalesce(
+           floor(abs(CAST(recomputed AS DOUBLE) - o_totalprice)
+                 * 10000 + 0.5) / 10000,
+           -1.0
+         ) AS diff
+  FROM orders LEFT JOIN rec ON o_orderkey = l_orderkey
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_no_lines,
+       CAST(sum(CASE WHEN diff >= 0 AND diff > 0.01 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatched,
+       floor(max(diff) * 10000 + 0.5) / 10000 AS max_abs_diff
+FROM j GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "basket_pairs": QuerySpec(_q_basket_pairs, _BASKET_PAIRS_SQL),
+        "benford_digits": QuerySpec(_q_benford_digits, _BENFORD_SQL),
+        "duplicate_txns": QuerySpec(_q_duplicate_txns, _DUPLICATE_TXNS_SQL),
+        "seasonal_anomalies": QuerySpec(_q_seasonal_anomalies, _SEASONAL_SQL),
+        "mutual_info_value": QuerySpec(_q_mutual_info_value, _MUTUAL_INFO_SQL),
+        "rare_categories": QuerySpec(_q_rare_categories, _RARE_CATEGORIES_SQL),
+        "order_reconciliation": QuerySpec(
+            _q_order_reconciliation, _ORDER_RECON_SQL
+        ),
+    }
+)
+
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so
@@ -5058,6 +5371,13 @@ _GRADING_PRIORITY: list[str] = [
     "ivf_topk",
     "mlp_batch_scoring",
     # (c) new this round — appended here as they land (window holds 50)
+    "basket_pairs",
+    "benford_digits",
+    "duplicate_txns",
+    "seasonal_anomalies",
+    "mutual_info_value",
+    "rare_categories",
+    "order_reconciliation",
 ]
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (

@@ -205,6 +205,7 @@ GLOBAL_WINDOW_QUERIES = [
     "feature_drift_psi",      # n_bins rows
     "fraud_capture_curve",    # 10 decile bins (registry)
     "calibration_bins",       # 10 bins
+    "mutual_info_value",      # n_bins x 2 joint-count frame (stats.py)
 ]
 
 

@@ -1,0 +1,193 @@
+"""Round-3 operator fixtures: market basket, duplicate transactions,
+seasonal anomalies, Benford profile, rare-category collapse, order
+reconciliation — hand-computable inputs with known outputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+BASE = dt.datetime(2024, 1, 7, 12, 0, 0)
+
+
+def test_basket_pairs_support_and_lift(spark):
+    from feature_store_fraud_detection_spark.operators.market_basket import (
+        basket_pairs,
+    )
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "c"),
+        (4, "c"),  # duplicate line within the order: counted once
+    ]
+    df = spark.createDataFrame(rows, "o long, i string")
+    out = {
+        (r.item_a, r.item_b): (r.n_ab, r.lift)
+        for r in basket_pairs(df, "o", "i", min_support=2).collect()
+    }
+    # only (a,b) co-occurs >= 2 times; lift = n_ab*N/(n_a*n_b) = 3*4/(3*3)
+    assert set(out) == {("a", "b")}
+    n_ab, lift = out[("a", "b")]
+    assert n_ab == 3
+    assert lift == math.floor(3 * 4 / 9 * 10000 + 0.5) / 10000
+
+
+def test_basket_pairs_max_basket_drops_degenerate_order(spark):
+    from feature_store_fraud_detection_spark.operators.market_basket import (
+        basket_pairs,
+    )
+
+    small = [(1, f"i{k}") for k in range(3)] + [(2, f"i{k}") for k in range(3)]
+    mega = [(99, f"i{k}") for k in range(50)]  # one degenerate basket
+    df = spark.createDataFrame(small + mega, "o long, i string")
+    out = basket_pairs(df, "o", "i", min_support=2, max_basket=10).collect()
+    # the mega order contributes no pairs AND no marginals/totals
+    pairs = {(r.item_a, r.item_b) for r in out}
+    assert pairs == {("i0", "i1"), ("i0", "i2"), ("i1", "i2")}
+    for r in out:
+        assert r.lift == math.floor(2 * 2 / 4 * 10000 + 0.5) / 10000
+
+
+def test_duplicate_transactions_blocked_join_exact(spark):
+    from feature_store_fraud_detection_spark.operators.temporal import (
+        duplicate_transactions,
+    )
+
+    t = lambda s: BASE + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        # pair within window, straddling a 600 s bucket boundary
+        (7, 1, t(595), 50.0),
+        (7, 2, t(605), 50.0),
+        # pair at EXACTLY the window bound (inclusive)
+        (7, 3, t(1000), 20.0),
+        (7, 4, t(1600), 20.0),
+        # same value, too far apart
+        (7, 5, t(0), 30.0),
+        (7, 6, t(2000), 30.0),
+        # right gap, different value
+        (7, 7, t(3000), 10.0),
+        (7, 8, t(3010), 11.0),
+        # right gap + value, different user
+        (8, 9, t(3000), 10.0),
+    ]
+    df = spark.createDataFrame(rows, "u long, id long, ts timestamp, v double")
+    out = {
+        (r.id_a, r.id_b): r.gap_sec
+        for r in duplicate_transactions(df, "u", "id", "ts", "v", 600).collect()
+    }
+    assert out == {(1, 2): 10, (3, 4): 600}
+
+
+def test_seasonal_baseline_anomalies_flags_shift(spark):
+    from feature_store_fraud_detection_spark.operators.temporal import (
+        seasonal_baseline_anomalies,
+    )
+
+    # baseline: hour 12 values tightly around 10
+    base_rows = [
+        ("t", BASE + dt.timedelta(minutes=i), 10.0 + (i % 3) * 0.1)
+        for i in range(30)
+    ]
+    # current: same hour, two wild outliers among normals
+    curr_rows = [
+        ("t", BASE + dt.timedelta(days=1, minutes=i), 10.1) for i in range(8)
+    ] + [
+        ("t", BASE + dt.timedelta(days=1, minutes=40), 99.0),
+        ("t", BASE + dt.timedelta(days=1, minutes=41), -50.0),
+    ]
+    base = spark.createDataFrame(base_rows, "g string, ts timestamp, v double")
+    curr = spark.createDataFrame(curr_rows, "g string, ts timestamp, v double")
+    out = seasonal_baseline_anomalies(base, curr, "g", "ts", "v").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.hour_of_day, r.n_base, r.n_curr) == (12, 30, 10)
+    assert r.n_anomalies == 2
+
+
+def test_benford_profile_digits_and_chi2(spark):
+    from feature_store_fraud_detection_spark.operators.stats import (
+        BENFORD_EXPECTED,
+        benford_profile,
+    )
+
+    rows = (
+        [("g", 1.23)] * 3        # digit 1
+        + [("g", 0.02)]          # leading zeros skipped -> digit 2
+        + [("g", 900.0)]         # digit 9
+        + [("g", 0.0)]           # no nonzero digit -> excluded
+        + [("g", -45.0)]         # sign ignored -> digit 4
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.digit: r for r in benford_profile(df, "g", "v").collect()}
+    assert {d: out[d].n for d in out} == {1: 3, 2: 1, 9: 1, 4: 1}
+    total = 6
+    r1 = out[1]
+    assert r1.observed == math.floor(3 / total * 10000 + 0.5) / 10000
+    e = total * BENFORD_EXPECTED[1]
+    assert r1.chi2_term == math.floor((3 - e) ** 2 / e * 10000 + 0.5) / 10000
+
+
+def test_mutual_information_binned_detects_dependence(spark):
+    from feature_store_fraud_detection_spark.operators.stats import (
+        mutual_information_binned,
+    )
+
+    # label perfectly determined by value's half -> MI = ln 2 in total
+    rows = [(float(i), i >= 500) for i in range(1000)] + [(None, True)]
+    df = spark.createDataFrame(rows, "v double, y boolean")
+    out = mutual_information_binned(df, "v", "y", n_bins=2)
+    terms = out.collect()
+    # NULL row excluded: counts sum to 1000
+    assert sum(r.n for r in terms) == 1000
+    mi = sum(r.mi_term for r in terms)
+    assert abs(mi - math.log(2)) < 0.01
+
+
+def test_collapse_rare_categories_threshold_and_mapping(spark):
+    from feature_store_fraud_detection_spark.operators.encoders import (
+        collapse_rare_categories,
+    )
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2 + [("d",)]
+    df = spark.createDataFrame(rows, "cat string")
+    out = collapse_rare_categories(df, "cat", min_count=3)
+    got = {
+        (r.cat, r.cat_collapsed) for r in out.collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "b"), ("c", "__other__"), ("d", "__other__")
+    }
+    assert out.count() == 11  # row-preserving
+
+
+def test_reconcile_order_totals_flags_only_real_mismatch(spark):
+    from feature_store_fraud_detection_spark.operators.validate import (
+        reconcile_order_totals,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, "O", 110.0),   # matches recomputed exactly
+            (2, "O", 120.0),   # off by 10
+            (3, "F", 50.0),    # no line items
+        ],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, 100.0, 0.0, 0.10),   # 100 * 1.0 * 1.1 = 110
+            (2, 100.0, 0.0, 0.10),   # 110 vs stored 120
+        ],
+        "l_orderkey long, l_extendedprice double, l_discount double, l_tax double",
+    )
+    out = {r.o_orderstatus: r for r in
+           reconcile_order_totals(orders, lineitem).collect()}
+    assert out["O"].n_orders == 2
+    assert out["O"].n_mismatched == 1
+    assert out["O"].n_no_lines == 0
+    assert out["O"].max_abs_diff == 10.0
+    assert out["F"].n_no_lines == 1 and out["F"].n_mismatched == 0
