@@ -78,14 +78,16 @@ def ngram_jaccard_pairs(
     """
     sh = shingle_table(df, id_col, text_col, k)
     if max_df is not None:
-        dfreq = sh.groupBy("shingle").agg(
-            F.count(F.lit(1)).alias("__df")
+        # the HOT set (df > cap) is tiny by construction, so it broadcasts
+        # and the corpus side takes a narrow anti-join — the only shuffle
+        # the cap adds is the map-side-combined df aggregation itself
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
         )
-        sh = (
-            sh.join(dfreq, "shingle")
-            .filter(F.col("__df") <= max_df)
-            .drop("__df")
-        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")

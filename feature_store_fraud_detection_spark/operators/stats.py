@@ -128,10 +128,9 @@ def drift_psi(
 
     base = base.filter(F.col(col).isNotNull())
     curr = curr.filter(F.col(col).isNotNull())
+    qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
     cuts = base.agg(
-        F.array(
-            *[F.expr(f"percentile({col}, {i / n_bins})") for i in range(1, n_bins)]
-        ).alias("__cuts")
+        F.expr(f"percentile({col}, array({qs}))").alias("__cuts")
     )
 
     def binned(df: DataFrame, name: str) -> DataFrame:
@@ -340,10 +339,9 @@ def drift_ks(
 
     base = base.filter(F.col(col).isNotNull())
     curr = curr.filter(F.col(col).isNotNull())
+    qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
     cuts = base.agg(
-        F.array(
-            *[F.expr(f"percentile({col}, {i / n_bins})") for i in range(1, n_bins)]
-        ).alias("__cuts")
+        F.expr(f"percentile({col}, array({qs}))").alias("__cuts")
     )
 
     def binned(df: DataFrame, name: str) -> DataFrame:
@@ -462,13 +460,9 @@ def mutual_information_binned(
     )
 
     df = df.filter(F.col(value_col).isNotNull())
+    qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
     cuts = df.agg(
-        F.array(
-            *[
-                F.expr(f"percentile({value_col}, {i / n_bins})")
-                for i in range(1, n_bins)
-            ]
-        ).alias("__cuts")
+        F.expr(f"percentile({value_col}, array({qs}))").alias("__cuts")
     )
     joint = (
         df.crossJoin(F.broadcast(cuts))

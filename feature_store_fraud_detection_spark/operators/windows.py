@@ -405,14 +405,16 @@ def bucketed_value_ranks(
     shifts but every output is exact regardless of where the cuts land
     (they only shard the sort; correctness never depends on them).
     """
-    cuts = df.groupBy(part_col).agg(
-        F.array(
-            *[
-                F.expr(f"percentile({value_col}, {i / n_buckets})")
-                for i in range(1, n_buckets)
-            ]
-        ).alias("__cuts")
-    )
+    # ONE percentile with an array argument: N separate percentile()
+    # aggregates each buffer the whole column (N x memory and sort work);
+    # the array form buffers once and reads all cut points from it.
+    # n_buckets=1 degenerates to a single unsharded bucket (empty cuts).
+    if n_buckets >= 2:
+        qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+        cut_expr = F.expr(f"percentile({value_col}, array({qs}))")
+    else:
+        cut_expr = F.first(F.array().cast("array<double>"))
+    cuts = df.groupBy(part_col).agg(cut_expr.alias("__cuts"))
     binned = (
         df.join(F.broadcast(cuts), part_col)
         .withColumn(

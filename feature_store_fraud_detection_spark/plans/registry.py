@@ -4195,8 +4195,10 @@ def _q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "error").cast("int").alias("label"),
     )
     cuts = scored.agg(
-        F.array(
-            *[F.expr(f"percentile(score, {i / 10})") for i in range(1, 10)]
+        F.expr(
+            "percentile(score, array("
+            + ", ".join(str(i / 10) for i in range(1, 10))
+            + "))"
         ).alias("__cuts")
     )
     binned = scored.crossJoin(F.broadcast(cuts)).select(
