@@ -76,7 +76,9 @@ def ngram_jaccard_pairs(
     shuffles on the same shingle key the self-join needs, so the cap rides
     the existing exchange.
     """
-    sh = shingle_table(df, id_col, text_col, k)
+    # cache the exploded shingles ONCE (they feed the df aggregation plus
+    # both sides of the candidate join); the cap itself is narrow on top
+    sh = shingle_table(df, id_col, text_col, k).cache()
     if max_df is not None:
         # the HOT set (df > cap) is tiny by construction, so it broadcasts
         # and the corpus side takes a narrow anti-join — the only shuffle
@@ -88,7 +90,6 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
