@@ -1,0 +1,122 @@
+"""Per-key time-series features: OLS trend and lag-1 autocorrelation.
+
+Behavioral fraud features the reference's trailing windows can't express:
+is a card's spend TRENDING up (slope), and is it serially correlated
+(burst-and-pause vs steady)? Both reduce to closed-form moment sums, so
+each is ONE keyed aggregation pass — no iteration, no per-key model fit.
+
+Determinism (the repo's money-math rule): every sum runs in exact DECIMAL
+or integer arithmetic from the raw columns; the closed forms divide once
+in double at the end and round. Time enters as integer seconds relative to
+a fixed epoch (keeps x*x products inside long range and x*y inside
+decimal(38,...) exactness — absolute unix epochs would square to ~3e18 per
+row and overflow the exact path at aggregation).
+
+Scale: one hash shuffle on the key with full map-side partial aggregation
+(every term is algebraic). The autocorrelation's lag pairs come from ONE
+per-key window (same shuffle as the aggregation — Catalyst reuses the
+partitioning), bounded by each key's history like any per-key window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from feature_store_fraud_detection_spark.functions.numeric import (
+    overflow_checked,
+    round4_stable,
+)
+
+#: fixed epoch for relative seconds — keeps squared terms exactly summable
+TREND_EPOCH = "2024-01-01 00:00:00"
+
+
+def user_trend(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Per-key OLS slope/intercept of value over time (seconds since
+    ``TREND_EPOCH``): slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), intercept
+    = (Sy - slope*Sx)/n. Keys with a degenerate time spread (all events
+    in the same second, or a single event) report NULL slope/intercept."""
+    x = (
+        F.unix_timestamp(F.col(ts_col))
+        - F.unix_timestamp(F.lit(TREND_EPOCH).cast("timestamp"))
+    ).cast("long")
+    y = overflow_checked(F.col(value_col), 1e12, "user_trend").cast(
+        "decimal(18,6)"
+    )
+    agg = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # decimal(38,0) sums: long sums of x/x^2 would overflow silently
+        # (or abort under ANSI) past ~1e9 rows per key at relative-second
+        # magnitudes; decimal is exact to 1e38
+        F.sum(x.cast("decimal(38,0)")).alias("__sx"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("__sxx"),
+        F.sum(y).alias("__sy"),
+        F.sum((x.cast("decimal(18,0)") * y).cast("decimal(38,6)")).alias(
+            "__sxy"
+        ),
+    )
+    n = F.col("n_events").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    denom = n * sxx - sx * sx
+    slope = F.when(denom > 0, (n * sxy - sx * sy) / denom)
+    intercept = (sy - slope * sx) / n
+    return agg.select(
+        key_col,
+        "n_events",
+        # slope in value-units per DAY (per-second slopes round to 0)
+        round4_stable(slope * F.lit(86400.0)).alias("slope_per_day"),
+        round4_stable(intercept).alias("intercept"),
+    )
+
+
+def lag1_autocorr(
+    df: DataFrame, key_col: str, ts_col: str, id_col: str, value_col: str
+) -> DataFrame:
+    """Per-key lag-1 autocorrelation over the (value_t, value_{t-1}) pairs
+    of consecutive events (time order, id tiebreak): Pearson r of the pair
+    set via exact moment sums. Keys with < 3 events (fewer than 2 pairs)
+    or zero variance on either side report NULL.
+
+    The lag window and the final aggregation share one hash partitioning
+    on the key; nothing else shuffles.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    v = overflow_checked(F.col(value_col), 1e12, "lag1_autocorr").cast(
+        "decimal(18,6)"
+    )
+    paired = df.select(
+        F.col(key_col), v.alias("__y"), F.lag(v).over(w).alias("__x")
+    ).filter(F.col("__x").isNotNull())
+    agg = paired.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,12)")).alias(
+            "__sxx"
+        ),
+        F.sum((F.col("__y") * F.col("__y")).cast("decimal(38,12)")).alias(
+            "__syy"
+        ),
+        F.sum((F.col("__x") * F.col("__y")).cast("decimal(38,12)")).alias(
+            "__sxy"
+        ),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    r = F.when(
+        (F.col("n_pairs") >= 2) & (var_x > 0) & (var_y > 0),
+        (n * sxy - sx * sy) / F.sqrt(var_x * var_y),
+    )
+    return agg.select(key_col, "n_pairs", round4_stable(r).alias("autocorr"))

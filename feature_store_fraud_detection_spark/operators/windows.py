@@ -453,6 +453,8 @@ def bucketed_value_ranks(
         binned.join(F.broadcast(offsets), [part_col, "__bin"])
         .select(
             *df.columns,
+            rn.cast("bigint").alias("__rank"),
+            n.alias("__n_part"),
             F.when(n == 1, F.lit(0.0))
             .otherwise((rn - 1) / (n - 1).cast("double"))
             .alias("__pct_rank"),

@@ -5315,6 +5315,196 @@ QUERIES.update(
 
 
 
+def _q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        user_trend,
+    )
+
+    return user_trend(load_table(spark, sf_dir, "events"), "user_id", "ts", "value")
+
+
+_USER_TREND_SQL = """
+WITH t AS (
+  SELECT user_id,
+         CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+              AS BIGINT) AS x,
+         CAST(value AS DECIMAL(18,6)) AS y
+  FROM events
+),
+a AS (
+  SELECT user_id, count(*) AS n_events,
+         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         sum(y) AS sy,
+         sum(CAST(CAST(x AS DECIMAL(18,0)) * y AS DECIMAL(38,6))) AS sxy
+  FROM t GROUP BY 1
+),
+d AS (
+  SELECT user_id, n_events,
+         CAST(n_events AS DOUBLE) AS n,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd
+  FROM a
+),
+s AS (
+  SELECT user_id, n_events, n, sxd, syd,
+         CASE WHEN (n * sxxd - sxd * sxd) > 0
+              THEN (n * sxyd - sxd * syd) / (n * sxxd - sxd * sxd)
+         END AS slope
+  FROM d
+)
+SELECT user_id, n_events,
+       floor((slope * 86400.0) * 10000 + 0.5) / 10000 AS slope_per_day,
+       floor(((syd - slope * sxd) / n) * 10000 + 0.5) / 10000 AS intercept
+FROM s
+"""
+
+
+def _q_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        lag1_autocorr,
+    )
+
+    return lag1_autocorr(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", "event_id", "value"
+    )
+
+
+_VALUE_AUTOCORR_SQL = """
+WITH p AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(18,6)) AS y,
+         lag(CAST(value AS DECIMAL(18,6)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+  FROM events
+),
+f AS (SELECT user_id, x, y FROM p WHERE x IS NOT NULL),
+a AS (
+  SELECT user_id, count(*) AS n_pairs,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+         sum(CAST(y * y AS DECIMAL(38,12))) AS syy,
+         sum(CAST(x * y AS DECIMAL(38,12))) AS sxy
+  FROM f GROUP BY 1
+),
+d AS (
+  SELECT user_id, n_pairs,
+         CAST(n_pairs AS DOUBLE) AS n,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+         CAST(sxy AS DOUBLE) AS sxyd
+  FROM a
+)
+SELECT user_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CASE WHEN n_pairs >= 2 AND (n * sxxd - sxd * sxd) > 0
+                 AND (n * syyd - syd * syd) > 0
+            THEN floor((n * sxyd - sxd * syd)
+                       / sqrt((n * sxxd - sxd * sxd)
+                              * (n * syyd - syd * syd))
+                       * 10000 + 0.5) / 10000
+       END AS autocorr
+FROM d
+"""
+
+
+def _q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # revenue-concentration (Gini) per nation: does 1% of customers carry
+    # 90% of spend? Ranks customers within nation via the bucketed rank
+    # decomposition (windows.py) — a plain partitionBy(nation) row_number
+    # would sort whole nations in single tasks at scale. Gini from the
+    # closed form 2*sum(rank*x)/(n*sum(x)) - (n+1)/n over exact DECIMAL
+    # sums; ranks follow DECIMAL revenue order (double conversion never
+    # decides order, so the cross-engine rank is identical).
+    from feature_store_fraud_detection_spark.operators.windows import (
+        bucketed_value_ranks,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("__rev")
+    )
+    cr = (
+        cust.join(rev, cust["c_custkey"] == rev["o_custkey"])
+        .join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select("n_name", "c_custkey", "__rev")
+    )
+    ranked = bucketed_value_ranks(cr, "n_name", "__rev", "c_custkey", n_buckets=16)
+    swr = F.sum(
+        (F.col("__rank").cast("decimal(18,0)") * F.col("__rev")).cast(
+            "decimal(38,2)"
+        )
+    )
+    st = F.sum(F.col("__rev"))
+    agg = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        swr.alias("__swr"),
+        st.alias("__st"),
+    )
+    n = F.col("n_customers").cast("double")
+    gini = (F.lit(2.0) * F.col("__swr").cast("double")) / (
+        n * F.col("__st").cast("double")
+    ) - (n + 1) / n
+    return agg.select(
+        "n_name",
+        "n_customers",
+        _round4_pos(gini).alias("gini"),
+        _round4_pos(F.col("__st").cast("double")).alias("total_revenue"),
+    )
+
+
+_REVENUE_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS r
+  FROM orders GROUP BY 1
+),
+cr AS (
+  SELECT n_name, c_custkey, r
+  FROM customer
+  JOIN rev ON c_custkey = o_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+),
+ranked AS (
+  SELECT n_name, r,
+         row_number() OVER (PARTITION BY n_name ORDER BY r, c_custkey)
+           AS rk
+  FROM cr
+),
+a AS (
+  SELECT n_name, count(*) AS n_customers,
+         sum(CAST(CAST(rk AS DECIMAL(18,0)) * r AS DECIMAL(38,2))) AS swr,
+         sum(r) AS st
+  FROM ranked GROUP BY 1
+)
+SELECT n_name, CAST(n_customers AS BIGINT) AS n_customers,
+       floor(((2.0 * CAST(swr AS DOUBLE))
+              / (CAST(n_customers AS DOUBLE) * CAST(st AS DOUBLE))
+              - (CAST(n_customers AS DOUBLE) + 1)
+                / CAST(n_customers AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS gini,
+       floor(CAST(st AS DOUBLE) * 10000 + 0.5) / 10000 AS total_revenue
+FROM a
+"""
+
+
+QUERIES.update(
+    {
+        "user_value_trend": QuerySpec(_q_user_value_trend, _USER_TREND_SQL),
+        "value_autocorr": QuerySpec(_q_value_autocorr, _VALUE_AUTOCORR_SQL),
+        "revenue_gini": QuerySpec(_q_revenue_gini, _REVENUE_GINI_SQL),
+    }
+)
+
+
+
 # --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------

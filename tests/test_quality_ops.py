@@ -191,3 +191,75 @@ def test_reconcile_order_totals_flags_only_real_mismatch(spark):
     assert out["O"].n_no_lines == 0
     assert out["O"].max_abs_diff == 10.0
     assert out["F"].n_no_lines == 1 and out["F"].n_mismatched == 0
+
+
+def test_user_trend_recovers_linear_series(spark):
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        TREND_EPOCH,
+        user_trend,
+    )
+
+    epoch = dt.datetime.fromisoformat(TREND_EPOCH)
+    rows = []
+    # user 1: exact line value = 5 + 2*day  (slope 2/day)
+    for d in range(10):
+        rows.append((1, epoch + dt.timedelta(days=d), 5.0 + 2.0 * d))
+    # user 2: all events in the same second -> degenerate, NULL slope
+    rows += [(2, epoch, 1.0), (2, epoch, 2.0)]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    out = {r.u: r for r in user_trend(df, "u", "ts", "v").collect()}
+    assert out[1].n_events == 10
+    assert abs(out[1].slope_per_day - 2.0) < 1e-9
+    assert abs(out[1].intercept - 5.0) < 1e-9
+    assert out[2].slope_per_day is None and out[2].intercept is None
+
+
+def test_lag1_autocorr_alternating_and_constant(spark):
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        lag1_autocorr,
+    )
+
+    t0 = dt.datetime(2024, 1, 2)
+    rows = []
+    # user 1: alternating high/low -> autocorr -> -1
+    for i in range(20):
+        rows.append((1, i, t0 + dt.timedelta(minutes=i), 10.0 if i % 2 else 0.0))
+    # user 2: constant -> zero variance -> NULL
+    for i in range(5):
+        rows.append((2, 100 + i, t0 + dt.timedelta(minutes=i), 7.0))
+    # user 3: single pair -> n_pairs < 2 -> NULL
+    rows += [(3, 200, t0, 1.0), (3, 201, t0 + dt.timedelta(minutes=1), 2.0)]
+    df = spark.createDataFrame(rows, "u long, id long, ts timestamp, v double")
+    out = {r.u: r for r in lag1_autocorr(df, "u", "ts", "id", "v").collect()}
+    assert out[1].n_pairs == 19
+    assert out[1].autocorr < -0.99
+    assert out[2].autocorr is None
+    assert out[3].n_pairs == 1 and out[3].autocorr is None
+
+
+def test_gini_formula_extremes(spark):
+    """The registry gini derives from bucketed ranks; check the closed
+    form directly on hand-built revenue sets: perfectly equal -> 0,
+    single-customer concentration -> (n-1)/n."""
+    from pyspark.sql import functions as F
+
+    from feature_store_fraud_detection_spark.operators.windows import (
+        bucketed_value_ranks,
+    )
+
+    rows = [("EQ", i, 10.0) for i in range(10)] + [
+        ("ONE", i, 0.0) for i in range(9)
+    ] + [("ONE", 9, 100.0)]
+    df = spark.createDataFrame(rows, "nation string, cust long, rev double")
+    ranked = bucketed_value_ranks(df, "nation", "rev", "cust", n_buckets=4)
+    agg = ranked.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__rank") * F.col("rev")).alias("swr"),
+        F.sum("rev").alias("st"),
+    )
+    out = {
+        r.nation: 2.0 * r.swr / (r.n * r.st) - (r.n + 1) / r.n
+        for r in agg.collect()
+    }
+    assert abs(out["EQ"]) < 1e-12
+    assert abs(out["ONE"] - 0.9) < 1e-12
