@@ -295,3 +295,82 @@ def test_bucketed_value_ranks_equal_plain_window(spark, rows):
             assert math.isclose(gpr, pr, abs_tol=1e-12), (n_buckets, i)
             assert math.isclose(gcd, cd, abs_tol=1e-12), (n_buckets, i)
             assert gnt == nt, (n_buckets, i)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # user
+            st.integers(min_value=0, max_value=3000), # offset seconds
+            st.integers(min_value=0, max_value=3),    # value band
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_duplicate_transactions_equals_brute_force(spark, events):
+    """The 3-bucket blocked self-join must return EXACTLY the brute-force
+    pair set (same key+value, |dt| <= window) for arbitrary clustering
+    around bucket boundaries — each qualifying pair exactly once."""
+    from feature_store_fraud_detection_spark.operators.temporal import (
+        duplicate_transactions,
+    )
+
+    window = 600
+    rows = [
+        (u, i, BASE + dt.timedelta(seconds=off), float(v))
+        for i, (u, off, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "u long, id long, ts timestamp, v double")
+    got = {
+        (r.id_a, r.id_b)
+        for r in duplicate_transactions(df, "u", "id", "ts", "v", window).collect()
+    }
+    expected = set()
+    for ua, ia, ta, va in rows:
+        for ub, ib, tb, vb in rows:
+            if (
+                ua == ub and va == vb and ia < ib
+                and abs(int(ta.timestamp()) - int(tb.timestamp())) <= window
+            ):
+                expected.add((ia, ib))
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # order
+            st.integers(min_value=0, max_value=6),   # item
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_basket_pairs_equals_brute_force(spark, lines):
+    """Array-local pair expansion == brute-force per-order pair counting
+    (distinct items, a < b) for arbitrary baskets incl. duplicate lines."""
+    import itertools
+    from collections import Counter
+
+    from feature_store_fraud_detection_spark.operators.market_basket import (
+        basket_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(o, f"i{i}") for o, i in lines], "o long, i string"
+    )
+    got = {
+        (r.item_a, r.item_b): r.n_ab
+        for r in basket_pairs(df, "o", "i", min_support=1).collect()
+    }
+    baskets: dict[int, set] = {}
+    for o, i in lines:
+        baskets.setdefault(o, set()).add(f"i{i}")
+    expected = Counter()
+    for items in baskets.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            expected[(a, b)] += 1
+    assert got == dict(expected)
