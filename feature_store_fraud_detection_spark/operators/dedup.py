@@ -42,6 +42,21 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def fan_out_if_few_inputs(df: DataFrame, id_col: str) -> DataFrame:
+    """Decouple CPU-bound per-doc work from the input file layout: when the
+    source has fewer file splits than cores (a corpus delivered as one
+    parquet), repartition on the doc id so downstream shingling/hashing
+    parallelizes. ``inputFiles()`` is a metadata probe — no plan execution.
+    At 100 TB the scan already has thousands of splits and this is a no-op
+    (no shuffle added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        few = len(df.inputFiles()) < target
+    except Exception:  # non-file source (e.g. in-memory test frame)
+        few = True
+    return df.repartition(target, F.col(id_col)) if few else df
+
+
 def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) exploded distinct word-k-gram table — the substrate for
     both exact Jaccard and MinHash."""
@@ -77,8 +92,12 @@ def ngram_jaccard_pairs(
     the existing exchange.
     """
     # cache the exploded shingles ONCE (they feed the df aggregation plus
-    # both sides of the candidate join); the cap itself is narrow on top
-    sh = shingle_table(df, id_col, text_col, k).cache()
+    # both sides of the candidate join); the cap itself is narrow on top.
+    # fan_out_if_few_inputs keeps the explode parallel when the corpus
+    # arrives as fewer files than cores (no-op at scale).
+    sh = shingle_table(
+        fan_out_if_few_inputs(df, id_col), id_col, text_col, k
+    ).cache()
     if max_df is not None:
         # the HOT set (df > cap) is tiny by construction, so it broadcasts
         # and the corpus side takes a narrow anti-join — the only shuffle
@@ -241,14 +260,7 @@ def minhash_lsh_pairs(
     # thousands of partitions and the branch never triggers; there you would
     # also materialize `base` to parquet instead of memory (standard LSH
     # practice: signatures are written once, reused by every band pass).
-    target = df.sparkSession.sparkContext.defaultParallelism
-    work = df
-    try:
-        few_inputs = len(df.inputFiles()) < target
-    except Exception:  # non-file source (e.g. in-memory test frame)
-        few_inputs = True
-    if few_inputs:
-        work = df.repartition(target, F.col(id_col))
+    work = fan_out_if_few_inputs(df, id_col)
     base = (
         work.select(F.col(id_col), word_shingles(text_col, k).alias("__sh"))
         .withColumn("__sigs", _perm_sigs_expr("__sh", num_hashes))
