@@ -40,6 +40,23 @@ from feature_store_fraud_detection_spark.plans.batch_pipeline import (
 from feature_store_fraud_detection_spark.schemas import load_table
 
 
+def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents table with few-input fan-out: every documents query does
+    CPU-bound per-doc text work (tokenize/shingle/regex/hash), and the
+    testdata corpus ships as ONE parquet file — without the doc-id
+    repartition all of it runs on a single task regardless of cores. At
+    scale the scan has thousands of splits and the fan-out is a no-op
+    (see operators/dedup.fan_out_if_few_inputs). Pushdown-safe here: the
+    doc queries filter on nothing the scan could prune."""
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        fan_out_if_few_inputs,
+    )
+
+    return fan_out_if_few_inputs(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -1079,7 +1096,7 @@ def _q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_profile,
     )
 
-    return text_profile(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return text_profile(load_docs(spark, sf_dir), "doc_id", "text")
 
 
 _TEXT_PROFILE_SQL = f"""
@@ -1135,7 +1152,7 @@ def _q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_profile,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     prof = text_profile(docs, "doc_id", "text")
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     keep = prof.withColumn("rn", F.row_number().over(w)).filter(
@@ -1181,7 +1198,7 @@ GROUP BY d.source
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_fraud_detection_spark.operators.dedup import exact_dedup
 
-    return exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return exact_dedup(load_docs(spark, sf_dir), "doc_id", "text")
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1192,7 +1209,7 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_df=100: the hot-shingle cap (stop-shingles in >100 docs would
     # dominate the candidate-pair count quadratically at scale)
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"),
+        load_docs(spark, sf_dir),
         "doc_id",
         "text",
         k=3,
@@ -1226,7 +1243,7 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_fraud_detection_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"),
+        load_docs(spark, sf_dir),
         "doc_id",
         "text",
         k=3,
@@ -1315,7 +1332,7 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return simhash_fingerprints(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", bits=32
+        load_docs(spark, sf_dir), "doc_id", "text", bits=32
     )
 
 
@@ -1517,7 +1534,7 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_binary_payload,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return extract_binary_features(with_binary_payload(docs, "doc_id", "text"))
 
 
@@ -1538,7 +1555,7 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return sample_frames(docs, "doc_id", "text", frame_width=100, step=2)
 
 
@@ -1561,7 +1578,7 @@ def _q_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_payload,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return resize_payload(docs, "doc_id", "text", target=64)
 
 
@@ -1954,7 +1971,7 @@ def _q_token_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from feature_store_fraud_detection_spark.operators.text_analysis import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     tok = docs.select(
         F.col("doc_id"), F.explode(tokens("text")).alias("token")
     )
@@ -2001,7 +2018,7 @@ def _q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return winnowing_fingerprints(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", gram=8, window=4
+        load_docs(spark, sf_dir), "doc_id", "text", gram=8, window=4
     )
 
 
@@ -2024,7 +2041,7 @@ def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_token_count,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return docs.select("doc_id", bpe_token_count("text").alias("n_bpe_tokens"))
 
 
@@ -2200,7 +2217,7 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2)
     return dedup_clusters(pairs, docs, "doc_id")
 
@@ -2248,7 +2265,7 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_documents,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return chunk_documents(docs, "doc_id", "text", chunk_size=64, stride=48)
 
 
@@ -2271,7 +2288,7 @@ def _q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetition_profile,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return repetition_profile(docs, "doc_id", "text")
 
 
@@ -2771,7 +2788,7 @@ def _q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heads merged on the driver), never a single-partition global window
     from feature_store_fraud_detection_spark.operators.text_analysis import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return (
         docs.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
@@ -2851,7 +2868,7 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         benchmark_contamination,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return benchmark_contamination(
         docs.filter(F.col("doc_id") % 10 != 0),
         docs.filter(F.col("doc_id") % 10 == 0),
@@ -3194,7 +3211,7 @@ def _q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return duplicate_ngram_stats(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+        load_docs(spark, sf_dir), "doc_id", "text"
     )
 
 
@@ -3225,7 +3242,7 @@ def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean_corpus,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     enriched = docs.select(
         "doc_id",
         F.when(
@@ -3290,7 +3307,7 @@ def _q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     prof = text_profile(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+        load_docs(spark, sf_dir), "doc_id", "text"
     ).select("doc_id", "quality")
     return weighted_hash_sample(prof, "doc_id", "quality", salt="q1")
 
@@ -3307,7 +3324,7 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_fraud_detection_spark.operators.packing import pack_sequences
 
     return pack_sequences(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        load_docs(spark, sf_dir), "doc_id", "text",
         capacity=256, n_shards=8,
     )
 
@@ -3341,7 +3358,7 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_fraud_detection_spark.operators.retrieval import bm25_topk
 
     return bm25_topk(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        load_docs(spark, sf_dir), "doc_id", "text",
         query_terms=["table", "scan", "merge"], n=10,
     )
 
@@ -3387,7 +3404,7 @@ def _q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_nll,
     )
 
-    return unigram_nll(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return unigram_nll(load_docs(spark, sf_dir), "doc_id", "text")
 
 
 _UNIGRAM_NLL_SQL = r"""
@@ -3812,7 +3829,7 @@ def _q_hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return hashed_doc_vectors(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", dim=64
+        load_docs(spark, sf_dir), "doc_id", "text", dim=64
     )
 
 
@@ -3822,7 +3839,7 @@ def _q_hashed_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return hashed_vector_topk(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        load_docs(spark, sf_dir), "doc_id", "text",
         query_max_id=10, dim=64, top_k=5,
     )
 
@@ -4305,7 +4322,7 @@ def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_fraud_detection_spark.operators.dedup import fuzzy_pairs
 
     return fuzzy_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        load_docs(spark, sf_dir), "doc_id", "text",
         max_dist=3, prefix_len=12, block_len=4, max_block_size=200,
     )
 
@@ -4609,7 +4626,7 @@ def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heuristic classifier in the corpus pipeline.
     from feature_store_fraud_detection_spark.operators.text_analysis import lang_id
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return (
         docs.select(F.col("lang"), lang_id("text").alias("lang_pred"))
         .groupBy("lang", "lang_pred")
@@ -4648,7 +4665,7 @@ SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2
 def _q_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-source duplication report: docs, unique fingerprints, dup rate —
     # the "which crawl source is feeding me copies" dashboard number.
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return (
         docs.select("source", F.md5(F.encode("text", "UTF-8")).alias("__fp"))
         .groupBy("source")
@@ -4683,7 +4700,7 @@ def _q_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the stored n_chars must equal the measured text length)
     from feature_store_fraud_detection_spark.operators import validate as V
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     rules = [
         V.not_null("text"),
         V.one_of("lang", ["en", "es", "de"]),
@@ -5232,7 +5249,7 @@ def _q_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
         collapse_rare_categories,
     )
 
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = load_docs(spark, sf_dir).withColumn(
         "first_word",
         F.split(F.trim(F.col("text")), r"\s+").getItem(0),
     )

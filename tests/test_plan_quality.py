@@ -129,8 +129,13 @@ def test_pack_sequences_single_shard_exchange(spark, sf_dir):
     once for the prefix-sum window; a global (unpartitioned) window would
     serialize the corpus through one task."""
     plan = _physical(QUERIES["pack_sequences"].fn(spark, sf_dir))
-    assert plan.count("Exchange hashpartitioning") == 1
-    assert "shard" in plan.split("Exchange hashpartitioning", 1)[1][:80]
+    exchanges = plan.split("Exchange hashpartitioning")[1:]
+    # one shard exchange + (small-input runs only) the doc-id fan-out
+    # repartition below it — nothing else, and never a single partition
+    assert 1 <= len(exchanges) <= 2
+    assert any("shard" in e[:80] for e in exchanges)
+    for e in exchanges:
+        assert "shard" in e[:80] or "doc_id" in e[:80], e[:80]
     assert plan.count("Exchange SinglePartition") == 0
 
 
