@@ -57,6 +57,19 @@ def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings table with the same few-input fan-out as ``load_docs``:
+    per-vector kernels (dot products, quantization, hyperplane folds) are
+    CPU-bound and the testdata ships one parquet file."""
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        fan_out_if_few_inputs,
+    )
+
+    return fan_out_if_few_inputs(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -1372,7 +1385,7 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return embedding_neardup_pairs(
-        load_table(spark, sf_dir, "embeddings"),
+        load_embeddings(spark, sf_dir),
         "vec_id",
         "embedding",
         threshold=0.25,
@@ -1398,7 +1411,7 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_fraud_detection_spark.operators.similarity import cosine_topk
 
     return cosine_topk(
-        load_table(spark, sf_dir, "embeddings"),
+        load_embeddings(spark, sf_dir),
         "vec_id",
         "embedding",
         query_max_id=10,
@@ -1465,7 +1478,7 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_fraud_detection_spark.operators.similarity import lsh_topk
 
     return lsh_topk(
-        load_table(spark, sf_dir, "embeddings"),
+        load_embeddings(spark, sf_dir),
         "vec_id",
         "embedding",
         query_max_id=10,
@@ -1479,7 +1492,7 @@ def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_centroids,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return label_centroids(emb, "label", "embedding")
 
 
@@ -1502,7 +1515,7 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded clustering -> rows-only; ranking covered by tests."""
     from feature_store_fraud_detection_spark.operators.similarity import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return ivf_topk(
         emb, "vec_id", "embedding", query_max_id=10, top_k=5,
         num_clusters=8, n_probe=2,
@@ -2904,7 +2917,7 @@ def _q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_fraud_detection_spark.operators.similarity import sq8_topk
 
     return sq8_topk(
-        load_table(spark, sf_dir, "embeddings"),
+        load_embeddings(spark, sf_dir),
         "vec_id",
         "embedding",
         query_max_id=10,
@@ -3701,7 +3714,7 @@ def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return knn_classify(
-        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        load_embeddings(spark, sf_dir), "vec_id", "embedding",
         "label", query_max_id=20, k=5,
     )
 
