@@ -5535,6 +5535,55 @@ QUERIES.update(
 
 
 
+def _q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KMV distinct sketch: unlike the HLL path (rows-only — engine-binary
+    # state) this sketch is a deterministic function of the data via md5,
+    # so the oracle hash-checks the ESTIMATE itself. WindowGroupLimit
+    # keeps the per-type k-smallest selection scale-safe (top-k pushdown
+    # per map partition, never a full per-type sort).
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_estimate(
+        kmv_sketch(ev, "event_type", "user_id", k=64), "event_type", k=64
+    )
+
+
+_KMV_DISTINCT_SQL = """
+WITH pts AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS u
+  FROM events
+),
+rk AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u) AS r
+  FROM pts
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS INT) AS sketch_size, max(u) AS uk
+  FROM rk WHERE r <= 64 GROUP BY 1
+)
+SELECT event_type, sketch_size,
+       floor((CASE WHEN sketch_size < 64 THEN CAST(sketch_size AS DOUBLE)
+                   ELSE 63.0 / uk END) * 10000 + 0.5) / 10000
+         AS distinct_est
+FROM agg
+"""
+
+
+QUERIES.update(
+    {
+        "kmv_distinct_users": QuerySpec(_q_kmv_distinct_users, _KMV_DISTINCT_SQL),
+    }
+)
+
+
+
 # --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------

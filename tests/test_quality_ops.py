@@ -263,3 +263,60 @@ def test_gini_formula_extremes(spark):
     }
     assert abs(out["EQ"]) < 1e-12
     assert abs(out["ONE"] - 0.9) < 1e-12
+
+
+def test_kmv_sketch_estimate_and_exact_path(spark):
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    rows = [("big", f"u{i}") for i in range(2000)] + [
+        ("small", f"u{i}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {
+        r.g: r
+        for r in kmv_estimate(
+            kmv_sketch(df, "g", "v", k=128), "g", k=128
+        ).collect()
+    }
+    # under-full sketch -> exact count
+    assert out["small"].sketch_size == 20
+    assert out["small"].distinct_est == 20.0
+    # full sketch -> estimate within ~4 std errors (1/sqrt(k-2) ~ 9%)
+    assert out["big"].sketch_size == 128
+    assert abs(out["big"].distinct_est - 2000) / 2000 < 0.36
+    # duplicates never change the sketch (distinct semantics)
+    dup = df.union(df)
+    out2 = {
+        r.g: r.distinct_est
+        for r in kmv_estimate(
+            kmv_sketch(dup, "g", "v", k=128), "g", k=128
+        ).collect()
+    }
+    assert out2 == {g: r.distinct_est for g, r in out.items()}
+
+
+def test_kmv_merge_equals_direct_union_sketch(spark):
+    """The sketch property: merging per-partition sketches == sketching
+    the union directly (exactly, not approximately)."""
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    a = spark.createDataFrame(
+        [("g", f"a{i}") for i in range(300)] + [("g", f"shared{i}") for i in range(100)],
+        "k string, v string",
+    )
+    b = spark.createDataFrame(
+        [("g", f"b{i}") for i in range(250)] + [("g", f"shared{i}") for i in range(100)],
+        "k string, v string",
+    )
+    k = 64
+    merged = kmv_merge(
+        kmv_sketch(a, "k", "v", k), kmv_sketch(b, "k", "v", k), "k", k
+    ).collect()[0].kmv
+    direct = kmv_sketch(a.union(b), "k", "v", k).collect()[0].kmv
+    assert merged == direct
