@@ -1,0 +1,150 @@
+"""Iterative graph analytics as DataFrame loops: PageRank and BFS levels.
+
+The reference has no graph surface, but its fraud domain is one (cards,
+merchants, devices form a transaction graph; fraud rings are its dense
+subgraphs). These operators give the engine the two standard primitives —
+importance scoring and hop distance — as deterministic, oracle-checkable
+DataFrame programs, complementing the connected-components reducer in
+``operators.dedup.dedup_clusters``.
+
+Cross-engine determinism: PageRank is computed ENTIRELY in scaled BIGINT
+arithmetic (rank mass scaled by 10**12; truncating integer division for
+the per-edge contribution and the damping factor). Integer sums are
+order-independent and both engines truncate positive integer division
+identically, so after any number of iterations the ranks are bit-equal to
+the DuckDB twin — no float summation order, no decimal division semantics
+in play. The cost is a deterministic rounding loss of < out_degree ulps of
+scaled mass per node per iteration (documented, same on both engines).
+
+Scale design: the edge table is hash-partitioned on ``src`` once and
+reused across iterations (the per-iteration join re-keys only the rank
+table, which is |V|, not |E|); each iteration is one shuffle-join plus one
+map-side-combined aggregate, and ``localCheckpoint`` truncates the plan so
+iteration N does not replay 1..N-1. Convergence work is O(iterations *
+(|E| join + |V| agg)) — the textbook MapReduce PageRank shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: rank mass is scaled by this (BIGINT) factor; 10**12 leaves headroom for
+#: the 85x damping multiply inside int64 even if one node held ALL mass.
+PAGERANK_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iterations: int = 4,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list -> (node, rank_scaled).
+
+    ``rank_scaled`` is the rank mass times :data:`PAGERANK_SCALE`, an exact
+    BIGINT (divide by 1e12 for the conventional value). Update rule per
+    iteration, all in integer arithmetic::
+
+        contrib(e)   = rank[src] div out_degree[src]
+        rank'[v]     = (100-d)*S div (100*N)  +  d * sum(contrib) div 100
+
+    Dangling-node mass (nodes with no out-edges) is dropped, the standard
+    MapReduce simplification — totals decay slightly instead of summing to
+    exactly S. Nodes are the union of sources and destinations.
+
+    The edge set is deduplicated, pre-keyed on ``src`` and persisted: every
+    iteration's join reuses that one partitioning, so the steady-state cost
+    is shuffling the |V|-row rank table, never the |E|-row edge table.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .distinct()
+        .repartition("src")
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()  # driver scalar: defines the teleport constant
+    base = ((100 - damping_pct) * PAGERANK_SCALE) // (100 * n_nodes)
+    init = PAGERANK_SCALE // n_nodes
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_scaled"))
+    for _ in range(iterations):
+        contribs = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.expr("rank_scaled div deg").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("agg"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(agg, 0L)) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("rank_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ed.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Minimum hop distance from a seed set -> (node, level), level <= max_hops.
+
+    Frontier-free formulation: every reachable node carries its current best
+    level; one round relaxes all edges (``level[dst] = min(level[dst],
+    level[src]+1)``). ``max_hops`` rounds of relaxation give exact distances
+    up to ``max_hops`` (each round extends the certified radius by one).
+    Unreached nodes are absent from the output.
+
+    Scale: per round one join keyed on ``src`` + one min-aggregate — the
+    same shuffle profile as a single dedup_clusters round; the edge table is
+    pre-keyed and persisted across rounds.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    levels = seeds.select(
+        F.col(node_col).alias("node"), F.lit(0).cast("int").alias("level")
+    ).distinct()
+    for _ in range(max_hops):
+        relaxed = (
+            e.join(levels, e.src == levels.node)
+            .select(F.col("dst").alias("node"), (F.col("level") + 1).alias("level"))
+            .unionByName(levels)
+            .groupBy("node")
+            .agg(F.min("level").cast("int").alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        levels = relaxed
+    e.unpersist()
+    return levels

@@ -144,3 +144,38 @@ def weighted_hash_sample(
     )
     w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
     return df.filter(hash_frac < w)
+
+
+def weighted_topk_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Exactly-k weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES), deterministic: each row draws an exponential jitter
+    ``key = -ln(u) / w`` with ``u`` the row's md5-uniform in (0,1], and the
+    k SMALLEST keys are the sample. Inclusion probability is proportional
+    to weight, the draw is a pure function of (salt, id, weight) — the
+    reproducible complement to :func:`weighted_hash_sample`, for when the
+    pipeline needs an exact sample SIZE (eval sets, human-review batches)
+    rather than an expected rate.
+
+    Scale: the key is a narrow scan-stage projection; the global k-smallest
+    is ``orderBy(key).limit(k)`` which Spark executes as
+    TakeOrderedAndProject — per-partition top-k heaps, only k rows per
+    partition reach the driver-side merge. No full sort, no shuffle of the
+    corpus. Cross-engine: u is an exact 60-bit integer (+1 to exclude 0)
+    over 2^60; ln differs by at most 1 ulp between engines, far below the
+    ~1/n relative spacing of adjacent order statistics, and (key, id) is a
+    total order.
+    """
+    digest = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    u = (
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(float(16**15))
+    w = F.col(weight_col).cast("double")
+    key = -F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("__key", key)
+        .orderBy("__key", id_col)
+        .limit(k)
+    )

@@ -76,6 +76,86 @@ def kmv_merge(a: DataFrame, b: DataFrame, key_col: str, k: int = 256) -> DataFra
     )
 
 
+def _cms_bucket(col: Column, row: int, width: int) -> Column:
+    """Row-``row`` bucket of a count-min sketch: md5 of the seeded value,
+    first 15 hex chars as a 60-bit int, mod width. DuckDB twin:
+    ('0x' || substr(md5('cms<row>:' || x), 1, 15))::BIGINT % width."""
+    seeded = F.concat(F.lit(f"cms{row}:"), col.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(F.encode(seeded, "UTF-8")), 1, 15), 16, 10)
+        .cast("bigint")
+        % F.lit(width)
+    )
+
+
+def cms_sketch(
+    df: DataFrame, item_col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Count-min sketch of an item stream -> (row, bucket, cnt).
+
+    ``depth`` independent md5-seeded hash rows of ``width`` counters; each
+    occurrence increments one counter per row. Like KMV (above) and unlike
+    engine-native sketch state, every counter is a deterministic function
+    of the data, so the DuckDB oracle reproduces the sketch bit-for-bit.
+
+    Scale: the explode multiplies rows by ``depth`` BEFORE a map-side
+    combined aggregate whose result is at most ``depth * width`` cells —
+    shuffle traffic is the sketch size (constant), not the stream. Sketches
+    of shards merge by cell-wise addition (same groupBy), the property that
+    lets 1000 executors sketch 100 TB independently.
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("row"),
+                _cms_bucket(F.col(item_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("s"))
+        .select("s.row", "s.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_query(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-query a count-min sketch: estimate = min over rows of the
+    item's counter. Guaranteed >= the true count (never under), within
+    2N/width with probability 1 - 2^-depth.
+
+    The sketch is at most ``depth * width`` cells — broadcast — so probing
+    any number of items is a narrow map-side join, no shuffle of the probe
+    side."""
+    probes = items.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        _cms_bucket(F.col(item_col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("s"),
+    ).select(item_col, "s.row", "s.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
 def kmv_estimate(sketch: DataFrame, key_col: str, k: int = 256) -> DataFrame:
     """Distinct-count estimate per key: (k-1)/u_(k) when the sketch is
     full, else the EXACT count (fewer than k distinct values seen — every

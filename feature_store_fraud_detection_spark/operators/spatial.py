@@ -96,3 +96,88 @@ def proximity_pairs(
         .filter(F.col("dist") <= radius_miles)
         .select("id_a", "id_b", "dist")
     )
+
+
+def dbscan_labels(
+    df: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    eps_miles: float = 1.0,
+    min_pts: int = 4,
+    cell_deg: float = 0.05,
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """Distributed DBSCAN over geo points -> (id, role, cluster_id).
+
+    Density clustering of transaction locations (fraud hot-spots, ATM
+    skimmer sites) without choosing k. Standard semantics: a CORE point
+    has >= ``min_pts`` points (itself included) within ``eps_miles``;
+    clusters are the connected components of the core-core proximity
+    graph; a BORDER point is a non-core point adjacent to >= 1 core point
+    (assigned its smallest core-neighbor label for determinism — textbook
+    DBSCAN leaves this tie arbitrary); everything else is NOISE
+    (cluster_id NULL). ``cluster_id`` is the smallest point id in the
+    component's core set.
+
+    Built entirely from the repo's own scale-safe parts: the neighbor
+    graph is :func:`proximity_pairs` (grid-bucketed, never |points|^2) and
+    the component labeling is ``dedup.dedup_clusters`` (iterative
+    min-label propagation, bounded by core-graph diameter). Degree count,
+    core filter, and border assignment are each one keyed aggregate/join
+    on point ids.
+    """
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    pairs = proximity_pairs(
+        df,
+        id_col,
+        lat_col,
+        lon_col,
+        radius_miles=eps_miles,
+        cell_deg=cell_deg,
+        max_abs_lat=max_abs_lat,
+    ).persist()
+    sym = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nbr")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr"))
+    )
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("__deg"))
+    ids = df.select(F.col(id_col).alias("id"))
+    core = (
+        ids.join(deg, "id", "left")
+        .filter(F.coalesce(F.col("__deg"), F.lit(0)) + 1 >= min_pts)
+        .select("id")
+        .persist()
+    )
+    core_b = core.select(F.col("id").alias("__c"))
+    core_pairs = (
+        pairs.join(core.withColumnRenamed("id", "id_a"), "id_a")
+        .join(core_b, pairs.id_b == core_b.__c)
+        .select("id_a", "id_b")
+    )
+    core_labels = dedup_clusters(core_pairs, core, "id").select(
+        F.col("id"), F.col("canonical_id").alias("cluster_id")
+    )
+    border = (
+        sym.join(core_labels.withColumnRenamed("id", "nbr"), "nbr")
+        .join(core, "id", "left_anti")
+        .groupBy("id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    labeled = core_labels.withColumn("role", F.lit("core")).unionByName(
+        border.withColumn("role", F.lit("border"))
+    )
+    out = (
+        ids.join(labeled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("role"), F.lit("noise")).alias("role"),
+            F.col("cluster_id"),
+        )
+    )
+    pairs.unpersist()
+    return out

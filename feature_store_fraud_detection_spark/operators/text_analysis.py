@@ -382,3 +382,92 @@ def unigram_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.sum("tf").alias("n_tokens"),
         round4_stable((-s) / F.sum("tf")).alias("nll"),
     )
+
+
+def bigram_nll(
+    lm_df: DataFrame,
+    score_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document mean NLL under a BIGRAM language model with Stupid
+    Backoff, trained on one corpus and scoring another — the held-out LM
+    quality filter (CCNet trains KenLM on Wikipedia to score Common Crawl;
+    here ``lm_df`` stands in for the clean corpus). Unlike
+    :func:`unigram_nll`'s self-scoring, the train/score split makes the
+    backoff path real: scored bigrams genuinely missing from the LM fall
+    back to ``alpha *`` the unigram probability, and unknown words to
+    ``alpha / T``::
+
+        P(w2|w1) = count(w1 w2) / count(w1)      if the bigram is in the LM
+                 = alpha * count(w2) / T          else if w2 is in the LM
+                 = alpha / T                      else (OOV floor)
+
+    score(doc) = -(1/n_bigrams) * sum over bigram positions of ln P.
+    Documents with fewer than 2 tokens are excluded (no bigram events).
+
+    Scale design: LM bigram/unigram counts and per-doc bigram tf are hash
+    aggregates keyed by the terms; their joins are co-partitioned on those
+    same keys (the LM is NEVER broadcast — a web-scale LM has billions of
+    bigrams). Bigram extraction is array-local (slice + transform, zero
+    row explosion before the tf aggregate); the per-doc reduction folds
+    the sorted contribution list (fixed-IEEE-order float sum rule).
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import round4_stable
+
+    def bigram_table(df: DataFrame) -> DataFrame:
+        toks = tokens(text_col)
+        bgs = F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda t, i: F.struct(
+                t.alias("w1"), F.element_at(toks, i + 2).alias("w2")
+            ),
+        )
+        return (
+            df.filter(F.size(tokens(text_col)) >= 2)
+            .select(F.col(id_col), F.explode(bgs).alias("b"))
+            .select(id_col, "b.w1", "b.w2")
+        )
+
+    lm_bg = bigram_table(lm_df).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    lm_toks = lm_df.select(F.explode(tokens(text_col)).alias("term"))
+    lm_uni = lm_toks.groupBy("term").agg(F.count(F.lit(1)).alias("cu"))
+    lm_ctx = lm_uni.select(F.col("term").alias("w1"), F.col("cu").alias("c1"))
+    lm_next = lm_uni.select(F.col("term").alias("w2"), F.col("cu").alias("c2"))
+    total = lm_toks.agg(F.count(F.lit(1)).alias("t"))
+
+    tf = bigram_table(score_df).groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    p = (
+        tf.join(lm_bg, ["w1", "w2"], "left")
+        .join(lm_ctx, "w1", "left")
+        .join(lm_next, "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("tf"),
+            F.when(
+                F.col("cb").isNotNull(), F.col("cb") / F.col("c1")
+            )
+            .when(
+                F.col("c2").isNotNull(),
+                F.lit(alpha) * F.col("c2") / F.col("t"),
+            )
+            .otherwise(F.lit(alpha) / F.col("t"))
+            .alias("prob"),
+        )
+    )
+    contribs = p.select(
+        F.col(id_col), F.col("tf"), (F.col("tf") * F.log("prob")).alias("c")
+    )
+    s = F.aggregate(
+        F.array_sort(F.collect_list("c")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return contribs.groupBy(id_col).agg(
+        F.sum("tf").alias("n_bigrams"),
+        round4_stable((-s) / F.sum("tf")).alias("nll"),
+    )

@@ -120,3 +120,78 @@ def lag1_autocorr(
         (n * sxy - sx * sy) / F.sqrt(var_x * var_y),
     )
     return agg.select(key_col, "n_pairs", round4_stable(r).alias("autocorr"))
+
+
+def cusum_peak(
+    df: DataFrame, key_col: str, ts_col: str, id_col: str, value_col: str
+) -> DataFrame:
+    """Per-key CUSUM change-point localization: the event where the
+    cumulative deviation from the key's own mean peaks — "when did this
+    card's spending level shift?". For each key, with prefix sums P_k over
+    the (time, id)-ordered values and total S over n events::
+
+        stat_k = n * P_k - k * S            (== n * sum_{i<=k}(x_i - mean))
+        peak   = the k maximizing |stat_k|  (earliest event on ties)
+
+    Returns (key, n_events, peak_ts, peak_k, cusum_peak) where cusum_peak
+    = stat_k / n in value units (signed: positive = the early segment ran
+    ABOVE the mean).
+
+    Determinism: the textbook running sum of (x - mean) needs a division
+    before the scan; multiplying through by n keeps every intermediate an
+    exact DECIMAL (window prefix sums of decimals are order-independent
+    given the total (ts, id) order), and the single double division +
+    round happens at the output boundary.
+
+    Scale: one hash shuffle on the key serves all three windows (ordered
+    prefix/rank, unordered total, and the argmax rank) — Catalyst reuses
+    the partitioning; per-task working set is one key's history, the same
+    profile as any per-key window (pre-bucket upstream for pathological
+    keys)."""
+    w_ord = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rank = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    w_all = Window.partitionBy(key_col)
+    v = overflow_checked(F.col(value_col), 1e12, "cusum_peak").cast(
+        "decimal(18,6)"
+    )
+    pre = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.sum(v).over(w_ord).alias("__p"),
+        F.row_number().over(w_rank).alias("__k"),
+        F.sum(v).over(w_all).alias("__s"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    stat = (
+        F.col("__n").cast("decimal(18,0)") * F.col("__p")
+        - F.col("__k").cast("decimal(18,0)") * F.col("__s")
+    ).cast("decimal(38,6)")
+    scored = pre.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col("__k"),
+        F.col("__n"),
+        stat.alias("__stat"),
+    )
+    pick = Window.partitionBy(key_col).orderBy(
+        F.abs(F.col("__stat")).desc(), F.col(ts_col), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(pick))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col(key_col),
+            F.col("__n").cast("bigint").alias("n_events"),
+            F.col(ts_col).alias("peak_ts"),
+            F.col("__k").cast("int").alias("peak_k"),
+            round4_stable(
+                F.col("__stat").cast("double") / F.col("__n").cast("double")
+            ).alias("cusum_peak"),
+        )
+    )

@@ -5585,6 +5585,429 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# Graph analytics: PageRank + BFS over the customer-supplier trade graph
+# --------------------------------------------------------------------------
+
+# Shared SQL CTEs: the bipartite customer<->supplier graph (an edge per
+# distinct trading pair, both directions — symmetric, so no dangling nodes).
+_TRADE_GRAPH_CTES = """
+pairs AS (
+  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c,
+                  'S' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM edges)
+"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # who matters in the trade graph — 3 fixed iterations, exact scaled-
+    # BIGINT arithmetic end to end (operators/graph.py), so the oracle
+    # hash-checks every rank bit-for-bit after the iteration unrolls.
+    from feature_store_fraud_detection_spark.operators.graph import pagerank
+
+    return pagerank(
+        _trade_edges(spark, sf_dir), "src", "dst", iterations=3
+    ).select(F.col("node").alias("node_id"), "rank_scaled")
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    # one unrolled PageRank iteration in scaled-BIGINT arithmetic; `//` is
+    # DuckDB integer division == Spark's `div` on the positive ranks here
+    return f"""
+{out} AS (
+  SELECT n.node,
+         CAST((15 * 1000000000000) // (100 * nn.n)
+              + (85 * COALESCE(s.agg, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.r // d.deg) AS agg
+    FROM {prev} p
+    JOIN edges e ON e.src = p.node
+    JOIN deg d ON d.src = p.node
+    GROUP BY 1
+  ) s ON s.node = n.node
+)"""
+
+
+_PAGERANK_SQL = f"""
+WITH {_TRADE_GRAPH_CTES},
+nn AS (SELECT count(*) AS n FROM nodes),
+it0 AS (
+  SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn
+),
+{_pagerank_iter_sql("it0", "it1")},
+{_pagerank_iter_sql("it1", "it2")},
+{_pagerank_iter_sql("it2", "it3")}
+SELECT node AS node_id, r AS rank_scaled FROM it3
+"""
+
+
+def _q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hop distance from the lowest-keyed customer across the trade graph
+    # (<= 4 hops): C -> S -> C ... "customers two trades away" queries.
+    from feature_store_fraud_detection_spark.operators.graph import bfs_levels
+
+    cust = load_table(spark, sf_dir, "customer")
+    seeds = cust.agg(
+        F.concat(F.lit("C"), F.min("c_custkey").cast("string")).alias("node")
+    )
+    return bfs_levels(
+        _trade_edges(spark, sf_dir), seeds, max_hops=4
+    ).select(F.col("node").alias("node_id"), "level")
+
+
+_BFS_LEVELS_SQL = f"""
+WITH RECURSIVE {_TRADE_GRAPH_CTES},
+seed AS (
+  SELECT 'C' || CAST(min(c_custkey) AS VARCHAR) AS node FROM customer
+),
+reach AS (
+  SELECT node, 0 AS level FROM seed
+  UNION
+  SELECT e.dst AS node, reach.level + 1 AS level
+  FROM reach JOIN edges e ON e.src = reach.node
+  WHERE reach.level < 4
+)
+SELECT node AS node_id, CAST(min(level) AS INT) AS level
+FROM reach GROUP BY node
+"""
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# --------------------------------------------------------------------------
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-20 event-stream users by count-min ESTIMATE (deterministic md5
+    # sketch, sketches.py) joined against truth — the overestimate column
+    # is the sketch's collision error, itself hash-checked.
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        cms_query,
+        cms_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_sketch(ev.select("user_id"), "user_id", depth=4, width=512)
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    est = cms_query(sketch, truth.select("user_id"), "user_id", depth=4, width=512)
+    return (
+        truth.join(est, "user_id")
+        .select(
+            "user_id",
+            "true_count",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_count")).alias("overestimate"),
+        )
+        .orderBy(F.col("cms_est").desc(), "user_id")
+        .limit(20)
+    )
+
+
+_CMS_HEAVY_SQL = """
+WITH rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+cells AS (
+  SELECT rs.r,
+         ('0x' || substr(md5('cms' || CAST(rs.r AS VARCHAR) || ':'
+                              || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           % 512 AS bucket,
+         count(*) AS cnt
+  FROM events CROSS JOIN rs
+  GROUP BY 1, 2
+),
+truth AS (SELECT user_id, count(*) AS true_count FROM events GROUP BY 1),
+probes AS (
+  SELECT t.user_id, t.true_count, c.cnt
+  FROM truth t
+  CROSS JOIN rs
+  JOIN cells c
+    ON c.r = rs.r
+   AND c.bucket = ('0x' || substr(md5('cms' || CAST(rs.r AS VARCHAR) || ':'
+                                       || CAST(t.user_id AS VARCHAR)), 1, 15)
+                   )::BIGINT % 512
+),
+est AS (
+  SELECT user_id, true_count, min(cnt) AS cms_est FROM probes GROUP BY 1, 2
+)
+SELECT user_id, CAST(true_count AS BIGINT) AS true_count,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - true_count AS BIGINT) AS overestimate
+FROM est
+ORDER BY cms_est DESC, user_id
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Exactly-k weighted sampling (A-ES), bigram LM scoring, CUSUM, DBSCAN
+# --------------------------------------------------------------------------
+
+
+def _q_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 100 events drawn with probability ~ value, exactly once each —
+    # TakeOrderedAndProject over the deterministic exponential-jitter key.
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        weighted_topk_sample,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    samp = weighted_topk_sample(ev, "event_id", "value", k=100, salt="aes1")
+    return samp.select(
+        "event_id", "value", _round4_pos(F.col("__key")).alias("samp_key")
+    )
+
+
+_WEIGHTED_TOPK_SQL = """
+WITH w AS (
+  SELECT event_id, value,
+         -ln((('0x' || substr(md5('aes1|' || CAST(event_id AS VARCHAR)),
+                              1, 15))::BIGINT + 1.0)
+             / 1152921504606846976.0) / value AS k
+  FROM events WHERE value > 0
+)
+SELECT event_id, value, floor(k * 10000 + 0.5) / 10000 AS samp_key
+FROM w ORDER BY k, event_id LIMIT 100
+"""
+
+
+def _q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # held-out LM quality scoring: train a Stupid-Backoff bigram LM on the
+    # even doc_ids, score the odd ones (backoff genuinely fires on unseen
+    # bigrams/words — CCNet's KenLM-filter shape on in-repo data).
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        bigram_nll,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    lm = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    return bigram_nll(lm, score, "doc_id", "text")
+
+
+_BIGRAM_NLL_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+  FROM documents
+),
+lm_bg0 AS (
+  SELECT z[1] AS w1, z[2] AS w2 FROM (
+    SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+    FROM tk WHERE doc_id % 2 = 0 AND len(l) >= 2)
+),
+lm_bg AS (SELECT w1, w2, count(*) AS cb FROM lm_bg0 GROUP BY 1, 2),
+lm_tok AS (SELECT unnest(l) AS term FROM tk WHERE doc_id % 2 = 0),
+lm_uni AS (SELECT term, count(*) AS cu FROM lm_tok GROUP BY 1),
+tot AS (SELECT count(*) AS t FROM lm_tok),
+sc0 AS (
+  SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM (
+    SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+    FROM tk WHERE doc_id % 2 = 1 AND len(l) >= 2)
+),
+tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM sc0 GROUP BY 1, 2, 3),
+p AS (
+  SELECT doc_id, tf,
+         CASE WHEN b.cb IS NOT NULL THEN CAST(b.cb AS DOUBLE) / c1.cu
+              WHEN c2.cu IS NOT NULL THEN 0.4 * c2.cu / t.t
+              ELSE 0.4 / t.t END AS prob
+  FROM tf
+  LEFT JOIN lm_bg b USING (w1, w2)
+  LEFT JOIN lm_uni c1 ON c1.term = tf.w1
+  LEFT JOIN lm_uni c2 ON c2.term = tf.w2
+  CROSS JOIN tot t
+),
+c AS (SELECT doc_id, tf, tf * ln(prob) AS c FROM p)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       floor(((-list_reduce(list_sort(list(c)), (a, b) -> a + b)) / sum(tf))
+             * 10000 + 0.5) / 10000 AS nll
+FROM c
+GROUP BY doc_id
+"""
+
+
+def _q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # where each user's spending level shifted: per-key CUSUM peak in
+    # exact decimal arithmetic (operators/timeseries.py).
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        cusum_peak,
+    )
+
+    return cusum_peak(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", "event_id", "value"
+    )
+
+
+_CUSUM_SQL = """
+WITH pre AS (
+  SELECT user_id, ts, event_id,
+         sum(CAST(value AS DECIMAL(18,6)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         row_number()
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k,
+         sum(CAST(value AS DECIMAL(18,6)))
+           OVER (PARTITION BY user_id) AS s,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+scored AS (
+  SELECT user_id, ts, event_id, k, n,
+         CAST(CAST(n AS DECIMAL(18,0)) * p
+              - CAST(k AS DECIMAL(18,0)) * s AS DECIMAL(38,6)) AS stat
+  FROM pre
+),
+picked AS (
+  SELECT user_id, ts, k, n, stat,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY abs(stat) DESC, ts, event_id) AS rk
+  FROM scored
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events, ts AS peak_ts,
+       CAST(k AS INT) AS peak_k,
+       floor((CAST(stat AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5)
+         / 10000 AS cusum_peak
+FROM picked WHERE rk = 1
+"""
+
+
+def _q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # density clustering of the synthesized transaction coordinates (same
+    # adapter as geo_proximity_pairs): grid-blocked neighbor graph ->
+    # core/border/noise roles + min-label component ids.
+    from feature_store_fraud_detection_spark.operators.spatial import (
+        dbscan_labels,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    pts = ev.select(
+        "event_id",
+        (F.lit(30.0) + (F.col("event_id") % 1000) / 100.0).alias("lat"),
+        (F.lit(-100.0) + (F.col("event_id") % 2000) / 100.0).alias("lon"),
+    )
+    return dbscan_labels(
+        pts, "event_id", "lat", "lon", eps_miles=1.0, min_pts=4, cell_deg=0.05
+    )
+
+
+_DBSCAN_SQL = """
+WITH RECURSIVE pts AS (
+  SELECT event_id,
+         30.0 + (event_id % 1000) / 100.0 AS lat,
+         -100.0 + (event_id % 2000) / 100.0 AS lon,
+         CAST(floor((30.0 + (event_id % 1000) / 100.0) / 0.05) AS BIGINT)
+           AS cy,
+         CAST(floor((-100.0 + (event_id % 2000) / 100.0) / 0.05) AS BIGINT)
+           AS cx
+  FROM events WHERE event_id < 2000
+),
+cover AS (
+  SELECT p.event_id AS id_a, p.lat AS lat_a, p.lon AS lon_a,
+         p.cy + dys.dy AS cy, p.cx + dxs.dx AS cx
+  FROM pts p
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) dys
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) dxs
+),
+cand AS (
+  SELECT c.id_a, c.lat_a, c.lon_a,
+         b.event_id AS id_b, b.lat AS lat_b, b.lon AS lon_b
+  FROM cover c JOIN pts b ON c.cy = b.cy AND c.cx = b.cx
+  WHERE c.id_a < b.event_id
+),
+pairs2 AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           floor(2 * 3963.0 * asin(sqrt(
+               pow(sin((radians(lat_b) - radians(lat_a)) / 2), 2)
+               + cos(radians(lat_a)) * cos(radians(lat_b))
+                 * pow(sin((radians(lon_b) - radians(lon_a)) / 2), 2)))
+             * 10000 + 0.5) / 10000 AS dist
+    FROM cand
+  ) WHERE dist <= 1.0
+),
+sym AS (
+  SELECT id_a AS id, id_b AS nbr FROM pairs2
+  UNION ALL
+  SELECT id_b AS id, id_a AS nbr FROM pairs2
+),
+degs AS (SELECT id, count(*) AS deg FROM sym GROUP BY 1),
+core AS (
+  SELECT p.event_id AS id
+  FROM pts p LEFT JOIN degs d ON d.id = p.event_id
+  WHERE COALESCE(d.deg, 0) + 1 >= 4
+),
+core_edges AS (
+  SELECT s.id AS src, s.nbr AS dst
+  FROM sym s
+  JOIN core a ON a.id = s.id
+  JOIN core b ON b.id = s.nbr
+),
+reach AS (
+  SELECT id AS node, id AS r FROM core
+  UNION
+  SELECT e.dst AS node, reach.r AS r
+  FROM reach JOIN core_edges e ON e.src = reach.node
+),
+core_labels AS (
+  SELECT node AS id, min(r) AS cluster_id FROM reach GROUP BY node
+),
+border AS (
+  SELECT s.id, min(cl.cluster_id) AS cluster_id
+  FROM sym s
+  JOIN core_labels cl ON cl.id = s.nbr
+  WHERE s.id NOT IN (SELECT id FROM core)
+  GROUP BY s.id
+)
+SELECT p.event_id,
+       CASE WHEN cl.id IS NOT NULL THEN 'core'
+            WHEN b.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(cl.cluster_id, b.cluster_id) AS cluster_id
+FROM pts p
+LEFT JOIN core_labels cl ON cl.id = p.event_id
+LEFT JOIN border b ON b.id = p.event_id
+"""
+
+
+QUERIES.update(
+    {
+        "pagerank": QuerySpec(_q_pagerank, _PAGERANK_SQL),
+        "bfs_levels": QuerySpec(_q_bfs_levels, _BFS_LEVELS_SQL),
+        "cms_heavy_hitters": QuerySpec(_q_cms_heavy_hitters, _CMS_HEAVY_SQL),
+        "weighted_topk_sample": QuerySpec(
+            _q_weighted_topk_sample, _WEIGHTED_TOPK_SQL
+        ),
+        "bigram_nll": QuerySpec(_q_bigram_nll, _BIGRAM_NLL_SQL),
+        "cusum_changepoints": QuerySpec(_q_cusum_changepoints, _CUSUM_SQL),
+        "dbscan_clusters": QuerySpec(_q_dbscan_clusters, _DBSCAN_SQL),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so

@@ -1,0 +1,215 @@
+"""Round-3 operator fixtures: PageRank / BFS on hand graphs, count-min
+sketch guarantees, A-ES weighted sampling, bigram backoff LM, CUSUM peak
+localization, and DBSCAN roles — tiny inputs with hand-checkable outputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from feature_store_fraud_detection_spark.operators.graph import (
+    PAGERANK_SCALE,
+    bfs_levels,
+    pagerank,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_pagerank_star_center_dominates(spark):
+    # star: a<->{b,c,d}. The center receives 3 full contributions each
+    # round; leaves split nothing (degree-1 each). Center must outrank
+    # leaves, and leaves are symmetric (identical ranks).
+    pairs = []
+    for leaf in ("b", "c", "d"):
+        pairs += [("a", leaf), (leaf, "a")]
+    out = {r.node: r.rank_scaled for r in pagerank(_edges(spark, pairs), "src", "dst", iterations=3).collect()}
+    assert out["a"] > out["b"]
+    assert out["b"] == out["c"] == out["d"]
+    # total mass stays within the scale budget (truncation only loses mass)
+    assert sum(out.values()) <= PAGERANK_SCALE
+
+
+def test_pagerank_two_cycle_exact_fixed_point(spark):
+    # a<->b: perfectly symmetric, every iteration keeps rank = S/2 (minus
+    # deterministic truncation dust). Hand-check the exact integer value.
+    out = {
+        r.node: r.rank_scaled
+        for r in pagerank(
+            _edges(spark, [("a", "b"), ("b", "a")]), "src", "dst", iterations=2
+        ).collect()
+    }
+    s = PAGERANK_SCALE
+    base = 15 * s // 200
+    r0 = s // 2
+    r1 = base + 85 * r0 // 100
+    r2 = base + 85 * r1 // 100
+    assert out == {"a": r2, "b": r2}
+
+
+def test_bfs_levels_chain_and_cap(spark):
+    # chain a->b->c->d->e->f->g with max_hops=4: g (5 hops) is absent
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), ("f", "g")]
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {
+        r.node: r.level
+        for r in bfs_levels(_edges(spark, chain), seeds, max_hops=4).collect()
+    }
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}
+
+
+def test_bfs_levels_min_over_paths(spark):
+    # two routes to d: a->b->d (2 hops) and a->c1->c2->d (3 hops) -> 2
+    pairs = [("a", "b"), ("b", "d"), ("a", "c1"), ("c1", "c2"), ("c2", "d")]
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {
+        r.node: r.level
+        for r in bfs_levels(_edges(spark, pairs), seeds, max_hops=4).collect()
+    }
+    assert out["d"] == 2
+
+
+def test_cms_never_underestimates_and_is_tight_when_sparse(spark):
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        cms_query,
+        cms_sketch,
+    )
+
+    rows = [(f"item{i % 7}",) for i in range(70)]  # 7 items x 10 each
+    df = spark.createDataFrame(rows, "item string")
+    sketch = cms_sketch(df, "item", depth=4, width=512)
+    items = df.distinct()
+    est = {
+        r.item: r.cms_est
+        for r in cms_query(sketch, items, "item", depth=4, width=512).collect()
+    }
+    # CMS guarantee: estimate >= true count; 7 items in 4x512 cells
+    # collide with probability ~ (7/512)^4 -> exact here
+    assert est == {f"item{i}": 10 for i in range(7)}
+
+
+def test_cms_sketch_merges_by_cell_addition(spark):
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        cms_sketch,
+    )
+
+    a = spark.createDataFrame([("x",)] * 3, "item string")
+    b = spark.createDataFrame([("x",)] * 5 + [("y",)], "item string")
+    merged = (
+        cms_sketch(a, "item").unionByName(cms_sketch(b, "item"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_sketch(a.unionByName(b), "item")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_weighted_topk_sample_size_and_bias(spark):
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        weighted_topk_sample,
+    )
+
+    # 200 light rows (w=1) + 200 heavy rows (w=50): a 100-row A-ES draw
+    # must be heavily tilted toward the heavy half
+    rows = [(i, 1.0) for i in range(200)] + [(i, 50.0) for i in range(200, 400)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    samp = weighted_topk_sample(df, "id", "w", k=100).collect()
+    assert len(samp) == 100
+    heavy = sum(1 for r in samp if r.id >= 200)
+    assert heavy > 80
+    # deterministic: same call, same sample
+    again = weighted_topk_sample(df, "id", "w", k=100).collect()
+    assert sorted(r.id for r in samp) == sorted(r.id for r in again)
+
+
+def test_weighted_topk_sample_zero_weight_excluded(spark):
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        weighted_topk_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, 2.0)], "id long, w double"
+    )
+    out = weighted_topk_sample(df, "id", "w", k=10).collect()
+    assert [r.id for r in out] == [3]
+
+
+def test_bigram_nll_backoff_hand_fixture(spark):
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        bigram_nll,
+    )
+
+    lm = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(1, "a b"), (2, "a z")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.n_bigrams, r.nll) for r in bigram_nll(lm, score, "doc_id", "text").collect()}
+    # LM: bigrams {ab:2, ba:1}; unigrams {a:2, b:2}, T=4
+    # doc 1: P(b|a) = 2/2 = 1 -> nll = 0
+    assert out[1] == (1, 0.0)
+    # doc 2: bigram 'a z' unseen, z unseen -> P = 0.4/4 = 0.1
+    expected = math.floor(-math.log(0.1) * 10000 + 0.5) / 10000
+    assert out[2] == (1, expected)
+
+
+def test_cusum_peak_locates_level_shift(spark):
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        cusum_peak,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    # 5 events at 10 then 5 events at 20: mean 15, CUSUM of (x-15)
+    # peaks (in |.|) at k=5 with value -25 -> cusum_peak = -25
+    rows = [
+        (1, base + dt.timedelta(minutes=i), i, 10.0 if i < 5 else 20.0)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    r = cusum_peak(df, "user_id", "ts", "event_id", "value").collect()[0]
+    assert r.n_events == 10
+    assert r.peak_k == 5
+    assert r.cusum_peak == -25.0
+    assert r.peak_ts == base + dt.timedelta(minutes=4)
+
+
+def test_dbscan_roles_and_cluster_split(spark):
+    from feature_store_fraud_detection_spark.operators.spatial import (
+        dbscan_labels,
+    )
+
+    # two tight 4-point blobs far apart + one isolated point; minPts=4
+    # -> every blob point is core (4 points within eps), isolated = noise
+    def blob(base_id, lat):
+        return [
+            (base_id + i, lat + i * 0.001, -100.0 + i * 0.001)
+            for i in range(4)
+        ]
+
+    pts = blob(0, 30.0) + blob(100, 31.0) + [(999, 32.5, -100.0)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    out = {r.id: (r.role, r.cluster_id) for r in dbscan_labels(df, "id", "lat", "lon", eps_miles=1.0, min_pts=4).collect()}
+    assert all(out[i] == ("core", 0) for i in range(4))
+    assert all(out[100 + i] == ("core", 100) for i in range(4))
+    assert out[999] == ("noise", None)
+
+
+def test_dbscan_border_point(spark):
+    from feature_store_fraud_detection_spark.operators.spatial import (
+        dbscan_labels,
+    )
+
+    # 4 core points in a tight knot running south; a 5th ~0.9 mi north is
+    # within eps of only the knot's 2 nearest points (2 neighbors + self =
+    # 3 < minPts) -> border, inherits the knot's cluster id
+    pts = [(i, 30.0 - i * 0.001, -100.0) for i in range(4)]
+    pts.append((9, 30.0131, -100.0))  # 0.90 mi from p0, 0.97 from p1, 1.04 from p2
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    out = {r.id: (r.role, r.cluster_id) for r in dbscan_labels(df, "id", "lat", "lon", eps_miles=1.0, min_pts=4).collect()}
+    assert out[9] == ("border", 0)
+    assert all(out[i] == ("core", 0) for i in range(4))
