@@ -57,6 +57,15 @@ HEADLINE = [
     "sq8_topk",
     "value_rank_profile",
     "ngram_jaccard_pairs",
+    # round-3 families: graph analytics, sketches, LM scoring, density
+    # clustering, change-point, exact-k weighted sampling
+    "pagerank",
+    "bfs_levels",
+    "cms_heavy_hitters",
+    "bigram_nll",
+    "dbscan_clusters",
+    "cusum_changepoints",
+    "weighted_topk_sample",
 ]
 
 

@@ -40,6 +40,7 @@ def pagerank(
     dst_col: str,
     iterations: int = 4,
     damping_pct: int = 85,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list -> (node, rank_scaled).
 
@@ -54,17 +55,16 @@ def pagerank(
     MapReduce simplification — totals decay slightly instead of summing to
     exactly S. Nodes are the union of sources and destinations.
 
-    The edge set is deduplicated, pre-keyed on ``src`` and persisted: every
-    iteration's join reuses that one partitioning, so the steady-state cost
-    is shuffling the |V|-row rank table, never the |E|-row edge table.
+    The edge set is deduplicated (skipped when the caller declares
+    ``assume_distinct`` — a dedup is a full |E| shuffle), pre-keyed on
+    ``src`` and persisted: every iteration's join reuses that one
+    partitioning, so the steady-state cost is shuffling the |V|-row rank
+    table, never the |E|-row edge table.
     """
-    e = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-        .distinct()
-        .repartition("src")
-    )
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.repartition("src")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = e.join(deg, "src").persist()
     nodes = (
@@ -77,7 +77,7 @@ def pagerank(
     base = ((100 - damping_pct) * PAGERANK_SCALE) // (100 * n_nodes)
     init = PAGERANK_SCALE // n_nodes
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_scaled"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             ed.join(ranks, ed.src == ranks.node)
             .select(
@@ -87,21 +87,23 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("agg"))
         )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(agg, 0L)) div 100"
-                    )
-                )
-                .cast("long")
-                .alias("rank_scaled"),
+        ranks = nodes.join(contribs, nodes.node == contribs.dst, "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(agg, 0L)) div 100")
             )
-            .localCheckpoint(eager=True)
+            .cast("long")
+            .alias("rank_scaled"),
         )
+        # Plan depth grows linearly per iteration, so a handful of rounds
+        # runs best as ONE chained-shuffle job (AQE coalesces each round);
+        # only deep loops need the lineage cut, and each eager checkpoint
+        # costs a full job submission — so cut every 5th round only.
+        if (i + 1) % 5 == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    # materialize ONCE (while ed/nodes are still cached), then release them
+    ranks = ranks.localCheckpoint(eager=True)
     ed.unpersist()
     nodes.unpersist()
     return ranks
@@ -114,6 +116,7 @@ def bfs_levels(
     src_col: str = "src",
     dst_col: str = "dst",
     max_hops: int = 6,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Minimum hop distance from a seed set -> (node, level), level <= max_hops.
 
@@ -127,24 +130,26 @@ def bfs_levels(
     same shuffle profile as a single dedup_clusters round; the edge table is
     pre-keyed and persisted across rounds.
     """
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .repartition("src")
-        .persist()
-    )
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.repartition("src").persist()
     levels = seeds.select(
         F.col(node_col).alias("node"), F.lit(0).cast("int").alias("level")
     ).distinct()
-    for _ in range(max_hops):
-        relaxed = (
+    for i in range(max_hops):
+        levels = (
             e.join(levels, e.src == levels.node)
             .select(F.col("dst").alias("node"), (F.col("level") + 1).alias("level"))
             .unionByName(levels)
             .groupBy("node")
             .agg(F.min("level").cast("int").alias("level"))
-            .localCheckpoint(eager=True)
         )
-        levels = relaxed
+        # same lineage policy as pagerank: one chained job for shallow
+        # loops, an eager cut only every 5th round
+        if (i + 1) % 5 == 0 and (i + 1) < max_hops:
+            levels = levels.localCheckpoint(eager=True)
+    # materialize ONCE (while the edge cache is live), then release it
+    levels = levels.localCheckpoint(eager=True)
     e.unpersist()
     return levels

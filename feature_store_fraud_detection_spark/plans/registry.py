@@ -5607,15 +5607,20 @@ nodes AS (SELECT DISTINCT src AS node FROM edges)
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup on the (custkey, suppkey) INTEGER pair — the distinct's shuffle
+    # carries 16 bytes/row; node-id strings are built only on the deduped
+    # output (and the two edge directions of a symmetric bipartite pair set
+    # are disjoint by construction, so callers pass assume_distinct=True)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
             F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
         )
-        .distinct()
     )
     return pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
@@ -5629,7 +5634,8 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_fraud_detection_spark.operators.graph import pagerank
 
     return pagerank(
-        _trade_edges(spark, sf_dir), "src", "dst", iterations=3
+        _trade_edges(spark, sf_dir), "src", "dst", iterations=3,
+        assume_distinct=True,
     ).select(F.col("node").alias("node_id"), "rank_scaled")
 
 
@@ -5676,7 +5682,7 @@ def _q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("C"), F.min("c_custkey").cast("string")).alias("node")
     )
     return bfs_levels(
-        _trade_edges(spark, sf_dir), seeds, max_hops=4
+        _trade_edges(spark, sf_dir), seeds, max_hops=4, assume_distinct=True
     ).select(F.col("node").alias("node_id"), "level")
 
 
