@@ -78,24 +78,7 @@ def pagerank(
     init = PAGERANK_SCALE // n_nodes
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_scaled"))
     for i in range(iterations):
-        contribs = (
-            ed.join(ranks, ed.src == ranks.node)
-            .select(
-                F.col("dst"),
-                F.expr("rank_scaled div deg").alias("c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("agg"))
-        )
-        ranks = nodes.join(contribs, nodes.node == contribs.dst, "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.expr(f"({damping_pct} * coalesce(agg, 0L)) div 100")
-            )
-            .cast("long")
-            .alias("rank_scaled"),
-        )
+        ranks = pagerank_iteration(ed, nodes, ranks, base, damping_pct)
         # Plan depth grows linearly per iteration, so a handful of rounds
         # runs best as ONE chained-shuffle job (AQE coalesces each round);
         # only deep loops need the lineage cut, and each eager checkpoint
@@ -107,6 +90,32 @@ def pagerank(
     ed.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def pagerank_iteration(
+    ed: DataFrame,
+    nodes: DataFrame,
+    ranks: DataFrame,
+    base: int,
+    damping_pct: int,
+) -> DataFrame:
+    """One PageRank round: contribute along edges, damp, add teleport mass.
+
+    Exposed separately so the plan-quality gate can assert the iteration's
+    shuffle shape (the |E|-row ``ed`` side, pre-keyed on src, must not
+    re-exchange; only the |V|-row rank table moves)."""
+    contribs = (
+        ed.join(ranks, ed.src == ranks.node)
+        .select(F.col("dst"), F.expr("rank_scaled div deg").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("agg"))
+    )
+    return nodes.join(contribs, nodes.node == contribs.dst, "left").select(
+        "node",
+        (F.lit(base) + F.expr(f"({damping_pct} * coalesce(agg, 0L)) div 100"))
+        .cast("long")
+        .alias("rank_scaled"),
+    )
 
 
 def bfs_levels(

@@ -165,6 +165,59 @@ def test_training_set_pipeline_single_wide_stage(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row cut points
 
 
+def test_weighted_topk_sample_no_global_sort(spark, sf_dir):
+    """A-ES exact-k sampling must plan TakeOrderedAndProject (per-partition
+    top-k heaps) — an Exchange-then-Sort global order would serialize the
+    corpus at scale."""
+    plan = _physical(QUERIES["weighted_topk_sample"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_cms_probe_broadcasts_sketch(spark, sf_dir):
+    """The count-min probe join must broadcast the (depth x width)-cell
+    sketch — shuffling the probe side by cell would move the item stream
+    for a constant-size lookup table."""
+    plan = _physical(QUERIES["cms_heavy_hitters"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-20, no global sort
+
+
+def test_pagerank_iteration_moves_ranks_not_edges(spark, sf_dir):
+    """One PageRank round over a pre-keyed edge table: the |E|-row side
+    must reuse its existing hash partitioning — the only NEW exchanges an
+    iteration may add are keyed by the contribution target (dst) and the
+    rank/node tables. An exchange keyed on src would mean the edge table
+    re-shuffles every round."""
+    from feature_store_fraud_detection_spark.operators.graph import (
+        pagerank_iteration,
+    )
+    from feature_store_fraud_detection_spark.plans.registry import _trade_edges
+    from pyspark.sql import functions as F
+
+    e = _trade_edges(spark, sf_dir).repartition("src")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.select("node", F.lit(1000).cast("long").alias("rank_scaled"))
+    out = pagerank_iteration(ed, nodes, ranks, base=10, damping_pct=85)
+    plan = _physical(out)
+    exchanges = plan.split("Exchange hashpartitioning")[1:]
+    # src-keyed exchanges may appear only as the operator's own explicit
+    # pre-keying (REPARTITION_BY_COL; duplicated across subtree references,
+    # deduped by ReuseExchange at runtime) — a join-forced
+    # ENSURE_REQUIREMENTS exchange on src would mean the |E| table
+    # re-shuffles every iteration
+    src_keyed = [x[:120] for x in exchanges if "src#" in x[:120]]
+    assert src_keyed, "edge pre-keying missing entirely"
+    for x in src_keyed:
+        assert "REPARTITION_BY_COL" in x, x
+
+
 def _plan_tree(df):
     plan = df._jdf.queryExecution().executedPlan()
     if plan.nodeName() == "AdaptiveSparkPlan":
