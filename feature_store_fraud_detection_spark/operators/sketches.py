@@ -170,3 +170,120 @@ def kmv_estimate(sketch: DataFrame, key_col: str, k: int = 256) -> DataFrame:
         n_pts.alias("sketch_size"),
         round4_stable(est).alias("distinct_est"),
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram quantile sketch
+# --------------------------------------------------------------------------
+#
+# The deterministic, MERGEABLE alternative to percentile_approx's t-digest
+# (whose centroid state is engine- and merge-order-dependent, so an oracle
+# can't hash it). Bin layout is a PARAMETER (lo, hi, bins), not data-driven:
+# two sketches built with the same layout merge by element-wise adding their
+# count vectors — the algebra of a 100 TB rollup (per-partition/day sketches
+# -> any rollup level without touching raw data). Values outside [lo, hi)
+# clamp into the edge bins (documented sketch bias, like any bounded-range
+# histogram); quantiles interpolate linearly within the owning bin.
+#
+# Everything is plain double arithmetic in a fixed order, so DuckDB
+# reproduces the ESTIMATES bit-for-bit and the oracle hash-checks them.
+
+
+def hist_sketch(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Per-key equi-width histogram state: (key, counts array<bigint> of
+    length ``bins``, n). One partial-aggregated exchange on (key, bin),
+    then a per-key assembly — counts are the ONLY state that moves.
+    """
+    w = (hi - lo) / bins
+    bin_idx = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(val_col) - F.lit(lo)) / F.lit(w))),
+    ).cast("int")
+    per_bin = (
+        df.where(F.col(val_col).isNotNull())
+        .groupBy(F.col(key_col), bin_idx.alias("bin"))
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_bin.groupBy(key_col)
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("bin", "c")))
+            ).alias("bm")
+        )
+        .select(
+            key_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bins - 1)),
+                lambda i: F.coalesce(F.element_at("bm", i), F.lit(0)),
+            ).alias("counts"),
+        )
+    )
+
+
+def hist_merge(a: DataFrame, b: DataFrame, key_col: str) -> DataFrame:
+    """Merge two same-layout sketches: full outer join on the key,
+    element-wise sum of count vectors (missing side = zeros)."""
+    az = a.select(key_col, F.col("counts").alias("ca"))
+    bz = b.select(key_col, F.col("counts").alias("cb"))
+    return az.join(bz, key_col, "full_outer").select(
+        key_col,
+        F.when(F.col("ca").isNull(), F.col("cb"))
+        .when(F.col("cb").isNull(), F.col("ca"))
+        .otherwise(F.zip_with("ca", "cb", lambda x, y: x + y))
+        .alias("counts"),
+    )
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    key_col: str,
+    lo: float,
+    hi: float,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile estimates from the histogram state: for each p, rank
+    t = p * n, owning bin = first bin whose cumulative count reaches t,
+    estimate = bin lower edge + (t - cum_before) / bin_count * bin width
+    (4-decimal rounded). Columns are named p50/p90/... from the prob.
+
+    Pure array expressions over the constant-size state — O(bins^2) scalar
+    ops per key for the cumulative scan, no additional shuffle.
+    """
+    bins_expr = F.size("counts")
+    w = (F.lit(hi) - F.lit(lo)) / bins_expr.cast("double")
+    cum = F.transform(
+        F.sequence(F.lit(1), bins_expr),
+        lambda i: F.aggregate(
+            F.slice("counts", F.lit(1), i), F.lit(0).cast("bigint"), lambda s, x: s + x
+        ),
+    )
+    out = sketch.select(
+        key_col,
+        F.col("counts"),
+        cum.alias("cum"),
+        F.element_at(cum, -1).alias("n"),
+    )
+    cols = [F.col(key_col), F.col("n")]
+    for p in probs:
+        t = F.lit(p) * F.col("n").cast("double")
+        idx = F.array_position(
+            F.transform(F.col("cum"), lambda c: c.cast("double") >= t), F.lit(True)
+        ).cast("int")
+        cum_before = F.when(idx > 1, F.element_at("cum", idx - 1)).otherwise(
+            F.lit(0)
+        ).cast("double")
+        cnt = F.element_at("counts", idx).cast("double")
+        est = F.lit(lo) + w * ((idx - 1).cast("double") + (t - cum_before) / cnt)
+        name = f"p{round(p * 100)}"
+        cols.append(
+            F.when(F.col("n") > 0, round4_stable(est)).alias(name)
+        )
+    return out.select(*cols)

@@ -6217,6 +6217,69 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# Mergeable histogram quantile sketch (operators/sketches.py)
+# --------------------------------------------------------------------------
+
+
+def _q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p90/p99 from a 64-bin equi-width histogram sketch
+    over value in [0, 500) — the deterministic mergeable alternative to
+    percentile_approx's engine-opaque t-digest; the oracle hash-checks the
+    ESTIMATES themselves."""
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        hist_quantiles,
+        hist_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = hist_sketch(ev, "event_type", "value", lo=0.0, hi=500.0, bins=64)
+    return hist_quantiles(sk, "event_type", lo=0.0, hi=500.0)
+
+
+_HIST_QUANTILES_SQL = """
+WITH b AS (
+  SELECT event_type,
+         least(63, greatest(0, CAST(floor((value - 0.0) / 7.8125) AS BIGINT))) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+c AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+cc AS (
+  SELECT event_type, bin, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM c
+),
+q AS (
+  SELECT event_type, n, p, bin, cnt, cum,
+         row_number() OVER (PARTITION BY event_type, p ORDER BY bin) AS rn
+  FROM cc CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                             (CAST(0.99 AS DOUBLE))) pr(p)
+  WHERE CAST(cum AS DOUBLE) >= p * CAST(n AS DOUBLE)
+),
+est AS (
+  SELECT event_type, n, p,
+         floor((0.0 + 7.8125 * (CAST(bin AS DOUBLE)
+                + (p * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+                  / CAST(cnt AS DOUBLE)))
+               * 10000 + 0.5) / 10000 AS v
+  FROM q WHERE rn = 1
+)
+SELECT event_type, max(n) AS n,
+       max(CASE WHEN p = 0.5 THEN v END) AS p50,
+       max(CASE WHEN p = 0.9 THEN v END) AS p90,
+       max(CASE WHEN p = 0.99 THEN v END) AS p99
+FROM est GROUP BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "hist_quantiles": QuerySpec(_q_hist_quantiles, _HIST_QUANTILES_SQL),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so

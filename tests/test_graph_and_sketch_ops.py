@@ -213,3 +213,53 @@ def test_dbscan_border_point(spark):
     out = {r.id: (r.role, r.cluster_id) for r in dbscan_labels(df, "id", "lat", "lon", eps_miles=1.0, min_pts=4).collect()}
     assert out[9] == ("border", 0)
     assert all(out[i] == ("core", 0) for i in range(4))
+
+
+# --------------------------------------------------------------------------
+# Histogram quantile sketch
+# --------------------------------------------------------------------------
+
+
+def test_hist_sketch_merge_equals_union_sketch(spark):
+    """Mergeability: sketch(A) ++ sketch(B) == sketch(A union B), bin by
+    bin — the algebra that lets per-day sketches roll up at 100 TB."""
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        hist_merge,
+        hist_sketch,
+    )
+
+    a = spark.range(0, 500).selectExpr("'k' AS k", "CAST(id % 97 AS DOUBLE) AS v")
+    b = spark.range(0, 300).selectExpr("'k' AS k", "CAST(id % 41 AS DOUBLE) AS v")
+    ska = hist_sketch(a, "k", "v", lo=0.0, hi=100.0, bins=32)
+    skb = hist_sketch(b, "k", "v", lo=0.0, hi=100.0, bins=32)
+    merged = hist_merge(ska, skb, "k").collect()
+    union = hist_sketch(a.unionByName(b), "k", "v", lo=0.0, hi=100.0, bins=32).collect()
+    assert merged[0]["counts"] == union[0]["counts"]
+
+
+def test_hist_quantiles_uniform_data_accuracy(spark):
+    """On uniform [0, 1000) data the p-quantile estimate must land within
+    one bin width of the true quantile; clamped outliers hit the edge bin."""
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        hist_quantiles,
+        hist_sketch,
+    )
+
+    df = spark.range(0, 10_000).selectExpr("'k' AS k", "CAST(id % 1000 AS DOUBLE) AS v")
+    sk = hist_sketch(df, "k", "v", lo=0.0, hi=1000.0, bins=100)
+    row = hist_quantiles(sk, "k", lo=0.0, hi=1000.0).collect()[0]
+    assert row["n"] == 10_000
+    assert abs(row["p50"] - 500.0) <= 10.0
+    assert abs(row["p90"] - 900.0) <= 10.0
+    assert abs(row["p99"] - 990.0) <= 10.0
+
+
+def test_hist_sketch_clamps_out_of_range(spark):
+    from feature_store_fraud_detection_spark.operators.sketches import hist_sketch
+
+    df = spark.createDataFrame(
+        [("k", -5.0), ("k", 0.5), ("k", 99.5), ("k", 250.0)], "k string, v double"
+    )
+    counts = hist_sketch(df, "k", "v", lo=0.0, hi=100.0, bins=10).collect()[0]["counts"]
+    assert counts[0] == 2  # -5 clamps into bin 0 alongside 0.5
+    assert counts[9] == 2  # 250 clamps into the top bin alongside 99.5
