@@ -464,3 +464,68 @@ def knn_classify(
             F.col("n_votes").cast("bigint").alias("n_votes"),
         )
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_max_id: int,
+    top_k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/metric training: for every query
+    vector (id < query_max_id), the top-k most-SIMILAR vectors with a
+    DIFFERENT label — the negatives a trainer learns most from (easy
+    negatives are already far; near-duplicates of another class are the
+    informative ones).
+
+    Same plan shape as :func:`cosine_topk` — broadcast query side, one
+    corpus scan, per-query WindowGroupLimit top-k — with the label
+    inequality folded into the join condition so cross-label pairs are
+    scored and same-label pairs never materialize.
+    """
+    from pyspark.sql import Window
+
+    vd = _to_double(F.col(vec_col))
+    v = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        vd.alias("__vec_d"),
+        F.sqrt(dot_expr(vd, vd)).alias("__norm"),
+    )
+    q = v.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col("__vec_d").alias("__qvec"),
+        F.col("__norm").alias("__qnorm"),
+    )
+    pairs = F.broadcast(q).join(
+        v, F.col("query_label") != F.col(label_col)
+    )
+    scored = pairs.select(
+        "query_id",
+        "query_label",
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+        round4_stable(
+            cosine_expr(
+                F.col("__qvec"), F.col("__vec_d"), F.col("__qnorm"), F.col("__norm")
+            )
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            "query_label",
+            "negative_id",
+            "negative_label",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -6280,6 +6280,59 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# Hard-negative mining (operators/similarity.py)
+# --------------------------------------------------------------------------
+
+
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most-similar OTHER-label vectors per query (id < 10) — the
+    contrastive-training mining step; broadcast-query + WindowGroupLimit
+    plan, same as cosine_topk."""
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = load_embeddings(spark, sf_dir)
+    return hard_negatives(emb, "vec_id", "embedding", "label", query_max_id=10)
+
+
+_HARD_NEGATIVES_SQL = """
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+),
+vn AS (
+  SELECT vec_id, label, vd,
+         sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         n.vec_id AS negative_id, n.label AS negative_label,
+         floor(list_reduce(list_transform(range(1, len(q.vd) + 1),
+                                          i -> q.vd[i] * n.vd[i]),
+                           (x, y) -> x + y) / (q.nrm * n.nrm)
+               * 10000 + 0.5) / 10000 AS cosine
+  FROM vn q JOIN vn n ON q.label != n.label
+  WHERE q.vec_id < 10
+)
+SELECT query_id, query_label, negative_id, negative_label, cosine,
+       CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, negative_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+QUERIES.update(
+    {
+        "hard_negatives": QuerySpec(_q_hard_negatives, _HARD_NEGATIVES_SQL),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so

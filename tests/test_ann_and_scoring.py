@@ -186,3 +186,36 @@ def test_exact_auc_matches_brute_force(spark):
         [(float(i), int(i >= 5)) for i in range(10)], "score double, label int"
     )
     assert exact_auc(perfect, "score", "label").collect()[0].auc == 1.0
+
+
+def test_hard_negatives_excludes_same_label_and_ranks_desc(spark, sf_dir):
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        hard_negatives,
+    )
+    from feature_store_fraud_detection_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = hard_negatives(emb, "vec_id", "embedding", "label", query_max_id=5).collect()
+    assert out, "expected at least one query row"
+    by_q = {}
+    for r in out:
+        assert r["query_label"] != r["negative_label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_hard_negatives_uses_window_group_limit(spark, sf_dir):
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        hard_negatives,
+    )
+    from feature_store_fraud_detection_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = hard_negatives(emb, "vec_id", "embedding", "label", query_max_id=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan  # query side broadcasts
