@@ -66,6 +66,12 @@ HEADLINE = [
     "dbscan_clusters",
     "cusum_changepoints",
     "weighted_topk_sample",
+    # round-3 second pass: corpus curation, bloom pruning, histogram
+    # quantiles, hard-negative mining
+    "chunk_dedup",
+    "bloom_semi_join",
+    "hist_quantiles",
+    "hard_negatives",
 ]
 
 

@@ -179,3 +179,50 @@ def weighted_topk_sample(
         .orderBy("__key", id_col)
         .limit(k)
     )
+
+
+def source_mix_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    shares: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Source/domain mixing: downsample each group toward a TARGET share of
+    the original total — the "data mixing" step of corpus assembly (e.g.
+    cap any one crawl source at 5% of the training mix).
+
+    Per-group keep probability p_g = min(1, (share_g * N) / n_g) where N is
+    the total row count and n_g the group's count; groups already below
+    their target share are kept whole (p=1) — this operator only ever
+    REMOVES over-represented data, it never upsamples. The keep decision is
+    the deterministic md5-threshold gate of :func:`weighted_hash_sample`
+    (pure function of (salt, id) vs p_g), so the draw is reproducible across
+    engines, runs and partitionings, and monotone in the share.
+
+    Shape at scale: one map-side-combined count aggregation over the group
+    key (tiny result), broadcast-joined back; the gate itself is a
+    scan-stage projection. Groups absent from ``shares`` are dropped —
+    an explicit allowlist, so a new unvetted source can't silently flood
+    the mix.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    total = df.count()
+    share_map = F.create_map(
+        *[x for kv in shares.items() for x in (F.lit(kv[0]), F.lit(float(kv[1])))]
+    )
+    weights = counts.select(
+        F.col(group_col),
+        F.least(
+            F.lit(1.0),
+            (share_map[F.col(group_col)] * F.lit(float(total)))
+            / F.col("__n").cast("double"),
+        ).alias("__p"),
+    ).where(share_map[F.col(group_col)].isNotNull())
+    digest = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    hash_frac = F.conv(F.substring(digest, 1, 15), 16, 10).cast("double") / F.lit(
+        float(16**15)
+    )
+    return df.join(F.broadcast(weights), group_col).where(hash_frac < F.col("__p")).drop(
+        "__p"
+    )

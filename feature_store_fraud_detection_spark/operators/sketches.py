@@ -287,3 +287,54 @@ def hist_quantiles(
             F.when(F.col("n") > 0, round4_stable(est)).alias(name)
         )
     return out.select(*cols)
+
+
+def kmv_overlap(
+    sketches: DataFrame,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise set-overlap estimates from per-key KMV sketches: for every
+    unordered key pair, estimate |A|, |B|, |A ∪ B|, |A ∩ B| and Jaccard —
+    the "audience overlap" query, answered entirely from constant-size
+    sketch state without revisiting raw data.
+
+    Standard KMV set algebra: U = the k smallest points of kmv_A ∪ kmv_B
+    (array-local merge); Jaccard ≈ |U ∩ kmv_A ∩ kmv_B| / |U|; |A ∪ B| is
+    the KMV estimate on U; |A ∩ B| = J · |A ∪ B|. Every step is a
+    deterministic array expression over md5-derived points, so the DuckDB
+    oracle hash-checks the estimates themselves.
+
+    Shape at scale: the pair join is |keys|², but over SKETCH rows (k
+    doubles each), not data — for the typical "few thousand segments" key
+    cardinality this is a broadcast self-join of kilobyte rows; raw data is
+    touched once to build the sketches, shuffled only as distinct points.
+    """
+    a = sketches.select(
+        F.col(key_col).alias("key_a"), F.col("kmv").alias("kmv_a")
+    )
+    b = sketches.select(
+        F.col(key_col).alias("key_b"), F.col("kmv").alias("kmv_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+    u = F.slice(
+        F.array_sort(F.array_distinct(F.concat("kmv_a", "kmv_b"))), 1, k
+    )
+    inter_n = F.size(
+        F.filter(
+            u,
+            lambda p: F.array_contains("kmv_a", p) & F.array_contains("kmv_b", p),
+        )
+    )
+    u_n = F.size(u)
+    union_est = F.when(u_n < k, u_n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.element_at(u, k)
+    )
+    jacc = inter_n.cast("double") / u_n.cast("double")
+    return pairs.select(
+        "key_a",
+        "key_b",
+        round4_stable(union_est).alias("union_est"),
+        round4_stable(jacc).alias("jaccard_est"),
+        round4_stable(jacc * union_est).alias("intersection_est"),
+    )

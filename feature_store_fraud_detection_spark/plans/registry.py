@@ -6333,6 +6333,136 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# Corpus mixing, sketch set-overlap, cross-source dup matrix
+# --------------------------------------------------------------------------
+
+
+def _q_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: cap each source at a target share of the corpus via the
+    deterministic md5-threshold gate — src0/src1 allowed 10% (under target,
+    kept whole), src2..src9 capped at 3%, the rest dropped (allowlist)."""
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        source_mix_sample,
+    )
+
+    shares = {"src0": 0.10, "src1": 0.10}
+    shares.update({f"src{i}": 0.03 for i in range(2, 10)})
+    docs = load_table(spark, sf_dir, "documents")
+    out = source_mix_sample(docs, "doc_id", "source", shares)
+    return out.select("doc_id", "source", "n_chars")
+
+
+_SOURCE_MIX_SQL = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+t AS (SELECT count(*) AS total FROM documents),
+shares(source, share) AS (VALUES
+  ('src0', CAST(0.10 AS DOUBLE)), ('src1', CAST(0.10 AS DOUBLE)),
+  ('src2', CAST(0.03 AS DOUBLE)), ('src3', CAST(0.03 AS DOUBLE)),
+  ('src4', CAST(0.03 AS DOUBLE)), ('src5', CAST(0.03 AS DOUBLE)),
+  ('src6', CAST(0.03 AS DOUBLE)), ('src7', CAST(0.03 AS DOUBLE)),
+  ('src8', CAST(0.03 AS DOUBLE)), ('src9', CAST(0.03 AS DOUBLE))),
+w AS (
+  SELECT c.source,
+         least(1.0, (s.share * CAST(t.total AS DOUBLE)) / CAST(c.n AS DOUBLE)) AS p
+  FROM c CROSS JOIN t JOIN shares s ON c.source = s.source
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN w ON d.source = w.source
+WHERE ('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      / 1152921504606846976.0 < w.p
+"""
+
+
+def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between every event-type pair, answered entirely
+    from constant-size KMV sketch state (k=64) — union/Jaccard/intersection
+    estimates are deterministic md5 set algebra the oracle hash-checks."""
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_overlap(kmv_sketch(ev, "event_type", "user_id", k=64), "event_type", k=64)
+
+
+_KMV_OVERLAP_SQL = """
+WITH pts AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS u
+  FROM events
+),
+rk AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u) AS r
+  FROM pts
+),
+sk AS (SELECT event_type, list(u ORDER BY u) AS kmv FROM rk WHERE r <= 64 GROUP BY 1),
+m AS (
+  SELECT a.event_type AS key_a, b.event_type AS key_b, a.kmv AS ka, b.kmv AS kb,
+         list_sort(list_distinct(list_concat(a.kmv, b.kmv)))[1:64] AS u
+  FROM sk a JOIN sk b ON a.event_type < b.event_type
+),
+x AS (
+  SELECT key_a, key_b, len(u) AS un,
+         len(list_filter(u, p -> list_contains(ka, p) AND list_contains(kb, p)))
+           AS inter_n,
+         CASE WHEN len(u) < 64 THEN CAST(len(u) AS DOUBLE)
+              ELSE 63.0 / u[64] END AS union_est
+  FROM m
+)
+SELECT key_a, key_b,
+       floor(union_est * 10000 + 0.5) / 10000 AS union_est,
+       floor((CAST(inter_n AS DOUBLE) / CAST(un AS DOUBLE)) * 10000 + 0.5) / 10000
+         AS jaccard_est,
+       floor(((CAST(inter_n AS DOUBLE) / CAST(un AS DOUBLE)) * union_est)
+             * 10000 + 0.5) / 10000 AS intersection_est
+FROM x
+"""
+
+
+def _q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination matrix: how many distinct 8-token document OPENINGS
+    each pair of sources shares (shared boilerplate / syndication signal —
+    exact whole-doc sharing is near-zero in this corpus, opening-prefix
+    sharing is common). Digest-keyed self-join; text never shuffles."""
+    from feature_store_fraud_detection_spark.operators.text_analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8))
+    d = docs.select("source", F.md5(prefix).alias("g")).distinct()
+    a = d.select(F.col("source").alias("source_a"), "g")
+    b = d.select(F.col("source").alias("source_b"), "g")
+    return (
+        a.join(b, "g")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )
+
+
+_CROSS_SOURCE_DUPS_SQL = r"""
+WITH d AS (SELECT DISTINCT source,
+  md5(array_to_string(string_split_regex(lower(trim(text)), '\s+')[1:8], ' ')) AS g
+  FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(DISTINCT a.g) AS n_shared
+FROM d a JOIN d b ON a.g = b.g AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update(
+    {
+        "source_mix_sample": QuerySpec(_q_source_mix_sample, _SOURCE_MIX_SQL),
+        "kmv_overlap": QuerySpec(_q_kmv_overlap, _KMV_OVERLAP_SQL),
+        "cross_source_dups": QuerySpec(_q_cross_source_dups, _CROSS_SOURCE_DUPS_SQL),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so

@@ -263,3 +263,41 @@ def test_hist_sketch_clamps_out_of_range(spark):
     counts = hist_sketch(df, "k", "v", lo=0.0, hi=100.0, bins=10).collect()[0]["counts"]
     assert counts[0] == 2  # -5 clamps into bin 0 alongside 0.5
     assert counts[9] == 2  # 250 clamps into the top bin alongside 99.5
+
+
+def test_kmv_overlap_disjoint_and_identical_sets(spark):
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    # a and b identical (jaccard 1), c disjoint from both (jaccard 0)
+    rows = (
+        [("a", i) for i in range(200)]
+        + [("b", i) for i in range(200)]
+        + [("c", i + 10_000) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "k string, v bigint")
+    out = {
+        (r["key_a"], r["key_b"]): r
+        for r in kmv_overlap(kmv_sketch(df, "k", "v", k=64), "k", k=64).collect()
+    }
+    assert out[("a", "b")]["jaccard_est"] == 1.0
+    assert out[("a", "c")]["jaccard_est"] == 0.0
+    assert out[("a", "c")]["intersection_est"] == 0.0
+    # identical sets: union estimate within ~15% of the true 200
+    assert abs(out[("a", "b")]["union_est"] - 200) <= 30
+
+
+def test_kmv_overlap_half_overlap_estimate(spark):
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    # |A|=|B|=400, |A∩B|=200 -> jaccard = 200/600 ≈ 0.333
+    rows = [("a", i) for i in range(400)] + [("b", i + 200) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string, v bigint")
+    row = kmv_overlap(kmv_sketch(df, "k", "v", k=128), "k", k=128).collect()[0]
+    assert 0.2 <= row["jaccard_est"] <= 0.5
+    assert 400 <= row["union_est"] <= 820

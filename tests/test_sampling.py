@@ -147,3 +147,40 @@ def test_overflow_checked_aborts_instead_of_silent_null(spark):
     with pytest.raises(Exception, match="leakage_scan"):
         labeled = bad.withColumn("y", (F.col("v") > 5).cast("int"))
         leakage_scan(labeled, ["v"], "y").collect()
+
+
+# --------------------------------------------------------------------------
+# Source mixing
+# --------------------------------------------------------------------------
+
+
+def test_source_mix_sample_caps_and_allowlist(spark):
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        source_mix_sample,
+    )
+
+    rows = [(i, "a" if i < 800 else ("b" if i < 900 else "c")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, src string")
+    # a: 800 rows capped at 10% of 1000 -> ~100 kept; b: under target, kept
+    # whole; c: not in the allowlist -> dropped entirely
+    out = source_mix_sample(df, "id", "src", {"a": 0.10, "b": 0.50})
+    by_src = {
+        r["src"]: r["n"]
+        for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert "c" not in by_src
+    assert by_src["b"] == 100  # p=1: kept whole
+    assert 60 <= by_src.get("a", 0) <= 140  # ~Binomial(800, 0.125)
+
+
+def test_source_mix_sample_deterministic_and_monotone(spark):
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        source_mix_sample,
+    )
+
+    df = spark.range(0, 2000).selectExpr("id", "'a' AS src")
+    small = {r["id"] for r in source_mix_sample(df, "id", "src", {"a": 0.2}).collect()}
+    small2 = {r["id"] for r in source_mix_sample(df, "id", "src", {"a": 0.2}).collect()}
+    big = {r["id"] for r in source_mix_sample(df, "id", "src", {"a": 0.5}).collect()}
+    assert small == small2  # pure function of (salt, id)
+    assert small <= big  # raising the share only adds rows
