@@ -6463,6 +6463,66 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py)
+# --------------------------------------------------------------------------
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 6 BPE merge rules from the document corpus. The oracle unrolls
+    the identical 6 rounds in SQL (pair counts -> arg-max -> literal
+    ``replace`` rewrite of the spaced symbol representation), so the LEARNED
+    MERGE TABLE itself is hash-checked cross-engine."""
+    from feature_store_fraud_detection_spark.operators.bpe import bpe_train
+
+    return bpe_train(load_docs(spark, sf_dir), "text", num_merges=6)
+
+
+def _bpe_oracle_sql(num_merges: int = 6) -> str:
+    ctes = [
+        r"""toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents
+),
+words AS (SELECT w, count(*) AS cnt FROM toks WHERE length(w) > 0 GROUP BY w),
+w0 AS (
+  SELECT array_to_string(list_transform(range(1, length(w) + 1),
+                                        i -> ' ' || w[i:i] || ' '), '') AS r,
+         cnt
+  FROM words
+)"""
+    ]
+    for k in range(1, num_merges + 1):
+        prev = f"w{k - 1}"
+        ctes.append(
+            f"""p{k} AS (
+  SELECT s[i] AS l, s[i+1] AS rr, sum(cnt) AS pc
+  FROM (SELECT s, cnt, unnest(range(1, len(s))) AS i
+        FROM (SELECT string_split(r[2:length(r)-1], '  ') AS s, cnt FROM {prev}))
+  GROUP BY 1, 2
+),
+m{k} AS (SELECT l, rr, pc FROM p{k} ORDER BY pc DESC, l, rr LIMIT 1),
+w{k} AS (
+  SELECT replace(r, ' ' || m.l || '  ' || m.rr || ' ',
+                 ' ' || m.l || m.rr || ' ') AS r, cnt
+  FROM {prev} CROSS JOIN m{k} m
+)"""
+        )
+        # w{num_merges} is built but unused — harmless, DuckDB prunes it
+    selects = [
+        f"SELECT {k} AS step, l AS left_sym, rr AS right_sym,"
+        f" l || rr AS merged, CAST(pc AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, num_merges + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+QUERIES.update(
+    {
+        "bpe_merges": QuerySpec(_q_bpe_merges, _bpe_oracle_sql(6)),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so
