@@ -72,6 +72,9 @@ HEADLINE = [
     "bloom_semi_join",
     "hist_quantiles",
     "hard_negatives",
+    "source_mix_sample",
+    "kmv_overlap",
+    "bpe_merges",
 ]
 
 

@@ -33,6 +33,17 @@ from pyspark.sql import functions as F
 #: the 85x damping multiply inside int64 even if one node held ALL mass.
 PAGERANK_SCALE = 10**12
 
+#: below this node count the per-iteration state table broadcasts (a 1M-row
+#: (node, long) table is ~30 MB serialized — inside a comfortable broadcast
+#: budget) and the edge table never exchanges; above it, edges are pre-keyed
+#: once and iterations run co-partitioned SMJs.
+SMALL_GRAPH_NODE_LIMIT = 1_000_000
+
+#: coalesce target for the cached edge table in the small-graph regime —
+#: int-pair edge rows are ~25 B, so ~2M rows per task keeps every iteration
+#: stage at a handful of tasks instead of 32 tiny ones.
+EDGES_PER_TASK = 2_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -41,6 +52,7 @@ def pagerank(
     iterations: int = 4,
     damping_pct: int = 85,
     assume_distinct: bool = False,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list -> (node, rank_scaled).
 
@@ -64,21 +76,40 @@ def pagerank(
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
-    e = e.repartition("src")
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = e.join(deg, "src").persist()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
+    # on a symmetric edge list every node appears as a source, so the
+    # dst-side union (and its extra |E|-row shuffle input) is redundant —
+    # callers with undirected graphs declare it
+    node_src = e.select(F.col("src").alias("node"))
+    if not symmetric:
+        node_src = node_src.unionByName(e.select(F.col("dst").alias("node")))
+    nodes = node_src.distinct().persist()
     n_nodes = nodes.count()  # driver scalar: defines the teleport constant
+    # Two execution regimes, same arithmetic (the gate tests assert both):
+    # - SMALL graph (|V| fits a broadcast): skip the src pre-keying — the
+    #   per-iteration join broadcasts the |V|-row rank table, so the edge
+    #   side never exchanges at all; coalesce the cached edges so a handful
+    #   of rounds isn't 32-tiny-task stage overhead per round.
+    # - LARGE graph: hash-partition edges on src ONCE; every iteration's
+    #   SMJ reuses that exchange and only the rank table moves.
+    small_graph = n_nodes <= SMALL_GRAPH_NODE_LIMIT
+    if not small_graph:
+        e = e.repartition("src")
+    else:
+        e = e.persist()  # deg + the deg-join both read one materialization
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed_cached = e.join(F.broadcast(deg) if small_graph else deg, "src").persist()
+    ed = ed_cached
+    if small_graph:
+        n_edges = ed_cached.count()  # cached scan; sizes the coalesce below
+        e.unpersist()
+        ed = ed_cached.coalesce(max(1, min(32, n_edges // EDGES_PER_TASK + 1)))
     base = ((100 - damping_pct) * PAGERANK_SCALE) // (100 * n_nodes)
     init = PAGERANK_SCALE // n_nodes
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_scaled"))
     for i in range(iterations):
-        ranks = pagerank_iteration(ed, nodes, ranks, base, damping_pct)
+        ranks = pagerank_iteration(
+            ed, nodes, ranks, base, damping_pct, broadcast_ranks=small_graph
+        )
         # Plan depth grows linearly per iteration, so a handful of rounds
         # runs best as ONE chained-shuffle job (AQE coalesces each round);
         # only deep loops need the lineage cut, and each eager checkpoint
@@ -87,7 +118,7 @@ def pagerank(
             ranks = ranks.localCheckpoint(eager=True)
     # materialize ONCE (while ed/nodes are still cached), then release them
     ranks = ranks.localCheckpoint(eager=True)
-    ed.unpersist()
+    ed_cached.unpersist()
     nodes.unpersist()
     return ranks
 
@@ -98,14 +129,18 @@ def pagerank_iteration(
     ranks: DataFrame,
     base: int,
     damping_pct: int,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """One PageRank round: contribute along edges, damp, add teleport mass.
 
     Exposed separately so the plan-quality gate can assert the iteration's
     shuffle shape (the |E|-row ``ed`` side, pre-keyed on src, must not
-    re-exchange; only the |V|-row rank table moves)."""
+    re-exchange; only the |V|-row rank table moves — or, with
+    ``broadcast_ranks``, nothing moves but the map-side-combined
+    contribution aggregate)."""
+    rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
     contribs = (
-        ed.join(ranks, ed.src == ranks.node)
+        ed.join(rank_side, ed.src == ranks.node)
         .select(F.col("dst"), F.expr("rank_scaled div deg").alias("c"))
         .groupBy("dst")
         .agg(F.sum("c").alias("agg"))
@@ -142,13 +177,26 @@ def bfs_levels(
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
-    e = e.repartition("src").persist()
+    e_cached = e.persist()
+    n_edges = e_cached.count()  # driver scalar: picks the execution regime
+    # same dual regime as pagerank: broadcast the (bounded-by-|V|) level
+    # table and coalesce the cached edges when the graph is small; pre-key
+    # the edges once for co-partitioned SMJs when it is not.
+    small_graph = n_edges <= 2 * SMALL_GRAPH_NODE_LIMIT
+    if small_graph:
+        e = e_cached.coalesce(max(1, min(32, n_edges // EDGES_PER_TASK + 1)))
+    else:
+        e_cached2 = e_cached.repartition("src").persist()
+        e_cached.unpersist()
+        e_cached = e_cached2
+        e = e_cached
     levels = seeds.select(
         F.col(node_col).alias("node"), F.lit(0).cast("int").alias("level")
     ).distinct()
     for i in range(max_hops):
+        lvl_side = F.broadcast(levels) if small_graph else levels
         levels = (
-            e.join(levels, e.src == levels.node)
+            e.join(lvl_side, e.src == levels.node)
             .select(F.col("dst").alias("node"), (F.col("level") + 1).alias("level"))
             .unionByName(levels)
             .groupBy("node")
@@ -160,5 +208,5 @@ def bfs_levels(
             levels = levels.localCheckpoint(eager=True)
     # materialize ONCE (while the edge cache is live), then release it
     levels = levels.localCheckpoint(eager=True)
-    e.unpersist()
+    e_cached.unpersist()
     return levels

@@ -5635,7 +5635,7 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return pagerank(
         _trade_edges(spark, sf_dir), "src", "dst", iterations=3,
-        assume_distinct=True,
+        assume_distinct=True, symmetric=True,
     ).select(F.col("node").alias("node_id"), "rank_scaled")
 
 

@@ -303,3 +303,42 @@ def test_value_rank_profile_windows_are_bucket_bounded(spark, sf_dir):
             # the aggregated counts frame
             assert all(_aggregated_below(c) for c in _children(n)), spec
     assert saw_bucketed_rownum
+
+
+def test_chunk_dedup_shuffles_digests_not_text(spark, sf_dir):
+    """The chunk-dedup election exchanges must carry md5 digests and
+    positions only — chunk text stays in the narrow chunking stage."""
+    df = QUERIES["chunk_dedup"].fn(spark, sf_dir)
+    plan = _physical(df)
+    for line in plan.split("\n"):
+        if "Exchange hashpartitioning" in line:
+            assert "chunk_text" not in line
+    assert "md5" in plan
+
+
+def test_hist_quantiles_two_keyed_exchanges_only(spark, sf_dir):
+    """Histogram sketch: one (key, bin) pre-aggregation exchange plus the
+    per-key assembly — no global sort, no window over raw rows."""
+    df = QUERIES["hist_quantiles"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange rangepartitioning" not in plan
+    assert "Window" not in plan
+
+
+def test_kmv_overlap_pair_join_broadcasts_sketches(spark, sf_dir):
+    """The |keys|^2 pair join runs over kilobyte sketch rows and must
+    broadcast — never a shuffled join of sketch state."""
+    df = QUERIES["kmv_overlap"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_mix_gate_is_scan_stage(spark, sf_dir):
+    """The mixing gate joins a broadcast per-group weight table; the fact
+    side must not exchange before the gate filter."""
+    df = QUERIES["source_mix_sample"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
