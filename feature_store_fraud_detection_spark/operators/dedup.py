@@ -593,3 +593,96 @@ def fuzzy_pairs(
         .filter(F.col("edit_dist") <= max_dist)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+def minhash_doc_state(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """The persistable per-document LSH index state: (id, __sigs, __sh) —
+    K min-hash signatures plus the shingle array for probe-time exact
+    verification. One narrow pass over the documents; write this to the
+    offline store ONCE and every future ingest probes against it instead of
+    re-sketching the corpus (standard LSH index practice at scale).
+    """
+    work = fan_out_if_few_inputs(df, id_col)
+    return work.select(
+        F.col(id_col),
+        word_shingles(text_col, k).alias("__sh"),
+    ).withColumn("__sigs", _perm_sigs_expr("__sh", num_hashes))
+
+
+def minhash_bucket_index(state: DataFrame, id_col: str) -> DataFrame:
+    """Band-bucket rows (band, band_key, id) derived from the doc state —
+    the join-key side of the index (r=1 banding: band == permutation)."""
+    return state.select(
+        F.col(id_col), F.posexplode("__sigs").alias("band", "band_key")
+    ).filter(F.col("band_key").isNotNull())
+
+
+def minhash_probe(
+    new_state: DataFrame,
+    corpus_state: DataFrame,
+    id_col: str,
+    threshold: float = 0.2,
+    max_bucket_fanout: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection: probe a NEW batch's LSH state against
+    the existing corpus index — (new_id, corpus_id, jaccard) for every
+    cross pair over ``threshold``.
+
+    This is the steady-state dedup shape at 100 TB: the corpus is sketched
+    once (``minhash_doc_state`` persisted); each ingest batch sketches only
+    itself (narrow), joins band buckets (keyed on (band, band_key) — the
+    batch side is small, so this broadcasts), and verifies candidates with
+    exact shingle Jaccard. Nothing about the corpus is recomputed or
+    re-shuffled beyond its band keys.
+
+    ``max_bucket_fanout`` caps how many corpus docs a single probe band key
+    may hit (degenerate-bucket guard, same rationale as
+    ``minhash_lsh_pairs.max_bucket_size``).
+    """
+    nb = minhash_bucket_index(new_state, id_col).select(
+        F.col(id_col).alias("new_id"), "band", "band_key"
+    )
+    cb = minhash_bucket_index(corpus_state, id_col).select(
+        F.col(id_col).alias("corpus_id"), "band", "band_key"
+    )
+    cand = (
+        F.broadcast(nb)
+        .join(cb, ["band", "band_key"])
+        .select("new_id", "corpus_id")
+    )
+    if max_bucket_fanout is not None:
+        fan = cand.groupBy("new_id").agg(
+            F.count(F.lit(1)).alias("__fan")
+        )
+        cand = cand.join(
+            F.broadcast(fan.filter(F.col("__fan") <= max_bucket_fanout)), "new_id"
+        ).drop("__fan")
+    cand = cand.distinct()
+    a = new_state.select(F.col(id_col).alias("new_id"), F.col("__sh").alias("__sh_a"))
+    b = corpus_state.select(
+        F.col(id_col).alias("corpus_id"), F.col("__sh").alias("__sh_b")
+    )
+    scored = (
+        cand.join(F.broadcast(a), "new_id")
+        .join(b, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.size(F.array_intersect("__sh_a", "__sh_b")).alias("n_inter"),
+            F.size("__sh_a").alias("n_a"),
+            F.size("__sh_b").alias("n_b"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "jaccard",
+            round4_stable(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )

@@ -529,3 +529,56 @@ def hard_negatives(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def ann_recall_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_max_id: int,
+    top_k: int = 5,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Self-evaluation of the LSH ANN path: per query, how many of the EXACT
+    top-k neighbors the bucket-restricted search recovered (recall@k) — the
+    report every production ANN deployment keeps next to its index so a bad
+    hyperplane count or bucket skew is a dashboard row, not a silent quality
+    loss.
+
+    Runs both paths (both scale-shaped: broadcast queries, WindowGroupLimit)
+    and joins their top-k sets; the cost adds one |queries| x k semi-join to
+    what the two searches already do. Recall is 4-decimal rounded for
+    cross-engine hashing; queries whose LSH bucket is a singleton recover 0
+    and report recall 0.
+    """
+    exact = cosine_topk(df, id_col, vec_col, query_max_id, top_k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_topk(df, id_col, vec_col, query_max_id, top_k, num_planes).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_exact")
+    )
+    n_lsh = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lsh")
+    )
+    n_hit = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hit"))
+    )
+    return (
+        n_exact.join(n_lsh, "query_id", "left")
+        .join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_lsh", F.lit(0)).alias("n_lsh"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            round4_stable(
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )

@@ -6523,6 +6523,151 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# ANN recall self-report (operators/similarity.py)
+# --------------------------------------------------------------------------
+
+
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the LSH bucket search against the exact cosine top-5,
+    per query — the index-quality dashboard row."""
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        ann_recall_report,
+    )
+
+    emb = load_embeddings(spark, sf_dir)
+    return ann_recall_report(emb, "vec_id", "embedding", query_max_id=10)
+
+
+_ANN_RECALL_SQL = f"""
+WITH {_VEC_CTE},
+vb AS (
+  SELECT vec_id, vd, nrm, {_BUCKET_SQL_EXPR} AS bucket FROM vn
+),
+ex_scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         floor(list_reduce(list_transform(range(1, len(q.vd) + 1),
+                                          i -> q.vd[i] * n.vd[i]),
+                           (x, y) -> x + y) / (q.nrm * n.nrm)
+               * 10000 + 0.5) / 10000 AS cosine
+  FROM vn q JOIN vn n ON q.vec_id != n.vec_id
+  WHERE q.vec_id < 10
+),
+exact5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM ex_scored
+  ) WHERE rank <= 5
+),
+lsh_scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         floor(list_reduce(list_transform(range(1, len(q.vd) + 1),
+                                          i -> q.vd[i] * n.vd[i]),
+                           (x, y) -> x + y) / (q.nrm * n.nrm)
+               * 10000 + 0.5) / 10000 AS cosine
+  FROM vb q JOIN vb n ON q.bucket = n.bucket AND q.vec_id != n.vec_id
+  WHERE q.vec_id < 10
+),
+lsh5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM lsh_scored
+  ) WHERE rank <= 5
+)
+SELECT e.query_id,
+       CAST(e.n_exact AS INT) AS n_exact,
+       CAST(COALESCE(l.n_lsh, 0) AS INT) AS n_lsh,
+       CAST(COALESCE(h.n_hit, 0) AS INT) AS n_hit,
+       floor(COALESCE(h.n_hit, 0) / CAST(e.n_exact AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS recall
+FROM (SELECT query_id, count(*) AS n_exact FROM exact5 GROUP BY 1) e
+LEFT JOIN (SELECT query_id, count(*) AS n_lsh FROM lsh5 GROUP BY 1) l
+  ON e.query_id = l.query_id
+LEFT JOIN (SELECT query_id, count(*) AS n_hit
+           FROM exact5 SEMI JOIN lsh5 USING (query_id, neighbor_id)
+           GROUP BY 1) h
+  ON e.query_id = h.query_id
+"""
+
+
+QUERIES.update(
+    {
+        "ann_recall": QuerySpec(_q_ann_recall, _ANN_RECALL_SQL),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Incremental MinHash-LSH index probe (operators/dedup.py)
+# --------------------------------------------------------------------------
+
+
+def _q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state near-dup detection: src0/src1 as the ingest batch probed
+    against the LSH index of the rest of the corpus — the corpus is sketched
+    once, only its band keys join; candidates verify with exact Jaccard."""
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        minhash_doc_state,
+        minhash_probe,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    batch = docs.filter(F.col("source").isin("src0", "src1"))
+    corpus = docs.filter(~F.col("source").isin("src0", "src1"))
+    new_state = minhash_doc_state(batch, "doc_id", "text")
+    corpus_state = minhash_doc_state(corpus, "doc_id", "text")
+    return minhash_probe(new_state, corpus_state, "doc_id", threshold=0.2)
+
+
+_INCR_NEARDUP_SQL = f"""
+WITH {_SHINGLES_CTE},
+shh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h
+  FROM sh
+),
+perms AS (SELECT * FROM (VALUES {_minhash_perms_values()}) AS t(perm, a, b)),
+sigs AS (
+  SELECT doc_id, perm, min((a * h + b) % 2147483647) AS minhash
+  FROM shh CROSS JOIN perms
+  GROUP BY 1, 2
+),
+batch_ids AS (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')),
+corpus_ids AS (SELECT doc_id FROM documents WHERE source NOT IN ('src0', 'src1')),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM sigs n JOIN sigs c ON n.perm = c.perm AND n.minhash = c.minhash
+  WHERE n.doc_id IN (SELECT doc_id FROM batch_ids)
+    AND c.doc_id IN (SELECT doc_id FROM corpus_ids)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT cand.new_id, cand.corpus_id, count(*) AS n_inter
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.new_id
+  JOIN sh b ON b.doc_id = cand.corpus_id AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT new_id, corpus_id, jaccard FROM (
+  SELECT i.new_id, i.corpus_id,
+         floor(i.n_inter / CAST(na.n + nb.n - i.n_inter AS DOUBLE)
+               * 10000 + 0.5) / 10000 AS jaccard
+  FROM inter i
+  JOIN sizes na ON i.new_id = na.doc_id
+  JOIN sizes nb ON i.corpus_id = nb.doc_id
+) WHERE jaccard >= 0.2
+"""
+
+
+QUERIES.update(
+    {
+        "incremental_neardup": QuerySpec(_q_incremental_neardup, _INCR_NEARDUP_SQL),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so

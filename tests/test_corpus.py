@@ -109,3 +109,74 @@ def test_chunk_dedup_total_chunks_conserved(spark, sf_dir):
         F.sum("n_dup_chunks").alias("dups"),
     ).collect()[0]
     assert agg["total"] > 0 and 0 <= agg["dups"] < agg["total"]
+
+
+# --------------------------------------------------------------------------
+# Incremental MinHash-LSH index
+# --------------------------------------------------------------------------
+
+
+def test_minhash_index_roundtrip_and_probe(spark, tmp_path):
+    """The LSH index state survives a parquet round-trip (the 'sketch the
+    corpus once' path) and a probe batch finds its planted near-duplicate
+    without touching corpus text."""
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        minhash_doc_state,
+        minhash_probe,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words about spark shuffles here")],
+        "doc_id bigint, text string",
+    )
+    state = minhash_doc_state(corpus, "doc_id", "text")
+    path = str(tmp_path / "lsh_index")
+    state.write.mode("overwrite").parquet(path)
+    corpus_state = spark.read.parquet(path)
+
+    batch = spark.createDataFrame(
+        [(10, base + " tonight"), (11, "nothing in common with anything at all")],
+        "doc_id bigint, text string",
+    )
+    new_state = minhash_doc_state(batch, "doc_id", "text")
+    got = minhash_probe(new_state, corpus_state, "doc_id", threshold=0.2).collect()
+    pairs = {(r["new_id"], r["corpus_id"]) for r in got}
+    assert (10, 1) in pairs
+    assert all(n != 11 for n, _ in pairs)
+
+
+def test_minhash_probe_equals_batch_lsh_on_cross_pairs(spark, sf_dir):
+    """Probing batch-vs-corpus must find exactly the CROSS pairs the full
+    minhash_lsh_pairs run finds on the union (restricted to batch x corpus),
+    with equal jaccard values."""
+    from pyspark.sql import functions as F
+
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        minhash_doc_state,
+        minhash_lsh_pairs,
+        minhash_probe,
+    )
+    from feature_store_fraud_detection_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in minhash_probe(
+            minhash_doc_state(batch, "doc_id", "text"),
+            minhash_doc_state(corpus, "doc_id", "text"),
+            "doc_id",
+            threshold=0.2,
+        ).collect()
+    }
+    full = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2).collect()
+    want = {}
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        if (a in batch_ids) != (b in batch_ids):
+            key = (a, b) if a in batch_ids else (b, a)
+            want[key] = r["jaccard"]
+    assert got == want
