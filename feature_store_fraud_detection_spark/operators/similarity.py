@@ -538,6 +538,7 @@ def ann_recall_report(
     query_max_id: int,
     top_k: int = 5,
     num_planes: int = 8,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Self-evaluation of the LSH ANN path: per query, how many of the EXACT
     top-k neighbors the bucket-restricted search recovered (recall@k) — the
@@ -554,7 +555,8 @@ def ann_recall_report(
     exact = cosine_topk(df, id_col, vec_col, query_max_id, top_k).select(
         "query_id", "neighbor_id"
     )
-    approx = lsh_topk(df, id_col, vec_col, query_max_id, top_k, num_planes).select(
+    search = multiprobe_lsh_topk if multiprobe else lsh_topk
+    approx = search(df, id_col, vec_col, query_max_id, top_k, num_planes).select(
         "query_id", "neighbor_id"
     )
     n_exact = exact.groupBy("query_id").agg(
@@ -581,4 +583,74 @@ def ann_recall_report(
                 / F.col("n_exact").cast("double")
             ).alias("recall"),
         )
+    )
+
+
+def _flip_bit(bucket: Column, p: int) -> Column:
+    """The bucket string with bit position p (0-based) toggled."""
+    ch = F.substring(bucket, p + 1, 1)
+    flipped = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+    return F.concat(
+        F.substring(bucket, 1, p), flipped, F.substring(bucket, p + 2, 2_147_483_000)
+    )
+
+
+def multiprobe_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_max_id: int,
+    top_k: int = 5,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query searches its own bucket PLUS every
+    bucket at Hamming distance 1 (one hyperplane flipped) — the standard
+    recall fix for random-hyperplane LSH, whose single-bucket recall
+    collapses when planes shatter the space (measured by
+    :func:`ann_recall_report`: 0-20% at 8 planes on this corpus; multi-probe
+    lifts it several-fold for (num_planes+1)x the candidate volume).
+
+    Shape: the corpus keeps ONE bucket per vector (the index is unchanged —
+    probing is free at index time); only the broadcast QUERY side fans out
+    to num_planes+1 probe rows. Candidates join on bucket keys exactly like
+    :func:`lsh_topk`; each (query, neighbor) pair arises from at most one
+    probe (probe buckets are distinct strings), so no dedup is needed.
+    """
+    from pyspark.sql import Window
+
+    buckets = lsh_buckets(df, id_col, vec_col, num_planes)
+    v = with_norm(df, id_col, vec_col).join(buckets, id_col)
+    probes = F.array(
+        F.col("bucket"), *[_flip_bit(F.col("bucket"), p) for p in range(num_planes)]
+    )
+    q = (
+        v.filter(F.col(id_col) < query_max_id)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("__vec_d").alias("__qvec"),
+            F.col("__norm").alias("__qnorm"),
+            F.explode(probes).alias("__qbucket"),
+        )
+    )
+    pairs = F.broadcast(q).join(
+        v,
+        (F.col("__qbucket") == F.col("bucket"))
+        & (F.col("query_id") != F.col(id_col)),
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        round4_stable(
+            cosine_expr(
+                F.col("__qvec"), F.col("__vec_d"), F.col("__qnorm"), F.col("__norm")
+            )
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -6591,9 +6591,124 @@ LEFT JOIN (SELECT query_id, count(*) AS n_hit
 """
 
 
+def _q_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-5 (own bucket + every 1-bit-flipped bucket):
+    the corpus index is unchanged — only the broadcast query side fans out
+    to 9 probe rows — and measured recall jumps several-fold vs the
+    single-bucket search (see ann_recall / multiprobe_recall)."""
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        multiprobe_lsh_topk,
+    )
+
+    emb = load_embeddings(spark, sf_dir)
+    return multiprobe_lsh_topk(emb, "vec_id", "embedding", query_max_id=10)
+
+
+# probe set = own bucket + each single-bit flip, as a SQL list expression
+_PROBE_LIST_SQL = """list_prepend(bucket, list_transform(range(0, 8), p ->
+  substr(bucket, 1, p) ||
+  (CASE substr(bucket, p + 1, 1) WHEN '1' THEN '0' ELSE '1' END) ||
+  substr(bucket, p + 2)))"""
+
+_MULTIPROBE_TOPK_SQL = f"""
+WITH {_VEC_CTE},
+vb AS (
+  SELECT vec_id, vd, nrm, {_BUCKET_SQL_EXPR} AS bucket FROM vn
+),
+qp AS (
+  SELECT vec_id, vd, nrm, unnest({_PROBE_LIST_SQL}) AS probe
+  FROM vb WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         floor(list_reduce(list_transform(range(1, len(q.vd) + 1),
+                                          i -> q.vd[i] * n.vd[i]),
+                           (x, y) -> x + y) / (q.nrm * n.nrm)
+               * 10000 + 0.5) / 10000 AS cosine
+  FROM qp q JOIN vb n ON q.probe = n.bucket AND q.vec_id != n.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def _q_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the multi-probe search — the before/after row pair with
+    ann_recall demonstrating the probe set's recall lift."""
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        ann_recall_report,
+    )
+
+    emb = load_embeddings(spark, sf_dir)
+    return ann_recall_report(
+        emb, "vec_id", "embedding", query_max_id=10, multiprobe=True
+    )
+
+
+_MULTIPROBE_RECALL_SQL = f"""
+WITH {_VEC_CTE},
+vb AS (
+  SELECT vec_id, vd, nrm, {_BUCKET_SQL_EXPR} AS bucket FROM vn
+),
+ex_scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         floor(list_reduce(list_transform(range(1, len(q.vd) + 1),
+                                          i -> q.vd[i] * n.vd[i]),
+                           (x, y) -> x + y) / (q.nrm * n.nrm)
+               * 10000 + 0.5) / 10000 AS cosine
+  FROM vn q JOIN vn n ON q.vec_id != n.vec_id
+  WHERE q.vec_id < 10
+),
+exact5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM ex_scored
+  ) WHERE rank <= 5
+),
+qp AS (
+  SELECT vec_id, vd, nrm, unnest({_PROBE_LIST_SQL}) AS probe
+  FROM vb WHERE vec_id < 10
+),
+mp_scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         floor(list_reduce(list_transform(range(1, len(q.vd) + 1),
+                                          i -> q.vd[i] * n.vd[i]),
+                           (x, y) -> x + y) / (q.nrm * n.nrm)
+               * 10000 + 0.5) / 10000 AS cosine
+  FROM qp q JOIN vb n ON q.probe = n.bucket AND q.vec_id != n.vec_id
+),
+mp5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM mp_scored
+  ) WHERE rank <= 5
+)
+SELECT e.query_id,
+       CAST(e.n_exact AS INT) AS n_exact,
+       CAST(COALESCE(l.n_lsh, 0) AS INT) AS n_lsh,
+       CAST(COALESCE(h.n_hit, 0) AS INT) AS n_hit,
+       floor(COALESCE(h.n_hit, 0) / CAST(e.n_exact AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS recall
+FROM (SELECT query_id, count(*) AS n_exact FROM exact5 GROUP BY 1) e
+LEFT JOIN (SELECT query_id, count(*) AS n_lsh FROM mp5 GROUP BY 1) l
+  ON e.query_id = l.query_id
+LEFT JOIN (SELECT query_id, count(*) AS n_hit
+           FROM exact5 SEMI JOIN mp5 USING (query_id, neighbor_id)
+           GROUP BY 1) h
+  ON e.query_id = h.query_id
+"""
+
+
 QUERIES.update(
     {
         "ann_recall": QuerySpec(_q_ann_recall, _ANN_RECALL_SQL),
+        "multiprobe_topk": QuerySpec(_q_multiprobe_topk, _MULTIPROBE_TOPK_SQL),
+        "multiprobe_recall": QuerySpec(_q_multiprobe_recall, _MULTIPROBE_RECALL_SQL),
     }
 )
 

@@ -219,3 +219,31 @@ def test_hard_negatives_uses_window_group_limit(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan  # query side broadcasts
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
+    """Multi-probe candidates are a superset of the single-bucket ones, and
+    recall@k is monotone in the candidate set (a true top-k member found is
+    never displaced — anything outranking it in the approx ranking also
+    outranks it in the exact one). Assert per-query dominance plus a strict
+    improvement somewhere on the real corpus."""
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        ann_recall_report,
+    )
+    from feature_store_fraud_detection_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    single = {
+        r["query_id"]: r["recall"]
+        for r in ann_recall_report(emb, "vec_id", "embedding", 10).collect()
+    }
+    multi = {
+        r["query_id"]: r["recall"]
+        for r in ann_recall_report(
+            emb, "vec_id", "embedding", 10, multiprobe=True
+        ).collect()
+    }
+    assert set(single) == set(multi)
+    for q in single:
+        assert multi[q] >= single[q]
+    assert sum(multi.values()) > sum(single.values())
