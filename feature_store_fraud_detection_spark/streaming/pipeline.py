@@ -353,3 +353,53 @@ class IdempotentBatchSink:
 
     def read(self, spark) -> DataFrame:
         return spark.read.parquet(self.path)
+
+
+def run_stream_neardup_filter(
+    raw_docs: DataFrame,
+    corpus_state: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+):
+    """Streaming ingest dedup: every micro-batch of incoming documents is
+    probed against the static MinHash-LSH corpus index
+    (``operators/dedup.minhash_doc_state`` persisted once); documents with a
+    near-duplicate at/above ``threshold`` are DROPPED, survivors append to
+    the curated parquet log.
+
+    The decision for a document is a pure function of (document, corpus
+    index) — independent of arrival batching — so the stream output equals
+    the batch probe on the union of batches (asserted in
+    ``tests/test_streaming.py``). Within-batch duplicates of each other are
+    both kept here (they are not in the index yet); the downstream exact
+    digest dedup (``corpus.incremental_corpus_dedup``) owns that case — at
+    scale you fold accepted docs back into the index between batches.
+
+    Shape per batch: the batch side sketches itself (narrow), broadcast-joins
+    the corpus band keys, verifies candidates with exact Jaccard — the
+    corpus is never re-sketched; its text is never read.
+    """
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        minhash_doc_state,
+        minhash_probe,
+    )
+
+    def _filter_batch(batch_df: DataFrame, batch_id: int) -> None:
+        state = minhash_doc_state(batch_df, id_col, text_col)
+        dup_ids = minhash_probe(
+            state, corpus_state, id_col, threshold=threshold
+        ).select(F.col("new_id").alias(id_col)).distinct()
+        kept = batch_df.join(dup_ids, id_col, "left_anti")
+        kept.write.mode("append").parquet(out_dir)
+
+    writer = (
+        raw_docs.writeStream.outputMode("append")
+        .foreachBatch(_filter_batch)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

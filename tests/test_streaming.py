@@ -324,3 +324,55 @@ def test_idempotent_sink_through_stream(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sink.read(spark).count() == 60  # every event exactly once
+
+
+def test_stream_neardup_filter_matches_batch_probe(spark, tmp_path):
+    """The streaming LSH ingest filter must keep exactly the documents the
+    batch probe would keep on the union of batches (per-doc decisions are
+    independent of arrival batching), dropping planted near-dups."""
+    import json
+
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        minhash_doc_state,
+        minhash_probe,
+    )
+    from feature_store_fraud_detection_spark.streaming.pipeline import (
+        run_stream_neardup_filter,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "totally unrelated corpus text about joins and scans")],
+        "doc_id bigint, text string",
+    )
+    corpus_state = minhash_doc_state(corpus, "doc_id", "text").localCheckpoint()
+
+    incoming = [
+        (10, base + " tonight"),          # near-dup of corpus doc 1 -> drop
+        (11, "fresh unique document with brand new words entirely"),
+        (12, "another novel document mentioning streams and buckets"),
+    ]
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    with open(src / "batch.jsonl", "w") as f:
+        for i, t in incoming:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    raw = spark.readStream.schema("doc_id bigint, text string").json(str(src))
+    out_dir = str(tmp_path / "curated")
+    q = run_stream_neardup_filter(
+        raw, corpus_state, out_dir, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    batch_df = spark.createDataFrame(incoming, "doc_id bigint, text string")
+    dup = {
+        r["new_id"]
+        for r in minhash_probe(
+            minhash_doc_state(batch_df, "doc_id", "text"), corpus_state, "doc_id"
+        ).collect()
+    }
+    want = {i for i, _ in incoming} - dup
+    assert got == want
+    assert 10 not in got and {11, 12} <= got
