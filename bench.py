@@ -75,6 +75,8 @@ HEADLINE = [
     "source_mix_sample",
     "kmv_overlap",
     "bpe_merges",
+    "multiprobe_topk",
+    "incremental_neardup",
 ]
 
 
