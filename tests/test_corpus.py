@@ -180,3 +180,49 @@ def test_minhash_probe_equals_batch_lsh_on_cross_pairs(spark, sf_dir):
             key = (a, b) if a in batch_ids else (b, a)
             want[key] = r["jaccard"]
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# chunk_dedup vs a pure-Python reference (property test)
+# --------------------------------------------------------------------------
+
+
+def test_chunk_dedup_matches_python_reference_on_random_corpora(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = ["alpha", "beta", "gamma", "delta"]
+    doc_strategy = st.lists(
+        st.sampled_from(words), min_size=1, max_size=12
+    ).map(" ".join)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc_strategy, min_size=1, max_size=8))
+    def run(texts):
+        docs = spark.createDataFrame(
+            [(i, t, len(t)) for i, t in enumerate(texts)],
+            "doc_id bigint, text string, n_chars bigint",
+        )
+        got = {
+            r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["kept_tokens"])
+            for r in chunk_dedup(docs, "doc_id", "text", chunk_size=3).collect()
+        }
+        # reference: first global occurrence of each chunk content wins,
+        # ordered by (doc_id, chunk_idx)
+        seen: set[str] = set()
+        want: dict[int, tuple[int, int, int]] = {}
+        for i, t in enumerate(texts):
+            toks = t.lower().split()
+            chunks = [toks[s : s + 3] for s in range(0, len(toks), 3)]
+            n_dup = kept = 0
+            for c in chunks:
+                key = " ".join(c)
+                if key in seen:
+                    n_dup += 1
+                else:
+                    seen.add(key)
+                    kept += len(c)
+            want[i] = (len(chunks), n_dup, kept)
+        assert got == want
+
+    run()
