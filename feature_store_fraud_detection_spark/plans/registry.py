@@ -6515,9 +6515,63 @@ w{k} AS (
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def _q_bpe_encoded_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full tokenizer circle: learn 6 BPE merges from the corpus, then
+    encode every document with them and report its token count — the
+    'how many tokens is my corpus under this tokenizer' number. The merge
+    list is a 6-row bounded driver collect; encoding is zero-shuffle
+    narrow replaces."""
+    from feature_store_fraud_detection_spark.operators.bpe import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, "text", num_merges=6).orderBy("step").collect()
+    ]
+    return bpe_encode_counts(docs, "doc_id", "text", merges)
+
+
+def _bpe_encode_oracle_sql(num_merges: int = 6) -> str:
+    # reuse the training unroll, then apply the learned merges to every
+    # document's '|'-joined word representation and count symbols = spaces/2
+    train = _bpe_oracle_sql(num_merges)
+    # split the training SQL at its final SELECT; keep only the CTE chain
+    ctes = train[len("WITH "):]
+    cut = ctes.index("\nSELECT 1 AS step")
+    ctes = ctes[:cut]
+    expr = "d0"
+    for k in range(1, num_merges + 1):
+        expr = (
+            f"replace({expr}, ' ' || (SELECT l FROM m{k}) || '  ' || "
+            f"(SELECT rr FROM m{k}) || ' ', ' ' || (SELECT l FROM m{k}) || "
+            f"(SELECT rr FROM m{k}) || ' ')"
+        )
+    return f"""WITH {ctes},
+docrepr AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           string_split_regex(lower(trim(text)), '\\s+'),
+           w -> array_to_string(list_transform(range(1, length(w) + 1),
+                                               i -> ' ' || w[i:i] || ' '), '')),
+           '|') AS d0
+  FROM documents
+)
+SELECT doc_id,
+       CAST((length({expr}) - length(replace({expr}, ' ', ''))) // 2 AS INT)
+         AS bpe_tokens
+FROM docrepr
+"""
+
+
 QUERIES.update(
     {
         "bpe_merges": QuerySpec(_q_bpe_merges, _bpe_oracle_sql(6)),
+        "bpe_encoded_lengths": QuerySpec(
+            _q_bpe_encoded_lengths, _bpe_encode_oracle_sql(6)
+        ),
     }
 )
 
