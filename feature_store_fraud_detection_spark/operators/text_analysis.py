@@ -471,3 +471,46 @@ def bigram_nll(
         F.sum("tf").alias("n_bigrams"),
         round4_stable((-s) / F.sum("tf")).alias("nll"),
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 8,
+    max_tokens: int = 100_000,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+    min_stopword_ratio: float = 0.02,
+    max_symbol_ratio: float = 0.10,
+) -> DataFrame:
+    """Gopher-style hard quality gates (Rae et al. 2021 §A1.1, adapted to
+    this corpus's stopword list): per document, one boolean per rule plus
+    the conjunction ``keep`` — the standard pre-filter a web corpus passes
+    before any model-based scoring.
+
+    Rules: token count within [min, max]; mean token length within a sane
+    band; stopword ratio above a floor (gibberish/markup pages have none);
+    symbol(punctuation)-to-char ratio below a cap.
+
+    Pure column expressions over one scan — no shuffle, no UDF; the gate
+    composes with ``sampling.source_mix_sample`` and ``corpus.chunk_dedup``
+    into a full curation pass at scan speed.
+    """
+    n = token_count(text_col).cast("int")
+    avg_len = avg_token_len(text_col)
+    stop_r = stopword_ratio(text_col)
+    sym_r = punct_ratio(text_col)
+    f_len = (n >= min_tokens) & (n <= max_tokens)
+    f_avg = (avg_len >= min_avg_token_len) & (avg_len <= max_avg_token_len)
+    f_stop = stop_r >= min_stopword_ratio
+    f_sym = sym_r <= max_symbol_ratio
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        f_len.alias("len_ok"),
+        f_avg.alias("avg_token_len_ok"),
+        f_stop.alias("stopword_ok"),
+        f_sym.alias("symbol_ok"),
+        (f_len & f_avg & f_stop & f_sym).alias("keep"),
+    )

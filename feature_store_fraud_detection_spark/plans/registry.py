@@ -6895,6 +6895,152 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# Gopher quality gates and contrastive training triplets
+# --------------------------------------------------------------------------
+
+
+def _q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard quality gates per document (token count band,
+    mean token length band, stopword floor, symbol cap) + the keep
+    conjunction — scan-speed column expressions, no shuffle."""
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        gopher_quality_flags,
+    )
+
+    return gopher_quality_flags(load_docs(spark, sf_dir), "doc_id", "text")
+
+
+_GOPHER_FLAGS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         list_reduce(list_transform(toks, x -> CAST(length(x) AS DOUBLE)),
+                     (a, b) -> a + b) / len(toks) AS avg_len,
+         len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is')))
+           / CAST(len(toks) AS DOUBLE) AS stop_r,
+         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+           / CAST(length(text) AS DOUBLE) AS sym_r
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       n_tokens >= 8 AND n_tokens <= 100000 AS len_ok,
+       avg_len >= 2.0 AND avg_len <= 12.0 AS avg_token_len_ok,
+       stop_r >= 0.02 AS stopword_ok,
+       sym_r <= 0.10 AS symbol_ok,
+       (n_tokens >= 8 AND n_tokens <= 100000)
+         AND (avg_len >= 2.0 AND avg_len <= 12.0)
+         AND stop_r >= 0.02 AND sym_r <= 0.10 AS keep
+FROM m
+"""
+
+
+def _q_training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining: per anchor (vec_id < 10), the single
+    most-similar SAME-label vector (positive) and most-similar OTHER-label
+    vector (hard negative) — the (a, p, n) rows a metric-learning trainer
+    consumes. Both searches share the broadcast-queries + WindowGroupLimit
+    shape."""
+    from pyspark.sql import Window
+
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        _to_double,
+        cosine_expr,
+        dot_expr,
+    )
+
+    emb = load_embeddings(spark, sf_dir)
+    vd = _to_double(F.col("embedding"))
+    v = emb.select(
+        "vec_id",
+        "label",
+        vd.alias("__vec_d"),
+        F.sqrt(dot_expr(vd, vd)).alias("__norm"),
+    )
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("__vec_d").alias("__qvec"),
+        F.col("__norm").alias("__qnorm"),
+    )
+    pairs = F.broadcast(q).join(v, F.col("anchor_id") != F.col("vec_id"))
+    scored = pairs.select(
+        "anchor_id",
+        "anchor_label",
+        F.col("vec_id").alias("cand_id"),
+        (F.col("label") == F.col("anchor_label")).alias("same"),
+        _round4_pos(
+            cosine_expr(
+                F.col("__qvec"), F.col("__vec_d"), F.col("__qnorm"), F.col("__norm")
+            )
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id", "same").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    pos = top.filter(F.col("same")).select(
+        "anchor_id",
+        "anchor_label",
+        F.col("cand_id").alias("positive_id"),
+        F.col("cosine").alias("positive_cosine"),
+    )
+    neg = top.filter(~F.col("same")).select(
+        "anchor_id",
+        F.col("cand_id").alias("negative_id"),
+        F.col("cosine").alias("negative_cosine"),
+    )
+    return pos.join(neg, "anchor_id")
+
+
+_TRAINING_TRIPLETS_SQL = """
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+),
+vn AS (
+  SELECT vec_id, label, vd,
+         sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+),
+scored AS (
+  SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+         n.vec_id AS cand_id, n.label = q.label AS same,
+         floor(list_reduce(list_transform(range(1, len(q.vd) + 1),
+                                          i -> q.vd[i] * n.vd[i]),
+                           (x, y) -> x + y) / (q.nrm * n.nrm)
+               * 10000 + 0.5) / 10000 AS cosine
+  FROM vn q JOIN vn n ON q.vec_id != n.vec_id
+  WHERE q.vec_id < 10
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id, same
+                                 ORDER BY cosine DESC, cand_id) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT p.anchor_id, p.anchor_label,
+       p.cand_id AS positive_id, p.cosine AS positive_cosine,
+       n.cand_id AS negative_id, n.cosine AS negative_cosine
+FROM (SELECT * FROM top WHERE same) p
+JOIN (SELECT * FROM top WHERE NOT same) n ON p.anchor_id = n.anchor_id
+"""
+
+
+QUERIES.update(
+    {
+        "gopher_flags": QuerySpec(_q_gopher_flags, _GOPHER_FLAGS_SQL),
+        "training_triplets": QuerySpec(_q_training_triplets, _TRAINING_TRIPLETS_SQL),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so

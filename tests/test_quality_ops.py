@@ -320,3 +320,39 @@ def test_kmv_merge_equals_direct_union_sketch(spark):
     ).collect()[0].kmv
     direct = kmv_sketch(a.union(b), "k", "v", k).collect()[0].kmv
     assert merged == direct
+
+
+def test_gopher_flags_hand_cases(spark):
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        gopher_quality_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # healthy doc: passes every gate
+            (1, "the quick brown fox jumps over the lazy dog and runs away home"),
+            # too short
+            (2, "tiny doc here"),
+            # no stopwords at all -> stopword gate fails
+            (3, "zebra quartz viaduct kumquat jigsaw plankton whimsy falcon nimbus oxide"),
+            # punctuation soup -> symbol gate fails
+            (4, "what?! really...;; ok,, fine:: sure!! done.. next,, etc;; more!!"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(docs, "doc_id", "text").collect()}
+    assert out[1]["keep"]
+    assert not out[2]["len_ok"] and not out[2]["keep"]
+    assert not out[3]["stopword_ok"] and not out[3]["keep"]
+    assert not out[4]["symbol_ok"] and not out[4]["keep"]
+
+
+def test_training_triplets_labels_and_ordering(spark, sf_dir):
+    from feature_store_fraud_detection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["training_triplets"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["positive_id"] != r["negative_id"]
+        assert r["positive_id"] != r["anchor_id"]
+        assert r["negative_id"] != r["anchor_id"]
