@@ -7041,6 +7041,138 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# Corpus curation end-to-end summary (composite)
+# --------------------------------------------------------------------------
+
+
+def _q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-ROW corpus curation report — the numbers a pipeline run posts to
+    its dashboard: documents in, quality-gate pass count, near-dup clusters,
+    canonical documents kept, and the kept-token count after chunk-level
+    dedup of the quality-passing canonical docs. A composite of four
+    verified operators sharing one scan lineage."""
+    from feature_store_fraud_detection_spark.operators.corpus import (
+        canonical_docs,
+        chunk_dedup,
+    )
+    from feature_store_fraud_detection_spark.operators.dedup import minhash_lsh_pairs
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        gopher_quality_flags,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    flags = gopher_quality_flags(docs, "doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2)
+    keep = canonical_docs(docs, pairs, "doc_id", "n_chars")
+    kept_docs = docs.join(
+        keep.select("doc_id"), "doc_id", "left_semi"
+    ).join(flags.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
+    chunks = chunk_dedup(kept_docs, "doc_id", "text", chunk_size=32)
+    n_docs = docs.count()
+    n_quality = flags.filter(F.col("keep")).count()
+    n_canonical = keep.count()
+    agg = chunks.agg(
+        F.count(F.lit(1)).alias("n_final_docs"),
+        F.sum("kept_tokens").alias("kept_tokens"),
+        F.sum("n_dup_chunks").alias("dup_chunks"),
+    )
+    return agg.select(
+        F.lit(n_docs).cast("bigint").alias("n_docs"),
+        F.lit(n_quality).cast("bigint").alias("n_quality_pass"),
+        F.lit(n_canonical).cast("bigint").alias("n_canonical"),
+        F.col("n_final_docs").cast("bigint").alias("n_final_docs"),
+        F.col("kept_tokens").cast("bigint").alias("kept_tokens"),
+        F.col("dup_chunks").cast("bigint").alias("dup_chunks"),
+    )
+
+
+_CURATION_SUMMARY_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM lsh_pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT e.dst AS node, reach.r AS r
+  FROM reach JOIN edges e ON e.src = reach.node
+),
+labels AS (SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node),
+keepers AS (
+  SELECT doc_id FROM (
+    SELECT d.doc_id,
+           row_number() OVER (PARTITION BY l.canonical_id
+                              ORDER BY d.n_chars DESC, d.doc_id) AS pick
+    FROM documents d JOIN labels l USING (doc_id)
+  ) WHERE pick = 1
+),
+qm AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         list_reduce(list_transform(toks, x -> CAST(length(x) AS DOUBLE)),
+                     (a, b) -> a + b) / len(toks) AS avg_len,
+         len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is')))
+           / CAST(len(toks) AS DOUBLE) AS stop_r,
+         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+           / CAST(length(text) AS DOUBLE) AS sym_r
+  FROM (SELECT doc_id, text,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents)
+),
+quality AS (
+  SELECT doc_id FROM qm
+  WHERE n_tokens >= 8 AND n_tokens <= 100000
+    AND avg_len >= 2.0 AND avg_len <= 12.0
+    AND stop_r >= 0.02 AND sym_r <= 0.10
+),
+kept_docs AS (
+  SELECT d.doc_id, d.text FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM keepers)
+    AND d.doc_id IN (SELECT doc_id FROM quality)
+),
+kt AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM kept_docs WHERE length(trim(text)) > 0
+),
+ks AS (SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS g FROM kt),
+kch AS (
+  SELECT doc_id, CAST(g // 32 AS INT) AS chunk_idx,
+         array_to_string(toks[g+1:g+32], ' ') AS chunk_text,
+         CAST(least(32, len(toks) - g) AS INT) AS n_tokens
+  FROM ks
+),
+kflag AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (PARTITION BY chunk_text
+                            ORDER BY doc_id, chunk_idx) = 1 AS is_first
+  FROM kch
+),
+perdoc AS (
+  SELECT doc_id,
+         sum(CASE WHEN is_first THEN n_tokens ELSE 0 END) AS kept_tokens,
+         sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS dup_chunks
+  FROM kflag GROUP BY doc_id
+)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT count(*) FROM quality) AS n_quality_pass,
+       (SELECT count(*) FROM keepers) AS n_canonical,
+       CAST(count(*) AS BIGINT) AS n_final_docs,
+       CAST(sum(kept_tokens) AS BIGINT) AS kept_tokens,
+       CAST(sum(dup_chunks) AS BIGINT) AS dup_chunks
+FROM perdoc
+"""
+
+
+QUERIES.update(
+    {
+        "curation_summary": QuerySpec(_q_curation_summary, _CURATION_SUMMARY_SQL),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so

@@ -342,3 +342,15 @@ def test_source_mix_gate_is_scan_stage(spark, sf_dir):
     plan = _physical(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_gopher_flags_scan_stage_only(spark, sf_dir):
+    """The Gopher gate must be a pure scan-stage projection — no Join, no
+    Window, and no exchange except load_docs' explicit few-input fan-out
+    (REPARTITION_BY_COL — a no-op at scale where the scan has many splits)."""
+    df = QUERIES["gopher_flags"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "Join" not in plan and "Window" not in plan
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "REPARTITION_BY_COL" in seg[:120], seg[:120]
+    assert "Exchange rangepartitioning" not in plan
