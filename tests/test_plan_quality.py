@@ -352,5 +352,5 @@ def test_gopher_flags_scan_stage_only(spark, sf_dir):
     plan = _physical(df)
     assert "Join" not in plan and "Window" not in plan
     for seg in plan.split("Exchange hashpartitioning")[1:]:
-        assert "REPARTITION_BY_COL" in seg[:120], seg[:120]
+        assert "REPARTITION_BY" in seg[:120], seg[:120]
     assert "Exchange rangepartitioning" not in plan
