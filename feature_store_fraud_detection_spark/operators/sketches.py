@@ -338,3 +338,23 @@ def kmv_overlap(
         round4_stable(jacc).alias("jaccard_est"),
         round4_stable(jacc * union_est).alias("intersection_est"),
     )
+
+
+def hist_rollup(sketches: DataFrame, key_col: str, bins: int) -> DataFrame:
+    """Roll up finer-grained sketches (e.g. per (key, day)) to a coarser
+    key: element-wise sum of the count vectors within each group — the
+    N-way form of :func:`hist_merge`, and the algebra that lets per-shard
+    sketches built by 1000 executors combine into any rollup level without
+    touching raw data. Exact: integer counts add associatively, so the
+    rolled-up sketch is BIT-EQUAL to sketching the coarser key directly.
+    """
+    zero = F.transform(
+        F.sequence(F.lit(1), F.lit(bins)), lambda _: F.lit(0).cast("bigint")
+    )
+    return sketches.groupBy(key_col).agg(
+        F.aggregate(
+            F.collect_list("counts"),
+            zero,
+            lambda acc, c: F.zip_with(acc, c, lambda x, y: x + y),
+        ).alias("counts")
+    )

@@ -6272,9 +6272,40 @@ FROM est GROUP BY event_type
 """
 
 
+def _q_hist_quantiles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rollup proof: build a SEPARATE sketch per (event_type, calendar
+    day), roll the per-day sketches up to event_type by element-wise count
+    addition, and estimate quantiles from the merged state. The oracle is
+    the DIRECT single-pass sketch SQL — integer counts add associatively,
+    so the rolled-up estimates must hash-match sketching the coarser key
+    directly. This is the 1000-executor / per-partition-sketch algebra,
+    verified cross-engine."""
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        hist_quantiles,
+        hist_rollup,
+        hist_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__etd", F.concat_ws("|", F.col("event_type"), F.to_date("ts").cast("string"))
+    )
+    daily = hist_sketch(ev, "__etd", "value", lo=0.0, hi=500.0, bins=64)
+    merged = hist_rollup(
+        daily.select(
+            F.split(F.col("__etd"), r"\|").getItem(0).alias("event_type"), "counts"
+        ),
+        "event_type",
+        bins=64,
+    )
+    return hist_quantiles(merged, "event_type", lo=0.0, hi=500.0)
+
+
 QUERIES.update(
     {
         "hist_quantiles": QuerySpec(_q_hist_quantiles, _HIST_QUANTILES_SQL),
+        "hist_quantiles_rollup": QuerySpec(
+            _q_hist_quantiles_rollup, _HIST_QUANTILES_SQL
+        ),
     }
 )
 
