@@ -6597,11 +6597,71 @@ FROM docrepr
 """
 
 
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE tokens per whitespace word
+    under the corpus-learned merges — the standard 'how well does this
+    tokenizer fit each language' evaluation row (fertility ~1 = merges
+    cover the language; high fertility = the language pays more tokens)."""
+    from feature_store_fraud_detection_spark.operators.bpe import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        token_count,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, "text", num_merges=6).orderBy("step").collect()
+    ]
+    enc = bpe_encode_counts(docs, "doc_id", "text", merges)
+    base = docs.select(
+        "doc_id", "lang", token_count("text").cast("bigint").alias("ws_tokens")
+    )
+    return (
+        base.join(enc, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+            F.sum("ws_tokens").alias("ws_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "bpe_tokens",
+            "ws_tokens",
+            _round4_pos(
+                F.col("bpe_tokens").cast("double") / F.col("ws_tokens").cast("double")
+            ).alias("fertility"),
+        )
+    )
+
+
+def _tokenizer_fertility_sql(num_merges: int = 6) -> str:
+    enc = _bpe_encode_oracle_sql(num_merges)
+    return f"""WITH enc AS ({enc})
+SELECT d.lang, count(*) AS n_docs,
+       CAST(sum(e.bpe_tokens) AS BIGINT) AS bpe_tokens,
+       CAST(sum(len(string_split_regex(lower(trim(d.text)), '\\s+')))
+            AS BIGINT) AS ws_tokens,
+       floor(CAST(sum(e.bpe_tokens) AS DOUBLE)
+             / CAST(sum(len(string_split_regex(lower(trim(d.text)), '\\s+')))
+                    AS DOUBLE) * 10000 + 0.5) / 10000 AS fertility
+FROM documents d JOIN enc e ON d.doc_id = e.doc_id
+GROUP BY d.lang
+"""
+
+
 QUERIES.update(
     {
         "bpe_merges": QuerySpec(_q_bpe_merges, _bpe_oracle_sql(6)),
         "bpe_encoded_lengths": QuerySpec(
             _q_bpe_encoded_lengths, _bpe_encode_oracle_sql(6)
+        ),
+        "tokenizer_fertility": QuerySpec(
+            _q_tokenizer_fertility, _tokenizer_fertility_sql(6)
         ),
     }
 )
