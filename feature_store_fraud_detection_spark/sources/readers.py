@@ -48,3 +48,62 @@ def read_json_lines(
 ) -> DataFrame:
     """Typed JSON-lines scan (batch twin of the streaming from_json ingest)."""
     return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar properties as parquet (predicate pushdown,
+    column pruning, vectorized read); supported so warehouses standardized
+    on ORC can feed the engine without a conversion pass."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_json_lines_with_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Production JSONL ingest: parse with an explicit schema in PERMISSIVE
+    mode, route malformed lines to a quarantine frame instead of failing the
+    job or silently dropping them (DROPMALFORMED) — the poison-pill pattern:
+    one bad upstream line must cost one quarantined row, never a pipeline.
+
+    Returns (valid, quarantined): ``valid`` has exactly ``schema``'s
+    columns for rows that parsed clean; ``quarantined`` carries the raw
+    offending line for replay/debugging. Both derive from ONE scan lineage
+    (the corrupt-record column is populated by the same parse pass).
+    """
+    with_corrupt = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # Spark requires caching/materializing before referencing the
+        # corrupt-record column in a filter (SPARK-21610)
+        .cache()
+    )
+    valid = raw.filter(raw["_corrupt_record"].isNull()).drop("_corrupt_record")
+    quarantined = raw.filter(raw["_corrupt_record"].isNotNull()).select(
+        raw["_corrupt_record"].alias("raw_line")
+    )
+    return valid, quarantined
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file source for multimodal assets: each file becomes one row
+    (path, modificationTime, length, content binary) — the ingest side of
+    ``operators/multimodal`` (which treats images/audio/video as opaque
+    binary columns with typed metadata). ``glob`` filters by pattern, e.g.
+    ``*.png``. Backed by Spark's binaryFile source: splittable listing,
+    per-file rows, no driver-side file loops.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -527,3 +527,70 @@ def test_delete_keys_keeps_null_key_rows(spark, tmp_path):
     store.delete_keys("user_id", [1])
     kept = {r.user_id for r in store.read().collect()}
     assert kept == {None, 3}
+
+
+# --------------------------------------------------------------------------
+# Ingestion robustness: ORC round-trip, JSONL quarantine, binaryFile source
+# --------------------------------------------------------------------------
+
+
+def test_orc_round_trip_equals_parquet(spark, tmp_path, sf_dir):
+    from feature_store_fraud_detection_spark.schemas import load_table
+    from feature_store_fraud_detection_spark.sources.readers import (
+        read_orc,
+        write_orc,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    path = str(tmp_path / "events_orc")
+    write_orc(ev, path)
+    back = read_orc(spark, path)
+    assert back.schema == ev.schema
+    a = sorted(map(tuple, ev.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_jsonl_quarantine_splits_bad_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from feature_store_fraud_detection_spark.sources.readers import (
+        read_json_lines_with_quarantine,
+    )
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "this is not json at all\n"
+        '{"id": 2, "v": "also ok"}\n'
+        '{"id": "NOT_A_NUMBER", "v": "bad type"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    valid, quarantined = read_json_lines_with_quarantine(spark, str(src), schema)
+    assert {r["id"] for r in valid.collect()} == {1, 2}
+    bad = [r["raw_line"] for r in quarantined.collect()]
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+    assert any("NOT_A_NUMBER" in b for b in bad)
+
+
+def test_binary_file_source_reads_multimodal_assets(spark, tmp_path):
+    from feature_store_fraud_detection_spark.sources.readers import (
+        read_binary_files,
+    )
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG-fake-bytes-aaaa")
+    (d / "b.png").write_bytes(b"\x89PNG-fake-bytes-bb")
+    (d / "notes.txt").write_text("not an image")
+    out = read_binary_files(spark, str(d), glob="*.png").select("path", "length", "content")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in out.collect()}
+    assert set(rows) == {"a.png", "b.png"}
+    assert rows["a.png"]["length"] == 20
+    assert bytes(rows["a.png"]["content"]).startswith(b"\x89PNG")
