@@ -66,3 +66,41 @@ def pack_sequences(
             ((F.col("pack_offset") + F.col("n_tokens")) > capacity).cast("int"),
         )
     )
+
+
+def export_training_shards(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    n_shards: int = 8,
+    salt: str = "shard",
+) -> None:
+    """Write the training corpus as ``n_shards`` deterministic shards, each
+    internally shuffled in a reproducible pseudo-random order — the layout a
+    data loader consumes (shard = worker unit; within-shard order = the
+    epoch-0 sample order).
+
+    Both decisions are pure functions of the row id:
+    - shard = pmod(xxhash64(salt, id), n_shards) — uniform, skew-free, and
+      stable across runs/partitionings (a seeded ``repartition`` is neither);
+    - within-shard order = md5(salt|id) — the same deterministic shuffle
+      trick as ``sampling.shuffle_rows``, so a re-export byte-reproduces.
+
+    Plan shape: ONE exchange (repartition on the shard key), a
+    within-partition sort (no global sort), and a partitioned write —
+    ``shard=N/`` directories, each readable independently.
+    """
+    shard = F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(n_shards)).cast(
+        "int"
+    )
+    order_key = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    (
+        df.withColumn("shard", shard)
+        .withColumn("__ord", order_key)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__ord")
+        .drop("__ord")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
