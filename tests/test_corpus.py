@@ -226,3 +226,53 @@ def test_chunk_dedup_matches_python_reference_on_random_corpora(spark):
         assert got == want
 
     run()
+
+
+def test_canonical_docs_exactly_one_keeper_per_cluster_property(spark):
+    """Property over random pair graphs: every document's cluster has
+    exactly one keeper, and keepers have maximal n_chars in their cluster."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 15), st.integers(1, 15)).filter(
+                lambda p: p[0] != p[1]
+            ),
+            max_size=12,
+        )
+    )
+    def run(edge_list):
+        docs = _docs(spark, [(i, f"doc {i}", (i * 7) % 13) for i in range(1, 16)])
+        pairs = (
+            _pairs(spark, edge_list)
+            if edge_list
+            else _pairs(spark, []).limit(0)
+        )
+        keep = canonical_docs(docs, pairs, "doc_id", "n_chars").collect()
+        # union-find ground truth
+        parent = {i: i for i in range(1, 16)}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            parent[find(a)] = find(b)
+        clusters = {}
+        for i in range(1, 16):
+            clusters.setdefault(find(i), []).append(i)
+        assert len(keep) == len(clusters)
+        got = {}
+        for r in keep:
+            members = clusters[find(r["doc_id"])]
+            assert r["cluster_size"] == len(members)
+            best = max(members, key=lambda i: ((i * 7) % 13, -i))
+            assert r["doc_id"] == best
+            got[find(r["doc_id"])] = r["doc_id"]
+        assert len(got) == len(clusters)
+
+    run()

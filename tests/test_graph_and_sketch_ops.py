@@ -301,3 +301,38 @@ def test_kmv_overlap_half_overlap_estimate(spark):
     row = kmv_overlap(kmv_sketch(df, "k", "v", k=128), "k", k=128).collect()[0]
     assert 0.2 <= row["jaccard_est"] <= 0.5
     assert 400 <= row["union_est"] <= 820
+
+
+def test_hist_quantiles_within_bin_width_property(spark):
+    """Property: on any data inside [lo, hi), each estimated quantile is
+    within one bin width of an exact percentile (the histogram's accuracy
+    contract)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        hist_quantiles,
+        hist_sketch,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=0.0, max_value=99.999, allow_nan=False),
+            min_size=20,
+            max_size=200,
+        )
+    )
+    def run(vals):
+        import numpy as np
+
+        df = spark.createDataFrame([("k", float(v)) for v in vals], "k string, v double")
+        sk = hist_sketch(df, "k", "v", lo=0.0, hi=100.0, bins=50)
+        row = hist_quantiles(sk, "k", lo=0.0, hi=100.0).collect()[0]
+        w = 100.0 / 50
+        arr = np.sort(np.array(vals))
+        for p, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            exact = float(arr[min(len(arr) - 1, int(np.ceil(p * len(arr))) - 1)])
+            assert abs(row[name] - exact) <= w + 1e-9, (p, row[name], exact)
+
+    run()
