@@ -7264,6 +7264,63 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# Graph degree distribution + power-law slope
+# --------------------------------------------------------------------------
+
+
+def _q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the trade graph plus the log-log OLS slope over
+    the distribution (the power-law / hub-structure diagnostic: slope near
+    -2..-3 = scale-free, hubs exist — the fraud-ring signal). One keyed
+    count + a count-per-degree aggregate; the slope folds the BOUNDED
+    (distinct degrees) frame through exact closed-form OLS moments."""
+    e = _trade_edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    dist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    lx = F.ln(F.col("degree").cast("double"))
+    ly = F.ln(F.col("n_nodes").cast("double"))
+    m = dist.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(lx * ly).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return dist.join(
+        F.broadcast(m.select(_round4_pos(slope).alias("loglog_slope")))
+    ).select("degree", "n_nodes", "loglog_slope")
+
+
+_DEGREE_DIST_SQL = f"""
+WITH {_TRADE_GRAPH_CTES},
+ddeg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src),
+dist AS (SELECT degree, count(*) AS n_nodes FROM ddeg GROUP BY degree),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(ln(CAST(degree AS DOUBLE))) AS sx,
+         sum(ln(CAST(n_nodes AS DOUBLE))) AS sy,
+         sum(ln(CAST(degree AS DOUBLE)) * ln(CAST(degree AS DOUBLE))) AS sxx,
+         sum(ln(CAST(degree AS DOUBLE)) * ln(CAST(n_nodes AS DOUBLE))) AS sxy
+  FROM dist
+)
+SELECT d.degree, d.n_nodes,
+       floor((m.n * m.sxy - m.sx * m.sy) / (m.n * m.sxx - m.sx * m.sx)
+             * 10000 + 0.5) / 10000 AS loglog_slope
+FROM dist d CROSS JOIN m
+"""
+
+
+QUERIES.update(
+    {
+        "degree_distribution": QuerySpec(_q_degree_distribution, _DEGREE_DIST_SQL),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so
