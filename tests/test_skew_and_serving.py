@@ -376,3 +376,51 @@ def test_proximity_pairs_rejects_undersized_grid(spark):
     proximity_pairs(
         df, "pid", "lat", "lon", radius_miles=2.0, cell_deg=0.06
     ).collect()
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join (enabled in session defaults) must split a planted hot
+    key's partition at runtime: with one key carrying ~90% of a large fact
+    side under a sort-merge join, the final adaptive plan marks the join
+    skew=true — the runtime complement to the explicit salted_join path."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 400_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dim_val")
+    )
+    conf = spark.conf
+    old_thresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_factor = conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    old_bytes = conf.get(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+    )
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        # the split size target is advisoryPartitionSizeInBytes — it must be
+        # smaller than the hot partition or AQE "splits" it into one chunk
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        joined = fact.join(dim, "k")
+        # execute THIS DataFrame's plan (count() would build a separate
+        # aggregate plan and leave joined's adaptive plan unfinalized)
+        n = len(joined.collect())
+        # 360k rows carry the hot key 7 (in dim); of the 40k pass-through
+        # ids, only those < 50000 match dim -> 5000
+        assert n == 365_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:800]
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", old_factor)
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", old_bytes
+        )
+        conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
