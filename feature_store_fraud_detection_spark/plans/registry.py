@@ -7321,6 +7321,62 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# Feature freshness monitor
+# --------------------------------------------------------------------------
+
+
+def _q_feature_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-side freshness report: per user, staleness = corpus max ts
+    minus the user's last event (deterministic 'now'); rolled up into the
+    freshness buckets an on-call dashboard alerts on. Two keyed aggregates
+    + one broadcast scalar — no window over raw rows."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    now = ev.agg(F.max("ts").alias("now_ts"))
+    stale = latest.join(F.broadcast(now)).select(
+        "user_id",
+        (F.unix_timestamp("now_ts") - F.unix_timestamp("last_ts")).alias("sec"),
+    )
+    bucket = (
+        F.when(F.col("sec") < 3600, "lt_1h")
+        .when(F.col("sec") < 21600, "lt_6h")
+        .when(F.col("sec") < 86400, "lt_24h")
+        .otherwise("ge_24h")
+    )
+    return stale.groupBy(bucket.alias("freshness")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("sec").alias("max_staleness_sec"),
+    )
+
+
+_FEATURE_FRESHNESS_SQL = """
+WITH latest AS (
+  SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id
+),
+now_ts AS (SELECT max(ts) AS now_ts FROM events),
+stale AS (
+  SELECT user_id,
+         epoch_us(now_ts) // 1000000 - epoch_us(last_ts) // 1000000 AS sec
+  FROM latest CROSS JOIN now_ts
+)
+SELECT CASE WHEN sec < 3600 THEN 'lt_1h'
+            WHEN sec < 21600 THEN 'lt_6h'
+            WHEN sec < 86400 THEN 'lt_24h'
+            ELSE 'ge_24h' END AS freshness,
+       count(*) AS n_keys,
+       max(sec) AS max_staleness_sec
+FROM stale GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "feature_freshness": QuerySpec(_q_feature_freshness, _FEATURE_FRESHNESS_SQL),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so
