@@ -123,7 +123,14 @@ def bpe_encode_counts(
     then spaces/2, since each symbol carries exactly its own two spaces.
     Pure narrow projections — one literal ``replace`` per rule, no shuffle.
     """
-    per_word = F.transform(tokens(F.col(text_col)), _word_repr)
+    # drop zero-length tokens (empty/whitespace-only text splits to [''])
+    # BEFORE _word_repr — its sequence(1, length) would count DOWN on
+    # length 0 and emit two phantom symbols, diverging from the SQL
+    # oracle's range(1, 1) = []. Mirrors the length guard in bpe_train.
+    per_word = F.transform(
+        F.filter(tokens(F.col(text_col)), lambda w: F.length(w) > 0),
+        _word_repr,
+    )
     col = F.concat_ws("|", per_word)
     for l, r in merges:
         col = F.replace(col, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))

@@ -637,9 +637,15 @@ def minhash_probe(
     exact shingle Jaccard. Nothing about the corpus is recomputed or
     re-shuffled beyond its band keys.
 
-    ``max_bucket_fanout`` caps how many corpus docs a single probe band key
-    may hit (degenerate-bucket guard, same rationale as
-    ``minhash_lsh_pairs.max_bucket_size``).
+    ``max_bucket_fanout`` caps how many CORPUS docs a single (band,
+    band_key) bucket may hold — degenerate buckets (a stop-shingle-like
+    signature value shared by thousands of docs) are dropped from the index
+    before the probe join, exactly like ``minhash_lsh_pairs``'s
+    ``max_bucket_size``. The cap is per-bucket, never per-document: a
+    heavily duplicated NEW document still finds its matches through every
+    non-degenerate bucket, so the guard bounds join fanout without ever
+    clearing a duplicate's matches (which would invert the streaming
+    dedup filter's purpose).
     """
     nb = minhash_bucket_index(new_state, id_col).select(
         F.col(id_col).alias("new_id"), "band", "band_key"
@@ -647,19 +653,21 @@ def minhash_probe(
     cb = minhash_bucket_index(corpus_state, id_col).select(
         F.col(id_col).alias("corpus_id"), "band", "band_key"
     )
+    if max_bucket_fanout is not None:
+        sizes = cb.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        cb = cb.join(
+            sizes.filter(F.col("__bn") <= max_bucket_fanout)
+            .select("band", "band_key"),
+            ["band", "band_key"],
+        )
     cand = (
         F.broadcast(nb)
         .join(cb, ["band", "band_key"])
         .select("new_id", "corpus_id")
+        .distinct()
     )
-    if max_bucket_fanout is not None:
-        fan = cand.groupBy("new_id").agg(
-            F.count(F.lit(1)).alias("__fan")
-        )
-        cand = cand.join(
-            F.broadcast(fan.filter(F.col("__fan") <= max_bucket_fanout)), "new_id"
-        ).drop("__fan")
-    cand = cand.distinct()
     a = new_state.select(F.col(id_col).alias("new_id"), F.col("__sh").alias("__sh_a"))
     b = corpus_state.select(
         F.col(id_col).alias("corpus_id"), F.col("__sh").alias("__sh_b")

@@ -7385,25 +7385,48 @@ def _q_validate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector QA report per label: row count, dimension-consistency count,
     zero/NULL-vector count, and the 4-decimal mean L2 norm (sequential-fold
     sums so the doubles match the oracle bit-for-bit) — the gate an
-    embedding table passes before any ANN index is built over it."""
+    embedding table passes before any ANN index is built over it.
+
+    NULL/empty vectors are branched on EXPLICITLY before the dim check on
+    both engines (a validation query is exactly where malformed rows show
+    up): they classify as zero_or_null only — never bad_dim (Spark's
+    size(NULL) vs DuckDB's len(NULL) would otherwise diverge) — and carry
+    norm 0.0 so the avg_norm fold sees identical values cross-engine. The
+    expected dimension is the DATA's modal non-null dimension (ties →
+    smaller dim), not a hardcoded constant."""
     emb = load_table(spark, sf_dir, "embeddings")
+    dim = F.size("embedding")
+    is_null_vec = F.col("embedding").isNull() | (dim <= 0)
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(vd, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    norm = F.when(is_null_vec, F.lit(0.0)).otherwise(
+        F.sqrt(
+            F.aggregate(
+                F.transform(vd, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
         )
     )
-    dim = F.size("embedding")
     base = emb.select(
         "label",
-        dim.alias("dim"),
+        F.when(is_null_vec, F.lit(None)).otherwise(dim).alias("dim"),
         norm.alias("norm"),
-        (F.col("embedding").isNull() | (dim == 0)).alias("is_null_vec"),
+        is_null_vec.alias("is_null_vec"),
     )
-    mode_dim = 8  # testdata dimension; parameterize for other corpora
-    return base.groupBy("label").agg(
+    # modal non-null dimension: 1 row, broadcast into the report join-free
+    mode_dim = (
+        base.filter(~F.col("is_null_vec"))
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("dim").asc())
+        .limit(1)
+        .select(F.col("dim").alias("mode_dim"))
+    )
+    return base.crossJoin(F.broadcast(mode_dim)).groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.sum(F.when(F.col("dim") != mode_dim, 1).otherwise(0))
+        F.sum(
+            F.when(
+                ~F.col("is_null_vec") & (F.col("dim") != F.col("mode_dim")), 1
+            ).otherwise(0)
+        )
         .cast("bigint")
         .alias("bad_dim"),
         F.sum(
@@ -7427,21 +7450,30 @@ def _q_validate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VALIDATE_EMBEDDINGS_SQL = """
 WITH b AS (
   SELECT label,
-         len(embedding) AS dim,
-         sqrt(list_reduce(list_transform(embedding,
-                                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                          (a, x) -> a + x)) AS nrm,
+         CASE WHEN embedding IS NULL OR len(embedding) = 0
+              THEN NULL ELSE len(embedding) END AS dim,
+         CASE WHEN embedding IS NULL OR len(embedding) = 0
+              THEN 0.0
+              ELSE sqrt(list_reduce(
+                     list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (a, x) -> a + x)) END AS nrm,
          (embedding IS NULL OR len(embedding) = 0) AS is_null_vec
   FROM embeddings
+),
+md AS (
+  SELECT dim AS mode_dim FROM b WHERE NOT is_null_vec
+  GROUP BY dim ORDER BY count(*) DESC, dim ASC LIMIT 1
 )
 SELECT label, count(*) AS n_vecs,
-       CAST(sum(CASE WHEN dim != 8 THEN 1 ELSE 0 END) AS BIGINT) AS bad_dim,
+       CAST(sum(CASE WHEN NOT is_null_vec AND dim != mode_dim
+                     THEN 1 ELSE 0 END) AS BIGINT) AS bad_dim,
        CAST(sum(CASE WHEN is_null_vec OR nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
          AS zero_or_null,
        floor(list_reduce(list_sort(list(nrm)), (a, x) -> a + x)
              / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000
          AS avg_norm
-FROM b GROUP BY label
+FROM b CROSS JOIN md GROUP BY label
 """
 
 
@@ -7466,59 +7498,60 @@ QUERIES.update(
 # Rounds rotate this list deliberately — never let "where the code was
 # appended" decide what gets graded.
 _GRADING_PRIORITY: list[str] = [
-    # (a) red-in-last-driver-run, fixed at HEAD — must re-grade
-    "rfm_segments",
-    "snapshot_diff",
-    "incremental_state_merge",
-    "unigram_nll",
-    "pack_sequences",
-    "attribution_last_touch",  # output type changed this round (decimal->double)
-    "multimodal_features",
-    "lsh_topk",
-    # (b) never driver-graded (registry order)
-    "nation_trade_volume",
-    "market_share",
-    "part_value_threshold",
-    "top_supplier_revenue",
-    "min_price_supplier",
-    "late_sole_suppliers",
-    "asof_join_features",
-    "asof_join_tolerance",
-    "interval_join_attribution",
-    "stream_join_batch_twin",
-    "ml_train_score",
-    "forecast_revenue",
-    "priority_late_orders",
-    "top_returning_customers",
-    "count_distinct",
-    "approx_count_distinct",
-    "token_tfidf",
-    "salted_stats",
-    "winnowing_fingerprints",
-    "bpe_token_counts",
-    "json_extract_stats",
-    "percentiles",
-    "dedup_clusters",
-    "rolling_rows_avg",
-    "inter_event_gaps",
-    "session_windows",
-    "stratified_sample",
-    "promo_revenue_share",
-    "events_pivot",
-    "rollup_revenue",
-    "customer_revenue_deciles",
-    "table_profile",
-    "label_centroids",
-    "ivf_topk",
-    "mlp_batch_scoring",
-    # (c) new this round — appended here as they land (window holds 50)
-    "basket_pairs",
-    "benford_digits",
-    "duplicate_txns",
-    "seasonal_anomalies",
-    "mutual_info_value",
-    "rare_categories",
-    "order_reconciliation",
+    # (a) never driver-graded at round-4 start — the round-3 graph/sketch/
+    # BPE/ANN/corpus/bloom/freshness families (36, all local-oracle-green)
+    "user_value_trend",
+    "value_autocorr",
+    "revenue_gini",
+    "kmv_distinct_users",
+    "pagerank",
+    "bfs_levels",
+    "cms_heavy_hitters",
+    "weighted_topk_sample",
+    "bigram_nll",
+    "cusum_changepoints",
+    "dbscan_clusters",
+    "chunk_dedup",
+    "canonical_docs",
+    "incremental_dedup",
+    "cluster_safe_split",
+    "bloom_semi_join",
+    "hist_quantiles",
+    "hist_quantiles_rollup",
+    "hard_negatives",
+    "source_mix_sample",
+    "kmv_overlap",
+    "cross_source_dups",
+    "bpe_merges",
+    "bpe_encoded_lengths",
+    "tokenizer_fertility",
+    "ann_recall",
+    "multiprobe_topk",
+    "multiprobe_recall",
+    "incremental_neardup",
+    "dup_cluster_histogram",
+    "gopher_flags",
+    "training_triplets",
+    "curation_summary",
+    "degree_distribution",
+    "feature_freshness",
+    "validate_embeddings",
+    # (b) regression canaries — oldest r1 greens spanning every family
+    # (flagship/windows/streaming/dedup/ANN/multimodal/stores/relational)
+    "flagship_features",
+    "sliding_window_aggs",
+    "bucketed_trailing_features",
+    "latest5_per_key",
+    "stream_latest_state",
+    "minhash_lsh_pairs",
+    "exact_dedup",
+    "simhash_fingerprints",
+    "cosine_topk",
+    "resize_thumbs",
+    "summary_stats",
+    "offline_store_range_scan",
+    "pricing_summary",
+    "grouping_sets_revenue",
 ]
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (

@@ -381,11 +381,18 @@ def run_stream_neardup_filter(
     Shape per batch: the batch side sketches itself (narrow), broadcast-joins
     the corpus band keys, verifies candidates with exact Jaccard — the
     corpus is never re-sketched; its text is never read.
+
+    Survivors are written through :class:`IdempotentBatchSink` (each
+    micro-batch overwrites its own ``batch_id=N`` partition), so a replayed
+    micro-batch after failure/restart REPLACES rather than double-appends —
+    the same exactly-once contract as every other foreachBatch sink here.
     """
     from feature_store_fraud_detection_spark.operators.dedup import (
         minhash_doc_state,
         minhash_probe,
     )
+
+    sink = IdempotentBatchSink(out_dir)
 
     def _filter_batch(batch_df: DataFrame, batch_id: int) -> None:
         state = minhash_doc_state(batch_df, id_col, text_col)
@@ -393,7 +400,7 @@ def run_stream_neardup_filter(
             state, corpus_state, id_col, threshold=threshold
         ).select(F.col("new_id").alias(id_col)).distinct()
         kept = batch_df.join(dup_ids, id_col, "left_anti")
-        kept.write.mode("append").parquet(out_dir)
+        sink(kept, batch_id)
 
     writer = (
         raw_docs.writeStream.outputMode("append")

@@ -85,3 +85,20 @@ def test_bpe_train_stops_when_no_pairs_left(spark):
     df = spark.createDataFrame([(1, "a b c")], "id int, text string")
     got = bpe_train(df, "text", num_merges=4).collect()
     assert got == []  # all words are single symbols; no pair ever exists
+
+
+def test_bpe_encode_counts_empty_and_whitespace_text_is_zero(spark):
+    """Empty/whitespace-only documents encode to 0 tokens: Spark's split
+    yields [''] there and an unguarded _word_repr would emit 2 phantom
+    symbols per empty word (sequence(1, 0) counts DOWN), diverging from the
+    SQL oracle's range(1, 1) = []."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "ab ab"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode_counts(df, "doc_id", "text", [("a", "b")]).collect()
+    }
+    assert got[1] == 0 and got[2] == 0
+    assert got[3] == 2  # 'ab' merged once per word

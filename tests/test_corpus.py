@@ -276,3 +276,65 @@ def test_canonical_docs_exactly_one_keeper_per_cluster_property(spark):
         assert len(got) == len(clusters)
 
     run()
+
+
+def test_minhash_probe_fanout_cap_is_per_bucket_not_per_doc(spark):
+    """max_bucket_fanout drops degenerate CORPUS buckets, never a probe
+    document's matches: a new doc that near-dups SEVERAL corpus docs (its
+    band keys hit many small buckets, and hit them in many bands) must keep
+    all its matches — the old per-new_id pre-distinct count would have
+    cleared them, admitting the most-duplicated documents past the filter."""
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        minhash_doc_state,
+        minhash_probe,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [
+            (1, base + " alpha"),
+            (2, base + " beta"),
+            (3, "completely unrelated corpus text about joins and scans"),
+        ],
+        "doc_id bigint, text string",
+    )
+    corpus_state = minhash_doc_state(corpus, "doc_id", "text")
+    probe = spark.createDataFrame([(10, base)], "doc_id bigint, text string")
+    new_state = minhash_doc_state(probe, "doc_id", "text")
+
+    # every (band, band_key) bucket holds at most 2 corpus docs here, so a
+    # cap of 4 must not drop anything — even though doc 10 matches 2 corpus
+    # docs through ~16 bands each (the old row count would be ~32 > 4)
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_probe(
+            new_state, corpus_state, "doc_id", threshold=0.2, max_bucket_fanout=4
+        ).collect()
+    }
+    assert got == {(10, 1), (10, 2)}
+
+    # a genuinely degenerate bucket (5 identical corpus docs -> every bucket
+    # they occupy has size 5) IS dropped by a cap of 4: pairs against the
+    # clones vanish, pairs against small buckets survive
+    clones = spark.createDataFrame(
+        [(i, base + " alpha") for i in range(20, 25)] + [(3, "unique words "
+         "entirely different content about buckets and probes tonight")],
+        "doc_id bigint, text string",
+    )
+    clone_state = minhash_doc_state(clones, "doc_id", "text")
+    probe2 = spark.createDataFrame(
+        [(11, "unique words entirely different content about buckets and "
+          "probes today")],
+        "doc_id bigint, text string",
+    )
+    got2 = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_probe(
+            minhash_doc_state(probe2, "doc_id", "text"),
+            clone_state,
+            "doc_id",
+            threshold=0.2,
+            max_bucket_fanout=4,
+        ).collect()
+    }
+    assert got2 == {(11, 3)}

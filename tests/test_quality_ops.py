@@ -356,3 +356,47 @@ def test_training_triplets_labels_and_ordering(spark, sf_dir):
         assert r["positive_id"] != r["negative_id"]
         assert r["positive_id"] != r["anchor_id"]
         assert r["negative_id"] != r["anchor_id"]
+
+
+def test_validate_embeddings_classifies_malformed_rows_like_oracle(spark, tmp_path):
+    """NULL/empty/zero/wrong-dim vectors — the rows a validation gate exists
+    for — must classify identically on both engines: NULL/empty count only
+    into zero_or_null (never bad_dim), wrong-dim counts into bad_dim, and
+    the modal dimension is derived from the data, not hardcoded."""
+    import duckdb
+
+    from feature_store_fraud_detection_spark.plans.registry import (
+        _VALIDATE_EMBEDDINGS_SQL,
+        _q_validate_embeddings,
+    )
+
+    rows = [
+        (1, [3.0, 4.0], 0),          # norm 5
+        (2, [0.0, 0.0], 0),          # zero vector
+        (3, None, 0),                # NULL vector
+        (4, [], 0),                  # empty vector
+        (5, [1.0, 2.0, 2.0], 0),     # wrong dim (mode is 2)
+        (6, [6.0, 8.0], 1),          # norm 10
+        (7, [5.0, 12.0], 1),         # norm 13
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {
+        r["label"]: (r["n_vecs"], r["bad_dim"], r["zero_or_null"], r["avg_norm"])
+        for r in _q_validate_embeddings(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet('%s/*.parquet')"
+        % (tmp_path / "embeddings.parquet")
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(_VALIDATE_EMBEDDINGS_SQL).fetchall()
+    }
+    assert got == want
+    assert got[0] == (5, 1, 3, 1.6)  # zero_or_null: NULL+empty+zero; avg (5+0+0+0+3)/5
+    assert got[1] == (2, 0, 0, 11.5)

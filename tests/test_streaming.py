@@ -376,3 +376,43 @@ def test_stream_neardup_filter_matches_batch_probe(spark, tmp_path):
     want = {i for i, _ in incoming} - dup
     assert got == want
     assert 10 not in got and {11, 12} <= got
+
+
+def test_stream_neardup_filter_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch must REPLACE its own output, not double-append:
+    running the filter twice over the same source with no checkpoint (so the
+    second run reprocesses everything) leaves exactly one copy of each
+    surviving document — the IdempotentBatchSink contract."""
+    import json
+
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        minhash_doc_state,
+    )
+    from feature_store_fraud_detection_spark.streaming.pipeline import (
+        run_stream_neardup_filter,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base)], "doc_id bigint, text string"
+    )
+    corpus_state = minhash_doc_state(corpus, "doc_id", "text").localCheckpoint()
+
+    src = tmp_path / "docs_src2"
+    src.mkdir()
+    with open(src / "batch.jsonl", "w") as f:
+        for i, t in [
+            (10, base + " tonight"),  # near-dup -> dropped
+            (11, "fresh unique document with brand new words entirely"),
+            (12, "another novel document mentioning streams and buckets"),
+        ]:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    out_dir = str(tmp_path / "curated2")
+    for _ in range(2):  # second run replays batch 0 from scratch
+        raw = spark.readStream.schema("doc_id bigint, text string").json(str(src))
+        q = run_stream_neardup_filter(raw, corpus_state, out_dir)
+        q.awaitTermination(120)
+
+    rows = spark.read.parquet(out_dir).groupBy("doc_id").count().collect()
+    assert {r["doc_id"]: r["count"] for r in rows} == {11: 1, 12: 1}
