@@ -1,7 +1,7 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": sf}.
+"queries": {name: sec}, "subtotals": {...}, "sf": sf, ...}.
 
 Each query executes fully via the noop sink (no driver-side collect cost in
 the measurement, all executor work included). Session build + JVM warmup are
@@ -15,6 +15,25 @@ otherwise) and fills Catalyst's caches. At any real scale this cost is
 amortized noise; the timed numbers are the steady-state per-query cost the
 cluster would actually see. The warmup runs on 100x less data, so it adds
 little wall time while removing compile jitter from the measurement.
+
+Round-over-round comparability: the headline set GROWS each round, so the
+grand total is not comparable across rounds. Every query is tagged with the
+round it entered the bench, and the output carries a ``subtotals`` map
+(``r2_set``/``r3_set``/``r4_set``) — regressions are visible by comparing
+the SAME subtotal across BENCH_r{N}.json files, never the grand total.
+
+Two scenario rows beyond the per-query timings:
+
+* ``skew`` — a planted 30%-mass hot key (the "hot card" motivation for the
+  bucketed window decomposition): wall-time of the plain key-partitioned
+  trailing window vs ``bucketed_trailing_aggs`` on the same skewed input.
+  The plain form serializes the hot key on one reducer; the bucketed form
+  shuffles on (key, hour-bucket) and must win on this input.
+* ``streaming`` — the rate source driven at 25k events/s through the
+  watermarked sliding-window aggregate into the online-store merge
+  (windowed_stats -> OnlineStoreSink), reporting sustained events/s; at the
+  end every row of the online store is checked against a batch recompute of
+  the same windows (stream == batch on the processed prefix).
 """
 
 from __future__ import annotations
@@ -27,57 +46,211 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from feature_store_fraud_detection_spark.plans.registry import QUERIES
 from feature_store_fraud_detection_spark.session import get_spark
 
 # Headline set: the flagship feature pipeline plus the heaviest operators of
-# each family (windows, joins, aggregation, top-k).
-HEADLINE = [
-    "flagship_features",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_customers",
-    "latest5_per_key",
-    "stats_with_latest",
-    "dict_encode",
-    "sync_offline_online",
-    "sliding_window_aggs",
-    "asof_join_features",
-    "minhash_lsh_pairs",
-    "simhash_fingerprints",
-    "text_profile",
-    "cosine_topk",
-    "token_tfidf",
-    "salted_stats",
-    # round-2/3 operator families (regressions here must be visible)
-    "bm25_topk",
-    "pack_sequences",
-    "geo_proximity_pairs",
-    "fuzzy_pairs",
-    "sq8_topk",
-    "value_rank_profile",
-    "ngram_jaccard_pairs",
-    # round-3 families: graph analytics, sketches, LM scoring, density
-    # clustering, change-point, exact-k weighted sampling
-    "pagerank",
-    "bfs_levels",
-    "cms_heavy_hitters",
-    "bigram_nll",
-    "dbscan_clusters",
-    "cusum_changepoints",
-    "weighted_topk_sample",
-    # round-3 second pass: corpus curation, bloom pruning, histogram
-    # quantiles, hard-negative mining
-    "chunk_dedup",
-    "bloom_semi_join",
-    "hist_quantiles",
-    "hard_negatives",
-    "source_mix_sample",
-    "kmv_overlap",
-    "bpe_merges",
-    "multiprobe_topk",
-    "incremental_neardup",
+# each family, tagged with the round each entered the bench (subtotals key
+# off the tag; grand totals across rounds are NOT comparable).
+HEADLINE: list[tuple[str, int]] = [
+    ("flagship_features", 2),
+    ("pricing_summary", 2),
+    ("revenue_by_nation", 2),
+    ("top_customers", 2),
+    ("latest5_per_key", 2),
+    ("stats_with_latest", 2),
+    ("dict_encode", 2),
+    ("sync_offline_online", 2),
+    ("sliding_window_aggs", 2),
+    ("asof_join_features", 2),
+    ("minhash_lsh_pairs", 2),
+    ("simhash_fingerprints", 2),
+    ("text_profile", 2),
+    ("cosine_topk", 2),
+    ("token_tfidf", 2),
+    ("salted_stats", 2),
+    # round-3 additions (regressions here must be visible)
+    ("bm25_topk", 3),
+    ("pack_sequences", 3),
+    ("geo_proximity_pairs", 3),
+    ("fuzzy_pairs", 3),
+    ("sq8_topk", 3),
+    ("value_rank_profile", 3),
+    ("ngram_jaccard_pairs", 3),
+    ("pagerank", 3),
+    ("bfs_levels", 3),
+    ("cms_heavy_hitters", 3),
+    ("bigram_nll", 3),
+    ("dbscan_clusters", 3),
+    ("cusum_changepoints", 3),
+    ("weighted_topk_sample", 3),
+    ("chunk_dedup", 3),
+    ("bloom_semi_join", 3),
+    ("hist_quantiles", 3),
+    ("hard_negatives", 3),
+    ("source_mix_sample", 3),
+    ("kmv_overlap", 3),
+    ("bpe_merges", 3),
+    ("multiprobe_topk", 3),
+    ("incremental_neardup", 3),
+    # round-4 additions land here with tag 4
 ]
+
+#: planted-skew scenario: this fraction of rows remaps to one hot key
+SKEW_REPLICATION = 20
+SKEW_WINDOW_SEC = 3600
+
+#: streaming scenario: rate-source events/s and wall seconds to sustain it
+STREAM_RATE = 25_000
+STREAM_SECONDS = 8
+STREAM_BASE_EPOCH = 1_700_000_000  # fixed event-time origin (determinism)
+
+
+def _skewed_events(spark, sf_dir):
+    """The events table amplified x{SKEW_REPLICATION} with ~30% of rows
+    remapped to ONE hot key — the "one hot card" histogram the bucketed
+    window decomposition exists for. Deterministic (replica index jitters
+    the timestamp; no RNG)."""
+    from feature_store_fraud_detection_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return (
+        ev.withColumn(
+            "rep", F.explode(F.sequence(F.lit(1), F.lit(SKEW_REPLICATION)))
+        )
+        .select(
+            (F.col("event_id") * SKEW_REPLICATION + F.col("rep")).alias(
+                "event_id"
+            ),
+            (F.col("ts") + F.make_interval(secs=F.col("rep"))).alias("ts"),
+            F.when(F.col("user_id") % 10 < 3, F.lit(0))
+            .otherwise(F.col("user_id"))
+            .alias("user_id"),
+            "value",
+        )
+    )
+
+
+def skew_scenario(spark, sf_dir) -> dict[str, float]:
+    """Time the plain key-partitioned trailing window vs the bucketed exact
+    decomposition on the planted-hot-key input. Returns both wall times."""
+    from feature_store_fraud_detection_spark.operators.windows import (
+        bucketed_trailing_aggs,
+        trailing_range_aggs,
+    )
+
+    big = _skewed_events(spark, sf_dir).persist()
+    n = big.count()  # materialize outside both measurements
+    t0 = time.time()
+    trailing_range_aggs(
+        big,
+        "user_id",
+        "ts",
+        [
+            (F.count(F.lit(1)), SKEW_WINDOW_SEC, "cnt_w"),
+            (F.avg("value"), SKEW_WINDOW_SEC, "avg_w"),
+        ],
+    ).write.format("noop").mode("overwrite").save()
+    plain = round(time.time() - t0, 3)
+    t0 = time.time()
+    bucketed_trailing_aggs(
+        big, "user_id", "ts", "value", SKEW_WINDOW_SEC, "event_id"
+    ).write.format("noop").mode("overwrite").save()
+    bucketed = round(time.time() - t0, 3)
+    big.unpersist()
+    return {"rows": n, "plain_window_sec": plain, "bucketed_window_sec": bucketed}
+
+
+def _rate_to_events(raw):
+    """Deterministic event derivation from the rate source's row number:
+    event time advances 250 rows per event-second from a fixed origin, 50
+    cards round-robin, amount a fixed residue — so a batch job over
+    range(N) reproduces the exact event set the stream processed."""
+    return raw.select(
+        F.timestamp_seconds(
+            F.lit(STREAM_BASE_EPOCH) + F.expr("value div 250")
+        ).alias("event_time"),
+        F.concat(F.lit("cc"), (F.col("value") % 50).cast("string")).alias(
+            "cc_num"
+        ),
+        ((F.col("value") % 997).cast("double") * 0.5).alias("amount"),
+    )
+
+
+def streaming_scenario(spark) -> dict[str, float]:
+    """Drive windowed_stats -> OnlineStoreSink from the rate source at
+    {STREAM_RATE} events/s for {STREAM_SECONDS}s; report sustained events/s
+    and verify every online-store row against a batch recompute of the same
+    windows over the exact processed prefix (stream == batch)."""
+    from feature_store_fraud_detection_spark.streaming.pipeline import (
+        COUNT_WINDOW,
+        OnlineStoreSink,
+        windowed_stats,
+    )
+
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", STREAM_RATE)
+        .option("numPartitions", 4)
+        .load()
+    )
+    sink = OnlineStoreSink(key="cc_num", ts="window_end")
+    q = (
+        windowed_stats(_rate_to_events(raw))
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    t0 = time.time()
+    time.sleep(STREAM_SECONDS)
+    q.stop()
+    q.awaitTermination()
+    wall = time.time() - t0
+    n_rows = sum(p["numInputRows"] for p in q.recentProgress)
+    rate = round(n_rows / wall)
+
+    # stream == batch: every merged store row must equal the batch twin's
+    # aggregate for that exact window over the processed prefix [0, N)
+    state = sink.state
+    assert state is not None and not state.isEmpty(), "no windows were merged"
+    size, slide = COUNT_WINDOW
+    twin = (
+        _rate_to_events(spark.range(n_rows).withColumnRenamed("id", "value"))
+        .groupBy(F.window("event_time", size, slide), F.col("cc_num"))
+        .agg(
+            F.count(F.lit(1)).alias("t_count"),
+            F.avg("amount").alias("t_avg"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "cc_num",
+            "t_count",
+            "t_avg",
+        )
+    )
+    n_state = state.count()
+    matched = (
+        state.join(twin, ["cc_num", "window_start", "window_end"])
+        .filter(
+            (F.col("txn_count") == F.col("t_count"))
+            & (F.abs(F.col("avg_amount") - F.col("t_avg")) < 1e-9)
+        )
+        .count()
+    )
+    assert matched == n_state, (
+        f"stream==batch violated: {matched}/{n_state} store rows match"
+    )
+    return {
+        "events_per_sec": rate,
+        "events_total": n_rows,
+        "state_rows_verified": n_state,
+    }
 
 
 def main() -> None:
@@ -97,7 +270,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
+        for name, _ in HEADLINE:
             spec = QUERIES.get(name)
             if spec is not None:
                 spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
@@ -108,15 +281,23 @@ def main() -> None:
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    rounds: dict[str, int] = {}
+    for name, rnd in HEADLINE:
         spec = QUERIES.get(name)
         if spec is None:
             continue
         t0 = time.time()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        rounds[name] = rnd
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
+    subtotals = {
+        f"r{r}_set": round(
+            sum(t for n, t in timings.items() if rounds[n] == r), 3
+        )
+        for r in sorted(set(rounds.values()))
+    }
     # steady-state feature throughput (2nd run excludes plan-compile cost;
     # reference baseline: pandas computes the same features at ~2.9k rows/s,
     # BASELINE.md 451s / 1.3M rows)
@@ -130,6 +311,11 @@ def main() -> None:
             "overwrite"
         ).save()
         steady = min(steady, time.time() - t0)
+
+    skew = skew_scenario(spark, sf_dir)
+    spark.catalog.clearCache()
+    streaming = streaming_scenario(spark)
+
     print(
         json.dumps(
             {
@@ -137,8 +323,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "subtotals": subtotals,
                 "sf": sf,
                 "flagship_rows_per_sec": round(n_events / steady),
+                "skew": skew,
+                "streaming": streaming,
             }
         )
     )

@@ -39,10 +39,22 @@ PAGERANK_SCALE = 10**12
 #: once and iterations run co-partitioned SMJs.
 SMALL_GRAPH_NODE_LIMIT = 1_000_000
 
-#: coalesce target for the cached edge table in the small-graph regime —
-#: int-pair edge rows are ~25 B, so ~2M rows per task keeps every iteration
-#: stage at a handful of tasks instead of 32 tiny ones.
-EDGES_PER_TASK = 2_000_000
+#: per-task floor for the cached edge table in the small-graph regime: tiny
+#: graphs coalesce to one task (a sub-100k-edge task is mostly scheduling
+#: overhead), but the partition count is CAPPED at the session's default
+#: parallelism, never above it, so a mid-size graph (the 1M-edge sf0.1 trade
+#: graph) spreads each iteration's join+agg across cores instead of
+#: serializing on a single task. Swept empirically at sf0.1: 40k/task is
+#: scheduling-bound, 2M/task is single-task-bound; 120k is the knee for
+#: both pagerank and bfs.
+EDGES_PER_TASK = 120_000
+
+
+def _edge_partitions(spark, n_edges: int) -> int:
+    """Coalesce target for cached small-regime edges: one task per
+    EDGES_PER_TASK edges, at least 1, at most the core count."""
+    cores = spark.sparkContext.defaultParallelism
+    return max(1, min(cores, n_edges // EDGES_PER_TASK + 1))
 
 
 def pagerank(
@@ -73,9 +85,16 @@ def pagerank(
     partitioning, so the steady-state cost is shuffling the |V|-row rank
     table, never the |E|-row edge table.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
     if not assume_distinct:
         e = e.distinct()
+    # persist the edge pipeline BEFORE any count probe: the nodes.count job
+    # below then materializes the cache as a side effect, and every later
+    # pass (edge count, degree, the per-iteration joins) reads the cache —
+    # the upstream scan/join/distinct runs exactly once.
+    e = e.persist()
     # on a symmetric edge list every node appears as a source, so the
     # dst-side union (and its extra |E|-row shuffle input) is redundant —
     # callers with undirected graphs declare it
@@ -84,6 +103,7 @@ def pagerank(
         node_src = node_src.unionByName(e.select(F.col("dst").alias("node")))
     nodes = node_src.distinct().persist()
     n_nodes = nodes.count()  # driver scalar: defines the teleport constant
+    n_edges = e.count()  # cached scan — shares the materialization above
     # Two execution regimes, same arithmetic (the gate tests assert both):
     # - SMALL graph (|V| fits a broadcast): skip the src pre-keying — the
     #   per-iteration join broadcasts the |V|-row rank table, so the edge
@@ -92,17 +112,16 @@ def pagerank(
     # - LARGE graph: hash-partition edges on src ONCE; every iteration's
     #   SMJ reuses that exchange and only the rank table moves.
     small_graph = n_nodes <= SMALL_GRAPH_NODE_LIMIT
-    if not small_graph:
-        e = e.repartition("src")
-    else:
-        e = e.persist()  # deg + the deg-join both read one materialization
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed_cached = e.join(F.broadcast(deg) if small_graph else deg, "src").persist()
+    work = e if small_graph else e.repartition("src")
+    deg = work.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed_cached = work.join(
+        F.broadcast(deg) if small_graph else deg, "src"
+    ).persist()
     ed = ed_cached
     if small_graph:
-        n_edges = ed_cached.count()  # cached scan; sizes the coalesce below
-        e.unpersist()
-        ed = ed_cached.coalesce(max(1, min(32, n_edges // EDGES_PER_TASK + 1)))
+        # |ed| == |e| (every edge keeps exactly one degree row), so the
+        # already-known edge count sizes the coalesce — no extra count job
+        ed = ed_cached.coalesce(_edge_partitions(edges.sparkSession, n_edges))
     base = ((100 - damping_pct) * PAGERANK_SCALE) // (100 * n_nodes)
     init = PAGERANK_SCALE // n_nodes
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_scaled"))
@@ -120,6 +139,7 @@ def pagerank(
     ranks = ranks.localCheckpoint(eager=True)
     ed_cached.unpersist()
     nodes.unpersist()
+    e.unpersist()
     return ranks
 
 
@@ -184,7 +204,7 @@ def bfs_levels(
     # the edges once for co-partitioned SMJs when it is not.
     small_graph = n_edges <= 2 * SMALL_GRAPH_NODE_LIMIT
     if small_graph:
-        e = e_cached.coalesce(max(1, min(32, n_edges // EDGES_PER_TASK + 1)))
+        e = e_cached.coalesce(_edge_partitions(edges.sparkSession, n_edges))
     else:
         e_cached2 = e_cached.repartition("src").persist()
         e_cached.unpersist()
