@@ -32,6 +32,44 @@ def stratified_sample(
     return df.sampleBy(label_col, fractions, seed)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+    fractions: dict,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic twin of :func:`stratified_sample`: per-stratum
+    md5-threshold sampling. A row is kept iff its 60-bit hash value falls
+    below its OWN stratum's fraction of the hash space — the
+    :func:`hash_sample` construction with a per-row threshold looked up
+    from the fractions map.
+
+    Same statistical contract as seeded ``sampleBy`` (independent Bernoulli
+    per row at the stratum's rate), but the decision is a pure function of
+    (salt, id, label): reproducible across engines/runs/partitionings (so
+    it IS oracle-checkable, unlike partition-dependent seeded sampling),
+    composable, and expandable per stratum. Strata absent from
+    ``fractions`` are dropped, matching sampleBy. Narrow — the predicate
+    evaluates in the scan projection, no shuffle at any scale.
+    """
+    threshold = None
+    for label, frac in fractions.items():
+        cond = F.col(label_col) == label
+        lit = F.lit(int(frac * (16**15)))
+        threshold = (
+            F.when(cond, lit) if threshold is None else threshold.when(cond, lit)
+        )
+    # no otherwise(): strata absent from the map get NULL -> filtered out
+    digest = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    return df.filter(
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("decimal(20,0)")
+        < threshold.cast("decimal(20,0)")
+    )
+
+
 def rebalance_classes(
     df: DataFrame,
     label_col: str,

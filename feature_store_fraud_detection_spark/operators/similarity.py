@@ -160,32 +160,89 @@ def ivf_topk(
     num_clusters: int = 8,
     n_probe: int = 2,
     seed: int = 42,
+    init: str = "kmeans",
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
-    partitions the corpus; each query searches only its ``n_probe`` nearest
-    cluster lists. The second ANN family next to hyperplane LSH — better
+    """IVF (inverted-file) approximate top-k: a coarse quantizer partitions
+    the corpus; each query searches only its ``n_probe`` nearest cluster
+    lists. The second ANN family next to hyperplane LSH — better
     recall/cost control when the corpus is clusterable.
 
-    The quantizer trains once (MLlib KMeans, seeded) and broadcasts inside
-    the assignment transform; at 100 TB the centroid table is tiny (k x dim)
-    and list scans are |corpus|/k per probe. Iterative + RNG -> declared
-    rows-only to the oracle gate; ranking quality is test-covered.
+    Two quantizers, same inverted-list search:
+
+    * ``init="kmeans"`` — MLlib KMeans (seeded). Best centroids, but
+      iterative + RNG, so queries built on it are declared rows-only to the
+      oracle gate; ranking quality is test-covered.
+    * ``init="md5_sample"`` — the ``num_clusters`` corpus vectors with the
+      smallest ``(md5(id), id)`` serve directly as centroids (the
+      deterministic analog of sampling the quantizer's training set, a
+      standard IVF practice at scale). Every step is a pure function of the
+      data, so the full query — centroid pick, list assignment, probe
+      selection, ranked output — hash-checks against a SQL twin.
+
+    The quantizer is tiny either way (k x dim; broadcast into assignment);
+    list scans are |corpus|/k per probe.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
     from pyspark.sql import Window
 
+    spark = df.sparkSession
     vecs = df.select(
         F.col(id_col), _to_double(F.col(vec_col)).alias("__vec_d")
-    ).withColumn("__features", array_to_vector("__vec_d"))
-    km = KMeans(k=num_clusters, seed=seed, featuresCol="__features", predictionCol="__cluster")
-    model = km.fit(vecs)
-    assigned = model.transform(vecs)
+    )
+    if init == "md5_sample":
+        # deterministic centroid pick: bounded k-row driver collect (the
+        # centroid table is driver/broadcast metadata in any IVF system)
+        picked = (
+            vecs.orderBy(
+                F.md5(F.col(id_col).cast("string")), F.col(id_col)
+            )
+            .limit(num_clusters)
+            .collect()
+        )
+        cent_df = spark.createDataFrame(
+            [(i, list(r["__vec_d"])) for i, r in enumerate(picked)],
+            "cluster int, centroid array<double>",
+        )
+        # assign every vector to its nearest centroid — same sequential-fold
+        # dist2 both engines, ties broken on cluster id
+        dist2 = F.aggregate(
+            F.zip_with(
+                "__vec_d", "centroid", lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w_asg = Window.partitionBy(id_col).orderBy("__d2", "cluster")
+        assigned = (
+            vecs.crossJoin(F.broadcast(cent_df))
+            .withColumn("__d2", dist2)
+            .withColumn("__rn", F.row_number().over(w_asg))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "__vec_d", F.col("cluster").alias("__cluster"))
+        )
+    elif init == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    # distance of every query to every centroid -> n_probe nearest lists
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    spark = df.sparkSession
-    cent_df = spark.createDataFrame(centroids, "cluster int, centroid array<double>")
+        feat = vecs.withColumn("__features", array_to_vector("__vec_d"))
+        km = KMeans(
+            k=num_clusters,
+            seed=seed,
+            featuresCol="__features",
+            predictionCol="__cluster",
+        )
+        model = km.fit(feat)
+        assigned = model.transform(feat)
+
+        # distance of every query to every centroid -> n_probe nearest lists
+        centroids = [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ]
+        cent_df = spark.createDataFrame(
+            centroids, "cluster int, centroid array<double>"
+        )
+    else:
+        raise ValueError(f"unknown init {init!r}")
     q = assigned.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("query_id"), F.col("__vec_d").alias("__qvec")
     )

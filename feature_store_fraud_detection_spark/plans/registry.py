@@ -1021,15 +1021,35 @@ LIMIT 10
 
 
 # Seeded sampling has no cross-engine parity (SURVEY §7 trap 7) -> rows-only.
+_STRAT_FRACTIONS = {"error": 1.0, "purchase": 0.5, "view": 0.1}
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic md5-threshold stratified sampling: same Bernoulli-per-
+    # stratum contract as seeded sampleBy (operators/sampling.py keeps that
+    # form too), but the keep decision is a pure function of (id, stratum),
+    # so the query is hash-checkable instead of rows-only.
     from feature_store_fraud_detection_spark.operators.sampling import (
-        stratified_sample,
+        stratified_hash_sample,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    return stratified_sample(
-        ev, "event_type", {"error": 1.0, "purchase": 0.5, "view": 0.1}, seed=42
+    return stratified_hash_sample(
+        ev, "event_type", "event_id", _STRAT_FRACTIONS, salt="strat"
     )
+
+
+_STRATIFIED_SAMPLE_SQL = f"""
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events
+WHERE CAST('0x' || substring(md5('strat|' || CAST(event_id AS VARCHAR)), 1, 15)
+           AS BIGINT)
+      < CASE event_type
+          WHEN 'error' THEN {int(1.0 * 16**15)}
+          WHEN 'purchase' THEN {int(0.5 * 16**15)}
+          WHEN 'view' THEN {int(0.1 * 16**15)}
+        END
+"""
 
 
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1511,15 +1531,68 @@ GROUP BY 1, 2
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (KMeans coarse quantizer + probed-list search). Iterative
-    seeded clustering -> rows-only; ranking covered by tests."""
+    """IVF ANN with the deterministic md5-sampled coarse quantizer: the 8
+    corpus vectors with smallest (md5(id), id) ARE the centroids, so the
+    whole query — centroid pick, inverted-list assignment, probe selection,
+    ranked search — is a pure function of the data and hash-checks against
+    the unrolled SQL twin (the seeded-KMeans quantizer stays available as
+    ivf_topk(init='kmeans'), recall-tested)."""
     from feature_store_fraud_detection_spark.operators.similarity import ivf_topk
 
     emb = load_embeddings(spark, sf_dir)
     return ivf_topk(
         emb, "vec_id", "embedding", query_max_id=10, top_k=5,
-        num_clusters=8, n_probe=2,
+        num_clusters=8, n_probe=2, init="md5_sample",
     )
+
+
+_IVF_DIST2 = (
+    "list_reduce(list_transform(range(1, len({v}) + 1),"
+    " i -> ({v}[i] - c.cv[i]) * ({v}[i] - c.cv[i])), (x, y) -> x + y)"
+)
+
+_IVF_TOPK_SQL = f"""
+WITH {_VEC_CTE},
+cent AS (
+  SELECT cluster, cv FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+             - 1 AS cluster,
+           vd AS cv
+    FROM v
+  ) WHERE cluster < 8
+),
+asg AS (
+  SELECT vec_id, vd, nrm, cluster FROM (
+    SELECT vn.vec_id, vn.vd, vn.nrm, c.cluster,
+           row_number() OVER (PARTITION BY vn.vec_id
+                              ORDER BY {_IVF_DIST2.format(v='vn.vd')},
+                                       c.cluster) AS rn
+    FROM vn CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+pr AS (
+  SELECT vec_id AS query_id, vd AS qv, nrm AS qn, cluster FROM (
+    SELECT vn.vec_id, vn.vd, vn.nrm, c.cluster,
+           row_number() OVER (PARTITION BY vn.vec_id
+                              ORDER BY {_IVF_DIST2.format(v='vn.vd')},
+                                       c.cluster) AS rn
+    FROM vn CROSS JOIN cent c WHERE vn.vec_id < 10
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         floor(list_reduce(list_transform(range(1, len(p.qv) + 1),
+                                          i -> p.qv[i] * a.vd[i]),
+                           (x, y) -> x + y) / (p.qn * a.nrm)
+               * 10000 + 0.5) / 10000 AS cosine
+  FROM pr p JOIN asg a ON a.cluster = p.cluster AND a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
 
 
 def _q_mlp_batch_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5020,14 +5093,14 @@ QUERIES: dict[str, QuerySpec] = {
     "rolling_rows_avg": QuerySpec(_q_rolling_rows_avg, _ROLLING_ROWS_SQL),
     "inter_event_gaps": QuerySpec(_q_inter_event_gaps, _INTER_EVENT_SQL),
     "session_windows": QuerySpec(_q_session_windows, _SESSION_SQL),
-    "stratified_sample": QuerySpec(_q_stratified_sample, None),
+    "stratified_sample": QuerySpec(_q_stratified_sample, _STRATIFIED_SAMPLE_SQL),
     "promo_revenue_share": QuerySpec(_q_promo_revenue_share, _PROMO_SHARE_SQL),
     "events_pivot": QuerySpec(_q_events_pivot, _EVENTS_PIVOT_SQL),
     "rollup_revenue": QuerySpec(_q_rollup_revenue, _ROLLUP_SQL),
     "customer_revenue_deciles": QuerySpec(_q_customer_deciles, _DECILES_SQL),
     "table_profile": QuerySpec(_q_table_profile, _TABLE_PROFILE_SQL),
     "label_centroids": QuerySpec(_q_label_centroids, _LABEL_CENTROIDS_SQL),
-    "ivf_topk": QuerySpec(_q_ivf_topk, None),
+    "ivf_topk": QuerySpec(_q_ivf_topk, _IVF_TOPK_SQL),
     "mlp_batch_scoring": QuerySpec(_q_mlp_batch_scoring, None),
 }
 
@@ -7550,8 +7623,11 @@ _GRADING_PRIORITY: list[str] = [
     "resize_thumbs",
     "summary_stats",
     "offline_store_range_scan",
-    "pricing_summary",
-    "grouping_sets_revenue",
+    # (c) rows-only -> hash-checked upgrades this round: the deterministic
+    # md5-sample IVF quantizer and md5-threshold stratified sampling gained
+    # real SQL oracles — a driver-green row proves the upgrade
+    "ivf_topk",
+    "stratified_sample",
 ]
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (

@@ -148,3 +148,46 @@ class ParquetOnlineStore:
             .partitionBy(BUCKET_COL)
             .parquet(self.path)
         )
+
+    def delete_keys(self, values: list) -> None:
+        """Targeted key deletion on the SERVING state (the online half of
+        the right-to-be-forgotten op — ``OfflineStore.delete_keys`` handles
+        the history; this clears what ``point_lookup``/``stream_latest_state``
+        serve). Rewrites ONLY the key buckets the deleted keys hash into,
+        anti-filtered NULL-safely, via dynamic partition overwrite — cost is
+        |touched buckets| of state, independent of table size (Redis DEL /
+        Delta DELETE analog on bucket-partitioned parquet)."""
+        if not values or not self.exists():
+            return
+        state = self.spark.read.parquet(self.path)
+        key_type = state.schema[self.key].dataType.simpleString()
+        vals = self.spark.createDataFrame(
+            [(v,) for v in values], f"`{self.key}` {key_type}"
+        )
+        touched = [
+            r[0]
+            for r in self._with_bucket(vals).select(BUCKET_COL).distinct().collect()
+        ]
+        # NULL-safe keep predicate: ~isin evaluates to NULL for NULL keys,
+        # which would silently drop NULL-key rows sharing a bucket
+        remaining = (
+            state.filter(F.col(BUCKET_COL).isin(touched))
+            .filter(F.col(self.key).isNull() | ~F.col(self.key).isin(values))
+            .localCheckpoint(eager=True)
+        )
+        (
+            remaining.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.path)
+        )
+        # dynamic overwrite only replaces buckets PRESENT in the written
+        # data — a bucket whose every key was deleted would silently keep
+        # its old files; drop those directories explicitly (same FS-API
+        # cleanup as OfflineStore.delete_keys).
+        kept = {r[0] for r in remaining.select(BUCKET_COL).distinct().collect()}
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        for b in set(touched) - kept:
+            hpath = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{BUCKET_COL}={b}")
+            hpath.getFileSystem(conf).delete(hpath, True)

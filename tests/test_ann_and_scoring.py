@@ -247,3 +247,63 @@ def test_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
     for q in single:
         assert multi[q] >= single[q]
     assert sum(multi.values()) > sum(single.values())
+
+
+def test_torch_state_dict_npz_round_trip_bit_exact(tmp_path):
+    """The torch-weight loadability claim, proven without torch: (1) a
+    state-dict-format npz (torch key names/layouts, synthesized from the
+    numpy MLP by inverting the eval-mode BatchNorm fold) reloads through
+    load_weights and scores BIT-identically to the source weights; (2) the
+    folded serving-format npz round-trips bit-exactly too."""
+    from feature_store_fraud_detection_spark.ml.torch_scoring import (
+        _BN_IDX,
+        _LINEAR_IDX,
+    )
+
+    eps = 1e-5
+    src = init_weights(n_features=11, seed=3)
+    # perturb BN affines away from identity so the fold is actually tested
+    rng = np.random.default_rng(11)
+    n_blocks = len(DEEPFRAUDNET_LAYERS) - 1
+    for i in range(n_blocks):
+        src[f"bn_scale{i}"] = rng.uniform(0.5, 1.5, src[f"bn_scale{i}"].shape)
+        src[f"bn_shift{i}"] = rng.normal(0, 0.3, src[f"bn_shift{i}"].shape)
+
+    # export AS a torch state_dict: Linear transposed to (out, in); BN with
+    # running_mean=0, running_var=1-eps, gamma=scale, beta=shift — folding
+    # those recovers exactly the source scale/shift (scale = gamma/sqrt(1) )
+    arrays: dict[str, np.ndarray] = {}
+    for i, li in enumerate(_LINEAR_IDX):
+        arrays[f"model.{li}.weight"] = src[f"w{i}"].T
+        arrays[f"model.{li}.bias"] = src[f"b{i}"]
+    for i, bi in enumerate(_BN_IDX):
+        n = src[f"bn_scale{i}"].shape[0]
+        arrays[f"model.{bi}.weight"] = src[f"bn_scale{i}"]
+        arrays[f"model.{bi}.bias"] = src[f"bn_shift{i}"]
+        arrays[f"model.{bi}.running_mean"] = np.zeros(n)
+        arrays[f"model.{bi}.running_var"] = np.full(n, 1.0 - eps)
+    sd_path = str(tmp_path / "state_dict.npz")
+    np.savez(sd_path, **arrays)
+
+    x = np.random.default_rng(5).normal(size=(256, 11))
+    want = forward(x, src)
+    got_sd = forward(x, load_weights(sd_path))  # detected + folded
+    assert np.array_equal(want, got_sd)
+
+    folded_path = str(tmp_path / "folded.npz")
+    save_weights(src, folded_path)
+    got_folded = forward(x, load_weights(folded_path))
+    assert np.array_equal(want, got_folded)
+
+    # arbitrary running stats must also fold consistently: direct fold ==
+    # load-from-npz fold, and scores stay in (0, 1)
+    for i, bi in enumerate(_BN_IDX):
+        n = arrays[f"model.{bi}.weight"].shape[0]
+        arrays[f"model.{bi}.running_mean"] = rng.normal(0, 1, n)
+        arrays[f"model.{bi}.running_var"] = rng.uniform(0.5, 2.0, n)
+    sd2 = str(tmp_path / "state_dict2.npz")
+    np.savez(sd2, **arrays)
+    direct = forward(x, from_state_dict_arrays(arrays))
+    loaded = forward(x, load_weights(sd2))
+    assert np.array_equal(direct, loaded)
+    assert np.all((loaded > 0) & (loaded < 1))

