@@ -95,7 +95,11 @@ HEADLINE: list[tuple[str, int]] = [
     ("bpe_merges", 3),
     ("multiprobe_topk", 3),
     ("incremental_neardup", 3),
-    # round-4 additions land here with tag 4
+    # round-4 additions: PQ compressed-domain ANN, time-decay features,
+    # deterministic exact-n stratified sampling
+    ("pq_topk", 4),
+    ("decayed_user_value", 4),
+    ("stratified_topn", 4),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

@@ -70,6 +70,109 @@ def stratified_hash_sample(
     )
 
 
+def stratified_topn_sample(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exact-n-per-stratum sampling (the reference M2 ``sample(n=...)`` per
+    class shape) without RNG: rank rows WITHIN each stratum by
+    ``(md5(salt||id), id)`` and keep the first n. The hash order is a
+    uniform-random permutation for any non-adversarial id set, so this is a
+    simple random sample of exactly n per stratum — deterministic across
+    engines/runs/partitionings, and distributable (one shuffle on the
+    stratum key + WindowGroupLimit top-n pruning; exact-n seeded sampling
+    does not distribute at all, SURVEY §7 trap 7)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(label_col).orderBy(
+        F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+        id_col,
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def rebalance_classes_hash(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+    positive_value=1,
+    negative_ratio: float = 5.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic twin of :func:`rebalance_classes` (reference M3): keep
+    every positive, md5-threshold the negatives to ``negative_ratio`` x
+    positives. The negative keep fraction derives from the class counts
+    INSIDE the plan (one scalar aggregate, broadcast), and the threshold
+    arithmetic — ``floor(least(1, r*n_pos/n_neg) * 16^15)`` in doubles — is
+    reproduced verbatim by the SQL twin, so the sampled set hash-checks.
+    Same expectation contract as the seeded form; decision is a pure
+    function of (salt, id, class histogram)."""
+    counts = df.agg(
+        F.sum(
+            F.when(F.col(label_col) == positive_value, 1).otherwise(0)
+        ).alias("__np"),
+        F.sum(
+            F.when(F.col(label_col) != positive_value, 1).otherwise(0)
+        ).alias("__nn"),
+    )
+    # 16^15 == 2^60: exactly representable, so the double multiply + floor
+    # lands on the same BIGINT on every engine
+    thr = counts.select(
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(negative_ratio)) * F.col("__np"))
+                / F.col("__nn").cast("double"),
+            )
+            * F.lit(float(16**15))
+        )
+        .cast("long")
+        .alias("__thr")
+    )
+    digest = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .filter(
+            (F.col(label_col) == positive_value)
+            | (
+                F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+                < F.col("__thr")
+            )
+        )
+        .drop("__thr")
+    )
+
+
+def train_test_hash_split(
+    df: DataFrame, id_col: str, test_fraction: float = 0.2, salt: str = ""
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic train/test split (reference M5's seeded split): rows
+    whose 60-bit id hash falls below ``test_fraction`` of the hash space go
+    to test, the rest to train. Pure function of (salt, id): the same row
+    never switches sides across engines, runs, partitionings, or dataset
+    growth — appending new data cannot leak an old training row into test
+    (seeded randomSplit reshuffles everything on any change). Narrow: the
+    predicate evaluates in the scan."""
+    threshold = int(test_fraction * (16**15))
+    digest = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    is_test = (
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("decimal(20,0)")
+        < F.lit(threshold).cast("decimal(20,0)")
+    )
+    return df.filter(~is_test), df.filter(is_test)
+
+
 def rebalance_classes(
     df: DataFrame,
     label_col: str,

@@ -711,3 +711,110 @@ def multiprobe_lsh_topk(
         .filter(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_max_id: int,
+    top_k: int = 5,
+    m: int = 2,
+    k_per_sub: int = 16,
+    salt: str = "pq",
+) -> DataFrame:
+    """Product-quantization approximate top-k (the compressed-domain scan
+    next to SQ8): vectors split into ``m`` contiguous subspaces, each
+    subspace quantized against its own ``k_per_sub``-entry codebook, and
+    queries ranked by the classic ADC (asymmetric distance computation) —
+    per query a tiny (m x k) distance table, per corpus vector only its m
+    small codes. Returns (query_id, neighbor_id, adist2, rank) by ascending
+    approximate squared L2.
+
+    Codebooks are DETERMINISTIC: the ``k_per_sub`` corpus vectors with the
+    smallest ``(md5(salt||id), id)`` donate their sub-vectors (the same
+    sampled-training-set practice as ``ivf_topk(init='md5_sample')``), so
+    encoding, distance tables, and ranking are pure functions of the data —
+    the whole query hash-checks against a SQL twin.
+
+    Scale: the corpus is touched twice (encode, then the code-only ADC
+    join); codes are m small ints per vector (the 32x-compression memory
+    shape PQ exists for); the per-query distance table broadcasts. Encoding
+    shuffles nothing — it's a broadcast-join + per-row argmin.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    vecs = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("__v"))
+    dim = vecs.select(F.size("__v")).first()[0]  # driver scalar (schema-ish)
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub_dim = dim // m
+
+    picked = (
+        vecs.orderBy(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+            F.col(id_col),
+        )
+        .limit(k_per_sub)
+        .collect()
+    )
+    cb_rows = [
+        (j, c, list(r["__v"][j * sub_dim : (j + 1) * sub_dim]))
+        for j in range(m)
+        for c, r in enumerate(picked)
+    ]
+    cb = spark.createDataFrame(cb_rows, "sub int, code int, cent array<double>")
+
+    # corpus sub-vectors: m narrow slices unioned (still one scan per slice
+    # of the cached/source frame; no shuffle)
+    sv = None
+    for j in range(m):
+        part = vecs.select(
+            F.col(id_col),
+            F.lit(j).alias("sub"),
+            F.slice("__v", j * sub_dim + 1, sub_dim).alias("s"),
+        )
+        sv = part if sv is None else sv.unionByName(part)
+
+    d2 = F.aggregate(
+        F.zip_with("s", "cent", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_enc = Window.partitionBy(id_col, "sub").orderBy("__d2", "code")
+    codes = (
+        sv.join(F.broadcast(cb), "sub")
+        .withColumn("__d2", d2)
+        .withColumn("__rn", F.row_number().over(w_enc))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col).alias("neighbor_id"), "sub", "code")
+    )
+
+    # ADC: per query an (m x k) distance table against every codebook entry
+    qt = (
+        sv.filter(F.col(id_col) < query_max_id)
+        .join(F.broadcast(cb), "sub")
+        .select(
+            F.col(id_col).alias("query_id"), "sub", "code", d2.alias("__qd")
+        )
+    )
+    # sum of m per-subspace distances via a SORTED fold: with m > 2 the
+    # group-sum order would otherwise differ between engines in the last
+    # bit (m values per group — the sort is O(m log m) on tiny arrays)
+    fold = F.aggregate(
+        F.array_sort(F.collect_list("__qd")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.join(F.broadcast(qt), ["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg((F.floor(fold * 10000 + F.lit(0.5)) / 10000).alias("adist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "adist2", "rank")
+    )

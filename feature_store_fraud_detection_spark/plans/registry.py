@@ -7560,6 +7560,262 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# Round 4: time-decay features, deterministic exact-n stratified sampling,
+# hash-checkable class rebalance / split, product-quantization ANN
+# (ordered funnel + cohort retention already exist: funnel_steps /
+# cohort_retention)
+# --------------------------------------------------------------------------
+
+
+def _q_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user value with exact power-of-two half-life
+    weights (operators/decay.py) — the decayed sums hash-check because the
+    weights are exact IEEE divisions, not libm exp()."""
+    from feature_store_fraud_detection_spark.operators.decay import (
+        decayed_user_value,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return decayed_user_value(
+        ev, "user_id", "ts", "value", half_life_sec=7 * 86_400
+    )
+
+
+_DECAYED_VALUE_SQL = """
+WITH now_ts AS (
+  SELECT epoch_us(max(ts)) // 1000000 AS now_s FROM events
+),
+w AS (
+  SELECT user_id,
+         CAST(value AS DOUBLE)
+           / CAST(1::BIGINT << CAST(least((now_s - epoch_us(ts) // 1000000)
+                                          // 604800, 62) AS INT) AS DOUBLE)
+           AS wv,
+         1.0
+           / CAST(1::BIGINT << CAST(least((now_s - epoch_us(ts) // 1000000)
+                                          // 604800, 62) AS INT) AS DOUBLE)
+           AS wt
+  FROM events CROSS JOIN now_ts
+)
+SELECT user_id, count(*) AS n_events,
+       floor(list_reduce(list_sort(list(wv)), (a, x) -> a + x) * 10000 + 0.5)
+         / 10000 AS decayed_value,
+       floor(list_reduce(list_sort(list(wt)), (a, x) -> a + x) * 10000 + 0.5)
+         / 10000 AS decayed_weight
+FROM w GROUP BY user_id
+"""
+
+
+def _q_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n-per-stratum sampling (the reference M2 ``sample(n=...)`` per
+    class) made deterministic and distributable: rank by (md5(id), id)
+    WITHIN each stratum, keep the first n — no RNG, no driver collect, one
+    shuffle on the stratum key."""
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        stratified_topn_sample,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return stratified_topn_sample(
+        ev, "event_type", "event_id", n_per_stratum=100, salt="m2"
+    )
+
+
+_STRATIFIED_TOPN_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5('m2|' || CAST(event_id AS VARCHAR)), event_id
+         ) AS rn
+  FROM events
+) WHERE rn <= 100
+"""
+
+
+def _q_rebalance_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic twin of the reference M3 class rebalance: keep every
+    positive, hash-threshold the negatives to 2:1 with the fraction derived
+    from the class counts IN-QUERY — same expectation contract as seeded
+    sampling, but a pure function of the data, so it hash-checks."""
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        rebalance_classes_hash,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("event_type") == "error").cast("int").alias("label"),
+    )
+    return rebalance_classes_hash(
+        ev, "label", "event_id", positive_value=1, negative_ratio=2.0,
+        salt="m3",
+    )
+
+
+_REBALANCE_HASH_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, value,
+         CAST(event_type = 'error' AS INT) AS label
+  FROM events
+),
+cnt AS (
+  SELECT sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n_pos,
+         sum(CASE WHEN label != 1 THEN 1 ELSE 0 END) AS n_neg
+  FROM base
+),
+thr AS (
+  SELECT CAST(floor(least(1.0, 2.0 * n_pos / CAST(n_neg AS DOUBLE))
+                    * 1152921504606846976) AS BIGINT) AS t
+  FROM cnt
+)
+SELECT event_id, user_id, value, label FROM base CROSS JOIN thr
+WHERE label = 1
+   OR CAST('0x' || substring(md5('m3|' || CAST(event_id AS VARCHAR)), 1, 15)
+           AS BIGINT) < t
+"""
+
+
+def _q_train_test_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train/test split (reference M5's seeded split):
+    the md5-threshold keep decision is a pure function of the row id, so
+    the SAME rows land in the same side on every engine, run, and
+    partitioning — and re-running with more data never moves an old row
+    across the boundary (the leakage property seeded splits lack)."""
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        train_test_hash_split,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    train, test = train_test_hash_split(ev, "event_id", test_fraction=0.2, salt="m5")
+    return (
+        train.select("event_id", "user_id", F.lit("train").alias("split"))
+        .unionByName(
+            test.select("event_id", "user_id", F.lit("test").alias("split"))
+        )
+    )
+
+
+_TRAIN_TEST_SPLIT_SQL = f"""
+SELECT event_id, user_id,
+       CASE WHEN CAST('0x' || substring(md5('m5|' || CAST(event_id AS VARCHAR)),
+                                        1, 15) AS BIGINT)
+                 < {int(0.2 * 16**15)}
+            THEN 'test' ELSE 'train' END AS split
+FROM events
+"""
+
+
+#: PQ registry config: 16 subspaces x 64 codes over the 64-dim embeddings
+#: (4-dim subspaces — the standard PQ granularity; measured recall@5 vs
+#: exact L2 rises 0.14 -> 0.40 going from m=2/k=16 to this).
+_PQ_M, _PQ_K = 16, 64
+_PQ_SUB_DIM = 64 // _PQ_M
+
+
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k with deterministic md5-sampled
+    codebooks (operators/similarity.pq_topk) — the compressed-domain ANN
+    scan; codes + distance tables are pure functions of the data, so the
+    full ranked output hash-checks against the generated SQL twin."""
+    from feature_store_fraud_detection_spark.operators.similarity import pq_topk
+
+    emb = load_embeddings(spark, sf_dir)
+    return pq_topk(
+        emb, "vec_id", "embedding", query_max_id=10, top_k=5,
+        m=_PQ_M, k_per_sub=_PQ_K,
+    )
+
+
+def _pq_sql() -> str:
+    """Generate the PQ twin for m subspaces (one UNION ALL branch each for
+    the codebook and the corpus sub-vectors; the adist2 sum is a sorted
+    fold, matching the operator's order-pinned summation)."""
+    d = _PQ_SUB_DIM
+    dist = (
+        f"list_reduce(list_transform(range(1, {d + 1}),"
+        " i -> (sv.s[i] - cb.cent[i]) * (sv.s[i] - cb.cent[i])),"
+        " (x, y) -> x + y)"
+    )
+    cb_branches = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS sub, code, vd[{j * d + 1}:{(j + 1) * d}] AS cent"
+        " FROM pick"
+        for j in range(_PQ_M)
+    )
+    sv_branches = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {j} AS sub, vd[{j * d + 1}:{(j + 1) * d}] AS s"
+        " FROM v"
+        for j in range(_PQ_M)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+),
+pick AS (
+  SELECT code, vd FROM (
+    SELECT row_number() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)),
+                              vec_id) - 1 AS code,
+           vd
+    FROM v
+  ) WHERE code < {_PQ_K}
+),
+cb AS (
+{cb_branches}
+),
+sv AS (
+{sv_branches}
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, sub, code FROM (
+    SELECT sv.vec_id, sv.sub, cb.code,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                              ORDER BY {dist}, cb.code) AS rn
+    FROM sv JOIN cb ON cb.sub = sv.sub
+  ) WHERE rn = 1
+),
+qt AS (
+  SELECT sv.vec_id AS query_id, sv.sub, cb.code,
+         {dist} AS qd
+  FROM sv JOIN cb ON cb.sub = sv.sub
+  WHERE sv.vec_id < 10
+),
+scored AS (
+  SELECT qt.query_id, c.neighbor_id,
+         floor(list_reduce(list_sort(list(qt.qd)), (a, x) -> a + x)
+               * 10000 + 0.5) / 10000 AS adist2
+  FROM codes c JOIN qt ON qt.sub = c.sub AND qt.code = c.code
+  WHERE c.neighbor_id != qt.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adist2, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist2, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+_PQ_TOPK_SQL = _pq_sql()
+
+
+QUERIES.update(
+    {
+        "pq_topk": QuerySpec(_q_pq_topk, _PQ_TOPK_SQL),
+        "decayed_user_value": QuerySpec(
+            _q_decayed_user_value, _DECAYED_VALUE_SQL
+        ),
+        "stratified_topn": QuerySpec(_q_stratified_topn, _STRATIFIED_TOPN_SQL),
+        "rebalance_hash": QuerySpec(_q_rebalance_hash, _REBALANCE_HASH_SQL),
+        "train_test_hash_split": QuerySpec(
+            _q_train_test_hash_split, _TRAIN_TEST_SPLIT_SQL
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so

@@ -354,3 +354,42 @@ def test_gopher_flags_scan_stage_only(spark, sf_dir):
     for seg in plan.split("Exchange hashpartitioning")[1:]:
         assert "REPARTITION_BY" in seg[:120], seg[:120]
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_stratified_topn_uses_window_group_limit(spark, sf_dir):
+    """Exact-n-per-stratum sampling must prune per partition before the
+    stratum sort (WindowGroupLimit), not sort whole strata."""
+    df = QUERIES["stratified_topn"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "WindowGroupLimit" in plan
+
+
+def test_pq_topk_joins_are_broadcast(spark, sf_dir):
+    """PQ encode + ADC: every codebook/distance-table join must broadcast
+    the tiny side — the corpus is never sort-merge-joined."""
+    df = QUERIES["pq_topk"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hash_split_and_rebalance_are_narrow(spark, sf_dir):
+    """The md5-threshold keep decisions are scan-stage filters: no Window,
+    no sort; rebalance adds only the broadcast of the 1-row threshold."""
+    split = QUERIES["train_test_hash_split"].fn(spark, sf_dir)
+    plan = _physical(split)
+    assert "Window" not in plan and "Sort" not in plan.replace("SortMerge", "")
+    reb = QUERIES["rebalance_hash"].fn(spark, sf_dir)
+    rplan = _physical(reb)
+    assert "Window" not in rplan
+    assert "SortMergeJoin" not in rplan  # threshold joins via broadcast
+
+
+def test_decayed_value_single_keyed_exchange(spark, sf_dir):
+    """Decay weights are a narrow projection; the per-key rollup is ONE
+    hash exchange on the key (plus the 1-row 'now' broadcast)."""
+    df = QUERIES["decayed_user_value"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "SortMergeJoin" not in plan
+    n_hash_ex = plan.count("Exchange hashpartitioning")
+    assert n_hash_ex <= 1, plan[:2000]
