@@ -97,12 +97,21 @@ def pagerank(
     e = e.persist()
     # on a symmetric edge list every node appears as a source, so the
     # dst-side union (and its extra |E|-row shuffle input) is redundant —
-    # callers with undirected graphs declare it
-    node_src = e.select(F.col("src").alias("node"))
-    if not symmetric:
-        node_src = node_src.unionByName(e.select(F.col("dst").alias("node")))
-    nodes = node_src.distinct().persist()
-    n_nodes = nodes.count()  # driver scalar: defines the teleport constant
+    # callers with undirected graphs declare it. The degree table doubles
+    # as the node table there (distinct src == deg's keys), so the separate
+    # nodes distinct+persist disappears entirely in the symmetric case.
+    deg_src = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    if symmetric:
+        nodes = deg_src.select(F.col("src").alias("node"))
+        n_nodes = deg_src.count()  # materializes e + deg in one job
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        n_nodes = nodes.count()
     n_edges = e.count()  # cached scan — shares the materialization above
     # Two execution regimes, same arithmetic (the gate tests assert both):
     # - SMALL graph (|V| fits a broadcast): skip the src pre-keying — the
@@ -112,8 +121,11 @@ def pagerank(
     # - LARGE graph: hash-partition edges on src ONCE; every iteration's
     #   SMJ reuses that exchange and only the rank table moves.
     small_graph = n_nodes <= SMALL_GRAPH_NODE_LIMIT
-    work = e if small_graph else e.repartition("src")
-    deg = work.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if small_graph:
+        work, deg = e, deg_src
+    else:
+        work = e.repartition("src")
+        deg = work.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed_cached = work.join(
         F.broadcast(deg) if small_graph else deg, "src"
     ).persist()
@@ -127,7 +139,16 @@ def pagerank(
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_scaled"))
     for i in range(iterations):
         ranks = pagerank_iteration(
-            ed, nodes, ranks, base, damping_pct, broadcast_ranks=small_graph
+            ed,
+            nodes,
+            ranks,
+            base,
+            damping_pct,
+            broadcast_ranks=small_graph,
+            # a symmetric graph has no contribution-less nodes: every node
+            # has in-edges, so contribs already covers all of them and the
+            # per-iteration left join against the node table is skipped
+            all_nodes_receive=symmetric,
         )
         # Plan depth grows linearly per iteration, so a handful of rounds
         # runs best as ONE chained-shuffle job (AQE coalesces each round);
@@ -138,7 +159,9 @@ def pagerank(
     # materialize ONCE (while ed/nodes are still cached), then release them
     ranks = ranks.localCheckpoint(eager=True)
     ed_cached.unpersist()
-    nodes.unpersist()
+    deg_src.unpersist()
+    if not symmetric:
+        nodes.unpersist()
     e.unpersist()
     return ranks
 
@@ -150,6 +173,7 @@ def pagerank_iteration(
     base: int,
     damping_pct: int,
     broadcast_ranks: bool = False,
+    all_nodes_receive: bool = False,
 ) -> DataFrame:
     """One PageRank round: contribute along edges, damp, add teleport mass.
 
@@ -157,7 +181,9 @@ def pagerank_iteration(
     shuffle shape (the |E|-row ``ed`` side, pre-keyed on src, must not
     re-exchange; only the |V|-row rank table moves — or, with
     ``broadcast_ranks``, nothing moves but the map-side-combined
-    contribution aggregate)."""
+    contribution aggregate). With ``all_nodes_receive`` (symmetric graphs:
+    every node has in-edges) the contribution aggregate already covers the
+    full node set, so the round is join-free after the edge contribution."""
     rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
     contribs = (
         ed.join(rank_side, ed.src == ranks.node)
@@ -165,11 +191,19 @@ def pagerank_iteration(
         .groupBy("dst")
         .agg(F.sum("c").alias("agg"))
     )
-    return nodes.join(contribs, nodes.node == contribs.dst, "left").select(
-        "node",
+    new_rank = (
         (F.lit(base) + F.expr(f"({damping_pct} * coalesce(agg, 0L)) div 100"))
         .cast("long")
-        .alias("rank_scaled"),
+        .alias("rank_scaled")
+    )
+    if all_nodes_receive:
+        return contribs.select(F.col("dst").alias("node"), new_rank)
+    # the rank-update join: both sides are |V| rows; in the broadcast
+    # regime hand Catalyst the small aggregated side so each iteration
+    # costs zero exchanges instead of two 16k-row ones
+    contrib_side = F.broadcast(contribs) if broadcast_ranks else contribs
+    return nodes.join(contrib_side, nodes.node == contribs.dst, "left").select(
+        "node", new_rank
     )
 
 
