@@ -98,6 +98,7 @@ HEADLINE: list[tuple[str, int]] = [
     # round-4 additions: PQ compressed-domain ANN, time-decay features,
     # deterministic exact-n stratified sampling
     ("pq_topk", 4),
+    ("ivfpq_topk", 4),
     ("decayed_user_value", 4),
     ("stratified_topn", 4),
 ]

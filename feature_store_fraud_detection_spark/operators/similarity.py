@@ -713,6 +713,22 @@ def multiprobe_lsh_topk(
     )
 
 
+def _pq_subvectors(vecs: DataFrame, id_col: str, m: int, sub_dim: int) -> DataFrame:
+    """(id, sub, s): each vector's m contiguous sub-vectors from ONE scan —
+    an explode of an m-element struct array. A unionByName of m sliced
+    selects would scan the source m times (16 passes at m=16)."""
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.struct(
+            j.cast("int").alias("sub"),
+            F.slice("__v", j * sub_dim + 1, F.lit(sub_dim)).alias("s"),
+        ),
+    )
+    return vecs.select(F.col(id_col), F.explode(subs).alias("e")).select(
+        id_col, "e.sub", "e.s"
+    )
+
+
 def pq_topk(
     df: DataFrame,
     id_col: str,
@@ -765,16 +781,8 @@ def pq_topk(
     ]
     cb = spark.createDataFrame(cb_rows, "sub int, code int, cent array<double>")
 
-    # corpus sub-vectors: m narrow slices unioned (still one scan per slice
-    # of the cached/source frame; no shuffle)
-    sv = None
-    for j in range(m):
-        part = vecs.select(
-            F.col(id_col),
-            F.lit(j).alias("sub"),
-            F.slice("__v", j * sub_dim + 1, sub_dim).alias("s"),
-        )
-        sv = part if sv is None else sv.unionByName(part)
+    # corpus sub-vectors from ONE scan (struct-array explode; no shuffle)
+    sv = _pq_subvectors(vecs, id_col, m, sub_dim)
 
     d2 = F.aggregate(
         F.zip_with("s", "cent", lambda a, b: (a - b) * (a - b)),
@@ -808,6 +816,144 @@ def pq_topk(
     )
     scored = (
         codes.join(F.broadcast(qt), ["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg((F.floor(fold * 10000 + F.lit(0.5)) / 10000).alias("adist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "adist2", "rank")
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_max_id: int,
+    top_k: int = 5,
+    num_clusters: int = 8,
+    n_probe: int = 2,
+    m: int = 16,
+    k_per_sub: int = 64,
+    coarse_salt: str = "ivfpq",
+    pq_salt: str = "pq",
+) -> DataFrame:
+    """IVF-PQ composite ANN — the standard billion-scale index shape
+    (FAISS IVFPQ): an IVF coarse quantizer prunes the search to ``n_probe``
+    inverted lists, and within those lists candidates are ranked by PQ ADC
+    distance over their m compact codes, never their raw vectors. Returns
+    (query_id, neighbor_id, adist2, rank).
+
+    Both quantizers are the deterministic md5-sample kind (different
+    salts -> independent samples), so the full pipeline — coarse
+    assignment, probe selection, codes, distance tables, ranking — is a
+    pure function of the data and hash-checks against a generated SQL twin.
+    Codebooks quantize RAW vectors (classic IVFADC without the residual
+    refinement; per-list residual codebooks are the quality upgrade when a
+    trained quantizer is available — see ``ivf_topk(init='kmeans')``).
+
+    Scale: per query the work is |corpus|/num_clusters * n_probe code rows
+    (+ an (m x k) broadcast distance table); the corpus contributes only
+    its coarse list id and m codes — the 32x memory compression that makes
+    the index RAM-resident at 100 TB of raw vectors.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    vecs = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("__v"))
+    dim = vecs.select(F.size("__v")).first()[0]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub_dim = dim // m
+
+    # --- coarse quantizer: md5-sampled centroids, nearest-list assignment
+    coarse_rows = (
+        vecs.orderBy(
+            F.md5(F.concat_ws("|", F.lit(coarse_salt), F.col(id_col).cast("string"))),
+            F.col(id_col),
+        )
+        .limit(num_clusters)
+        .collect()
+    )
+    cent = spark.createDataFrame(
+        [(i, list(r["__v"])) for i, r in enumerate(coarse_rows)],
+        "cluster int, centroid array<double>",
+    )
+    cd2 = F.aggregate(
+        F.zip_with("__v", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_asg = Window.partitionBy(id_col).orderBy("__cd2", "cluster")
+    assigned = (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn("__cd2", cd2)
+        .withColumn("__rn", F.row_number().over(w_asg))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cluster")
+    )
+    probes = (
+        vecs.filter(F.col(id_col) < query_max_id)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__cd2", cd2)
+        .withColumn("__rn", F.row_number().over(w_asg))
+        .filter(F.col("__rn") <= n_probe)
+        .select(F.col(id_col).alias("query_id"), "cluster")
+    )
+
+    # --- PQ codebooks / codes / per-query distance tables (pq_topk shape)
+    picked = (
+        vecs.orderBy(
+            F.md5(F.concat_ws("|", F.lit(pq_salt), F.col(id_col).cast("string"))),
+            F.col(id_col),
+        )
+        .limit(k_per_sub)
+        .collect()
+    )
+    cb = spark.createDataFrame(
+        [
+            (j, c, list(r["__v"][j * sub_dim : (j + 1) * sub_dim]))
+            for j in range(m)
+            for c, r in enumerate(picked)
+        ],
+        "sub int, code int, cent array<double>",
+    )
+    sv = _pq_subvectors(vecs, id_col, m, sub_dim)
+    d2 = F.aggregate(
+        F.zip_with("s", "cent", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_enc = Window.partitionBy(id_col, "sub").orderBy("__d2", "code")
+    codes = (
+        sv.join(F.broadcast(cb), "sub")
+        .withColumn("__d2", d2)
+        .withColumn("__rn", F.row_number().over(w_enc))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col).alias("neighbor_id"), "sub", "code")
+    )
+    qt = (
+        sv.filter(F.col(id_col) < query_max_id)
+        .join(F.broadcast(cb), "sub")
+        .select(F.col(id_col).alias("query_id"), "sub", "code", d2.alias("__qd"))
+    )
+
+    # --- probed-list candidate pairs, then ADC over their codes
+    cand = probes.join(
+        assigned.select(F.col(id_col).alias("neighbor_id"), "cluster"),
+        "cluster",
+    ).select("query_id", "neighbor_id")
+    fold = F.aggregate(
+        F.array_sort(F.collect_list("__qd")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(cand)
+        .join(codes, "neighbor_id")
+        .join(F.broadcast(qt), ["query_id", "sub", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg((F.floor(fold * 10000 + F.lit(0.5)) / 10000).alias("adist2"))

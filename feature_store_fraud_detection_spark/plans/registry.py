@@ -7851,9 +7851,133 @@ SELECT query_id, neighbor_id, adist2, CAST(rank AS INT) AS rank FROM (
 _PQ_TOPK_SQL = _pq_sql()
 
 
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (operators/similarity.ivfpq_topk): md5-sampled
+    coarse quantizer prunes to 2 of 8 inverted lists, PQ ADC (m=16, k=64)
+    ranks within them — the FAISS-IVFPQ shape, fully deterministic, so the
+    end-to-end ranked output hash-checks."""
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    emb = load_embeddings(spark, sf_dir)
+    return ivfpq_topk(
+        emb, "vec_id", "embedding", query_max_id=10, top_k=5,
+        num_clusters=8, n_probe=2, m=_PQ_M, k_per_sub=_PQ_K,
+    )
+
+
+def _ivfpq_sql() -> str:
+    """IVF-PQ twin: the PQ CTEs (pick/cb/sv/codes/qt) plus a coarse
+    quantizer (cents/asgc/prq) restricting candidates to probed lists."""
+    d = _PQ_SUB_DIM
+    subdist = (
+        f"list_reduce(list_transform(range(1, {d + 1}),"
+        " i -> (sv.s[i] - cb.cent[i]) * (sv.s[i] - cb.cent[i])),"
+        " (x, y) -> x + y)"
+    )
+    coarsedist = (
+        "list_reduce(list_transform(range(1, len(v.vd) + 1),"
+        " i -> (v.vd[i] - cc.centroid[i]) * (v.vd[i] - cc.centroid[i])),"
+        " (x, y) -> x + y)"
+    )
+    cb_branches = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS sub, code, vd[{j * d + 1}:{(j + 1) * d}] AS cent"
+        " FROM pick"
+        for j in range(_PQ_M)
+    )
+    sv_branches = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {j} AS sub, vd[{j * d + 1}:{(j + 1) * d}] AS s"
+        " FROM v"
+        for j in range(_PQ_M)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+),
+cents AS (
+  SELECT cluster, vd AS centroid FROM (
+    SELECT row_number() OVER (ORDER BY md5('ivfpq|' || CAST(vec_id AS VARCHAR)),
+                              vec_id) - 1 AS cluster,
+           vd
+    FROM v
+  ) WHERE cluster < 8
+),
+asgc AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, cc.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {coarsedist}, cc.cluster) AS rn
+    FROM v CROSS JOIN cents cc
+  ) WHERE rn = 1
+),
+prq AS (
+  SELECT vec_id AS query_id, cluster FROM (
+    SELECT v.vec_id, cc.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {coarsedist}, cc.cluster) AS rn
+    FROM v CROSS JOIN cents cc WHERE v.vec_id < 10
+  ) WHERE rn <= 2
+),
+pick AS (
+  SELECT code, vd FROM (
+    SELECT row_number() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)),
+                              vec_id) - 1 AS code,
+           vd
+    FROM v
+  ) WHERE code < {_PQ_K}
+),
+cb AS (
+{cb_branches}
+),
+sv AS (
+{sv_branches}
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, sub, code FROM (
+    SELECT sv.vec_id, sv.sub, cb.code,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                              ORDER BY {subdist}, cb.code) AS rn
+    FROM sv JOIN cb ON cb.sub = sv.sub
+  ) WHERE rn = 1
+),
+qt AS (
+  SELECT sv.vec_id AS query_id, sv.sub, cb.code,
+         {subdist} AS qd
+  FROM sv JOIN cb ON cb.sub = sv.sub
+  WHERE sv.vec_id < 10
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM prq p JOIN asgc a ON a.cluster = p.cluster
+  WHERE a.vec_id != p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         floor(list_reduce(list_sort(list(qt.qd)), (a, x) -> a + x)
+               * 10000 + 0.5) / 10000 AS adist2
+  FROM cand
+  JOIN codes c ON c.neighbor_id = cand.neighbor_id
+  JOIN qt ON qt.query_id = cand.query_id
+         AND qt.sub = c.sub AND qt.code = c.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adist2, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist2, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+_IVFPQ_TOPK_SQL = _ivfpq_sql()
+
+
 QUERIES.update(
     {
         "pq_topk": QuerySpec(_q_pq_topk, _PQ_TOPK_SQL),
+        "ivfpq_topk": QuerySpec(_q_ivfpq_topk, _IVFPQ_TOPK_SQL),
         "decayed_user_value": QuerySpec(
             _q_decayed_user_value, _DECAYED_VALUE_SQL
         ),

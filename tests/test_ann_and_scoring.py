@@ -372,3 +372,43 @@ def test_pq_codes_compress_and_recall_vs_brute(spark, sf_dir):
     recall = hits / total
     # chance level for 5 of ~500: ~0.01; measured 0.3 at m=16/k=64
     assert recall > 0.15, recall
+
+
+def test_ivfpq_topk_subset_of_pq_and_deterministic(spark, sf_dir):
+    """IVF-PQ = PQ ADC restricted to probed coarse lists: every (query,
+    neighbor, adist2) it returns must carry the SAME ADC distance the
+    unrestricted PQ scan assigns (the coarse quantizer only prunes
+    candidates, never changes distances); output is partition-invariant."""
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+    from feature_store_fraud_detection_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = ivfpq_topk(
+        emb, "vec_id", "embedding", query_max_id=8, top_k=5,
+        num_clusters=8, n_probe=2, m=16, k_per_sub=64,
+    ).collect()
+    # full PQ ranking with a huge top_k = the reference ADC distance table
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["adist2"]
+        for r in pq_topk(
+            emb, "vec_id", "embedding", query_max_id=8, top_k=10**6,
+            m=16, k_per_sub=64,
+        ).collect()
+    }
+    assert len(ivf) > 0
+    for r in ivf:
+        assert full[(r["query_id"], r["neighbor_id"])] == r["adist2"]
+
+    again = {
+        (r["query_id"], r["neighbor_id"], r["adist2"], r["rank"])
+        for r in ivfpq_topk(
+            emb.repartition(7), "vec_id", "embedding", query_max_id=8,
+            top_k=5, num_clusters=8, n_probe=2, m=16, k_per_sub=64,
+        ).collect()
+    }
+    assert again == {
+        (r["query_id"], r["neighbor_id"], r["adist2"], r["rank"]) for r in ivf
+    }
