@@ -5708,7 +5708,9 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("e.src", "e.dst")
 
 
-def _trade_edges_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _trade_edges_int(
+    spark: SparkSession, sf_dir: str, distinct: bool = True
+) -> DataFrame:
     # INT-keyed twin of _trade_edges for the iterative ops: customers map
     # to 2*custkey, suppliers to 2*suppkey+1 (disjoint, invertible). Rank /
     # level values depend only on graph STRUCTURE, never on the node-id
@@ -5716,6 +5718,9 @@ def _trade_edges_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "C{k}"/"S{k}" strings once at the end is answer-identical to the
     # string-keyed oracle — while every per-iteration join/agg hashes and
     # compares 8-byte longs instead of variable-length strings.
+    # ``distinct=False`` skips the dedup shuffle for consumers whose
+    # algebra is idempotent over duplicate edges (BFS min-relaxation);
+    # PageRank needs exact degrees and must keep the default.
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
@@ -5724,8 +5729,9 @@ def _trade_edges_int(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey").cast("long") * 2).alias("c"),
             (F.col("l_suppkey").cast("long") * 2 + 1).alias("s"),
         )
-        .distinct()
     )
+    if distinct:
+        pairs = pairs.distinct()
     # same single-pass symmetric explode as _trade_edges
     return pairs.select(
         F.explode(
@@ -5804,8 +5810,11 @@ def _q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = cust.agg(
         (F.min("c_custkey").cast("long") * 2).alias("node")
     )
+    # distinct=False: min-relaxation is idempotent over duplicate edges,
+    # so BFS skips the dedup shuffle entirely (assume_distinct just stops
+    # bfs_levels from re-deduping; duplicates only re-prove the same min)
     return bfs_levels(
-        _trade_edges_int(spark, sf_dir), seeds, max_hops=4,
+        _trade_edges_int(spark, sf_dir, distinct=False), seeds, max_hops=4,
         assume_distinct=True,
     ).select(_render_node_id(F.col("node")).alias("node_id"), "level")
 

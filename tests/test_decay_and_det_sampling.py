@@ -226,3 +226,22 @@ def test_merge_decayed_state_stream_foreachbatch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_train_test_hash_split_fraction_expansion_is_subset(spark):
+    """Growing the test fraction keeps the old test set as a strict subset
+    (the md5-threshold construction is monotone in the threshold) — the
+    property that lets a pipeline enlarge its holdout without leaking
+    previously-trained-on rows into it."""
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        train_test_hash_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], "id bigint")
+    prev = None
+    for frac in (0.05, 0.1, 0.25, 0.5):
+        _, test = train_test_hash_split(df, "id", test_fraction=frac, salt="m")
+        ids = {r["id"] for r in test.collect()}
+        if prev is not None:
+            assert prev < ids  # strict superset as the threshold grows
+        prev = ids
