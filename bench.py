@@ -211,13 +211,34 @@ def streaming_scenario(spark) -> dict[str, float]:
         .trigger(processingTime="1 second")
         .start()
     )
+    # wait for the first DATA batch before opening the measurement window —
+    # under host contention query startup alone can eat several seconds,
+    # which would understate throughput (or merge nothing at all)
     t0 = time.time()
+    deadline = t0 + 30
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.5)
     time.sleep(STREAM_SECONDS)
     q.stop()
     q.awaitTermination()
     wall = time.time() - t0
-    n_rows = sum(p["numInputRows"] for p in q.recentProgress)
+    progs = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    n_rows = sum(p["numInputRows"] for p in progs)
     rate = round(n_rows / wall)
+    # steady-state: exclude query-startup dead time by clocking from the
+    # first data batch's timestamp to the last (ISO-8601 w/ trailing Z)
+    sustained = None
+    if len(progs) >= 2:
+        import datetime as dt
+
+        def _ts(p):
+            return dt.datetime.fromisoformat(p["timestamp"].replace("Z", "+00:00"))
+
+        span = (_ts(progs[-1]) - _ts(progs[0])).total_seconds()
+        if span > 0:
+            sustained = round(sum(p["numInputRows"] for p in progs[1:]) / span)
 
     # stream == batch: every merged store row must equal the batch twin's
     # aggregate for that exact window over the processed prefix [0, N)
@@ -253,6 +274,7 @@ def streaming_scenario(spark) -> dict[str, float]:
     )
     return {
         "events_per_sec": rate,
+        "events_per_sec_steady": sustained,
         "events_total": n_rows,
         "state_rows_verified": n_state,
     }

@@ -47,6 +47,14 @@ def cosine_expr(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     return dot_expr(a, b) / (norm_a * norm_b)
 
 
+def _valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop NULL/empty vectors before any ANN math: a NULL embedding would
+    otherwise flow NULL distances into argmin/rank windows and silently
+    produce wrong codes/neighbors. Validation reporting belongs to
+    ``validate_embeddings``; search just refuses the rows."""
+    return df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+
+
 def cosine_topk(
     df: DataFrame,
     id_col: str,
@@ -185,7 +193,7 @@ def ivf_topk(
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    vecs = df.select(
+    vecs = _valid_vectors(df, vec_col).select(
         F.col(id_col), _to_double(F.col(vec_col)).alias("__vec_d")
     )
     if init == "md5_sample":
@@ -761,7 +769,9 @@ def pq_topk(
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    vecs = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("__v"))
+    vecs = _valid_vectors(df, vec_col).select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("__v")
+    )
     dim = vecs.select(F.size("__v")).first()[0]  # driver scalar (schema-ish)
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub_dim = dim // m
@@ -863,7 +873,9 @@ def ivfpq_topk(
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    vecs = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("__v"))
+    vecs = _valid_vectors(df, vec_col).select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("__v")
+    )
     dim = vecs.select(F.size("__v")).first()[0]
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub_dim = dim // m

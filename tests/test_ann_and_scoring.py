@@ -412,3 +412,33 @@ def test_ivfpq_topk_subset_of_pq_and_deterministic(spark, sf_dir):
     assert again == {
         (r["query_id"], r["neighbor_id"], r["adist2"], r["rank"]) for r in ivf
     }
+
+
+def test_ann_ops_ignore_null_and_empty_vectors(spark):
+    """NULL/empty embeddings must be dropped at the door, not flow NULL
+    distances into argmin windows: pq/ivfpq/ivf return the same neighbors
+    with and without malformed rows planted in the corpus."""
+    import numpy as np
+
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        ivf_topk,
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    clean = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(40)]
+    dirty = clean + [(100, None), (101, [])]
+    schema = "vec_id long, embedding array<float>"
+    df_clean = spark.createDataFrame(clean, schema)
+    df_dirty = spark.createDataFrame(dirty, schema)
+
+    for fn, kw in (
+        (pq_topk, dict(m=2, k_per_sub=8)),
+        (ivfpq_topk, dict(num_clusters=4, n_probe=2, m=2, k_per_sub=8)),
+        (ivf_topk, dict(num_clusters=4, n_probe=2, init="md5_sample")),
+    ):
+        a = {tuple(r) for r in fn(df_clean, "vec_id", "embedding", 5, **kw).collect()}
+        b = {tuple(r) for r in fn(df_dirty, "vec_id", "embedding", 5, **kw).collect()}
+        assert a == b, fn.__name__
+        assert all(r[1] not in (100, 101) for r in b)
