@@ -101,6 +101,8 @@ HEADLINE: list[tuple[str, int]] = [
     ("ivfpq_topk", 4),
     ("decayed_user_value", 4),
     ("stratified_topn", 4),
+    ("sequence_patterns", 4),
+    ("ngram_containment", 4),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

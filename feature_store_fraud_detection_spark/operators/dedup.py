@@ -694,3 +694,70 @@ def minhash_probe(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs word-k-gram CONTAINMENT: |A∩B| / |smaller set| —
+    the dedup signal Jaccard misses when sizes differ wildly (a paragraph
+    quoted inside a long article scores near-zero Jaccard but containment
+    ~1.0; boilerplate inclusion, near-subset docs). Directional: reports
+    (id_contained, id_container) with the smaller shingle set as the
+    contained side (ties -> smaller id contained).
+
+    Same inverted-index shape (and ``max_df`` hot-shingle cap) as
+    :func:`ngram_jaccard_pairs` — the bounded-verification path; pre-filter
+    candidates with the LSH index at scale.
+    """
+    sh = shingle_table(
+        fan_out_if_few_inputs(df, id_col), id_col, text_col, k
+    ).cache()
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    joined = inter.join(sa, "id_a").join(sb, "id_b")
+    contained = F.when(F.col("n_a") < F.col("n_b"), F.col("id_a")).when(
+        F.col("n_b") < F.col("n_a"), F.col("id_b")
+    ).otherwise(F.least("id_a", "id_b"))
+    container = F.when(F.col("n_a") < F.col("n_b"), F.col("id_b")).when(
+        F.col("n_b") < F.col("n_a"), F.col("id_a")
+    ).otherwise(F.greatest("id_a", "id_b"))
+    return (
+        joined.withColumn(
+            "containment",
+            round4_stable(
+                F.col("n_inter") / F.least("n_a", "n_b").cast("double")
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            contained.alias("id_contained"),
+            container.alias("id_container"),
+            "n_inter",
+            "containment",
+        )
+    )

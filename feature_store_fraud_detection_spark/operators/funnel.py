@@ -128,3 +128,48 @@ def cohort_retention(
             ).alias("retention"),
         )
     )
+
+
+def contiguous_pattern_matches(
+    df: DataFrame,
+    key: str,
+    type_col: str,
+    ts_col: str,
+    pattern: list[str],
+    within_sec: int,
+    tiebreak: str,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style contiguous sequence detection: positions in a
+    key's event stream where the NEXT ``len(pattern)`` event types equal
+    ``pattern`` exactly (no gaps — unlike the funnel, which only orders
+    first occurrences) and the span fits ``within_sec``. The classic fraud
+    shape: "two consecutive errors immediately followed by a purchase".
+
+    Returns (key, n_matches, first_match_ts) for keys with >= 1 match.
+
+    ``tiebreak`` (a unique column) totalizes the per-key event order so
+    equal timestamps can't reshuffle the stream between runs/engines.
+
+    Scale: ONE shuffle+sort on the key; the k-1 ``lead`` columns all share
+    that single window sort (Catalyst plans one WindowExec), so cost is
+    O(|events|) beyond the sort regardless of pattern length.
+    """
+    from pyspark.sql import Window
+
+    if len(pattern) < 1:
+        raise ValueError("pattern needs at least one step")
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    cur = df.select(key, type_col, ts_col, tiebreak)
+    cond = F.col(type_col) == pattern[0]
+    for i, p in enumerate(pattern[1:], start=1):
+        cur = cur.withColumn(f"__t{i}", F.lead(type_col, i).over(w))
+        cond = cond & (F.col(f"__t{i}") == p)
+    span_ok = (
+        F.unix_timestamp(F.lead(ts_col, len(pattern) - 1).over(w))
+        - F.unix_timestamp(ts_col)
+    ) <= within_sec
+    matches = cur.withColumn("__hit", cond & span_ok).filter(F.col("__hit"))
+    return matches.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min(ts_col).alias("first_match_ts"),
+    )

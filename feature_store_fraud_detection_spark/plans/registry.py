@@ -7983,8 +7983,88 @@ SELECT query_id, neighbor_id, adist2, CAST(rank AS INT) AS rank FROM (
 _IVFPQ_TOPK_SQL = _ivfpq_sql()
 
 
+def _q_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous view->click->purchase runs within 24h per user —
+    MATCH_RECOGNIZE-style sequence detection (operators/funnel.py:
+    contiguous_pattern_matches); one key-sorted window serves every lead."""
+    from feature_store_fraud_detection_spark.operators.funnel import (
+        contiguous_pattern_matches,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return contiguous_pattern_matches(
+        ev, "user_id", "event_type", "ts",
+        ["view", "click", "purchase"], within_sec=86_400, tiebreak="event_id",
+    )
+
+
+_SEQUENCE_PATTERNS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type, ts,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(ts, 2) OVER w AS ts2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(*) AS n_matches, min(ts) AS first_match_ts
+FROM s
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+  AND epoch_us(ts2) // 1000000 - epoch_us(ts) // 1000000 <= 86400
+GROUP BY user_id
+"""
+
+
+def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional near-subset detection: word-3-gram containment
+    |A∩B|/|smaller| >= 0.5 with the df>100 hot-shingle cap — catches the
+    quote/boilerplate-inclusion duplicates size-mismatched Jaccard misses
+    (operators/dedup.ngram_containment_pairs)."""
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    return ngram_containment_pairs(
+        load_docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.5,
+        max_df=100,
+    )
+
+
+_NGRAM_CONTAINMENT_SQL = f"""
+WITH {_SHINGLES_CTE},
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 100),
+shf AS (SELECT doc_id, shingle FROM sh ANTI JOIN hot USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CASE WHEN na.n < nb.n THEN id_a
+            WHEN nb.n < na.n THEN id_b
+            ELSE least(id_a, id_b) END AS id_contained,
+       CASE WHEN na.n < nb.n THEN id_b
+            WHEN nb.n < na.n THEN id_a
+            ELSE greatest(id_a, id_b) END AS id_container,
+       n_inter,
+       floor(n_inter / CAST(least(na.n, nb.n) AS DOUBLE) * 10000 + 0.5)
+         / 10000 AS containment
+FROM inter
+JOIN sizes na ON id_a = na.doc_id
+JOIN sizes nb ON id_b = nb.doc_id
+WHERE floor(n_inter / CAST(least(na.n, nb.n) AS DOUBLE) * 10000 + 0.5)
+        / 10000 >= 0.5
+"""
+
+
 QUERIES.update(
     {
+        "ngram_containment": QuerySpec(
+            _q_ngram_containment, _NGRAM_CONTAINMENT_SQL
+        ),
+        "sequence_patterns": QuerySpec(
+            _q_sequence_patterns, _SEQUENCE_PATTERNS_SQL
+        ),
         "pq_topk": QuerySpec(_q_pq_topk, _PQ_TOPK_SQL),
         "ivfpq_topk": QuerySpec(_q_ivfpq_topk, _IVFPQ_TOPK_SQL),
         "decayed_user_value": QuerySpec(

@@ -539,3 +539,35 @@ def test_ngram_jaccard_max_df_drops_planted_stop_shingle(spark):
     # ones; intersection/union computed over the capped vocabulary
     n_inter, jac = got[(1, 2)]
     assert n_inter >= 1 and 0 < jac <= 1.0
+
+
+def test_ngram_containment_catches_quoted_subset(spark):
+    """A short doc fully quoted inside a long one scores containment 1.0
+    while its Jaccard is far below any dedup threshold — the directional
+    signal this operator exists for. Orientation: the SMALLER shingle set
+    is the contained side."""
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"filler{i} word{i} extra{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote + " " + filler.replace("filler", "pad")),
+            (3, "entirely unrelated text about spark and shuffles here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["id_contained"], r["id_container"]): r["containment"]
+        for r in ngram_containment_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.8
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    # the same pair is invisible to Jaccard at any realistic threshold
+    jac = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    assert jac.filter("id_a = 1 AND id_b = 2").count() == 0

@@ -393,3 +393,13 @@ def test_decayed_value_single_keyed_exchange(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     n_hash_ex = plan.count("Exchange hashpartitioning")
     assert n_hash_ex <= 1, plan[:2000]
+
+
+def test_sequence_patterns_single_window_sort(spark, sf_dir):
+    """All the pattern's lead() columns must share ONE key-sorted window —
+    exactly one Window operator and one hash exchange below the final agg."""
+    df = QUERIES["sequence_patterns"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert plan.count("Window") == 1
+    # exchanges: the window's key sort + the (AQE-planned) agg reuse it
+    assert plan.count("Exchange hashpartitioning") <= 2

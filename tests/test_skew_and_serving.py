@@ -424,3 +424,46 @@ def test_aqe_skew_join_splits_hot_partition(spark):
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", old_bytes
         )
         conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+
+def test_contiguous_pattern_matches_semantics(spark):
+    """Contiguity is literal: a gapped view..click..purchase must NOT
+    match (that's the funnel's job); the span bound and the same-timestamp
+    tiebreak are honored; overlapping matches each count."""
+    import datetime as dt
+
+    from feature_store_fraud_detection_spark.operators.funnel import (
+        contiguous_pattern_matches,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: exact contiguous match
+        (1, 1, "view", t(0)), (1, 2, "click", t(1)), (1, 3, "purchase", t(2)),
+        # u2: gapped by an error event -> NO match
+        (2, 4, "view", t(0)), (2, 5, "error", t(1)),
+        (2, 6, "click", t(2)), (2, 7, "purchase", t(3)),
+        # u3: contiguous but span exceeds the bound -> NO match
+        (3, 8, "view", t(0)), (3, 9, "click", t(1)),
+        (3, 10, "purchase", dt.datetime(2024, 1, 3)),
+        # u4: two overlapping matches via view,click,purchase,click,purchase?
+        # -> contiguous windows: (v,c,p) at 0 and (p,c,p) no; plant two
+        (4, 11, "view", t(10)), (4, 12, "click", t(11)),
+        (4, 13, "purchase", t(12)),
+        (4, 14, "view", t(20)), (4, 15, "click", t(21)),
+        (4, 16, "purchase", t(22)),
+        # u5: same-timestamp events — event_id tiebreak orders them
+        (5, 17, "view", t(5)), (5, 18, "click", t(5)), (5, 19, "purchase", t(5)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, event_type string, ts timestamp"
+    )
+    got = {
+        r["user_id"]: r["n_matches"]
+        for r in contiguous_pattern_matches(
+            df, "user_id", "event_type", "ts",
+            ["view", "click", "purchase"], within_sec=3600,
+            tiebreak="event_id",
+        ).collect()
+    }
+    assert got == {1: 1, 4: 2, 5: 1}
