@@ -976,3 +976,80 @@ def ivfpq_topk(
         .filter(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "adist2", "rank")
     )
+
+
+def l2_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_max_id: int,
+    top_k: int = 5,
+) -> DataFrame:
+    """Exact top-k by squared L2 — the recall oracle for the PQ family
+    (which approximates L2, not cosine). Broadcast queries, one corpus
+    scan, per-query WindowGroupLimit rank; ties break on neighbor_id."""
+    from pyspark.sql import Window
+
+    vecs = _valid_vectors(df, vec_col).select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("__v")
+    )
+    q = vecs.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"), F.col("__v").alias("__qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("__qv", "__v", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(vecs, F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "d2", "rank")
+    )
+
+
+def pq_recall_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_max_id: int,
+    top_k: int = 5,
+    m: int = 16,
+    k_per_sub: int = 64,
+) -> DataFrame:
+    """Per-query recall@k of the PQ ADC search against exact L2 — the
+    index-quality dashboard for the compressed-domain family, mirroring
+    ``ann_recall_report`` for the LSH family. Both searches are
+    deterministic, so the recall values themselves hash-check."""
+    pq = pq_topk(
+        df, id_col, vec_col, query_max_id, top_k=top_k, m=m,
+        k_per_sub=k_per_sub,
+    ).select("query_id", "neighbor_id")
+    exact = l2_topk(df, id_col, vec_col, query_max_id, top_k=top_k).select(
+        "query_id", "neighbor_id"
+    )
+    hits = pq.join(exact, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("__k"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.floor(
+                    F.coalesce(F.col("__hits"), F.lit(0))
+                    / F.col("__k").cast("double")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("recall"),
+        )
+    )

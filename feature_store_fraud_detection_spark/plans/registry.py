@@ -7860,6 +7860,69 @@ SELECT query_id, neighbor_id, adist2, CAST(rank AS INT) AS rank FROM (
 _PQ_TOPK_SQL = _pq_sql()
 
 
+def _q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index-quality dashboard: per-query recall@5 of the ADC search vs
+    exact L2 (operators/similarity.pq_recall_report) — the PQ-family twin
+    of ann_recall; both searches are deterministic, so the recall values
+    themselves hash-check."""
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        pq_recall_report,
+    )
+
+    emb = load_embeddings(spark, sf_dir)
+    return pq_recall_report(
+        emb, "vec_id", "embedding", query_max_id=10, top_k=5,
+        m=_PQ_M, k_per_sub=_PQ_K,
+    )
+
+
+def _pq_recall_sql() -> str:
+    """The PQ twin's ranked output joined against an exact-L2 top-5 CTE —
+    per-query recall@5. The pq CTE body regenerates from the same
+    constants as ``_pq_sql`` so the two cannot diverge in content."""
+    body = _pq_sql().strip()
+    assert body.startswith("WITH ")
+    # turn the standalone statement into CTEs + a named pqsel
+    ctes, final = body[5:].rsplit("SELECT query_id, neighbor_id, adist2", 1)
+    pq_cte = (
+        "pqsel AS (\n  SELECT query_id, neighbor_id, adist2"
+        + final.rstrip().rstrip('"').rstrip()
+        + "\n)"
+    )
+    return f"""
+WITH {ctes.rstrip().rstrip(',')},
+{pq_cte},
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_reduce(list_transform(range(1, len(q.vd) + 1),
+                        i -> (q.vd[i] - n.vd[i]) * (q.vd[i] - n.vd[i])),
+                        (x, y) -> x + y),
+                      n.vec_id
+           ) AS rn
+    FROM v q JOIN v n ON n.vec_id != q.vec_id
+    WHERE q.vec_id < 10
+  ) WHERE rn <= 5
+),
+hits AS (
+  SELECT e.query_id, count(*) AS c
+  FROM exact e JOIN pqsel p
+    ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+  GROUP BY 1
+),
+base AS (SELECT query_id, count(*) AS k FROM exact GROUP BY 1)
+SELECT base.query_id,
+       floor(coalesce(c, 0) / CAST(k AS DOUBLE) * 10000 + 0.5) / 10000
+         AS recall
+FROM base LEFT JOIN hits ON hits.query_id = base.query_id
+"""
+
+
+_PQ_RECALL_SQL = _pq_recall_sql()
+
+
 def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composite ANN (operators/similarity.ivfpq_topk): md5-sampled
     coarse quantizer prunes to 2 of 8 inverted lists, PQ ADC (m=16, k=64)
@@ -8066,6 +8129,7 @@ QUERIES.update(
             _q_sequence_patterns, _SEQUENCE_PATTERNS_SQL
         ),
         "pq_topk": QuerySpec(_q_pq_topk, _PQ_TOPK_SQL),
+        "pq_recall": QuerySpec(_q_pq_recall, _PQ_RECALL_SQL),
         "ivfpq_topk": QuerySpec(_q_ivfpq_topk, _IVFPQ_TOPK_SQL),
         "decayed_user_value": QuerySpec(
             _q_decayed_user_value, _DECAYED_VALUE_SQL
