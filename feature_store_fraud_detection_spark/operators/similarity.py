@@ -850,6 +850,7 @@ def ivfpq_topk(
     k_per_sub: int = 64,
     coarse_salt: str = "ivfpq",
     pq_salt: str = "pq",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ composite ANN — the standard billion-scale index shape
     (FAISS IVFPQ): an IVF coarse quantizer prunes the search to ``n_probe``
@@ -861,9 +862,18 @@ def ivfpq_topk(
     salts -> independent samples), so the full pipeline — coarse
     assignment, probe selection, codes, distance tables, ranking — is a
     pure function of the data and hash-checks against a generated SQL twin.
-    Codebooks quantize RAW vectors (classic IVFADC without the residual
-    refinement; per-list residual codebooks are the quality upgrade when a
-    trained quantizer is available — see ``ivf_topk(init='kmeans')``).
+    ``residual=False`` quantizes RAW vectors; ``residual=True`` is the
+    true IVFADC shape — codes quantize ``v - centroid[list]`` and each
+    query builds a SEPARATE distance table per probed list from its own
+    residual against that list's centroid. NOTE the measured trade with
+    THIS module's md5-sampled quantizers: residual encoding helps when
+    centroids are trained MEANS (residuals shrink toward zero); with
+    sampled-vector centroids a residual is the difference of two data
+    points — LARGER and noisier than the raw vector — and recall@5
+    measured 0.14 residual vs 0.22 raw at sf0.01. Keep residual=False
+    with sampled codebooks; flip it on when a trained coarse quantizer
+    (KMeans) supplies real means. Determinism holds either way (exact
+    subtraction).
 
     Scale: per query the work is |corpus|/num_clusters * n_probe code rows
     (+ an (m x k) broadcast distance table); the corpus contributes only
@@ -915,9 +925,21 @@ def ivfpq_topk(
         .select(F.col(id_col).alias("query_id"), "cluster")
     )
 
-    # --- PQ codebooks / codes / per-query distance tables (pq_topk shape)
+    # --- PQ codebooks / codes / per-query distance tables (pq_topk shape).
+    # In residual mode everything downstream operates on v - centroid[list].
+    if residual:
+        enc_vecs = (
+            vecs.join(assigned, id_col)
+            .join(F.broadcast(cent), "cluster")
+            .select(
+                F.col(id_col),
+                F.zip_with("__v", "centroid", lambda a, b: a - b).alias("__v"),
+            )
+        )
+    else:
+        enc_vecs = vecs
     picked = (
-        vecs.orderBy(
+        enc_vecs.orderBy(
             F.md5(F.concat_ws("|", F.lit(pq_salt), F.col(id_col).cast("string"))),
             F.col(id_col),
         )
@@ -932,7 +954,7 @@ def ivfpq_topk(
         ],
         "sub int, code int, cent array<double>",
     )
-    sv = _pq_subvectors(vecs, id_col, m, sub_dim)
+    sv = _pq_subvectors(enc_vecs, id_col, m, sub_dim)
     d2 = F.aggregate(
         F.zip_with("s", "cent", lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -946,17 +968,54 @@ def ivfpq_topk(
         .filter(F.col("__rn") == 1)
         .select(F.col(id_col).alias("neighbor_id"), "sub", "code")
     )
-    qt = (
-        sv.filter(F.col(id_col) < query_max_id)
-        .join(F.broadcast(cb), "sub")
-        .select(F.col(id_col).alias("query_id"), "sub", "code", d2.alias("__qd"))
-    )
+    if residual:
+        # per-(query, probed list) residual distance tables: the query's
+        # residual against EACH probed centroid gets its own (m x k) table
+        qres = (
+            probes.join(
+                vecs.select(
+                    F.col(id_col).alias("query_id"), F.col("__v").alias("__qv")
+                ),
+                "query_id",
+            )
+            .join(F.broadcast(cent), "cluster")
+            .select(
+                "query_id",
+                "cluster",
+                F.zip_with("__qv", "centroid", lambda a, b: a - b).alias("__r"),
+            )
+        )
+        qsubs = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.struct(
+                j.cast("int").alias("sub"),
+                F.slice("__r", j * sub_dim + 1, F.lit(sub_dim)).alias("s"),
+            ),
+        )
+        qsv = qres.select(
+            "query_id", "cluster", F.explode(qsubs).alias("e")
+        ).select("query_id", "cluster", "e.sub", "e.s")
+        qt = qsv.join(F.broadcast(cb), "sub").select(
+            "query_id", "cluster", "sub", "code", d2.alias("__qd")
+        )
+        qt_keys = ["query_id", "cluster", "sub", "code"]
+    else:
+        qt = (
+            sv.filter(F.col(id_col) < query_max_id)
+            .join(F.broadcast(cb), "sub")
+            .select(
+                F.col(id_col).alias("query_id"), "sub", "code", d2.alias("__qd")
+            )
+        )
+        qt_keys = ["query_id", "sub", "code"]
 
-    # --- probed-list candidate pairs, then ADC over their codes
+    # --- probed-list candidate pairs, then ADC over their codes (residual
+    # mode keeps the list id on the pair so each query uses the distance
+    # table built against THAT list's centroid)
     cand = probes.join(
         assigned.select(F.col(id_col).alias("neighbor_id"), "cluster"),
         "cluster",
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id", "cluster")
     fold = F.aggregate(
         F.array_sort(F.collect_list("__qd")),
         F.lit(0.0),
@@ -965,7 +1024,7 @@ def ivfpq_topk(
     scored = (
         F.broadcast(cand)
         .join(codes, "neighbor_id")
-        .join(F.broadcast(qt), ["query_id", "sub", "code"])
+        .join(F.broadcast(qt), qt_keys if residual else ["query_id", "sub", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg((F.floor(fold * 10000 + F.lit(0.5)) / 10000).alias("adist2"))

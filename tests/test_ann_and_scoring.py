@@ -442,3 +442,42 @@ def test_ann_ops_ignore_null_and_empty_vectors(spark):
         b = {tuple(r) for r in fn(df_dirty, "vec_id", "embedding", 5, **kw).collect()}
         assert a == b, fn.__name__
         assert all(r[1] not in (100, 101) for r in b)
+
+
+def test_ivfpq_residual_mode_shape_and_determinism(spark, sf_dir):
+    """The IVFADC residual path: same output contract as raw-vector mode
+    (ranked per-query rows, dense ranks, no self-matches), deterministic
+    across partitionings. Recall with SAMPLED centroids is documented as
+    worse than raw mode (residuals of arbitrary data points grow, not
+    shrink) — this test pins the machinery, not a lift."""
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+    from feature_store_fraud_detection_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivfpq_topk(
+        emb, "vec_id", "embedding", query_max_id=8, top_k=5,
+        num_clusters=8, n_probe=2, m=16, k_per_sub=64, residual=True,
+    ).collect()
+    assert len(out) > 0
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        ad = [r["adist2"] for r in rows]
+        assert ad == sorted(ad) and all(a >= 0 for a in ad)
+        assert all(r["neighbor_id"] != q for r in rows)
+    again = {
+        (r["query_id"], r["neighbor_id"], r["adist2"], r["rank"])
+        for r in ivfpq_topk(
+            emb.repartition(11), "vec_id", "embedding", query_max_id=8,
+            top_k=5, num_clusters=8, n_probe=2, m=16, k_per_sub=64,
+            residual=True,
+        ).collect()
+    }
+    assert again == {
+        (r["query_id"], r["neighbor_id"], r["adist2"], r["rank"]) for r in out
+    }
