@@ -275,8 +275,11 @@ def streaming_scenario(spark) -> dict[str, float]:
         f"stream==batch violated: {matched}/{n_state} store rows match"
     )
     return {
-        "events_per_sec": rate,
-        "events_per_sec_steady": sustained,
+        # primary = steady-state (first data batch -> last); the
+        # wall-inclusive number charges query startup to throughput and
+        # can halve under host contention without the engine being slower
+        "events_per_sec": sustained if sustained else rate,
+        "events_per_sec_incl_startup": rate,
         "events_total": n_rows,
         "state_rows_verified": n_state,
     }
