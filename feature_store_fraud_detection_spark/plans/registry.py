@@ -8120,8 +8120,82 @@ WHERE floor(n_inter / CAST(least(na.n, nb.n) AS DOUBLE) * 10000 + 0.5)
 """
 
 
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law corpus diagnostic: vocabulary size vs token count at 4
+    doc-count prefixes (by doc_id — the deterministic ingest order) plus
+    the fitted growth exponent log(V2/V1)/log(T2/T1) between the last two
+    checkpoints. Tokens explode ONCE; all 8 conditional aggregates share
+    that scan (count distinct CASE — one expand, no re-reads). The "is my
+    corpus still adding new vocabulary" curation signal: a flattening
+    curve means new data is mostly repeats."""
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        tokens,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    mx = docs.agg(F.max("doc_id").alias("__mx"))
+    tok = (
+        docs.crossJoin(F.broadcast(mx))
+        .select("doc_id", "__mx", F.explode(tokens("text")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    aggs = []
+    for q in (1, 2, 3, 4):
+        # integer floor division on BOTH engines: DuckDB's CAST(double AS
+        # BIGINT) ROUNDS while Spark's truncates — div/'//' sidesteps it
+        cut = F.expr(f"(__mx * {q}) div 4")
+        inq = F.when(F.col("doc_id") <= cut, F.col("token"))
+        aggs.append(F.countDistinct(inq).alias(f"vocab_{q * 25}"))
+        aggs.append(F.count(inq).alias(f"tokens_{q * 25}"))
+    row = tok.agg(*aggs)
+    heaps = (
+        F.log(F.col("vocab_100") / F.col("vocab_50").cast("double"))
+        / F.log(F.col("tokens_100") / F.col("tokens_50").cast("double"))
+    )
+    return row.select(
+        "*", (F.floor(heaps * 10000 + F.lit(0.5)) / 10000).alias("heaps_exp")
+    )
+
+
+_VOCAB_GROWTH_SQL = r"""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> length(t) > 0)) AS token
+  FROM documents
+),
+agg AS (
+  SELECT
+    count(DISTINCT CASE WHEN doc_id <= m * 1 // 4
+                        THEN token END) AS vocab_25,
+    count(CASE WHEN doc_id <= m * 1 // 4 THEN token END)
+      AS tokens_25,
+    count(DISTINCT CASE WHEN doc_id <= m * 2 // 4
+                        THEN token END) AS vocab_50,
+    count(CASE WHEN doc_id <= m * 2 // 4 THEN token END)
+      AS tokens_50,
+    count(DISTINCT CASE WHEN doc_id <= m * 3 // 4
+                        THEN token END) AS vocab_75,
+    count(CASE WHEN doc_id <= m * 3 // 4 THEN token END)
+      AS tokens_75,
+    count(DISTINCT CASE WHEN doc_id <= m * 4 // 4
+                        THEN token END) AS vocab_100,
+    count(CASE WHEN doc_id <= m * 4 // 4 THEN token END)
+      AS tokens_100
+  FROM tok CROSS JOIN mx
+)
+SELECT *,
+       floor(ln(vocab_100 / CAST(vocab_50 AS DOUBLE))
+             / ln(tokens_100 / CAST(tokens_50 AS DOUBLE)) * 10000 + 0.5)
+         / 10000 AS heaps_exp
+FROM agg
+"""
+
+
 QUERIES.update(
     {
+        "vocab_growth": QuerySpec(_q_vocab_growth, _VOCAB_GROWTH_SQL),
         "ngram_containment": QuerySpec(
             _q_ngram_containment, _NGRAM_CONTAINMENT_SQL
         ),

@@ -571,3 +571,22 @@ def test_ngram_containment_catches_quoted_subset(spark):
     # the same pair is invisible to Jaccard at any realistic threshold
     jac = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
     assert jac.filter("id_a = 1 AND id_b = 2").count() == 0
+
+
+def test_vocab_growth_monotone_and_heaps_range(spark, sf_dir):
+    """Vocabulary and token counts must be non-decreasing across prefixes,
+    and the fitted Heaps exponent must land in (0, 1) on real text — the
+    sublinear-vocabulary-growth law."""
+    from feature_store_fraud_detection_spark.plans.registry import (
+        _q_vocab_growth,
+    )
+
+    r = _q_vocab_growth(spark, sf_dir).collect()[0]
+    assert r["vocab_25"] <= r["vocab_50"] <= r["vocab_75"] <= r["vocab_100"]
+    assert r["tokens_25"] <= r["tokens_50"] <= r["tokens_75"] <= r["tokens_100"]
+    assert r["vocab_100"] <= r["tokens_100"]
+    # synthetic corpora draw from a FIXED word list, so the vocabulary
+    # saturates and the exponent legitimately hits 0.0 (the flattening
+    # curve is exactly the "new data adds no vocabulary" signal); real
+    # text lands strictly inside (0, 1)
+    assert 0.0 <= r["heaps_exp"] < 1.0
