@@ -8229,63 +8229,73 @@ QUERIES.update(
 # Rounds rotate this list deliberately — never let "where the code was
 # appended" decide what gets graded.
 _GRADING_PRIORITY: list[str] = [
-    # (a) never driver-graded at round-4 start — the round-3 graph/sketch/
-    # BPE/ANN/corpus/bloom/freshness families (36, all local-oracle-green)
-    "user_value_trend",
-    "value_autocorr",
-    "revenue_gini",
-    "kmv_distinct_users",
-    "pagerank",
-    "bfs_levels",
-    "cms_heavy_hitters",
-    "weighted_topk_sample",
-    "bigram_nll",
-    "cusum_changepoints",
-    "dbscan_clusters",
-    "chunk_dedup",
-    "canonical_docs",
-    "incremental_dedup",
-    "cluster_safe_split",
-    "bloom_semi_join",
-    "hist_quantiles",
-    "hist_quantiles_rollup",
-    "hard_negatives",
-    "source_mix_sample",
-    "kmv_overlap",
-    "cross_source_dups",
-    "bpe_merges",
-    "bpe_encoded_lengths",
-    "tokenizer_fertility",
-    "ann_recall",
-    "multiprobe_topk",
-    "multiprobe_recall",
-    "incremental_neardup",
-    "dup_cluster_histogram",
-    "gopher_flags",
-    "training_triplets",
-    "curation_summary",
-    "degree_distribution",
-    "feature_freshness",
-    "validate_embeddings",
-    # (b) regression canaries — oldest r1 greens spanning every family
-    # (flagship/windows/streaming/dedup/ANN/multimodal/stores/relational)
-    "flagship_features",
-    "sliding_window_aggs",
-    "bucketed_trailing_features",
-    "latest5_per_key",
-    "stream_latest_state",
-    "minhash_lsh_pairs",
-    "exact_dedup",
-    "simhash_fingerprints",
-    "cosine_topk",
-    "resize_thumbs",
-    "summary_stats",
-    "offline_store_range_scan",
-    # (c) rows-only -> hash-checked upgrades this round: the deterministic
-    # md5-sample IVF quantizer and md5-threshold stratified sampling gained
-    # real SQL oracles — a driver-green row proves the upgrade
-    "ivf_topk",
-    "stratified_sample",
+    # (a) never driver-graded at round-5 start — the round-4 PQ/IVFPQ/
+    # decay/sampling-twin/pattern/containment/vocab families (10, all
+    # judge-verified ALL-OK locally in round 4 via tools/check_oracle.py)
+    "pq_topk",
+    "pq_recall",
+    "ivfpq_topk",
+    "decayed_user_value",
+    "stratified_topn",
+    "rebalance_hash",
+    "train_test_hash_split",
+    "sequence_patterns",
+    "ngram_containment",
+    "vocab_growth",
+    # (b) new round-5 queries get inserted here as they land
+    # (c) regression canaries — the stalest greens (r1, never re-graded
+    # since) spanning relational/sampling/dedup/text/window families
+    "point_lookup",
+    "range_scan",
+    "label_filter",
+    "null_fill",
+    "bulk_export",
+    "monotonic_check",
+    "latest_per_key",
+    "hash_sample",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "cold_customers",
+    "customers_with_orders",
+    "customers_without_orders",
+    "large_orders",
+    "small_quantity_revenue",
+    "segment_revenue",
+    "segment_set_ops",
+    "disjunctive_revenue",
+    "local_supplier_volume",
+    "product_revenue_by_year",
+    "grouping_sets_revenue",
+    "cube_revenue",
+    "order_count_distribution",
+    "value_distribution_windows",
+    "embedding_neardup_pairs",
+    "frame_sample",
+    "corpus_prep_pipeline",
+    "ngram_jaccard_pairs",
+    "dict_encode",
+    "stats_with_latest",
+    "sync_offline_online",
+    "text_profile",
+    # r2-green stalest tail
+    "activity_bursts",
+    "behavior_entropy",
+    "bm25_topk",
+    "calibration_bins",
+    "cohort_retention",
+    "decontaminate_benchmark",
+    "dedup_by_source",
+    "doc_chunks",
+    "dup_ngram_stats",
+    "event_transitions",
+    "events_melt",
+    "exact_auc",
+    "feature_drift_ks",
+    "feature_drift_psi",
+    "feature_hash_events",
+    "fraud_capture_curve",
+    "funnel_steps",
 ]
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (
