@@ -53,10 +53,26 @@ def bpe_train(
     df: DataFrame,
     text_col: str,
     num_merges: int = 6,
+    merges_per_round: int = 1,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merge rules from the corpus; returns the
     merge table (step, left_sym, right_sym, merged, pair_count) — small,
     deterministic, and hash-checkable cross-engine.
+
+    ``merges_per_round=1`` is exact sequential greedy BPE (one pair-count
+    aggregate + one single-row collect per merge) and is what the SQL
+    oracle expresses. ``merges_per_round=N>1`` is the standard parallel-BPE
+    batching trick: each round collects the top ``4*N`` candidate pairs
+    (one bounded driver collect), greedily keeps up to N whose symbol sets
+    — including the newly minted merged symbols — are pairwise disjoint,
+    and applies them all in ONE chained-replace projection. Disjointness
+    means no kept pair's adjacency counts could have been changed by an
+    earlier kept pair's merge, so each kept rule equals what sequential
+    BPE would have learned *unless* an unkept emergent pair (x, l+r)
+    overtakes a kept one mid-batch — the documented, industry-standard
+    approximation. Driver round-trips drop from ``num_merges`` to
+    ``~num_merges/N``: a 32k-merge vocabulary at N=64 is ~500 Spark jobs,
+    not 32k sequential ones.
     """
     spark: SparkSession = df.sparkSession
     words = (
@@ -68,7 +84,8 @@ def bpe_train(
         .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    for step in range(1, num_merges + 1):
+    rounds_since_checkpoint = 0
+    while len(merges) < num_merges:
         syms = F.split(F.expr("substring(r, 2, length(r) - 2)"), "  ")
         pairs = (
             # single-symbol words have no pairs (and Spark's sequence(1, 0)
@@ -89,19 +106,36 @@ def bpe_train(
             .groupBy("p.l", "p.rr")
             .agg(F.sum("cnt").alias("pc"))
         )
-        top = pairs.orderBy(F.col("pc").desc(), "l", "rr").limit(1).collect()
+        want = min(merges_per_round, num_merges - len(merges))
+        top = (
+            pairs.orderBy(F.col("pc").desc(), "l", "rr")
+            .limit(max(want * 4, 1))
+            .collect()
+        )
         if not top:
             break
-        l, r, pc = top[0]["l"], top[0]["rr"], top[0]["pc"]
-        merges.append((step, l, r, l + r, pc))
-        words = words.select(
-            F.replace(
-                F.col("r"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
-            ).alias("r"),
-            "cnt",
-        )
-        if step % 3 == 0 and step < num_merges:
+        # greedy batch selection: keep candidates (in rank order) whose
+        # {left, right, merged} symbols are disjoint from every symbol a
+        # kept candidate touches or mints — those merges commute and none
+        # invalidates another's round-start count
+        batch: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for row in top:
+            l, r, pc = row["l"], row["rr"], row["pc"]
+            if not used & {l, r, l + r}:
+                batch.append((l, r, pc))
+                used |= {l, r, l + r}
+                if len(batch) >= want:
+                    break
+        col: Column = F.col("r")
+        for l, r, pc in batch:
+            merges.append((len(merges) + 1, l, r, l + r, pc))
+            col = F.replace(col, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+        words = words.select(col.alias("r"), "cnt")
+        rounds_since_checkpoint += 1
+        if rounds_since_checkpoint == 3 and len(merges) < num_merges:
             words = words.localCheckpoint(eager=True)
+            rounds_since_checkpoint = 0
     return spark.createDataFrame(
         merges,
         "step int, left_sym string, right_sym string, merged string, pair_count bigint",

@@ -87,6 +87,80 @@ def test_bpe_train_stops_when_no_pairs_left(spark):
     assert got == []  # all words are single symbols; no pair ever exists
 
 
+def test_bpe_train_batched_exact_when_top_pairs_disjoint(spark):
+    # top pairs (x,y) and (z,w) share no symbols, so one batched round of 2
+    # must equal two sequential rounds — rules AND counts
+    df = spark.createDataFrame(
+        [(1, "xy xy xy zw zw")], "id int, text string"
+    )
+    seq = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in bpe_train(df, "text", num_merges=2).orderBy("step").collect()
+    ]
+    batched = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in bpe_train(df, "text", num_merges=2, merges_per_round=2)
+        .orderBy("step")
+        .collect()
+    ]
+    assert seq == batched == [(1, "x", "y", "xy", 3), (2, "z", "w", "zw", 2)]
+
+
+def test_bpe_train_batched_64_merges_in_bounded_jobs(spark):
+    """The scale path: 64 merges at merges_per_round=8 must finish in <=16
+    Spark jobs (8 candidate collects + periodic checkpoints), vs 64+ for the
+    sequential loop — the per-merge driver round-trip is the one compounding
+    driver-side pattern a 32k-merge vocabulary would hit."""
+    # deterministic corpus with wide pair diversity: 120 distinct words over
+    # a 12-letter alphabet, Zipf-ish repetition so argmaxes are distinct
+    letters = "abcdefghijkl"
+    words = []
+    for i in range(120):
+        # base-12 digits make every word distinct; the tail characters add
+        # intra-word pair diversity so 64 distinct argmaxes exist
+        w = (
+            letters[i % 12]
+            + letters[(i // 12) % 12]
+            + letters[(i * i) % 12]
+            + letters[(i * i * i + 7) % 12]
+            + letters[(5 * i + 3) % 12]
+            + letters[(7 * i + 1) % 12]
+        )
+        words.extend([w] * (1 + (120 - i) // 10))
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "id int, text string")
+    sc = spark.sparkContext
+    # AQE materializes every shuffle stage as its own job (~3 jobs/round
+    # here) without adding driver round-trips; turn it off so the job count
+    # measures what the bound is about — one candidate collect per ROUND
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("bpe-batched-64", "batched BPE training")
+    try:
+        got = bpe_train(df, "text", num_merges=64, merges_per_round=8).collect()
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    jobs = sc.statusTracker().getJobIdsForGroup("bpe-batched-64")
+    assert len(got) == 64
+    assert [r["step"] for r in sorted(got, key=lambda r: r["step"])] == list(
+        range(1, 65)
+    )
+    # merged symbols are unique and rules well-formed
+    assert len({r["merged"] for r in got}) == 64
+    assert all(r["merged"] == r["left_sym"] + r["right_sym"] for r in got)
+    assert len(jobs) <= 16, f"expected <=16 Spark jobs, ran {len(jobs)}"
+    # the learned rules actually compress: encoding with all 64 rules must
+    # strictly shrink the token count vs no rules
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in sorted(got, key=lambda r: r["step"])
+    ]
+    base = bpe_encode_counts(df, "id", "text", []).collect()[0]["bpe_tokens"]
+    enc = bpe_encode_counts(df, "id", "text", merges).collect()[0]["bpe_tokens"]
+    assert enc < base
+
+
 def test_bpe_encode_counts_empty_and_whitespace_text_is_zero(spark):
     """Empty/whitespace-only documents encode to 0 tokens: Spark's split
     yields [''] there and an unguarded _word_repr would emit 2 phantom
