@@ -13,10 +13,11 @@ distributed; scoring is ``model.transform`` (no driver loop).
 
 Model parity note (SURVEY §2.8): MLlib's MultilayerPerceptronClassifier
 matches DeepFraudNet's layer shape but has no dropout/batchnorm; it is the
-default here. A torch-parity path would wrap the trained torch model in
-``predict_batch_udf`` — plumbing identical to operators/multimodal.py's
-mapInPandas contract (torch is not in this container, so that path stays
-out of the default pipeline).
+default here. Full training-semantics parity (BCELoss + Adam(1e-3, wd 1e-4)
++ ReduceLROnPlateau + Dropout/BatchNorm + best-loss checkpoint) lives in
+``ml/numpy_training.py`` — a numpy implementation of the reference loop
+whose trained state_dict npz drops straight into
+``torch_scoring.score_dataframe``'s predict_batch_udf serving path.
 """
 
 from __future__ import annotations

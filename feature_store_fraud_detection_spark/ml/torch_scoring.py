@@ -59,11 +59,21 @@ def from_state_dict_arrays(
     ``shift = beta - running_mean * scale`` — exactly what BN computes at
     inference, so scores match torch eval output.
     """
+    # infer layer indices from the keys so smaller parity geometries (the
+    # numpy trainer's test nets) fold the same way: Linear layers have
+    # .weight but no .running_mean; BatchNorm layers have .running_mean
+    idx = sorted(
+        int(k.split(".")[1]) for k in arrays if k.endswith(".weight")
+    )
+    linear_idx = [i for i in idx if f"model.{i}.running_mean" not in arrays]
+    bn_idx = [i for i in idx if f"model.{i}.running_mean" in arrays]
+    if not linear_idx:
+        linear_idx, bn_idx = list(_LINEAR_IDX), list(_BN_IDX)
     out: dict[str, np.ndarray] = {}
-    for i, li in enumerate(_LINEAR_IDX):
+    for i, li in enumerate(linear_idx):
         out[f"w{i}"] = np.asarray(arrays[f"model.{li}.weight"], dtype=np.float64).T
         out[f"b{i}"] = np.asarray(arrays[f"model.{li}.bias"], dtype=np.float64)
-    for i, bi in enumerate(_BN_IDX):
+    for i, bi in enumerate(bn_idx):
         gamma = np.asarray(arrays[f"model.{bi}.weight"], dtype=np.float64)
         beta = np.asarray(arrays[f"model.{bi}.bias"], dtype=np.float64)
         mean = np.asarray(arrays[f"model.{bi}.running_mean"], dtype=np.float64)
@@ -93,7 +103,8 @@ def forward(x: np.ndarray, weights: dict[str, np.ndarray]) -> np.ndarray:
     """Eval-mode forward pass: Linear -> BN(affine) -> ReLU per block,
     Linear -> sigmoid head. Dropout is identity at inference."""
     h = x.astype(np.float64)
-    n_blocks = len(DEEPFRAUDNET_LAYERS) - 1
+    # infer depth from the weights (default geometry has 3 hidden blocks)
+    n_blocks = sum(1 for k in weights if k.startswith("bn_scale"))
     for i in range(n_blocks):
         h = h @ weights[f"w{i}"] + weights[f"b{i}"]
         h = h * weights[f"bn_scale{i}"] + weights[f"bn_shift{i}"]
