@@ -34,6 +34,14 @@ Two scenario rows beyond the per-query timings:
   (windowed_stats -> OnlineStoreSink), reporting sustained events/s; at the
   end every row of the online store is checked against a batch recompute of
   the same windows (stream == batch on the processed prefix).
+* ``skew_join`` — the join twin of ``skew``: a 90%-mass hot fact key joined
+  many-to-many against a non-broadcastable versioned dim (output
+  amplification — the skew AQE cannot see, because it splits by INPUT
+  partition bytes while the hot partition's input is small). Plain SMJ vs
+  ``salted_join`` vs AQE skew-split, checksum-verified equal.
+* ``ann_quality`` — recall@5 of the documented ANN default
+  ``ivfpq_topk(init='kmeans', m=32)`` against exact L2 at the bench sf,
+  with the md5-sampled oracle shape's recall alongside for contrast.
 """
 
 from __future__ import annotations
@@ -172,6 +180,157 @@ def skew_scenario(spark, sf_dir) -> dict[str, float]:
     return {"rows": n, "plain_window_sec": plain, "bucketed_window_sec": bucketed}
 
 
+#: skew-join scenario: hot-key mass and dim versions (output amplification)
+SKEW_JOIN_HOT_PCT = 9  # user_id % 10 < 9 -> 90% of facts on one key
+SKEW_JOIN_DIM_VERSIONS = 512
+
+
+def skew_join_scenario(spark, sf_dir) -> dict[str, float]:
+    """Plain SMJ vs salted_join vs AQE skew-split on an output-amplified
+    hot key: 90% of facts share one key, and the dim carries
+    {SKEW_JOIN_DIM_VERSIONS} rows per key, so the hot reduce task must
+    produce ~90% of the join output alone. AQE's skew splitting keys off
+    INPUT partition bytes — the hot partition's input is small, so AQE
+    leaves it whole and only the explicit salt spreads the OUTPUT work.
+    All three outputs are checksum-compared (order-insensitive xxhash sum).
+    """
+    from feature_store_fraud_detection_spark.operators.skew import salted_join
+    from feature_store_fraud_detection_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    facts = ev.select(
+        "event_id",
+        F.when(F.col("user_id") % 10 < SKEW_JOIN_HOT_PCT, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "value",
+    ).persist()
+    n = facts.count()
+    dim = (
+        facts.select("user_id")
+        .distinct()
+        .withColumn(
+            "version",
+            F.explode(F.sequence(F.lit(1), F.lit(SKEW_JOIN_DIM_VERSIONS))),
+        )
+        .select(
+            "user_id",
+            "version",
+            F.md5(F.concat_ws("|", F.col("user_id"), F.col("version"))).alias(
+                "attr"
+            ),
+        )
+        .persist()
+    )
+    dim.count()
+
+    def checksum(df) -> int:
+        return int(
+            df.select(
+                F.sum(
+                    F.xxhash64("event_id", "user_id", "value", "attr").cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("h")
+            ).first()["h"]
+        )
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        # dim is non-broadcastable by scenario contract; keep all 32 reduce
+        # tasks so the hot task is visible (AQE would coalesce this small
+        # shuffle to ONE task and serialize every variant equally)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        t0 = time.time()
+        facts.join(dim, "user_id").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        plain = round(time.time() - t0, 3)
+        t0 = time.time()
+        salted_join(facts, dim, "user_id", num_salts=32).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        salted = round(time.time() - t0, 3)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m"
+        )
+        t0 = time.time()
+        facts.join(dim, "user_id").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        aqe = round(time.time() - t0, 3)
+        hash_equal = checksum(facts.join(dim, "user_id")) == checksum(
+            salted_join(facts, dim, "user_id", num_salts=32)
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        facts.unpersist()
+        dim.unpersist()
+    return {
+        "fact_rows": n,
+        "plain_smj_sec": plain,
+        "salted_join_sec": salted,
+        "aqe_skew_sec": aqe,
+        "hash_equal": hash_equal,
+    }
+
+
+def ann_quality_scenario(spark, sf_dir) -> dict[str, float]:
+    """Mean recall@5 vs exact L2 for the documented ANN default
+    (ivfpq_topk init='kmeans', m=32, n_probe=4) and, for contrast, the
+    md5-sampled oracle shape (m=16, n_probe=2) — the number USAGE.md's
+    quality table quotes."""
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        ivfpq_recall_report,
+    )
+    from feature_store_fraud_detection_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out: dict[str, float] = {}
+    for label, kwargs in (
+        (
+            "ivfpq_kmeans_recall_at_5",
+            dict(init="kmeans", m=32, k_per_sub=64, n_probe=4),
+        ),
+        (
+            "ivfpq_sampled_recall_at_5",
+            dict(init="md5_sample", m=16, k_per_sub=64, n_probe=2),
+        ),
+    ):
+        t0 = time.time()
+        avg = (
+            ivfpq_recall_report(
+                emb, "vec_id", "embedding", query_max_id=10, **kwargs
+            )
+            .agg(F.avg("recall").alias("r"))
+            .first()["r"]
+        )
+        out[label] = round(float(avg), 3)
+        out[label.replace("recall_at_5", "sec")] = round(time.time() - t0, 3)
+    return out
+
+
 def _rate_to_events(raw):
     """Deterministic event derivation from the rate source's row number:
     event time advances 250 rows per event-second from a fixed origin, 50
@@ -198,6 +357,34 @@ def streaming_scenario(spark) -> dict[str, float]:
         OnlineStoreSink,
         windowed_stats,
     )
+
+    # pre-warm the STREAMING machinery the way the batch queries pre-warm
+    # codegen: a throwaway run of the same pipeline shape (rate source ->
+    # windowed_stats -> foreachBatch merge) compiles the stateful-agg
+    # codegen and initializes a state-store provider, so the measured
+    # query's first data batch does real work instead of one-time setup
+    warm_sink = OnlineStoreSink(key="cc_num", ts="window_end")
+    warm_q = (
+        windowed_stats(
+            _rate_to_events(
+                spark.readStream.format("rate")
+                .option("rowsPerSecond", 1000)
+                .option("numPartitions", 1)
+                .load()
+            )
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(warm_sink)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    warm_deadline = time.time() + 20
+    while time.time() < warm_deadline:
+        if any(p["numInputRows"] > 0 for p in warm_q.recentProgress):
+            break
+        time.sleep(0.25)
+    warm_q.stop()
+    warm_q.awaitTermination()
 
     raw = (
         spark.readStream.format("rate")
@@ -346,6 +533,10 @@ def main() -> None:
 
     skew = skew_scenario(spark, sf_dir)
     spark.catalog.clearCache()
+    skew_join = skew_join_scenario(spark, sf_dir)
+    spark.catalog.clearCache()
+    ann_quality = ann_quality_scenario(spark, sf_dir)
+    spark.catalog.clearCache()
     streaming = streaming_scenario(spark)
 
     print(
@@ -359,6 +550,8 @@ def main() -> None:
                 "sf": sf,
                 "flagship_rows_per_sec": round(n_events / steady),
                 "skew": skew,
+                "skew_join": skew_join,
+                "ann_quality": ann_quality,
                 "streaming": streaming,
             }
         )

@@ -1,0 +1,189 @@
+"""Exact closed-form ridge regression via normal equations — the
+hash-checkable ML-training operator.
+
+The reference's model training (``back_end/model/training.py``) is
+iterative (Adam over minibatches) and therefore inherently rows-only to a
+cross-engine oracle. This operator is the closed-form counterpart a
+100 TB pipeline actually wants for linear baselines: ONE scan builds the
+exact moment matrix (integer and DECIMAL sums — no float accumulation
+order anywhere), and the coefficients fall out of Cramer's rule evaluated
+IN THE PLAN as fixed-order double expressions. Every engine that computes
+the same exact moments and the same expression tree gets bit-identical
+coefficients, so the fitted model itself hash-checks against a SQL twin
+(``ridge_sql`` emits the mirrored formula text).
+
+Model: y ~ b0 + b1*x1 + b2*x2 with L2 penalty ``lam`` on b1/b2 (intercept
+unpenalized, the standard convention). x1/x2 must be integer-valued
+columns (exact BIGINT moments); y is fixed-point at ``y_scale`` decimals
+(exact DECIMAL moments).
+
+Scale: the single aggregate is map-side combined — 10 running sums per
+partition, one 1-row reduce. There is no iteration, no driver math, no
+collect; 100 TB costs one scan. R^2 comes from the same moments
+(SSE = y'y - 2b'X'y + b'X'Xb), so no second pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed evaluation order for the 3x3 Cramer expansion, shared by the
+#: DataFrame and SQL sides: det = a11*(a22*a33-a23*a23)
+#:   - a12*(a12*a33-a23*a13) + a13*(a12*a23-a22*a13), with b substituted
+#: column-wise for the numerators. Kept as data so both sides stay in sync.
+
+
+def ridge_normal_equations(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    lam: float = 1.0,
+    y_scale: int = 2,
+) -> DataFrame:
+    """Fit y ~ b0 + b1*x1 + b2*x2 by exact normal equations; returns ONE
+    row (n, b0, b1, b2, r2), all computed columns rounded to 4 decimals."""
+    x1 = F.col(x1_col).cast("bigint")
+    x2 = F.col(x2_col).cast("bigint")
+    y = F.col(y_col).cast(f"decimal(18,{y_scale})")
+    moments = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("sx1"),
+        F.sum(x2).alias("sx2"),
+        F.sum(x1 * x1).alias("sx11"),
+        F.sum(x1 * x2).alias("sx12"),
+        F.sum(x2 * x2).alias("sx22"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * y).alias("sx1y"),
+        F.sum(x2 * y).alias("sx2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    a11, a12, a13 = d("n"), d("sx1"), d("sx2")
+    a22 = d("sx11") + F.lit(float(lam))
+    a23 = d("sx12")
+    a33 = d("sx22") + F.lit(float(lam))
+    b1, b2, b3 = d("sy"), d("sx1y"), d("sx2y")
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    det0 = (
+        b1 * (a22 * a33 - a23 * a23)
+        - a12 * (b2 * a33 - a23 * b3)
+        + a13 * (b2 * a23 - a22 * b3)
+    )
+    det1 = (
+        a11 * (b2 * a33 - a23 * b3)
+        - b1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * b3 - b2 * a13)
+    )
+    det2 = (
+        a11 * (a22 * b3 - b2 * a23)
+        - a12 * (a12 * b3 - b2 * a13)
+        + b1 * (a12 * a23 - a22 * a13)
+    )
+    with_dets = moments.select(
+        "n", "sy", "sx1y", "sx2y", "syy", "sx1", "sx2", "sx11", "sx12", "sx22",
+        (det0 / det).alias("__b0"),
+        (det1 / det).alias("__b1"),
+        (det2 / det).alias("__b2"),
+    )
+    # SSE = y'y - 2 b'X'y + b'(X'X)b over the UNpenalized Gram matrix;
+    # SST = y'y - (sum y)^2 / n. Same fixed-order expressions in the twin.
+    b0c, b1c, b2c = F.col("__b0"), F.col("__b1"), F.col("__b2")
+    g11, g12, g13 = d("n"), d("sx1"), d("sx2")
+    g22, g23, g33 = d("sx11"), d("sx12"), d("sx22")
+    bxy = b0c * d("sy") + b1c * d("sx1y") + b2c * d("sx2y")
+    bgb = (
+        b0c * (g11 * b0c + g12 * b1c + g13 * b2c)
+        + b1c * (g12 * b0c + g22 * b1c + g23 * b2c)
+        + b2c * (g13 * b0c + g23 * b1c + g33 * b2c)
+    )
+    sse = d("syy") - F.lit(2.0) * bxy + bgb
+    sst = d("syy") - d("sy") * d("sy") / d("n")
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    r4 = round4_stable
+    return with_dets.select(
+        F.col("n").cast("bigint").alias("n"),
+        r4(b0c).alias("b0"),
+        r4(b1c).alias("b1"),
+        r4(b2c).alias("b2"),
+        r4(F.lit(1.0) - sse / sst).alias("r2"),
+    )
+
+
+def ridge_sql(
+    table_expr: str,
+    x1_expr: str,
+    x2_expr: str,
+    y_expr: str,
+    lam: float = 1.0,
+    y_scale: int = 2,
+) -> str:
+    """The DuckDB twin of :func:`ridge_normal_equations`: identical moment
+    sums and the identical fixed-order double formula text, emitted as SQL.
+    ``table_expr`` may be a table name or a parenthesized subquery;
+    ``*_expr`` are SQL expressions for the regressors/target."""
+    lam = float(lam)
+    return f"""
+WITH m AS (
+  SELECT count(*) AS n,
+         sum(CAST({x1_expr} AS BIGINT)) AS sx1,
+         sum(CAST({x2_expr} AS BIGINT)) AS sx2,
+         sum(CAST({x1_expr} AS BIGINT) * CAST({x1_expr} AS BIGINT)) AS sx11,
+         sum(CAST({x1_expr} AS BIGINT) * CAST({x2_expr} AS BIGINT)) AS sx12,
+         sum(CAST({x2_expr} AS BIGINT) * CAST({x2_expr} AS BIGINT)) AS sx22,
+         sum(CAST({y_expr} AS DECIMAL(18,{y_scale}))) AS sy,
+         sum(CAST({x1_expr} AS BIGINT) * CAST({y_expr} AS DECIMAL(18,{y_scale}))) AS sx1y,
+         sum(CAST({x2_expr} AS BIGINT) * CAST({y_expr} AS DECIMAL(18,{y_scale}))) AS sx2y,
+         sum(CAST({y_expr} AS DECIMAL(18,{y_scale}))
+             * CAST({y_expr} AS DECIMAL(18,{y_scale}))) AS syy
+  FROM {table_expr}
+),
+a AS (
+  SELECT CAST(n AS DOUBLE) AS a11, CAST(sx1 AS DOUBLE) AS a12,
+         CAST(sx2 AS DOUBLE) AS a13,
+         CAST(sx11 AS DOUBLE) + {lam!r} AS a22, CAST(sx12 AS DOUBLE) AS a23,
+         CAST(sx22 AS DOUBLE) + {lam!r} AS a33,
+         CAST(sy AS DOUBLE) AS b1, CAST(sx1y AS DOUBLE) AS b2,
+         CAST(sx2y AS DOUBLE) AS b3,
+         CAST(syy AS DOUBLE) AS dyy,
+         CAST(sx11 AS DOUBLE) AS g22, CAST(sx12 AS DOUBLE) AS g23,
+         CAST(sx22 AS DOUBLE) AS g33,
+         n, sy
+  FROM m
+),
+dets AS (
+  SELECT n, a11, a12, a13, a22, a23, a33, b1, b2, b3, dyy, g22, g23, g33,
+         (a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+            + a13*(a12*a23 - a22*a13)) AS det,
+         (b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)
+            + a13*(b2*a23 - a22*b3)) AS det0,
+         (a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13)
+            + a13*(a12*b3 - b2*a13)) AS det1,
+         (a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13)
+            + b1*(a12*a23 - a22*a13)) AS det2
+  FROM a
+),
+coef AS (
+  SELECT n, a11, a12, a13, b1, b2, b3, dyy, g22, g23, g33,
+         det0/det AS b0c, det1/det AS b1c, det2/det AS b2c
+  FROM dets
+)
+SELECT CAST(n AS BIGINT) AS n,
+       floor((b0c) * 10000 + 0.5) / 10000 AS b0,
+       floor((b1c) * 10000 + 0.5) / 10000 AS b1,
+       floor((b2c) * 10000 + 0.5) / 10000 AS b2,
+       floor((1.0 - (dyy - 2.0*(b0c*b1 + b1c*b2 + b2c*b3)
+              + (b0c*(a11*b0c + a12*b1c + a13*b2c)
+                 + b1c*(a12*b0c + g22*b1c + g23*b2c)
+                 + b2c*(a13*b0c + g23*b1c + g33*b2c)))
+            / (dyy - b1*b1/a11)) * 10000 + 0.5) / 10000 AS r2
+FROM coef
+"""

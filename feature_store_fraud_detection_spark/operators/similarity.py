@@ -838,6 +838,38 @@ def pq_topk(
     )
 
 
+def _numpy_kmeans(
+    X, k: int, seed: int = 42, iters: int = 20
+):
+    """Seeded Lloyd k-means on a driver-side training sample — how FAISS
+    trains coarse quantizers and PQ codebooks (on a bounded sample, never
+    the full corpus; assignment/encoding stay distributed). Deterministic
+    for fixed (sample, seed); empty clusters re-seed to the point farthest
+    from its centroid."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    cent = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        asg = d2.argmin(axis=1)
+        moved = 0.0
+        for c in range(k):
+            members = X[asg == c]
+            if len(members) == 0:
+                far = d2[np.arange(len(X)), asg].argmax()
+                cent[c] = X[far]
+                continue
+            new = members.mean(axis=0)
+            moved += float(((new - cent[c]) ** 2).sum())
+            cent[c] = new
+        if moved < 1e-12:
+            break
+    return cent
+
+
 def ivfpq_topk(
     df: DataFrame,
     id_col: str,
@@ -851,6 +883,9 @@ def ivfpq_topk(
     coarse_salt: str = "ivfpq",
     pq_salt: str = "pq",
     residual: bool = False,
+    init: str = "md5_sample",
+    seed: int = 42,
+    max_train_rows: int = 100_000,
 ) -> DataFrame:
     """IVF-PQ composite ANN — the standard billion-scale index shape
     (FAISS IVFPQ): an IVF coarse quantizer prunes the search to ``n_probe``
@@ -858,22 +893,33 @@ def ivfpq_topk(
     distance over their m compact codes, never their raw vectors. Returns
     (query_id, neighbor_id, adist2, rank).
 
-    Both quantizers are the deterministic md5-sample kind (different
-    salts -> independent samples), so the full pipeline — coarse
-    assignment, probe selection, codes, distance tables, ranking — is a
-    pure function of the data and hash-checks against a generated SQL twin.
+    Two quantizer inits, same search:
+
+    * ``init="md5_sample"`` (default, the ORACLE shape) — both quantizers
+      pick md5-ordered corpus vectors as centroids (different salts ->
+      independent samples), so the full pipeline — coarse assignment,
+      probe selection, codes, distance tables, ranking — is a pure
+      function of the data and hash-checks against a generated SQL twin.
+    * ``init="kmeans"`` (the QUALITY shape, the documented ANN default —
+      see USAGE.md) — coarse centroids AND per-subspace PQ codebooks are
+      trained with seeded Lloyd k-means on a bounded md5-ordered sample
+      (``max_train_rows``), driver-side, exactly FAISS's train() practice;
+      assignment/encoding stay distributed. Deterministic for fixed
+      (data, seed) but iterative, so queries built on it are rows-only to
+      the oracle gate; recall is measured by ``ivfpq_recall_report`` and
+      pinned in tests/bench (recall@5 >= 0.5 at sf0.1 vs 0.3-0.4 sampled).
+
     ``residual=False`` quantizes RAW vectors; ``residual=True`` is the
     true IVFADC shape — codes quantize ``v - centroid[list]`` and each
     query builds a SEPARATE distance table per probed list from its own
     residual against that list's centroid. NOTE the measured trade with
-    THIS module's md5-sampled quantizers: residual encoding helps when
-    centroids are trained MEANS (residuals shrink toward zero); with
-    sampled-vector centroids a residual is the difference of two data
-    points — LARGER and noisier than the raw vector — and recall@5
-    measured 0.14 residual vs 0.22 raw at sf0.01. Keep residual=False
-    with sampled codebooks; flip it on when a trained coarse quantizer
-    (KMeans) supplies real means. Determinism holds either way (exact
-    subtraction).
+    md5-SAMPLED quantizers: residual encoding helps when centroids are
+    trained MEANS (residuals shrink toward zero); with sampled-vector
+    centroids a residual is the difference of two data points — LARGER
+    and noisier than the raw vector — and recall@5 measured 0.14 residual
+    vs 0.22 raw at sf0.01. Keep residual=False with sampled codebooks;
+    pair residual=True with init="kmeans". Determinism holds either way
+    (exact subtraction).
 
     Scale: per query the work is |corpus|/num_clusters * n_probe code rows
     (+ an (m x k) broadcast distance table); the corpus contributes only
@@ -890,19 +936,45 @@ def ivfpq_topk(
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub_dim = dim // m
 
-    # --- coarse quantizer: md5-sampled centroids, nearest-list assignment
-    coarse_rows = (
-        vecs.orderBy(
-            F.md5(F.concat_ws("|", F.lit(coarse_salt), F.col(id_col).cast("string"))),
-            F.col(id_col),
+    if init == "kmeans":
+        # bounded md5-ordered training sample (deterministic for fixed
+        # data); FAISS-style driver-side quantizer training
+        train_rows = (
+            vecs.orderBy(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(coarse_salt), F.col(id_col).cast("string")
+                    )
+                ),
+                F.col(id_col),
+            )
+            .limit(max_train_rows)
+            .collect()
         )
-        .limit(num_clusters)
-        .collect()
-    )
-    cent = spark.createDataFrame(
-        [(i, list(r["__v"])) for i, r in enumerate(coarse_rows)],
-        "cluster int, centroid array<double>",
-    )
+        import numpy as np
+
+        X_train = np.array([list(r["__v"]) for r in train_rows])
+        coarse_cent = _numpy_kmeans(X_train, num_clusters, seed=seed)
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(coarse_cent)],
+            "cluster int, centroid array<double>",
+        )
+    elif init == "md5_sample":
+        # --- coarse quantizer: md5-sampled centroids, nearest-list assignment
+        coarse_rows = (
+            vecs.orderBy(
+                F.md5(F.concat_ws("|", F.lit(coarse_salt), F.col(id_col).cast("string"))),
+                F.col(id_col),
+            )
+            .limit(num_clusters)
+            .collect()
+        )
+        cent = spark.createDataFrame(
+            [(i, list(r["__v"])) for i, r in enumerate(coarse_rows)],
+            "cluster int, centroid array<double>",
+        )
+    else:
+        raise ValueError(f"unknown init {init!r}")
     cd2 = F.aggregate(
         F.zip_with("__v", "centroid", lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -938,22 +1010,47 @@ def ivfpq_topk(
         )
     else:
         enc_vecs = vecs
-    picked = (
-        enc_vecs.orderBy(
-            F.md5(F.concat_ws("|", F.lit(pq_salt), F.col(id_col).cast("string"))),
-            F.col(id_col),
+    if init == "kmeans":
+        # per-subspace codebooks trained on the (residual-adjusted) sample:
+        # real PQ training — each subspace gets k_per_sub Lloyd centroids
+        import numpy as np
+
+        if residual:
+            # residual-encode the training sample driver-side: nearest
+            # coarse centroid per sampled vector, subtract
+            d2s = ((X_train[:, None, :] - coarse_cent[None, :, :]) ** 2).sum(
+                axis=2
+            )
+            X_enc = X_train - coarse_cent[d2s.argmin(axis=1)]
+        else:
+            X_enc = X_train
+        cb_rows = []
+        for j in range(m):
+            sub = X_enc[:, j * sub_dim : (j + 1) * sub_dim]
+            cents = _numpy_kmeans(sub, k_per_sub, seed=seed + j + 1)
+            cb_rows.extend(
+                (j, c, [float(x) for x in v]) for c, v in enumerate(cents)
+            )
+        cb = spark.createDataFrame(
+            cb_rows, "sub int, code int, cent array<double>"
         )
-        .limit(k_per_sub)
-        .collect()
-    )
-    cb = spark.createDataFrame(
-        [
-            (j, c, list(r["__v"][j * sub_dim : (j + 1) * sub_dim]))
-            for j in range(m)
-            for c, r in enumerate(picked)
-        ],
-        "sub int, code int, cent array<double>",
-    )
+    else:
+        picked = (
+            enc_vecs.orderBy(
+                F.md5(F.concat_ws("|", F.lit(pq_salt), F.col(id_col).cast("string"))),
+                F.col(id_col),
+            )
+            .limit(k_per_sub)
+            .collect()
+        )
+        cb = spark.createDataFrame(
+            [
+                (j, c, list(r["__v"][j * sub_dim : (j + 1) * sub_dim]))
+                for j in range(m)
+                for c, r in enumerate(picked)
+            ],
+            "sub int, code int, cent array<double>",
+        )
     sv = _pq_subvectors(enc_vecs, id_col, m, sub_dim)
     d2 = F.aggregate(
         F.zip_with("s", "cent", lambda a, b: (a - b) * (a - b)),
@@ -1111,4 +1208,58 @@ def pq_recall_report(
                 / 10000
             ).alias("recall"),
         )
+    )
+
+
+def ivfpq_recall_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_max_id: int,
+    top_k: int = 5,
+    num_clusters: int = 8,
+    n_probe: int = 2,
+    m: int = 16,
+    k_per_sub: int = 64,
+    init: str = "kmeans",
+    residual: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-query recall@k of the IVF-PQ search against exact L2 — the
+    quality dashboard for the documented ANN default
+    (``ivfpq_topk(init='kmeans')``). One row per query (query_id, recall)."""
+    approx = ivfpq_topk(
+        df,
+        id_col,
+        vec_col,
+        query_max_id,
+        top_k=top_k,
+        num_clusters=num_clusters,
+        n_probe=n_probe,
+        m=m,
+        k_per_sub=k_per_sub,
+        init=init,
+        residual=residual,
+        seed=seed,
+    ).select("query_id", "neighbor_id")
+    exact = l2_topk(df, id_col, vec_col, query_max_id, top_k=top_k).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("__k"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        (
+            F.floor(
+                F.coalesce(F.col("__hits"), F.lit(0))
+                / F.col("__k").cast("double")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("recall"),
     )

@@ -18,6 +18,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, num_salts: int):
+    """Per-ROW salt from a hash of every column. NOT spark_partition_id:
+    a small input (one cached/parquet partition) would put every row in
+    ONE salt and silently degenerate the salted path back to the plain
+    hot-key shuffle — the failure is invisible because results stay
+    correct. A row hash spreads a hot key across all salts regardless of
+    the input's partitioning. Identical duplicate rows share a salt;
+    that skews only if one exact row dominates, in which case aggregate
+    the duplicates first."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts))
+
+
 def salted_stats(
     df: DataFrame,
     key: str,
@@ -30,7 +42,7 @@ def salted_stats(
     reducers; level 2 combines ``num_salts`` partials per key — uniform by
     construction. Returns (key, cnt, sum_v, avg_v, min_v, max_v).
     """
-    salted = df.withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(num_salts)))
+    salted = df.withColumn("__salt", _row_salt(df, num_salts))
     partial = salted.groupBy(key, "__salt").agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.sum(value).alias("__sum"),
@@ -64,9 +76,7 @@ def salted_join(
     the middle ground — a dim too big to broadcast joined against a fact
     with pathological key skew.
     """
-    salted_facts = facts.withColumn(
-        "__salt", F.pmod(F.spark_partition_id(), F.lit(num_salts))
-    )
+    salted_facts = facts.withColumn("__salt", _row_salt(facts, num_salts))
     replicated_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     )

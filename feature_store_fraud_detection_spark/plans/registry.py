@@ -8193,8 +8193,40 @@ FROM agg
 """
 
 
+# ---- round 5 ------------------------------------------------------------
+
+
+def _q_ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact closed-form ridge regression (operators/regression.py): one
+    scan builds integer/DECIMAL moments, Cramer's rule evaluates in-plan —
+    the fitted MODEL hash-checks cross-engine, unlike every iterative
+    trainer (reference analogue: back_end/model/training.py, which is
+    inherently rows-only). y=value ~ hour(ts) + (user_id mod 7)."""
+    from feature_store_fraud_detection_spark.operators.regression import (
+        ridge_normal_equations,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.hour("ts").alias("x1"),
+        F.pmod(F.col("user_id"), F.lit(7)).alias("x2"),
+        "value",
+    )
+    return ridge_normal_equations(ev, "x1", "x2", "value", lam=1.0)
+
+
+def _ridge_fit_sql() -> str:
+    from feature_store_fraud_detection_spark.operators.regression import (
+        ridge_sql,
+    )
+
+    return ridge_sql(
+        "events", "hour(ts)", "user_id % 7", "value", lam=1.0
+    )
+
+
 QUERIES.update(
     {
+        "ridge_fit": QuerySpec(_q_ridge_fit, _ridge_fit_sql()),
         "vocab_growth": QuerySpec(_q_vocab_growth, _VOCAB_GROWTH_SQL),
         "ngram_containment": QuerySpec(
             _q_ngram_containment, _NGRAM_CONTAINMENT_SQL
@@ -8243,6 +8275,7 @@ _GRADING_PRIORITY: list[str] = [
     "ngram_containment",
     "vocab_growth",
     # (b) new round-5 queries get inserted here as they land
+    "ridge_fit",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

@@ -13,6 +13,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str = "transactions",
+    starting_offsets: str = "latest",
+) -> dict[str, str]:
+    """The Kafka reader contract, as data: the option map ``kafka_stream``
+    feeds into ``format("kafka")``. Mirrors the reference consumer config
+    (``stream_processing/pipeline.py:33-42``: bootstrap.servers +
+    topics='transactions'); Flink's ``group.id`` has no Spark analog —
+    Structured Streaming tracks offsets in the CHECKPOINT, not in a Kafka
+    consumer group, which is also why ``startingOffsets`` only applies to
+    the first start of a fresh checkpoint. Split out so the contract is
+    unit-testable in a container that lacks the spark-sql-kafka jar."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -22,14 +42,12 @@ def kafka_stream(
     """Kafka source with the reference's topic; value is the JSON payload
     that parse_stream types. Requires the spark-sql-kafka package on the
     cluster (not bundled here)."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-        .selectExpr("CAST(value AS STRING) AS value")
-    )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers, topic, starting_offsets
+    ).items():
+        reader = reader.option(k, v)
+    return reader.load().selectExpr("CAST(value AS STRING) AS value")
 
 
 def file_stream(spark: SparkSession, path: str) -> DataFrame:

@@ -49,6 +49,28 @@ def test_salted_join_matches_plain(spark, sf_dir):
     assert salted.join(plain, ["event_id", "user_id", "dim_avg"]).count() == plain.count()
 
 
+def test_salt_spreads_hot_key_on_single_partition_input(spark):
+    """Regression: the salt must come from a ROW hash, not
+    spark_partition_id — a single-partition input (one small parquet file,
+    one cached partition: exactly what a hot-key fact table coalesced by
+    AQE looks like) previously put EVERY row in salt 0, silently
+    degenerating the salted path to the plain hot-key shuffle."""
+    from feature_store_fraud_detection_spark.operators.skew import _row_salt
+
+    one_part = (
+        spark.range(10_000)
+        .coalesce(1)
+        .select(F.col("id").alias("event_id"), F.lit(0).alias("user_id"))
+    )
+    n_salts = (
+        one_part.withColumn("__salt", _row_salt(one_part, 16))
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts == 16, f"hot key only spread over {n_salts}/16 salts"
+
+
 def test_feature_server_routes(spark, sf_dir, tmp_path):
     feats = compute_features(
         events_as_transactions(load_table(spark, sf_dir, "events"))

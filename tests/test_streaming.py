@@ -416,3 +416,39 @@ def test_stream_neardup_filter_replay_is_idempotent(spark, tmp_path):
 
     rows = spark.read.parquet(out_dir).groupBy("doc_id").count().collect()
     assert {r["doc_id"]: r["count"] for r in rows} == {11: 1, 12: 1}
+
+
+def test_kafka_reader_contract_is_pinned(spark):
+    """The one reference execution path no container can run end-to-end
+    (no broker, no spark-sql-kafka jar) is at least contract-pinned:
+    (a) the option map matches the reference consumer config
+    (stream_processing/pipeline.py:33-42 — bootstrap servers + the
+    'transactions' topic), and (b) kafka_stream really routes those options
+    into format('kafka') — the load fails ONLY on the missing kafka
+    artifact, not on option plumbing."""
+    import pytest
+
+    from feature_store_fraud_detection_spark.streaming.sources import (
+        kafka_reader_options,
+        kafka_stream,
+    )
+
+    opts = kafka_reader_options("localhost:9092")
+    assert opts == {
+        "kafka.bootstrap.servers": "localhost:9092",
+        "subscribe": "transactions",
+        "startingOffsets": "latest",
+    }
+    assert kafka_reader_options(
+        "b1:9092,b2:9092", topic="tx2", starting_offsets="earliest"
+    ) == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "tx2",
+        "startingOffsets": "earliest",
+    }
+    with pytest.raises(Exception) as exc:
+        kafka_stream(spark, "localhost:9092")
+    msg = str(exc.value)
+    assert "kafka" in msg.lower(), msg
+    # the failure is the missing DATA SOURCE artifact, not a config error
+    assert "FAILED_TO_FIND" in msg or "Failed to find" in msg, msg
