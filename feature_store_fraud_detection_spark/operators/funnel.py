@@ -154,22 +154,65 @@ def contiguous_pattern_matches(
     that single window sort (Catalyst plans one WindowExec), so cost is
     O(|events|) beyond the sort regardless of pattern length.
     """
+    hits = contiguous_pattern_hits(
+        df, key, type_col, ts_col, pattern, within_sec, tiebreak
+    )
+    return hits.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("anchor_ts").alias("first_match_ts"),
+    )
+
+
+def contiguous_pattern_hits(
+    df: DataFrame,
+    key: str,
+    type_col: str,
+    ts_col: str,
+    pattern: list[str],
+    within_sec: int,
+    tiebreak: str,
+    carry_last_col: str | None = None,
+) -> DataFrame:
+    """Per-hit form of :func:`contiguous_pattern_matches`: one row per
+    anchored match — (key, anchor_ts, anchor_<tiebreak>, last_ts). Same
+    single key-sorted window; the aggregate above is just a groupBy on top.
+
+    ``carry_last_col``: optionally also project ``lead(col, k-1)`` — the
+    carried column's value at the match's LAST element — as
+    ``last_<col>``. The streaming alert path uses this to tag whether a
+    match completed inside the new micro-batch (its last element is new)
+    or was already emitted by an earlier batch.
+    """
     from pyspark.sql import Window
 
     if len(pattern) < 1:
         raise ValueError("pattern needs at least one step")
+    k = len(pattern)
     w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
-    cur = df.select(key, type_col, ts_col, tiebreak)
+    cols = [key, type_col, ts_col, tiebreak]
+    if carry_last_col:
+        cols.append(carry_last_col)
+    cur = df.select(*cols)
     cond = F.col(type_col) == pattern[0]
     for i, p in enumerate(pattern[1:], start=1):
         cur = cur.withColumn(f"__t{i}", F.lead(type_col, i).over(w))
         cond = cond & (F.col(f"__t{i}") == p)
+    cur = cur.withColumn("__last_ts", F.lead(ts_col, k - 1).over(w))
+    if carry_last_col:
+        cur = cur.withColumn(
+            f"last_{carry_last_col}", F.lead(carry_last_col, k - 1).over(w)
+        )
     span_ok = (
-        F.unix_timestamp(F.lead(ts_col, len(pattern) - 1).over(w))
-        - F.unix_timestamp(ts_col)
+        F.unix_timestamp(F.col("__last_ts")) - F.unix_timestamp(ts_col)
     ) <= within_sec
-    matches = cur.withColumn("__hit", cond & span_ok).filter(F.col("__hit"))
-    return matches.groupBy(key).agg(
-        F.count(F.lit(1)).alias("n_matches"),
-        F.min(ts_col).alias("first_match_ts"),
-    )
+    out_cols = [
+        F.col(key),
+        F.col(ts_col).alias("anchor_ts"),
+        F.col(tiebreak).alias(f"anchor_{tiebreak}"),
+        F.col("__last_ts").alias("last_ts"),
+    ]
+    if carry_last_col:
+        out_cols.append(F.col(f"last_{carry_last_col}"))
+    return cur.withColumn("__hit", cond & span_ok).filter(
+        F.col("__hit")
+    ).select(*out_cols)

@@ -367,3 +367,70 @@ def source_mix_sample(
     return df.join(F.broadcast(weights), group_col).where(hash_frac < F.col("__p")).drop(
         "__p"
     )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    temperature: float = 2.0,
+    total_rows: int | None = None,
+    salt: str = "temp_mix",
+) -> DataFrame:
+    """Temperature-based source/language rebalancing — the standard
+    multilingual-corpus mixing rule (sample group g with probability
+    proportional to ``share_g^(1/T)``): T=1 keeps natural proportions,
+    T->inf approaches uniform, intermediate T lifts under-represented
+    groups without flattening the mix entirely.
+
+    Target share for group g is ``n_g^(1/T) / sum_h n_h^(1/T)``; with a
+    row budget ``M`` (default: the input size) the keep probability is
+    ``p_g = min(1, target_share_g * M / n_g)``. Like
+    :func:`source_mix_sample` this only DOWN-samples (p capped at 1 —
+    under-represented groups are kept whole, never duplicated), and the
+    per-row decision is the deterministic md5-threshold gate, reproducible
+    across engines/runs/partitionings.
+
+    Cross-engine determinism: at the default T=2 the exponent is computed
+    as ``sqrt`` — IEEE-correctly-rounded on every engine, so p_g is
+    bit-identical and the draw hash-checks. Other temperatures go through
+    ``pow``, whose last-ulp behavior libm does not guarantee across
+    engines — fine in production, but only T=2 is registered against the
+    oracle gate.
+
+    Shape at scale: one map-side-combined count per group + a 1-row total
+    (both broadcast); the gate is a scan-stage projection. No shuffle
+    touches the data rows.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    if temperature == 2.0:
+        w = F.sqrt(F.col("__n").cast("double"))
+    else:
+        w = F.pow(F.col("__n").cast("double"), F.lit(1.0 / float(temperature)))
+    weighted = counts.select(group_col, "__n", w.alias("__w"))
+    # aggregate from a RENAMED projection: totals sharing `weighted`'s
+    # column lineage would make `__n` ambiguous after the cross join
+    totals = weighted.agg(
+        F.sum("__w").alias("__sw"), F.sum("__n").alias("__grand_total")
+    )
+    budget = (
+        F.lit(float(total_rows))
+        if total_rows is not None
+        else F.col("__grand_total").cast("double")
+    )
+    probs = weighted.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            (F.col("__w") / F.col("__sw"))
+            * budget
+            / F.col("__n").cast("double"),
+        ).alias("__p"),
+    )
+    digest = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    hash_frac = F.conv(F.substring(digest, 1, 15), 16, 10).cast("double") / F.lit(
+        float(16**15)
+    )
+    return df.join(F.broadcast(probs), group_col).where(
+        hash_frac < F.col("__p")
+    ).drop("__p")

@@ -8196,6 +8196,38 @@ FROM agg
 # ---- round 5 ------------------------------------------------------------
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (T=2, the sqrt-exact path):
+    under-represented languages keep more of their rows than the natural
+    share — the standard multilingual corpus mixing rule, down-sample-only,
+    md5-gated so the draw hash-checks (operators/sampling.py:
+    temperature_mix_sample)."""
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        temperature_mix_sample,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    return temperature_mix_sample(
+        docs, "doc_id", "lang", temperature=2.0, total_rows=300
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+_TEMPERATURE_MIX_SQL = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT sum(sqrt(CAST(n AS DOUBLE))) AS sw FROM c),
+p AS (
+  SELECT lang,
+         least(1.0, (sqrt(CAST(n AS DOUBLE)) / sw) * 300.0
+                    / CAST(n AS DOUBLE)) AS p
+  FROM c CROSS JOIN t
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN p ON d.lang = p.lang
+WHERE ('0x' || substr(md5('temp_mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      / 1152921504606846976.0 < p.p
+"""
+
+
 def _q_ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact closed-form ridge regression (operators/regression.py): one
     scan builds integer/DECIMAL moments, Cramer's rule evaluates in-plan —
@@ -8227,6 +8259,9 @@ def _ridge_fit_sql() -> str:
 QUERIES.update(
     {
         "ridge_fit": QuerySpec(_q_ridge_fit, _ridge_fit_sql()),
+        "temperature_mix_sample": QuerySpec(
+            _q_temperature_mix, _TEMPERATURE_MIX_SQL
+        ),
         "vocab_growth": QuerySpec(_q_vocab_growth, _VOCAB_GROWTH_SQL),
         "ngram_containment": QuerySpec(
             _q_ngram_containment, _NGRAM_CONTAINMENT_SQL
@@ -8276,6 +8311,7 @@ _GRADING_PRIORITY: list[str] = [
     "vocab_growth",
     # (b) new round-5 queries get inserted here as they land
     "ridge_fit",
+    "temperature_mix_sample",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

@@ -410,3 +410,98 @@ def run_stream_neardup_filter(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def run_stream_pattern_alerts(
+    raw_events: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    pattern: list[str],
+    within_sec: int,
+    checkpoint_dir: str | None = None,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+):
+    """Streaming MATCH_RECOGNIZE-style alerts: emit one row per contiguous
+    pattern completion (the streaming twin of
+    ``funnel.contiguous_pattern_matches`` / the ``sequence_patterns``
+    oracle query), with matches that STRADDLE micro-batch boundaries found
+    exactly once.
+
+    Cross-batch correctness: the per-key TAIL (last ``len(pattern)-1``
+    events of the stream so far) persists in ``state_dir``. Each batch
+    runs detection over tail ∪ batch — a contiguous per-key suffix of the
+    true stream, so boundary-straddling runs are contiguous in it iff they
+    are in the stream. Dedup rule: a match is emitted only when its LAST
+    element is a new-batch row; a match ending inside the tail existed
+    wholly in a previous batch's union and was emitted then (contiguity
+    makes "ends in tail" imply "entirely in tail"). Alerts append through
+    :class:`IdempotentBatchSink` (replayed batches replace their own
+    partition).
+
+    Scale per batch: one window sort over |tail ∪ batch| =
+    O(batch + active_keys * (k-1)) rows; the corpus of past events is
+    never re-read. State writes rewrite only the tail table (bounded by
+    keys * (k-1) rows).
+    """
+    import os
+
+    from feature_store_fraud_detection_spark.operators.funnel import (
+        contiguous_pattern_hits,
+    )
+
+    sink = IdempotentBatchSink(out_dir)
+    k = len(pattern)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(key, type_col, ts_col, tiebreak).withColumn(
+            "is_new", F.lit(True)
+        )
+        have_state = os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        )
+        if have_state:
+            tail = (
+                spark.read.parquet(state_dir)
+                .select(key, type_col, ts_col, tiebreak)
+                .withColumn("is_new", F.lit(False))
+            )
+            union = tail.unionByName(batch)
+        else:
+            union = batch
+        hits = contiguous_pattern_hits(
+            union, key, type_col, ts_col, pattern, within_sec, tiebreak,
+            carry_last_col="is_new",
+        )
+        sink(
+            hits.filter(F.col("last_is_new")).select(
+                key, "anchor_ts", f"anchor_{tiebreak}", "last_ts"
+            ),
+            batch_id,
+        )
+        if k > 1:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(key).orderBy(
+                F.col(ts_col).desc(), F.col(tiebreak).desc()
+            )
+            new_tail = (
+                union.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") < k)
+                .select(key, type_col, ts_col, tiebreak)
+                # materialize BEFORE overwriting the directory it reads
+                .localCheckpoint(eager=True)
+            )
+            new_tail.write.mode("overwrite").parquet(state_dir)
+
+    writer = (
+        raw_events.writeStream.outputMode("append")
+        .foreachBatch(_batch)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

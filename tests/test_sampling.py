@@ -241,3 +241,51 @@ def test_ivf_md5_sample_quantizer_matches_kmeans_shape(spark, sf_dir):
         cos = [r["cosine"] for r in rows]
         assert cos == sorted(cos, reverse=True)
         assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    """T=2 sampling must move group shares toward uniform: the dominant
+    group's share shrinks, small groups keep ~all rows (down-sample-only),
+    and the draw is deterministic."""
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        temperature_mix_sample,
+    )
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(i + 1000, "mid") for i in range(90)]
+        + [(i + 2000, "tiny") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = temperature_mix_sample(
+        df, "doc_id", "lang", temperature=2.0, total_rows=500
+    )
+    got = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    # sqrt weights: 30/(30+9.49+3.16) etc -> big keeps ~0.39 of its rows,
+    # mid rises to ~1 (111/90 capped), tiny kept whole
+    assert got["tiny"] == 10
+    assert got["mid"] >= 80          # ~all kept (p capped at 1)
+    assert 280 < got["big"] < 420    # ~0.39 * 900 with binomial spread
+    # natural share of 'big' was 90%; T=2 targets sqrt-share ~0.70 of the
+    # kept mix (0.39*900 / (0.39*900+90+10) ~ 0.78 with the caps) — assert
+    # it moved well below natural
+    total = sum(got.values())
+    assert got["big"] / total < 0.85
+    # determinism
+    again = {r["lang"]: r["cnt"] for r in temperature_mix_sample(
+        df, "doc_id", "lang", temperature=2.0, total_rows=500
+    ).groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == again
+
+
+def test_temperature_one_is_natural_proportions(spark):
+    """T=1 with budget == |input| keeps every row (p_g == 1 exactly)."""
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        temperature_mix_sample,
+    )
+
+    rows = [(i, "a" if i % 4 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = temperature_mix_sample(df, "doc_id", "lang", temperature=1.0)
+    assert out.count() == 400

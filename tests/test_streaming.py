@@ -5,6 +5,7 @@ and availableNow trigger (deterministic, no sleeps)."""
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -452,3 +453,89 @@ def test_kafka_reader_contract_is_pinned(spark):
     assert "kafka" in msg.lower(), msg
     # the failure is the missing DATA SOURCE artifact, not a config error
     assert "FAILED_TO_FIND" in msg or "Failed to find" in msg, msg
+
+
+def test_stream_pattern_alerts_match_batch_across_boundaries(spark, tmp_path):
+    """Streaming contiguous-pattern alerts == batch detection over the same
+    events, including runs that STRADDLE micro-batch boundaries (found
+    exactly once via the persisted per-key tail state)."""
+    from feature_store_fraud_detection_spark.operators.funnel import (
+        contiguous_pattern_hits,
+    )
+    from feature_store_fraud_detection_spark.streaming.pipeline import (
+        run_stream_pattern_alerts,
+    )
+
+    pattern = ["view", "click", "purchase"]
+    # user 1: one run fully inside file A, one STRADDLING A|B (view/click in
+    # A, purchase in B); user 2: a run inside B; user 3: broken run (no hit)
+    t0 = 1_700_000_000
+    file_a = [
+        (1, "view", t0 + 0, 100),
+        (1, "click", t0 + 10, 101),
+        (1, "purchase", t0 + 20, 102),
+        (1, "view", t0 + 30, 103),
+        (1, "click", t0 + 40, 104),
+        (3, "view", t0 + 5, 300),
+        (3, "purchase", t0 + 6, 301),
+    ]
+    file_b = [
+        (1, "purchase", t0 + 50, 105),
+        (2, "view", t0 + 60, 200),
+        (2, "click", t0 + 61, 201),
+        (2, "purchase", t0 + 62, 202),
+        (3, "click", t0 + 70, 302),
+    ]
+    src = tmp_path / "pattern_src"
+    src.mkdir()
+    for i, (name, rows) in enumerate((("a.jsonl", file_a), ("b.jsonl", file_b))):
+        with open(src / name, "w") as f:
+            for uid, et, ts, eid in rows:
+                f.write(
+                    json.dumps(
+                        {"user_id": uid, "event_type": et, "ts": ts, "event_id": eid}
+                    )
+                    + "\n"
+                )
+        # the file source batches oldest-mtime-first; pin the order so the
+        # straddling run really arrives split across two micro-batches
+        os.utime(src / name, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    schema = "user_id bigint, event_type string, ts bigint, event_id bigint"
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select(
+            "user_id", "event_type",
+            F.timestamp_seconds("ts").alias("ts"), "event_id",
+        )
+    )
+    out_dir = str(tmp_path / "alerts")
+    q = run_stream_pattern_alerts(
+        raw,
+        out_dir,
+        state_dir=str(tmp_path / "tail_state"),
+        pattern=pattern,
+        within_sec=3600,
+        checkpoint_dir=str(tmp_path / "ckpt_pat"),
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["user_id"], r["anchor_event_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    batch_all = spark.read.schema(schema).json(str(src)).select(
+        "user_id", "event_type", F.timestamp_seconds("ts").alias("ts"), "event_id"
+    )
+    want = sorted(
+        (r["user_id"], r["anchor_event_id"])
+        for r in contiguous_pattern_hits(
+            batch_all, "user_id", "event_type", "ts", pattern, 3600, "event_id"
+        ).collect()
+    )
+    assert got == want
+    # the straddling run (anchor 103, completed by event 105 in batch B) is
+    # present exactly once, proving the tail state carried it over
+    assert (1, 103) in got and got.count((1, 103)) == 1
+    assert want == [(1, 100), (1, 103), (2, 200)]
