@@ -34,20 +34,23 @@ from pyspark.sql import functions as F
 #: column-wise for the numerators. Kept as data so both sides stay in sync.
 
 
-def ridge_normal_equations(
+def regression_moments(
     df: DataFrame,
     x1_col: str,
     x2_col: str,
     y_col: str,
-    lam: float = 1.0,
     y_scale: int = 2,
 ) -> DataFrame:
-    """Fit y ~ b0 + b1*x1 + b2*x2 by exact normal equations; returns ONE
-    row (n, b0, b1, b2, r2), all computed columns rounded to 4 decimals."""
+    """The 1-row exact moment state for y ~ b0 + b1*x1 + b2*x2: integer
+    Gram sums + DECIMAL cross/target sums. ADDITIVE — moments of a union
+    equal element-wise sums of per-part moments EXACTLY (integer/decimal
+    arithmetic, no float accumulation), which is what makes incremental /
+    streaming training bit-identical to a full recompute
+    (:func:`merge_regression_moments`)."""
     x1 = F.col(x1_col).cast("bigint")
     x2 = F.col(x2_col).cast("bigint")
     y = F.col(y_col).cast(f"decimal(18,{y_scale})")
-    moments = df.agg(
+    return df.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x1).alias("sx1"),
         F.sum(x2).alias("sx2"),
@@ -59,6 +62,65 @@ def ridge_normal_equations(
         F.sum(x2 * y).alias("sx2y"),
         F.sum(y * y).alias("syy"),
     )
+
+
+_MOMENT_COLS = (
+    "n", "sx1", "sx2", "sx11", "sx12", "sx22", "sy", "sx1y", "sx2y", "syy",
+)
+
+
+def merge_regression_moments(*moment_dfs: DataFrame) -> DataFrame:
+    """Element-wise sum of 1-row moment frames — the incremental-training
+    merge. Exact: every column is an integer or decimal sum, so
+    merge(moments(A), moments(B)) == moments(A ∪ B) bit-for-bit, and the
+    fitted model from merged state equals the full recompute
+    (tests pin this). At scale: per micro-batch, compute the batch's
+    moments (one scan of the batch) and fold them into a 10-number state
+    row — model updates never re-read history."""
+    if not moment_dfs:
+        raise ValueError("need at least one moments frame")
+
+    def _canon(m: DataFrame) -> DataFrame:
+        # summing widens decimal precision (18 -> 28 -> 38): canonicalize
+        # every frame to (bigint | decimal(38, scale)) so fresh moments,
+        # merged moments, and parquet-round-tripped state all union cleanly
+        from pyspark.sql.types import DecimalType
+
+        cols = []
+        for f in m.schema.fields:
+            if isinstance(f.dataType, DecimalType):
+                cols.append(
+                    F.col(f.name).cast(f"decimal(38,{f.dataType.scale})")
+                )
+            else:
+                cols.append(F.col(f.name).cast("bigint"))
+        return m.select(*[c.alias(f.name) for c, f in zip(cols, m.schema.fields)])
+
+    unioned = _canon(moment_dfs[0])
+    for m in moment_dfs[1:]:
+        unioned = unioned.unionByName(_canon(m))
+    return unioned.agg(*[F.sum(c).alias(c) for c in _MOMENT_COLS])
+
+
+def ridge_normal_equations(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    lam: float = 1.0,
+    y_scale: int = 2,
+) -> DataFrame:
+    """Fit y ~ b0 + b1*x1 + b2*x2 by exact normal equations; returns ONE
+    row (n, b0, b1, b2, r2), all computed columns rounded to 4 decimals."""
+    moments = regression_moments(df, x1_col, x2_col, y_col, y_scale)
+    return ridge_from_moments(moments, lam)
+
+
+def ridge_from_moments(moments: DataFrame, lam: float = 1.0) -> DataFrame:
+    """Solve the normal equations from a 1-row moment frame (fresh from
+    :func:`regression_moments` or folded through
+    :func:`merge_regression_moments`) — Cramer's rule as fixed-order
+    double expressions IN THE PLAN, identical text in the SQL twin."""
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     a11, a12, a13 = d("n"), d("sx1"), d("sx2")
     a22 = d("sx11") + F.lit(float(lam))

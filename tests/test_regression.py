@@ -6,6 +6,7 @@ aggregate (one scan, no join/iteration)."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from feature_store_fraud_detection_spark.operators.regression import (
     ridge_normal_equations,
@@ -61,3 +62,105 @@ def test_ridge_plan_is_single_aggregate_no_join(spark):
     assert "Join" not in plan
     # one partial + one final hash aggregate pair — a single scan fit
     assert plan.count("HashAggregate") <= 2
+
+
+def test_merged_moment_state_equals_full_fit_bit_exact(spark):
+    """Incremental training: fold per-batch moments through
+    merge_regression_moments -> ridge_from_moments must equal the
+    one-pass fit EXACTLY (not approximately) — the moment sums are
+    integer/decimal, so batching cannot change a single bit."""
+    from feature_store_fraud_detection_spark.operators.regression import (
+        merge_regression_moments,
+        regression_moments,
+        ridge_from_moments,
+        ridge_normal_equations,
+    )
+
+    rng = np.random.default_rng(17)
+    rows = [
+        (int(a), int(b), float(c))
+        for a, b, c in zip(
+            rng.integers(0, 24, 900),
+            rng.integers(0, 7, 900),
+            np.round(rng.normal(50, 20, 900), 2),
+        )
+    ]
+    schema = "x1 int, x2 int, value double"
+    full = spark.createDataFrame(rows, schema)
+    parts = [
+        spark.createDataFrame(rows[i::3], schema) for i in range(3)
+    ]
+    merged = merge_regression_moments(
+        *[regression_moments(p, "x1", "x2", "value") for p in parts]
+    )
+    got = ridge_from_moments(merged, lam=1.0).collect()[0]
+    want = ridge_normal_equations(full, "x1", "x2", "value", lam=1.0).collect()[0]
+    assert got.asDict() == want.asDict()  # bit-exact, not approx
+
+
+def test_stream_ridge_moments_fold_matches_batch(spark, tmp_path):
+    """foreachBatch incremental fit: per-batch moments fold into a parquet
+    state row; after the stream drains, the model from state equals the
+    batch fit over all data bit-exactly."""
+    import json as _json
+    import os as _os
+
+    from feature_store_fraud_detection_spark.operators.regression import (
+        merge_regression_moments,
+        regression_moments,
+        ridge_from_moments,
+        ridge_normal_equations,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = [
+        (int(i), int(a), int(b), float(c))
+        for i, (a, b, c) in enumerate(
+            zip(
+                rng.integers(0, 24, 300),
+                rng.integers(0, 7, 300),
+                np.round(rng.normal(10, 5, 300), 2),
+            )
+        )
+    ]
+    src = tmp_path / "ridge_src"
+    src.mkdir()
+    for part in range(3):
+        with open(src / f"p{part}.jsonl", "w") as f:
+            for rid, a, b, c in rows[part::3]:
+                f.write(_json.dumps({"rid": rid, "x1": a, "x2": b, "value": c}) + "\n")
+        _os.utime(src / f"p{part}.jsonl", (1_700_000_000 + part, 1_700_000_000 + part))
+
+    state_dir = str(tmp_path / "moment_state")
+
+    def _fold(batch_df, batch_id):
+        m = regression_moments(batch_df, "x1", "x2", "value")
+        if _os.path.isdir(state_dir) and any(
+            fn.endswith(".parquet") for fn in _os.listdir(state_dir)
+        ):
+            prev = spark.read.parquet(state_dir)
+            m = merge_regression_moments(prev, m)
+        out = m.localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(state_dir)
+
+    raw = (
+        spark.readStream.schema("rid bigint, x1 int, x2 int, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        raw.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ridge"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(state_dir)
+    got = ridge_from_moments(state, lam=1.0).collect()[0]
+    full = spark.createDataFrame(
+        [(a, b, c) for _, a, b, c in rows], "x1 int, x2 int, value double"
+    )
+    want = ridge_normal_equations(full, "x1", "x2", "value", lam=1.0).collect()[0]
+    assert got.asDict() == want.asDict()
