@@ -216,3 +216,49 @@ def contiguous_pattern_hits(
     return cur.withColumn("__hit", cond & span_ok).filter(
         F.col("__hit")
     ).select(*out_cols)
+
+
+def next_event_training_pairs(
+    df: DataFrame,
+    key: str,
+    type_col: str,
+    ts_col: str,
+    tiebreak: str,
+    context_len: int = 3,
+) -> DataFrame:
+    """Next-event-prediction training pairs from an event log — the
+    sequence-model dataset constructor (the event-stream analog of
+    next-token training data): for every event with at least
+    ``context_len`` predecessors in its key's stream, emit
+    (key, <tiebreak>, context, target) where ``context`` is the
+    '>'-joined types of the previous ``context_len`` events in stream
+    order and ``target`` is this event's type.
+
+    One key-partitioned window (ROWS frame, total order via ts+tiebreak)
+    serves the whole construction — collect_list over a bounded
+    ``context_len``-row frame, no self-joins, no explode. Emitted context
+    strings are deterministic because the frame order IS the sort order.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, tiebreak)
+        .rowsBetween(-context_len, -1)
+    )
+    ctx = F.collect_list(type_col).over(w)
+    return (
+        df.select(
+            F.col(key),
+            F.col(tiebreak),
+            ctx.alias("__ctx"),
+            F.col(type_col).alias("target"),
+        )
+        .filter(F.size("__ctx") == context_len)
+        .select(
+            key,
+            tiebreak,
+            F.concat_ws(">", "__ctx").alias("context"),
+            "target",
+        )
+    )

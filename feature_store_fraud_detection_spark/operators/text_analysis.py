@@ -514,3 +514,68 @@ def gopher_quality_flags(
         f_sym.alias("symbol_ok"),
         (f_len & f_avg & f_stop & f_sym).alias("keep"),
     )
+
+
+def curriculum_stages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_stages: int = 4,
+) -> DataFrame:
+    """Difficulty-staged curriculum construction: score every document with
+    the corpus-unigram NLL (:func:`unigram_nll` — low = easy/repetitive,
+    high = hard/out-of-distribution) and split the corpus into
+    ``n_stages`` difficulty bands at EXACT order-statistic boundaries
+    (``percentile_disc`` — an actual data value, no interpolation, so the
+    boundaries and therefore the staging are bit-reproducible
+    cross-engine). Returns per-stage (stage, n_docs, n_tokens, min_nll,
+    max_nll) — the curriculum schedule a staged training run consumes.
+
+    Ties share a stage (band membership is a pure value comparison), so
+    stage sizes can deviate from exact quarters when many docs share a
+    rounded NLL — the price of determinism over ntile's global sort, which
+    would also be a single-partition scale problem.
+
+    Scale: the NLL frame is one row per doc; boundaries are ONE aggregate
+    over it (broadcast back as a k-1-element array); staging is a scan
+    projection; the final rollup has ``n_stages`` rows. No global window.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    nll = unigram_nll(df, id_col, text_col)
+    qs = [i / n_stages for i in range(1, n_stages)]
+    bounds = nll.agg(
+        F.array(
+            *[
+                F.expr(
+                    f"percentile_disc({q}) WITHIN GROUP (ORDER BY nll)"
+                )
+                for q in qs
+            ]
+        ).alias("__bounds")
+    )
+    staged = nll.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col),
+        "n_tokens",
+        "nll",
+        (
+            F.lit(1)
+            + F.size(F.filter("__bounds", lambda b: F.col("nll") > b))
+        ).alias("stage"),
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("nll").alias("min_nll"),
+        F.max("nll").alias("max_nll"),
+        round4_stable(
+            F.aggregate(
+                F.array_sort(F.collect_list("nll")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("avg_nll"),
+    )

@@ -8228,6 +8228,86 @@ WHERE ('0x' || substr(md5('temp_mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BI
 """
 
 
+def _q_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event-prediction pairs (context of 3 previous types -> target)
+    per user — the sequence-model dataset constructor
+    (operators/funnel.py:next_event_training_pairs); one key-sorted window,
+    bounded ROWS frame."""
+    from feature_store_fraud_detection_spark.operators.funnel import (
+        next_event_training_pairs,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return next_event_training_pairs(
+        ev, "user_id", "event_type", "ts", "event_id", context_len=3
+    )
+
+
+_TRAINING_SEQUENCES_SQL = """
+WITH s AS (
+  SELECT user_id, event_id,
+         list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx,
+         event_type AS target
+  FROM events
+)
+SELECT user_id, event_id, array_to_string(ctx, '>') AS context, target
+FROM s WHERE len(ctx) = 3
+"""
+
+
+def _q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difficulty-staged curriculum schedule: unigram-NLL scores split at
+    EXACT percentile_disc boundaries (verified bit-identical between Spark
+    and DuckDB incl. ties) into 4 bands; per-band doc/token rollup
+    (operators/text_analysis.py:curriculum_stages)."""
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        curriculum_stages,
+    )
+
+    return curriculum_stages(load_docs(spark, sf_dir), "doc_id", "text")
+
+
+_CURRICULUM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+tc AS (SELECT term, count(*) AS ct FROM tok GROUP BY 1),
+tot AS (SELECT count(*) AS total_tokens FROM tok),
+contribs AS (
+  SELECT doc_id, tf, tf * ln(ct / total_tokens) AS c
+  FROM tf JOIN tc USING (term) CROSS JOIN tot
+),
+nll AS (
+  SELECT doc_id,
+         CAST(sum(tf) AS BIGINT) AS n_tokens,
+         floor(((-list_reduce(list_sort(list(c)), (a, b) -> a + b)) / sum(tf))
+               * 10000 + 0.5) / 10000 AS nll
+  FROM contribs
+  GROUP BY doc_id
+),
+b AS (
+  SELECT [percentile_disc(0.25) WITHIN GROUP (ORDER BY nll),
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY nll),
+          percentile_disc(0.75) WITHIN GROUP (ORDER BY nll)] AS bounds
+  FROM nll
+),
+staged AS (
+  SELECT doc_id, n_tokens, nll,
+         1 + len(list_filter(bounds, x -> nll > x)) AS stage
+  FROM nll CROSS JOIN b
+)
+SELECT stage, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(nll) AS min_nll, max(nll) AS max_nll,
+       floor((list_reduce(list_sort(list(nll)), (a, b) -> a + b) / count(*))
+             * 10000 + 0.5) / 10000 AS avg_nll
+FROM staged
+GROUP BY stage
+"""
+
+
 def _q_ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact closed-form ridge regression (operators/regression.py): one
     scan builds integer/DECIMAL moments, Cramer's rule evaluates in-plan —
@@ -8261,6 +8341,10 @@ QUERIES.update(
         "ridge_fit": QuerySpec(_q_ridge_fit, _ridge_fit_sql()),
         "temperature_mix_sample": QuerySpec(
             _q_temperature_mix, _TEMPERATURE_MIX_SQL
+        ),
+        "curriculum_stages": QuerySpec(_q_curriculum_stages, _CURRICULUM_SQL),
+        "training_sequences": QuerySpec(
+            _q_training_sequences, _TRAINING_SEQUENCES_SQL
         ),
         "vocab_growth": QuerySpec(_q_vocab_growth, _VOCAB_GROWTH_SQL),
         "ngram_containment": QuerySpec(
@@ -8312,6 +8396,8 @@ _GRADING_PRIORITY: list[str] = [
     # (b) new round-5 queries get inserted here as they land
     "ridge_fit",
     "temperature_mix_sample",
+    "curriculum_stages",
+    "training_sequences",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

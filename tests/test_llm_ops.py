@@ -590,3 +590,44 @@ def test_vocab_growth_monotone_and_heaps_range(spark, sf_dir):
     # curve is exactly the "new data adds no vocabulary" signal); real
     # text lands strictly inside (0, 1)
     assert 0.0 <= r["heaps_exp"] < 1.0
+
+
+def test_curriculum_stages_bands_are_disjoint_and_cover(spark):
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        curriculum_stages,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok%d" % ((i * j) % 17) for j in range(12)])) for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    got = {r["stage"]: r for r in curriculum_stages(docs, "doc_id", "text").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert sum(r["n_docs"] for r in got.values()) == 40
+    # value bands never overlap: a tie group lands wholly in one stage
+    for s in (1, 2, 3):
+        assert got[s + 1]["min_nll"] > got[s]["max_nll"]
+    # easier stages have lower NLL
+    assert got[1]["avg_nll"] < got[4]["avg_nll"]
+
+
+def test_next_event_training_pairs_hand_fixture(spark):
+    from feature_store_fraud_detection_spark.operators.funnel import (
+        next_event_training_pairs,
+    )
+
+    rows = [
+        (1, t, 1_700_000_000 + i, i)
+        for i, t in enumerate(["a", "b", "c", "d", "e"])
+    ] + [(2, "x", 1_700_000_000, 100), (2, "y", 1_700_000_001, 101)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts_raw bigint, event_id bigint"
+    ).select("user_id", "event_type", F.timestamp_seconds("ts_raw").alias("ts"), "event_id")
+    got = sorted(
+        (r["user_id"], r["event_id"], r["context"], r["target"])
+        for r in next_event_training_pairs(
+            df, "user_id", "event_type", "ts", "event_id", context_len=3
+        ).collect()
+    )
+    # user 1: targets d (ctx a>b>c) and e (ctx b>c>d); user 2: too short
+    assert got == [(1, 3, "a>b>c", "d"), (1, 4, "b>c>d", "e")]
