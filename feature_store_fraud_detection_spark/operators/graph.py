@@ -264,3 +264,86 @@ def bfs_levels(
     levels = levels.localCheckpoint(eager=True)
     e_cached.unpersist()
     return levels
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+) -> DataFrame:
+    """Global triangle census of an undirected graph: one row
+    (n_triangles, n_wedges, clustering) where clustering is the global
+    coefficient 3*triangles/wedges (4-decimal stable rounding).
+
+    Algorithm: DEGREE-ORDERED ORIENTATION — every undirected edge points
+    from its lower-(degree, id) endpoint to the higher one, each triangle
+    is counted exactly once at its lowest-order corner, and (the scale
+    property) every node's OUT-degree is O(sqrt(|E|)) regardless of how
+    big a hub it is, so the wedge join cannot explode quadratically on hot
+    nodes the way the naive id-ordered 3-way self-join does. The order is
+    packed as ``degree * 2^40 + node`` (exact in BIGINT for node ids
+    < 2^40, degrees < 2^23) so all comparisons are single-long
+    comparisons in the join keys — no struct comparators in the shuffle.
+
+    Shape: one keyed degree aggregate, two broadcast-or-shuffle joins to
+    attach orders, then wedge-join (keyed on the corner) + closing-edge
+    join (keyed on the (v, w) pair) + a global count. Input edges may
+    contain duplicates/self-loops/either direction — canonicalized here.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.filter(a != b)
+        .select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ordv = deg.select(
+        "n", (F.col("d") * F.lit(2**40) + F.col("n")).alias("o")
+    )
+    # oriented edges: lower order -> higher order, endpoints carried as
+    # (node, order) pairs
+    oe = (
+        und.join(ordv.select(F.col("n").alias("u"), F.col("o").alias("ou")), "u")
+        .join(ordv.select(F.col("n").alias("v"), F.col("o").alias("ov")), "v")
+        .select(
+            F.when(F.col("ou") < F.col("ov"), F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(F.col("ou") < F.col("ov"), F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.least("ou", "ov").alias("os"),
+            F.greatest("ou", "ov").alias("ot"),
+        )
+    )
+    wedges = (
+        oe.alias("e1")
+        .join(oe.alias("e2"), F.col("e1.s") == F.col("e2.s"))
+        .filter(F.col("e1.ot") < F.col("e2.ot"))
+        .select(
+            F.col("e1.t").alias("wv"), F.col("e2.t").alias("ww")
+        )
+    )
+    closed = wedges.join(
+        oe.select(F.col("s").alias("wv"), F.col("t").alias("ww")),
+        ["wv", "ww"],
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    # d*(d-1) is even, so integer div by 2 is exact — stays in BIGINT all
+    # the way (no double rounding at extreme degree sums)
+    wed = deg.agg(
+        F.expr("CAST(sum(d * (d - 1)) div 2 AS BIGINT)").alias("n_wedges")
+    )
+    return tri.crossJoin(wed).select(
+        "n_triangles",
+        "n_wedges",
+        round4_stable(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges").cast("double")
+        ).alias("clustering"),
+    )

@@ -8228,6 +8228,61 @@ WHERE ('0x' || substr(md5('temp_mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BI
 """
 
 
+def _q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts sharing an
+    order) via degree-ordered orientation — out-degree O(sqrt(E)) bounds
+    the wedge join on hub parts (operators/graph.py:triangle_stats). The
+    trade graph itself is bipartite (zero triangles by construction), so
+    the co-purchase projection is the graph with closure structure."""
+    from feature_store_fraud_detection_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    x, y = li.alias("x"), li.alias("y")
+    e = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+    )
+    return triangle_stats(e, "a", "b")
+
+
+_TRIANGLE_STATS_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0)
+  GROUP BY n
+),
+ordv AS (SELECT n, d * 1099511627776 + n AS o FROM deg),
+oe AS (
+  SELECT CASE WHEN a.o < b.o THEN e0.u ELSE e0.v END AS s,
+         CASE WHEN a.o < b.o THEN e0.v ELSE e0.u END AS t,
+         least(a.o, b.o) AS os, greatest(a.o, b.o) AS ot
+  FROM e0 JOIN ordv a ON e0.u = a.n JOIN ordv b ON e0.v = b.n
+),
+tri AS (
+  SELECT count(*) AS c
+  FROM oe e1
+  JOIN oe e2 ON e1.s = e2.s AND e1.ot < e2.ot
+  JOIN oe e3 ON e3.s = e1.t AND e3.t = e2.t
+),
+wed AS (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS w FROM deg)
+SELECT c AS n_triangles, w AS n_wedges,
+       floor(3.0 * c / w * 10000 + 0.5) / 10000 AS clustering
+FROM tri CROSS JOIN wed
+"""
+
+
 def _q_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-event-prediction pairs (context of 3 previous types -> target)
     per user — the sequence-model dataset constructor
@@ -8346,6 +8401,7 @@ QUERIES.update(
         "training_sequences": QuerySpec(
             _q_training_sequences, _TRAINING_SEQUENCES_SQL
         ),
+        "triangle_stats": QuerySpec(_q_triangle_stats, _TRIANGLE_STATS_SQL),
         "vocab_growth": QuerySpec(_q_vocab_growth, _VOCAB_GROWTH_SQL),
         "ngram_containment": QuerySpec(
             _q_ngram_containment, _NGRAM_CONTAINMENT_SQL
@@ -8398,6 +8454,7 @@ _GRADING_PRIORITY: list[str] = [
     "temperature_mix_sample",
     "curriculum_stages",
     "training_sequences",
+    "triangle_stats",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

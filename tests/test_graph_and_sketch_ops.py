@@ -336,3 +336,32 @@ def test_hist_quantiles_within_bin_width_property(spark):
             assert abs(row[name] - exact) <= w + 1e-9, (p, row[name], exact)
 
     run()
+
+
+def test_triangle_stats_hand_graph(spark):
+    """K4 plus a pendant edge: 4 triangles, wedges = sum d(d-1)/2 with
+    degrees (3,3,3,4,1) = 3+3+3+6+0 = 15, clustering = 12/15 = 0.8.
+    Duplicate edges, reversed duplicates, and self-loops must be
+    canonicalized away."""
+    from feature_store_fraud_detection_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    edges = k4 + [(4, 5)] + [(2, 1), (3, 1)] + [(1, 1)]  # dups/reverse/loop
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    row = triangle_stats(df, "a", "b").collect()[0]
+    assert row["n_triangles"] == 4
+    assert row["n_wedges"] == 15
+    assert row["clustering"] == 0.8
+
+
+def test_triangle_stats_bipartite_graph_has_none(spark):
+    edges = [(i, 100 + j) for i in range(5) for j in range(5)]
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    from feature_store_fraud_detection_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    row = triangle_stats(df, "a", "b").collect()[0]
+    assert row["n_triangles"] == 0 and row["clustering"] == 0.0
