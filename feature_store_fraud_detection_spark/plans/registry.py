@@ -8228,6 +8228,57 @@ WHERE ('0x' || substr(md5('temp_mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BI
 """
 
 
+def _q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 via prefix filtering (PPJoin family) — the
+    no-false-negative, no-hot-shingle-cap candidate strategy: each doc
+    indexes only its rarest |d|-ceil(t|d|)+1 shingles
+    (operators/dedup.py:prefix_filter_pairs)."""
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    return prefix_filter_pairs(
+        load_docs(spark, sf_dir), "doc_id", "text", threshold=0.5
+    )
+
+
+_PREFIX_FILTER_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+ranked AS (
+  SELECT sh.doc_id, sh.shingle, sz,
+         row_number() OVER (PARTITION BY sh.doc_id
+                            ORDER BY df, sh.shingle) AS rn
+  FROM sh JOIN dfreq USING (shingle) JOIN sizes USING (doc_id)
+),
+pref AS (
+  SELECT doc_id, shingle FROM ranked
+  WHERE rn <= sz - ceil(0.5 * sz) + 1
+),
+cand AS (
+  SELECT DISTINCT p1.doc_id AS id_a, p2.doc_id AS id_b
+  FROM pref p1 JOIN pref p2
+    ON p1.shingle = p2.shingle AND p1.doc_id < p2.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter, jaccard FROM (
+  SELECT id_a, id_b, n_inter,
+         floor(n_inter / CAST(na.sz + nb.sz - n_inter AS DOUBLE)
+               * 10000 + 0.5) / 10000 AS jaccard
+  FROM inter
+  JOIN sizes na ON id_a = na.doc_id
+  JOIN sizes nb ON id_b = nb.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+
 def _q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the part co-purchase graph (parts sharing an
     order) via degree-ordered orientation — out-degree O(sqrt(E)) bounds
@@ -8402,6 +8453,9 @@ QUERIES.update(
             _q_training_sequences, _TRAINING_SEQUENCES_SQL
         ),
         "triangle_stats": QuerySpec(_q_triangle_stats, _TRIANGLE_STATS_SQL),
+        "prefix_filter_pairs": QuerySpec(
+            _q_prefix_filter_pairs, _PREFIX_FILTER_SQL
+        ),
         "vocab_growth": QuerySpec(_q_vocab_growth, _VOCAB_GROWTH_SQL),
         "ngram_containment": QuerySpec(
             _q_ngram_containment, _NGRAM_CONTAINMENT_SQL
@@ -8455,6 +8509,7 @@ _GRADING_PRIORITY: list[str] = [
     "curriculum_stages",
     "training_sequences",
     "triangle_stats",
+    "prefix_filter_pairs",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

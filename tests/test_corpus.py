@@ -338,3 +338,38 @@ def test_minhash_probe_fanout_cap_is_per_bucket_not_per_doc(spark):
         ).collect()
     }
     assert got2 == {(11, 3)}
+
+
+def test_prefix_filter_pairs_equals_uncapped_exact_jaccard(spark):
+    """Prefix filtering guarantees NO false negatives: its output must
+    equal the full inverted-index exact Jaccard at the same threshold."""
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " lambda"),                       # near-dup of 1
+            (3, "one two three four five six seven"),
+            (4, "one two three four five six eight"),    # near-dup of 3
+            (5, "totally different words everywhere here now ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["n_inter"], r["jaccard"])
+        for r in prefix_filter_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], r["n_inter"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    )
+    assert got == want
+    assert [(a, b) for a, b, *_ in got] == [(1, 2), (3, 4)]
