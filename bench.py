@@ -111,6 +111,10 @@ HEADLINE: list[tuple[str, int]] = [
     ("stratified_topn", 4),
     ("sequence_patterns", 4),
     ("ngram_containment", 4),
+    ("ridge_fit", 5),
+    ("temperature_mix_sample", 5),
+    ("curriculum_stages", 5),
+    ("training_sequences", 5),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key
