@@ -249,3 +249,49 @@ SELECT CAST(n AS BIGINT) AS n,
             / (dyy - b1*b1/a11)) * 10000 + 0.5) / 10000 AS r2
 FROM coef
 """
+
+
+def ridge_fit_k(
+    df: DataFrame,
+    x_cols: list[str],
+    y_col: str,
+    lam: float = 1.0,
+) -> tuple[list[float], dict]:
+    """General k-feature ridge by the same one-scan moment strategy: the
+    full (k+1)x(k+1) Gram matrix and X'y vector come from ONE map-side-
+    combined aggregate (float columns allowed — sums fold in double, so
+    this variant is deterministic within Spark but not oracle-exact like
+    the 2-feature DECIMAL form), then the solve is numpy on the collected
+    1-row moment frame — bounded driver metadata, like every quantizer
+    codebook here. Returns (coefficients [b0, b1, ...], info dict with
+    n/r2).
+
+    Scale: one scan, one 1-row collect, no iteration — the linear-model
+    shape that actually works at 100 TB (vs SGD's many passes). Intercept
+    unpenalized.
+    """
+    import numpy as np
+
+    k = len(x_cols)
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in x_cols]
+    y = F.col(y_col).cast("double")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(k + 1):
+        for j in range(i, k + 1):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"g_{i}_{j}"))
+        aggs.append(F.sum(xs[i] * y).alias(f"xy_{i}"))
+    aggs.append(F.sum(y * y).alias("syy"))
+    row = df.agg(*aggs).collect()[0]
+    G = np.zeros((k + 1, k + 1))
+    for i in range(k + 1):
+        for j in range(i, k + 1):
+            G[i, j] = G[j, i] = row[f"g_{i}_{j}"]
+    b = np.array([row[f"xy_{i}"] for i in range(k + 1)])
+    A = G + lam * np.diag([0.0] + [1.0] * k)
+    beta = np.linalg.solve(A, b)
+    sse = float(row["syy"] - 2.0 * beta @ b + beta @ G @ beta)
+    sst = float(row["syy"] - row["xy_0"] ** 2 / row["n"])
+    return list(map(float, beta)), {
+        "n": int(row["n"]),
+        "r2": 1.0 - sse / sst if sst > 0 else float("nan"),
+    }

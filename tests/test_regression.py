@@ -164,3 +164,26 @@ def test_stream_ridge_moments_fold_matches_batch(spark, tmp_path):
     )
     want = ridge_normal_equations(full, "x1", "x2", "value", lam=1.0).collect()[0]
     assert got.asDict() == want.asDict()
+
+
+def test_ridge_fit_k_matches_numpy_on_five_features(spark):
+    from feature_store_fraud_detection_spark.operators.regression import (
+        ridge_fit_k,
+    )
+
+    rng = np.random.default_rng(41)
+    n, k = 800, 5
+    X = rng.normal(0, 2, (n, k))
+    beta_true = np.array([1.0, -2.0, 0.5, 3.0, 0.0, 1.5])
+    y = beta_true[0] + X @ beta_true[1:] + rng.normal(0, 0.5, n)
+    cols = [f"f{i}" for i in range(k)]
+    df = spark.createDataFrame(
+        [tuple(float(v) for v in row) + (float(t),) for row, t in zip(X, y)],
+        ", ".join(f"{c} double" for c in cols) + ", target double",
+    )
+    beta, info = ridge_fit_k(df, cols, "target", lam=1.0)
+    Xd = np.column_stack([np.ones(n), X])
+    A = Xd.T @ Xd + 1.0 * np.diag([0.0] + [1.0] * k)
+    want = np.linalg.solve(A, Xd.T @ y)
+    assert np.allclose(beta, want, atol=1e-8)
+    assert info["n"] == n and info["r2"] > 0.95
