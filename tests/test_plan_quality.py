@@ -403,3 +403,42 @@ def test_sequence_patterns_single_window_sort(spark, sf_dir):
     assert plan.count("Window") == 1
     # exchanges: the window's key sort + the (AQE-planned) agg reuse it
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_ridge_fit_is_one_aggregate_no_join_no_window(spark, sf_dir):
+    """Closed-form ridge = ONE map-side-combined moment aggregate + scalar
+    math: no Join, no Window, at most one partial/final HashAggregate pair
+    in the whole training plan."""
+    df = QUERIES["ridge_fit"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") <= 2
+
+
+def test_temperature_mix_gate_is_broadcast_plus_scan(spark, sf_dir):
+    """The T=2 rebalance joins only BROADCAST group-probability rows onto
+    the scan — no sort-merge join, no shuffle of the data rows beyond the
+    tiny group-count aggregate."""
+    df = QUERIES["temperature_mix_sample"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_training_sequences_single_window_no_join(spark, sf_dir):
+    """The sequence-pair constructor is ONE key-sorted bounded-ROWS window
+    — no join, exactly one Window operator."""
+    df = QUERIES["training_sequences"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_curriculum_boundaries_broadcast_no_global_window(spark, sf_dir):
+    """Difficulty staging must NOT use a global-sort window (ntile): the
+    band boundaries come from an aggregate and broadcast back."""
+    df = QUERIES["curriculum_stages"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "Window" not in plan  # no ntile/global sort anywhere
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
