@@ -505,3 +505,49 @@ def run_stream_pattern_alerts(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def run_stream_regression_fit(
+    raw_rows: DataFrame,
+    state_dir: str,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming EXACT model training: fold each micro-batch's regression
+    moments (``operators/regression.regression_moments`` — additive
+    integer/DECIMAL sums) into a 1-row parquet state. At any point,
+    ``ridge_from_moments(spark.read.parquet(state_dir))`` yields a model
+    BIT-identical to retraining on every row ever seen (pinned in
+    ``tests/test_regression.py``) — the streaming counterpart of the
+    reference's batch retrain, with per-batch cost O(|batch|) and no
+    history re-read.
+    """
+    import os
+
+    from feature_store_fraud_detection_spark.operators.regression import (
+        merge_regression_moments,
+        regression_moments,
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        m = regression_moments(batch_df, x1_col, x2_col, y_col)
+        if os.path.isdir(state_dir) and any(
+            fn.endswith(".parquet") for fn in os.listdir(state_dir)
+        ):
+            m = merge_regression_moments(spark.read.parquet(state_dir), m)
+        # materialize BEFORE overwriting the directory the merge reads
+        m.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_dir
+        )
+
+    writer = (
+        raw_rows.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

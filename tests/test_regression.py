@@ -133,27 +133,18 @@ def test_stream_ridge_moments_fold_matches_batch(spark, tmp_path):
 
     state_dir = str(tmp_path / "moment_state")
 
-    def _fold(batch_df, batch_id):
-        m = regression_moments(batch_df, "x1", "x2", "value")
-        if _os.path.isdir(state_dir) and any(
-            fn.endswith(".parquet") for fn in _os.listdir(state_dir)
-        ):
-            prev = spark.read.parquet(state_dir)
-            m = merge_regression_moments(prev, m)
-        out = m.localCheckpoint(eager=True)
-        out.write.mode("overwrite").parquet(state_dir)
+    from feature_store_fraud_detection_spark.streaming.pipeline import (
+        run_stream_regression_fit,
+    )
 
     raw = (
         spark.readStream.schema("rid bigint, x1 int, x2 int, value double")
         .option("maxFilesPerTrigger", 1)
         .json(str(src))
     )
-    q = (
-        raw.writeStream.outputMode("append")
-        .foreachBatch(_fold)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", str(tmp_path / "ckpt_ridge"))
-        .start()
+    q = run_stream_regression_fit(
+        raw, state_dir, "x1", "x2", "value",
+        checkpoint_dir=str(tmp_path / "ckpt_ridge"),
     )
     q.awaitTermination(120)
 
