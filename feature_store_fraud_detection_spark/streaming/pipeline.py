@@ -456,6 +456,8 @@ def run_stream_pattern_alerts(
     k = len(pattern)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
         spark = batch_df.sparkSession
         batch = batch_df.select(key, type_col, ts_col, tiebreak).withColumn(
             "is_new", F.lit(True)
@@ -469,7 +471,25 @@ def run_stream_pattern_alerts(
                 .select(key, type_col, ts_col, tiebreak)
                 .withColumn("is_new", F.lit(False))
             )
-            union = tail.unionByName(batch)
+            # REPLAY safety: a re-delivered micro-batch's last rows are
+            # already in the tail — keep the tail copy (is_new=False, so a
+            # replay emits nothing new; the alert sink's batch_id
+            # partition overwrite dedupes the alerts themselves) and drop
+            # the batch duplicate, or duplicated events would fabricate
+            # adjacencies in the window. Rides the window's key shuffle.
+            union = (
+                tail.unionByName(batch)
+                .withColumn(
+                    "__dup_rn",
+                    F.row_number().over(
+                        Window.partitionBy(key, tiebreak).orderBy(
+                            F.col("is_new").asc()
+                        )
+                    ),
+                )
+                .filter(F.col("__dup_rn") == 1)
+                .drop("__dup_rn")
+            )
         else:
             union = batch
         hits = contiguous_pattern_hits(
@@ -483,8 +503,6 @@ def run_stream_pattern_alerts(
             batch_id,
         )
         if k > 1:
-            from pyspark.sql import Window
-
             w = Window.partitionBy(key).orderBy(
                 F.col(ts_col).desc(), F.col(tiebreak).desc()
             )
