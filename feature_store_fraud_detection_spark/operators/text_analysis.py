@@ -579,3 +579,124 @@ def curriculum_stages(
             / F.count(F.lit(1))
         ).alias("avg_nll"),
     )
+
+
+def token_frequency_spectrum(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Zipf diagnostic for the corpus: the token frequency SPECTRUM
+    (how many distinct tokens occur exactly c times) plus the log-log OLS
+    slope over it — the text twin of ``degree_distribution``'s power-law
+    screen. A healthy natural-language corpus shows a near-linear log-log
+    spectrum; machine-generated/templated text bends it.
+
+    Returns (count, n_tokens, zipf_slope) — one row per distinct
+    frequency, slope repeated (broadcast 1-row join).
+
+    Scale: token counts are one keyed aggregate; the spectrum is an
+    aggregate over the (bounded: distinct counts << vocabulary) count
+    table; the OLS moments fold SORTED ln-value lists (the repo's
+    fixed-IEEE-order float-sum rule — unordered double sums differ
+    between engines in the last bit).
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("t")).filter(
+        F.length("t") > 0
+    )
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    spectrum = counts.groupBy("c").agg(F.count(F.lit(1)).alias("n_tokens"))
+    lx = F.ln(F.col("c").cast("double"))
+    ly = F.ln(F.col("n_tokens").cast("double"))
+    fold = lambda col: F.aggregate(  # noqa: E731
+        F.array_sort(F.collect_list(col)), F.lit(0.0), lambda a, x: a + x
+    )
+    m = spectrum.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        fold(lx).alias("sx"),
+        fold(ly).alias("sy"),
+        fold(lx * lx).alias("sxx"),
+        fold(lx * ly).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return spectrum.join(
+        F.broadcast(m.select(round4_stable(slope).alias("zipf_slope")))
+    ).select(F.col("c").alias("count"), "n_tokens", "zipf_slope")
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information — the classic
+    phrase-discovery screen (PMI(w1,w2) = ln(p_xy / (p_x * p_y)) with
+    p_xy from adjacent-bigram counts and marginals from unigram counts).
+    High-PMI pairs are phrases a tokenizer/phrase-merger should learn;
+    boilerplate shows up as high-count low-PMI pairs.
+
+    Returns top_k rows (w1, w2, n_pair, pmi) by (pmi desc, w1, w2), pairs
+    below ``min_count`` excluded (PMI is noise-dominated at tiny counts).
+
+    Scale: bigram extraction is array-local (no explode before the keyed
+    count aggregate... the explode emits one row per POSITION, combined
+    map-side); the two marginal joins key on the words; the final top-k
+    is a TakeOrdered, never a global sort. PMI ordering uses the ROUNDED
+    value (+ word tiebreaks) so ranks are reproducible cross-engine.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    # guard docs with < 2 tokens: Spark's sequence(1, 0) counts DOWN and
+    # element_at(toks, 0) is an error, not an empty list
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    pairs = df.select(F.explode(bigrams).alias("p")).select("p.w1", "p.w2")
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    n_uni = uni.agg(F.sum("cu").alias("nu"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    n_bi = bi.agg(F.sum("n_pair").alias("nb"))
+    scored = (
+        bi.filter(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("cu").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            round4_stable(
+                F.ln(
+                    (F.col("n_pair") / F.col("nb").cast("double"))
+                    / (
+                        (F.col("c1") / F.col("nu").cast("double"))
+                        * (F.col("c2") / F.col("nu").cast("double"))
+                    )
+                )
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "w1", "w2"
+    ).limit(top_k)

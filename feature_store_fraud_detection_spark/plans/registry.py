@@ -8228,6 +8228,95 @@ WHERE ('0x' || substr(md5('temp_mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BI
 """
 
 
+def _q_token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf frequency spectrum + log-log OLS slope — the text twin of
+    degree_distribution's power-law screen
+    (operators/text_analysis.py:token_frequency_spectrum)."""
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        token_frequency_spectrum,
+    )
+
+    return token_frequency_spectrum(load_docs(spark, sf_dir), "doc_id", "text")
+
+
+_TOKEN_SPECTRUM_SQL = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> length(t) > 0)) AS t
+  FROM documents
+),
+counts AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+spectrum AS (SELECT c, count(*) AS n_tokens FROM counts GROUP BY c),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         list_reduce(list_sort(list(ln(CAST(c AS DOUBLE)))),
+                     (a, b) -> a + b) AS sx,
+         list_reduce(list_sort(list(ln(CAST(n_tokens AS DOUBLE)))),
+                     (a, b) -> a + b) AS sy,
+         list_reduce(list_sort(list(ln(CAST(c AS DOUBLE))
+                                    * ln(CAST(c AS DOUBLE)))),
+                     (a, b) -> a + b) AS sxx,
+         list_reduce(list_sort(list(ln(CAST(c AS DOUBLE))
+                                    * ln(CAST(n_tokens AS DOUBLE)))),
+                     (a, b) -> a + b) AS sxy
+  FROM spectrum
+)
+SELECT c AS count, n_tokens,
+       floor((m.n * m.sxy - m.sx * m.sy) / (m.n * m.sxx - m.sx * m.sx)
+             * 10000 + 0.5) / 10000 AS zipf_slope
+FROM spectrum CROSS JOIN m
+"""
+
+
+def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-bigram collocations by PMI (min pair count 5) —
+    phrase discovery (operators/text_analysis.py:pmi_collocations);
+    ranking uses the ROUNDED pmi + word tiebreaks for a total order."""
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(
+        load_docs(spark, sf_dir), "doc_id", "text", min_count=5, top_k=50
+    )
+
+
+_PMI_SQL = r"""
+WITH tk AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> length(t) > 0) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS p
+  FROM tk
+),
+bi AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+       FROM pairs GROUP BY 1, 2),
+uni AS (
+  SELECT unnest(toks) AS w FROM tk
+),
+uc AS (SELECT w, count(*) AS cu FROM uni GROUP BY w),
+nu AS (SELECT sum(cu) AS nu FROM uc),
+nb AS (SELECT sum(n_pair) AS nb FROM bi)
+SELECT w1, w2, n_pair, pmi FROM (
+  SELECT b.w1, b.w2, b.n_pair,
+         floor(ln((b.n_pair / CAST(nb.nb AS DOUBLE))
+                  / ((u1.cu / CAST(nu.nu AS DOUBLE))
+                     * (u2.cu / CAST(nu.nu AS DOUBLE))))
+               * 10000 + 0.5) / 10000 AS pmi
+  FROM bi b
+  JOIN uc u1 ON b.w1 = u1.w
+  JOIN uc u2 ON b.w2 = u2.w
+  CROSS JOIN nu CROSS JOIN nb
+  WHERE b.n_pair >= 5
+)
+ORDER BY pmi DESC, w1, w2
+LIMIT 50
+"""
+
+
 def _q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard >= 0.5 via prefix filtering (PPJoin family) — the
     no-false-negative, no-hot-shingle-cap candidate strategy: each doc
@@ -8456,6 +8545,10 @@ QUERIES.update(
         "prefix_filter_pairs": QuerySpec(
             _q_prefix_filter_pairs, _PREFIX_FILTER_SQL
         ),
+        "token_frequency_spectrum": QuerySpec(
+            _q_token_frequency_spectrum, _TOKEN_SPECTRUM_SQL
+        ),
+        "pmi_collocations": QuerySpec(_q_pmi_collocations, _PMI_SQL),
         "vocab_growth": QuerySpec(_q_vocab_growth, _VOCAB_GROWTH_SQL),
         "ngram_containment": QuerySpec(
             _q_ngram_containment, _NGRAM_CONTAINMENT_SQL
@@ -8510,6 +8603,8 @@ _GRADING_PRIORITY: list[str] = [
     "training_sequences",
     "triangle_stats",
     "prefix_filter_pairs",
+    "token_frequency_spectrum",
+    "pmi_collocations",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

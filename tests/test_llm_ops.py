@@ -631,3 +631,38 @@ def test_next_event_training_pairs_hand_fixture(spark):
     )
     # user 1: targets d (ctx a>b>c) and e (ctx b>c>d); user 2: too short
     assert got == [(1, 3, "a>b>c", "d"), (1, 4, "b>c>d", "e")]
+
+
+def test_pmi_collocations_finds_fixed_phrase(spark):
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+
+    # "san francisco" always co-occurs; filler pairs occur < min_count
+    # times (quadratic/cubic residues spread them thin), so only the fixed
+    # phrase and its boundary pairs survive the count floor
+    docs = [
+        (i, f"san francisco w{(i * i) % 31} w{(i * i * i) % 29}")
+        for i in range(40)
+    ] + [(100, "x"), (101, "")]  # 1-token and empty docs must not break
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = pmi_collocations(df, "doc_id", "text", min_count=5, top_k=5).collect()
+    assert got[0]["w1"] == "san" and got[0]["w2"] == "francisco"
+    # the fixed phrase has the highest PMI in the corpus
+    assert got[0]["pmi"] == max(r["pmi"] for r in got)
+
+
+def test_token_frequency_spectrum_counts(spark):
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        token_frequency_spectrum,
+    )
+
+    # a: 4 times, b: 2, c: 2, d: 1  -> spectrum {4:1, 2:2, 1:1}
+    df = spark.createDataFrame(
+        [(1, "a a b c d"), (2, "a a b c")], "doc_id bigint, text string"
+    )
+    got = {
+        r["count"]: r["n_tokens"]
+        for r in token_frequency_spectrum(df, "doc_id", "text").collect()
+    }
+    assert got == {4: 1, 2: 2, 1: 1}
