@@ -166,3 +166,62 @@ def collapse_rare_categories(
         )
         .drop("__keep")
     )
+
+
+def target_encode_oof(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    id_col: str,
+    k: int = 5,
+    smoothing: float = 20.0,
+    out_col: str = "oof_te",
+) -> DataFrame:
+    """Out-of-fold target encoding with a smoothed prior — the k-fold
+    sibling of :func:`target_encode_loo` (the form production pipelines
+    use when the encoder must be FIT separately from the rows it encodes):
+    each row's encoding is its category's label mean computed over the
+    OTHER k-1 folds, shrunk toward the global mean by ``smoothing``
+    pseudo-counts::
+
+        te = (oof_sum + m * global_mean) / (oof_n + m)
+
+    The shrinkage handles thin categories (and categories absent from the
+    other folds: oof_n = 0 degrades cleanly to the prior) — LOO's
+    singleton fallback, generalized.
+
+    Determinism: folds are md5-derived (stable under appends /
+    repartitioning), label sums are exact integers; the prior quotient
+    and the final ratio are fixed-order double expressions, floor-rounded
+    at the output edge — the whole encoding hash-checks cross-engine.
+    Shape: one (cat, fold) aggregate (map-side combined) + one keyed join
+    + a broadcast scalar; no window, no shuffle of the label rows beyond
+    the category join.
+    """
+    lbl = F.col(label_col).cast("bigint")
+    with_fold = df.withColumn(
+        "__fold", (md5_int(F.col(id_col)) % k).cast("int")
+    )
+    per_cf = with_fold.groupBy(cat_col, "__fold").agg(
+        F.sum(lbl).alias("__cf_sum"), F.count(F.lit(1)).alias("__cf_n")
+    )
+    per_cat = per_cf.groupBy(cat_col).agg(
+        F.sum("__cf_sum").alias("__cat_sum"),
+        F.sum("__cf_n").alias("__cat_n"),
+    )
+    glob = df.agg(
+        F.sum(lbl).alias("__g_sum"), F.count(F.lit(1)).alias("__g_n")
+    )
+    joined = (
+        with_fold.join(per_cf, [cat_col, "__fold"])
+        .join(per_cat, cat_col)
+        .crossJoin(F.broadcast(glob))
+    )
+    oof_sum = (F.col("__cat_sum") - F.col("__cf_sum")).cast("double")
+    oof_n = (F.col("__cat_n") - F.col("__cf_n")).cast("double")
+    prior = F.col("__g_sum") / F.col("__g_n").cast("double")
+    m = F.lit(float(smoothing))
+    return joined.withColumn(
+        out_col,
+        round4_stable((oof_sum + m * prior) / (oof_n + m)),
+    ).drop("__fold", "__cf_sum", "__cf_n", "__cat_sum", "__cat_n", "__g_sum", "__g_n")

@@ -8228,6 +8228,48 @@ WHERE ('0x' || substr(md5('temp_mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BI
 """
 
 
+def _q_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold smoothed target encoding (operators/encoders.py:
+    target_encode_oof) — the k-fold leakage-free sibling of the LOO
+    encoder; md5 folds + exact integer sums make it hash-checkable."""
+    from feature_store_fraud_detection_spark.operators.encoders import (
+        target_encode_oof,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("event_type") == "error").cast("int").alias("is_err"),
+    )
+    return target_encode_oof(
+        ev, "user_id", "is_err", "event_id", k=5, smoothing=20.0
+    ).select("event_id", "user_id", "oof_te")
+
+
+_TARGET_OOF_SQL = """
+WITH base AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS lbl,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+              % 5 AS INT) AS fold
+  FROM events
+),
+cf AS (SELECT user_id, fold, sum(lbl) AS cfs, count(*) AS cfn
+       FROM base GROUP BY 1, 2),
+pc AS (SELECT user_id, sum(cfs) AS cs, sum(cfn) AS cn FROM cf GROUP BY 1),
+g AS (SELECT sum(lbl) AS gs, count(*) AS gn FROM base)
+SELECT b.event_id, b.user_id,
+       floor((CAST(pc.cs - cf.cfs AS DOUBLE)
+              + 20.0 * (gs / CAST(gn AS DOUBLE)))
+             / (CAST(pc.cn - cf.cfn AS DOUBLE) + 20.0)
+             * 10000 + 0.5) / 10000 AS oof_te
+FROM base b
+JOIN cf ON b.user_id = cf.user_id AND b.fold = cf.fold
+JOIN pc ON b.user_id = pc.user_id
+CROSS JOIN g
+"""
+
+
 def _q_token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf frequency spectrum + log-log OLS slope — the text twin of
     degree_distribution's power-law screen
@@ -8549,6 +8591,7 @@ QUERIES.update(
             _q_token_frequency_spectrum, _TOKEN_SPECTRUM_SQL
         ),
         "pmi_collocations": QuerySpec(_q_pmi_collocations, _PMI_SQL),
+        "target_encode_oof": QuerySpec(_q_target_encode_oof, _TARGET_OOF_SQL),
         "vocab_growth": QuerySpec(_q_vocab_growth, _VOCAB_GROWTH_SQL),
         "ngram_containment": QuerySpec(
             _q_ngram_containment, _NGRAM_CONTAINMENT_SQL
@@ -8605,6 +8648,7 @@ _GRADING_PRIORITY: list[str] = [
     "prefix_filter_pairs",
     "token_frequency_spectrum",
     "pmi_collocations",
+    "target_encode_oof",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

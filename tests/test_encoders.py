@@ -65,3 +65,60 @@ def test_feature_hash_shape_and_signs(spark):
     # 'c1=x' (5, -1) vs 'c2=10' (5, +1)
     cancel = spark.createDataFrame([(9, "x", 10)], "id long, c1 string, c2 long")
     assert feature_hash(cancel, "id", ["c1", "c2"], num_buckets=16).count() == 0
+
+
+def test_target_encode_oof_excludes_own_fold_and_smooths(spark):
+    from feature_store_fraud_detection_spark.operators.encoders import (
+        md5_int,
+        target_encode_oof,
+    )
+
+    # one category, labels known per row; verify a row's encoding uses
+    # only OTHER folds' labels plus the smoothed prior
+    rows = [(i, "c", i % 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "rid bigint, cat string, lbl int")
+    out = target_encode_oof(
+        df, "cat", "lbl", "rid", k=4, smoothing=10.0
+    ).collect()
+    # recompute expectations in python with the same md5 fold rule
+    folds = {
+        r["rid"]: r["f"]
+        for r in df.select(
+            "rid", (md5_int(F.col("rid")) % 4).cast("int").alias("f")
+        ).collect()
+    }
+    tot_s = sum(l for _, _, l in rows)
+    tot_n = len(rows)
+    prior = tot_s / tot_n
+    per_fold = {}
+    for rid, _, l in rows:
+        f = folds[rid]
+        s, n = per_fold.get(f, (0, 0))
+        per_fold[f] = (s + l, n + 1)
+    for r in out:
+        f = folds[r["rid"]]
+        fs, fn = per_fold[f]
+        want = ((tot_s - fs) + 10.0 * prior) / ((tot_n - fn) + 10.0)
+        import math
+
+        assert r["oof_te"] == math.floor(want * 10000 + 0.5) / 10000
+
+
+def test_target_encode_oof_unseen_category_in_fold_gets_prior(spark):
+    from feature_store_fraud_detection_spark.operators.encoders import (
+        target_encode_oof,
+    )
+
+    # a category whose rows all fall in ONE fold: oof_n = 0 -> pure prior
+    rows = [(1, "solo", 1)] + [(i, "big", 0) for i in range(2, 102)]
+    df = spark.createDataFrame(rows, "rid bigint, cat string, lbl int")
+    out = {
+        r["rid"]: r["oof_te"]
+        for r in target_encode_oof(
+            df, "cat", "lbl", "rid", k=5, smoothing=10.0
+        ).collect()
+    }
+    prior = 1 / 101
+    import math
+
+    assert out[1] == math.floor(((0 + 10.0 * prior) / 10.0) * 10000 + 0.5) / 10000
