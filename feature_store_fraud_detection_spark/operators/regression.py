@@ -116,11 +116,16 @@ def ridge_normal_equations(
     return ridge_from_moments(moments, lam)
 
 
-def ridge_from_moments(moments: DataFrame, lam: float = 1.0) -> DataFrame:
-    """Solve the normal equations from a 1-row moment frame (fresh from
-    :func:`regression_moments` or folded through
-    :func:`merge_regression_moments`) — Cramer's rule as fixed-order
-    double expressions IN THE PLAN, identical text in the SQL twin."""
+def ridge_from_moments(
+    moments: DataFrame, lam: float = 1.0, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Solve the normal equations from a moment frame (fresh from
+    :func:`regression_moments`, folded through
+    :func:`merge_regression_moments`, or a MULTI-ROW frame — one model per
+    row, e.g. the learning curve's per-fraction moments) — Cramer's rule
+    as fixed-order double expressions IN THE PLAN, identical text in the
+    SQL twin. ``keep_cols`` are carried through to the output (the
+    per-row key, e.g. the sample fraction)."""
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     a11, a12, a13 = d("n"), d("sx1"), d("sx2")
     a22 = d("sx11") + F.lit(float(lam))
@@ -148,6 +153,7 @@ def ridge_from_moments(moments: DataFrame, lam: float = 1.0) -> DataFrame:
         + b1 * (a12 * a23 - a22 * a13)
     )
     with_dets = moments.select(
+        *keep_cols,
         "n", "sy", "sx1y", "sx2y", "syy", "sx1", "sx2", "sx11", "sx12", "sx22",
         (det0 / det).alias("__b0"),
         (det1 / det).alias("__b1"),
@@ -172,6 +178,7 @@ def ridge_from_moments(moments: DataFrame, lam: float = 1.0) -> DataFrame:
 
     r4 = round4_stable
     return with_dets.select(
+        *keep_cols,
         F.col("n").cast("bigint").alias("n"),
         r4(b0c).alias("b0"),
         r4(b1c).alias("b1"),
@@ -295,3 +302,76 @@ def ridge_fit_k(
         "n": int(row["n"]),
         "r2": 1.0 - sse / sst if sst > 0 else float("nan"),
     }
+
+
+def ridge_learning_curve(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    id_col: str,
+    fractions: tuple[float, ...] = (0.25, 0.5, 0.75, 1.0),
+    lam: float = 1.0,
+    y_scale: int = 2,
+    salt: str = "lc",
+) -> DataFrame:
+    """Data-scaling diagnostic ("how much data does this model need"):
+    fit the exact ridge on NESTED deterministic subsamples — the md5
+    threshold gate makes fraction f's rows a superset of every smaller
+    fraction's — and report one (fraction, n, b0, b1, b2, r2) row per
+    fraction. Stabilizing coefficients / flattening r2 across fractions
+    = more data won't help this model.
+
+    ONE scan: every fraction's moment sums are conditional aggregates
+    over the same pass (``sum(CASE WHEN hash < f ...)``), stacked to one
+    row per fraction and solved row-wise by the same in-plan Cramer
+    expressions — |fractions| models for the price of one table read.
+    Fully hash-checkable (exact conditional sums == the SQL twin's
+    WHERE-filtered sums; identical formula text).
+    """
+    digest = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    hf = F.conv(F.substring(digest, 1, 15), 16, 10).cast("double") / F.lit(
+        float(16**15)
+    )
+    x1 = F.col(x1_col).cast("bigint")
+    x2 = F.col(x2_col).cast("bigint")
+    y = F.col(y_col).cast(f"decimal(18,{y_scale})")
+    base = df.select(
+        x1.alias("__x1"), x2.alias("__x2"), y.alias("__y"), hf.alias("__hf")
+    )
+    aggs = []
+    for i, f in enumerate(fractions):
+        g = F.col("__hf") < F.lit(float(f))
+        gated = lambda c: F.when(g, c)  # noqa: B023, E731
+        aggs.extend(
+            [
+                F.count(F.when(g, F.lit(1))).alias(f"n_{i}"),
+                F.sum(gated(F.col("__x1"))).alias(f"sx1_{i}"),
+                F.sum(gated(F.col("__x2"))).alias(f"sx2_{i}"),
+                F.sum(gated(F.col("__x1") * F.col("__x1"))).alias(f"sx11_{i}"),
+                F.sum(gated(F.col("__x1") * F.col("__x2"))).alias(f"sx12_{i}"),
+                F.sum(gated(F.col("__x2") * F.col("__x2"))).alias(f"sx22_{i}"),
+                F.sum(gated(F.col("__y"))).alias(f"sy_{i}"),
+                F.sum(gated(F.col("__x1") * F.col("__y"))).alias(f"sx1y_{i}"),
+                F.sum(gated(F.col("__x2") * F.col("__y"))).alias(f"sx2y_{i}"),
+                F.sum(gated(F.col("__y") * F.col("__y"))).alias(f"syy_{i}"),
+            ]
+        )
+    row = base.agg(*aggs)
+    stack_args = []
+    for i, f in enumerate(fractions):
+        stack_args.append(f"CAST({float(f)!r} AS DOUBLE)")
+        stack_args.extend(
+            f"{c}_{i}"
+            for c in (
+                "n", "sx1", "sx2", "sx11", "sx12", "sx22",
+                "sy", "sx1y", "sx2y", "syy",
+            )
+        )
+    stacked = row.selectExpr(
+        f"stack({len(fractions)}, {', '.join(stack_args)}) AS "
+        "(fraction, n, sx1, sx2, sx11, sx12, sx22, sy, sx1y, sx2y, syy)"
+    )
+    return ridge_from_moments(stacked, lam, keep_cols=("fraction",))

@@ -8228,6 +8228,45 @@ WHERE ('0x' || substr(md5('temp_mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BI
 """
 
 
+def _q_ridge_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-scaling curve: exact ridge fits on nested md5 subsamples
+    (25/50/75/100%) from ONE conditional-aggregate scan — stabilizing
+    coefficients / flattening r2 = more data won't help
+    (operators/regression.py:ridge_learning_curve)."""
+    from feature_store_fraud_detection_spark.operators.regression import (
+        ridge_learning_curve,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.hour("ts").alias("x1"),
+        F.pmod(F.col("user_id"), F.lit(7)).alias("x2"),
+        "value",
+    )
+    return ridge_learning_curve(
+        ev, "x1", "x2", "value", "event_id", lam=1.0
+    )
+
+
+def _ridge_learning_curve_sql() -> str:
+    from feature_store_fraud_detection_spark.operators.regression import (
+        ridge_sql,
+    )
+
+    parts = []
+    for f in (0.25, 0.5, 0.75, 1.0):
+        gated = (
+            "(SELECT * FROM events WHERE"
+            " ('0x' || substr(md5('lc|' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT"
+            f" / 1152921504606846976.0 < {f!r})"
+        )
+        inner = ridge_sql(gated, "hour(ts)", "user_id % 7", "value", lam=1.0)
+        parts.append(
+            f"SELECT CAST({f!r} AS DOUBLE) AS fraction, * FROM ({inner})"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def _q_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-fold smoothed target encoding (operators/encoders.py:
     target_encode_oof) — the k-fold leakage-free sibling of the LOO
@@ -8592,6 +8631,9 @@ QUERIES.update(
         ),
         "pmi_collocations": QuerySpec(_q_pmi_collocations, _PMI_SQL),
         "target_encode_oof": QuerySpec(_q_target_encode_oof, _TARGET_OOF_SQL),
+        "ridge_learning_curve": QuerySpec(
+            _q_ridge_learning_curve, _ridge_learning_curve_sql()
+        ),
         "vocab_growth": QuerySpec(_q_vocab_growth, _VOCAB_GROWTH_SQL),
         "ngram_containment": QuerySpec(
             _q_ngram_containment, _NGRAM_CONTAINMENT_SQL
@@ -8649,6 +8691,7 @@ _GRADING_PRIORITY: list[str] = [
     "token_frequency_spectrum",
     "pmi_collocations",
     "target_encode_oof",
+    "ridge_learning_curve",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

@@ -178,3 +178,46 @@ def test_ridge_fit_k_matches_numpy_on_five_features(spark):
     want = np.linalg.solve(A, Xd.T @ y)
     assert np.allclose(beta, want, atol=1e-8)
     assert info["n"] == n and info["r2"] > 0.95
+
+
+def test_ridge_learning_curve_nested_subsets_one_scan(spark):
+    from feature_store_fraud_detection_spark.operators.regression import (
+        ridge_learning_curve,
+        ridge_normal_equations,
+    )
+
+    rng = np.random.default_rng(53)
+    rows = []
+    x1s = rng.integers(0, 24, 2000)
+    x2s = rng.integers(0, 7, 2000)
+    ys = np.round(2.0 + 1.5 * x1s - 0.8 * x2s + rng.normal(0, 1.0, 2000), 2)
+    for i in range(2000):
+        rows.append((i, int(x1s[i]), int(x2s[i]), float(ys[i])))
+    df = spark.createDataFrame(rows, "rid bigint, x1 int, x2 int, value double")
+    curve = {
+        r["fraction"]: r
+        for r in ridge_learning_curve(
+            df, "x1", "x2", "value", "rid", lam=1.0
+        ).collect()
+    }
+    assert set(curve) == {0.25, 0.5, 0.75, 1.0}
+    # fraction sizes are nested and roughly proportional
+    ns = [curve[f]["n"] for f in (0.25, 0.5, 0.75, 1.0)]
+    assert ns[0] < ns[1] < ns[2] < ns[3] == 2000
+    # the 100% row equals the plain full fit exactly
+    full = ridge_normal_equations(df, "x1", "x2", "value", lam=1.0).collect()[0]
+    r100 = curve[1.0]
+    assert (r100["b0"], r100["b1"], r100["b2"], r100["r2"]) == (
+        full["b0"], full["b1"], full["b2"], full["r2"],
+    )
+    # a clean linear signal: every fraction's fit is already accurate
+    for f in curve:
+        assert abs(curve[f]["b1"] - 1.5) < 0.1
+        assert curve[f]["r2"] > 0.9
+    # ONE scan: plan has no join and exactly one aggregate pair + generate
+    plan = (
+        ridge_learning_curve(df, "x1", "x2", "value", "rid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") <= 2
