@@ -851,3 +851,63 @@ def prefix_filter_pairs(
         .select("id_a", "id_b", inter.alias("n_inter"), jacc.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def lsh_recall_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    threshold: float = 0.2,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """Dedup-index quality dashboard — the dedup twin of
+    ``similarity.ann_recall_report``: banded-MinHash-LSH's verified pairs
+    against the UNCAPPED exact-Jaccard ground truth at the same
+    threshold. Precision of the verified output is 1.0 by construction
+    (every candidate passes exact verification); what the bands risk is
+    RECALL — a true pair whose minhashes never collide in any band is
+    silently lost, and this report is what measures that.
+
+    One row: (n_truth, n_verified, n_missed, recall). Both inputs are
+    deterministic, so the report itself hash-checks cross-engine.
+
+    Scale: the truth side is the exact inverted-index join — run this at
+    audit sf / on a sampled corpus slice, not the full 100 TB (the
+    verified LSH side is the scale path being audited).
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    truth = ngram_jaccard_pairs(
+        df, id_col, text_col, k=k, threshold=threshold, max_df=None
+    ).select("id_a", "id_b")
+    verified = minhash_lsh_pairs(
+        df,
+        id_col,
+        text_col,
+        k=k,
+        num_hashes=num_hashes,
+        threshold=threshold,
+        rows_per_band=rows_per_band,
+    ).select("id_a", "id_b")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nv = verified.agg(F.count(F.lit(1)).alias("n_verified"))
+    hit = (
+        truth.join(verified, ["id_a", "id_b"])
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        nt.crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(hit))
+        .select(
+            "n_truth",
+            "n_verified",
+            (F.col("n_truth") - F.col("n_hit")).alias("n_missed"),
+            round4_stable(
+                F.col("n_hit") / F.col("n_truth").cast("double")
+            ).alias("recall"),
+        )
+    )

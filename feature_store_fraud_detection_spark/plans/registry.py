@@ -8228,6 +8228,33 @@ WHERE ('0x' || substr(md5('temp_mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BI
 """
 
 
+def _q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-MinHash recall vs the uncapped exact-Jaccard ground truth —
+    the dedup twin of ann_recall (operators/dedup.py:lsh_recall_report).
+    Precision is 1.0 by construction (candidates are exact-verified);
+    what the bands can lose is recall, and this row measures it."""
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        lsh_recall_report,
+    )
+
+    return lsh_recall_report(
+        load_docs(spark, sf_dir), "doc_id", "text",
+        k=3, num_hashes=16, threshold=0.2,
+    )
+
+
+_LSH_RECALL_SQL = f"""
+WITH {_MINHASH_CTES},
+truth AS (SELECT id_a, id_b FROM exact WHERE jaccard >= 0.2),
+hit AS (SELECT count(*) AS c FROM truth JOIN lsh_pairs USING (id_a, id_b)),
+nt AS (SELECT count(*) AS c FROM truth),
+nv AS (SELECT count(*) AS c FROM lsh_pairs)
+SELECT nt.c AS n_truth, nv.c AS n_verified, nt.c - hit.c AS n_missed,
+       floor(hit.c / CAST(nt.c AS DOUBLE) * 10000 + 0.5) / 10000 AS recall
+FROM nt CROSS JOIN nv CROSS JOIN hit
+"""
+
+
 def _q_ridge_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-scaling curve: exact ridge fits on nested md5 subsamples
     (25/50/75/100%) from ONE conditional-aggregate scan — stabilizing
@@ -8634,6 +8661,7 @@ QUERIES.update(
         "ridge_learning_curve": QuerySpec(
             _q_ridge_learning_curve, _ridge_learning_curve_sql()
         ),
+        "lsh_recall_report": QuerySpec(_q_lsh_recall_report, _LSH_RECALL_SQL),
         "vocab_growth": QuerySpec(_q_vocab_growth, _VOCAB_GROWTH_SQL),
         "ngram_containment": QuerySpec(
             _q_ngram_containment, _NGRAM_CONTAINMENT_SQL
@@ -8692,6 +8720,7 @@ _GRADING_PRIORITY: list[str] = [
     "pmi_collocations",
     "target_encode_oof",
     "ridge_learning_curve",
+    "lsh_recall_report",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

@@ -373,3 +373,31 @@ def test_prefix_filter_pairs_equals_uncapped_exact_jaccard(spark):
     )
     assert got == want
     assert [(a, b) for a, b, *_ in got] == [(1, 2), (3, 4)]
+
+
+def test_lsh_recall_report_detects_band_misses(spark):
+    """The report must MEASURE recall loss: with aggressive banding
+    (rows_per_band=4) borderline pairs stop colliding and show up in
+    n_missed; with r=1 banding the same corpus scores full recall."""
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        lsh_recall_report,
+    )
+
+    # ~0.33-Jaccard pairs: 12 shared tokens, 12 unique each side
+    docs = []
+    for g in range(12):
+        shared = " ".join(f"s{g}_{j}" for j in range(12))
+        docs.append((2 * g, shared + " " + " ".join(f"a{g}_{j}" for j in range(12))))
+        docs.append((2 * g + 1, shared + " " + " ".join(f"b{g}_{j}" for j in range(12))))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    loose = lsh_recall_report(
+        df, "doc_id", "text", threshold=0.1, rows_per_band=1
+    ).collect()[0]
+    tight = lsh_recall_report(
+        df, "doc_id", "text", threshold=0.1, rows_per_band=4
+    ).collect()[0]
+    assert loose["n_truth"] == tight["n_truth"] >= 12
+    assert loose["recall"] == 1.0 and loose["n_missed"] == 0
+    # r=4 bands at J~0.2 shingle similarity: most pairs never collide
+    assert tight["n_missed"] > 0
+    assert tight["recall"] < 1.0
