@@ -489,3 +489,57 @@ def mutual_information_binned(
         "n",
         round4_stable(p_xy * F.log(p_xy / (p_x * p_y))).alias("mi_term"),
     )
+
+
+def categorical_drift_psi(
+    base: DataFrame, curr: DataFrame, cat_col: str
+) -> DataFrame:
+    """PSI drift over a CATEGORICAL column — the sibling of
+    :func:`drift_psi` for category mixes (event types, languages,
+    sources): has the traffic composition shifted between a baseline and
+    a current window? One row per category seen on either side
+    (category, n_base, n_curr, psi_term); the scalar PSI is the caller's
+    sum, as with the numeric form.
+
+    Shares use the same Laplace smoothing ``(n + 0.5) / (total + k/2)``
+    (k = union category count) so one-sided categories stay finite and
+    both engines compute identical doubles.
+
+    Scale: two keyed counts + a full outer join over the (tiny) category
+    sets; no percentiles, no windows, no data-row joins.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import round4_stable
+
+    a = (
+        base.filter(F.col(cat_col).isNotNull())
+        .groupBy(cat_col)
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    b = (
+        curr.filter(F.col(cat_col).isNotNull())
+        .groupBy(cat_col)
+        .agg(F.count(F.lit(1)).alias("n_curr"))
+    )
+    cats = a.join(b, cat_col, "full_outer").select(
+        cat_col,
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_curr", F.lit(0)).alias("n_curr"),
+    )
+    tot = cats.agg(
+        F.sum("n_base").alias("__tb"),
+        F.sum("n_curr").alias("__tc"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    j = cats.crossJoin(F.broadcast(tot))
+    sa = (F.col("n_base") + F.lit(0.5)) / (
+        F.col("__tb") + F.col("__k") / F.lit(2.0)
+    )
+    sb = (F.col("n_curr") + F.lit(0.5)) / (
+        F.col("__tc") + F.col("__k") / F.lit(2.0)
+    )
+    return j.select(
+        cat_col,
+        "n_base",
+        "n_curr",
+        round4_stable((sa - sb) * F.log(sa / sb)).alias("psi_term"),
+    )

@@ -8228,6 +8228,58 @@ WHERE ('0x' || substr(md5('temp_mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BI
 """
 
 
+def _q_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI drift of the event-type mix between the first and
+    second half of the event-id range (the deterministic time-window
+    stand-in) — operators/stats.py:categorical_drift_psi; the composition
+    sibling of drift_psi for category columns."""
+    from feature_store_fraud_detection_spark.operators.stats import (
+        categorical_drift_psi,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id").alias("__mx"))
+    tagged = ev.crossJoin(F.broadcast(mx)).withColumn(
+        "__is_base", F.col("event_id") * 2 <= F.col("__mx")
+    )
+    return categorical_drift_psi(
+        tagged.filter(F.col("__is_base")),
+        tagged.filter(~F.col("__is_base")),
+        "event_type",
+    )
+
+
+_EVENT_MIX_DRIFT_SQL = """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+a AS (
+  SELECT event_type, count(*) AS n_base
+  FROM events CROSS JOIN mx
+  WHERE event_id * 2 <= m AND event_type IS NOT NULL
+  GROUP BY event_type
+),
+b AS (
+  SELECT event_type, count(*) AS n_curr
+  FROM events CROSS JOIN mx
+  WHERE event_id * 2 > m AND event_type IS NOT NULL
+  GROUP BY event_type
+),
+cats AS (
+  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+         coalesce(n_base, 0) AS n_base, coalesce(n_curr, 0) AS n_curr
+  FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+),
+tot AS (SELECT sum(n_base) AS tb, sum(n_curr) AS tc, count(*) AS k FROM cats)
+SELECT event_type, CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_curr AS BIGINT) AS n_curr,
+       floor((((n_base + 0.5) / (tb + k / 2.0))
+              - ((n_curr + 0.5) / (tc + k / 2.0)))
+             * ln(((n_base + 0.5) / (tb + k / 2.0))
+                  / ((n_curr + 0.5) / (tc + k / 2.0)))
+             * 10000 + 0.5) / 10000 AS psi_term
+FROM cats CROSS JOIN tot
+"""
+
+
 def _q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-MinHash recall vs the uncapped exact-Jaccard ground truth —
     the dedup twin of ann_recall (operators/dedup.py:lsh_recall_report).
@@ -8662,6 +8714,7 @@ QUERIES.update(
             _q_ridge_learning_curve, _ridge_learning_curve_sql()
         ),
         "lsh_recall_report": QuerySpec(_q_lsh_recall_report, _LSH_RECALL_SQL),
+        "event_mix_drift": QuerySpec(_q_event_mix_drift, _EVENT_MIX_DRIFT_SQL),
         "vocab_growth": QuerySpec(_q_vocab_growth, _VOCAB_GROWTH_SQL),
         "ngram_containment": QuerySpec(
             _q_ngram_containment, _NGRAM_CONTAINMENT_SQL
@@ -8721,6 +8774,7 @@ _GRADING_PRIORITY: list[str] = [
     "target_encode_oof",
     "ridge_learning_curve",
     "lsh_recall_report",
+    "event_mix_drift",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

@@ -400,3 +400,27 @@ def test_validate_embeddings_classifies_malformed_rows_like_oracle(spark, tmp_pa
     assert got == want
     assert got[0] == (5, 1, 3, 1.6)  # zero_or_null: NULL+empty+zero; avg (5+0+0+0+3)/5
     assert got[1] == (2, 0, 0, 11.5)
+
+
+def test_categorical_drift_psi_detects_mix_shift(spark):
+    from feature_store_fraud_detection_spark.operators.stats import (
+        categorical_drift_psi,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "a" if i % 10 < 9 else "b") for i in range(1000)],
+        "rid bigint, cat string",
+    )
+    # current: 'a' collapses to 50%, new category 'c' appears
+    curr = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else ("b" if i % 4 == 1 else "c")) for i in range(1000)],
+        "rid bigint, cat string",
+    )
+    rows = {r["cat"]: r for r in categorical_drift_psi(base, curr, "cat").collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["c"]["n_base"] == 0 and rows["c"]["n_curr"] > 0
+    total_psi = sum(r["psi_term"] for r in rows.values())
+    assert total_psi > 0.25  # "significant shift" by the usual PSI rule
+    # identical distributions -> psi ~ 0
+    same = {r["cat"]: r for r in categorical_drift_psi(base, base, "cat").collect()}
+    assert all(abs(r["psi_term"]) < 1e-9 for r in same.values())
