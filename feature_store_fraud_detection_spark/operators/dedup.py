@@ -911,3 +911,74 @@ def lsh_recall_report(
             ).alias("recall"),
         )
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS via pigeonhole banding — the classic
+    web-dedup shape on top of :func:`simhash_fingerprints`: split the
+    ``bits``-bit fingerprint into ``max_hamming + 1`` equal bands; two
+    fingerprints within Hamming distance ``max_hamming`` must agree
+    EXACTLY on at least one band (pigeonhole — d differing bits cannot
+    touch all d+1 bands), so the band join has NO false negatives, and
+    candidates are verified with the exact Hamming distance. Returns
+    (id_a, id_b, hamming), id_a < id_b.
+
+    Scale: |corpus| fingerprints explode to (d+1) band rows each; the
+    self-join keys on (band_index, band_bits) — 8-bit bands put ~|corpus|
+    / 256 docs in a bucket, and unlike MinHash bands the guarantee is
+    deterministic, not probabilistic. Verification compares two 32-char
+    bit strings per candidate (array-local, no further shuffle).
+    """
+    n_bands = max_hamming + 1
+    if bits % n_bands != 0:
+        raise ValueError(
+            f"bits={bits} not divisible by max_hamming+1={n_bands} bands"
+        )
+    w = bits // n_bands
+    sigs = simhash_fingerprints(df, id_col, text_col, bits)
+    bands = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.substring("simhash", F.lit(1) + i * w, F.lit(w)).alias(
+                        "key"
+                    ),
+                ),
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band", "b.key")
+    a, b = bands.alias("a"), bands.alias("b2")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b2.band"))
+            & (F.col("a.key") == F.col("b2.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b2.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b2.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b2.simhash").alias("__sb"),
+        )
+        .distinct()
+    )
+    hamming = F.expr(
+        f"aggregate(sequence(1, {bits}), 0, (acc, i) -> acc"
+        " + IF(substring(__sa, i, 1) = substring(__sb, i, 1), 0, 1))"
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

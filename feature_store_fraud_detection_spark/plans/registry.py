@@ -8228,6 +8228,60 @@ WHERE ('0x' || substr(md5('temp_mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BI
 """
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole banding (2 x 16-bit bands
+    guarantee NO false negatives at Hamming <= 1) + exact Hamming verify
+    (operators/dedup.py:simhash_pairs). Hamming <= 1 because this
+    template-heavy synthetic corpus makes 32-bit fingerprints coarse —
+    at <= 3 fifteen percent of ALL pairs collide; real corpora with
+    diverse vocabularies separate much faster."""
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    return simhash_pairs(
+        load_docs(spark, sf_dir), "doc_id", "text", bits=32, max_hamming=1
+    )
+
+
+_SIMHASH_PAIRS_SQL = rf"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tk),
+per_bit AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN ((strpos('0123456789abcdef',
+                                substr(md5(tok), b // 4 + 1, 1)) - 1)
+                        >> (b % 4)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM tok CROSS JOIN generate_series(0, 31) AS t(b)
+  GROUP BY doc_id, b
+),
+sigs AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b)
+           AS simhash
+  FROM per_bit GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, band, substr(simhash, band * 16 + 1, 16) AS key
+  FROM sigs CROSS JOIN generate_series(0, 1) AS g(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b,
+         len(list_filter(range(1, 33),
+                         i -> substr(sa, i, 1) <> substr(sb, i, 1)))
+           AS hamming
+  FROM cand
+) WHERE hamming <= 1
+"""
+
+
 def _q_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical PSI drift of the event-type mix between the first and
     second half of the event-id range (the deterministic time-window
@@ -8715,6 +8769,7 @@ QUERIES.update(
         ),
         "lsh_recall_report": QuerySpec(_q_lsh_recall_report, _LSH_RECALL_SQL),
         "event_mix_drift": QuerySpec(_q_event_mix_drift, _EVENT_MIX_DRIFT_SQL),
+        "simhash_pairs": QuerySpec(_q_simhash_pairs, _SIMHASH_PAIRS_SQL),
         "vocab_growth": QuerySpec(_q_vocab_growth, _VOCAB_GROWTH_SQL),
         "ngram_containment": QuerySpec(
             _q_ngram_containment, _NGRAM_CONTAINMENT_SQL
@@ -8775,6 +8830,7 @@ _GRADING_PRIORITY: list[str] = [
     "ridge_learning_curve",
     "lsh_recall_report",
     "event_mix_drift",
+    "simhash_pairs",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

@@ -401,3 +401,38 @@ def test_lsh_recall_report_detects_band_misses(spark):
     # r=4 bands at J~0.2 shingle similarity: most pairs never collide
     assert tight["n_missed"] > 0
     assert tight["recall"] < 1.0
+
+
+def test_simhash_pairs_pigeonhole_no_false_negatives(spark):
+    """Every pair within the Hamming bound must appear (band guarantee),
+    and verification must reject pairs beyond it — checked against a
+    brute-force Hamming computation over all fingerprint pairs."""
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon common tokens here"),
+        (2, "alpha beta gamma delta epsilon common tokens here now"),
+        (3, "alpha beta gamma delta epsilon common words here"),
+        (4, "completely different vocabulary entirely unrelated doc"),
+        (5, "another unrelated text with its own distinct words"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(df, "doc_id", "text").collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    }
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+            if ham <= 3:
+                assert got[(a, b)] == ham, f"missed pair {(a, b)}"
+            else:
+                assert (a, b) not in got
