@@ -204,3 +204,66 @@ def hashed_vector_topk(
         .filter(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankings — the standard way to combine
+    heterogeneous retrieval signals (lexical BM25 + semantic ANN + quality
+    priors) without score calibration: rrf = sum_i 1 / (k + rank_i), items
+    absent from a list contribute 0 for it.
+
+    Each input must carry (id_col, rank) with rank 1-based. Returns
+    (id, rank_1..rank_N as nullable ints, n_lists, rrf_score, fused_rank)
+    ordered by the reproducible total order (rounded score desc, id).
+
+    Determinism: the per-list reciprocal terms are added in FIXED list
+    order via a chain of outer joins + coalesce (never a group-sum over
+    arbitrary row order — the repo's float-summation rule). Scale: the
+    inputs are top-k lists (bounded), so every join here is a broadcast
+    of a few hundred rows regardless of corpus size; the heavy lifting
+    stays inside the upstream retrieval operators.
+    """
+    from functools import reduce
+
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    sides = [
+        r.select(
+            F.col(id_col),
+            F.col("rank").cast("int").alias(f"rank_{i + 1}"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    # no broadcast hint: Spark cannot broadcast a FULL OUTER side; the
+    # inputs are top-k lists, so the shuffle moves k rows, not the corpus
+    fused = reduce(lambda a, b: a.join(b, id_col, "full_outer"), sides)
+    terms = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(k) + F.col(f"rank_{i + 1}")), F.lit(0.0)
+        )
+        for i in range(len(sides))
+    ]
+    present = [
+        F.col(f"rank_{i + 1}").isNotNull().cast("int")
+        for i in range(len(sides))
+    ]
+    scored = fused.select(
+        id_col,
+        *[f"rank_{i + 1}" for i in range(len(sides))],
+        reduce(lambda a, c: a + c, present).alias("n_lists"),
+        round4_stable(reduce(lambda a, c: a + c, terms)).alias("rrf_score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= top_n)
+    )

@@ -491,6 +491,121 @@ def mutual_information_binned(
     )
 
 
+def woe_iv_binned(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Weight-of-evidence / information-value binning of a numeric feature
+    against a binary label — the credit-risk/fraud-scorecard standard
+    feature screen (reference analogue: the feature-relevance role of
+    ``back_end/model/training.py``'s feature selection, made exact and
+    cross-engine hash-checkable).
+
+    The feature bins by its own quantile cut points (same mechanism as
+    :func:`mutual_information_binned`); per bin the positive/negative
+    shares use Laplace smoothing ``(n + 0.5) / (total + n_bins/2)`` (the
+    :func:`categorical_drift_psi` convention) so empty cells stay finite.
+    Output per bin: n_pos, n_neg, woe = ln(share_pos / share_neg) and
+    iv_term = (share_pos - share_neg) * woe; the scalar IV is the sum
+    (caller's, like psi). NULL feature values are excluded up front.
+
+    Scale: one scan to the cut-point aggregate (broadcast scalar), one
+    scan to a <= n_bins x 2 aggregate — no window over data rows, no
+    shuffle beyond the bounded group-by.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    df = df.filter(F.col(value_col).isNotNull())
+    qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    cuts = df.agg(
+        F.expr(f"percentile({value_col}, array({qs}))").alias("__cuts")
+    )
+    binned = (
+        df.crossJoin(F.broadcast(cuts))
+        .select(
+            F.size(
+                F.filter("__cuts", lambda q: F.col(value_col) > q)
+            ).alias("bin"),
+            F.col(label_col).cast("int").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("__y").alias("n_pos"),
+            F.sum(F.lit(1) - F.col("__y")).alias("n_neg"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("n_pos").alias("__tp"),
+        F.sum("n_neg").alias("__tn"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    j = binned.crossJoin(F.broadcast(tot))
+    sp = (F.col("n_pos") + F.lit(0.5)) / (
+        F.col("__tp") + F.col("__k") / F.lit(2.0)
+    )
+    sn = (F.col("n_neg") + F.lit(0.5)) / (
+        F.col("__tn") + F.col("__k") / F.lit(2.0)
+    )
+    return j.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        round4_stable(F.log(sp / sn)).alias("woe"),
+        round4_stable((sp - sn) * F.log(sp / sn)).alias("iv_term"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame, cat_col: str, label_col: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between a categorical
+    column and a binary label — the classical screen for "does this
+    category carry signal about the outcome" (complements
+    :func:`mutual_information_binned`, which covers numeric features).
+
+    Output per (category, label) cell: observed n, expected
+    row_total * col_total / grand_total, and the chi-square contribution
+    (n - e)^2 / e; the scalar statistic is the sum over cells with
+    k-1 degrees of freedom (caller's, same convention as psi/benford).
+    NULL categories are excluded.
+
+    Scale: one keyed count to a (categories x 2)-row frame; the
+    row/column/grand totals are windows over that bounded aggregate, so
+    nothing beyond the first group-by touches data rows.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    cells = (
+        df.filter(F.col(cat_col).isNotNull())
+        .select(F.col(cat_col), F.col(label_col).cast("int").alias("label"))
+        .groupBy(cat_col, "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.partitionBy(cat_col)
+    wc = Window.partitionBy("label")
+    wt = Window.partitionBy()
+    e = (
+        F.sum("n").over(wr).cast("double")
+        * F.sum("n").over(wc).cast("double")
+        / F.sum("n").over(wt).cast("double")
+    )
+    return cells.select(
+        cat_col,
+        "label",
+        "n",
+        round4_stable(e).alias("expected"),
+        round4_stable((F.col("n") - e) * (F.col("n") - e) / e).alias(
+            "chi2_term"
+        ),
+    )
+
+
 def categorical_drift_psi(
     base: DataFrame, curr: DataFrame, cat_col: str
 ) -> DataFrame:
@@ -508,8 +623,6 @@ def categorical_drift_psi(
     Scale: two keyed counts + a full outer join over the (tiny) category
     sets; no percentiles, no windows, no data-row joins.
     """
-    from feature_store_fraud_detection_spark.functions.numeric import round4_stable
-
     a = (
         base.filter(F.col(cat_col).isNotNull())
         .groupBy(cat_col)
@@ -520,6 +633,20 @@ def categorical_drift_psi(
         .groupBy(cat_col)
         .agg(F.count(F.lit(1)).alias("n_curr"))
     )
+    return categorical_psi_from_counts(a, b, cat_col)
+
+
+def categorical_psi_from_counts(
+    a: DataFrame, b: DataFrame, cat_col: str
+) -> DataFrame:
+    """PSI terms from pre-aggregated category counts — the mergeable core
+    of :func:`categorical_drift_psi`. ``a`` carries (cat_col, n_base),
+    ``b`` carries (cat_col, n_curr). Because counts are additive, a
+    streaming monitor can fold per-batch counts into a state table and
+    call this against a fixed baseline at any time — same numbers as
+    recomputing over all rows ever seen (pinned in test_streaming)."""
+    from feature_store_fraud_detection_spark.functions.numeric import round4_stable
+
     cats = a.join(b, cat_col, "full_outer").select(
         cat_col,
         F.coalesce("n_base", F.lit(0)).alias("n_base"),

@@ -700,3 +700,63 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi").desc(), "w1", "w2"
     ).limit(top_k)
+
+
+def keyness_g2(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus-comparison keyness by Dunning's log-likelihood ratio (G2) —
+    which tokens are characteristically over/under-used in one source
+    relative to another. The standard corpus-linguistics screen for
+    source-specific boilerplate, topic drift between crawls, and
+    templated text (complements event_mix_drift, which compares category
+    MIXES; this compares token USAGE between two document populations).
+
+    G2 = 2 * (a*ln(a/Ea) + b*ln(b/Eb)) with expected counts
+    Ea = Na*(a+b)/(Na+Nb), Eb = Nb*(a+b)/(Na+Nb); zero-count terms
+    contribute 0 (lim x->0 of x*ln x). ``overused_in_a`` flags direction.
+    Returns top_k rows (token, n_a, n_b, g2, overused_in_a) ordered by
+    (rounded g2 desc, token) — a reproducible total order.
+
+    Scale: two keyed token counts (map-side combined), a full-outer join
+    on the (vocabulary-sized, not corpus-sized) count tables, broadcast
+    scalar totals, TakeOrdered top-k — no global sort, no data-row join.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+    ).select(F.col(group_col).alias("__g"), F.explode(toks).alias("token"))
+    counts = base.groupBy("token").agg(
+        F.sum((F.col("__g") == group_a).cast("bigint")).alias("n_a"),
+        F.sum((F.col("__g") == group_b).cast("bigint")).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("__na"), F.sum("n_b").alias("__nb")
+    )
+    j = counts.filter(
+        (F.col("n_a") + F.col("n_b")) >= min_count
+    ).crossJoin(F.broadcast(tot))
+    na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    a, b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ea = na * (a + b) / (na + nb)
+    eb = nb * (a + b) / (na + nb)
+    term_a = F.when(F.col("n_a") > 0, a * F.log(a / ea)).otherwise(F.lit(0.0))
+    term_b = F.when(F.col("n_b") > 0, b * F.log(b / eb)).otherwise(F.lit(0.0))
+    scored = j.select(
+        "token",
+        "n_a",
+        "n_b",
+        round4_stable(F.lit(2.0) * (term_a + term_b)).alias("g2"),
+        (a / na > b / nb).alias("overused_in_a"),
+    )
+    return scored.orderBy(F.col("g2").desc(), "token").limit(top_k)

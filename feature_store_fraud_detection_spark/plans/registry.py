@@ -8792,6 +8792,265 @@ QUERIES.update(
 )
 
 
+def _q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value scorecard binning of the
+    event value against the error label (operators/stats.py:woe_iv_binned)
+    — the credit-risk/fraud feature screen; sibling of mutual_info_value
+    with the industry-standard WOE/IV metric instead of MI."""
+    from feature_store_fraud_detection_spark.operators.stats import (
+        woe_iv_binned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "error").alias("label")
+    )
+    return woe_iv_binned(ev, "value", "label", n_bins=10)
+
+
+_WOE_IV_SQL = """
+WITH e AS (
+  SELECT value, CAST(event_type = 'error' AS INT) AS y
+  FROM events WHERE value IS NOT NULL
+),
+cuts AS (
+  SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+          quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+          quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+          quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+          quantile_cont(value, 0.9)] AS qs
+  FROM e
+),
+binned AS (
+  SELECT CAST(len(list_filter(qs, q -> value > q)) AS INT) AS bin,
+         sum(y) AS n_pos, sum(1 - y) AS n_neg
+  FROM e CROSS JOIN cuts GROUP BY 1
+),
+tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn, count(*) AS k FROM binned)
+SELECT bin, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       floor(ln(((n_pos + 0.5) / (tp + k / 2.0))
+                / ((n_neg + 0.5) / (tn + k / 2.0))) * 10000 + 0.5) / 10000
+         AS woe,
+       floor((((n_pos + 0.5) / (tp + k / 2.0))
+              - ((n_neg + 0.5) / (tn + k / 2.0)))
+             * ln(((n_pos + 0.5) / (tp + k / 2.0))
+                  / ((n_neg + 0.5) / (tn + k / 2.0)))
+             * 10000 + 0.5) / 10000 AS iv_term
+FROM binned CROSS JOIN tot
+"""
+
+
+def _q_chi2_event_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence cells: event type x weekend flag
+    (operators/stats.py:chi2_independence) — does the traffic mix differ
+    on weekends? The categorical-feature significance screen next to
+    mutual_info_value's numeric one."""
+    from feature_store_fraud_detection_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek("ts").isin(1, 7).alias("weekend"),
+    )
+    return chi2_independence(ev, "event_type", "weekend")
+
+
+_CHI2_EVENT_WEEKEND_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(isodow(ts) >= 6 AS INT) AS label, count(*) AS n
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+x AS (
+  SELECT event_type, label, n,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)
+           * CAST(sum(n) OVER (PARTITION BY label) AS DOUBLE)
+           / CAST(sum(n) OVER () AS DOUBLE) AS e
+  FROM cells
+)
+SELECT event_type, label, CAST(n AS BIGINT) AS n,
+       floor(e * 10000 + 0.5) / 10000 AS expected,
+       floor((n - e) * (n - e) / e * 10000 + 0.5) / 10000 AS chi2_term
+FROM x
+"""
+
+
+def _q_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood (G2) keyness: which tokens are
+    characteristically over/under-used in English vs German documents
+    (operators/text_analysis.py:keyness_g2) — the corpus-comparison
+    screen for source boilerplate and topic drift between crawls."""
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        keyness_g2,
+    )
+
+    return keyness_g2(
+        load_docs(spark, sf_dir), "text", "lang", "en", "de",
+        min_count=5, top_k=50,
+    )
+
+
+_KEYNESS_G2_SQL = r"""
+WITH tok AS (
+  SELECT lang AS g,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> length(t) > 0)) AS token
+  FROM documents WHERE lang IN ('en', 'de')
+),
+counts AS (
+  SELECT token,
+         sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN g = 'de' THEN 1 ELSE 0 END) AS n_b
+  FROM tok GROUP BY 1
+),
+tot AS (SELECT sum(n_a) AS na, sum(n_b) AS nb FROM counts),
+scored AS (
+  SELECT token, n_a, n_b,
+         CASE WHEN n_a > 0
+              THEN n_a * ln(n_a / (na * (n_a + n_b)
+                                   / (CAST(na AS DOUBLE) + nb)))
+              ELSE 0.0 END
+         + CASE WHEN n_b > 0
+                THEN n_b * ln(n_b / (nb * (n_a + n_b)
+                                     / (CAST(na AS DOUBLE) + nb)))
+                ELSE 0.0 END AS raw,
+         n_a / CAST(na AS DOUBLE) > n_b / CAST(nb AS DOUBLE)
+           AS overused_in_a
+  FROM counts CROSS JOIN tot
+  WHERE n_a + n_b >= 5
+)
+SELECT token, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       floor(2.0 * raw * 10000 + 0.5) / 10000 AS g2, overused_in_a
+FROM scored
+ORDER BY g2 DESC, token
+LIMIT 50
+"""
+
+
+def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval signals over the corpus:
+    BM25 lexical relevance (query: table/scan/merge, top 20) fused with
+    the corpus quality prior (top 20 by quality score) — the standard
+    hybrid-retrieval combiner (operators/retrieval.py:rrf_fuse). The
+    upstream lists are bounded, so the fusion itself is broadcast-only."""
+    from feature_store_fraud_detection_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        quality_score,
+    )
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+    from pyspark.sql import Window as W
+
+    docs = load_docs(spark, sf_dir)
+    lex = bm25_topk(
+        docs, "doc_id", "text", ["table", "scan", "merge"], n=20
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("rank"),
+    )
+    qual = (
+        docs.select(
+            "doc_id", round4_stable(quality_score("text")).alias("__q")
+        )
+        .orderBy(F.col("__q").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("__q").desc(), "doc_id"))
+            .alias("rank"),
+        )
+    )
+    return rrf_fuse([lex, qual], "doc_id", k=60, top_n=10)
+
+
+_RRF_FUSION_SQL = rf"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tk)
+  WHERE term IN ('table', 'scan', 'merge')
+  GROUP BY 1, 2
+),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl
+                / (CAST(total_dl AS DOUBLE) / n_docs)))) AS c
+  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+bm25 AS (
+  SELECT doc_id,
+         floor((coalesce(max(CASE WHEN term = 'table' THEN c END), 0)
+                + coalesce(max(CASE WHEN term = 'scan' THEN c END), 0)
+                + coalesce(max(CASE WHEN term = 'merge' THEN c END), 0))
+               * 10000 + 0.5) / 10000 AS score
+  FROM contrib GROUP BY doc_id
+  ORDER BY score DESC, doc_id LIMIT 20
+),
+lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+           AS rank_1
+  FROM bm25
+),
+q AS (
+  SELECT doc_id,
+         floor((least(len(toks) / 50.0, 1.0)
+                + least((len(list_filter(toks,
+                         t -> t IN ('the','a','of','and','in','to','is')))
+                         / CAST(len(toks) AS DOUBLE)) * 5.0, 1.0)
+                + greatest(1.0 - ((length(text)
+                           - length(regexp_replace(text, '[.,!?;:]', '',
+                                                   'g')))
+                           / CAST(length(text) AS DOUBLE)) * 10.0, 0.0))
+               / 3.0 * 10000 + 0.5) / 10000 AS qs
+  FROM tk ORDER BY qs DESC, doc_id LIMIT 20
+),
+qual AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY qs DESC, doc_id) AS INT) AS rank_2
+  FROM q
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, qual.doc_id) AS doc_id, rank_1, rank_2,
+         CAST((rank_1 IS NOT NULL) AS INT)
+           + CAST((rank_2 IS NOT NULL) AS INT) AS n_lists,
+         floor((coalesce(1.0 / (60 + rank_1), 0.0)
+                + coalesce(1.0 / (60 + rank_2), 0.0)) * 10000 + 0.5) / 10000
+           AS rrf_score
+  FROM lex FULL OUTER JOIN qual ON lex.doc_id = qual.doc_id
+)
+SELECT doc_id, rank_1, rank_2, n_lists, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+         AS fused_rank
+FROM fused
+ORDER BY fused_rank
+LIMIT 10
+"""
+
+
+QUERIES.update(
+    {
+        "woe_iv": QuerySpec(_q_woe_iv, _WOE_IV_SQL),
+        "chi2_event_weekend": QuerySpec(
+            _q_chi2_event_weekend, _CHI2_EVENT_WEEKEND_SQL
+        ),
+        "keyness_g2": QuerySpec(_q_keyness_g2, _KEYNESS_G2_SQL),
+        "rrf_fusion": QuerySpec(_q_rrf_fusion, _RRF_FUSION_SQL),
+    }
+)
+
+
 # --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
@@ -8831,6 +9090,10 @@ _GRADING_PRIORITY: list[str] = [
     "lsh_recall_report",
     "event_mix_drift",
     "simhash_pairs",
+    "woe_iv",
+    "chi2_event_weekend",
+    "keyness_g2",
+    "rrf_fusion",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

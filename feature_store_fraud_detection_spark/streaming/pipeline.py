@@ -569,3 +569,74 @@ def run_stream_regression_fit(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def run_stream_drift_monitor(
+    raw_rows: DataFrame,
+    counts_dir: str,
+    cat_col: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming drift monitoring: fold each micro-batch's category counts
+    into an additive parquet state. ``stream_drift_report`` then computes
+    categorical PSI of everything-seen-so-far against any fixed baseline —
+    numbers IDENTICAL to recomputing over all rows ever seen (category
+    counts are additive; pinned in test_streaming). Per-batch cost is one
+    keyed count of the batch + a category-set merge, O(|batch| + |cats|);
+    the state table is category-sized, never row-sized — the shape that
+    holds when the stream is 100k events/s for a year.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        m = (
+            batch_df.filter(F.col(cat_col).isNotNull())
+            .groupBy(cat_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        if os.path.isdir(counts_dir) and any(
+            fn.endswith(".parquet") for fn in os.listdir(counts_dir)
+        ):
+            prev = spark.read.parquet(counts_dir)
+            m = (
+                prev.unionByName(m)
+                .groupBy(cat_col)
+                .agg(F.sum("n").alias("n"))
+            )
+        m.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            counts_dir
+        )
+
+    writer = (
+        raw_rows.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def stream_drift_report(
+    spark, baseline: DataFrame, counts_dir: str, cat_col: str
+) -> DataFrame:
+    """Categorical PSI of the monitor's accumulated counts vs a baseline
+    of raw rows — read the state, reuse the exact batch PSI core."""
+    from pyspark.sql import functions as F
+
+    from feature_store_fraud_detection_spark.operators.stats import (
+        categorical_psi_from_counts,
+    )
+
+    a = (
+        baseline.filter(F.col(cat_col).isNotNull())
+        .groupBy(cat_col)
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    b = spark.read.parquet(counts_dir).select(
+        cat_col, F.col("n").alias("n_curr")
+    )
+    return categorical_psi_from_counts(a, b, cat_col)

@@ -244,6 +244,11 @@ def _aggregated_below(n) -> bool:
     never raw table rows."""
     if "Aggregate" in n.nodeName():
         return True
+    # an explicit LIMIT bounds the frame just as hard as a group-by
+    if n.nodeName() in (
+        "GlobalLimit", "Limit", "TakeOrderedAndProject", "CollectLimit"
+    ):
+        return True
     kids = _children(n)
     if not kids:
         # leaves: a LocalTableScan literal is bounded; a file scan is not
@@ -264,6 +269,8 @@ GLOBAL_WINDOW_QUERIES = [
     "fraud_capture_curve",    # 10 decile bins (registry)
     "calibration_bins",       # 10 bins
     "mutual_info_value",      # n_bins x 2 joint-count frame (stats.py)
+    "chi2_event_weekend",     # categories x 2 contingency cells (stats.py)
+    "rrf_fusion",             # rank/fuse over bounded top-k lists (retrieval.py)
 ]
 
 

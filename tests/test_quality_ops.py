@@ -424,3 +424,97 @@ def test_categorical_drift_psi_detects_mix_shift(spark):
     # identical distributions -> psi ~ 0
     same = {r["cat"]: r for r in categorical_drift_psi(base, base, "cat").collect()}
     assert all(abs(r["psi_term"]) < 1e-9 for r in same.values())
+
+
+def test_woe_iv_binned_separable_and_null_excluded(spark):
+    from feature_store_fraud_detection_spark.operators.stats import (
+        woe_iv_binned,
+    )
+
+    # label perfectly determined by value's half: WOE strongly negative in
+    # low bins, positive in high bins, IV large
+    rows = [(float(i), i >= 500) for i in range(1000)] + [(None, True)]
+    df = spark.createDataFrame(rows, "v double, y boolean")
+    out = woe_iv_binned(df, "v", "y", n_bins=2).collect()
+    assert sum(r.n_pos + r.n_neg for r in out) == 1000  # NULL excluded
+    by_bin = {r.bin: r for r in out}
+    assert by_bin[0].woe < -3 and by_bin[1].woe > 3
+    iv = sum(r.iv_term for r in out)
+    assert iv > 2.0  # "suspiciously predictive" by scorecard convention
+    # independent label -> IV ~ 0
+    rows2 = [(float(i), i % 2 == 0) for i in range(1000)]
+    df2 = spark.createDataFrame(rows2, "v double, y boolean")
+    iv2 = sum(r.iv_term for r in woe_iv_binned(df2, "v", "y", 2).collect())
+    assert abs(iv2) < 0.01
+
+
+def test_chi2_independence_hand_fixture(spark):
+    from feature_store_fraud_detection_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    rows = (
+        [("a", True)] * 30 + [("a", False)] * 10
+        + [("b", True)] * 10 + [("b", False)] * 30
+        + [(None, True)]  # NULL category excluded
+    )
+    df = spark.createDataFrame(rows, "cat string, y boolean")
+    out = {(r.cat, r.label): r for r in chi2_independence(df, "cat", "y").collect()}
+    assert len(out) == 4
+    # every expected cell is 40*40/80 = 20; every term (30-20)^2/20 or
+    # (10-20)^2/20 = 5.0
+    assert all(r.expected == 20.0 for r in out.values())
+    assert all(r.chi2_term == 5.0 for r in out.values())
+    assert sum(r.n for r in out.values()) == 80
+    # perfectly independent 2x2 -> all terms exactly 0
+    rows2 = [("a", True)] * 10 + [("a", False)] * 10 \
+        + [("b", True)] * 10 + [("b", False)] * 10
+    df2 = spark.createDataFrame(rows2, "cat string, y boolean")
+    assert all(
+        r.chi2_term == 0.0
+        for r in chi2_independence(df2, "cat", "y").collect()
+    )
+
+
+def test_keyness_g2_direction_and_min_count(spark):
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        keyness_g2,
+    )
+
+    rows = (
+        [(i, "alpha common filler", "A") for i in range(20)]
+        + [(i + 100, "beta common filler", "B") for i in range(20)]
+        + [(999, "rare token here", "A")]  # below min_count, dropped
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = keyness_g2(df, "text", "src", "A", "B", min_count=5, top_k=10)
+    got = {r.token: r for r in out.collect()}
+    assert "rare" not in got
+    assert got["alpha"].overused_in_a and not got["beta"].overused_in_a
+    # alpha/beta are the maximally key tokens; shared fillers score ~0
+    # (not exactly equal: the dropped rare doc still inflates corpus A's
+    # token total, tilting the expected counts slightly)
+    assert got["alpha"].g2 > 20 and got["beta"].g2 > 20
+    assert got["common"].g2 < 0.1 and got["filler"].g2 < 0.1
+    # zero-count side contributes 0, never NaN/inf
+    assert all(r.g2 == r.g2 and abs(r.g2) < 1e9 for r in got.values())
+
+
+def test_rrf_fuse_arithmetic_and_partial_membership(spark):
+    from feature_store_fraud_detection_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id long, rank int")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "id long, rank int")
+    out = {r.id: r for r in rrf_fuse([a, b], "id", k=60, top_n=10).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 2: 1/62 + 1/61; doc 1: 1/61 only
+    want2 = math.floor((1 / 62 + 1 / 61) * 10000 + 0.5) / 10000
+    want1 = math.floor((1 / 61) * 10000 + 0.5) / 10000
+    assert out[2].rrf_score == want2 and out[2].n_lists == 2
+    assert out[1].rrf_score == want1 and out[1].n_lists == 1
+    assert out[2].fused_rank == 1  # two lists beat any single-list item
+    assert out[1].rank_2 is None and out[4].rank_1 is None
+    # top_n enforcement
+    assert rrf_fuse([a, b], "id", k=60, top_n=2).count() == 2

@@ -539,3 +539,59 @@ def test_stream_pattern_alerts_match_batch_across_boundaries(spark, tmp_path):
     # present exactly once, proving the tail state carried it over
     assert (1, 103) in got and got.count((1, 103)) == 1
     assert want == [(1, 100), (1, 103), (2, 200)]
+
+
+def test_stream_drift_monitor_equals_batch_psi(spark, tmp_path):
+    """The streaming drift monitor's accumulated-counts PSI must be
+    BIT-identical to the batch categorical_drift_psi over all rows ever
+    seen (category counts are additive), including across a multi-batch
+    fold where categories appear in later batches only."""
+    from feature_store_fraud_detection_spark.operators.stats import (
+        categorical_drift_psi,
+    )
+    from feature_store_fraud_detection_spark.streaming.pipeline import (
+        run_stream_drift_monitor,
+        stream_drift_report,
+    )
+
+    cats = ["click", "view", "purchase", "refund"]
+    rows = [
+        (i, cats[i % 3] if i < 60 else cats[i % 4]) for i in range(100)
+    ]  # 'refund' only appears in the second half -> later batches
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    for part in range(4):
+        with open(src / f"p{part}.jsonl", "w") as f:
+            for rid, c in rows[part::4]:
+                f.write(json.dumps({"rid": rid, "cat": c}) + "\n")
+        os.utime(src / f"p{part}.jsonl", (1_700_000_000 + part,) * 2)
+
+    counts_dir = str(tmp_path / "drift_counts")
+    raw = (
+        spark.readStream.schema("rid bigint, cat string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_stream_drift_monitor(
+        raw, counts_dir, "cat", checkpoint_dir=str(tmp_path / "ckpt_drift")
+    )
+    q.awaitTermination(120)
+
+    baseline = spark.createDataFrame(
+        [(i, cats[i % 2]) for i in range(80)], "rid bigint, cat string"
+    )
+    got = {
+        r.cat: r
+        for r in stream_drift_report(
+            spark, baseline, counts_dir, "cat"
+        ).collect()
+    }
+    all_rows = spark.createDataFrame(rows, "rid bigint, cat string")
+    want = {
+        r.cat: r for r in categorical_drift_psi(baseline, all_rows, "cat").collect()
+    }
+    assert set(got) == set(want) == set(cats)
+    for c in want:
+        assert got[c].n_base == want[c].n_base
+        assert got[c].n_curr == want[c].n_curr
+        assert got[c].psi_term == want[c].psi_term  # bit-identical
