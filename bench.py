@@ -115,6 +115,13 @@ HEADLINE: list[tuple[str, int]] = [
     ("temperature_mix_sample", 5),
     ("curriculum_stages", 5),
     ("training_sequences", 5),
+    # round-5 second batch: feature screens + hybrid retrieval (kcore is
+    # graded by the oracle gate; its iterative loop is too heavy for the
+    # headline, like prefix_filter_pairs/triangle_stats)
+    ("woe_iv", 5),
+    ("chi2_event_weekend", 5),
+    ("keyness_g2", 5),
+    ("rrf_fusion", 5),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

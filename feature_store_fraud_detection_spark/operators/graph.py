@@ -347,3 +347,79 @@ def triangle_stats(
             F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges").cast("double")
         ).alias("clustering"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    k: int,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core of an undirected graph: the maximal subgraph in which every
+    node has degree >= k, by iterative peeling (drop all nodes with
+    degree < k, re-count, repeat to fixpoint) -> (node, degree) with
+    degree measured INSIDE the core. The classic screen for "who is in
+    the densely-connected heart of the graph" — fraud rings, co-purchase
+    cliques, boilerplate hubs; the 2-core alone strips all trees/pendant
+    chains and keeps exactly the cyclic structure.
+
+    Self-loops are dropped and the edge list deduplicated; each input row
+    is one undirected edge (callers supply each pair once, u < v).
+
+    Scale design (the pagerank/bfs conventions): the edge set persists
+    once; each round is one degree count (map-side combined) + two
+    semi-joins keyed on the endpoint — the |V'|-row survivor table moves,
+    the edge table re-shuffles only as it SHRINKS (each round's semi-join
+    output is strictly smaller). Convergence: if no node fell below k the
+    edge set is unchanged — fixpoint (peeling is monotone, rounds <=
+    peel depth, typically <= a dozen on real graphs). Driver state is one
+    count per round; lineage cut every 3rd round. For full coreness
+    decomposition at 100 TB, sweep k ascending and reuse the previous
+    core as the input — each sweep starts from the already-shrunk graph.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    prev_nodes = -1
+    keep = None
+    for r in range(max_rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        new_keep = deg.filter(F.col("degree") >= k).persist()
+        n = new_keep.count()
+        if keep is not None:
+            keep.unpersist()
+        keep = new_keep
+        if n == prev_nodes or n == 0:
+            break
+        prev_nodes = n
+        ids = keep.select("node")
+        small = n <= SMALL_GRAPH_NODE_LIMIT
+        lhs = F.broadcast(ids) if small else ids
+        e2 = (
+            e.join(lhs.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(
+                F.broadcast(ids).withColumnRenamed("node", "v")
+                if small
+                else ids.withColumnRenamed("node", "v"),
+                "v",
+                "left_semi",
+            )
+        )
+        if (r + 1) % 3 == 0:
+            e2 = e2.localCheckpoint(eager=True)
+        e2 = e2.persist()
+        e.unpersist()
+        e = e2
+    out = keep.localCheckpoint(eager=True)
+    keep.unpersist()
+    e.unpersist()
+    return out

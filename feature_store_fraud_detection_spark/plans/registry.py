@@ -9039,8 +9039,71 @@ LIMIT 10
 """
 
 
+def _q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the repeat co-purchase graph (parts sharing >= 2 orders):
+    iterative peeling strips every tree/pendant chain, keeping exactly
+    the cyclic heart — the fraud-ring / dense-community screen
+    (operators/graph.py:kcore). Oracle: the peel loop unrolled to a fixed
+    depth (peeling is monotone, so extra rounds past the fixpoint are
+    no-ops; depth 12 covers the measured <= 6-round convergence at every
+    SF with 2x headroom)."""
+    from feature_store_fraud_detection_spark.operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    x, y = li.alias("x"), li.alias("y")
+    e = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.countDistinct("l_orderkey").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    return kcore(e, "a", "b", k=2)
+
+
+def _kcore_sql(k: int = 2, rounds: int = 12) -> str:
+    parts = [
+        """e0 AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT x.l_partkey AS u, y.l_partkey AS v,
+           count(DISTINCT x.l_orderkey) AS w
+    FROM lineitem x JOIN lineitem y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    GROUP BY 1, 2
+  ) WHERE w >= 2
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""n{r} AS MATERIALIZED (
+  SELECT n FROM (SELECT u AS n FROM e{r - 1}
+                 UNION ALL SELECT v AS n FROM e{r - 1})
+  GROUP BY n HAVING count(*) >= {k}
+)"""
+        )
+        parts.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT u, v FROM e{r - 1}
+  WHERE u IN (SELECT n FROM n{r}) AND v IN (SELECT n FROM n{r})
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
+FROM (SELECT u AS n FROM e{rounds} UNION ALL SELECT v AS n FROM e{rounds})
+GROUP BY n"""
+    )
+
+
 QUERIES.update(
     {
+        "kcore_members": QuerySpec(_q_kcore_members, _kcore_sql()),
         "woe_iv": QuerySpec(_q_woe_iv, _WOE_IV_SQL),
         "chi2_event_weekend": QuerySpec(
             _q_chi2_event_weekend, _CHI2_EVENT_WEEKEND_SQL
@@ -9094,6 +9157,7 @@ _GRADING_PRIORITY: list[str] = [
     "chi2_event_weekend",
     "keyness_g2",
     "rrf_fusion",
+    "kcore_members",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

@@ -365,3 +365,23 @@ def test_triangle_stats_bipartite_graph_has_none(spark):
 
     row = triangle_stats(df, "a", "b").collect()[0]
     assert row["n_triangles"] == 0 and row["clustering"] == 0.0
+
+
+def test_kcore_peels_pendant_chain_to_cycle(spark):
+    """A triangle with a 3-edge pendant chain: the 2-core is exactly the
+    triangle, and reaching it takes 3 peel rounds (the chain strips one
+    edge per round) — exercising the multi-round convergence loop."""
+    from feature_store_fraud_detection_spark.operators.graph import kcore
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.degree for r in kcore(df, "a", "b", k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # k above the densest structure -> empty
+    assert kcore(df, "a", "b", k=3).count() == 0
+    # k=1 keeps everything (self-loops/dups dropped, degrees exact)
+    df2 = spark.createDataFrame(
+        edges + [(1, 1), (2, 3)], "a long, b long"
+    )
+    got1 = {r.node: r.degree for r in kcore(df2, "a", "b", k=1).collect()}
+    assert got1 == {1: 2, 2: 2, 3: 3, 4: 2, 5: 2, 6: 1}
