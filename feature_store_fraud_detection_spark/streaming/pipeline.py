@@ -640,3 +640,69 @@ def stream_drift_report(
         cat_col, F.col("n").alias("n_curr")
     )
     return categorical_psi_from_counts(a, b, cat_col)
+
+
+def run_stream_hist_monitor(
+    raw_rows: DataFrame,
+    state_dir: str,
+    key_col: str,
+    val_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming quantile monitoring: fold each micro-batch's per-key
+    histogram sketch (operators/sketches.hist_sketch — additive
+    fixed-layout bin counts) into a parquet state via hist_merge.
+    ``stream_quantile_report`` then answers per-key p50/p90/p99 from the
+    state alone — estimates IDENTICAL to sketching all rows ever seen in
+    one batch pass (bin counts are additive; pinned in test_streaming).
+    Per-batch cost is one (key, bin) count of the batch + a key-sized
+    merge join; the state is (keys x bins) counters, never row-sized.
+    """
+    import os
+
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        hist_merge,
+        hist_sketch,
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        m = hist_sketch(batch_df, key_col, val_col, lo, hi, bins)
+        if os.path.isdir(state_dir) and any(
+            fn.endswith(".parquet") for fn in os.listdir(state_dir)
+        ):
+            m = hist_merge(spark.read.parquet(state_dir), m, key_col)
+        m.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_dir
+        )
+
+    writer = (
+        raw_rows.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def stream_quantile_report(
+    spark,
+    state_dir: str,
+    key_col: str,
+    lo: float,
+    hi: float,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-key quantile estimates from the monitor's accumulated sketch
+    state — the serving-side read, no raw data touched."""
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        hist_quantiles,
+    )
+
+    return hist_quantiles(
+        spark.read.parquet(state_dir), key_col, lo, hi, probs
+    )

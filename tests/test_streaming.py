@@ -595,3 +595,61 @@ def test_stream_drift_monitor_equals_batch_psi(spark, tmp_path):
         assert got[c].n_base == want[c].n_base
         assert got[c].n_curr == want[c].n_curr
         assert got[c].psi_term == want[c].psi_term  # bit-identical
+
+
+def test_stream_hist_monitor_equals_batch_sketch(spark, tmp_path):
+    """Streaming histogram-sketch fold: quantile estimates from the
+    accumulated state must be BIT-identical to one batch sketch over all
+    rows ever seen (bin counts are additive), including keys that only
+    appear in later micro-batches."""
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        hist_quantiles,
+        hist_sketch,
+    )
+    from feature_store_fraud_detection_spark.streaming.pipeline import (
+        run_stream_hist_monitor,
+        stream_quantile_report,
+    )
+
+    rows = [
+        (i, "a" if i % 3 else "b", float((i * 37) % 500))
+        for i in range(300)
+    ] + [(1000 + j, "late", float(j)) for j in range(40)]  # late-only key
+    src = tmp_path / "hist_src"
+    src.mkdir()
+    for part in range(4):
+        with open(src / f"p{part}.jsonl", "w") as f:
+            for rid, k, v in rows[part::4]:
+                f.write(json.dumps({"rid": rid, "k": k, "v": v}) + "\n")
+        os.utime(src / f"p{part}.jsonl", (1_700_000_000 + part,) * 2)
+
+    state_dir = str(tmp_path / "hist_state")
+    raw = (
+        spark.readStream.schema("rid bigint, k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_stream_hist_monitor(
+        raw, state_dir, "k", "v", lo=0.0, hi=500.0,
+        checkpoint_dir=str(tmp_path / "ckpt_hist"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.k: r
+        for r in stream_quantile_report(
+            spark, state_dir, "k", lo=0.0, hi=500.0
+        ).collect()
+    }
+    all_rows = spark.createDataFrame(rows, "rid bigint, k string, v double")
+    want = {
+        r.k: r
+        for r in hist_quantiles(
+            hist_sketch(all_rows, "k", "v", 0.0, 500.0), "k", 0.0, 500.0
+        ).collect()
+    }
+    assert set(got) == set(want) == {"a", "b", "late"}
+    for k in want:
+        assert got[k].n == want[k].n
+        for c in ("p50", "p90", "p99"):
+            assert got[k][c] == want[k][c]  # bit-identical
