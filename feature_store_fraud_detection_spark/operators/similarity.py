@@ -1263,3 +1263,131 @@ def ivfpq_recall_report(
             / 10000
         ).alias("recall"),
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact covariance matrix of an embedding column — the one-scan prep
+    for PCA/whitening/decorrelation of a vector space before indexing
+    (the train() step FAISS's OPQ/PCA transforms run; here the MOMENTS
+    are the engine's job and the tiny d x d eigendecomposition is the
+    caller's, mirroring ridge_normal_equations' split).
+
+    Returns the upper triangle: (i, j, n_vecs, cov) for 0 <= i <= j < dim
+    with cov = (S_ij - S_i*S_j/n) / n (population covariance).
+
+    Cross-engine exactness: components scale to BIGINT via
+    floor(x*scale + 0.5) (half-up in both engines, no libm round), so
+    every moment is an exact integer sum in DECIMAL — order-independent
+    — and the final quotient is a fixed sequence of IEEE ops on
+    double-exact inputs, floor-rounded to 4 decimals.
+
+    Scale design: the d^2 fanout happens BEFORE a map-side-combined
+    (i, j) aggregate, so each task emits at most d*(d+1)/2 partial rows
+    no matter how many vectors it read; the shuffle moves
+    O(tasks * d^2) counters, never vectors. CPU is the inherent
+    n*d^2/2 multiply cost of covariance. NULL / wrong-dimension vectors
+    are excluded (validate_embeddings is the audit for how many).
+    """
+    xs = F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(v.cast("double") * scale + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    base = (
+        df.filter(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+        )
+        .select(xs.alias("__xs"))
+    )
+    ij = (
+        base.select(F.posexplode("__xs").alias("i", "xi"), F.col("__xs"))
+        .select(
+            "i",
+            "xi",
+            F.posexplode("__xs").alias("j", "xj"),
+        )
+        .filter(F.col("j") >= F.col("i"))
+    )
+    sums = ij.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(
+            (F.col("xi") * F.col("xj")).cast("decimal(38,0)")
+        ).alias("__sxy"),
+        F.sum(F.col("xi").cast("decimal(38,0)")).alias("__si"),
+        F.sum(F.col("xj").cast("decimal(38,0)")).alias("__sj"),
+    )
+    n = F.col("n_vecs").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    si = F.col("__si").cast("double")
+    sj = F.col("__sj").cast("double")
+    cov = (sxy - si * sj / n) / n / F.lit(float(scale) * float(scale))
+    return sums.select("i", "j", "n_vecs", round4_stable(cov).alias("cov"))
+
+
+def pca_components(
+    cov_rows: list,
+    dim: int,
+    n_components: int,
+) -> list[list[float]]:
+    """Eigendecompose a covariance matrix collected from
+    :func:`embedding_covariance` (the bounded d x d driver step, same
+    split as ridge_normal_equations' solve). Returns the top
+    ``n_components`` eigenvectors (rows), each sign-fixed so its
+    largest-magnitude entry is positive — eigenvector sign is otherwise
+    arbitrary and would break reproducibility.
+    """
+    import numpy as np
+
+    c = np.zeros((dim, dim))
+    for r in cov_rows:
+        c[r["i"]][r["j"]] = r["cov"]
+        c[r["j"]][r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(c)  # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return comps
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    components: list[list[float]],
+) -> DataFrame:
+    """Project vectors onto PCA components (from :func:`pca_components`)
+    — dimensionality reduction before indexing/visualization. Components
+    ship as plan literals (a few KB), so the projection is a pure
+    scan-stage fold per output dim: no shuffle, no UDF, no broadcast
+    join. Output: (id, proj array<double>) with 4-decimal rounding.
+    """
+    comp_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(w)) for w in comp]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for comp in components
+    ]
+    return df.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == len(components[0]))
+    ).select(
+        F.col(id_col),
+        F.array(*[round4_stable(c) for c in comp_cols]).alias("proj"),
+    )

@@ -9101,8 +9101,57 @@ GROUP BY n"""
     )
 
 
+def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance matrix of the embedding space (upper triangle,
+    2080 cells at d=64) — the PCA/whitening/OPQ train() moments, computed
+    as integer-scaled DECIMAL sums so the MATRIX itself hash-checks
+    cross-engine (operators/similarity.py:embedding_covariance)."""
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding", dim=64)
+
+
+_EMBEDDING_COVARIANCE_SQL = """
+WITH x AS (
+  SELECT list_transform(
+           embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+         ) AS xs
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+),
+ij AS (
+  SELECT i.i, j.j, xs[i.i + 1] AS xi, xs[j.j + 1] AS xj
+  FROM x
+  CROSS JOIN generate_series(0, 63) AS i(i)
+  CROSS JOIN generate_series(0, 63) AS j(j)
+  WHERE j.j >= i.i
+),
+sums AS (
+  SELECT i, j, count(*) AS n_vecs,
+         sum(CAST(xi * xj AS DECIMAL(38,0))) AS sxy,
+         sum(CAST(xi AS DECIMAL(38,0))) AS si,
+         sum(CAST(xj AS DECIMAL(38,0))) AS sj
+  FROM ij GROUP BY 1, 2
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n_vecs,
+       floor(((CAST(sxy AS DOUBLE)
+               - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE)
+                 / CAST(n_vecs AS DOUBLE))
+              / CAST(n_vecs AS DOUBLE) / 1000000000000.0)
+             * 10000 + 0.5) / 10000 AS cov
+FROM sums
+"""
+
+
 QUERIES.update(
     {
+        "embedding_covariance": QuerySpec(
+            _q_embedding_covariance, _EMBEDDING_COVARIANCE_SQL
+        ),
         "kcore_members": QuerySpec(_q_kcore_members, _kcore_sql()),
         "woe_iv": QuerySpec(_q_woe_iv, _WOE_IV_SQL),
         "chi2_event_weekend": QuerySpec(
@@ -9158,6 +9207,7 @@ _GRADING_PRIORITY: list[str] = [
     "keyness_g2",
     "rrf_fusion",
     "kcore_members",
+    "embedding_covariance",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

@@ -536,3 +536,66 @@ def test_ivfpq_kmeans_deterministic_across_runs(spark, sf_dir):
         for r in ivfpq_topk(emb, "vec_id", "embedding", **kwargs).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """The integer-scaled moment covariance must match numpy's population
+    covariance to quantization precision, and NULL / wrong-dimension
+    vectors must be excluded."""
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(0, 0.2, (200, 4))
+    rows = [(i, [float(v) for v in X[i]]) for i in range(200)]
+    rows += [(900, None), (901, [0.1, 0.2])]  # excluded
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.i, r.j): r for r in embedding_covariance(df, "embedding", 4).collect()
+    }
+    assert len(got) == 10  # upper triangle of 4x4
+    want = np.cov(X.T, bias=True)
+    for (i, j), r in got.items():
+        assert r.n_vecs == 200
+        assert abs(r.cov - want[i][j]) < 2e-4, (i, j, r.cov, want[i][j])
+    # diagonal is the per-dim variance (positive)
+    assert all(got[(d, d)].cov > 0 for d in range(4))
+
+
+def test_pca_components_and_projection_match_numpy(spark):
+    """End-to-end PCA on a planted low-rank cloud: the top component must
+    align with the planted direction, the distributed projection must
+    match numpy's, and projected coordinates must be decorrelated."""
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        embedding_covariance,
+        pca_components,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(11)
+    d = 6
+    direction = np.array([1.0, 0.5, 0.0, -0.5, 0.25, 0.0])
+    direction /= np.linalg.norm(direction)
+    t = rng.normal(0, 0.3, 400)
+    X = np.outer(t, direction) + rng.normal(0, 0.02, (400, d))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    cov = embedding_covariance(df, "embedding", d).collect()
+    comps = pca_components([r.asDict() for r in cov], d, n_components=2)
+    # top component parallels the planted direction (sign-fixed)
+    c0 = np.array(comps[0])
+    assert abs(abs(float(c0 @ direction)) - 1.0) < 0.02
+    assert c0[int(np.argmax(np.abs(c0)))] > 0  # sign convention
+    proj = {
+        r.vec_id: r.proj for r in pca_project(df, "vec_id", "embedding", comps).collect()
+    }
+    want = X @ np.array(comps).T
+    for i in range(0, 400, 57):
+        for j in range(2):
+            assert abs(proj[i][j] - want[i][j]) < 1e-3
+    # projected dims are decorrelated: |corr| << planted correlation
+    P = np.array([proj[i] for i in range(400)])
+    assert abs(np.corrcoef(P.T)[0][1]) < 0.1
