@@ -126,3 +126,81 @@ def reconcile_order_totals(
         ).alias("n_mismatched"),
         round4_stable(F.max("__diff")).alias("max_abs_diff"),
     )
+
+
+def k_anonymity_profile(
+    df: DataFrame, quasi_identifiers: list[str]
+) -> DataFrame:
+    """Re-identification risk profile for a quasi-identifier combination:
+    group rows into equivalence classes over the QI columns and histogram
+    the class sizes — a release is k-anonymous iff no class is smaller
+    than k, so the smallest ``class_size`` row IS the dataset's k. The
+    standard privacy screen before sharing a feature table (pairs with
+    ``OfflineStore.delete_keys`` on the GDPR side).
+
+    Output per class size: (class_size, n_classes, n_rows,
+    pct_rows_at_risk) where pct_rows_at_risk is the cumulative share of
+    rows in classes of THIS size or smaller — read the k=1..4 rows to see
+    how much of the table is re-identifiable under each threshold.
+
+    Scale: one keyed count (map-side combined) to class sizes, then an
+    aggregate over the bounded distinct-size table; the cumulative share
+    is a window over that bounded frame — no data-row window, no second
+    scan. NULL QI values form their own classes (NULL-safe grouping),
+    matching how an attacker would treat them.
+    """
+    from pyspark.sql import Window
+
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    classes = df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    hist = classes.groupBy("class_size").agg(
+        F.count(F.lit(1)).alias("n_classes")
+    )
+    tot = hist.agg(
+        F.sum(F.col("class_size") * F.col("n_classes")).alias("__total")
+    )
+    w = Window.orderBy("class_size").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).alias("n_rows"),
+            round4_stable(
+                F.sum(F.col("class_size") * F.col("n_classes")).over(w)
+                / F.col("__total").cast("double")
+            ).alias("pct_rows_at_risk"),
+        )
+    )
+
+
+def l_diversity_profile(
+    df: DataFrame, quasi_identifiers: list[str], sensitive_col: str
+) -> DataFrame:
+    """l-diversity companion to :func:`k_anonymity_profile`: k-anonymity
+    alone fails when an equivalence class is large but every row shares
+    ONE sensitive value (homogeneity attack) — so histogram the DISTINCT
+    sensitive-value count per QI class. A release is l-diverse iff no
+    class has fewer than l distinct sensitive values; the smallest
+    ``n_distinct_sensitive`` row is the dataset's l.
+
+    Output per diversity level: (n_distinct_sensitive, n_classes,
+    n_rows). Scale: one (QI, sensitive) distinct-pair count feeding a
+    per-class aggregate — both map-side combinable; the histogram is an
+    aggregate over the bounded class table.
+    """
+    per_class = df.groupBy(*quasi_identifiers).agg(
+        F.countDistinct(sensitive_col).alias("n_distinct_sensitive"),
+        F.count(F.lit(1)).alias("__rows"),
+    )
+    return per_class.groupBy("n_distinct_sensitive").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("__rows").alias("n_rows"),
+    )

@@ -9147,8 +9147,80 @@ FROM sums
 """
 
 
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk histogram over the (event_type, hour,
+    user-id-bucket) quasi-identifier combination — the k-anonymity
+    release screen (operators/validate.py:k_anonymity_profile); the
+    smallest class_size row is the dataset's k."""
+    from feature_store_fraud_detection_spark.operators.validate import (
+        k_anonymity_profile,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("hour"),
+        F.pmod(F.col("user_id"), F.lit(100)).alias("user_bucket"),
+    )
+    return k_anonymity_profile(ev, ["event_type", "hour", "user_bucket"])
+
+
+_K_ANONYMITY_SQL = """
+WITH classes AS (
+  SELECT event_type, hour(ts) AS h, user_id % 100 AS ub,
+         count(*) AS class_size
+  FROM events GROUP BY 1, 2, 3
+),
+hist AS (
+  SELECT class_size, count(*) AS n_classes FROM classes GROUP BY 1
+),
+tot AS (SELECT sum(class_size * n_classes) AS total FROM hist)
+SELECT class_size, n_classes,
+       CAST(class_size * n_classes AS BIGINT) AS n_rows,
+       floor((sum(class_size * n_classes)
+                OVER (ORDER BY class_size
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              / CAST(total AS DOUBLE)) * 10000 + 0.5) / 10000
+         AS pct_rows_at_risk
+FROM hist CROSS JOIN tot
+"""
+
+
+def _q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homogeneity-attack screen: distinct event-type diversity per
+    (hour, user-bucket) quasi-identifier class
+    (operators/validate.py:l_diversity_profile) — k-anonymity's required
+    companion; the smallest n_distinct_sensitive row is the dataset's
+    l."""
+    from feature_store_fraud_detection_spark.operators.validate import (
+        l_diversity_profile,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.hour("ts").alias("hour"),
+        F.pmod(F.col("user_id"), F.lit(100)).alias("user_bucket"),
+        "event_type",
+    )
+    return l_diversity_profile(ev, ["hour", "user_bucket"], "event_type")
+
+
+_L_DIVERSITY_SQL = """
+WITH per_class AS (
+  SELECT hour(ts) AS h, user_id % 100 AS ub,
+         count(DISTINCT event_type) AS n_distinct_sensitive,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(n_distinct_sensitive AS BIGINT) AS n_distinct_sensitive,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(n) AS BIGINT) AS n_rows
+FROM per_class GROUP BY 1
+"""
+
+
 QUERIES.update(
     {
+        "k_anonymity": QuerySpec(_q_k_anonymity, _K_ANONYMITY_SQL),
+        "l_diversity": QuerySpec(_q_l_diversity, _L_DIVERSITY_SQL),
         "embedding_covariance": QuerySpec(
             _q_embedding_covariance, _EMBEDDING_COVARIANCE_SQL
         ),
@@ -9208,6 +9280,8 @@ _GRADING_PRIORITY: list[str] = [
     "rrf_fusion",
     "kcore_members",
     "embedding_covariance",
+    "k_anonymity",
+    "l_diversity",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

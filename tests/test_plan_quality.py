@@ -271,6 +271,8 @@ GLOBAL_WINDOW_QUERIES = [
     "mutual_info_value",      # n_bins x 2 joint-count frame (stats.py)
     "chi2_event_weekend",     # categories x 2 contingency cells (stats.py)
     "rrf_fusion",             # rank/fuse over bounded top-k lists (retrieval.py)
+    "k_anonymity",            # cumulative share over the bounded class-size
+                              # histogram (validate.py)
 ]
 
 

@@ -518,3 +518,46 @@ def test_rrf_fuse_arithmetic_and_partial_membership(spark):
     assert out[1].rank_2 is None and out[4].rank_1 is None
     # top_n enforcement
     assert rrf_fuse([a, b], "id", k=60, top_n=2).count() == 2
+
+
+def test_k_anonymity_profile_hand_fixture(spark):
+    from feature_store_fraud_detection_spark.operators.validate import (
+        k_anonymity_profile,
+    )
+
+    # QI classes: (a,1) x4 rows, (a,2) x2, (b,1) x2, (b,2) x1, (NULL,1) x1
+    rows = (
+        [("a", 1)] * 4 + [("a", 2)] * 2 + [("b", 1)] * 2
+        + [("b", 2)] + [(None, 1)]
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 int")
+    out = {r.class_size: r for r in k_anonymity_profile(df, ["q1", "q2"]).collect()}
+    # sizes: 4 -> 1 class, 2 -> 2 classes, 1 -> 2 classes (incl. the NULL QI)
+    assert {k: (out[k].n_classes, out[k].n_rows) for k in out} == {
+        1: (2, 2), 2: (2, 4), 4: (1, 4)
+    }
+    # cumulative at-risk share ascends: 2/10, 6/10, 10/10
+    assert out[1].pct_rows_at_risk == 0.2
+    assert out[2].pct_rows_at_risk == 0.6
+    assert out[4].pct_rows_at_risk == 1.0
+
+
+def test_l_diversity_profile_hand_fixture(spark):
+    from feature_store_fraud_detection_spark.operators.validate import (
+        l_diversity_profile,
+    )
+
+    # class (a,1): sensitive {x,x,y} -> diversity 2, 3 rows
+    # class (a,2): sensitive {x}     -> diversity 1 (homogeneous!), 2 rows
+    # class (b,1): sensitive {x,y,z} -> diversity 3, 3 rows
+    rows = [
+        ("a", 1, "x"), ("a", 1, "x"), ("a", 1, "y"),
+        ("a", 2, "x"), ("a", 2, "x"),
+        ("b", 1, "x"), ("b", 1, "y"), ("b", 1, "z"),
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 int, s string")
+    out = {
+        r.n_distinct_sensitive: (r.n_classes, r.n_rows)
+        for r in l_diversity_profile(df, ["q1", "q2"], "s").collect()
+    }
+    assert out == {1: (1, 2), 2: (1, 3), 3: (1, 3)}
