@@ -204,3 +204,58 @@ def l_diversity_profile(
         F.count(F.lit(1)).alias("n_classes"),
         F.sum("__rows").alias("n_rows"),
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    cat_col: str,
+    epsilon: float = 1.0,
+    seed: str = "release-1",
+) -> DataFrame:
+    """Laplace-mechanism noisy category counts — the differential-privacy
+    shape for publishing aggregate statistics: count + Laplace(1/epsilon)
+    noise (sensitivity 1 for a count). The noise here is SEEDED (inverse-
+    CDF Laplace from an md5-uniform of seed||category) so releases are
+    reproducible and cross-engine hash-checkable; the privacy guarantee
+    holds against recipients who don't know the seed — rotate the seed
+    per release and treat it as a secret, or swap in true randomness
+    where reproducibility doesn't matter. noisy_count is clamped at 0
+    and rounded to an integer, the standard post-processing.
+
+    ``true_count`` stays in the output for the oracle/audit loop — DROP
+    it before an actual release (the noisy column alone is the
+    publishable artifact).
+
+    Scale: one keyed count; the noise is a scan-stage expression over the
+    bounded category table. NULL categories excluded.
+    """
+    from feature_store_fraud_detection_spark.operators.encoders import (
+        md5_int,
+    )
+
+    counts = (
+        df.filter(F.col(cat_col).isNotNull())
+        .groupBy(cat_col)
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    u = (
+        md5_int(F.concat(F.lit(seed + "|"), F.col(cat_col).cast("string")))
+        .cast("double")
+        / F.lit(float(2**60))
+    )
+    # inverse-CDF Laplace(b = 1/epsilon): u in (0,1) -> centered noise
+    centered = u - F.lit(0.5)
+    mag = F.lit(1.0) - F.lit(2.0) * F.abs(centered)
+    noise = (
+        -F.lit(1.0 / epsilon)
+        * F.signum(centered)
+        * F.log(mag)
+    )
+    noisy = F.greatest(
+        F.lit(0.0), F.col("true_count").cast("double") + noise
+    )
+    return counts.select(
+        cat_col,
+        "true_count",
+        F.floor(noisy + F.lit(0.5)).cast("bigint").alias("noisy_count"),
+    )

@@ -9217,10 +9217,45 @@ FROM per_class GROUP BY 1
 """
 
 
+def _q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy event-type counts, seeded for
+    reproducibility (operators/validate.py:dp_noisy_counts) — the
+    publishable-aggregate end of the privacy family; noise is inverse-CDF
+    Laplace(1/eps) from an md5-uniform, identical in both engines."""
+    from feature_store_fraud_detection_spark.operators.validate import (
+        dp_noisy_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return dp_noisy_counts(ev, "event_type", epsilon=0.1, seed="release-1")
+
+
+_DP_NOISY_SQL = """
+WITH counts AS (
+  SELECT event_type, count(*) AS true_count
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY 1
+),
+noised AS (
+  SELECT event_type, true_count,
+         (('0x' || substr(md5('release-1|' || event_type), 1, 15))::BIGINT
+          / 1152921504606846976.0) - 0.5 AS centered
+  FROM counts
+)
+SELECT event_type, CAST(true_count AS BIGINT) AS true_count,
+       CAST(floor(greatest(0.0,
+              true_count + (-10.0) * sign(centered)
+                * ln(1.0 - 2.0 * abs(centered))) + 0.5) AS BIGINT)
+         AS noisy_count
+FROM noised
+"""
+
+
 QUERIES.update(
     {
         "k_anonymity": QuerySpec(_q_k_anonymity, _K_ANONYMITY_SQL),
         "l_diversity": QuerySpec(_q_l_diversity, _L_DIVERSITY_SQL),
+        "dp_noisy_counts": QuerySpec(_q_dp_noisy_counts, _DP_NOISY_SQL),
         "embedding_covariance": QuerySpec(
             _q_embedding_covariance, _EMBEDDING_COVARIANCE_SQL
         ),
@@ -9282,6 +9317,7 @@ _GRADING_PRIORITY: list[str] = [
     "embedding_covariance",
     "k_anonymity",
     "l_diversity",
+    "dp_noisy_counts",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

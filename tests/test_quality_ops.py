@@ -561,3 +561,26 @@ def test_l_diversity_profile_hand_fixture(spark):
         for r in l_diversity_profile(df, ["q1", "q2"], "s").collect()
     }
     assert out == {1: (1, 2), 2: (1, 3), 3: (1, 3)}
+
+
+def test_dp_noisy_counts_seeded_laplace(spark):
+    from feature_store_fraud_detection_spark.operators.validate import (
+        dp_noisy_counts,
+    )
+
+    rows = [(f"c{i % 20}",) for i in range(2000)] + [(None,)]
+    df = spark.createDataFrame(rows, "cat string")
+    a = {r.cat: r for r in dp_noisy_counts(df, "cat", 1.0, "s1").collect()}
+    assert len(a) == 20 and all(r.true_count == 100 for r in a.values())
+    # deterministic: same seed reproduces bit-identically
+    b = {r.cat: r.noisy_count for r in dp_noisy_counts(df, "cat", 1.0, "s1").collect()}
+    assert {k: v.noisy_count for k, v in a.items()} == b
+    # a different seed moves at least one category's noise
+    c = {r.cat: r.noisy_count for r in dp_noisy_counts(df, "cat", 1.0, "s2").collect()}
+    assert any(b[k] != c[k] for k in b)
+    # Laplace(b=1) tail: P(|noise| > 15) = e^-15 — effectively impossible
+    # over 20 draws; clamping keeps counts non-negative
+    assert all(abs(r.noisy_count - 100) <= 15 for r in a.values())
+    assert all(r.noisy_count >= 0 for r in a.values())
+    # noise actually present (not all exactly the true count)
+    assert any(r.noisy_count != 100 for r in a.values())
