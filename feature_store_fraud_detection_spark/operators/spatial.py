@@ -181,3 +181,88 @@ def dbscan_labels(
     )
     pairs.unpersist()
     return out
+
+
+def grid_hotspots(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    cell_deg: float = 0.05,
+) -> DataFrame:
+    """Getis-Ord-style hot-spot statistic over a lat/lon grid: snap points
+    to cells, then score each OCCUPIED cell by how much its 3x3
+    neighborhood's event mass exceeds the global cell mean —
+    area-intensity statistics, the complement of point-level clustering
+    (``dbscan`` finds shapes; this ranks WHERE the heat is). Fraud use:
+    card-present hot spots, merchant-density anomalies.
+
+    gi_z = (S_i - m * W_i) / (s * sqrt(W_i)) where S_i = neighborhood
+    event sum, W_i = occupied neighbor-cell count (<= 9 incl. self), and
+    m / s are the mean/std of per-cell counts over occupied cells (the
+    standard Gi* simplification to the occupied-cell universe — empty
+    ocean cells would otherwise dominate the baseline; documented
+    convention, identical in the SQL twin).
+
+    Scale: one keyed cell count; the neighborhood sum is a 9-way
+    self-join of the CELL table (vastly smaller than the point table)
+    via a bounded dx/dy expansion; the global moments are one broadcast
+    scalar. No point-level join anywhere.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    cells = (
+        df.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+        .groupBy(
+            F.floor(F.col(lat_col) / cell_deg).cast("bigint").alias("cx"),
+            F.floor(F.col(lon_col) / cell_deg).cast("bigint").alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    offsets = F.expr(
+        "explode(array(" + ", ".join(
+            f"struct({dx}L AS dx, {dy}L AS dy)"
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ) + "))"
+    )
+    cover = cells.select(
+        "cx", "cy", "n_events", offsets.alias("o")
+    ).select(
+        (F.col("cx") + F.col("o.dx")).alias("tx"),
+        (F.col("cy") + F.col("o.dy")).alias("ty"),
+        F.col("n_events").alias("__contrib"),
+    )
+    hood = cover.groupBy("tx", "ty").agg(
+        F.sum("__contrib").alias("neighbor_sum"),
+        F.count(F.lit(1)).alias("w"),
+    )
+    moments = cells.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("n_events").alias("__s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("__s2"),
+    )
+    scored = (
+        cells.join(
+            hood,
+            (F.col("cx") == F.col("tx")) & (F.col("cy") == F.col("ty")),
+        )
+        .crossJoin(F.broadcast(moments))
+    )
+    n = F.col("__n").cast("double")
+    m = F.col("__s1").cast("double") / n
+    var = F.col("__s2").cast("double") / n - m * m
+    z = F.when(
+        var > 0,
+        (F.col("neighbor_sum").cast("double") - m * F.col("w"))
+        / (F.sqrt(var) * F.sqrt(F.col("w").cast("double"))),
+    )  # uniform grid (zero variance) -> NULL, not inf
+    return scored.select(
+        "cx",
+        "cy",
+        "n_events",
+        "neighbor_sum",
+        F.col("w").cast("int").alias("w"),
+        round4_stable(z).alias("gi_z"),
+    )

@@ -9217,6 +9217,68 @@ FROM per_class GROUP BY 1
 """
 
 
+def _q_geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord-style grid hot spots over the synthesized transaction
+    coordinates (same adapter as geo_proximity_pairs) —
+    operators/spatial.py:grid_hotspots; area-intensity complement of the
+    point-level dbscan_clusters."""
+    from feature_store_fraud_detection_spark.operators.spatial import (
+        grid_hotspots,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    pts = ev.select(
+        "event_id",
+        (F.lit(30.0) + (F.col("event_id") % 1000) / 100.0).alias("lat"),
+        (F.lit(-100.0) + (F.col("event_id") % 2000) / 100.0).alias("lon"),
+    )
+    return grid_hotspots(pts, "lat", "lon", cell_deg=0.5)
+
+
+_GEO_HOTSPOTS_SQL = """
+WITH pts AS (
+  SELECT event_id,
+         30.0 + (event_id % 1000) / 100.0 AS lat,
+         -100.0 + (event_id % 2000) / 100.0 AS lon
+  FROM events WHERE event_id < 2000
+),
+cells AS (
+  SELECT CAST(floor(lat / 0.5) AS BIGINT) AS cx,
+         CAST(floor(lon / 0.5) AS BIGINT) AS cy,
+         count(*) AS n_events
+  FROM pts GROUP BY 1, 2
+),
+cover AS (
+  SELECT cx + dx.dx AS tx, cy + dy.dy AS ty, n_events AS contrib
+  FROM cells
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dx(dx)
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dy(dy)
+),
+hood AS (
+  SELECT tx, ty, sum(contrib) AS neighbor_sum, count(*) AS w
+  FROM cover GROUP BY 1, 2
+),
+mom AS (
+  SELECT count(*) AS n, sum(n_events) AS s1,
+         sum(n_events * n_events) AS s2
+  FROM cells
+)
+SELECT cx, cy, CAST(n_events AS BIGINT) AS n_events,
+       CAST(neighbor_sum AS BIGINT) AS neighbor_sum, CAST(w AS INT) AS w,
+       CASE WHEN (CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) > 0
+            THEN floor(((CAST(neighbor_sum AS DOUBLE)
+                         - (CAST(s1 AS DOUBLE) / n) * w)
+                        / (sqrt(CAST(s2 AS DOUBLE) / n
+                                - (CAST(s1 AS DOUBLE) / n)
+                                  * (CAST(s1 AS DOUBLE) / n))
+                           * sqrt(CAST(w AS DOUBLE))))
+                       * 10000 + 0.5) / 10000
+            ELSE NULL END AS gi_z
+FROM cells JOIN hood ON cx = tx AND cy = ty CROSS JOIN mom
+"""
+
+
 def _q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laplace-mechanism noisy event-type counts, seeded for
     reproducibility (operators/validate.py:dp_noisy_counts) — the
@@ -9256,6 +9318,7 @@ QUERIES.update(
         "k_anonymity": QuerySpec(_q_k_anonymity, _K_ANONYMITY_SQL),
         "l_diversity": QuerySpec(_q_l_diversity, _L_DIVERSITY_SQL),
         "dp_noisy_counts": QuerySpec(_q_dp_noisy_counts, _DP_NOISY_SQL),
+        "geo_hotspots": QuerySpec(_q_geo_hotspots, _GEO_HOTSPOTS_SQL),
         "embedding_covariance": QuerySpec(
             _q_embedding_covariance, _EMBEDDING_COVARIANCE_SQL
         ),
@@ -9318,6 +9381,7 @@ _GRADING_PRIORITY: list[str] = [
     "k_anonymity",
     "l_diversity",
     "dp_noisy_counts",
+    "geo_hotspots",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

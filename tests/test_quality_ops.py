@@ -584,3 +584,35 @@ def test_dp_noisy_counts_seeded_laplace(spark):
     assert all(r.noisy_count >= 0 for r in a.values())
     # noise actually present (not all exactly the true count)
     assert any(r.noisy_count != 100 for r in a.values())
+
+
+def test_grid_hotspots_planted_cluster(spark):
+    from feature_store_fraud_detection_spark.operators.spatial import (
+        grid_hotspots,
+    )
+
+    # background: 1 point per cell on a 5x5 grid; hot spot: 50 extra
+    # points in the center cell (2,2)
+    rows = [
+        (float(x) + 0.5, float(y) + 0.5)
+        for x in range(5) for y in range(5)
+    ] + [(2.5, 2.5)] * 50
+    df = spark.createDataFrame(rows, "lat double, lon double")
+    out = {(r.cx, r.cy): r for r in grid_hotspots(df, "lat", "lon", 1.0).collect()}
+    assert len(out) == 25
+    center = out[(2, 2)]
+    assert center.n_events == 51 and center.w == 9
+    # the center is the hottest cell by a wide margin (the absolute z is
+    # damped because the hot cell itself inflates the global std — the
+    # standard Gi* behavior with a single extreme cell)
+    assert center.gi_z == max(r.gi_z for r in out.values())
+    assert center.gi_z > 1.0
+    # far corner sees none of the mass -> negative z (below-mean hood)
+    assert out[(0, 0)].gi_z < 0
+    # uniform grid -> NULL z, never inf
+    uni = spark.createDataFrame(
+        [(float(x) + 0.5, 0.5) for x in range(4)], "lat double, lon double"
+    )
+    assert all(
+        r.gi_z is None for r in grid_hotspots(uni, "lat", "lon", 1.0).collect()
+    )
