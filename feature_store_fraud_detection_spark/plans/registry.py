@@ -9279,6 +9279,180 @@ FROM cells JOIN hood ON cx = tx AND cy = ty CROSS JOIN mom
 """
 
 
+def _q_feature_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-row audit dashboard for the `value` feature — the composition
+    query of the feature-screen family (the feature-store twin of
+    curation_summary): null coverage, information value vs the error
+    label, mutual information, and both drift statistics against the
+    2024-01-15 time split. Each scalar folds its screen's rounded terms
+    in sorted order (the repo's fixed-IEEE-order sum rule) and rounds
+    again, so the dashboard hash-checks end-to-end."""
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+    from feature_store_fraud_detection_spark.operators.stats import (
+        drift_ks,
+        drift_psi,
+        mutual_information_binned,
+        woe_iv_binned,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    labeled = ev.select(
+        "value", (F.col("event_type") == "error").alias("label")
+    )
+    split = F.lit("2024-01-15").cast("timestamp")
+    before = ev.filter(F.col("ts") < split)
+    after = ev.filter(F.col("ts") >= split)
+
+    def _fold_sum(df: DataFrame, col: str, out: str) -> DataFrame:
+        return df.agg(
+            round4_stable(
+                F.aggregate(
+                    F.array_sort(F.collect_list(col)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias(out)
+        )
+
+    counts = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("bigint")).alias("n_nulls"),
+    )
+    iv = _fold_sum(woe_iv_binned(labeled, "value", "label", 10), "iv_term", "iv")
+    mi = _fold_sum(
+        mutual_information_binned(labeled, "value", "label", 10),
+        "mi_term",
+        "mi",
+    )
+    psi = _fold_sum(
+        drift_psi(before, after, "value", n_bins=10), "psi_term", "psi"
+    )
+    ks = drift_ks(before, after, "value", n_bins=10).agg(
+        F.max("cdf_gap").alias("ks")
+    )
+    return (
+        counts.join(F.broadcast(iv))
+        .join(F.broadcast(mi))
+        .join(F.broadcast(psi))
+        .join(F.broadcast(ks))
+        .select(
+            F.lit("value").alias("feature"),
+            "n_rows",
+            "n_nulls",
+            "iv",
+            "mi",
+            "psi",
+            "ks",
+        )
+    )
+
+
+_FEATURE_AUDIT_SQL = """
+WITH e AS (SELECT value, CAST(event_type = 'error' AS INT) AS y FROM events
+           WHERE value IS NOT NULL),
+counts AS (
+  SELECT count(*) AS n_rows,
+         sum(CAST(value IS NULL AS BIGINT)) AS n_nulls
+  FROM events
+),
+lcuts AS (
+  SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+          quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+          quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+          quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+          quantile_cont(value, 0.9)] AS qs
+  FROM e
+),
+lbinned AS (
+  SELECT CAST(len(list_filter(qs, q -> value > q)) AS INT) AS bin,
+         sum(y) AS n_pos, sum(1 - y) AS n_neg, count(*) AS n
+  FROM e CROSS JOIN lcuts GROUP BY 1
+),
+ltot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn, count(*) AS k
+         FROM lbinned),
+iv_terms AS (
+  SELECT floor((((n_pos + 0.5) / (tp + k / 2.0))
+                - ((n_neg + 0.5) / (tn + k / 2.0)))
+               * ln(((n_pos + 0.5) / (tp + k / 2.0))
+                    / ((n_neg + 0.5) / (tn + k / 2.0)))
+               * 10000 + 0.5) / 10000 AS t
+  FROM lbinned CROSS JOIN ltot
+),
+iv AS (SELECT floor(list_reduce(list_sort(list(t)), (a, b) -> a + b)
+                    * 10000 + 0.5) / 10000 AS iv FROM iv_terms),
+mi_joint AS (
+  SELECT CAST(len(list_filter(qs, q -> value > q)) AS INT) AS bin, y,
+         count(*) AS n
+  FROM e CROSS JOIN lcuts GROUP BY 1, 2
+),
+mi_terms AS (
+  SELECT floor((nd / nt) * ln((nd / nt) / ((nx / nt) * (ny / nt)))
+               * 10000 + 0.5) / 10000 AS t
+  FROM (
+    SELECT CAST(n AS DOUBLE) AS nd,
+           CAST(sum(n) OVER (PARTITION BY bin) AS DOUBLE) AS nx,
+           CAST(sum(n) OVER (PARTITION BY y) AS DOUBLE) AS ny,
+           CAST(sum(n) OVER () AS DOUBLE) AS nt
+    FROM mi_joint
+  )
+),
+mi AS (SELECT floor(list_reduce(list_sort(list(t)), (a, b) -> a + b)
+                    * 10000 + 0.5) / 10000 AS mi FROM mi_terms),
+a AS (SELECT value FROM events
+      WHERE ts < TIMESTAMP '2024-01-15' AND value IS NOT NULL),
+b AS (SELECT value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15' AND value IS NOT NULL),
+dcuts AS (
+  SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+          quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+          quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+          quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+          quantile_cont(value, 0.9)] AS qs
+  FROM a
+),
+abin AS (
+  SELECT CAST(len(list_filter(qs, q -> value > q)) AS INT) AS bin,
+         count(*) AS n_base
+  FROM a CROSS JOIN dcuts GROUP BY 1
+),
+bbin AS (
+  SELECT CAST(len(list_filter(qs, q -> value > q)) AS INT) AS bin,
+         count(*) AS n_curr
+  FROM b CROSS JOIN dcuts GROUP BY 1
+),
+j AS (
+  SELECT coalesce(abin.bin, bbin.bin) AS bin,
+         coalesce(n_base, 0) AS n_base, coalesce(n_curr, 0) AS n_curr
+  FROM abin FULL JOIN bbin ON abin.bin = bbin.bin
+),
+t AS (SELECT sum(n_base) AS ta, sum(n_curr) AS tb FROM j),
+psi_terms AS (
+  SELECT floor(((n_curr + 0.5) / (tb + 5.0) - (n_base + 0.5) / (ta + 5.0))
+               * ln(((n_curr + 0.5) / (tb + 5.0))
+                    / ((n_base + 0.5) / (ta + 5.0)))
+               * 10000 + 0.5) / 10000 AS t
+  FROM j CROSS JOIN t
+),
+psi AS (SELECT floor(list_reduce(list_sort(list(t)), (a, b) -> a + b)
+                     * 10000 + 0.5) / 10000 AS psi FROM psi_terms),
+ks AS (
+  SELECT max(floor(abs(ca / CAST(ta AS DOUBLE) - cb / CAST(tb AS DOUBLE))
+                   * 10000 + 0.5) / 10000) AS ks
+  FROM (
+    SELECT sum(n_base) OVER w AS ca, sum(n_curr) OVER w AS cb, ta, tb
+    FROM j CROSS JOIN t
+    WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+  )
+)
+SELECT 'value' AS feature, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_nulls AS BIGINT) AS n_nulls, iv, mi, psi, ks
+FROM counts CROSS JOIN iv CROSS JOIN mi CROSS JOIN psi CROSS JOIN ks
+"""
+
+
 def _q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laplace-mechanism noisy event-type counts, seeded for
     reproducibility (operators/validate.py:dp_noisy_counts) — the
@@ -9319,6 +9493,7 @@ QUERIES.update(
         "l_diversity": QuerySpec(_q_l_diversity, _L_DIVERSITY_SQL),
         "dp_noisy_counts": QuerySpec(_q_dp_noisy_counts, _DP_NOISY_SQL),
         "geo_hotspots": QuerySpec(_q_geo_hotspots, _GEO_HOTSPOTS_SQL),
+        "feature_audit": QuerySpec(_q_feature_audit, _FEATURE_AUDIT_SQL),
         "embedding_covariance": QuerySpec(
             _q_embedding_covariance, _EMBEDDING_COVARIANCE_SQL
         ),
@@ -9382,6 +9557,7 @@ _GRADING_PRIORITY: list[str] = [
     "l_diversity",
     "dp_noisy_counts",
     "geo_hotspots",
+    "feature_audit",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

@@ -273,6 +273,8 @@ GLOBAL_WINDOW_QUERIES = [
     "rrf_fusion",             # rank/fuse over bounded top-k lists (retrieval.py)
     "k_anonymity",            # cumulative share over the bounded class-size
                               # histogram (validate.py)
+    "feature_audit",          # composes mutual_info/drift_ks screens — same
+                              # bounded bin frames (registry)
 ]
 
 
