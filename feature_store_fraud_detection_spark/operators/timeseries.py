@@ -195,3 +195,92 @@ def cusum_peak(
             ).alias("cusum_peak"),
         )
     )
+
+
+def ewma_forecast(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    alpha: float = 0.3,
+    z: float = 3.0,
+) -> DataFrame:
+    """Exponentially-weighted smoothing + control chart per key over the
+    daily series: ewma_t = alpha*y_t + (1-alpha)*ewma_{t-1} with the
+    matching EW variance v_t = (1-alpha)*(v_{t-1} + alpha*(y_t -
+    ewma_{t-1})^2) — the forecasting/monitoring sibling of the trend and
+    CUSUM operators (next-day forecast = final ewma; alert if the LAST
+    observation breaks the z-sigma EWMA control limit built from the
+    state BEFORE it).
+
+    Determinism: daily totals are exact DECIMAL sums rounded to 4 before
+    the fold; the fold is a SEQUENTIAL struct fold over the day-sorted
+    list (both engines run the identical IEEE op sequence — DuckDB's
+    list_reduce takes the first element as the seed, Spark's aggregate
+    gets the same seed explicitly). Single-day keys have no prior state:
+    ewmstd 0, alert NULL.
+
+    Scale: one (key, day) keyed aggregate, then one per-key fold whose
+    state is 3 doubles — the per-key payload is the day count, not the
+    row count. For million-day keys the collect_list bounds apply;
+    pre-aggregate to coarser buckets first.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        df.filter(F.col(val_col).isNotNull())
+        .groupBy(F.col(key_col), day.alias("__day"))
+        .agg(
+            F.sum(F.col(val_col).cast("decimal(18,4)")).alias("__s")
+        )
+        .select(
+            key_col,
+            F.unix_timestamp("__day").alias("__d"),
+            round4_stable(F.col("__s").cast("double")).alias("__y"),
+        )
+    )
+    series = daily.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__d"), F.col("__y")))
+        ).alias("__sr")
+    )
+    ys = F.transform(F.col("__sr"), lambda s: s["__y"])
+    a, b = F.lit(float(alpha)), F.lit(1.0 - alpha)
+
+    def _fold(arr):
+        init = F.struct(
+            F.element_at(arr, 1).alias("e"), F.lit(0.0).alias("v")
+        )
+        rest = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+        return F.aggregate(
+            rest,
+            init,
+            lambda acc, x: F.struct(
+                (a * x + b * acc["e"]).alias("e"),
+                (b * (acc["v"] + a * (x - acc["e"]) * (x - acc["e"]))).alias(
+                    "v"
+                ),
+            ),
+        )
+
+    full = _fold(ys)
+    prev = _fold(F.slice(ys, 1, F.greatest(F.size(ys) - 1, F.lit(1))))
+    n = F.size(ys)
+    last_y = F.element_at(ys, -1)
+    alert = F.when(
+        n >= 2,
+        F.abs(last_y - prev["e"])
+        > F.lit(float(z)) * F.sqrt(prev["v"]),
+    )
+    return series.select(
+        key_col,
+        n.cast("int").alias("n_days"),
+        round4_stable(last_y).alias("last_y"),
+        round4_stable(full["e"]).alias("ewma"),
+        round4_stable(F.sqrt(full["v"])).alias("ewmstd"),
+        round4_stable(full["e"]).alias("forecast_next"),
+        alert.alias("alert"),
+    )

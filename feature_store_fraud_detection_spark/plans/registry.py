@@ -9279,6 +9279,69 @@ FROM cells JOIN hood ON cx = tx AND cy = ty CROSS JOIN mom
 """
 
 
+def _q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing + z-sigma control chart over each event type's
+    daily value series (operators/timeseries.py:ewma_forecast) — the
+    forecasting/monitoring member of the time-series family; the
+    sequential struct fold runs the identical IEEE op sequence in both
+    engines, so the smoothed state hash-checks."""
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        ewma_forecast,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_forecast(ev, "event_type", "ts", "value", alpha=0.3, z=3.0)
+
+
+_EWMA_FORECAST_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               * 10000 + 0.5) / 10000 AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type,
+         list_transform(
+           list_sort(list({'d': epoch(d), 'y': y})), s -> s.y
+         ) AS ys
+  FROM daily GROUP BY 1
+),
+-- the accumulator struct lists 'v' BEFORE 'e' on purpose: DuckDB's
+-- list_reduce mutates the accumulator field-by-field from the second
+-- step on, so a later field reading acc.e would see the ALREADY-UPDATED
+-- e; computing v first pins the pure-fold semantics Spark/python use
+folded AS (
+  SELECT event_type, ys, len(ys) AS n,
+    list_reduce(
+      [{'v': CAST(0.0 AS DOUBLE), 'e': ys[1]}]
+        || list_transform(ys[2:], x -> {'v': CAST(0.0 AS DOUBLE), 'e': x}),
+      (acc, x) -> {'v': 0.7 * (acc.v
+                               + 0.3 * (x.e - acc.e) * (x.e - acc.e)),
+                   'e': 0.3 * x.e + 0.7 * acc.e}
+    ) AS fl,
+    CASE WHEN len(ys) >= 2 THEN list_reduce(
+      [{'v': CAST(0.0 AS DOUBLE), 'e': ys[1]}]
+        || list_transform(ys[2:len(ys) - 1],
+                          x -> {'v': CAST(0.0 AS DOUBLE), 'e': x}),
+      (acc, x) -> {'v': 0.7 * (acc.v
+                               + 0.3 * (x.e - acc.e) * (x.e - acc.e)),
+                   'e': 0.3 * x.e + 0.7 * acc.e}
+    ) END AS prev
+  FROM series
+)
+SELECT event_type, CAST(n AS INT) AS n_days,
+       floor(ys[-1] * 10000 + 0.5) / 10000 AS last_y,
+       floor(fl.e * 10000 + 0.5) / 10000 AS ewma,
+       floor(sqrt(fl.v) * 10000 + 0.5) / 10000 AS ewmstd,
+       floor(fl.e * 10000 + 0.5) / 10000 AS forecast_next,
+       CASE WHEN n >= 2
+            THEN abs(ys[-1] - prev.e) > 3.0 * sqrt(prev.v)
+            END AS alert
+FROM folded
+"""
+
+
 def _q_feature_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE-row audit dashboard for the `value` feature — the composition
     query of the feature-screen family (the feature-store twin of
@@ -9494,6 +9557,7 @@ QUERIES.update(
         "dp_noisy_counts": QuerySpec(_q_dp_noisy_counts, _DP_NOISY_SQL),
         "geo_hotspots": QuerySpec(_q_geo_hotspots, _GEO_HOTSPOTS_SQL),
         "feature_audit": QuerySpec(_q_feature_audit, _FEATURE_AUDIT_SQL),
+        "ewma_forecast": QuerySpec(_q_ewma_forecast, _EWMA_FORECAST_SQL),
         "embedding_covariance": QuerySpec(
             _q_embedding_covariance, _EMBEDDING_COVARIANCE_SQL
         ),
@@ -9558,6 +9622,7 @@ _GRADING_PRIORITY: list[str] = [
     "dp_noisy_counts",
     "geo_hotspots",
     "feature_audit",
+    "ewma_forecast",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

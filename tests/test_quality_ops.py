@@ -616,3 +616,33 @@ def test_grid_hotspots_planted_cluster(spark):
     assert all(
         r.gi_z is None for r in grid_hotspots(uni, "lat", "lon", 1.0).collect()
     )
+
+
+def test_ewma_forecast_fold_and_alert(spark):
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        ewma_forecast,
+    )
+
+    t = lambda d: BASE + dt.timedelta(days=d)  # noqa: E731
+    # key 'a': stable around 10 then a massive final-day spike -> alert
+    rows = [("a", t(d), 10.0 + (d % 2)) for d in range(10)] + [
+        ("a", t(10), 500.0),
+        # key 'b': constant -> no alert; key 'c': single day -> NULL alert
+        *[("b", t(d), 20.0) for d in range(5)],
+        ("c", t(0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r.k: r for r in ewma_forecast(df, "k", "ts", "v").collect()}
+    assert out["a"].alert is True and out["a"].last_y == 500.0
+    assert out["b"].alert is False and out["b"].ewmstd == 0.0
+    assert out["b"].ewma == 20.0 and out["b"].forecast_next == 20.0
+    assert out["c"].alert is None and out["c"].n_days == 1
+    # exact fold parity with the hand recurrence (daily ys for 'a');
+    # v's expression must read the PRE-update e, hence the statement order
+    ys = [10.0 + (d % 2) for d in range(10)] + [500.0]
+    e, v = ys[0], 0.0
+    for y in ys[1:]:
+        v = 0.7 * (v + 0.3 * (y - e) ** 2)
+        e = 0.3 * y + 0.7 * e
+    assert out["a"].ewma == math.floor(e * 10000 + 0.5) / 10000
+    assert out["a"].ewmstd == math.floor(v ** 0.5 * 10000 + 0.5) / 10000
