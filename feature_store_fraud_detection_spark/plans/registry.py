@@ -9279,6 +9279,60 @@ FROM cells JOIN hood ON cx = tx AND cy = ty CROSS JOIN mom
 """
 
 
+def _q_user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user activity lifetimes with
+    right-censoring at the observation edge
+    (operators/timeseries.py:kaplan_meier) — the retention estimator
+    naive churn curves get wrong by treating still-active users as
+    churned."""
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        kaplan_meier,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return kaplan_meier(ev, "user_id", "ts", censor_days=3)
+
+
+_USER_SURVIVAL_SQL = """
+WITH spans AS (
+  SELECT user_id, min(ts) AS fi, max(ts) AS la FROM events GROUP BY 1
+),
+edge AS (SELECT max(ts) AS e FROM events),
+life AS (
+  SELECT CAST(floor((epoch(la) - epoch(fi)) / 86400) AS BIGINT) AS t,
+         epoch(la) >= epoch(e) - 3 * 86400 AS censored
+  FROM spans CROSS JOIN edge
+),
+hist AS (
+  SELECT t, sum(CAST(NOT censored AS BIGINT)) AS d, count(*) AS n_all
+  FROM life GROUP BY 1
+),
+ar AS (
+  SELECT t, d,
+         sum(n_all) OVER (ORDER BY t DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS n_at_risk
+  FROM hist
+),
+deaths AS (SELECT * FROM ar WHERE d > 0),
+fs AS (
+  SELECT list_sort(list(
+           {'t': t, 'f': 1.0 - CAST(d AS DOUBLE) / n_at_risk}
+         )) AS fl
+  FROM deaths
+)
+SELECT t AS t_days, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_events,
+       floor(list_reduce(
+               list_prepend(CAST(1.0 AS DOUBLE),
+                 list_transform(list_filter(fl, s -> s.t <= t),
+                                s -> s.f)),
+               (a, b) -> a * b)
+             * 10000 + 0.5) / 10000 AS survival
+FROM deaths CROSS JOIN fs
+"""
+
+
 def _q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA smoothing + z-sigma control chart over each event type's
     daily value series (operators/timeseries.py:ewma_forecast) — the
@@ -9558,6 +9612,7 @@ QUERIES.update(
         "geo_hotspots": QuerySpec(_q_geo_hotspots, _GEO_HOTSPOTS_SQL),
         "feature_audit": QuerySpec(_q_feature_audit, _FEATURE_AUDIT_SQL),
         "ewma_forecast": QuerySpec(_q_ewma_forecast, _EWMA_FORECAST_SQL),
+        "user_survival": QuerySpec(_q_user_survival, _USER_SURVIVAL_SQL),
         "embedding_covariance": QuerySpec(
             _q_embedding_covariance, _EMBEDDING_COVARIANCE_SQL
         ),
@@ -9623,6 +9678,7 @@ _GRADING_PRIORITY: list[str] = [
     "geo_hotspots",
     "feature_audit",
     "ewma_forecast",
+    "user_survival",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

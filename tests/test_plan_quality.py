@@ -275,6 +275,8 @@ GLOBAL_WINDOW_QUERIES = [
                               # histogram (validate.py)
     "feature_audit",          # composes mutual_info/drift_ks screens — same
                               # bounded bin frames (registry)
+    "user_survival",          # at-risk suffix sum over the bounded lifetime
+                              # histogram (timeseries.py)
 ]
 
 

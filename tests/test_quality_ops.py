@@ -646,3 +646,23 @@ def test_ewma_forecast_fold_and_alert(spark):
         e = 0.3 * y + 0.7 * e
     assert out["a"].ewma == math.floor(e * 10000 + 0.5) / 10000
     assert out["a"].ewmstd == math.floor(v ** 0.5 * 10000 + 0.5) / 10000
+
+
+def test_kaplan_meier_hand_fixture(spark):
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        kaplan_meier,
+    )
+
+    t = lambda d: BASE + dt.timedelta(days=d)  # noqa: E731
+    # lifetimes: A=10 (edge, censored), B=1, C=1, D=4, E=8 (censored:
+    # last event within 3 days of the edge)
+    rows = []
+    for u, last in (("A", 10), ("B", 1), ("C", 1), ("D", 4), ("E", 8)):
+        rows += [(u, t(0)), (u, t(last))]
+    df = spark.createDataFrame(rows, "u string, ts timestamp")
+    out = {r.t_days: r for r in kaplan_meier(df, "u", "ts", 3).collect()}
+    # only churn times appear; censoring times are not curve steps
+    assert set(out) == {1, 4}
+    # S(1) = 1 - 2/5 = 0.6 ; S(4) = 0.6 * (1 - 1/3) = 0.4
+    assert (out[1].n_at_risk, out[1].n_events, out[1].survival) == (5, 2, 0.6)
+    assert (out[4].n_at_risk, out[4].n_events, out[4].survival) == (3, 1, 0.4)
