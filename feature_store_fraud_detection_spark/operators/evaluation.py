@@ -21,6 +21,8 @@ pre-bucket scores (quantize to 1e-4) or run the same cumsum two-level
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -49,3 +51,35 @@ def exact_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
             / (2.0 * F.sum("__np") * F.sum("__nn"))
         ).alias("auc"),
     )
+
+
+def pav_calibrate(bin_rows: list) -> list[dict]:
+    """Pool-adjacent-violators isotonic regression over calibration bins
+    — the monotone probability calibrator (the driver-side d-x-d solve of
+    the calibration story, same split as pca_components/ridge: the
+    engine reduces N rows to <= n_bins sufficient statistics, the
+    bounded convex fit runs on the driver). Input: rows with ``bin``,
+    ``n``, ``n_pos`` (calibration_bins' output shape). Returns one dict
+    per input bin, ascending, with ``calibrated`` — the isotonic
+    positive-rate estimate (pooled where raw rates violate
+    monotonicity); pooled blocks preserve the weighted mean, the PAV
+    invariant the test pins.
+    """
+    rows = sorted((dict(r) for r in bin_rows), key=lambda r: r["bin"])
+    # each block: [sum_pos, sum_n, member bin ids]
+    blocks: list[list] = []
+    for r in rows:
+        blocks.append([float(r["n_pos"]), float(r["n"]), [r["bin"]]])
+        while len(blocks) >= 2:
+            (pa, na, ba), (pb, nb, bb) = blocks[-2], blocks[-1]
+            if pa / na <= pb / nb:
+                break
+            blocks[-2:] = [[pa + pb, na + nb, ba + bb]]
+    rate = {}
+    for p, n, bins in blocks:
+        for b in bins:
+            rate[b] = p / n
+    return [
+        {**r, "calibrated": math.floor(rate[r["bin"]] * 1e4 + 0.5) / 1e4}
+        for r in rows
+    ]

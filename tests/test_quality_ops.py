@@ -666,3 +666,44 @@ def test_kaplan_meier_hand_fixture(spark):
     # S(1) = 1 - 2/5 = 0.6 ; S(4) = 0.6 * (1 - 1/3) = 0.4
     assert (out[1].n_at_risk, out[1].n_events, out[1].survival) == (5, 2, 0.6)
     assert (out[4].n_at_risk, out[4].n_events, out[4].survival) == (3, 1, 0.4)
+
+
+def test_pav_calibrate_pools_violators(spark):
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        pav_calibrate,
+    )
+
+    rows = [
+        {"bin": 0, "n": 10, "n_pos": 1},
+        {"bin": 1, "n": 10, "n_pos": 3},
+        {"bin": 2, "n": 10, "n_pos": 2},   # violator: pooled with bin 1
+        {"bin": 3, "n": 10, "n_pos": 5},
+    ]
+    out = pav_calibrate(rows)
+    cal = [r["calibrated"] for r in out]
+    assert cal == [0.1, 0.25, 0.25, 0.5]
+    # monotone non-decreasing and weighted-mean preserving
+    assert cal == sorted(cal)
+    assert abs(sum(c * 10 for c in cal) - sum(r["n_pos"] for r in rows)) < 1e-9
+    # weighted pooling: unequal bin sizes
+    rows2 = [
+        {"bin": 0, "n": 30, "n_pos": 12},  # 0.4
+        {"bin": 1, "n": 10, "n_pos": 2},   # 0.2 -> pooled (12+2)/40=0.35
+    ]
+    assert [r["calibrated"] for r in pav_calibrate(rows2)] == [0.35, 0.35]
+    # cascading merge: 0.5, 0.4, 0.1 all pool to one block
+    rows3 = [
+        {"bin": 0, "n": 10, "n_pos": 5},
+        {"bin": 1, "n": 10, "n_pos": 4},
+        {"bin": 2, "n": 10, "n_pos": 1},
+    ]
+    assert {r["calibrated"] for r in pav_calibrate(rows3)} == {0.3333}
+    # end-to-end over the engine's calibration_bins output
+    from feature_store_fraud_detection_spark.plans.registry import QUERIES
+
+    bins = QUERIES["calibration_bins"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    cal_rows = pav_calibrate([r.asDict() for r in bins])
+    cs = [r["calibrated"] for r in cal_rows]
+    assert cs == sorted(cs) and len(cs) == len(bins)
