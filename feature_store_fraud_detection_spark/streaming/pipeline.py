@@ -706,3 +706,62 @@ def stream_quantile_report(
     return hist_quantiles(
         spark.read.parquet(state_dir), key_col, lo, hi, probs
     )
+
+
+def run_stream_kmv_monitor(
+    raw_rows: DataFrame,
+    state_dir: str,
+    key_col: str,
+    value_col: str,
+    k: int = 256,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming distinct-count monitoring: fold each micro-batch's
+    per-key KMV sketch (operators/sketches — md5-deterministic k-minimum
+    values, so unlike HLL the STATE itself is cross-engine comparable)
+    into a parquet state via kmv_merge. ``stream_distinct_report`` then
+    answers per-key distinct estimates — and, because KMV merge is
+    exactly union-of-point-sets, the folded state is BIT-identical to
+    sketching all rows ever seen in one pass (pinned in
+    test_streaming). Completes the additive-state monitor family next
+    to the drift (categorical PSI) and quantile (histogram) monitors.
+    Per-batch cost: one keyed sketch of the batch + a key-sized merge;
+    state is keys x k hashes, never row-sized.
+    """
+    import os
+
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        m = kmv_sketch(batch_df, key_col, value_col, k)
+        if os.path.isdir(state_dir) and any(
+            fn.endswith(".parquet") for fn in os.listdir(state_dir)
+        ):
+            m = kmv_merge(spark.read.parquet(state_dir), m, key_col, k)
+        m.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_dir
+        )
+
+    writer = (
+        raw_rows.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def stream_distinct_report(
+    spark, state_dir: str, key_col: str, k: int = 256
+) -> DataFrame:
+    """Per-key distinct estimates from the monitor's sketch state."""
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        kmv_estimate,
+    )
+
+    return kmv_estimate(spark.read.parquet(state_dir), key_col, k)

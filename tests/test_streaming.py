@@ -653,3 +653,56 @@ def test_stream_hist_monitor_equals_batch_sketch(spark, tmp_path):
         assert got[k].n == want[k].n
         for c in ("p50", "p90", "p99"):
             assert got[k][c] == want[k][c]  # bit-identical
+
+
+def test_stream_kmv_monitor_equals_batch_sketch(spark, tmp_path):
+    """The KMV monitor's folded sketch state (and hence every distinct
+    estimate) must be BIT-identical to one batch sketch over all rows
+    ever seen — KMV merge is exactly union-of-point-sets."""
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+    from feature_store_fraud_detection_spark.streaming.pipeline import (
+        run_stream_kmv_monitor,
+        stream_distinct_report,
+    )
+
+    rows = [
+        (i, "a" if i % 2 else "b", i % 97) for i in range(400)
+    ] + [(1000 + j, "late", j) for j in range(30)]
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    for part in range(3):
+        with open(src / f"p{part}.jsonl", "w") as f:
+            for rid, kk, v in rows[part::3]:
+                f.write(json.dumps({"rid": rid, "k": kk, "v": v}) + "\n")
+        os.utime(src / f"p{part}.jsonl", (1_700_000_000 + part,) * 2)
+
+    state_dir = str(tmp_path / "kmv_state")
+    raw = (
+        spark.readStream.schema("rid bigint, k string, v int")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_stream_kmv_monitor(
+        raw, state_dir, "k", "v", k=64,
+        checkpoint_dir=str(tmp_path / "ckpt_kmv"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.k: r for r in stream_distinct_report(spark, state_dir, "k", 64).collect()
+    }
+    all_rows = spark.createDataFrame(rows, "rid bigint, k string, v int")
+    want = {
+        r.k: r
+        for r in kmv_estimate(
+            kmv_sketch(all_rows, "k", "v", 64), "k", 64
+        ).collect()
+    }
+    assert set(got) == set(want) == {"a", "b", "late"}
+    for kk in want:
+        assert tuple(got[kk]) == tuple(want[kk])  # bit-identical
+    # small keys are exact: 'late' has 30 distinct values < k
+    assert got["late"].distinct_est == 30.0
