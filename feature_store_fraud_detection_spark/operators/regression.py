@@ -375,3 +375,108 @@ def ridge_learning_curve(
         "(fraction, n, sx1, sx2, sx11, sx12, sx22, sy, sx1y, sx2y, syy)"
     )
     return ridge_from_moments(stacked, lam, keep_cols=("fraction",))
+
+
+def ridge_conformal(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    id_col: str,
+    lam: float = 1.0,
+    alpha: float = 0.1,
+    seed: str = "conf",
+) -> DataFrame:
+    """Split-conformal prediction intervals around the exact ridge model:
+    deterministic md5 three-way split (50% train / 25% calibration / 25%
+    test), fit on train, take the conformal quantile q of absolute
+    calibration residuals at rank ceil((n_cal+1)*(1-alpha)), and report
+    the TEST coverage of +-q intervals — distribution-free, model-
+    agnostic uncertainty with a finite-sample >= 1-alpha guarantee (the
+    modern answer to "how wrong can this prediction be").
+
+    Determinism: the split is md5-hashed on the id; predictions use the
+    ROUNDED fitted betas (the model row the oracle already hash-checks),
+    so residuals are identical doubles cross-engine; q is an exact order
+    statistic of the sorted residual list. One row out: split sizes,
+    betas, q, coverage.
+
+    Scale: train moments are the one-scan ridge aggregate; the
+    calibration residual list is collected sorted (25% of rows — at the
+    100 TB shape swap the exact order statistic for the mergeable
+    histogram sketch's quantile, trading exactness for a bounded state;
+    the conformal guarantee tolerates a conservative q).
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+    from feature_store_fraud_detection_spark.operators.encoders import (
+        md5_int,
+    )
+
+    base = df.filter(
+        F.col(y_col).isNotNull()
+        & F.col(x1_col).isNotNull()
+        & F.col(x2_col).isNotNull()
+    )
+    u = md5_int(
+        F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))
+    ).cast("double") / F.lit(float(2**60))
+    tagged = base.withColumn("__u", u)
+    train = tagged.filter(F.col("__u") < 0.5)
+    cal = tagged.filter((F.col("__u") >= 0.5) & (F.col("__u") < 0.75))
+    test = tagged.filter(F.col("__u") >= 0.75)
+
+    model = ridge_normal_equations(
+        train, x1_col, x2_col, y_col, lam=lam
+    ).select(
+        F.col("n").alias("n_train"), "b0", "b1", "b2"
+    )
+
+    def _resid(part: DataFrame) -> DataFrame:
+        j = part.crossJoin(F.broadcast(model))
+        pred = (
+            F.col("b0")
+            + F.col("b1") * F.col(x1_col).cast("bigint").cast("double")
+            + F.col("b2") * F.col(x2_col).cast("bigint").cast("double")
+        )
+        return j.withColumn("__r", F.abs(F.col(y_col) - pred))
+
+    qrow = _resid(cal).agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        F.array_sort(F.collect_list("__r")).alias("__rs"),
+        F.max("b0").alias("b0"),
+        F.max("b1").alias("b1"),
+        F.max("b2").alias("b2"),
+        F.max("n_train").alias("n_train"),
+    ).select(
+        "n_train",
+        "n_cal",
+        "b0",
+        "b1",
+        "b2",
+        F.expr(
+            f"element_at(__rs, CAST(least(ceil((n_cal + 1) * {1 - alpha!r}),"
+            " n_cal) AS INT))"
+        ).alias("__q"),
+    )
+    cov = (
+        _resid(test)
+        .crossJoin(F.broadcast(qrow.select("__q")))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.avg((F.col("__r") <= F.col("__q")).cast("double")).alias(
+                "__cov"
+            ),
+        )
+    )
+    return qrow.crossJoin(F.broadcast(cov)).select(
+        "n_train",
+        "n_cal",
+        "n_test",
+        "b0",
+        "b1",
+        "b2",
+        round4_stable(F.col("__q")).alias("q"),
+        round4_stable(F.col("__cov")).alias("coverage"),
+    )

@@ -9279,6 +9279,73 @@ FROM cells JOIN hood ON cx = tx AND cy = ty CROSS JOIN mom
 """
 
 
+def _q_ridge_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals around the exact ridge model
+    (operators/regression.py:ridge_conformal): md5 50/25/25 split, exact
+    order-statistic conformal quantile of calibration residuals, test
+    coverage of +-q — distribution-free uncertainty for the closed-form
+    trainer, all hash-checked."""
+    from feature_store_fraud_detection_spark.operators.regression import (
+        ridge_conformal,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.hour("ts").alias("x1"),
+        F.pmod(F.col("user_id"), F.lit(7)).alias("x2"),
+        "value",
+    )
+    return ridge_conformal(
+        ev, "x1", "x2", "value", "event_id", lam=1.0, alpha=0.1
+    )
+
+
+def _ridge_conformal_sql() -> str:
+    from feature_store_fraud_detection_spark.operators.regression import (
+        ridge_sql,
+    )
+
+    inner = ridge_sql(
+        "(SELECT * FROM base WHERE u < 0.5)", "x1", "x2", "y", lam=1.0
+    )
+    return f"""
+WITH base AS (
+  SELECT event_id, hour(ts) AS x1, user_id % 7 AS x2, value AS y,
+         (('0x' || substr(md5('conf|' || event_id), 1, 15))::BIGINT
+          / 1152921504606846976.0) AS u
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+model AS (
+  SELECT n AS n_train, b0, b1, b2 FROM ({inner})
+),
+calr AS (
+  SELECT abs(y - (b0 + b1 * CAST(CAST(x1 AS BIGINT) AS DOUBLE)
+                  + b2 * CAST(CAST(x2 AS BIGINT) AS DOUBLE))) AS r
+  FROM base CROSS JOIN model WHERE u >= 0.5 AND u < 0.75
+),
+q AS (
+  SELECT count(*) AS n_cal,
+         (list_sort(list(r)))[CAST(least(ceil((count(*) + 1) * 0.9),
+                                         count(*)) AS INT)] AS qv
+  FROM calr
+),
+testr AS (
+  SELECT abs(y - (b0 + b1 * CAST(CAST(x1 AS BIGINT) AS DOUBLE)
+                  + b2 * CAST(CAST(x2 AS BIGINT) AS DOUBLE))) AS r
+  FROM base CROSS JOIN model WHERE u >= 0.75
+),
+cov AS (
+  SELECT count(*) AS n_test, avg(CAST(r <= qv AS DOUBLE)) AS c
+  FROM testr CROSS JOIN q
+)
+SELECT n_train, n_cal, n_test, b0, b1, b2,
+       floor(qv * 10000 + 0.5) / 10000 AS q,
+       floor(c * 10000 + 0.5) / 10000 AS coverage
+FROM model CROSS JOIN q CROSS JOIN cov
+"""
+
+
 def _q_user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival curve over user activity lifetimes with
     right-censoring at the observation edge
@@ -9613,6 +9680,9 @@ QUERIES.update(
         "feature_audit": QuerySpec(_q_feature_audit, _FEATURE_AUDIT_SQL),
         "ewma_forecast": QuerySpec(_q_ewma_forecast, _EWMA_FORECAST_SQL),
         "user_survival": QuerySpec(_q_user_survival, _USER_SURVIVAL_SQL),
+        "ridge_conformal": QuerySpec(
+            _q_ridge_conformal, _ridge_conformal_sql()
+        ),
         "embedding_covariance": QuerySpec(
             _q_embedding_covariance, _EMBEDDING_COVARIANCE_SQL
         ),
@@ -9679,6 +9749,7 @@ _GRADING_PRIORITY: list[str] = [
     "feature_audit",
     "ewma_forecast",
     "user_survival",
+    "ridge_conformal",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

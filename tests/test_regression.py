@@ -221,3 +221,34 @@ def test_ridge_learning_curve_nested_subsets_one_scan(spark):
     )
     assert "Join" not in plan
     assert plan.count("HashAggregate") <= 2
+
+
+def test_ridge_conformal_coverage_guarantee(spark):
+    """Split-conformal on a known linear model + noise: coverage must be
+    near 1-alpha (finite-sample guarantee is >= 0.9 in expectation over
+    splits; with 500 test points allow a small band), q near the noise
+    distribution's 90th percentile of |N(0,1)| ~ 1.645, and splits
+    roughly 50/25/25."""
+    rng = np.random.default_rng(5)
+    n = 2000
+    x1 = rng.integers(0, 24, n)
+    x2 = rng.integers(0, 7, n)
+    y = 2.0 + 0.5 * x1 - 1.0 * x2 + rng.normal(0, 1.0, n)
+    df = spark.createDataFrame(
+        [(int(i), int(a), int(b), float(c)) for i, (a, b, c) in
+         enumerate(zip(x1, x2, y))],
+        "rid bigint, x1 int, x2 int, y double",
+    )
+    from feature_store_fraud_detection_spark.operators.regression import (
+        ridge_conformal,
+    )
+
+    r = ridge_conformal(df, "x1", "x2", "y", "rid", alpha=0.1).collect()[0]
+    assert r.n_train + r.n_cal + r.n_test == n
+    assert abs(r.n_train - 1000) < 120 and abs(r.n_cal - 500) < 90
+    # recovered coefficients close to truth
+    assert abs(r.b1 - 0.5) < 0.1 and abs(r.b2 + 1.0) < 0.2
+    # q ~ 90th pct of |N(0,1)| = 1.645 (plus estimation slack)
+    assert 1.3 < r.q < 2.1
+    # empirical coverage honors the conformal guarantee
+    assert 0.84 <= r.coverage <= 0.97
