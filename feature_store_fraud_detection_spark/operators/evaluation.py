@@ -83,3 +83,60 @@ def pav_calibrate(bin_rows: list) -> list[dict]:
         {**r, "calibrated": math.floor(rate[r["bin"]] * 1e4 + 0.5) / 1e4}
         for r in rows
     ]
+
+
+def ab_test_report(
+    df: DataFrame,
+    unit_col: str,
+    success_col: str,
+    salt: str = "exp1",
+) -> DataFrame:
+    """Two-proportion A/B test over a deterministic 50/50 md5 unit split:
+    per-arm conversion rates, absolute lift, pooled-SE z statistic, and
+    the unpooled 95% CI for the lift — the experimentation primitive
+    (assignment is hashed on the UNIT, so every event of a unit lands in
+    one arm — the non-negotiable randomization rule; the salt rotates
+    assignments between experiments). Mann-Whitney/rank effects are
+    covered by exact_auc (AUC == U/(n_pos*n_neg)); this is the
+    proportion test.
+
+    One row out: n_a, n_b, p_a, p_b, lift, z, ci_lo, ci_hi — all
+    deterministic integer-count arithmetic, rounded to 4.
+
+    Scale: one scan, one 2-row aggregate; nothing else moves.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+    from feature_store_fraud_detection_spark.operators.encoders import (
+        md5_int,
+    )
+
+    arm_a = (
+        md5_int(F.concat(F.lit(salt + "|"), F.col(unit_col).cast("string")))
+        % 2
+        == 0
+    )
+    agg = df.agg(
+        F.sum(arm_a.cast("bigint")).alias("n_a"),
+        F.sum((~arm_a).cast("bigint")).alias("n_b"),
+        F.sum((arm_a & F.col(success_col)).cast("bigint")).alias("s_a"),
+        F.sum(((~arm_a) & F.col(success_col)).cast("bigint")).alias("s_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    pa, pb = sa / na, sb / nb
+    pp = (sa + sb) / (na + nb)
+    se_pooled = F.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    se_unpooled = F.sqrt(pa * (1.0 - pa) / na + pb * (1.0 - pb) / nb)
+    lift = pa - pb
+    return agg.select(
+        "n_a",
+        "n_b",
+        round4_stable(pa).alias("p_a"),
+        round4_stable(pb).alias("p_b"),
+        round4_stable(lift).alias("lift"),
+        round4_stable(lift / se_pooled).alias("z"),
+        round4_stable(lift - 1.96 * se_unpooled).alias("ci_lo"),
+        round4_stable(lift + 1.96 * se_unpooled).alias("ci_hi"),
+    )

@@ -9279,6 +9279,61 @@ FROM cells JOIN hood ON cx = tx AND cy = ty CROSS JOIN mom
 """
 
 
+def _q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test over a deterministic md5 unit split on
+    user_id — success = error event (operators/evaluation.py:
+    ab_test_report); the experimentation primitive with per-arm rates,
+    pooled-SE z, and the unpooled 95% lift CI."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        ab_test_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.col("event_type") == "error").alias("success")
+    )
+    return ab_test_report(ev, "user_id", "success", salt="exp1")
+
+
+_AB_TEST_SQL = """
+WITH tagged AS (
+  SELECT (('0x' || substr(md5('exp1|' || user_id), 1, 15))::BIGINT % 2 = 0)
+           AS arm_a,
+         event_type = 'error' AS success
+  FROM events
+),
+agg AS (
+  SELECT sum(CAST(arm_a AS BIGINT)) AS n_a,
+         sum(CAST(NOT arm_a AS BIGINT)) AS n_b,
+         sum(CAST(arm_a AND success AS BIGINT)) AS s_a,
+         sum(CAST((NOT arm_a) AND success AS BIGINT)) AS s_b
+  FROM tagged
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       floor((s_a / CAST(n_a AS DOUBLE)) * 10000 + 0.5) / 10000 AS p_a,
+       floor((s_b / CAST(n_b AS DOUBLE)) * 10000 + 0.5) / 10000 AS p_b,
+       floor((s_a / CAST(n_a AS DOUBLE) - s_b / CAST(n_b AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS lift,
+       floor(((s_a / CAST(n_a AS DOUBLE) - s_b / CAST(n_b AS DOUBLE))
+              / sqrt(((s_a + s_b) / (CAST(n_a AS DOUBLE) + n_b))
+                     * (1.0 - (s_a + s_b) / (CAST(n_a AS DOUBLE) + n_b))
+                     * (1.0 / n_a + 1.0 / n_b)))
+             * 10000 + 0.5) / 10000 AS z,
+       floor(((s_a / CAST(n_a AS DOUBLE) - s_b / CAST(n_b AS DOUBLE))
+              - 1.96 * sqrt((s_a / CAST(n_a AS DOUBLE))
+                            * (1.0 - s_a / CAST(n_a AS DOUBLE)) / n_a
+                            + (s_b / CAST(n_b AS DOUBLE))
+                              * (1.0 - s_b / CAST(n_b AS DOUBLE)) / n_b))
+             * 10000 + 0.5) / 10000 AS ci_lo,
+       floor(((s_a / CAST(n_a AS DOUBLE) - s_b / CAST(n_b AS DOUBLE))
+              + 1.96 * sqrt((s_a / CAST(n_a AS DOUBLE))
+                            * (1.0 - s_a / CAST(n_a AS DOUBLE)) / n_a
+                            + (s_b / CAST(n_b AS DOUBLE))
+                              * (1.0 - s_b / CAST(n_b AS DOUBLE)) / n_b))
+             * 10000 + 0.5) / 10000 AS ci_hi
+FROM agg
+"""
+
+
 def _q_ridge_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal prediction intervals around the exact ridge model
     (operators/regression.py:ridge_conformal): md5 50/25/25 split, exact
@@ -9683,6 +9738,7 @@ QUERIES.update(
         "ridge_conformal": QuerySpec(
             _q_ridge_conformal, _ridge_conformal_sql()
         ),
+        "ab_test": QuerySpec(_q_ab_test, _AB_TEST_SQL),
         "embedding_covariance": QuerySpec(
             _q_embedding_covariance, _EMBEDDING_COVARIANCE_SQL
         ),
@@ -9750,6 +9806,7 @@ _GRADING_PRIORITY: list[str] = [
     "ewma_forecast",
     "user_survival",
     "ridge_conformal",
+    "ab_test",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

@@ -707,3 +707,35 @@ def test_pav_calibrate_pools_violators(spark):
     cal_rows = pav_calibrate([r.asDict() for r in bins])
     cs = [r["calibrated"] for r in cal_rows]
     assert cs == sorted(cs) and len(cs) == len(bins)
+
+
+def test_ab_test_report_arithmetic_and_unit_consistency(spark):
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        ab_test_report,
+    )
+
+    # 400 units x 3 events each; success prob differs by unit parity of
+    # the ASSIGNMENT (derived post-hoc) — here: planted deterministic
+    # successes for exact arithmetic checks
+    rows = [(u, e, (u + e) % 4 == 0) for u in range(400) for e in range(3)]
+    df = spark.createDataFrame(rows, "unit long, e int, success boolean")
+    r = ab_test_report(df, "unit", "success", salt="t1").collect()[0]
+    assert r.n_a + r.n_b == 1200
+    # exact recomputation from the same md5 assignment
+    import hashlib
+
+    def arm_a(u):
+        h = hashlib.md5(f"t1|{u}".encode()).hexdigest()[:15]
+        return int(h, 16) % 2 == 0
+    n_a = sum(3 for u in range(400) if arm_a(u))
+    s_a = sum(1 for u in range(400) for e in range(3)
+              if arm_a(u) and (u + e) % 4 == 0)
+    assert r.n_a == n_a
+    pa = s_a / n_a
+    assert r.p_a == math.floor(pa * 10000 + 0.5) / 10000
+    # CI brackets the lift, z sign agrees with lift
+    assert r.ci_lo <= r.lift <= r.ci_hi
+    assert (r.z >= 0) == (r.lift >= 0)
+    # different salt -> different assignment (some unit flips)
+    r2 = ab_test_report(df, "unit", "success", salt="t2").collect()[0]
+    assert (r2.n_a, r2.p_a) != (r.n_a, r.p_a)
