@@ -140,3 +140,104 @@ def ab_test_report(
         round4_stable(lift - 1.96 * se_unpooled).alias("ci_lo"),
         round4_stable(lift + 1.96 * se_unpooled).alias("ci_hi"),
     )
+
+
+def cuped_adjusted_lift(
+    df: DataFrame,
+    unit_col: str,
+    ts_col: str,
+    value_col: str,
+    split_ts: str,
+    salt: str = "exp1",
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout: per-unit pre-period and
+    post-period value sums, theta = cov(pre, post)/var(pre) pooled over
+    all units, adjusted metric y' = post - theta*(pre - mean(pre)) —
+    the industry-standard way to shrink A/B confidence intervals with
+    pre-experiment data (variance reduction = corr(pre, post)^2,
+    reported). Arms are the same salted-md5 unit hash as
+    :func:`ab_test_report`.
+
+    One row out: per-arm unit counts, theta, raw_lift, adjusted_lift,
+    var_reduction — raw and adjusted lifts agree in expectation; the
+    adjusted one is just estimated more precisely.
+
+    Determinism: per-unit sums are exact DECIMAL, quantized to integer
+    1e4-ths; every moment is then an exact integer/DECIMAL sum
+    (order-independent) and the final ratios are fixed-order doubles
+    rounded to 4. Scale: one keyed per-unit aggregate, one global
+    moment aggregate — two map-side-combined passes, nothing else.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+    from feature_store_fraud_detection_spark.operators.encoders import (
+        md5_int,
+    )
+
+    split = F.lit(split_ts).cast("timestamp")
+    per_unit = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(unit_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col(ts_col) < split, F.col(value_col)
+                ).otherwise(F.lit(0.0)).cast("decimal(18,4)")
+            ).alias("__pre_d"),
+            F.sum(
+                F.when(
+                    F.col(ts_col) >= split, F.col(value_col)
+                ).otherwise(F.lit(0.0)).cast("decimal(18,4)")
+            ).alias("__post_d"),
+        )
+        .select(
+            unit_col,
+            (F.col("__pre_d") * 10000).cast("decimal(22,0)").alias("p"),
+            (F.col("__post_d") * 10000).cast("decimal(22,0)").alias("q"),
+            (
+                md5_int(
+                    F.concat(
+                        F.lit(salt + "|"), F.col(unit_col).cast("string")
+                    )
+                )
+                % 2
+                == 0
+            ).alias("arm_a"),
+        )
+    )
+    m = per_unit.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").alias("sp"),
+        F.sum("q").alias("sq"),
+        F.sum((F.col("p") * F.col("p")).cast("decimal(38,0)")).alias("spp"),
+        F.sum((F.col("p") * F.col("q")).cast("decimal(38,0)")).alias("spq"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("sqq"),
+        F.sum(F.col("arm_a").cast("bigint")).alias("n_a"),
+        F.sum((~F.col("arm_a")).cast("bigint")).alias("n_b"),
+        F.sum(F.when(F.col("arm_a"), F.col("p"))).alias("sp_a"),
+        F.sum(F.when(F.col("arm_a"), F.col("q"))).alias("sq_a"),
+        F.sum(F.when(~F.col("arm_a"), F.col("p"))).alias("sp_b"),
+        F.sum(F.when(~F.col("arm_a"), F.col("q"))).alias("sq_b"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = d("n")
+    cov_pq = n * d("spq") - d("sp") * d("sq")
+    var_p = n * d("spp") - d("sp") * d("sp")
+    var_q = n * d("sqq") - d("sq") * d("sq")
+    theta = cov_pq / var_p
+    mean_pre = d("sp") / n
+    raw_lift = d("sq_a") / d("n_a") - d("sq_b") / d("n_b")
+    adj_a = d("sq_a") / d("n_a") - theta * (d("sp_a") / d("n_a") - mean_pre)
+    adj_b = d("sq_b") / d("n_b") - theta * (d("sp_b") / d("n_b") - mean_pre)
+    scale = F.lit(10000.0)
+    return m.select(
+        "n_a",
+        "n_b",
+        round4_stable(theta).alias("theta"),
+        round4_stable(raw_lift / scale).alias("raw_lift"),
+        round4_stable((adj_a - adj_b) / scale).alias("adjusted_lift"),
+        round4_stable(cov_pq * cov_pq / (var_p * var_q)).alias(
+            "var_reduction"
+        ),
+    )

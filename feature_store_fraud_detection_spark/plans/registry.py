@@ -9334,6 +9334,84 @@ FROM agg
 """
 
 
+def _q_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout: per-user pre/post value
+    sums around the 2024-01-15 split, pooled theta, adjusted lift and
+    the corr^2 variance reduction (operators/evaluation.py:
+    cuped_adjusted_lift) — the modern A/B companion to ab_test."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        cuped_adjusted_lift,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return cuped_adjusted_lift(
+        ev, "user_id", "ts", "value", "2024-01-15", salt="exp1"
+    )
+
+
+_CUPED_SQL = """
+WITH per_unit AS (
+  SELECT user_id,
+         CAST(sum(CAST(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                            THEN value ELSE 0.0 END AS DECIMAL(18,4)))
+              * 10000 AS DECIMAL(22,0)) AS p,
+         CAST(sum(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                            THEN value ELSE 0.0 END AS DECIMAL(18,4)))
+              * 10000 AS DECIMAL(22,0)) AS q,
+         (('0x' || substr(md5('exp1|' || user_id), 1, 15))::BIGINT % 2 = 0)
+           AS arm_a
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+),
+m AS (
+  SELECT count(*) AS n, sum(p) AS sp, sum(q) AS sq,
+         sum(CAST(p * p AS DECIMAL(38,0))) AS spp,
+         sum(CAST(p * q AS DECIMAL(38,0))) AS spq,
+         sum(CAST(q * q AS DECIMAL(38,0))) AS sqq,
+         sum(CAST(arm_a AS BIGINT)) AS n_a,
+         sum(CAST(NOT arm_a AS BIGINT)) AS n_b,
+         sum(CASE WHEN arm_a THEN p END) AS sp_a,
+         sum(CASE WHEN arm_a THEN q END) AS sq_a,
+         sum(CASE WHEN NOT arm_a THEN p END) AS sp_b,
+         sum(CASE WHEN NOT arm_a THEN q END) AS sq_b
+  FROM per_unit
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       floor(((CAST(n AS DOUBLE) * CAST(spq AS DOUBLE)
+               - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                 - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+             * 10000 + 0.5) / 10000 AS theta,
+       floor(((CAST(sq_a AS DOUBLE) / n_a - CAST(sq_b AS DOUBLE) / n_b)
+              / 10000.0) * 10000 + 0.5) / 10000 AS raw_lift,
+       floor((((CAST(sq_a AS DOUBLE) / n_a
+                - ((CAST(n AS DOUBLE) * CAST(spq AS DOUBLE)
+                    - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                      - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+                  * (CAST(sp_a AS DOUBLE) / n_a
+                     - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)))
+               - (CAST(sq_b AS DOUBLE) / n_b
+                  - ((CAST(n AS DOUBLE) * CAST(spq AS DOUBLE)
+                      - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                        - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+                    * (CAST(sp_b AS DOUBLE) / n_b
+                       - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))))
+              / 10000.0) * 10000 + 0.5) / 10000 AS adjusted_lift,
+       floor(((CAST(n AS DOUBLE) * CAST(spq AS DOUBLE)
+               - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(spq AS DOUBLE)
+                 - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE))
+              / ((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                  - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                    - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))))
+             * 10000 + 0.5) / 10000 AS var_reduction
+FROM m
+"""
+
+
 def _q_ridge_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal prediction intervals around the exact ridge model
     (operators/regression.py:ridge_conformal): md5 50/25/25 split, exact
@@ -9739,6 +9817,7 @@ QUERIES.update(
             _q_ridge_conformal, _ridge_conformal_sql()
         ),
         "ab_test": QuerySpec(_q_ab_test, _AB_TEST_SQL),
+        "cuped_lift": QuerySpec(_q_cuped_lift, _CUPED_SQL),
         "embedding_covariance": QuerySpec(
             _q_embedding_covariance, _EMBEDDING_COVARIANCE_SQL
         ),
@@ -9807,6 +9886,7 @@ _GRADING_PRIORITY: list[str] = [
     "user_survival",
     "ridge_conformal",
     "ab_test",
+    "cuped_lift",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

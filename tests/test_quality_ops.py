@@ -739,3 +739,35 @@ def test_ab_test_report_arithmetic_and_unit_consistency(spark):
     # different salt -> different assignment (some unit flips)
     r2 = ab_test_report(df, "unit", "success", salt="t2").collect()[0]
     assert (r2.n_a, r2.p_a) != (r.n_a, r.p_a)
+
+
+def test_cuped_reduces_variance_on_correlated_preperiod(spark):
+    """Planted scenario: each unit's post value = its stable baseline +
+    noise, so pre and post correlate strongly — CUPED must report a large
+    variance reduction and an adjusted lift near the true 0; theta near
+    the post/pre scale ratio."""
+    import numpy as np
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        cuped_adjusted_lift,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 20)
+    for u in range(500):
+        base = float(rng.uniform(10, 100))
+        rows.append((u, t0, base))                      # pre period
+        rows.append((u, t1, base + float(rng.normal(0, 2))))  # post
+    df = spark.createDataFrame(rows, "unit long, ts timestamp, v double")
+    r = cuped_adjusted_lift(
+        df, "unit", "ts", "v", "2024-01-15", salt="t"
+    ).collect()[0]
+    assert r.n_a + r.n_b == 500
+    # pre explains almost all post variance
+    assert r.var_reduction > 0.95
+    assert 0.9 < r.theta < 1.1
+    # no true effect: adjusted lift is tighter around 0 than raw
+    assert abs(r.adjusted_lift) <= abs(r.raw_lift) + 0.05
+    assert abs(r.adjusted_lift) < 0.5
