@@ -241,3 +241,121 @@ def cuped_adjusted_lift(
             "var_reduction"
         ),
     )
+
+
+#: cumulative Poisson(1) probabilities P(X <= k), k = 0..7 — shared
+#: literal thresholds for the deterministic bootstrap weight draw
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 32,
+    alpha: float = 0.1,
+    salt: str = "boot",
+) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean — THE bootstrap
+    that scales: instead of resampling n rows (impossible distributed),
+    each row gets an independent Poisson(1) weight per replicate, which
+    converges to multinomial resampling and needs only one scan. Here
+    the weights are DETERMINISTIC — inverse-CDF Poisson(1) draws from
+    md5(salt|replicate|id) uniforms — so the interval is reproducible
+    and cross-engine hash-checkable.
+
+    One row out: n_rows, mean, ci_lo, ci_hi, se_boot — the CI is the
+    (alpha/2, 1-alpha/2) empirical quantile pair of the replicate means
+    (exact order statistics of the sorted B-list), se_boot their sample
+    std. Works for any aggregate expressible as a weighted sum.
+
+    Scale: the B-times fan-out lands before a map-side-combined
+    per-replicate aggregate — each task emits B partial rows however
+    many rows it scanned; replicate means are exact DECIMAL-weighted
+    sums; the B-sized list math is driver-free plan arithmetic.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+    from feature_store_fraud_detection_spark.operators.encoders import (
+        md5_int,
+    )
+
+    base = df.filter(F.col(value_col).isNotNull())
+    reps = base.select(
+        F.col(value_col).cast("decimal(18,4)").alias("__v"),
+        F.col(id_col).cast("string").alias("__id"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_replicates - 1))
+        ).alias("rep"),
+    )
+    u = md5_int(
+        F.concat_ws("|", F.lit(salt), F.col("rep"), F.col("__id"))
+    ).cast("double") / F.lit(float(2**60))
+    w = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    per_rep = (
+        reps.withColumn("__w", w.cast("int"))
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("__v") * F.col("__w")).alias("__ws"),
+            F.sum("__w").alias("__wn"),
+        )
+        .select(
+            (
+                F.col("__ws").cast("double") / F.col("__wn").cast("double")
+            ).alias("__m")
+        )
+    )
+    lo_idx = max(1, int(round(n_replicates * (alpha / 2))))
+    hi_idx = min(n_replicates, int(round(n_replicates * (1 - alpha / 2))))
+    overall = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        round4_stable(
+            F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+    )
+    boot = per_rep.agg(
+        F.array_sort(F.collect_list("__m")).alias("__ms")
+    ).select(
+        round4_stable(F.element_at("__ms", lo_idx)).alias("ci_lo"),
+        round4_stable(F.element_at("__ms", hi_idx)).alias("ci_hi"),
+        round4_stable(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        "__ms",
+                        lambda m: (
+                            m
+                            - F.aggregate(
+                                "__ms", F.lit(0.0), lambda a, x: a + x
+                            )
+                            / F.size("__ms")
+                        )
+                        * (
+                            m
+                            - F.aggregate(
+                                "__ms", F.lit(0.0), lambda a, x: a + x
+                            )
+                            / F.size("__ms")
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / (F.size("__ms") - 1)
+            )
+        ).alias("se_boot"),
+    )
+    return overall.crossJoin(F.broadcast(boot))

@@ -9334,6 +9334,74 @@ FROM agg
 """
 
 
+def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI for the mean event value
+    (operators/evaluation.py:poisson_bootstrap_ci) — the at-scale
+    bootstrap: per-(row, replicate) Poisson(1) weights from md5
+    uniforms, replicate means as exact DECIMAL-weighted sums, CI = exact
+    order statistics of the 32 replicate means."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        poisson_bootstrap_ci,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return poisson_bootstrap_ci(
+        ev, "value", "event_id", n_replicates=32, alpha=0.1, salt="boot"
+    )
+
+
+def _bootstrap_sql() -> str:
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        POISSON1_CDF,
+    )
+
+    cases = "\n".join(
+        f"         WHEN u < {POISSON1_CDF[k]!r} THEN {k}"
+        for k in range(len(POISSON1_CDF))
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(value AS DECIMAL(18,4)) AS v,
+         CAST(event_id AS VARCHAR) AS id
+  FROM events WHERE value IS NOT NULL
+),
+wts AS (
+  SELECT r, v,
+    CASE
+{cases}
+         ELSE {len(POISSON1_CDF)} END AS w
+  FROM (
+    SELECT g.r, v,
+           ('0x' || substr(md5('boot' || '|' || g.r || '|' || id), 1, 15))
+             ::BIGINT / 1152921504606846976.0 AS u
+    FROM base CROSS JOIN generate_series(0, 31) AS g(r)
+  )
+),
+per_rep AS (
+  SELECT r, CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+  FROM wts GROUP BY r
+),
+ms AS (SELECT list_sort(list(m)) AS l FROM per_rep),
+overall AS (
+  SELECT count(*) AS n_rows,
+         floor(CAST(sum(v) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+           AS mean
+  FROM base
+)
+SELECT CAST(n_rows AS BIGINT) AS n_rows, mean,
+       floor(l[2] * 10000 + 0.5) / 10000 AS ci_lo,
+       floor(l[30] * 10000 + 0.5) / 10000 AS ci_hi,
+       floor(sqrt(
+         list_reduce(
+           list_transform(l, m ->
+             (m - list_reduce(l, (a, b) -> a + b) / len(l))
+             * (m - list_reduce(l, (a, b) -> a + b) / len(l))),
+           (a, b) -> a + b)
+         / (len(l) - 1)) * 10000 + 0.5) / 10000 AS se_boot
+FROM overall CROSS JOIN ms
+"""
+
+
 def _q_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced experiment readout: per-user pre/post value
     sums around the 2024-01-15 split, pooled theta, adjusted lift and
@@ -9818,6 +9886,7 @@ QUERIES.update(
         ),
         "ab_test": QuerySpec(_q_ab_test, _AB_TEST_SQL),
         "cuped_lift": QuerySpec(_q_cuped_lift, _CUPED_SQL),
+        "bootstrap_ci": QuerySpec(_q_bootstrap_ci, _bootstrap_sql()),
         "embedding_covariance": QuerySpec(
             _q_embedding_covariance, _EMBEDDING_COVARIANCE_SQL
         ),
@@ -9887,6 +9956,7 @@ _GRADING_PRIORITY: list[str] = [
     "ridge_conformal",
     "ab_test",
     "cuped_lift",
+    "bootstrap_ci",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

@@ -771,3 +771,32 @@ def test_cuped_reduces_variance_on_correlated_preperiod(spark):
     # no true effect: adjusted lift is tighter around 0 than raw
     assert abs(r.adjusted_lift) <= abs(r.raw_lift) + 0.05
     assert abs(r.adjusted_lift) < 0.5
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    import numpy as np
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        poisson_bootstrap_ci,
+    )
+
+    rng = np.random.default_rng(9)
+    vals = rng.normal(50, 10, 2000)
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(vals)],
+        "rid long, v double",
+    )
+    r = poisson_bootstrap_ci(df, "v", "rid", n_replicates=32).collect()[0]
+    assert r.n_rows == 2000
+    # CI brackets both the sample mean and (with margin) the true mean
+    assert r.ci_lo <= r.mean <= r.ci_hi
+    assert r.ci_lo < 50.0 + 1.5 and r.ci_hi > 50.0 - 1.5
+    # bootstrap SE near sigma/sqrt(n) = 10/sqrt(2000) ~ 0.224
+    assert 0.1 < r.se_boot < 0.45
+    # deterministic: identical on re-run; salt changes it
+    r2 = poisson_bootstrap_ci(df, "v", "rid", n_replicates=32).collect()[0]
+    assert tuple(r) == tuple(r2)
+    r3 = poisson_bootstrap_ci(
+        df, "v", "rid", n_replicates=32, salt="other"
+    ).collect()[0]
+    assert (r3.ci_lo, r3.ci_hi) != (r.ci_lo, r.ci_hi)
