@@ -9334,6 +9334,78 @@ FROM agg
 """
 
 
+def _q_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B monitoring (mSPRT, normal mixture)
+    over 10 cumulative event-stream checkpoints
+    (operators/evaluation.py:sequential_ab_msprt) — the peeking-safe
+    companion to ab_test; evidence reported as log_lambda (pure ln
+    arithmetic — engine exp() measurably diverges cross-engine)."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        sequential_ab_msprt,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("event_type") == "error").alias("success"),
+    )
+    return sequential_ab_msprt(
+        ev, "user_id", "success", "event_id",
+        n_checkpoints=10, tau2=0.0001, salt="exp1",
+    )
+
+
+_SEQUENTIAL_AB_SQL = """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+tagged AS (
+  SELECT least(10, CAST(floor(event_id * 10 / (m + 1)) AS BIGINT) + 1)
+           AS checkpoint,
+         (('0x' || substr(md5('exp1|' || user_id), 1, 15))::BIGINT % 2 = 0)
+           AS arm_a,
+         CAST(event_type = 'error' AS BIGINT) AS s
+  FROM events CROSS JOIN mx
+),
+per_cp AS (
+  SELECT checkpoint,
+         sum(CAST(arm_a AS BIGINT)) AS na0,
+         sum(CAST(NOT arm_a AS BIGINT)) AS nb0,
+         sum(CASE WHEN arm_a THEN s END) AS sa0,
+         sum(CASE WHEN NOT arm_a THEN s END) AS sb0
+  FROM tagged GROUP BY 1
+),
+cum AS (
+  SELECT checkpoint,
+         sum(na0) OVER w AS n_a, sum(nb0) OVER w AS n_b,
+         sum(coalesce(sa0, 0)) OVER w AS csa,
+         sum(coalesce(sb0, 0)) OVER w AS csb
+  FROM per_cp
+  WINDOW w AS (ORDER BY checkpoint ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+x AS (
+  SELECT checkpoint, n_a, n_b,
+         csa / CAST(n_a AS DOUBLE) AS pa, csb / CAST(n_b AS DOUBLE) AS pb,
+         csa / CAST(n_a AS DOUBLE) - csb / CAST(n_b AS DOUBLE) AS lift,
+         ((csa + csb) / (CAST(n_a AS DOUBLE) + n_b))
+           * (1.0 - (csa + csb) / (CAST(n_a AS DOUBLE) + n_b))
+           * (1.0 / n_a + 1.0 / n_b) AS v
+  FROM cum
+)
+SELECT CAST(checkpoint AS INT) AS checkpoint,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       floor(pa * 10000 + 0.5) / 10000 AS p_a,
+       floor(pb * 10000 + 0.5) / 10000 AS p_b,
+       floor(lift * 10000 + 0.5) / 10000 AS lift,
+       floor((0.5 * ln(v / (v + 0.0001))
+              + lift * lift * 0.0001 / (2.0 * v * (v + 0.0001)))
+             * 10000 + 0.5) / 10000 AS log_lambda,
+       (0.5 * ln(v / (v + 0.0001))
+        + lift * lift * 0.0001 / (2.0 * v * (v + 0.0001)))
+         > 2.995732273553991 AS significant
+FROM x
+"""
+
+
 def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Poisson-bootstrap CI for the mean event value
     (operators/evaluation.py:poisson_bootstrap_ci) — the at-scale
@@ -9887,6 +9959,7 @@ QUERIES.update(
         "ab_test": QuerySpec(_q_ab_test, _AB_TEST_SQL),
         "cuped_lift": QuerySpec(_q_cuped_lift, _CUPED_SQL),
         "bootstrap_ci": QuerySpec(_q_bootstrap_ci, _bootstrap_sql()),
+        "sequential_ab": QuerySpec(_q_sequential_ab, _SEQUENTIAL_AB_SQL),
         "embedding_covariance": QuerySpec(
             _q_embedding_covariance, _EMBEDDING_COVARIANCE_SQL
         ),
@@ -9957,6 +10030,7 @@ _GRADING_PRIORITY: list[str] = [
     "ab_test",
     "cuped_lift",
     "bootstrap_ci",
+    "sequential_ab",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

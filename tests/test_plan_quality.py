@@ -277,6 +277,8 @@ GLOBAL_WINDOW_QUERIES = [
                               # bounded bin frames (registry)
     "user_survival",          # at-risk suffix sum over the bounded lifetime
                               # histogram (timeseries.py)
+    "sequential_ab",          # cumulative sums over the n_checkpoints-row
+                              # frame (evaluation.py)
 ]
 
 

@@ -800,3 +800,38 @@ def test_poisson_bootstrap_ci_brackets_mean(spark):
         df, "v", "rid", n_replicates=32, salt="other"
     ).collect()[0]
     assert (r3.ci_lo, r3.ci_hi) != (r.ci_lo, r.ci_hi)
+
+
+def test_sequential_ab_msprt_detects_planted_effect(spark):
+    """Planted strong effect: evidence (log_lambda) must reach
+    significance by the final checkpoint and the cumulative counts must
+    telescope; a null effect stays insignificant at every peek."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        sequential_ab_msprt,
+    )
+    import hashlib
+
+    def arm_a(u, salt="t"):
+        h = hashlib.md5(f"{salt}|{u}".encode()).hexdigest()[:15]
+        return int(h, 16) % 2 == 0
+
+    # success depends on the TRUE arm: A converts 30%, B converts 10%
+    rows = [
+        (i, u, (i * 7 % 10) < (3 if arm_a(u) else 1))
+        for i, u in enumerate(range(2000))
+    ]
+    df = spark.createDataFrame(rows, "oid long, unit long, s boolean")
+    out = sequential_ab_msprt(
+        df, "unit", "s", "oid", n_checkpoints=10, tau2=0.0001, salt="t"
+    ).orderBy("checkpoint").collect()
+    assert [r.checkpoint for r in out] == list(range(1, 11))
+    # cumulative: monotone n, final row covers everything
+    assert all(out[i].n_a <= out[i + 1].n_a for i in range(9))
+    assert out[-1].n_a + out[-1].n_b == 2000
+    assert out[-1].significant and out[-1].log_lambda > 3.0
+    assert abs(out[-1].lift - 0.2) < 0.05
+    # null: same success prob in both arms -> never significant
+    rows0 = [(i, u, i % 5 == 0) for i, u in enumerate(range(2000))]
+    df0 = spark.createDataFrame(rows0, "oid long, unit long, s boolean")
+    out0 = sequential_ab_msprt(df0, "unit", "s", "oid", salt="t").collect()
+    assert not any(r.significant for r in out0)
