@@ -470,3 +470,73 @@ def sequential_ab_msprt(
         round4_stable(log_lam).alias("log_lambda"),
         (log_lam > F.lit(_math.log(20.0))).alias("significant"),
     )
+
+
+def fairness_report(
+    df: DataFrame,
+    group_col: str,
+    pred_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Group-fairness audit for a binary classifier: per protected group,
+    the predicted-positive rate (demographic parity), TPR and FPR
+    (equalized odds), plus the across-group max-min gap for each — the
+    model-governance screen regulators ask for, completing the
+    release-audit family next to k-anonymity/l-diversity.
+
+    Output per group: n, pred_pos_rate, tpr, fpr, dp_gap, tpr_gap,
+    fpr_gap (gaps identical on every row — broadcast-style window over
+    the bounded group frame). Groups with no positives (tpr) or no
+    negatives (fpr) report NULL for that rate and are excluded from that
+    gap. All rates are exact integer-count ratios rounded to 4.
+
+    Scale: one keyed count aggregate to a |groups|-row frame; the gap
+    windows never touch data rows.
+    """
+    from pyspark.sql import Window
+
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    p = F.col(pred_col).cast("int")
+    y = F.col(label_col).cast("int")
+    g = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(p).alias("__pp"),
+            F.sum(y).alias("__pos"),
+            F.sum(p * y).alias("__tp"),
+            F.sum(p * (1 - y)).alias("__fp"),
+        )
+    )
+    ppr = F.col("__pp").cast("double") / F.col("n")
+    tpr = F.when(
+        F.col("__pos") > 0,
+        F.col("__tp").cast("double") / F.col("__pos"),
+    )
+    fpr = F.when(
+        F.col("n") - F.col("__pos") > 0,
+        F.col("__fp").cast("double") / (F.col("n") - F.col("__pos")),
+    )
+    rates = g.select(
+        group_col,
+        "n",
+        round4_stable(ppr).alias("pred_pos_rate"),
+        round4_stable(tpr).alias("tpr"),
+        round4_stable(fpr).alias("fpr"),
+    )
+    w = Window.partitionBy()
+    gap = lambda c: F.max(c).over(w) - F.min(c).over(w)  # noqa: E731
+    return rates.select(
+        group_col,
+        "n",
+        "pred_pos_rate",
+        "tpr",
+        "fpr",
+        round4_stable(gap(F.col("pred_pos_rate"))).alias("dp_gap"),
+        round4_stable(gap(F.col("tpr"))).alias("tpr_gap"),
+        round4_stable(gap(F.col("fpr"))).alias("fpr_gap"),
+    )

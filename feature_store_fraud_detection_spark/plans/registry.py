@@ -9334,6 +9334,59 @@ FROM agg
 """
 
 
+def _q_fairness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit: demographic-parity / equalized-odds rates
+    and across-group gaps for the high-value-flag pseudo-classifier
+    against the error label, grouped by a user-id-derived cohort
+    (operators/evaluation.py:fairness_report) — the model-governance
+    screen completing the release-audit family."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        fairness_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(3)).alias("cohort"),
+        (F.col("value") > 250.0).alias("pred"),
+        (F.col("event_type") == "error").alias("label"),
+    )
+    return fairness_report(ev, "cohort", "pred", "label")
+
+
+_FAIRNESS_SQL = """
+WITH g AS (
+  SELECT user_id % 3 AS cohort, count(*) AS n,
+         sum(CAST(value > 250.0 AS INT)) AS pp,
+         sum(CAST(event_type = 'error' AS INT)) AS pos,
+         sum(CAST(value > 250.0 AS INT)
+             * CAST(event_type = 'error' AS INT)) AS tp,
+         sum(CAST(value > 250.0 AS INT)
+             * (1 - CAST(event_type = 'error' AS INT))) AS fp
+  FROM events GROUP BY 1
+),
+rates AS (
+  SELECT cohort, n,
+         floor((pp / CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000
+           AS pred_pos_rate,
+         CASE WHEN pos > 0
+              THEN floor((tp / CAST(pos AS DOUBLE)) * 10000 + 0.5) / 10000
+              END AS tpr,
+         CASE WHEN n - pos > 0
+              THEN floor((fp / CAST(n - pos AS DOUBLE)) * 10000 + 0.5)
+                   / 10000
+              END AS fpr
+  FROM g
+)
+SELECT cohort, CAST(n AS BIGINT) AS n, pred_pos_rate, tpr, fpr,
+       floor((max(pred_pos_rate) OVER () - min(pred_pos_rate) OVER ())
+             * 10000 + 0.5) / 10000 AS dp_gap,
+       floor((max(tpr) OVER () - min(tpr) OVER ()) * 10000 + 0.5) / 10000
+         AS tpr_gap,
+       floor((max(fpr) OVER () - min(fpr) OVER ()) * 10000 + 0.5) / 10000
+         AS fpr_gap
+FROM rates
+"""
+
+
 def _q_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Always-valid sequential A/B monitoring (mSPRT, normal mixture)
     over 10 cumulative event-stream checkpoints
@@ -9960,6 +10013,7 @@ QUERIES.update(
         "cuped_lift": QuerySpec(_q_cuped_lift, _CUPED_SQL),
         "bootstrap_ci": QuerySpec(_q_bootstrap_ci, _bootstrap_sql()),
         "sequential_ab": QuerySpec(_q_sequential_ab, _SEQUENTIAL_AB_SQL),
+        "fairness_report": QuerySpec(_q_fairness_report, _FAIRNESS_SQL),
         "embedding_covariance": QuerySpec(
             _q_embedding_covariance, _EMBEDDING_COVARIANCE_SQL
         ),
@@ -10031,6 +10085,7 @@ _GRADING_PRIORITY: list[str] = [
     "cuped_lift",
     "bootstrap_ci",
     "sequential_ab",
+    "fairness_report",
     # (c) regression canaries — the stalest greens (r1, never re-graded
     # since) spanning relational/sampling/dedup/text/window families
     "point_lookup",

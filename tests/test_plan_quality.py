@@ -279,6 +279,8 @@ GLOBAL_WINDOW_QUERIES = [
                               # histogram (timeseries.py)
     "sequential_ab",          # cumulative sums over the n_checkpoints-row
                               # frame (evaluation.py)
+    "fairness_report",        # gap windows over the bounded group frame
+                              # (evaluation.py)
 ]
 
 

@@ -835,3 +835,35 @@ def test_sequential_ab_msprt_detects_planted_effect(spark):
     df0 = spark.createDataFrame(rows0, "oid long, unit long, s boolean")
     out0 = sequential_ab_msprt(df0, "unit", "s", "oid", salt="t").collect()
     assert not any(r.significant for r in out0)
+
+
+def test_fairness_report_hand_fixture(spark):
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        fairness_report,
+    )
+
+    # group A: 10 rows, 5 predicted pos; 4 positives of which 3 predicted
+    # -> ppr 0.5, tpr 0.75, fpr 2/6=0.3333
+    # group B: 10 rows, 2 predicted pos; 5 positives of which 1 predicted
+    # -> ppr 0.2, tpr 0.2, fpr 1/5=0.2
+    rows = (
+        [("A", True, True)] * 3 + [("A", False, True)]
+        + [("A", True, False)] * 2 + [("A", False, False)] * 4
+        + [("B", True, True)] + [("B", False, True)] * 4
+        + [("B", True, False)] + [("B", False, False)] * 4
+        + [(None, True, True)]  # NULL group excluded
+    )
+    df = spark.createDataFrame(rows, "g string, pred boolean, y boolean")
+    out = {r.g: r for r in fairness_report(df, "g", "pred", "y").collect()}
+    assert set(out) == {"A", "B"}
+    a, b = out["A"], out["B"]
+    assert (a.n, a.pred_pos_rate, a.tpr, a.fpr) == (10, 0.5, 0.75, 0.3333)
+    assert (b.n, b.pred_pos_rate, b.tpr, b.fpr) == (10, 0.2, 0.2, 0.2)
+    assert a.dp_gap == b.dp_gap == 0.3
+    assert a.tpr_gap == 0.55 and a.fpr_gap == 0.1333
+    # degenerate group without negatives: fpr NULL, excluded from gap
+    rows2 = [("C", True, True)] * 3 + [("D", True, True), ("D", False, False)]
+    df2 = spark.createDataFrame(rows2, "g string, pred boolean, y boolean")
+    out2 = {r.g: r for r in fairness_report(df2, "g", "pred", "y").collect()}
+    assert out2["C"].fpr is None
+    assert out2["C"].fpr_gap == 0.0  # only D contributes
