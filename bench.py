@@ -16,6 +16,14 @@ amortized noise; the timed numbers are the steady-state per-query cost the
 cluster would actually see. The warmup runs on 100x less data, so it adds
 little wall time while removing compile jitter from the measurement.
 
+Noise policy (round 6): every headline query is timed on N=3 interleaved
+whole-set passes ($SPARK_GRAFT_BENCH_PASSES to override) and the reported
+number is the per-query MINIMUM — this box is co-tenant and contention only
+adds time, so the min is the engine's own cost; a load spike inflates one
+pass, never all of one query's samples. The JSON carries the per-query
+max/min noise quantiles and /proc/loadavg before/after as the co-tenant
+pressure record.
+
 Round-over-round comparability: the headline set GROWS each round, so the
 grand total is not comparable across rounds. Every query is tagged with the
 round it entered the bench, and the output carries a ``subtotals`` map
@@ -483,10 +491,20 @@ def streaming_scenario(spark) -> dict[str, float]:
     }
 
 
+def _loadavg() -> list[float]:
+    """Co-tenant load proxy (1/5/15-min runnable-task averages)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    load_start = _loadavg()
     spark = get_spark(app_name="bench")
     # Quiet the log tail: the only WARN-level noise these queries emit is
     # WindowExec's "No Partition Defined" — every partition-less window in
@@ -510,17 +528,32 @@ def main() -> None:
     # add multi-second noise to later queries' timings.
     spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
+    # Noise floor: the box is co-tenant and PERF.md documents same-HEAD
+    # whole-set swings of +-25% and single-query swings of 3-10x under
+    # load. A single sample cannot distinguish a real 20% regression from
+    # contention. So: N interleaved passes over the WHOLE set (a load
+    # spike inflates one pass, not one query's every sample) and report
+    # the per-query MINIMUM — contention only ever ADDS time, so the min
+    # is the engine's own cost. max/min per query is emitted as the noise
+    # diagnostic, and /proc/loadavg around the run records the co-tenant
+    # pressure the samples were taken under.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    samples: dict[str, list[float]] = {}
     rounds: dict[str, int] = {}
-    for name, rnd in HEADLINE:
-        spec = QUERIES.get(name)
-        if spec is None:
-            continue
-        t0 = time.time()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        rounds[name] = rnd
-        spark.catalog.clearCache()
+    for _ in range(n_passes):
+        for name, rnd in HEADLINE:
+            spec = QUERIES.get(name)
+            if spec is None:
+                continue
+            t0 = time.time()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.setdefault(name, []).append(time.time() - t0)
+            rounds[name] = rnd
+            spark.catalog.clearCache()
+    timings = {n: round(min(s), 3) for n, s in samples.items()}
+    noise = sorted(
+        round(max(s) / min(s), 3) for s in samples.values() if min(s) > 0
+    )
     total = round(sum(timings.values()), 3)
     subtotals = {
         f"r{r}_set": round(
@@ -559,6 +592,13 @@ def main() -> None:
                 "queries": timings,
                 "subtotals": subtotals,
                 "sf": sf,
+                "passes": n_passes,
+                "noise_max_over_min_p50": noise[len(noise) // 2]
+                if noise
+                else None,
+                "noise_max_over_min_max": noise[-1] if noise else None,
+                "loadavg_start": load_start,
+                "loadavg_end": _loadavg(),
                 "flagship_rows_per_sec": round(n_events / steady),
                 "skew": skew,
                 "skew_join": skew_join,

@@ -281,9 +281,11 @@ def triangle_stats(
     property) every node's OUT-degree is O(sqrt(|E|)) regardless of how
     big a hub it is, so the wedge join cannot explode quadratically on hot
     nodes the way the naive id-ordered 3-way self-join does. The order is
-    packed as ``degree * 2^40 + node`` (exact in BIGINT for node ids
-    < 2^40, degrees < 2^23) so all comparisons are single-long
-    comparisons in the join keys — no struct comparators in the shuffle.
+    a ``struct(degree, node)`` compared lexicographically — safe for ANY
+    id range (a packed ``degree * 2^40 + node`` long would silently
+    collide for 60-bit md5-derived ids or degrees >= 2^23). The order
+    participates only in filters and projections, never as a join or
+    shuffle key, so the struct comparator costs nothing in the exchanges.
 
     Shape: one keyed degree aggregate, two broadcast-or-shuffle joins to
     attach orders, then wedge-join (keyed on the corner) + closing-edge

@@ -442,23 +442,32 @@ def ridge_conformal(
         )
         return j.withColumn("__r", F.abs(F.col(y_col) - pred))
 
-    qrow = _resid(cal).agg(
-        F.count(F.lit(1)).alias("n_cal"),
-        F.array_sort(F.collect_list("__r")).alias("__rs"),
-        F.max("b0").alias("b0"),
-        F.max("b1").alias("b1"),
-        F.max("b2").alias("b2"),
-        F.max("n_train").alias("n_train"),
-    ).select(
-        "n_train",
-        "n_cal",
-        "b0",
-        "b1",
-        "b2",
-        F.expr(
-            f"element_at(__rs, CAST(least(ceil((n_cal + 1) * {1 - alpha!r}),"
-            " n_cal) AS INT))"
-        ).alias("__q"),
+    # Betas come from the (single-row, broadcast) model frame, NOT from
+    # max() over the residual join: with an EMPTY calibration split the
+    # join has zero rows and maxes would be NULL even though the model
+    # exists. The quantile guards n_cal = 0 explicitly — element_at with
+    # index 0 RAISES in Spark (arrays are 1-based), so the empty split
+    # must short-circuit to a NULL q (intervals undefined, coverage NULL)
+    # rather than fail at runtime.
+    qrow = (
+        _resid(cal)
+        .agg(
+            F.count(F.lit(1)).alias("n_cal"),
+            F.array_sort(F.collect_list("__r")).alias("__rs"),
+        )
+        .crossJoin(F.broadcast(model))
+        .select(
+            "n_train",
+            "n_cal",
+            "b0",
+            "b1",
+            "b2",
+            F.expr(
+                "CASE WHEN n_cal = 0 THEN CAST(NULL AS DOUBLE) ELSE"
+                f" element_at(__rs, CAST(least(ceil((n_cal + 1) *"
+                f" {1 - alpha!r}), n_cal) AS INT)) END"
+            ).alias("__q"),
+        )
     )
     cov = (
         _resid(test)

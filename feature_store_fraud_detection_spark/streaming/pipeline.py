@@ -355,6 +355,62 @@ class IdempotentBatchSink:
         return spark.read.parquet(self.path)
 
 
+_STATE_META_COL = "__last_batch_id"
+
+
+def read_fold_state(spark, state_dir: str) -> DataFrame | None:
+    """Read a foreachBatch parquet state table, or None if absent/empty.
+
+    Discovery is by ATTEMPTING the read, not ``os.listdir``: the state dir
+    may live on HDFS/S3 where the driver-local filesystem sees nothing (a
+    listdir probe there would silently report "no state" and reset
+    accumulation every batch). Spark's own reader resolves the path through
+    the Hadoop FileSystem API, so this works on any supported scheme; a
+    missing or empty path surfaces as AnalysisException, which is the
+    "no state yet" signal.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(state_dir)
+    except AnalysisException:
+        return None
+
+
+def _replay_guarded_fold(spark, state_dir: str, batch_id: int, fold_fn) -> None:
+    """Fold one micro-batch into an additive parquet state EXACTLY ONCE.
+
+    foreachBatch is at-least-once: after a failure between the state
+    overwrite and the checkpoint commit, the same batch_id is re-delivered.
+    For append sinks, :class:`IdempotentBatchSink` makes the replay replace
+    its own partition; for FOLDED state (moments / counts / sketches) a
+    second fold would silently double-count. So the state carries the last
+    folded batch_id in a ``__last_batch_id`` column, and a re-delivered
+    batch (``batch_id <= last``) is skipped outright — the state already
+    contains it. Structured Streaming batch_ids are monotonically
+    increasing and only the last uncommitted batch can replay, so the
+    ``<=`` test is exact.
+
+    ``fold_fn(prev_or_none)`` receives the previous state WITHOUT the meta
+    column (or None on the first batch) and returns the new state; the
+    meta column is re-stamped here. The returned frame is localCheckpointed
+    BEFORE overwriting the directory it was read from.
+    """
+    prev = read_fold_state(spark, state_dir)
+    if prev is not None and _STATE_META_COL in prev.columns:
+        last = prev.agg(F.max(_STATE_META_COL)).first()[0]
+        if last is not None and batch_id <= last:
+            return
+        prev = prev.drop(_STATE_META_COL)
+    new = fold_fn(prev)
+    (
+        new.withColumn(_STATE_META_COL, F.lit(int(batch_id)))
+        .localCheckpoint(eager=True)
+        .write.mode("overwrite")
+        .parquet(state_dir)
+    )
+
+
 def run_stream_neardup_filter(
     raw_docs: DataFrame,
     corpus_state: DataFrame,
@@ -445,9 +501,19 @@ def run_stream_pattern_alerts(
     O(batch + active_keys * (k-1)) rows; the corpus of past events is
     never re-read. State writes rewrite only the tail table (bounded by
     keys * (k-1) rows).
-    """
-    import os
 
+    IN-ORDER ASSUMPTION (the contract the exactly-once claim rests on):
+    events must arrive across micro-batches in per-key ``(ts, tiebreak)``
+    order — i.e. every event in batch N+1 sorts after every batch-N event
+    of the same key. An event LATER batches deliver that sorts BEFORE the
+    persisted tail can (a) complete a match whose final element is a tail
+    row (``last_is_new=false`` — never emitted) or (b) need context older
+    than the k-1-row tail (missed entirely). Upstream must enforce
+    ordering — e.g. feed this from a watermarked, event-time-sorted
+    stage, the same discipline ``transformWithState`` timers would
+    require. Out-of-order delivery degrades to at-most-once for the
+    straddling matches; it never double-emits.
+    """
     from feature_store_fraud_detection_spark.operators.funnel import (
         contiguous_pattern_hits,
     )
@@ -462,12 +528,10 @@ def run_stream_pattern_alerts(
         batch = batch_df.select(key, type_col, ts_col, tiebreak).withColumn(
             "is_new", F.lit(True)
         )
-        have_state = os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
-        )
-        if have_state:
+        state = read_fold_state(spark, state_dir)
+        if state is not None:
             tail = (
-                spark.read.parquet(state_dir)
+                state
                 .select(key, type_col, ts_col, tiebreak)
                 .withColumn("is_new", F.lit(False))
             )
@@ -540,10 +604,10 @@ def run_stream_regression_fit(
     BIT-identical to retraining on every row ever seen (pinned in
     ``tests/test_regression.py``) — the streaming counterpart of the
     reference's batch retrain, with per-batch cost O(|batch|) and no
-    history re-read.
+    history re-read. Replay-safe: a micro-batch re-delivered after a
+    failure between state overwrite and checkpoint commit is folded at
+    most once (``_replay_guarded_fold`` batch_id watermark).
     """
-    import os
-
     from feature_store_fraud_detection_spark.operators.regression import (
         merge_regression_moments,
         regression_moments,
@@ -551,15 +615,12 @@ def run_stream_regression_fit(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        m = regression_moments(batch_df, x1_col, x2_col, y_col)
-        if os.path.isdir(state_dir) and any(
-            fn.endswith(".parquet") for fn in os.listdir(state_dir)
-        ):
-            m = merge_regression_moments(spark.read.parquet(state_dir), m)
-        # materialize BEFORE overwriting the directory the merge reads
-        m.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_dir
-        )
+
+        def _merge(prev: DataFrame | None) -> DataFrame:
+            m = regression_moments(batch_df, x1_col, x2_col, y_col)
+            return m if prev is None else merge_regression_moments(prev, m)
+
+        _replay_guarded_fold(spark, state_dir, batch_id, _merge)
 
     writer = (
         raw_rows.writeStream.outputMode("append")
@@ -584,31 +645,29 @@ def run_stream_drift_monitor(
     counts are additive; pinned in test_streaming). Per-batch cost is one
     keyed count of the batch + a category-set merge, O(|batch| + |cats|);
     the state table is category-sized, never row-sized — the shape that
-    holds when the stream is 100k events/s for a year.
+    holds when the stream is 100k events/s for a year. Replay-safe via
+    ``_replay_guarded_fold`` (re-delivered batch_ids fold at most once).
     """
-    import os
-
     from pyspark.sql import functions as F
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        m = (
-            batch_df.filter(F.col(cat_col).isNotNull())
-            .groupBy(cat_col)
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        if os.path.isdir(counts_dir) and any(
-            fn.endswith(".parquet") for fn in os.listdir(counts_dir)
-        ):
-            prev = spark.read.parquet(counts_dir)
+
+        def _merge(prev: DataFrame | None) -> DataFrame:
             m = (
+                batch_df.filter(F.col(cat_col).isNotNull())
+                .groupBy(cat_col)
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            if prev is None:
+                return m
+            return (
                 prev.unionByName(m)
                 .groupBy(cat_col)
                 .agg(F.sum("n").alias("n"))
             )
-        m.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            counts_dir
-        )
+
+        _replay_guarded_fold(spark, counts_dir, batch_id, _merge)
 
     writer = (
         raw_rows.writeStream.outputMode("append")
@@ -660,9 +719,8 @@ def run_stream_hist_monitor(
     one batch pass (bin counts are additive; pinned in test_streaming).
     Per-batch cost is one (key, bin) count of the batch + a key-sized
     merge join; the state is (keys x bins) counters, never row-sized.
+    Replay-safe via ``_replay_guarded_fold``.
     """
-    import os
-
     from feature_store_fraud_detection_spark.operators.sketches import (
         hist_merge,
         hist_sketch,
@@ -670,14 +728,12 @@ def run_stream_hist_monitor(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        m = hist_sketch(batch_df, key_col, val_col, lo, hi, bins)
-        if os.path.isdir(state_dir) and any(
-            fn.endswith(".parquet") for fn in os.listdir(state_dir)
-        ):
-            m = hist_merge(spark.read.parquet(state_dir), m, key_col)
-        m.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_dir
-        )
+
+        def _merge(prev: DataFrame | None) -> DataFrame:
+            m = hist_sketch(batch_df, key_col, val_col, lo, hi, bins)
+            return m if prev is None else hist_merge(prev, m, key_col)
+
+        _replay_guarded_fold(spark, state_dir, batch_id, _merge)
 
     writer = (
         raw_rows.writeStream.outputMode("append")
@@ -726,10 +782,9 @@ def run_stream_kmv_monitor(
     test_streaming). Completes the additive-state monitor family next
     to the drift (categorical PSI) and quantile (histogram) monitors.
     Per-batch cost: one keyed sketch of the batch + a key-sized merge;
-    state is keys x k hashes, never row-sized.
+    state is keys x k hashes, never row-sized. Replay-safe via
+    ``_replay_guarded_fold``.
     """
-    import os
-
     from feature_store_fraud_detection_spark.operators.sketches import (
         kmv_merge,
         kmv_sketch,
@@ -737,14 +792,12 @@ def run_stream_kmv_monitor(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        m = kmv_sketch(batch_df, key_col, value_col, k)
-        if os.path.isdir(state_dir) and any(
-            fn.endswith(".parquet") for fn in os.listdir(state_dir)
-        ):
-            m = kmv_merge(spark.read.parquet(state_dir), m, key_col, k)
-        m.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_dir
-        )
+
+        def _merge(prev: DataFrame | None) -> DataFrame:
+            m = kmv_sketch(batch_df, key_col, value_col, k)
+            return m if prev is None else kmv_merge(prev, m, key_col, k)
+
+        _replay_guarded_fold(spark, state_dir, batch_id, _merge)
 
     writer = (
         raw_rows.writeStream.outputMode("append")

@@ -252,3 +252,39 @@ def test_ridge_conformal_coverage_guarantee(spark):
     assert 1.3 < r.q < 2.1
     # empirical coverage honors the conformal guarantee
     assert 0.84 <= r.coverage <= 0.97
+
+
+def test_ridge_conformal_empty_calibration_split(spark):
+    """An id universe whose md5 hashes all land in the train band leaves
+    the calibration split EMPTY. The guard must return one row with NULL
+    q / NULL coverage and intact betas — NOT raise from element_at(_, 0)
+    (Spark arrays are 1-based) or NULL out the model."""
+    from feature_store_fraud_detection_spark.operators.regression import (
+        ridge_conformal,
+    )
+
+    import hashlib
+
+    base = spark.createDataFrame(
+        [(int(i), int(i % 5), int(i % 3), float(2 * (i % 5) - (i % 3)))
+         for i in range(12)],
+        "rid bigint, x1 int, x2 int, y double",
+    )
+
+    # pre-searched seed whose 12 ids ALL md5-hash below 0.5 (train band);
+    # re-verify driver-side with the same 60-bit construction md5_int uses
+    seed = "s5809"
+    for rid in range(12):
+        h = hashlib.md5(f"{seed}|{rid}".encode()).hexdigest()[:15]
+        assert int(h, 16) / float(2**60) < 0.5
+
+    r = ridge_conformal(
+        base, "x1", "x2", "y", "rid", alpha=0.1, seed=seed
+    ).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.n_cal == 0 and row.n_test == 0
+    assert row.n_train == 12
+    assert row.q is None and row.coverage is None
+    # the fitted model survives the empty split
+    assert row.b0 is not None and row.b1 is not None

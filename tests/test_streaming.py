@@ -706,3 +706,44 @@ def test_stream_kmv_monitor_equals_batch_sketch(spark, tmp_path):
         assert tuple(got[kk]) == tuple(want[kk])  # bit-identical
     # small keys are exact: 'late' has 30 distinct values < k
     assert got["late"].distinct_est == 30.0
+
+
+def test_replay_guarded_fold_skips_redelivered_batch(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch re-delivered after a failure
+    between state overwrite and checkpoint commit must fold AT MOST once.
+    Folding batch_id=1 twice must leave the state bit-identical to folding
+    it once; a NEW batch_id still folds; first-batch state starts clean."""
+    from feature_store_fraud_detection_spark.streaming.pipeline import (
+        _replay_guarded_fold,
+        read_fold_state,
+    )
+
+    state_dir = str(tmp_path / "fold_state")
+    assert read_fold_state(spark, state_dir) is None  # absent dir -> None
+
+    def fold_add(n):
+        def _f(prev):
+            batch = spark.createDataFrame([(n,)], "n bigint")
+            if prev is None:
+                return batch
+            return (
+                prev.unionByName(batch)
+                .agg(F.sum("n").alias("n"))
+            )
+        return _f
+
+    def total():
+        st = read_fold_state(spark, state_dir)
+        return st.agg(F.sum("n")).first()[0]
+
+    _replay_guarded_fold(spark, state_dir, 0, fold_add(10))
+    assert total() == 10
+    _replay_guarded_fold(spark, state_dir, 1, fold_add(5))
+    assert total() == 15
+    # replay of batch 1 (and a stale batch 0) must be no-ops
+    _replay_guarded_fold(spark, state_dir, 1, fold_add(5))
+    _replay_guarded_fold(spark, state_dir, 0, fold_add(10))
+    assert total() == 15
+    # the next real batch still folds
+    _replay_guarded_fold(spark, state_dir, 2, fold_add(7))
+    assert total() == 22
