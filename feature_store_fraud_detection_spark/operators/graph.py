@@ -380,12 +380,38 @@ def kcore(
     decomposition at 100 TB, sweep k ascending and reuse the previous
     core as the input — each sweep starts from the already-shrunk graph.
     """
-    e = (
+    e = _prep_undirected(edges, src_col, dst_col)
+    keep, e = _peel_to_core(e, k, max_rounds)
+    out = keep.localCheckpoint(eager=True)
+    keep.unpersist()
+    e.unpersist()
+    return out
+
+
+def _prep_undirected(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Dedup + self-loop-drop an undirected edge list -> persisted (u, v)."""
+    return (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .persist()
     )
+
+
+def _peel_to_core(
+    e: DataFrame, k: int, max_rounds: int
+) -> tuple[DataFrame, DataFrame]:
+    """Peel a persisted (u, v) edge set to its k-core.
+
+    Returns ``(keep, e_final)`` — the surviving (node, degree) table and
+    the k-core's edge set, BOTH persisted (caller unpersists). The input
+    ``e`` is unpersisted whenever a round shrinks it. Shared by
+    :func:`kcore` (one k) and :func:`coreness` (ascending-k sweep reusing
+    each round's shrunk graph — the sweep never restarts from the full
+    edge list, per the 100 TB note in kcore's docstring).
+    """
     prev_nodes = -1
     keep = None
     for r in range(max_rounds):
@@ -421,7 +447,81 @@ def kcore(
         e2 = e2.persist()
         e.unpersist()
         e = e2
-    out = keep.localCheckpoint(eager=True)
-    keep.unpersist()
+    return keep, e
+
+
+def coreness(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    k_cap: int | None = None,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Full k-core decomposition: (node, coreness) for every node of the
+    undirected graph, where coreness(n) = the largest k such that n is in
+    the k-core — the standard density rank (degeneracy ordering) that one
+    number per node summarizes: trees/pendants are 1, cycles 2, cliques
+    |C|-1. With ``k_cap`` the report is min(coreness, k_cap): sweeps stop
+    at the cap and everything still alive is graded "k_cap+" — the usual
+    production shape ("rank the heart of the graph to depth 8") that also
+    bounds worst-case sweep count on pathological inputs.
+
+    Algorithm: ascending-k peel sweeps REUSING each shrunk graph — the
+    k-core is peeled FROM the (k-1)-core's edge set, never from the full
+    graph (``_peel_to_core`` keeps the persisted survivor edge set
+    between sweeps). Nodes present in the (k-1)-core but absent from the
+    k-core have coreness exactly k-1. Every node appearing in an edge has
+    coreness >= 1 (self-loops dropped), so sweeps start at k=2.
+
+    Scale: total work is sum over k of (rounds_k x (|E_k| semi-join +
+    |V_k| degree agg)) where E_k/V_k shrink monotonically — the dominant
+    cost is the early sweeps on the big graph, exactly the cost kcore(2)
+    already pays; each additional k adds work proportional to the
+    ALREADY-SHRUNK core. Per-sweep drop tables are localCheckpointed
+    (bounded driver state: one count per round), and the result union is
+    k_cap-bounded. Matula-Beck sequential peel is inherently serial;
+    this parallel-rounds formulation is the distributed standard.
+    """
+    e = _prep_undirected(edges, src_col, dst_col)
+    survivors = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    parts: list[DataFrame] = []
+    k = 2
+    while True:
+        if k_cap is not None and k > k_cap:
+            parts.append(
+                survivors.withColumn(
+                    "coreness", F.lit(k_cap).cast("int")
+                ).localCheckpoint(eager=True)
+            )
+            survivors.unpersist()
+            break
+        keep, e_peeled = _peel_to_core(e, k, max_rounds)
+        # CUT LINEAGE between sweeps: each peel round references the prior
+        # edge set several times (degree union + two semi-joins), so the
+        # uncut plan grows EXPONENTIALLY across sweeps — checkpointing the
+        # sweep's output keeps every sweep's plan O(rounds), not O(2^k).
+        e = e_peeled.localCheckpoint(eager=True)
+        e_peeled.unpersist()
+        kept_ids = keep.select("node").localCheckpoint(eager=True)
+        keep.unpersist()
+        dropped = (
+            survivors.join(kept_ids, "node", "left_anti")
+            .withColumn("coreness", F.lit(k - 1).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        parts.append(dropped)
+        survivors.unpersist()
+        if kept_ids.isEmpty():
+            break
+        survivors = kept_ids
+        k += 1
     e.unpersist()
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out

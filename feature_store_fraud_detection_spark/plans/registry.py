@@ -9101,6 +9101,94 @@ GROUP BY n"""
     )
 
 
+def _q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full coreness decomposition of the repeat co-purchase graph, capped
+    at 8 (operators/graph.py:coreness): every part's density rank in one
+    number — trees/pendants 1, the cyclic shell 2, ... — via ascending-k
+    peel sweeps that REUSE each shrunk core (the k-core peels from the
+    (k-1)-core's edges, never the full graph). Oracle: the sweep unrolled
+    per k with a measured-rounds-x2 schedule (peeling is monotone, so
+    surplus rounds are no-ops; measured parallel-peel rounds at the three
+    graded SFs are {2: 5, 3: 10, 4: 5, >=5: 1})."""
+    from feature_store_fraud_detection_spark.operators.graph import coreness
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    x, y = li.alias("x"), li.alias("y")
+    e = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.countDistinct("l_orderkey").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    return coreness(e, "a", "b", k_cap=8)
+
+
+#: unrolled peel rounds per k for the coreness oracle — measured
+#: parallel-peel fixpoint depths across sf0.001/0.01/0.1 with >= 2x
+#: headroom (extra rounds past the fixpoint are no-ops)
+_CORENESS_ROUNDS = {2: 10, 3: 20, 4: 10, 5: 4, 6: 4, 7: 4, 8: 4}
+
+
+def _coreness_sql(k_cap: int = 8) -> str:
+    parts = [
+        """e_1 AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT x.l_partkey AS u, y.l_partkey AS v,
+           count(DISTINCT x.l_orderkey) AS w
+    FROM lineitem x JOIN lineitem y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    GROUP BY 1, 2
+  ) WHERE w >= 2
+)""",
+        """nodes_1 AS MATERIALIZED (
+  SELECT DISTINCT n AS node FROM (SELECT u AS n FROM e_1
+                                  UNION ALL SELECT v AS n FROM e_1)
+)""",
+    ]
+    for k in range(2, k_cap + 1):
+        prev = "e_1" if k == 2 else f"e_{k - 1}_{_CORENESS_ROUNDS[k - 1]}"
+        parts.append(
+            f"e_{k}_0 AS MATERIALIZED (SELECT u, v FROM {prev})"
+        )
+        for r in range(1, _CORENESS_ROUNDS[k] + 1):
+            parts.append(
+                f"""n_{k}_{r} AS MATERIALIZED (
+  SELECT n FROM (SELECT u AS n FROM e_{k}_{r - 1}
+                 UNION ALL SELECT v AS n FROM e_{k}_{r - 1})
+  GROUP BY n HAVING count(*) >= {k}
+)"""
+            )
+            parts.append(
+                f"""e_{k}_{r} AS MATERIALIZED (
+  SELECT u, v FROM e_{k}_{r - 1}
+  WHERE u IN (SELECT n FROM n_{k}_{r}) AND v IN (SELECT n FROM n_{k}_{r})
+)"""
+            )
+        last = f"e_{k}_{_CORENESS_ROUNDS[k]}"
+        parts.append(
+            f"""nodes_{k} AS MATERIALIZED (
+  SELECT DISTINCT n AS node FROM (SELECT u AS n FROM {last}
+                                  UNION ALL SELECT v AS n FROM {last})
+)"""
+        )
+    unions = [
+        f"SELECT node, CAST({k - 1} AS INTEGER) AS coreness"
+        f" FROM nodes_{k - 1}\n"
+        f"  WHERE node NOT IN (SELECT node FROM nodes_{k})"
+        for k in range(2, k_cap + 1)
+    ]
+    unions.append(
+        f"SELECT node, CAST({k_cap} AS INTEGER) AS coreness"
+        f" FROM nodes_{k_cap}"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(unions)
+
+
 def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact covariance matrix of the embedding space (upper triangle,
     2080 cells at d=64) — the PCA/whitening/OPQ train() moments, computed
@@ -10018,6 +10106,7 @@ QUERIES.update(
             _q_embedding_covariance, _EMBEDDING_COVARIANCE_SQL
         ),
         "kcore_members": QuerySpec(_q_kcore_members, _kcore_sql()),
+        "coreness": QuerySpec(_q_coreness, _coreness_sql()),
         "woe_iv": QuerySpec(_q_woe_iv, _WOE_IV_SQL),
         "chi2_event_weekend": QuerySpec(
             _q_chi2_event_weekend, _CHI2_EVENT_WEEKEND_SQL

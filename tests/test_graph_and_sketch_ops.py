@@ -385,3 +385,51 @@ def test_kcore_peels_pendant_chain_to_cycle(spark):
     )
     got1 = {r.node: r.degree for r in kcore(df2, "a", "b", k=1).collect()}
     assert got1 == {1: 2, 2: 2, 3: 3, 4: 2, 5: 2, 6: 1}
+
+
+def test_coreness_hand_graph_and_cap(spark):
+    """K4 (coreness 3) + a triangle hung off it (coreness 2) + a pendant
+    chain (coreness 1) — the textbook decomposition; a k_cap of 2 grades
+    the K4 as '2+' and leaves everything below the cap untouched."""
+    from feature_store_fraud_detection_spark.operators.graph import coreness
+
+    edges = (
+        # K4 on 1-4
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        # triangle 4-5-6 sharing node 4
+        + [(4, 5), (5, 6), (4, 6)]
+        # pendant chain off node 6
+        + [(6, 7), (7, 8)]
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.coreness for r in coreness(df, "a", "b").collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 2, 6: 2, 7: 1, 8: 1}
+    capped = {
+        r.node: r.coreness
+        for r in coreness(df, "a", "b", k_cap=2).collect()
+    }
+    assert capped == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 7: 1, 8: 1}
+
+
+def test_coreness_sweep_matches_fresh_kcore(spark):
+    """Reuse contract: the ascending-k sweep must agree with a FRESH
+    kcore at every k — {n : coreness(n) >= k} == members of kcore(k).
+    Random-ish deterministic graph, k = 1..5."""
+    from feature_store_fraud_detection_spark.operators.graph import (
+        coreness,
+        kcore,
+    )
+
+    edges = [
+        (i, (i * i + 3 * j) % 40)
+        for i in range(40)
+        for j in range(1, 4)
+        if i != (i * i + 3 * j) % 40
+    ]
+    df = spark.createDataFrame(edges, "a long, b long")
+    core = {r.node: r.coreness for r in coreness(df, "a", "b").collect()}
+    assert max(core.values()) >= 3, "fixture too sparse to exercise sweeps"
+    for k in range(1, 6):
+        fresh = {r.node for r in kcore(df, "a", "b", k=k).collect()}
+        swept = {n for n, c in core.items() if c >= k}
+        assert swept == fresh, (k, swept ^ fresh)
