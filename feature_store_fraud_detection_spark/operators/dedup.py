@@ -458,29 +458,49 @@ def simhash_fingerprints(
     sign of sum over tokens of (+-1). Near-dup docs differ in few bits
     (Hamming); grouping by the fingerprint gives coarse clusters.
 
-    Computed ARRAY-LOCALLY per document: each token is md5'd once into the
-    32-bit int of its first 8 hex digits (bound via the single-element-array
-    let idiom so projection collapse cannot duplicate the digest work), and
-    bit b tests that int against a precomputed mask replicating the
-    nibble-bit layout above. Zero shuffle, zero row explosion — the
-    previous explode(|tokens| x bits) + groupBy form pushed 16M+ shuffle
-    rows at sf0.1 and would be the scan's bottleneck at 100 TB. The sign
-    sums are integers, so the result is bit-identical to the exploded form
-    (and to the DuckDB oracle, which keeps the relational formulation).
+    Up to 64 bits: the first 16 hex digits of the md5 carried as TWO
+    32-bit ints (``hi`` = digits 0-7, ``lo`` = digits 8-15 — an unsigned
+    64-bit value does not fit signed BIGINT, two halves do exactly). 64
+    bits is what makes banded pair mining usable at Hamming d=3 on
+    template-heavy corpora — 32-bit fingerprints collide so often there
+    that d<=3 admits ~15% of ALL pairs; at 64 bits the same corpus yields
+    ~1% (measured, sf0.01).
+
+    Computed ARRAY-LOCALLY per document: each token is md5'd once (bound
+    via the single-element-array let idiom so projection collapse cannot
+    duplicate the digest work), and bit b tests the right half against a
+    precomputed mask replicating the nibble-bit layout above. Zero
+    shuffle, zero row explosion — the previous explode(|tokens| x bits) +
+    groupBy form pushed 16M+ shuffle rows at sf0.1 and would be the
+    scan's bottleneck at 100 TB. The sign sums are integers, so the
+    result is bit-identical to the exploded form (and to the DuckDB
+    oracle, which keeps the relational formulation).
     """
     from feature_store_fraud_detection_spark.operators.text_analysis import tokens
 
-    if bits > 32:
-        raise ValueError("simhash_fingerprints supports at most 32 bits")
-    # mask for bit b: nibble b//4 sits at int bits [4*(7-b//4), +3], so the
-    # oracle's "bit (b%4) of hex digit b//4" is int bit 4*(7-b//4) + b%4
-    masks = [1 << (4 * (7 - b // 4) + (b % 4)) for b in range(bits)]
+    if bits > 64:
+        raise ValueError("simhash_fingerprints supports at most 64 bits")
+    # mask for bit b: nibble d = b//4 sits at int bits [4*(7 - d%8), +3]
+    # of its half (hi for d < 8, lo for d >= 8), so the oracle's "bit
+    # (b%4) of hex digit d" is half-int bit 4*(7 - d%8) + b%4
+    masks = [1 << (4 * (7 - (b // 4) % 8) + (b % 4)) for b in range(bits)]
     mask_lit = F.array(*[F.lit(m) for m in masks])
     tok_ints = F.transform(
         F.array_distinct(tokens(text_col)),
-        lambda t: F.conv(
-            F.substring(F.md5(F.encode(t, "UTF-8")), 1, 8), 16, 10
-        ).cast("bigint"),
+        lambda t: F.element_at(
+            F.transform(
+                F.array(F.md5(F.encode(t, "UTF-8"))),
+                lambda m: F.struct(
+                    F.conv(F.substring(m, 1, 8), 16, 10)
+                    .cast("bigint")
+                    .alias("hi"),
+                    F.conv(F.substring(m, 9, 8), 16, 10)
+                    .cast("bigint")
+                    .alias("lo"),
+                ),
+            ),
+            1,
+        ),
     )
     sig = F.element_at(
         F.transform(
@@ -495,7 +515,10 @@ def simhash_fingerprints(
                             F.lit(0),
                             lambda acc, v: acc
                             + F.when(
-                                v.bitwiseAND(F.element_at(mask_lit, b + 1)) != 0,
+                                F.when(b < 32, v["hi"])
+                                .otherwise(v["lo"])
+                                .bitwiseAND(F.element_at(mask_lit, b + 1))
+                                != 0,
                                 1,
                             ).otherwise(-1),
                         )

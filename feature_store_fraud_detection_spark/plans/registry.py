@@ -8229,22 +8229,25 @@ WHERE ('0x' || substr(md5('temp_mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BI
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via pigeonhole banding (2 x 16-bit bands
-    guarantee NO false negatives at Hamming <= 1) + exact Hamming verify
-    (operators/dedup.py:simhash_pairs). Hamming <= 1 because this
-    template-heavy synthetic corpus makes 32-bit fingerprints coarse —
-    at <= 3 fifteen percent of ALL pairs collide; real corpora with
-    diverse vocabularies separate much faster."""
+    """SimHash near-dup pairs via pigeonhole banding (4 x 16-bit bands
+    guarantee NO false negatives at Hamming <= 3) + exact Hamming verify
+    (operators/dedup.py:simhash_pairs). 64-bit fingerprints make d=3
+    usable on this template-heavy synthetic corpus — at 32 bits, d<=3
+    admitted ~15% of ALL pairs (so round 5 shipped it throttled to d<=1);
+    at 64 bits the same threshold passes ~1%."""
     from feature_store_fraud_detection_spark.operators.dedup import (
         simhash_pairs,
     )
 
     return simhash_pairs(
-        load_docs(spark, sf_dir), "doc_id", "text", bits=32, max_hamming=1
+        load_docs(spark, sf_dir), "doc_id", "text", bits=64, max_hamming=3
     )
 
 
-_SIMHASH_PAIRS_SQL = rf"""
+def _simhash_pairs_sql(bits: int = 64, max_hamming: int = 3) -> str:
+    n_bands = max_hamming + 1
+    w = bits // n_bands
+    return rf"""
 WITH {_TOKS_CTE},
 tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tk),
 per_bit AS (
@@ -8253,7 +8256,7 @@ per_bit AS (
                                 substr(md5(tok), b // 4 + 1, 1)) - 1)
                         >> (b % 4)) & 1 = 1
                   THEN 1 ELSE -1 END) AS s
-  FROM tok CROSS JOIN generate_series(0, 31) AS t(b)
+  FROM tok CROSS JOIN generate_series(0, {bits - 1}) AS t(b)
   GROUP BY doc_id, b
 ),
 sigs AS (
@@ -8263,8 +8266,8 @@ sigs AS (
   FROM per_bit GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, simhash, band, substr(simhash, band * 16 + 1, 16) AS key
-  FROM sigs CROSS JOIN generate_series(0, 1) AS g(band)
+  SELECT doc_id, simhash, band, substr(simhash, band * {w} + 1, {w}) AS key
+  FROM sigs CROSS JOIN generate_series(0, {n_bands - 1}) AS g(band)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -8274,11 +8277,11 @@ cand AS (
 )
 SELECT id_a, id_b, hamming FROM (
   SELECT id_a, id_b,
-         len(list_filter(range(1, 33),
+         len(list_filter(range(1, {bits + 1}),
                          i -> substr(sa, i, 1) <> substr(sb, i, 1)))
            AS hamming
   FROM cand
-) WHERE hamming <= 1
+) WHERE hamming <= {max_hamming}
 """
 
 
@@ -8769,7 +8772,7 @@ QUERIES.update(
         ),
         "lsh_recall_report": QuerySpec(_q_lsh_recall_report, _LSH_RECALL_SQL),
         "event_mix_drift": QuerySpec(_q_event_mix_drift, _EVENT_MIX_DRIFT_SQL),
-        "simhash_pairs": QuerySpec(_q_simhash_pairs, _SIMHASH_PAIRS_SQL),
+        "simhash_pairs": QuerySpec(_q_simhash_pairs, _simhash_pairs_sql()),
         "vocab_growth": QuerySpec(_q_vocab_growth, _VOCAB_GROWTH_SQL),
         "ngram_containment": QuerySpec(
             _q_ngram_containment, _NGRAM_CONTAINMENT_SQL

@@ -436,3 +436,52 @@ def test_simhash_pairs_pigeonhole_no_false_negatives(spark):
                 assert got[(a, b)] == ham, f"missed pair {(a, b)}"
             else:
                 assert (a, b) not in got
+
+
+def test_simhash_64bit_extends_32bit_prefix(spark):
+    """The 64-bit fingerprint's first 32 chars must BE the 32-bit
+    fingerprint (same nibble-bit layout over hex digits 0-7; digits 8-15
+    only append) — so widening the fingerprint never reshuffles existing
+    band keys, and the pigeonhole guarantee carries to d=3 with 4 x
+    16-bit bands."""
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon common tokens here"),
+        (2, "alpha beta gamma delta epsilon common tokens here now"),
+        (3, "alpha beta gamma delta epsilon common words here"),
+        (4, "completely different vocabulary entirely unrelated doc"),
+        (5, "another unrelated text with its own distinct words"),
+        (6, "alpha beta gamma delta epsilon common tokens nearby"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    s32 = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(df, "doc_id", "text", bits=32).collect()
+    }
+    s64 = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(df, "doc_id", "text", bits=64).collect()
+    }
+    for d in s32:
+        assert len(s64[d]) == 64 and set(s64[d]) <= {"0", "1"}
+        assert s64[d][:32] == s32[d]
+
+    # pigeonhole no-false-negative property at 64 bits / d=3
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(
+            df, "doc_id", "text", bits=64, max_hamming=3
+        ).collect()
+    }
+    ids = sorted(s64)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = sum(x != y for x, y in zip(s64[a], s64[b]))
+            if ham <= 3:
+                assert got[(a, b)] == ham, f"missed pair {(a, b)}"
+            else:
+                assert (a, b) not in got
