@@ -267,3 +267,71 @@ def rrf_fuse(
         scored.withColumn("fused_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("fused_rank") <= top_n)
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    id_col: str,
+    rel_col: str,
+    toks_col: str,
+    n_select: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking of a BOUNDED candidate list —
+    the standard diversity stage after fusion (rrf_fuse): greedily pick
+
+        argmax_i  lam * rel(i) - (1 - lam) * max_{j in selected} sim(i, j)
+
+    where sim is token-set Jaccard, until ``n_select`` items are chosen.
+    lam=1 reproduces the relevance order; lam->0 spreads picks across
+    dissimilar docs. Returns (id, mmr_rank, rel, mmr_score).
+
+    Scale/determinism design: the candidate list is top-k (tens of rows),
+    so the whole greedy selection runs as ONE in-plan fold — candidates
+    are collected into a single array and ``aggregate(sequence(1, n))``
+    appends the arg-best remaining candidate per step. No driver loop, no
+    per-step job. The arg-best uses an INTEGER sort key (the MMR score in
+    floor-rounded 1e-4 grid, negated, tie-broken by id), so selection
+    never compares raw doubles and the DuckDB twin (same fold unrolled as
+    one CTE per step) picks bit-identical items. The heavy lifting
+    (retrieval, fusion) stays upstream; this stage is O(n_select * k^2)
+    Jaccard evaluations on one executor — trivially bounded.
+    """
+    c_struct = F.struct(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(rel_col).cast("double").alias("rel"),
+        F.array_distinct(F.col(toks_col)).alias("toks"),
+    )
+    packed = candidates.agg(
+        F.array_sort(F.collect_list(c_struct)).alias("C")
+    )
+    mu = 1.0 - lam
+    fold = f"""
+aggregate(
+  sequence(1, {int(n_select)}),
+  cast(array() as array<struct<key: bigint, id: bigint, rel: double,
+                               toks: array<string>>>),
+  (acc, s) -> acc || slice(array_sort(transform(
+    filter(C, c -> NOT exists(acc, a -> a.id = c.id)),
+    c -> named_struct(
+      'key',
+      -cast(floor(({lam!r} * c.rel - {mu!r} * coalesce(
+          array_max(transform(acc, a ->
+            cast(size(array_intersect(c.toks, a.toks)) as double)
+            / cast(size(array_union(c.toks, a.toks)) as double))),
+          cast(0.0 as double))) * 10000 + 0.5) as bigint),
+      'id', c.id, 'rel', c.rel, 'toks', c.toks)
+  )), 1, 1)
+)
+"""
+    return (
+        packed.select(
+            F.posexplode(F.expr(fold)).alias("__pos", "__s")
+        )
+        .select(
+            F.col("__s.id").alias(id_col),
+            (F.col("__pos") + 1).cast("int").alias("mmr_rank"),
+            F.col("__s.rel").alias("rel"),
+            (-F.col("__s.key") / F.lit(10000.0)).alias("mmr_score"),
+        )
+    )

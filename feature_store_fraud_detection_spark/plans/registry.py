@@ -9042,6 +9042,74 @@ LIMIT 10
 """
 
 
+def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking of the rrf_fusion candidates (lam=0.7,
+    token-set Jaccard redundancy penalty) — the standard last stage of
+    the hybrid-retrieval family (operators/retrieval.py:mmr_rerank). The
+    bounded top-10 fused list makes the greedy selection one in-plan
+    fold; the oracle unrolls the same five picks as one CTE per step."""
+    from feature_store_fraud_detection_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        tokens,
+    )
+
+    fused = _q_rrf_fusion(spark, sf_dir).select("doc_id", "rrf_score")
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    cand = fused.join(docs, "doc_id")
+    return mmr_rerank(
+        cand, "doc_id", "rrf_score", "toks", n_select=5, lam=0.7
+    )
+
+
+def _mmr_rerank_sql(n_select: int = 5, lam: float = 0.7) -> str:
+    mu = 1.0 - lam
+    parts = [
+        f"fused_top AS MATERIALIZED ({_RRF_FUSION_SQL})",
+        r"""cand AS MATERIALIZED (
+  SELECT f.doc_id AS id, f.rrf_score AS rel,
+         list_distinct(string_split_regex(lower(trim(d.text)), '\s+'))
+           AS toks
+  FROM fused_top f JOIN documents d USING (doc_id)
+)""",
+        """sel_0 AS (
+  SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS DOUBLE) AS rel,
+         CAST(NULL AS BIGINT) AS scaled, CAST(NULL AS INTEGER) AS step,
+         CAST(NULL AS VARCHAR[]) AS toks
+  WHERE false
+)""",
+    ]
+    for s in range(1, n_select + 1):
+        parts.extend([
+            f"""pick_{s} AS MATERIALIZED (
+  SELECT c.id, c.rel, c.toks, CAST({s} AS INTEGER) AS step,
+         CAST(floor(({lam!r} * c.rel - {mu!r} * coalesce(
+             (SELECT max(CAST(len(list_intersect(c.toks, p.toks)) AS DOUBLE)
+                         / CAST(len(list_distinct(list_concat(c.toks,
+                                                              p.toks)))
+                                AS DOUBLE))
+              FROM sel_{s - 1} p), 0.0)) * 10000 + 0.5) AS BIGINT) AS scaled
+  FROM cand c WHERE c.id NOT IN (SELECT id FROM sel_{s - 1})
+  ORDER BY scaled DESC, c.id LIMIT 1
+)""",
+            f"""sel_{s} AS (
+  SELECT id, rel, scaled, step, toks FROM sel_{s - 1}
+  UNION ALL SELECT id, rel, scaled, step, toks FROM pick_{s}
+)""",
+        ])
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT id AS doc_id, step AS mmr_rank, rel,
+       scaled / 10000.0 AS mmr_score
+FROM sel_{n_select}"""
+    )
+
+
 def _q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the repeat co-purchase graph (parts sharing >= 2 orders):
     iterative peeling strips every tree/pendant chain, keeping exactly
@@ -10116,6 +10184,7 @@ QUERIES.update(
         ),
         "keyness_g2": QuerySpec(_q_keyness_g2, _KEYNESS_G2_SQL),
         "rrf_fusion": QuerySpec(_q_rrf_fusion, _RRF_FUSION_SQL),
+        "mmr_rerank": QuerySpec(_q_mmr_rerank, _mmr_rerank_sql()),
     }
 )
 

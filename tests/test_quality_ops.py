@@ -867,3 +867,46 @@ def test_fairness_report_hand_fixture(spark):
     out2 = {r.g: r for r in fairness_report(df2, "g", "pred", "y").collect()}
     assert out2["C"].fpr is None
     assert out2["C"].fpr_gap == 0.0  # only D contributes
+
+
+def test_mmr_rerank_diversity_vs_lambda(spark):
+    """lam=1 must reproduce the pure relevance order; lam=0.7 must skip
+    near-duplicate candidates in favor of dissimilar ones; scores are the
+    floor-rounded 1e-4 grid values of lam*rel - (1-lam)*max-Jaccard."""
+    from feature_store_fraud_detection_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        tokens,
+    )
+
+    rows = [
+        (1, 1.00, "spark table scan merge join"),
+        (2, 0.95, "spark table scan merge join fast"),  # near-dup of 1
+        (3, 0.90, "python pandas dataframe groupby"),
+        (4, 0.85, "spark table scan merge"),            # near-dup of 1
+        (5, 0.80, "streaming watermark event time window"),
+        (6, 0.75, "completely different topic entirely"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, rel double, text string"
+    ).withColumn("toks", tokens("text"))
+
+    pure = mmr_rerank(df, "doc_id", "rel", "toks", n_select=4, lam=1.0)
+    assert [r.doc_id for r in pure.collect()] == [1, 2, 3, 4]
+
+    div = mmr_rerank(df, "doc_id", "rel", "toks", n_select=4, lam=0.7)
+    got = [(r.doc_id, r.mmr_rank, r.mmr_score) for r in div.collect()]
+    # near-dups 2 and 4 (Jaccard 5/6 and 4/5 vs doc 1) are displaced by
+    # the dissimilar 3, 5, 6 despite lower relevance
+    assert [g[0] for g in got] == [1, 3, 5, 6]
+    assert [g[1] for g in got] == [1, 2, 3, 4]
+    # hand-checked scores: step 1 = 0.7*1.0; later steps share no tokens
+    # with the selected set, so penalty 0 -> 0.7 * rel
+    assert got[0][2] == 0.7
+    assert got[1][2] == round(0.7 * 0.90, 4)
+    assert got[2][2] == round(0.7 * 0.80, 4)
+
+    # n_select beyond the candidate count returns all candidates, ranked
+    all6 = mmr_rerank(df, "doc_id", "rel", "toks", n_select=10, lam=0.7)
+    assert all6.count() == 6
