@@ -407,9 +407,52 @@ def ridge_conformal(
     histogram sketch's quantile, trading exactness for a bounded state;
     the conformal guarantee tolerates a conservative q).
     """
-    from feature_store_fraud_detection_spark.functions.numeric import (
-        round4_stable,
+    model, cal, test, _resid = _conformal_parts(
+        df, x1_col, x2_col, y_col, id_col, lam, seed
     )
+    # Betas come from the (single-row, broadcast) model frame, NOT from
+    # max() over the residual join: with an EMPTY calibration split the
+    # join has zero rows and maxes would be NULL even though the model
+    # exists. The quantile guards n_cal = 0 explicitly — element_at with
+    # index 0 RAISES in Spark (arrays are 1-based), so the empty split
+    # must short-circuit to a NULL q (intervals undefined, coverage NULL)
+    # rather than fail at runtime.
+    qrow = (
+        _resid(cal)
+        .agg(
+            F.count(F.lit(1)).alias("n_cal"),
+            F.array_sort(F.collect_list("__r")).alias("__rs"),
+        )
+        .crossJoin(F.broadcast(model))
+        .select(
+            "n_train",
+            "n_cal",
+            "b0",
+            "b1",
+            "b2",
+            F.expr(
+                "CASE WHEN n_cal = 0 THEN CAST(NULL AS DOUBLE) ELSE"
+                f" element_at(__rs, CAST(least(ceil((n_cal + 1) *"
+                f" {1 - alpha!r}), n_cal) AS INT)) END"
+            ).alias("__q"),
+        )
+    )
+    return _conformal_report(qrow, _resid(test))
+
+
+def _conformal_parts(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    id_col: str,
+    lam: float,
+    seed: str,
+):
+    """Shared split/fit/residual stage of the conformal variants: the md5
+    three-way split (50/25/25), the ridge fit on train, and a residual
+    projector using the ROUNDED betas (cross-engine-identical doubles).
+    Returns (model, cal, test, resid_fn)."""
     from feature_store_fraud_detection_spark.operators.encoders import (
         md5_int,
     )
@@ -442,35 +485,18 @@ def ridge_conformal(
         )
         return j.withColumn("__r", F.abs(F.col(y_col) - pred))
 
-    # Betas come from the (single-row, broadcast) model frame, NOT from
-    # max() over the residual join: with an EMPTY calibration split the
-    # join has zero rows and maxes would be NULL even though the model
-    # exists. The quantile guards n_cal = 0 explicitly — element_at with
-    # index 0 RAISES in Spark (arrays are 1-based), so the empty split
-    # must short-circuit to a NULL q (intervals undefined, coverage NULL)
-    # rather than fail at runtime.
-    qrow = (
-        _resid(cal)
-        .agg(
-            F.count(F.lit(1)).alias("n_cal"),
-            F.array_sort(F.collect_list("__r")).alias("__rs"),
-        )
-        .crossJoin(F.broadcast(model))
-        .select(
-            "n_train",
-            "n_cal",
-            "b0",
-            "b1",
-            "b2",
-            F.expr(
-                "CASE WHEN n_cal = 0 THEN CAST(NULL AS DOUBLE) ELSE"
-                f" element_at(__rs, CAST(least(ceil((n_cal + 1) *"
-                f" {1 - alpha!r}), n_cal) AS INT)) END"
-            ).alias("__q"),
-        )
+    return model, cal, test, _resid
+
+
+def _conformal_report(qrow: DataFrame, test_resid: DataFrame) -> DataFrame:
+    """Shared coverage stage: test-split coverage of the +-q interval and
+    the one-row report."""
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
     )
+
     cov = (
-        _resid(test)
+        test_resid
         .crossJoin(F.broadcast(qrow.select("__q")))
         .agg(
             F.count(F.lit(1)).alias("n_test"),
@@ -489,3 +515,89 @@ def ridge_conformal(
         round4_stable(F.col("__q")).alias("q"),
         round4_stable(F.col("__cov")).alias("coverage"),
     )
+
+
+def ridge_conformal_sketch(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    id_col: str,
+    lam: float = 1.0,
+    alpha: float = 0.1,
+    seed: str = "conf",
+    hi: float = 100.0,
+    bins: int = 256,
+) -> DataFrame:
+    """:func:`ridge_conformal` with the calibration quantile taken from a
+    BOUNDED equi-width histogram sketch instead of the exact sorted
+    residual list — the 100 TB shape the exact path's docstring promises:
+    calibration state is ``bins`` counters (mergeable, additive), never
+    a row-sized collect, no matter how many calibration rows exist.
+
+    Conservative by construction, so the finite-sample >= 1-alpha
+    guarantee SURVIVES the sketch: q is the UPPER EDGE of the bin owning
+    the conformal rank ceil((n_cal+1)*(1-alpha)) — at least the exact
+    order statistic, at most one bin width above it; if the rank lands in
+    the overflow (last) bin, q falls back to the exact max residual
+    (tracked alongside the counters), which upper-bounds everything the
+    bin absorbed even when residuals exceed ``hi``. Sketch-vs-exact error
+    is therefore in [0, (hi - 0)/bins] whenever the rank stays below the
+    overflow bin (pinned in tests at sf0.01 data shapes). Residuals are
+    nonnegative, so the grid is [0, hi).
+    """
+    model, cal, test, _resid = _conformal_parts(
+        df, x1_col, x2_col, y_col, id_col, lam, seed
+    )
+    w = float(hi) / bins
+    bin_idx = F.least(
+        F.lit(bins - 1), F.floor(F.col("__r") / F.lit(w))
+    ).cast("int")
+    per_bin = (
+        _resid(cal)
+        .groupBy(bin_idx.alias("__bin"))
+        .agg(F.count(F.lit(1)).alias("__c"), F.max("__r").alias("__mx"))
+    )
+    qrow = (
+        per_bin.agg(
+            F.sum("__c").alias("n_cal"),
+            F.max("__mx").alias("__max_r"),
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("__bin", "__c")))
+            ).alias("__bm"),
+        )
+        .select(
+            F.coalesce(F.col("n_cal"), F.lit(0)).alias("n_cal"),
+            "__max_r",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bins - 1)),
+                lambda b: F.coalesce(
+                    F.element_at("__bm", b), F.lit(0).cast("bigint")
+                ),
+            ).alias("__counts"),
+        )
+        .crossJoin(F.broadcast(model))
+        .select(
+            "n_train",
+            "n_cal",
+            "b0",
+            "b1",
+            "b2",
+            F.expr(
+                f"""CASE WHEN n_cal = 0 THEN CAST(NULL AS DOUBLE) ELSE
+  element_at(aggregate(
+    sequence(1, {bins}),
+    named_struct('cum', cast(0 as bigint), 'q', cast(NULL as double)),
+    (acc, b) -> named_struct(
+      'cum', acc.cum + element_at(__counts, b),
+      'q', CASE
+             WHEN acc.q IS NOT NULL THEN acc.q
+             WHEN acc.cum + element_at(__counts, b)
+                  >= least(ceil((n_cal + 1) * {1 - alpha!r}), n_cal)
+             THEN IF(b = {bins}, __max_r, b * {w!r})
+             ELSE CAST(NULL AS DOUBLE) END),
+    acc -> array(acc.q)), 1) END"""
+            ).alias("__q"),
+        )
+    )
+    return _conformal_report(qrow, _resid(test))

@@ -9831,6 +9831,90 @@ FROM model CROSS JOIN q CROSS JOIN cov
 """
 
 
+def _q_ridge_conformal_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ridge_conformal with the calibration quantile from a bounded
+    256-bin histogram sketch instead of the exact sorted residual list
+    (operators/regression.py:ridge_conformal_sketch) — the mergeable-
+    state shape for 100 TB calibration splits; q is conservative by at
+    most one bin width (1.5625 here), so the >= 1-alpha guarantee
+    survives the sketch."""
+    from feature_store_fraud_detection_spark.operators.regression import (
+        ridge_conformal_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.hour("ts").alias("x1"),
+        F.pmod(F.col("user_id"), F.lit(7)).alias("x2"),
+        "value",
+    )
+    return ridge_conformal_sketch(
+        ev, "x1", "x2", "value", "event_id", lam=1.0, alpha=0.1,
+        hi=400.0, bins=256,
+    )
+
+
+def _ridge_conformal_sketch_sql(hi: float = 400.0, bins: int = 256) -> str:
+    from feature_store_fraud_detection_spark.operators.regression import (
+        ridge_sql,
+    )
+
+    w = hi / bins
+    inner = ridge_sql(
+        "(SELECT * FROM base WHERE u < 0.5)", "x1", "x2", "y", lam=1.0
+    )
+    return f"""
+WITH base AS (
+  SELECT event_id, hour(ts) AS x1, user_id % 7 AS x2, value AS y,
+         (('0x' || substr(md5('conf|' || event_id), 1, 15))::BIGINT
+          / 1152921504606846976.0) AS u
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+model AS (
+  SELECT n AS n_train, b0, b1, b2 FROM ({inner})
+),
+calr AS (
+  SELECT abs(y - (b0 + b1 * CAST(CAST(x1 AS BIGINT) AS DOUBLE)
+                  + b2 * CAST(CAST(x2 AS BIGINT) AS DOUBLE))) AS r
+  FROM base CROSS JOIN model WHERE u >= 0.5 AND u < 0.75
+),
+hist AS (
+  SELECT CAST(least({bins - 1}, floor(r / {w!r})) AS INT) AS b,
+         count(*) AS c, max(r) AS mx
+  FROM calr GROUP BY 1
+),
+tot AS (SELECT sum(c) AS n_cal, max(mx) AS max_r FROM hist),
+q AS (
+  SELECT n_cal,
+         CASE WHEN ob = {bins - 1} THEN max_r
+              ELSE (ob + 1) * {w!r} END AS qv
+  FROM (
+    SELECT t.n_cal, t.max_r, min(cb.b) AS ob
+    FROM tot t
+    LEFT JOIN (SELECT b, sum(c) OVER (ORDER BY b) AS cum FROM hist) cb
+      ON cb.cum >= least(ceil((t.n_cal + 1) * 0.9), t.n_cal)
+    GROUP BY t.n_cal, t.max_r
+  )
+),
+testr AS (
+  SELECT abs(y - (b0 + b1 * CAST(CAST(x1 AS BIGINT) AS DOUBLE)
+                  + b2 * CAST(CAST(x2 AS BIGINT) AS DOUBLE))) AS r
+  FROM base CROSS JOIN model WHERE u >= 0.75
+),
+cov AS (
+  SELECT count(*) AS n_test, avg(CAST(r <= qv AS DOUBLE)) AS c
+  FROM testr CROSS JOIN q
+)
+SELECT n_train, n_cal, n_test, b0, b1, b2,
+       floor(qv * 10000 + 0.5) / 10000 AS q,
+       floor(c * 10000 + 0.5) / 10000 AS coverage
+FROM model CROSS JOIN q CROSS JOIN cov
+"""
+
+
 def _q_user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival curve over user activity lifetimes with
     right-censoring at the observation edge
@@ -10167,6 +10251,9 @@ QUERIES.update(
         "user_survival": QuerySpec(_q_user_survival, _USER_SURVIVAL_SQL),
         "ridge_conformal": QuerySpec(
             _q_ridge_conformal, _ridge_conformal_sql()
+        ),
+        "ridge_conformal_sketch": QuerySpec(
+            _q_ridge_conformal_sketch, _ridge_conformal_sketch_sql()
         ),
         "ab_test": QuerySpec(_q_ab_test, _AB_TEST_SQL),
         "cuped_lift": QuerySpec(_q_cuped_lift, _CUPED_SQL),

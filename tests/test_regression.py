@@ -288,3 +288,48 @@ def test_ridge_conformal_empty_calibration_split(spark):
     assert row.q is None and row.coverage is None
     # the fitted model survives the empty split
     assert row.b0 is not None and row.b1 is not None
+
+
+def test_ridge_conformal_sketch_conservative_within_bin_width(spark):
+    """The histogram-sketch conformal quantile must sit in
+    [q_exact, q_exact + bin_width] (upper-edge rule), keep coverage at or
+    above the exact path's, and fall back to the EXACT max residual when
+    the conformal rank lands in the overflow bin — so the >= 1-alpha
+    guarantee survives residuals beyond the grid."""
+    import numpy as np
+
+    from feature_store_fraud_detection_spark.operators.regression import (
+        ridge_conformal,
+        ridge_conformal_sketch,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 1500
+    x1 = rng.integers(0, 24, n)
+    x2 = rng.integers(0, 7, n)
+    y = 2.0 + 0.5 * x1 - 1.0 * x2 + rng.normal(0, 1.0, n)
+    df = spark.createDataFrame(
+        [(int(i), int(a), int(b), float(c)) for i, (a, b, c) in
+         enumerate(zip(x1, x2, y))],
+        "rid bigint, x1 int, x2 int, y double",
+    )
+    ex = ridge_conformal(df, "x1", "x2", "y", "rid", alpha=0.1).collect()[0]
+    hi, bins = 10.0, 256
+    sk = ridge_conformal_sketch(
+        df, "x1", "x2", "y", "rid", alpha=0.1, hi=hi, bins=bins
+    ).collect()[0]
+    assert (sk.n_train, sk.n_cal, sk.n_test) == (
+        ex.n_train, ex.n_cal, ex.n_test,
+    )
+    assert (sk.b0, sk.b1, sk.b2) == (ex.b0, ex.b1, ex.b2)
+    width = hi / bins
+    assert ex.q <= sk.q <= ex.q + width + 1e-9
+    assert sk.coverage >= ex.coverage
+
+    # overflow: a grid far too small for the residuals forces the rank
+    # into the last bin -> q = exact max calibration residual (>= q_exact)
+    ov = ridge_conformal_sketch(
+        df, "x1", "x2", "y", "rid", alpha=0.1, hi=0.5, bins=4
+    ).collect()[0]
+    assert ov.q >= ex.q
+    assert ov.coverage >= ex.coverage
