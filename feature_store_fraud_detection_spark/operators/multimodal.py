@@ -36,13 +36,64 @@ BINARY_FEATURES_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> "object":
-    """STUB — image decoding needs PIL/opencv, not present in this
-    container. The mapInPandas plumbing around it is real; swap this
-    function for a codec call in a full deployment."""
-    raise NotImplementedError(
-        "image decode requires a codec library (PIL/opencv); "
-        "use extract_binary_features for the deterministic byte-level path"
-    )
+    """Decode an image payload — DISPATCHES to PIL when importable, so
+    the day the container grows a codec library this path (and the
+    importorskip test pinning it) activates without a code change. With
+    no codec present it raises NotImplementedError; the mapInPandas
+    plumbing around it is real either way (use extract_binary_features
+    for the deterministic byte-level twin)."""
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires a codec library (PIL/opencv); "
+            "use extract_binary_features for the deterministic byte-level"
+            " path"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(bytes(payload)))
+    img.load()
+    return img
+
+
+#: schema of decode_image_features (real-codec path)
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+    ]
+)
+
+
+def decode_image_features(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL image decode over (doc_id, payload) rows —
+    identical mapInPandas shape to extract_binary_features, but the
+    per-item call is :func:`decode_image` (PIL), yielding
+    (doc_id, width, height, mode). In codec-less containers every task
+    raises NotImplementedError at execution time; the importorskip test
+    in tests/test_multimodal_seams.py exercises this end-to-end whenever
+    PIL exists."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = [decode_image(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(
+                        [im.width for im in imgs], dtype="int32"
+                    ),
+                    "height": pd.Series(
+                        [im.height for im in imgs], dtype="int32"
+                    ),
+                    "mode": [im.mode for im in imgs],
+                }
+            )
+
+    return binary_df.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
 
 
 def with_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

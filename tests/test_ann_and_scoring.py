@@ -599,3 +599,24 @@ def test_pca_components_and_projection_match_numpy(spark):
     # projected dims are decorrelated: |corr| << planted correlation
     P = np.array([proj[i] for i in range(400)])
     assert abs(np.corrcoef(P.T)[0][1]) < 0.1
+
+
+def test_lsh_topk_emits_misuse_warning(spark):
+    """lsh_topk's single-bucket probe is a recall footgun for general ANN
+    (0.16@5 measured) — every call must surface a UserWarning steering
+    general retrieval to ivfpq_topk / multiprobe_lsh_topk, per USAGE.md
+    §'Which ANN index?'."""
+    import warnings
+
+    from feature_store_fraud_detection_spark.operators.similarity import (
+        lsh_topk,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = lsh_topk(df, "vec_id", "embedding", query_max_id=3, top_k=2)
+    msgs = [str(w.message) for w in caught if w.category is UserWarning]
+    assert any("ivfpq_topk" in m and "recall" in m for m in msgs)
+    out.collect()  # the operator still works
