@@ -9042,6 +9042,67 @@ LIMIT 10
 """
 
 
+def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the repeat co-purchase graph:
+    top-50 UNLINKED part pairs ranked by sum of 1/ln(deg) over common
+    neighbors (operators/graph.py:adamic_adar) — the 'which products are
+    one order away from co-purchase' recommender, and the graph family's
+    link-prediction member next to pagerank/kcore/coreness/triangles."""
+    from feature_store_fraud_detection_spark.operators.graph import (
+        adamic_adar,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    x, y = li.alias("x"), li.alias("y")
+    e = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.countDistinct("l_orderkey").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    return adamic_adar(e, "a", "b", top_n=50)
+
+
+_ADAMIC_ADAR_SQL = """
+WITH e0 AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT x.l_partkey AS u, y.l_partkey AS v,
+           count(DISTINCT x.l_orderkey) AS w
+    FROM lineitem x JOIN lineitem y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    GROUP BY 1, 2
+  ) WHERE w >= 2
+),
+adj AS (SELECT u AS c, v AS n FROM e0 UNION ALL SELECT v AS c, u AS n FROM e0),
+deg AS (SELECT c, count(*) AS deg FROM adj GROUP BY c),
+adjd AS (SELECT a.c, a.n, d.deg FROM adj a JOIN deg d USING (c)),
+wedges AS (
+  SELECT a.n AS node_a, b.n AS node_b,
+         1.0 / ln(CAST(a.deg AS DOUBLE)) AS w
+  FROM adjd a JOIN adjd b ON a.c = b.c AND a.n < b.n
+),
+unlinked AS (
+  SELECT wg.node_a, wg.node_b, wg.w
+  FROM wedges wg
+  LEFT JOIN e0 ON e0.u = wg.node_a AND e0.v = wg.node_b
+  WHERE e0.u IS NULL
+)
+SELECT node_a, node_b, n_common, score FROM (
+  SELECT node_a, node_b, CAST(count(*) AS BIGINT) AS n_common,
+         floor(list_reduce(list_sort(list(w)), (x, y) -> x + y)
+               * 10000 + 0.5) / 10000 AS score
+  FROM unlinked GROUP BY 1, 2
+)
+ORDER BY score DESC, node_a, node_b
+LIMIT 50
+"""
+
+
 def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified re-ranking of the rrf_fusion candidates (lam=0.7,
     token-set Jaccard redundancy penalty) — the standard last stage of
@@ -10265,6 +10326,7 @@ QUERIES.update(
         ),
         "kcore_members": QuerySpec(_q_kcore_members, _kcore_sql()),
         "coreness": QuerySpec(_q_coreness, _coreness_sql()),
+        "adamic_adar": QuerySpec(_q_adamic_adar, _ADAMIC_ADAR_SQL),
         "woe_iv": QuerySpec(_q_woe_iv, _WOE_IV_SQL),
         "chi2_event_weekend": QuerySpec(
             _q_chi2_event_weekend, _CHI2_EVENT_WEEKEND_SQL
@@ -10288,62 +10350,22 @@ QUERIES.update(
 # Rounds rotate this list deliberately — never let "where the code was
 # appended" decide what gets graded.
 _GRADING_PRIORITY: list[str] = [
-    # (a) never driver-graded at round-5 start — the round-4 PQ/IVFPQ/
-    # decay/sampling-twin/pattern/containment/vocab families (10, all
-    # judge-verified ALL-OK locally in round 4 via tools/check_oracle.py)
-    "pq_topk",
-    "pq_recall",
-    "ivfpq_topk",
-    "decayed_user_value",
-    "stratified_topn",
-    "rebalance_hash",
-    "train_test_hash_split",
-    "sequence_patterns",
-    "ngram_containment",
-    "vocab_growth",
-    # (b) new round-5 queries get inserted here as they land
-    "ridge_fit",
-    "temperature_mix_sample",
-    "curriculum_stages",
-    "training_sequences",
-    "triangle_stats",
-    "prefix_filter_pairs",
-    "token_frequency_spectrum",
-    "pmi_collocations",
-    "target_encode_oof",
-    "ridge_learning_curve",
-    "lsh_recall_report",
-    "event_mix_drift",
+    # (a) round-6 new or semantically-changed queries — grade first:
+    # coreness (new decomposition), mmr_rerank (new), ridge_conformal_
+    # sketch (new), simhash_pairs (moved 32-bit/d<=1 -> 64-bit/d<=3),
+    # ridge_conformal (empty-calibration guard restructured the plan)
+    "coreness",
+    "mmr_rerank",
+    "ridge_conformal_sketch",
     "simhash_pairs",
-    "woe_iv",
-    "chi2_event_weekend",
-    "keyness_g2",
-    "rrf_fusion",
-    "kcore_members",
-    "embedding_covariance",
-    "k_anonymity",
-    "l_diversity",
-    "dp_noisy_counts",
-    "geo_hotspots",
-    "feature_audit",
-    "ewma_forecast",
-    "user_survival",
     "ridge_conformal",
-    "ab_test",
-    "cuped_lift",
-    "bootstrap_ci",
-    "sequential_ab",
-    "fairness_report",
-    # (c) regression canaries — the stalest greens (r1, never re-graded
-    # since) spanning relational/sampling/dedup/text/window families
-    "point_lookup",
-    "range_scan",
-    "label_filter",
-    "null_fill",
-    "bulk_export",
-    "monotonic_check",
-    "latest_per_key",
-    "hash_sample",
+    "adamic_adar",
+    # (b) the stalest driver grades: every oracle-checked query whose
+    # last driver row is round 1 (25 — the three r1 rows-only sampling
+    # queries are excluded: their grade is declared-rows-only by design
+    # and their hash twins are r5-green), then the earliest round-2 tail
+    # (20). Together with (a) this re-grades 45 of the 72 r1/r2-stale
+    # rows; the remaining 24 r2 rows rotate in next round.
     "pricing_summary",
     "revenue_by_nation",
     "top_customers",
@@ -10369,7 +10391,6 @@ _GRADING_PRIORITY: list[str] = [
     "stats_with_latest",
     "sync_offline_online",
     "text_profile",
-    # r2-green stalest tail
     "activity_bursts",
     "behavior_entropy",
     "bm25_topk",
@@ -10387,6 +10408,8 @@ _GRADING_PRIORITY: list[str] = [
     "feature_hash_events",
     "fraud_capture_curve",
     "funnel_steps",
+    "validate_documents",
+    "lang_confusion",
 ]
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (

@@ -433,3 +433,44 @@ def test_coreness_sweep_matches_fresh_kcore(spark):
         fresh = {r.node for r in kcore(df, "a", "b", k=k).collect()}
         swept = {n for n, c in core.items() if c >= k}
         assert swept == fresh, (k, swept ^ fresh)
+
+
+def test_adamic_adar_hand_graph(spark):
+    """Path a-c-b plus hub wedges: scores must equal hand-computed
+    sums of 1/ln(deg) over common neighbors, linked pairs are excluded,
+    and max_hub_degree drops hub-mediated wedges."""
+    import math
+
+    from feature_store_fraud_detection_spark.operators.graph import (
+        adamic_adar,
+    )
+
+    # 1-2 linked; both also link hub 5 (deg 4 incl. 3,4) and node 6
+    # (deg 2); 3-4 only share hub 5
+    edges = [(1, 2), (1, 5), (2, 5), (3, 5), (4, 5), (1, 6), (2, 6)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        (r.node_a, r.node_b): (r.n_common, r.score)
+        for r in adamic_adar(df, "a", "b", top_n=50).collect()
+    }
+    assert (1, 2) not in got  # linked pairs excluded
+    inv5 = 1.0 / math.log(5.0)  # hub 5: neighbors 1,2,3,4 -> deg 5? no:
+    # deg(5) = |{1,2,3,4}| = 4; deg(6) = |{1,2}| = 2
+    inv5 = 1.0 / math.log(4.0)
+    inv6 = 1.0 / math.log(2.0)
+    # 3-4 share only hub 5
+    assert got[(3, 4)][0] == 1
+    assert abs(got[(3, 4)][1] - round(inv5, 4)) <= 1e-4
+    # 1-3 share hub 5 only (1-3 unlinked)
+    assert got[(1, 3)][0] == 1
+    # 5-6 share common neighbors 1 and 2: deg(1) = 3 (2,5,6), deg(2) = 3
+    inv_deg3 = 1.0 / math.log(3.0)
+    assert got[(5, 6)][0] == 2
+    assert abs(got[(5, 6)][1] - round(2 * inv_deg3, 4)) <= 1e-4
+    # hub cap 3 removes node-5-mediated wedges: 3-4 disappears
+    capped = {
+        (r.node_a, r.node_b)
+        for r in adamic_adar(df, "a", "b", top_n=50, max_hub_degree=3).collect()
+    }
+    assert (3, 4) not in capped
+    assert (5, 6) in capped  # mediated by deg-3 nodes, survives
