@@ -391,13 +391,24 @@ def kcore(
 def _prep_undirected(
     edges: DataFrame, src_col: str, dst_col: str
 ) -> DataFrame:
-    """Dedup + self-loop-drop an undirected edge list -> persisted (u, v)."""
-    return (
+    """Dedup + self-loop-drop an undirected edge list -> persisted (u, v),
+    coalesced to ~EDGES_PER_TASK rows/task (capped at cores): the peel
+    loops run dozens of tiny jobs over this cache, and a 3k-edge graph
+    spread over 32 post-distinct shuffle partitions pays 32 tasks of
+    scheduling per round for microseconds of work each."""
+    raw = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .persist()
     )
+    n = raw.count()
+    e = raw.coalesce(
+        _edge_partitions(edges.sparkSession, n)
+    ).persist()
+    e.count()  # materialize the coalesced cache before dropping raw's
+    raw.unpersist()
+    return e
 
 
 def _peel_to_core(
@@ -592,7 +603,14 @@ def adamic_adar(
             ).alias("score"),
         )
     )
+    # materialize the bounded top-n WHILE e is cached (the plan reads the
+    # edge cache 5 times — adj twice, both wedge sides, the anti-join;
+    # unpersisting before execution would recompute the upstream that many
+    # times), then release the cache — the kcore/coreness convention.
+    out = (
+        scored.orderBy(F.col("score").desc(), "node_a", "node_b")
+        .limit(top_n)
+        .localCheckpoint(eager=True)
+    )
     e.unpersist()
-    return scored.orderBy(
-        F.col("score").desc(), "node_a", "node_b"
-    ).limit(top_n)
+    return out
