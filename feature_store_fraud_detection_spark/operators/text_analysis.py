@@ -15,7 +15,7 @@ Cross-engine portability notes (for the DuckDB oracle):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny marker-word sets per language for the n-gram/stopword heuristic.
@@ -760,3 +760,124 @@ def keyness_g2(
         (a / na > b / nb).alias("overused_in_a"),
     )
     return scored.orderBy(F.col("g2").desc(), "token").limit(top_k)
+
+
+def nb_lang_classify(
+    train_df: DataFrame,
+    score_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    mode: str = "word",
+    gram: int = 2,
+) -> DataFrame:
+    """Multinomial Naive Bayes over word unigrams (``mode="word"``) or
+    character ``gram``-grams (``mode="char"``): train on one corpus,
+    predict the label of another — the TRAINED twin of the marker-list
+    heuristic in :func:`lang_id` (fastText-style langid is a linear model
+    over exactly these features). Laplace-1 smoothing::
+
+        score(d, l) = ln P(l) + sum_g tf_dg * ln((c_lg + 1) / (T_l + V))
+
+    decomposed as ``prior + sum_matched tf*ln(c_lg+1) - n_tok*ln(T_l+V)``
+    so zero-count (g, l) pairs never materialize (ln(0+1) = 0): the model
+    join stays on OBSERVED (label, gram) counts, not the dense V x L
+    matrix. Returns one row per scored doc: (id, label, predicted).
+
+    Determinism (the repo's cross-engine rules): ln of integer counts is
+    bit-stable across engines; the per-(doc, label) matched sum folds the
+    SORTED contribution list (fixed IEEE order); the argmax tie-breaks on
+    the label string, so predictions — and the confusion counts built
+    from them — hash-check exactly. No float ever reaches the output.
+
+    Scale: gram extraction is array-local per doc; model counts and
+    per-doc tf are keyed hash aggregates joined on the gram (the model is
+    NEVER broadcast — char-V is small but word-gram vocabularies are
+    not); only the L-row per-label stats table (prior, ln(T_l+V)) is
+    broadcast into the scoring fan-out. Docs with no features (shorter
+    than ``gram`` chars / zero tokens) are excluded (same rule both
+    engines).
+    """
+    if mode not in ("word", "char"):
+        raise ValueError(f"mode must be 'word' or 'char', got {mode!r}")
+    t = F.lower(F.trim(F.col(text_col)))
+    if mode == "word":
+        feats = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+    else:
+        feats = F.when(
+            F.length(t) >= gram,
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (gram - 1)),
+                lambda i: F.substring(t, i, gram),
+            ),
+        ).otherwise(F.array())
+
+    def gram_rows(df: DataFrame, *keep: str) -> DataFrame:
+        return (
+            df.filter(F.size(feats) >= 1)
+            .select(*keep, F.explode(feats).alias("g"))
+        )
+
+    cnt = gram_rows(train_df, label_col).groupBy(label_col, "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cnt.groupBy(label_col).agg(F.sum("c").alias("tl"))
+    vocab = cnt.select("g").distinct().agg(F.count(F.lit(1)).alias("v"))
+    pri = (
+        train_df.filter(F.size(feats) >= 1)
+        .groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    n_all = pri.agg(F.sum("nd").alias("n"))
+    lstats = (
+        pri.join(tot, label_col)
+        .crossJoin(F.broadcast(n_all))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(label_col).alias("__l"),
+            (
+                F.log(F.col("nd").cast("double"))
+                - F.log(F.col("n").cast("double"))
+            ).alias("prior_ln"),
+            F.log((F.col("tl") + F.col("v")).cast("double")).alias("ln_tv"),
+        )
+    )
+
+    tf = gram_rows(score_df, id_col, label_col).groupBy(
+        id_col, label_col, "g"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    ntok = tf.groupBy(id_col, label_col).agg(F.sum("tf").alias("n_tok"))
+    contrib = tf.join(
+        cnt.select(F.col(label_col).alias("__l"), "g", "c"), "g"
+    ).select(
+        F.col(id_col),
+        F.col("__l"),
+        (F.col("tf") * F.log((F.col("c") + 1).cast("double"))).alias("cx"),
+    )
+    matched = contrib.groupBy(id_col, "__l").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("cx")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("m")
+    )
+    scores = (
+        ntok.crossJoin(F.broadcast(lstats))
+        .join(matched, [id_col, "__l"], "left")
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.col("__l"),
+            (
+                F.col("prior_ln")
+                + F.coalesce(F.col("m"), F.lit(0.0))
+                - F.col("n_tok") * F.col("ln_tv")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("__l"))
+    return (
+        scores.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, label_col, F.col("__l").alias("predicted"))
+    )

@@ -375,3 +375,94 @@ def kaplan_meier(
         F.col("d").alias("n_events"),
         round4_stable(surv).alias("survival"),
     )
+
+
+def holt_forecast(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + TREND) per key over the
+    daily series — the trend-aware sibling of :func:`ewma_forecast`
+    (whose flat forecast lags any drifting series)::
+
+        l_t = alpha*y_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    seeded l_1 = y_1, b_1 = 0 (zero-initial-trend variant; the trend
+    adapts within ~1/beta observations). Emits per key: the final level
+    and trend, the 1-step and ``horizon``-step-ahead forecasts
+    (l + h*b), and the mean absolute one-step in-sample error — the
+    honest "should you trust this forecast" companion.
+
+    Determinism: daily totals are exact DECIMAL sums rounded before the
+    fold; the fold is a sequential struct fold over the day-sorted list
+    (identical IEEE op sequence both engines). The DuckDB twin's
+    list_reduce mutates its accumulator field-by-field, so the oracle
+    orders fields (err, prev_level, level, trend) such that each update
+    reads exactly the pre-/post-assignment values the pure Spark fold
+    reads — same discipline as ewma_forecast's (v, e) ordering.
+
+    Scale: one (key, day) keyed aggregate, then one per-key fold whose
+    state is 4 doubles; per-key payload is the day count. Million-day
+    keys: pre-aggregate to coarser buckets first (collect_list bound).
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        df.filter(F.col(val_col).isNotNull())
+        .groupBy(F.col(key_col), day.alias("__day"))
+        .agg(F.sum(F.col(val_col).cast("decimal(18,4)")).alias("__s"))
+        .select(
+            key_col,
+            F.unix_timestamp("__day").alias("__d"),
+            round4_stable(F.col("__s").cast("double")).alias("__y"),
+        )
+    )
+    series = daily.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__d"), F.col("__y")))
+        ).alias("__sr")
+    )
+    ys = F.transform(F.col("__sr"), lambda s: s["__y"])
+    a, ac = F.lit(float(alpha)), F.lit(1.0 - alpha)
+    b, bc = F.lit(float(beta)), F.lit(1.0 - beta)
+
+    init = F.struct(
+        F.lit(0.0).alias("err"),
+        F.element_at(ys, 1).alias("pl"),
+        F.element_at(ys, 1).alias("l"),
+        F.lit(0.0).alias("t"),
+    )
+    rest = F.slice(ys, 2, F.greatest(F.size(ys) - 1, F.lit(0)))
+    fold = F.aggregate(
+        rest,
+        init,
+        lambda acc, y: F.struct(
+            (acc["err"] + F.abs(y - (acc["l"] + acc["t"]))).alias("err"),
+            acc["l"].alias("pl"),
+            (a * y + ac * (acc["l"] + acc["t"])).alias("l"),
+            (
+                b * ((a * y + ac * (acc["l"] + acc["t"])) - acc["l"])
+                + bc * acc["t"]
+            ).alias("t"),
+        ),
+    )
+    n = F.size(ys)
+    h = F.lit(float(horizon))
+    return series.select(
+        key_col,
+        n.cast("int").alias("n_days"),
+        round4_stable(F.element_at(ys, -1)).alias("last_y"),
+        round4_stable(fold["l"]).alias("level"),
+        round4_stable(fold["t"]).alias("trend"),
+        round4_stable(fold["l"] + fold["t"]).alias("forecast_1"),
+        round4_stable(fold["l"] + h * fold["t"]).alias(
+            f"forecast_{horizon}"
+        ),
+        F.when(n >= 2, round4_stable(fold["err"] / (n - 1).cast("double")))
+        .alias("mae_1step"),
+    )

@@ -10338,6 +10338,176 @@ QUERIES.update(
 )
 
 
+def _q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of a TRAINED multinomial Naive Bayes language
+    classifier (operators/text_analysis.py:nb_lang_classify) — word
+    unigrams, Laplace-1, trained on the even doc_ids and scored on the
+    odd ones; the learned-model twin of the marker-heuristic
+    `lang_confusion`. Every float stays internal (ln of integer counts +
+    sorted-fold sums + label-tiebroken argmax), so the integer confusion
+    counts hash-check cross-engine. Honest quality note: on this
+    synthetic corpus the per-lang word mixtures are nearly identical, so
+    measured accuracy (~0.37) sits BELOW the all-'en' majority baseline
+    (~0.44) — the textbook NB-overconfidence artifact on
+    weakly-separated classes, reported as-is."""
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        nb_lang_classify,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    tr = docs.filter(F.col("doc_id") % 2 == 0)
+    te = docs.filter(F.col("doc_id") % 2 == 1)
+    pred = nb_lang_classify(tr, te, "doc_id", "text", "lang", mode="word")
+    return pred.groupBy("lang", "predicted").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+_NB_LANG_CONFUSION_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lang, lower(trim(text)) AS t FROM documents
+),
+trg AS (
+  SELECT lang, unnest(list_filter(string_split_regex(t, '\s+'),
+                                  w -> length(w) > 0)) AS g
+  FROM d WHERE doc_id % 2 = 0
+),
+cnt AS (SELECT lang, g, count(*) AS c FROM trg GROUP BY 1, 2),
+tot AS (SELECT lang, sum(c) AS tl FROM cnt GROUP BY 1),
+vocab AS (SELECT count(DISTINCT g) AS v FROM trg),
+pri AS (
+  SELECT lang, count(*) AS nd FROM d
+  WHERE doc_id % 2 = 0
+    AND len(list_filter(string_split_regex(t, '\s+'),
+                        w -> length(w) > 0)) >= 1
+  GROUP BY 1
+),
+nall AS (SELECT sum(nd) AS n FROM pri),
+lstats AS (
+  SELECT p.lang AS l,
+         ln(CAST(p.nd AS DOUBLE)) - ln(CAST(n.n AS DOUBLE)) AS prior_ln,
+         ln(CAST(t.tl + v.v AS DOUBLE)) AS ln_tv
+  FROM pri p
+  JOIN tot t ON t.lang = p.lang
+  CROSS JOIN nall n CROSS JOIN vocab v
+),
+teg AS (
+  SELECT doc_id, lang AS true_lang,
+         unnest(list_filter(string_split_regex(t, '\s+'),
+                            w -> length(w) > 0)) AS g
+  FROM d WHERE doc_id % 2 = 1
+),
+tf AS (
+  SELECT doc_id, true_lang, g, count(*) AS tf FROM teg GROUP BY 1, 2, 3
+),
+ntok AS (
+  SELECT doc_id, true_lang, sum(tf) AS n_tok FROM tf GROUP BY 1, 2
+),
+contrib AS (
+  SELECT tf.doc_id, c.lang AS l,
+         tf.tf * ln(CAST(c.c + 1 AS DOUBLE)) AS cx
+  FROM tf JOIN cnt c USING (g)
+),
+matched AS (
+  SELECT doc_id, l,
+         list_reduce(list_sort(list(cx)), (a, b) -> a + b) AS m
+  FROM contrib GROUP BY 1, 2
+),
+scores AS (
+  SELECT n.doc_id, n.true_lang, s.l,
+         s.prior_ln + coalesce(m.m, 0.0) - n.n_tok * s.ln_tv AS score
+  FROM ntok n
+  CROSS JOIN lstats s
+  LEFT JOIN matched m ON m.doc_id = n.doc_id AND m.l = s.l
+),
+pred AS (
+  SELECT doc_id, true_lang, l,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, l) AS rk
+  FROM scores
+)
+SELECT true_lang AS lang, l AS predicted, count(*) AS n_docs
+FROM pred WHERE rk = 1 GROUP BY 1, 2
+"""
+
+
+def _q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing over each order priority's daily
+    revenue series (operators/timeseries.py:holt_forecast) — the
+    trend-aware forecaster next to the flat `ewma_forecast`; the
+    sequential struct fold runs the identical IEEE op sequence in both
+    engines, so level/trend/forecasts hash-check."""
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        holt_forecast,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return holt_forecast(
+        o, "o_orderpriority", "o_orderdate", "o_totalprice",
+        alpha=0.5, beta=0.25, horizon=7,
+    )
+
+
+_HOLT_FORECAST_SQL = """
+-- recursive-CTE fold, NOT list_reduce: the level/trend recursion reads
+-- BOTH prior-state fields in every update, and DuckDB's list_reduce
+-- struct-field evaluation order proved inconsistent across shapes
+-- (probed: one-step swap folds pure, multi-step forward references see
+-- mutated fields). The recursive CTE is a pure fold by construction,
+-- with the Spark lambda's exact arithmetic (the trend term recomputes
+-- the new-level expression inline, same IEEE op sequence).
+WITH RECURSIVE daily AS (
+  SELECT o_orderpriority, date_trunc('day', o_orderdate) AS d,
+         floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               * 10000 + 0.5) / 10000 AS y
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+),
+idx AS (
+  SELECT o_orderpriority,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY d) AS i,
+         y
+  FROM daily
+),
+sz AS (SELECT o_orderpriority, count(*) AS n FROM idx GROUP BY 1),
+rec AS (
+  SELECT o_orderpriority, i, CAST(0.0 AS DOUBLE) AS err,
+         y AS l, CAST(0.0 AS DOUBLE) AS t
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT r.o_orderpriority, x.i,
+         r.err + abs(x.y - (r.l + r.t)),
+         0.5 * x.y + 0.5 * (r.l + r.t),
+         0.25 * ((0.5 * x.y + 0.5 * (r.l + r.t)) - r.l) + 0.75 * r.t
+  FROM rec r
+  JOIN idx x ON x.o_orderpriority = r.o_orderpriority AND x.i = r.i + 1
+)
+SELECT r.o_orderpriority, CAST(s.n AS INT) AS n_days,
+       floor(last.y * 10000 + 0.5) / 10000 AS last_y,
+       floor(r.l * 10000 + 0.5) / 10000 AS level,
+       floor(r.t * 10000 + 0.5) / 10000 AS trend,
+       floor((r.l + r.t) * 10000 + 0.5) / 10000 AS forecast_1,
+       floor((r.l + 7.0 * r.t) * 10000 + 0.5) / 10000 AS forecast_7,
+       CASE WHEN s.n >= 2
+            THEN floor((r.err / CAST(s.n - 1 AS DOUBLE)) * 10000 + 0.5)
+                 / 10000
+            END AS mae_1step
+FROM rec r
+JOIN sz s ON s.o_orderpriority = r.o_orderpriority AND r.i = s.n
+JOIN idx last ON last.o_orderpriority = r.o_orderpriority
+             AND last.i = s.n
+"""
+
+
+QUERIES.update(
+    {
+        "nb_lang_confusion": QuerySpec(
+            _q_nb_lang_confusion, _NB_LANG_CONFUSION_SQL
+        ),
+        "holt_forecast": QuerySpec(_q_holt_forecast, _HOLT_FORECAST_SQL),
+    }
+)
+
+
 # --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
@@ -10360,6 +10530,8 @@ _GRADING_PRIORITY: list[str] = [
     "simhash_pairs",
     "ridge_conformal",
     "adamic_adar",
+    "nb_lang_confusion",
+    "holt_forecast",
     # (b) the stalest driver grades: every oracle-checked query whose
     # last driver row is round 1 (25 — the three r1 rows-only sampling
     # queries are excluded: their grade is declared-rows-only by design

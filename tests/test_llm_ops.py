@@ -666,3 +666,55 @@ def test_token_frequency_spectrum_counts(spark):
         for r in token_frequency_spectrum(df, "doc_id", "text").collect()
     }
     assert got == {4: 1, 2: 2, 1: 1}
+
+
+def test_nb_lang_classify_separable_and_edge_docs(spark):
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        nb_lang_classify,
+    )
+
+    # three labels with disjoint core vocabularies + shared noise words;
+    # a trained NB must recover them perfectly on held-out docs
+    vocab = {
+        "aa": ["red", "green", "blue", "crimson"],
+        "bb": ["dog", "cat", "bird", "wolf"],
+        "cc": ["one", "two", "three", "four"],
+    }
+    rows = []
+    i = 0
+    for lab, words in vocab.items():
+        for k in range(30):
+            body = [words[(k * (j + 1) + j) % len(words)] for j in range(8)]
+            rows.append((i, " ".join(body + ["the", "and"]), lab))
+            i += 1
+    # featureless docs must be EXCLUDED, not crash: empty + whitespace
+    rows += [(900, "", "aa"), (901, "   ", "bb")]
+    df = spark.createDataFrame(rows, "id long, text string, lab string")
+    tr = df.filter(F.col("id") % 2 == 0)
+    te = df.filter(F.col("id") % 2 == 1)
+    pred = nb_lang_classify(tr, te, "id", "text", "lab", mode="word")
+    got = {r["id"]: (r["lab"], r["predicted"]) for r in pred.collect()}
+    assert 901 not in got  # whitespace-only doc has no features
+    scored = {i for i, (t, _) in got.items()}
+    assert scored == {r[0] for r in rows if r[0] % 2 == 1 and r[1].strip()}
+    assert all(t == p for t, p in got.values())  # separable -> perfect
+    # char mode: same contract, one prediction per scorable doc
+    pred_c = nb_lang_classify(tr, te, "id", "text", "lab", mode="char", gram=2)
+    assert pred_c.groupBy("id").count().filter("count > 1").count() == 0
+
+
+def test_nb_lang_classify_prior_decides_featureless_overlap(spark):
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        nb_lang_classify,
+    )
+
+    # every doc is the same text -> likelihoods tie across labels; the
+    # class PRIOR (3 "maj" train docs vs 1 "min") must decide, with the
+    # label tiebreak never reached
+    rows = [(0, "x y", "maj"), (2, "x y", "maj"), (4, "x y", "maj"),
+            (6, "x y", "min"), (1, "x y", "min"), (3, "x y", "maj")]
+    df = spark.createDataFrame(rows, "id long, text string, lab string")
+    tr = df.filter(F.col("id") % 2 == 0)
+    te = df.filter(F.col("id") % 2 == 1)
+    got = nb_lang_classify(tr, te, "id", "text", "lab", mode="word").collect()
+    assert {r["predicted"] for r in got} == {"maj"}

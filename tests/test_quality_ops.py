@@ -910,3 +910,37 @@ def test_mmr_rerank_diversity_vs_lambda(spark):
     # n_select beyond the candidate count returns all candidates, ranked
     all6 = mmr_rerank(df, "doc_id", "rel", "toks", n_select=10, lam=0.7)
     assert all6.count() == 6
+
+
+def test_holt_forecast_tracks_linear_trend(spark):
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        holt_forecast,
+    )
+
+    t = lambda d: BASE + dt.timedelta(days=d)  # noqa: E731
+    # key 'lin': exact linear ramp y = 10 + 2d -> Holt must converge to
+    # trend 2 and forecast the true next values; key 'one': single day
+    rows = [("lin", t(d), 10.0 + 2.0 * d) for d in range(60)] + [
+        ("one", t(0), 7.0)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r.k: r for r in holt_forecast(df, "k", "ts", "v").collect()}
+    lin = out["lin"]
+    assert lin.n_days == 60 and lin.last_y == 10.0 + 2.0 * 59
+    assert abs(lin.trend - 2.0) < 1e-6  # converged on the true slope
+    assert abs(lin.forecast_1 - (lin.last_y + 2.0)) < 1e-3
+    assert abs(lin.forecast_7 - (lin.last_y + 14.0)) < 1e-2
+    assert lin.mae_1step < 1.0  # in-sample 1-step error shrinks fast
+    one = out["one"]
+    assert one.n_days == 1 and one.trend == 0.0
+    assert one.forecast_1 == 7.0 and one.mae_1step is None
+    # exact fold parity with the hand recurrence
+    ys = [10.0 + 2.0 * d for d in range(60)]
+    l, tr, err = ys[0], 0.0, 0.0
+    for y in ys[1:]:
+        err = err + abs(y - (l + tr))
+        nl = 0.5 * y + 0.5 * (l + tr)
+        tr = 0.25 * (nl - l) + 0.75 * tr
+        l = nl
+    assert lin.level == math.floor(l * 10000 + 0.5) / 10000
+    assert lin.trend == math.floor(tr * 10000 + 0.5) / 10000
