@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from feature_store_fraud_detection_spark.functions.numeric import round4_stable
@@ -262,3 +262,85 @@ def next_event_training_pairs(
             "target",
         )
     )
+
+
+def markov_stationary(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    iters: int = 30,
+) -> DataFrame:
+    """Stationary distribution of the first-order behavior Markov chain:
+    where does a user's session settle in the long run? Transition counts
+    come from consecutive (lag) event pairs per key; the chain is
+    Laplace-1 smoothed — P(i->j) = (c_ij + 1) / (c_i + k) over the full
+    k x k grid — which makes it strictly positive, hence irreducible and
+    aperiodic: the power iteration from uniform provably converges and
+    dangling states need no special case. Returns (type, stationary_p).
+
+    Determinism: P entries are integer-quotient doubles; each iteration's
+    per-state sum folds the SORTED p_i * P_ij term list; a fixed ``iters``
+    count (not a convergence test) keeps both engines on the identical
+    arithmetic path, so the distribution hash-checks cross-engine.
+
+    Scale: the chain state lives in a (k, p) DataFrame and transitions in
+    a (k x k) DataFrame keyed by source state — each iteration is one
+    co-keyed join + one keyed aggregate, the PageRank shape (for event
+    vocabularies k is tiny; for million-state chains the same plan holds
+    and nothing touches the driver). ``localCheckpoint`` per iteration
+    truncates the growing lineage.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = df.select(
+        F.lag(type_col).over(w).alias("src"),
+        F.col(type_col).alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    types = df.select(F.col(type_col).alias("t")).distinct().persist()
+    k = types.count()
+    grid = (
+        types.select(F.col("t").alias("src"))
+        .crossJoin(F.broadcast(types.select(F.col("t").alias("dst"))))
+    )
+    outdeg = counts.groupBy("src").agg(F.sum("c").alias("ci"))
+    trans = (
+        grid.join(counts, ["src", "dst"], "left")
+        .join(outdeg, "src", "left")
+        .select(
+            "src",
+            "dst",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("ci"), F.lit(0)) + k).cast("double")
+            ).alias("p_ij"),
+        )
+        .persist()
+    )
+    trans.count()
+    # the state is k rows: shrink each iteration's post-shuffle output to
+    # ~100k states/partition (1 task for event vocabularies) so 30 rounds
+    # don't pay 30 x shuffle.partitions empty-task launches
+    n_parts = max(1, k // 100_000)
+    p = types.select(
+        F.col("t").alias("src"), (F.lit(1.0) / k).alias("p")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        p = (
+            trans.join(p, "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.col("p") * F.col("p_ij"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("p")
+            )
+            .coalesce(n_parts)
+            .localCheckpoint(eager=True)
+        )
+    out = p.select(F.col("src").alias(type_col), round4_stable(F.col("p")).alias("stationary_p"))
+    types.unpersist()
+    trans.unpersist()
+    return out

@@ -670,3 +670,66 @@ def categorical_psi_from_counts(
         "n_curr",
         round4_stable((sa - sb) * F.log(sa / sb)).alias("psi_term"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Quantile normalization of a numeric column across groups — the
+    batch-effect remover for corpus mixing: each group's distribution is
+    remapped onto the CROSS-GROUP average distribution, so downstream
+    length/quality filters treat every source on the same scale
+    (microarray-style QN, bucketed for unequal group sizes).
+
+    Per (group, ntile bucket over (val, tiebreak) total order): the raw
+    bucket mean; per bucket: the normalization TARGET = mean of the
+    per-group bucket means (each group votes once, so a huge source
+    can't drag the reference distribution). Returns
+    (group, bucket, n_rows, mean_raw, target) — the remap table a
+    row-level join applies.
+
+    Determinism: integer/DECIMAL-exact sums quotient-rounded per the
+    repo rule; the cross-group mean folds the SORTED per-group means.
+    ntile over an explicit (val, tiebreak) total order assigns
+    identically in Spark and DuckDB (both give the first ``n % buckets``
+    buckets the extra row).
+
+    Scale: one window sort per group (the group is the partition key —
+    no global sort), one keyed aggregate, one ``n_buckets``-sized
+    broadcast back. Skewed group sizes only skew the sort, not the
+    remap table.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    w = Window.partitionBy(group_col).orderBy(val_col, tiebreak_col)
+    b = df.withColumn("__b", F.ntile(n_buckets).over(w))
+    per = b.groupBy(group_col, "__b").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(val_col).cast("decimal(18,4)")).alias("__s"),
+    ).select(
+        group_col,
+        F.col("__b").alias("bucket"),
+        "n_rows",
+        round4_stable(
+            F.col("__s").cast("double") / F.col("n_rows").cast("double")
+        ).alias("mean_raw"),
+    )
+    target = per.groupBy("bucket").agg(
+        round4_stable(
+            F.aggregate(
+                F.array_sort(F.collect_list("mean_raw")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("target")
+    )
+    return per.join(F.broadcast(target), "bucket").select(
+        group_col, "bucket", "n_rows", "mean_raw", "target"
+    )

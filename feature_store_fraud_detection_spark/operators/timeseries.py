@@ -466,3 +466,98 @@ def holt_forecast(
         F.when(n >= 2, round4_stable(fold["err"] / (n - 1).cast("double")))
         .alias("mae_1step"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend per key over the daily series: slope =
+    MEDIAN of all pairwise slopes (y_j - y_i)/(d_j - d_i), intercept =
+    median(y_i - slope*(d_i - d_first)) (the robust level at the key's
+    FIRST day, not a days-since-1970 extrapolation) — the outlier-proof
+    twin of an OLS fit (one wild day moves OLS arbitrarily; Theil-Sen
+    tolerates ~29% corruption).
+
+    Determinism: daily totals are exact DECIMAL sums rounded before any
+    float math; day deltas are exact integers; medians are exact order
+    statistics over the sorted slope list (even count: mean of the two
+    middles, the one division both engines run identically).
+
+    Scale: the pairwise slope list is O(days^2) PER KEY, array-local
+    (never a row explosion or a join) — bounded series only; for
+    million-day keys pre-aggregate to coarser buckets first, same bound
+    as :func:`holt_forecast`'s fold. Keys with a single day return NULL
+    slope/intercept.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        df.filter(F.col(val_col).isNotNull())
+        .groupBy(F.col(key_col), day.alias("__day"))
+        .agg(F.sum(F.col(val_col).cast("decimal(18,4)")).alias("__s"))
+        .select(
+            key_col,
+            (F.unix_timestamp("__day") / F.lit(86400)).cast("bigint").alias(
+                "__d"
+            ),
+            round4_stable(F.col("__s").cast("double")).alias("__y"),
+        )
+    )
+    series = daily.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__d"), F.col("__y")))
+        ).alias("__sr")
+    )
+    arr = F.col("__sr")
+    n = F.size(arr)
+
+    def _median(sorted_arr: F.Column) -> F.Column:
+        m = F.size(sorted_arr)
+        mid = F.element_at(sorted_arr, ((m + 1) / 2).cast("int"))
+        mid2 = F.element_at(sorted_arr, (m / 2 + 1).cast("int"))
+        return F.when(m % 2 == 1, mid).otherwise(
+            (F.element_at(sorted_arr, (m / 2).cast("int")) + mid2) / F.lit(2.0)
+        )
+
+    slopes = F.array_sort(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, n),
+                    lambda j: (
+                        F.element_at(arr, j)["__y"]
+                        - F.element_at(arr, i)["__y"]
+                    )
+                    / (
+                        F.element_at(arr, j)["__d"]
+                        - F.element_at(arr, i)["__d"]
+                    ).cast("double"),
+                ),
+            )
+        )
+    )
+    out = series.select(
+        key_col,
+        n.cast("int").alias("n_days"),
+        F.when(n >= 2, _median(slopes)).alias("__slope"),
+        arr.alias("__a"),
+    )
+    d0 = F.element_at(F.col("__a"), 1)["__d"]
+    intercepts = F.array_sort(
+        F.transform(
+            F.col("__a"),
+            lambda s: s["__y"]
+            - F.col("__slope") * (s["__d"] - d0).cast("double"),
+        )
+    )
+    return out.select(
+        key_col,
+        "n_days",
+        round4_stable(F.col("__slope")).alias("slope"),
+        round4_stable(F.when(F.col("__slope").isNotNull(), _median(intercepts))).alias(
+            "intercept"
+        ),
+    )

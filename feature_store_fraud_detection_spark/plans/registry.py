@@ -10498,12 +10498,188 @@ JOIN idx last ON last.o_orderpriority = r.o_orderpriority
 """
 
 
+def _q_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across crawl sources
+    (operators/stats.py:quantile_normalize) — the corpus-mixing
+    harmonizer: each source's n_chars distribution remapped onto the
+    cross-source average so one verbose crawl can't dominate
+    length-based curation gates."""
+    from feature_store_fraud_detection_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_normalize(docs, "source", "n_chars", "doc_id", n_buckets=10)
+
+
+_QUANTILE_NORMALIZE_SQL = """
+WITH b AS (
+  SELECT source, n_chars,
+         ntile(10) OVER (PARTITION BY source
+                         ORDER BY n_chars, doc_id) AS bucket
+  FROM documents
+),
+per AS (
+  SELECT source, bucket, count(*) AS n_rows,
+         floor((CAST(sum(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000
+           AS mean_raw
+  FROM b GROUP BY 1, 2
+),
+tgt AS (
+  SELECT bucket,
+         floor((list_reduce(list_sort(list(mean_raw)), (a, x) -> a + x)
+                / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000
+           AS target
+  FROM per GROUP BY 1
+)
+SELECT source, bucket, CAST(n_rows AS BIGINT) AS n_rows, mean_raw, target
+FROM per JOIN tgt USING (bucket)
+"""
+
+
+def _q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily trend per event type
+    (operators/timeseries.py:theil_sen_trend) — the outlier-proof slope
+    next to the smoothing forecasters (one wild day moves an OLS slope
+    arbitrarily; the median-of-pairwise-slopes tolerates ~29%
+    corruption). Exact order-statistic medians hash-check."""
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return theil_sen_trend(ev, "event_type", "ts", "value")
+
+
+_THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               * 10000 + 0.5) / 10000 AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type,
+         list_sort(list({'d': CAST(floor(epoch(d) / 86400) AS BIGINT),
+                         'y': y})) AS a
+  FROM daily GROUP BY 1
+),
+sl AS (
+  SELECT event_type, a, len(a) AS n,
+         list_sort(flatten(list_transform(range(1, len(a)),
+           i -> list_transform(range(i + 1, len(a) + 1),
+             j -> (a[j].y - a[i].y)
+                  / CAST(a[j].d - a[i].d AS DOUBLE))))) AS s
+  FROM series
+),
+sm AS (
+  SELECT event_type, a, n,
+         CASE WHEN n >= 2 THEN
+           CASE WHEN len(s) % 2 = 1
+                THEN s[CAST(floor((len(s) + 1) / 2) AS INT)]
+                ELSE (s[CAST(floor(len(s) / 2) AS INT)]
+                      + s[CAST(floor(len(s) / 2) AS INT) + 1]) / 2.0
+           END
+         END AS slope
+  FROM sl
+),
+ic AS (
+  SELECT event_type, n, slope,
+         CASE WHEN slope IS NOT NULL THEN
+           list_sort(list_transform(
+             a, e -> e.y - slope * CAST(e.d - a[1].d AS DOUBLE)))
+         END AS t
+  FROM sm
+)
+SELECT event_type, CAST(n AS INT) AS n_days,
+       floor(slope * 10000 + 0.5) / 10000 AS slope,
+       floor((CASE WHEN len(t) % 2 = 1
+                   THEN t[CAST(floor((len(t) + 1) / 2) AS INT)]
+                   ELSE (t[CAST(floor(len(t) / 2) AS INT)]
+                         + t[CAST(floor(len(t) / 2) AS INT) + 1]) / 2.0
+              END) * 10000 + 0.5) / 10000 AS intercept
+FROM ic
+"""
+
+
+def _q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain
+    (operators/funnel.py:markov_stationary) — the long-run complement of
+    `event_transitions`' one-step probabilities. Laplace-1 smoothing
+    makes the chain strictly positive (guaranteed convergence, no
+    dangling-state case); 30 fixed power iterations of sorted-fold sums
+    keep both engines on the identical arithmetic path."""
+    from feature_store_fraud_detection_spark.operators.funnel import (
+        markov_stationary,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return markov_stationary(ev, "user_id", "event_type", "ts", "event_id")
+
+
+def _markov_sql(iters: int = 30) -> str:
+    """Unrolled power-iteration oracle (recursive CTEs can't aggregate in
+    the recursive term; the kcore/bpe unrolled-SQL precedent). Every CTE
+    is MATERIALIZED: DuckDB inlines plain CTEs, so trans would re-expand
+    into all 30 steps and the chained p_i would compound it (measured
+    >590 s plain vs 0.2 s materialized at sf0.01)."""
+    head = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+counts AS MATERIALIZED (
+  SELECT src, dst, count(*) AS c
+  FROM pairs WHERE src IS NOT NULL GROUP BY 1, 2
+),
+types AS MATERIALIZED (SELECT DISTINCT event_type AS t FROM events),
+kk AS MATERIALIZED (SELECT count(*) AS k FROM types),
+outdeg AS MATERIALIZED (SELECT src, sum(c) AS ci FROM counts GROUP BY 1),
+trans AS MATERIALIZED (
+  SELECT g.src, g.dst,
+         CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+           / CAST(coalesce(o.ci, 0) + kk.k AS DOUBLE) AS p_ij
+  FROM (SELECT a.t AS src, b.t AS dst
+        FROM types a CROSS JOIN types b) g
+  LEFT JOIN counts c ON c.src = g.src AND c.dst = g.dst
+  LEFT JOIN outdeg o ON o.src = g.src
+  CROSS JOIN kk
+),
+p0 AS (SELECT t AS src, 1.0 / kk.k AS p FROM types CROSS JOIN kk)"""
+    steps = "".join(
+        f""",
+p{i + 1} AS MATERIALIZED (
+  SELECT t.dst AS src,
+         list_reduce(list_sort(list(p.p * t.p_ij)), (a, x) -> a + x) AS p
+  FROM trans t JOIN p{i} p ON p.src = t.src GROUP BY 1
+)"""
+        for i in range(iters)
+    )
+    return (
+        head
+        + steps
+        + f"""
+SELECT src AS event_type,
+       floor(p * 10000 + 0.5) / 10000 AS stationary_p
+FROM p{iters}
+"""
+    )
+
+
 QUERIES.update(
     {
         "nb_lang_confusion": QuerySpec(
             _q_nb_lang_confusion, _NB_LANG_CONFUSION_SQL
         ),
         "holt_forecast": QuerySpec(_q_holt_forecast, _HOLT_FORECAST_SQL),
+        "quantile_normalize_sources": QuerySpec(
+            _q_quantile_normalize_sources, _QUANTILE_NORMALIZE_SQL
+        ),
+        "theil_sen_trend": QuerySpec(_q_theil_sen_trend, _THEIL_SEN_SQL),
+        "markov_stationary": QuerySpec(_q_markov_stationary, _markov_sql()),
     }
 )
 
@@ -10532,6 +10708,9 @@ _GRADING_PRIORITY: list[str] = [
     "adamic_adar",
     "nb_lang_confusion",
     "holt_forecast",
+    "quantile_normalize_sources",
+    "theil_sen_trend",
+    "markov_stationary",
     # (b) the stalest driver grades: every oracle-checked query whose
     # last driver row is round 1 (25 — the three r1 rows-only sampling
     # queries are excluded: their grade is declared-rows-only by design

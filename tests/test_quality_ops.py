@@ -944,3 +944,66 @@ def test_holt_forecast_tracks_linear_trend(spark):
         l = nl
     assert lin.level == math.floor(l * 10000 + 0.5) / 10000
     assert lin.trend == math.floor(tr * 10000 + 0.5) / 10000
+
+
+def test_theil_sen_ignores_outlier_day(spark):
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    t = lambda d: BASE + dt.timedelta(days=d)  # noqa: E731
+    # exact ramp y = 5 + 3d with ONE wild day -> median slope still 3,
+    # intercept still 5 (OLS would be dragged); single-day key -> NULLs
+    rows = [("r", t(d), 5.0 + 3.0 * d) for d in range(21) if d != 10]
+    rows.append(("r", t(10), 10_000.0))
+    rows.append(("one", t(0), 7.0))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r.k: r for r in theil_sen_trend(df, "k", "ts", "v").collect()}
+    assert out["r"].n_days == 21
+    assert out["r"].slope == 3.0
+    assert out["r"].intercept == 5.0
+    assert out["one"].slope is None and out["one"].intercept is None
+
+
+def test_quantile_normalize_targets_are_cross_group_means(spark):
+    from feature_store_fraud_detection_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    # group a: 0..9, group b: 100..109 (shifted) -> with 5 buckets of 2,
+    # target(bucket) = mean of the two group bucket means
+    rows = [("a", float(i), i) for i in range(10)] + [
+        ("b", float(100 + i), 100 + i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    out = quantile_normalize(df, "g", "v", "id", n_buckets=5).collect()
+    got = {(r.g, r.bucket): r for r in out}
+    assert all(r.n_rows == 2 for r in out)
+    assert got[("a", 1)].mean_raw == 0.5 and got[("b", 1)].mean_raw == 100.5
+    # every bucket's target is the midpoint of the two group means
+    for b in range(1, 6):
+        assert got[("a", b)].target == got[("b", b)].target
+        assert got[("a", b)].target == (
+            got[("a", b)].mean_raw + got[("b", b)].mean_raw
+        ) / 2.0
+
+
+def test_markov_stationary_two_state_chain(spark):
+    from feature_store_fraud_detection_spark.operators.funnel import (
+        markov_stationary,
+    )
+
+    t = lambda s: BASE + dt.timedelta(seconds=s)  # noqa: E731
+    # one key emitting x,y,x,y,... (41 events -> exactly 20 transitions
+    # each way); the smoothed chain is symmetric, so the stationary
+    # distribution is uniform
+    rows = [("u", "x" if i % 2 == 0 else "y", t(i), i) for i in range(41)]
+    df = spark.createDataFrame(rows, "k string, e string, ts timestamp, id long")
+    out = {r.e: r.stationary_p for r in markov_stationary(df, "k", "e", "ts", "id").collect()}
+    assert out == {"x": 0.5, "y": 0.5}
+    # skewed chain: mostly a->a with rare a->b->a -> pi(a) > pi(b)
+    seq = (["a"] * 9 + ["b"]) * 4
+    rows2 = [("u", e, t(i), i) for i, e in enumerate(seq)]
+    df2 = spark.createDataFrame(rows2, "k string, e string, ts timestamp, id long")
+    out2 = {r.e: r.stationary_p for r in markov_stationary(df2, "k", "e", "ts", "id").collect()}
+    assert out2["a"] > 0.75 and abs(out2["a"] + out2["b"] - 1.0) < 1e-3
