@@ -358,3 +358,99 @@ def hist_rollup(sketches: DataFrame, key_col: str, bins: int) -> DataFrame:
             lambda acc, c: F.zip_with(acc, c, lambda x, y: x + y),
         ).alias("counts")
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog with md5 registers — the ORACLE-CHECKABLE HLL
+# --------------------------------------------------------------------------
+# Spark's approx_count_distinct is a real HLL but its binary state is
+# engine-private (rows-only check; `kmv_distinct_users` is its hash-checked
+# twin). This one is HLL itself, deterministic end to end: md5-derived
+# 60-bit hashes -> p low bits pick the register, the leading-zero rank of
+# the remaining 48 bits updates it via max. Registers are integers, the
+# rank is a string-length computation (no libm), and the estimator's
+# doubles are exact powers of two summed in sorted order — DuckDB
+# reproduces sketch AND estimate bit-for-bit.
+
+_HLL_P = 12          # 2^12 = 4096 registers -> ~1.6% std error
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 60 - _HLL_P  # rank range 1..49
+
+
+def _hll_rank(w: Column) -> Column:
+    """Leading-zero rank of the 48-bit suffix: 49 - bit_length(w), w=0 -> 49.
+    bit_length via base-2 string length (conv/bin are minimal-width in both
+    engines) — integer-exact, no log2."""
+    return F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+
+
+def hll_sketch(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-key HLL register state (key, reg, m_j) — one hash aggregation;
+    state is <= 4096 small ints per key regardless of cardinality."""
+    h60 = F.conv(
+        F.substring(
+            F.md5(F.encode(F.col(value_col).cast("string"), "UTF-8")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.shiftright(h60, _HLL_P)
+    return (
+        df.select(
+            F.col(key_col),
+            (h60 % _HLL_M).alias("reg"),
+            _hll_rank(w).alias("__r"),
+        )
+        .groupBy(key_col, "reg")
+        .agg(F.max("__r").alias("m_j"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, key_col: str) -> DataFrame:
+    """Union semantics: element-wise register max — merging per-shard
+    sketches is BIT-EQUAL to sketching the union (max is associative,
+    commutative, idempotent; property-tested)."""
+    return (
+        a.unionByName(b)
+        .groupBy(key_col, "reg")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, key_col: str) -> DataFrame:
+    """HLL cardinality estimate from register state: raw
+    alpha_m * m^2 / sum_j 2^(-M_j) with the standard small-range linear
+    counting switch (E <= 2.5m and empty registers remain). Every term is
+    an exact power of two; the register sum folds in sorted order; the
+    alpha constant is spelled as the same arithmetic expression both
+    engines evaluate — the estimate hash-checks."""
+    m = float(_HLL_M)
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(m))
+    agg = sketch.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.lit(1.0) / F.pow(F.lit(2.0), F.col("m_j")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__s"),
+    )
+    zeros = (F.lit(_HLL_M) - F.col("n_regs")).cast("bigint")
+    raw = (
+        alpha
+        * F.lit(m)
+        * F.lit(m)
+        / (F.col("__s") + zeros.cast("double"))
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(m) * F.log(F.lit(m) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.col(key_col),
+        zeros.alias("zeros"),
+        round4_stable(est).alias("estimate"),
+    )

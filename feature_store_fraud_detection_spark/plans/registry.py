@@ -10684,6 +10684,65 @@ QUERIES.update(
 )
 
 
+def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via a REAL HyperLogLog whose sketch
+    and estimate both hash-check (operators/sketches.py:hll_sketch) —
+    closes the one sketch family that was rows-only: Spark's
+    approx_count_distinct state is engine-private, this HLL's md5
+    registers and exact-power-of-two estimator are not. p=12 (4096
+    registers, ~1.6% std error); small-range linear counting included."""
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_estimate(hll_sketch(ev, "event_type", "user_id"), "event_type")
+
+
+_HLL_DISTINCT_SQL = """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h60
+  FROM events
+),
+r AS (
+  SELECT event_type, h60 % 4096 AS reg,
+         max(CASE WHEN h60 // 4096 = 0 THEN 49
+                  ELSE 49 - length(bin(h60 // 4096)) END) AS m_j
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, count(*) AS n_regs,
+         list_reduce(list_sort(list(1.0 / power(2.0, m_j))),
+                     (a, x) -> a + x) AS s
+  FROM r GROUP BY 1
+),
+est AS (
+  SELECT event_type,
+         CAST(4096 - n_regs AS BIGINT) AS zeros,
+         (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+           / (s + CAST(4096 - n_regs AS DOUBLE)) AS raw
+  FROM agg
+)
+SELECT event_type, zeros,
+       floor((CASE WHEN raw <= 10240.0 AND zeros > 0
+                   THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+                   ELSE raw END) * 10000 + 0.5) / 10000 AS estimate
+FROM est
+"""
+
+
+QUERIES.update(
+    {
+        "hll_distinct_users": QuerySpec(
+            _q_hll_distinct_users, _HLL_DISTINCT_SQL
+        ),
+    }
+)
+
+
 # --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
@@ -10711,6 +10770,7 @@ _GRADING_PRIORITY: list[str] = [
     "quantile_normalize_sources",
     "theil_sen_trend",
     "markov_stationary",
+    "hll_distinct_users",
     # (b) the stalest driver grades: every oracle-checked query whose
     # last driver row is round 1 (25 — the three r1 rows-only sampling
     # queries are excluded: their grade is declared-rows-only by design

@@ -474,3 +474,57 @@ def test_adamic_adar_hand_graph(spark):
     }
     assert (3, 4) not in capped
     assert (5, 6) in capped  # mediated by deg-3 nodes, survives
+
+
+def test_hll_sketch_estimate_accuracy_and_merge(spark):
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    # 5000 true distinct values under one key -> HLL(p=12) must land
+    # within ~5 std errors (1.6% each) of the truth
+    rows = [("k", f"user_{i}") for i in range(5000)] + [
+        ("k", f"user_{i}") for i in range(100)  # duplicates change nothing
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    est = hll_estimate(hll_sketch(df, "g", "v"), "g").collect()[0]
+    assert abs(est.estimate - 5000) / 5000 < 0.08
+    # duplicates are idempotent: sketch of the deduped set is identical
+    ded = spark.createDataFrame(
+        [("k", f"user_{i}") for i in range(5000)], "g string, v string"
+    )
+    a = {(r.g, r.reg): r.m_j for r in hll_sketch(df, "g", "v").collect()}
+    b = {(r.g, r.reg): r.m_j for r in hll_sketch(ded, "g", "v").collect()}
+    assert a == b
+    # mergeability: union of two disjoint halves == sketching the union
+    h1 = spark.createDataFrame(
+        [("k", f"user_{i}") for i in range(2500)], "g string, v string"
+    )
+    h2 = spark.createDataFrame(
+        [("k", f"user_{i}") for i in range(2500, 5000)], "g string, v string"
+    )
+    merged = {
+        (r.g, r.reg): r.m_j
+        for r in hll_merge(
+            hll_sketch(h1, "g", "v"), hll_sketch(h2, "g", "v"), "g"
+        ).collect()
+    }
+    assert merged == b
+
+
+def test_hll_small_range_linear_counting(spark):
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    # 3 distinct values: raw HLL over-smooths tiny sets; the linear
+    # counting branch must fire and land essentially exactly
+    df = spark.createDataFrame(
+        [("k", "a"), ("k", "b"), ("k", "c")], "g string, v string"
+    )
+    est = hll_estimate(hll_sketch(df, "g", "v"), "g").collect()[0]
+    assert est.zeros == 4096 - 3
+    assert abs(est.estimate - 3.0) < 0.01
