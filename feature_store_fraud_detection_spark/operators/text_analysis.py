@@ -881,3 +881,57 @@ def nb_lang_classify(
         .filter(F.col("__rk") == 1)
         .select(id_col, label_col, F.col("__l").alias("predicted"))
     )
+
+
+def readability_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document — the
+    classic curation readability screen (too-hard and too-trivial text
+    both get filtered or routed to curriculum stages). Counts are pure
+    regex aggregates: words from the shared whitespace tokenizer,
+    sentences from terminal-punctuation runs ``[.!?]+`` (floored at 1 —
+    unpunctuated corpora degrade to one-sentence docs, honestly), and
+    the standard vowel-group syllable approximation ``[aeiouy]+``::
+
+        flesch   = 206.835 - 1.015*(W/S) - 84.6*(Syl/W)
+        fk_grade = 0.39*(W/S) + 11.8*(Syl/W) - 15.59
+
+    Integer counts + fixed-order double arithmetic -> both scores
+    hash-check cross-engine. Zero-word docs are excluded. Scale: one
+    projection, no shuffle at all until the caller aggregates.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    toks = tokens(F.col(text_col))
+    syl = F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)")
+    )
+    sent = F.greatest(
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+        F.lit(1),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_words"),
+        sent.alias("n_sentences"),
+        syl.alias("n_syllables"),
+    ).filter(F.col("n_words") >= 1)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = (
+        F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    )
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        round4_stable(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+        ).alias("flesch"),
+        round4_stable(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+        ).alias("fk_grade"),
+    )

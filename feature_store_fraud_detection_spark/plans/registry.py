@@ -10734,10 +10734,52 @@ FROM est
 """
 
 
+def _q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document
+    (operators/text_analysis.py:readability_scores) — the readability
+    member of the curation screen family next to quality_score and the
+    Gopher gates; integer regex counts + fixed-order arithmetic, so both
+    scores hash-check."""
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        readability_scores,
+    )
+
+    return readability_scores(load_docs(spark, sf_dir), "doc_id", "text")
+
+
+_READABILITY_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       floor((206.835
+              - 1.015 * (CAST(n_words AS DOUBLE)
+                         / CAST(n_sentences AS DOUBLE))
+              - 84.6 * (CAST(n_syllables AS DOUBLE)
+                        / CAST(n_words AS DOUBLE)))
+             * 10000 + 0.5) / 10000 AS flesch,
+       floor((0.39 * (CAST(n_words AS DOUBLE)
+                      / CAST(n_sentences AS DOUBLE))
+              + 11.8 * (CAST(n_syllables AS DOUBLE)
+                        / CAST(n_words AS DOUBLE))
+              - 15.59)
+             * 10000 + 0.5) / 10000 AS fk_grade
+FROM c WHERE n_words >= 1
+"""
+
+
 QUERIES.update(
     {
         "hll_distinct_users": QuerySpec(
             _q_hll_distinct_users, _HLL_DISTINCT_SQL
+        ),
+        "readability_scores": QuerySpec(
+            _q_readability_scores, _READABILITY_SQL
         ),
     }
 )
@@ -10771,6 +10813,7 @@ _GRADING_PRIORITY: list[str] = [
     "theil_sen_trend",
     "markov_stationary",
     "hll_distinct_users",
+    "readability_scores",
     # (b) the stalest driver grades: every oracle-checked query whose
     # last driver row is round 1 (25 — the three r1 rows-only sampling
     # queries are excluded: their grade is declared-rows-only by design

@@ -818,3 +818,69 @@ def stream_distinct_report(
     )
 
     return kmv_estimate(spark.read.parquet(state_dir), key_col, k)
+
+
+def run_stream_cms_monitor(
+    raw_rows: DataFrame,
+    state_dir: str,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming heavy-hitter monitoring — the fourth additive-state
+    monitor, completing the sketch-monitor matrix (drift=categorical
+    counts, quantiles=histogram, distincts=KMV, frequencies=CMS): fold
+    each micro-batch's count-min sketch into parquet state by cell-wise
+    ADDITION, the CMS merge law, so the folded state is BIT-identical to
+    sketching every row ever seen in one pass.
+    ``stream_heavy_hitters_report`` then point-queries any candidate set
+    against the accumulated sketch. Per-batch cost: one depth*width-cell
+    aggregate + a sketch-sized merge; state is depth*width counters,
+    never row-sized. Replay-safe via ``_replay_guarded_fold``.
+    """
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        cms_sketch,
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+
+        def _merge(prev: DataFrame | None) -> DataFrame:
+            m = cms_sketch(batch_df, item_col, depth, width)
+            if prev is None:
+                return m
+            return (
+                prev.unionByName(m)
+                .groupBy("row", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+
+        _replay_guarded_fold(spark, state_dir, batch_id, _merge)
+
+    writer = (
+        raw_rows.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def stream_heavy_hitters_report(
+    spark,
+    state_dir: str,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Frequency estimates for ``items`` from the monitor's accumulated
+    sketch state (CMS guarantee: never under the true count)."""
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        cms_query,
+    )
+
+    state = spark.read.parquet(state_dir).select("row", "bucket", "cnt")
+    return cms_query(state, items, item_col, depth, width)

@@ -718,3 +718,29 @@ def test_nb_lang_classify_prior_decides_featureless_overlap(spark):
     te = df.filter(F.col("id") % 2 == 1)
     got = nb_lang_classify(tr, te, "id", "text", "lab", mode="word").collect()
     assert {r["predicted"] for r in got} == {"maj"}
+
+
+def test_readability_scores_hand_fixture(spark):
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        readability_scores,
+    )
+
+    # "The cat sat. The dog ran!" : W=6, S=2, Syl=6 (one vowel group per
+    # word) -> flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19
+    #          fk    = 0.39*3 + 11.8*1 - 15.59 = -2.62
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in readability_scores(df, "doc_id", "text").collect()}
+    r = out[1]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (6, 2, 6)
+    assert abs(r.flesch - 119.19) < 1e-9
+    assert abs(r.fk_grade - (-2.62)) < 1e-9
+    # harder text scores lower ease / higher grade
+    df2 = spark.createDataFrame(
+        [(3, "Extraordinary organizational responsibilities materialized.")],
+        "doc_id long, text string",
+    )
+    r3 = readability_scores(df2, "doc_id", "text").collect()[0]
+    assert r3.flesch < r.flesch and r3.fk_grade > r.fk_grade

@@ -747,3 +747,58 @@ def test_replay_guarded_fold_skips_redelivered_batch(spark, tmp_path):
     # the next real batch still folds
     _replay_guarded_fold(spark, state_dir, 2, fold_add(7))
     assert total() == 22
+
+
+def test_stream_cms_monitor_equals_batch_sketch(spark, tmp_path):
+    """The CMS monitor's folded counters (and hence every frequency
+    estimate) must be BIT-identical to one batch sketch over all rows
+    ever seen — CMS merge is cell-wise addition."""
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        cms_query,
+        cms_sketch,
+    )
+    from feature_store_fraud_detection_spark.streaming.pipeline import (
+        run_stream_cms_monitor,
+        stream_heavy_hitters_report,
+    )
+
+    # skewed stream: 'hot' dominates, the tail spreads across 40 items
+    rows = [(i, "hot" if i % 3 else f"item_{i % 40}") for i in range(600)]
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    for part in range(3):
+        with open(src / f"p{part}.jsonl", "w") as f:
+            for rid, it in rows[part::3]:
+                f.write(json.dumps({"rid": rid, "item": it}) + "\n")
+        os.utime(src / f"p{part}.jsonl", (1_700_000_000 + part,) * 2)
+
+    state_dir = str(tmp_path / "cms_state")
+    raw = (
+        spark.readStream.schema("rid bigint, item string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_stream_cms_monitor(
+        raw, state_dir, "item", depth=4, width=128,
+        checkpoint_dir=str(tmp_path / "ckpt_cms"),
+    )
+    q.awaitTermination(120)
+
+    all_rows = spark.createDataFrame(rows, "rid bigint, item string")
+    probes = all_rows.select("item").distinct()
+    got = {
+        r.item: r.cms_est
+        for r in stream_heavy_hitters_report(
+            spark, state_dir, probes, "item", depth=4, width=128
+        ).collect()
+    }
+    want = {
+        r.item: r.cms_est
+        for r in cms_query(
+            cms_sketch(all_rows, "item", 4, 128), probes, "item", 4, 128
+        ).collect()
+    }
+    assert got == want  # folded state == one-pass sketch, bit-identical
+    true_hot = sum(1 for _, it in rows if it == "hot")
+    assert got["hot"] >= true_hot  # CMS never undercounts
+    assert got["hot"] <= true_hot + len(rows) * 2 / 128  # and stays tight
