@@ -344,3 +344,75 @@ def markov_stationary(
     types.unpersist()
     trans.unpersist()
     return out
+
+
+def position_based_attribution(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    conversion: str,
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each conversion
+    splits credit over the non-conversion touches since the key's
+    previous conversion — 40% first touch, 40% last, 20% spread over the
+    middle (n=1 -> 100%, n=2 -> 50/50) — the standard upgrade from
+    last-touch's winner-takes-all. Returns per-channel
+    (channel, n_touches, credit).
+
+    Journeys are built relationally: one REVERSED cumulative count of
+    conversions per key assigns every touch the id of the conversion it
+    precedes (touches after the key's final conversion get journey 0 and
+    drop); one forward rank orders touches within the journey.
+
+    Determinism AND scale share one trick: credit is computed in exact
+    integer MILLIONTHS (middle credit = 200000 // (n-2), the division
+    remainder documented as dropped), so per-channel totals are
+    order-free integer sums — no sorted-fold collect_list bound, which
+    is what lets the channel rollup stay a plain keyed aggregate at
+    100 TB.
+    """
+    is_conv = (F.col(type_col) == conversion).cast("bigint")
+    w_rev = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).desc(), F.col(tiebreak_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = df.withColumn("__j", F.sum(is_conv).over(w_rev))
+    touches = j.filter(
+        (F.col(type_col) != conversion) & (F.col("__j") >= 1)
+    )
+    w_fwd = Window.partitionBy(key_col, "__j").orderBy(
+        F.col(ts_col), F.col(tiebreak_col)
+    )
+    ranked = touches.select(
+        F.col(type_col).alias("channel"),
+        F.col(key_col),
+        F.col("__j"),
+        F.row_number().over(w_fwd).alias("__r"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(key_col, "__j")
+        ).alias("__n"),
+    )
+    n, r = F.col("__n"), F.col("__r")
+    credit_ppm = (
+        F.when(n == 1, F.lit(1_000_000))
+        .when(n == 2, F.lit(500_000))
+        .when((r == 1) | (r == n), F.lit(400_000))
+        .otherwise(F.floor(F.lit(200_000) / (n - 2)).cast("bigint"))
+    )
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    return (
+        ranked.select("channel", credit_ppm.alias("__c"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            round4_stable(
+                F.sum("__c").cast("double") / F.lit(1_000_000.0)
+            ).alias("credit"),
+        )
+    )

@@ -10773,6 +10773,52 @@ FROM c WHERE n_words >= 1
 """
 
 
+def _q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution of purchases
+    (operators/funnel.py:position_based_attribution) — the multi-touch
+    upgrade of `attribution_last_touch`: 40/20/40 credit over each
+    journey's touches, computed in exact integer millionths so the
+    channel rollup is an order-free keyed sum (no fold, no bound)."""
+    from feature_store_fraud_detection_spark.operators.funnel import (
+        position_based_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return position_based_attribution(
+        ev, "user_id", "event_type", "ts", "event_id", "purchase"
+    )
+
+
+_ATTRIBUTION_POSITION_SQL = """
+WITH j AS (
+  SELECT user_id, event_type, ts, event_id,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS UNBOUNDED PRECEDING) AS jid
+  FROM events
+),
+touches AS (
+  SELECT event_type AS channel,
+         row_number() OVER (PARTITION BY user_id, jid
+                            ORDER BY ts, event_id) AS r,
+         count(*) OVER (PARTITION BY user_id, jid) AS n
+  FROM j WHERE event_type <> 'purchase' AND jid >= 1
+),
+c AS (
+  SELECT channel,
+         CASE WHEN n = 1 THEN 1000000
+              WHEN n = 2 THEN 500000
+              WHEN r = 1 OR r = n THEN 400000
+              ELSE 200000 // (n - 2) END AS ppm
+  FROM touches
+)
+SELECT channel, count(*) AS n_touches,
+       floor((CAST(sum(ppm) AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000
+         AS credit
+FROM c GROUP BY 1
+"""
+
+
 QUERIES.update(
     {
         "hll_distinct_users": QuerySpec(
@@ -10780,6 +10826,9 @@ QUERIES.update(
         ),
         "readability_scores": QuerySpec(
             _q_readability_scores, _READABILITY_SQL
+        ),
+        "attribution_position": QuerySpec(
+            _q_attribution_position, _ATTRIBUTION_POSITION_SQL
         ),
     }
 )
@@ -10814,6 +10863,7 @@ _GRADING_PRIORITY: list[str] = [
     "markov_stationary",
     "hll_distinct_users",
     "readability_scores",
+    "attribution_position",
     # (b) the stalest driver grades: every oracle-checked query whose
     # last driver row is round 1 (25 — the three r1 rows-only sampling
     # queries are excluded: their grade is declared-rows-only by design

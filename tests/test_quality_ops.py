@@ -1007,3 +1007,33 @@ def test_markov_stationary_two_state_chain(spark):
     df2 = spark.createDataFrame(rows2, "k string, e string, ts timestamp, id long")
     out2 = {r.e: r.stationary_p for r in markov_stationary(df2, "k", "e", "ts", "id").collect()}
     assert out2["a"] > 0.75 and abs(out2["a"] + out2["b"] - 1.0) < 1e-3
+
+
+def test_position_based_attribution_hand_fixture(spark):
+    from feature_store_fraud_detection_spark.operators.funnel import (
+        position_based_attribution,
+    )
+
+    t = lambda s: BASE + dt.timedelta(seconds=s)  # noqa: E731
+    # user 1 journey: view, click, view, email -> buy (n=4):
+    #   view(first) 0.4, click 0.1, view 0.1, email(last) 0.4
+    # user 2: click -> buy (n=1): click 1.0; trailing view (after the
+    # final purchase) gets NO credit; user 3: view, click -> buy (n=2):
+    #   0.5 each
+    rows = [
+        (1, "view", t(0), 0), (1, "click", t(1), 1), (1, "view", t(2), 2),
+        (1, "email", t(3), 3), (1, "buy", t(4), 4),
+        (2, "click", t(0), 5), (2, "buy", t(1), 6), (2, "view", t(2), 7),
+        (3, "view", t(0), 8), (3, "click", t(1), 9), (3, "buy", t(2), 10),
+    ]
+    df = spark.createDataFrame(rows, "u long, e string, ts timestamp, id long")
+    out = {
+        r.channel: r
+        for r in position_based_attribution(df, "u", "e", "ts", "id", "buy").collect()
+    }
+    assert out["view"].credit == 0.4 + 0.1 + 0.5  # 1.0
+    assert out["click"].credit == 0.1 + 1.0 + 0.5  # 1.6
+    assert out["email"].credit == 0.4
+    assert out["view"].n_touches == 3  # trailing view excluded
+    # total credit equals the number of attributed conversions
+    assert abs(sum(r.credit for r in out.values()) - 3.0) < 1e-9
