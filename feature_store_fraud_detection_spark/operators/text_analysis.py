@@ -935,3 +935,74 @@ def readability_scores(
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
         ).alias("fk_grade"),
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    iterations: int = 3,
+    top_k: int = 30,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau): PageRank over the
+    adjacent-word co-occurrence graph — words that keep company with
+    other central words rank up, a structural signal frequency alone
+    misses. Composes the engine's own exact scaled-BIGINT
+    :func:`~feature_store_fraud_detection_spark.operators.graph.pagerank`
+    (symmetric, fixed iterations), so every rank is integer-exact and
+    the top-k order (rank desc, word) is total.
+
+    Words below ``min_count`` occurrences are dropped BEFORE the graph
+    is built — the standard TextRank vocabulary floor, and the lever
+    that bounds |V| on web-scale corpora (the co-occurrence graph of a
+    100 TB corpus over an unfloored vocabulary is mostly hapax noise).
+
+    Returns (word, rank_scaled): divide by 1e12 for conventional mass.
+    """
+    from feature_store_fraud_detection_spark.operators.graph import pagerank
+
+    toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    pairs = (
+        df.select(F.explode(bigrams).alias("p"))
+        .select("p.w1", "p.w2")
+        .filter(F.col("w1") != F.col("w2"))
+    )
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .filter(F.col("cu") >= min_count)
+    )
+    kept = (
+        pairs.join(uni.select(F.col("w").alias("w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2")), "w2")
+    )
+    edges = (
+        kept.select("w1", "w2")
+        .unionByName(
+            kept.select(
+                F.col("w2").alias("w1"), F.col("w1").alias("w2")
+            )
+        )
+        .distinct()
+    )
+    ranked = pagerank(
+        edges, "w1", "w2", iterations=iterations,
+        assume_distinct=True, symmetric=True,
+    )
+    return (
+        ranked.select(F.col("node").alias("word"), "rank_scaled")
+        .orderBy(F.col("rank_scaled").desc(), "word")
+        .limit(top_k)
+    )

@@ -10834,6 +10834,71 @@ QUERIES.update(
 )
 
 
+def _q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords over the corpus
+    (operators/text_analysis.py:textrank_keywords) — PageRank on the
+    adjacent-word co-occurrence graph, composing the engine's exact
+    scaled-BIGINT pagerank; ranks are integer-exact, so the top-30
+    (rank desc, word) order hash-checks bit-for-bit."""
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        textrank_keywords,
+    )
+
+    return textrank_keywords(
+        load_docs(spark, sf_dir), "doc_id", "text",
+        min_count=5, iterations=3, top_k=30,
+    )
+
+
+_TEXTRANK_SQL = rf"""
+WITH tk AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     w -> length(w) > 0) AS l
+  FROM documents
+),
+pairs AS (
+  SELECT z[1] AS w1, z[2] AS w2 FROM (
+    SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+    FROM tk WHERE len(l) >= 2)
+  WHERE z[1] <> z[2]
+),
+uni AS (
+  SELECT w, count(*) AS cu FROM (
+    SELECT unnest(l) AS w FROM tk)
+  GROUP BY 1 HAVING count(*) >= 5
+),
+kept AS (
+  SELECT p.w1, p.w2 FROM pairs p
+  JOIN uni a ON a.w = p.w1
+  JOIN uni b ON b.w = p.w2
+),
+edges AS (
+  SELECT w1 AS src, w2 AS dst FROM kept
+  UNION
+  SELECT w2 AS src, w1 AS dst FROM kept
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM nodes),
+it0 AS (
+  SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn
+),
+{_pagerank_iter_sql("it0", "it1")},
+{_pagerank_iter_sql("it1", "it2")},
+{_pagerank_iter_sql("it2", "it3")}
+SELECT node AS word, r AS rank_scaled FROM it3
+ORDER BY r DESC, node LIMIT 30
+"""
+
+
+QUERIES.update(
+    {
+        "textrank_keywords": QuerySpec(_q_textrank_keywords, _TEXTRANK_SQL),
+    }
+)
+
+
 # --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
@@ -10864,6 +10929,7 @@ _GRADING_PRIORITY: list[str] = [
     "hll_distinct_users",
     "readability_scores",
     "attribution_position",
+    "textrank_keywords",
     # (b) the stalest driver grades: every oracle-checked query whose
     # last driver row is round 1 (25 — the three r1 rows-only sampling
     # queries are excluded: their grade is declared-rows-only by design

@@ -744,3 +744,23 @@ def test_readability_scores_hand_fixture(spark):
     )
     r3 = readability_scores(df2, "doc_id", "text").collect()[0]
     assert r3.flesch < r.flesch and r3.fk_grade > r.fk_grade
+
+
+def test_textrank_keywords_ranks_hub_word_first(spark):
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        textrank_keywords,
+    )
+
+    # 'spark' co-occurs with every satellite (hub); satellites only ever
+    # touch the hub and one neighbor -> TextRank must rank the hub first
+    sats = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    docs = []
+    i = 0
+    for s in sats:
+        for _ in range(6):
+            docs.append((i, f"{s} spark {s}")); i += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = textrank_keywords(df, "doc_id", "text", min_count=5, top_k=10).collect()
+    assert out[0]["word"] == "spark"
+    assert out[0]["rank_scaled"] > out[1]["rank_scaled"]
+    assert {r["word"] for r in out} == {"spark", *sats}
