@@ -459,3 +459,51 @@ def test_curriculum_boundaries_broadcast_no_global_window(spark, sf_dir):
     plan = _physical(df)
     assert "Window" not in plan  # no ntile/global sort anywhere
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_quantile_normalize_windows_are_group_partitioned(spark, sf_dir):
+    """QN's ntile must sort WITHIN each source partition (never a global
+    single-partition window), and the remap table joins back broadcast."""
+    df = QUERIES["quantile_normalize_sources"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "Window" in plan
+    # a partition-less window plans as Exchange SinglePartition + Sort
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_holt_theil_sen_single_keyed_aggregate_no_join(spark, sf_dir):
+    """Both per-key series folds reduce to daily totals then ONE keyed
+    aggregate of array-local math — no join, no window anywhere."""
+    for name in ("holt_forecast", "theil_sen_trend"):
+        plan = _physical(QUERIES[name].fn(spark, sf_dir))
+        assert "Join" not in plan, name
+        assert "Window" not in plan, name
+
+
+def test_nb_scoring_broadcasts_label_stats_only(spark, sf_dir):
+    """NB's L-row per-label stats table must broadcast into the scoring
+    fan-out; the gram-keyed model join must NOT be a nested-loop."""
+    df = QUERIES["nb_lang_confusion"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "BroadcastNestedLoopJoin" in plan  # the k-row stats fan-out
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_is_single_keyed_aggregate(spark, sf_dir):
+    """HLL = one hash aggregation to registers, one to the estimate —
+    no join, no window, exactly the register exchange + estimate
+    exchange."""
+    df = QUERIES["hll_distinct_users"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_attribution_position_shares_one_keyed_sort(spark, sf_dir):
+    """The journey id (reversed cumulative count), forward rank, and
+    journey size must all come from windows over ONE user-keyed
+    exchange family — no join, no single-partition window."""
+    df = QUERIES["attribution_position"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
