@@ -561,3 +561,91 @@ def theil_sen_trend(
             "intercept"
         ),
     )
+
+
+def cusum_segments(
+    df: DataFrame, key_col: str, ts_col: str, id_col: str, value_col: str
+) -> DataFrame:
+    """Depth-2 binary segmentation: :func:`cusum_peak` finds ONE level
+    shift per key; real series often shift twice (up then down). This
+    runs the identical exact-DECIMAL CUSUM at the root, splits each
+    key's series at the root peak, and re-runs it inside each half —
+    up to 3 localized change points per key, the standard binary-
+    segmentation recursion unrolled one level. Returns
+    (key, segment in root/left/right, n_events, peak_ts, peak_k,
+    cusum_peak) with peak_k ranked WITHIN the segment; 1-row segments
+    are dropped (their stat is identically 0).
+
+    Scale: the root level is the cusum_peak plan (one key shuffle
+    serving all windows); the child level re-windows on (key, segment)
+    — same hash family, one extra keyed join to carry the split point.
+    Depth stays fixed: each extra level is one more join + window pass,
+    never a driver loop.
+    """
+    v = overflow_checked(F.col(value_col), 1e12, "cusum_segments").cast(
+        "decimal(18,6)"
+    )
+    ranked = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(id_col),
+        v.alias("__v"),
+        F.row_number()
+        .over(Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col)))
+        .alias("__k0"),
+    )
+
+    def peaks(sdf: DataFrame, parts: list, label) -> DataFrame:
+        w_ord = (
+            Window.partitionBy(*parts)
+            .orderBy(F.col(ts_col), F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_rank = Window.partitionBy(*parts).orderBy(
+            F.col(ts_col), F.col(id_col)
+        )
+        w_all = Window.partitionBy(*parts)
+        pre = sdf.select(
+            *parts,
+            F.col(ts_col),
+            F.col(id_col),
+            F.sum("__v").over(w_ord).alias("__p"),
+            F.row_number().over(w_rank).alias("__k"),
+            F.sum("__v").over(w_all).alias("__s"),
+            F.count(F.lit(1)).over(w_all).alias("__n"),
+        )
+        stat = (
+            F.col("__n").cast("decimal(18,0)") * F.col("__p")
+            - F.col("__k").cast("decimal(18,0)") * F.col("__s")
+        ).cast("decimal(38,6)")
+        pick = Window.partitionBy(*parts).orderBy(
+            F.abs(stat).desc(), F.col(ts_col), F.col(id_col)
+        )
+        return (
+            pre.withColumn("__stat", stat)
+            .withColumn("__rk", F.row_number().over(pick))
+            .filter((F.col("__rk") == 1) & (F.col("__n") >= 2))
+            .select(
+                F.col(key_col),
+                label.alias("segment"),
+                F.col("__n").cast("bigint").alias("n_events"),
+                F.col(ts_col).alias("peak_ts"),
+                F.col("__k").cast("int").alias("peak_k"),
+                round4_stable(
+                    F.col("__stat").cast("double") / F.col("__n").cast("double")
+                ).alias("cusum_peak"),
+            )
+        )
+
+    root = peaks(ranked, [key_col], F.lit("root"))
+    with_split = ranked.join(
+        root.select(F.col(key_col), F.col("peak_k").alias("__root_k")),
+        key_col,
+    ).withColumn(
+        "__seg",
+        F.when(F.col("__k0") <= F.col("__root_k"), F.lit("left")).otherwise(
+            F.lit("right")
+        ),
+    )
+    children = peaks(with_split, [key_col, "__seg"], F.col("__seg"))
+    return root.unionByName(children)

@@ -1037,3 +1037,32 @@ def test_position_based_attribution_hand_fixture(spark):
     assert out["view"].n_touches == 3  # trailing view excluded
     # total credit equals the number of attributed conversions
     assert abs(sum(r.credit for r in out.values()) - 3.0) < 1e-9
+
+
+def test_cusum_segments_finds_both_shifts(spark):
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        cusum_segments,
+    )
+
+    t = lambda s: BASE + dt.timedelta(seconds=s)  # noqa: E731
+    # two level shifts: 10 (x20) -> 50 (x20) -> 10 (x20). Root CUSUM
+    # peaks at one shift; the child segment containing the other must
+    # localize it. Single-event user drops entirely.
+    vals = [10.0] * 20 + [50.0] * 20 + [10.0] * 20
+    rows = [("u", t(i), i, v) for i, v in enumerate(vals)]
+    rows.append(("solo", t(0), 99, 5.0))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, v double")
+    out = {(r.k, r.segment): r for r in
+           cusum_segments(df, "k", "ts", "id", "v").collect()}
+    assert set(out) == {("u", "root"), ("u", "left"), ("u", "right")}
+    peaks = {seg: out[("u", seg)].peak_k for seg in ("root", "left", "right")}
+    # the mean is ~23.3; deviation flips sign at positions 20 and 40 —
+    # the root peak and the two child peaks among them must recover the
+    # true boundaries {20, 40} (child peak_k is segment-local)
+    assert out[("u", "root")].n_events == 60
+    boundaries = set()
+    root_k = peaks["root"]
+    boundaries.add(root_k)
+    boundaries.add(peaks["left"])                    # within [1, root_k]
+    boundaries.add(root_k + peaks["right"])          # offset to global
+    assert {20, 40} <= boundaries
