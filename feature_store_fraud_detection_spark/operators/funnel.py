@@ -326,7 +326,7 @@ def markov_stationary(
     p = types.select(
         F.col("t").alias("src"), (F.lit(1.0) / k).alias("p")
     ).localCheckpoint(eager=True)
-    for _ in range(iters):
+    for i in range(iters):
         p = (
             trans.join(p, "src")
             .groupBy(F.col("dst").alias("src"))
@@ -338,8 +338,12 @@ def markov_stationary(
                 ).alias("p")
             )
             .coalesce(n_parts)
-            .localCheckpoint(eager=True)
         )
+        # checkpoint every 5th round (and the last): often enough to
+        # truncate lineage, seldom enough that the 30-round loop costs
+        # ~6 jobs of fixed overhead instead of 30
+        if (i + 1) % 5 == 0 or i == iters - 1:
+            p = p.localCheckpoint(eager=True)
     out = p.select(F.col("src").alias(type_col), round4_stable(F.col("p")).alias("stationary_p"))
     types.unpersist()
     trans.unpersist()
