@@ -10993,10 +10993,11 @@ QUERIES.update(
 # Rounds rotate this list deliberately — never let "where the code was
 # appended" decide what gets graded.
 _GRADING_PRIORITY: list[str] = [
-    # (a) round-6 new or semantically-changed queries — grade first:
-    # coreness (new decomposition), mmr_rerank (new), ridge_conformal_
-    # sketch (new), simhash_pairs (moved 32-bit/d<=1 -> 64-bit/d<=3),
-    # ridge_conformal (empty-calibration guard restructured the plan)
+    # (a) round-6 new or semantically-changed queries (16) — grade
+    # first: coreness/mmr_rerank/ridge_conformal_sketch/adamic_adar and
+    # the 10 late-round additions are never-graded; simhash_pairs moved
+    # 32-bit/d<=1 -> 64-bit/d<=3; ridge_conformal's empty-calibration
+    # guard restructured its plan
     "coreness",
     "mmr_rerank",
     "ridge_conformal_sketch",
@@ -11013,12 +11014,11 @@ _GRADING_PRIORITY: list[str] = [
     "attribution_position",
     "textrank_keywords",
     "cusum_segments",
-    # (b) the stalest driver grades: every oracle-checked query whose
-    # last driver row is round 1 (25 — the three r1 rows-only sampling
-    # queries are excluded: their grade is declared-rows-only by design
-    # and their hash twins are r5-green), then the earliest round-2 tail
-    # (20). Together with (a) this re-grades 45 of the 72 r1/r2-stale
-    # rows; the remaining 24 r2 rows rotate in next round.
+    # (b) the stalest driver grades, r1 first then the earliest r2 tail
+    # (the three r1 rows-only sampling queries excluded: declared-rows-
+    # only by design, hash twins r5-green). (a)'s growth this round
+    # pushes ~10 of these past slot 50 — they rotate to round 7
+    # (tools/grading_window.py prints the exact cut).
     "pricing_summary",
     "revenue_by_nation",
     "top_customers",
