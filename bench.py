@@ -130,6 +130,19 @@ HEADLINE: list[tuple[str, int]] = [
     ("chi2_event_weekend", 5),
     ("keyness_g2", 5),
     ("rrf_fusion", 5),
+    # round-6 additions: trend-aware forecasting, robust trend, corpus
+    # harmonization, checked HLL, readability, multi-touch attribution,
+    # TextRank, multi-changepoint segmentation (markov_stationary and
+    # nb_lang_confusion are graded by the oracle gate; their fixed
+    # iteration/join structure is headline-heavy like kcore)
+    ("holt_forecast", 6),
+    ("theil_sen_trend", 6),
+    ("quantile_normalize_sources", 6),
+    ("hll_distinct_users", 6),
+    ("readability_scores", 6),
+    ("attribution_position", 6),
+    ("textrank_keywords", 6),
+    ("cusum_segments", 6),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key
