@@ -99,6 +99,44 @@ SELECTED: dict[str, str] = {
         "3x3 cover explode is a row-local generator; no cartesian product, "
         "no range join — candidates verify with in-codegen haversine."
     ),
+    # round-6 additions
+    "quantile_normalize_sources": (
+        "The ntile window sorts WITHIN each source partition (`Exchange "
+        "hashpartitioning(source)`, never SinglePartition); the "
+        "n_buckets-row remap table joins back as `BroadcastHashJoin`."
+    ),
+    "holt_forecast": (
+        "Rows reduce to per-key daily DECIMAL totals, then ONE keyed "
+        "aggregate whose sequential struct fold is array-local — no join, "
+        "no window anywhere in the plan."
+    ),
+    "theil_sen_trend": (
+        "Same bounded-frame shape as holt: the O(days^2) pairwise-slope "
+        "list is built inside the aggregate's array expressions — never a "
+        "row explosion or a join."
+    ),
+    "hll_distinct_users": (
+        "Pure keyed aggregation: one hash-aggregate to <= 4096 registers "
+        "per key, one to the estimate. No join, no window; shuffle rows "
+        "are (key, register) pairs regardless of cardinality."
+    ),
+    "attribution_position": (
+        "Journey id (reversed cumulative count), forward rank and journey "
+        "size all come from windows over ONE user-keyed exchange family; "
+        "the channel rollup is a plain keyed integer sum (credit in exact "
+        "millionths — no sorted-fold collect bound)."
+    ),
+    "textrank_keywords": (
+        "Composes the exact scaled-BIGINT pagerank: the word co-occurrence "
+        "edge cache is built once (min_count floor bounds |V|), every "
+        "iteration broadcasts the |V|-row rank table over it, and the "
+        "final top-k is a TakeOrdered — no global sort."
+    ),
+    "cusum_segments": (
+        "Root level is the cusum_peak plan (one key shuffle serving all "
+        "windows); the child level re-windows on (key, segment) from the "
+        "same hash family plus one keyed join carrying the split point."
+    ),
 }
 
 
