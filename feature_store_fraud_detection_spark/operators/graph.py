@@ -65,6 +65,7 @@ def pagerank(
     damping_pct: int = 85,
     assume_distinct: bool = False,
     symmetric: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list -> (node, rank_scaled).
 
@@ -84,12 +85,30 @@ def pagerank(
     ``src`` and persisted: every iteration's join reuses that one
     partitioning, so the steady-state cost is shuffling the |V|-row rank
     table, never the |E|-row edge table.
+
+    ``weight_col``: WEIGHTED PageRank — contributions become
+    rank * w / strength(src) (strength = sum of outgoing weights),
+    computed as the exact integer floor via
+    ``(r div s)*w + ((r mod s)*w) div s`` (the identity
+    r*w = (r div s)*s*w + (r mod s)*w), which never forms the r*w
+    product, so ranks stay bit-exact without long overflow as long as
+    strength * max_weight < 2^63 (integer weights required; duplicate
+    (src, dst) rows have their weights SUMMED unless assume_distinct).
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
-    if not assume_distinct:
-        e = e.distinct()
+    if weight_col is None:
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        if not assume_distinct:
+            e = e.distinct()
+    else:
+        e = edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        if not assume_distinct:
+            e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
     # persist the edge pipeline BEFORE any count probe: the nodes.count job
     # below then materializes the cache as a side effect, and every later
     # pass (edge count, degree, the per-iteration joins) reads the cache —
@@ -100,7 +119,10 @@ def pagerank(
     # callers with undirected graphs declare it. The degree table doubles
     # as the node table there (distinct src == deg's keys), so the separate
     # nodes distinct+persist disappears entirely in the symmetric case.
-    deg_src = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    deg_expr = (
+        F.count(F.lit(1)) if weight_col is None else F.sum("w")
+    ).alias("deg")
+    deg_src = e.groupBy("src").agg(deg_expr).persist()
     if symmetric:
         nodes = deg_src.select(F.col("src").alias("node"))
         n_nodes = deg_src.count()  # materializes e + deg in one job
@@ -125,7 +147,7 @@ def pagerank(
         work, deg = e, deg_src
     else:
         work = e.repartition("src")
-        deg = work.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        deg = work.groupBy("src").agg(deg_expr)
     ed_cached = work.join(
         F.broadcast(deg) if small_graph else deg, "src"
     ).persist()
@@ -145,6 +167,7 @@ def pagerank(
             base,
             damping_pct,
             broadcast_ranks=small_graph,
+            weighted=weight_col is not None,
             # a symmetric graph has no contribution-less nodes: every node
             # has in-edges, so contribs already covers all of them and the
             # per-iteration left join against the node table is skipped
@@ -174,6 +197,7 @@ def pagerank_iteration(
     damping_pct: int,
     broadcast_ranks: bool = False,
     all_nodes_receive: bool = False,
+    weighted: bool = False,
 ) -> DataFrame:
     """One PageRank round: contribute along edges, damp, add teleport mass.
 
@@ -185,9 +209,16 @@ def pagerank_iteration(
     every node has in-edges) the contribution aggregate already covers the
     full node set, so the round is join-free after the edge contribution."""
     rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+    contrib_expr = (
+        # exact floor(rank*w/deg) without the rank*w product — see
+        # pagerank's weight_col note for the identity and overflow bound
+        "(rank_scaled div deg) * w + ((rank_scaled % deg) * w) div deg"
+        if weighted
+        else "rank_scaled div deg"
+    )
     contribs = (
         ed.join(rank_side, ed.src == ranks.node)
-        .select(F.col("dst"), F.expr("rank_scaled div deg").alias("c"))
+        .select(F.col("dst"), F.expr(contrib_expr).alias("c"))
         .groupBy("dst")
         .agg(F.sum("c").alias("agg"))
     )

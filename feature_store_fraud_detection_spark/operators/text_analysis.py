@@ -944,6 +944,7 @@ def textrank_keywords(
     min_count: int = 5,
     iterations: int = 3,
     top_k: int = 30,
+    weighted: bool = False,
 ) -> DataFrame:
     """TextRank keyword extraction (Mihalcea & Tarau): PageRank over the
     adjacent-word co-occurrence graph — words that keep company with
@@ -957,6 +958,11 @@ def textrank_keywords(
     is built — the standard TextRank vocabulary floor, and the lever
     that bounds |V| on web-scale corpora (the co-occurrence graph of a
     100 TB corpus over an unfloored vocabulary is mostly hapax noise).
+
+    ``weighted=True`` uses the published form: co-occurrence COUNTS as
+    edge weights (weight(a,b) = adjacencies in either direction), via
+    the integer-exact weighted pagerank — frequent-pair structure then
+    outranks mere connectivity.
 
     Returns (word, rank_scaled): divide by 1e12 for conventional mass.
     """
@@ -988,19 +994,36 @@ def textrank_keywords(
         pairs.join(uni.select(F.col("w").alias("w1")), "w1")
         .join(uni.select(F.col("w").alias("w2")), "w2")
     )
-    edges = (
-        kept.select("w1", "w2")
-        .unionByName(
-            kept.select(
-                F.col("w2").alias("w1"), F.col("w1").alias("w2")
+    if weighted:
+        # directed adjacency counts, mirrored; pagerank's weighted path
+        # sums duplicate (src, dst) rows, yielding the undirected
+        # either-direction co-occurrence weight
+        wts = kept.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("long").alias("cw")
+        )
+        edges = wts.unionByName(
+            wts.select(
+                F.col("w2").alias("w1"), F.col("w1").alias("w2"), "cw"
             )
         )
-        .distinct()
-    )
-    ranked = pagerank(
-        edges, "w1", "w2", iterations=iterations,
-        assume_distinct=True, symmetric=True,
-    )
+        ranked = pagerank(
+            edges, "w1", "w2", iterations=iterations,
+            symmetric=True, weight_col="cw",
+        )
+    else:
+        edges = (
+            kept.select("w1", "w2")
+            .unionByName(
+                kept.select(
+                    F.col("w2").alias("w1"), F.col("w1").alias("w2")
+                )
+            )
+            .distinct()
+        )
+        ranked = pagerank(
+            edges, "w1", "w2", iterations=iterations,
+            assume_distinct=True, symmetric=True,
+        )
     return (
         ranked.select(F.col("node").alias("word"), "rank_scaled")
         .orderBy(F.col("rank_scaled").desc(), "word")

@@ -764,3 +764,30 @@ def test_textrank_keywords_ranks_hub_word_first(spark):
     assert out[0]["word"] == "spark"
     assert out[0]["rank_scaled"] > out[1]["rank_scaled"]
     assert {r["word"] for r in out} == {"spark", *sats}
+
+
+def test_textrank_weighted_prefers_strong_ties(spark):
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        textrank_keywords,
+    )
+
+    # 'pivot' splits its mass between two otherwise-identical
+    # neighbors: 'heavy' co-occurs with it 20x, 'light' 6x. Unweighted
+    # PageRank splits pivot's rank equally (heavy == light); the
+    # weighted form must route more mass to the stronger tie
+    docs = []
+    i = 0
+    for _ in range(20):
+        docs.append((i, "pivot heavy")); i += 1
+    for _ in range(6):
+        docs.append((i, "pivot light")); i += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    unw = {r.word: r.rank_scaled for r in textrank_keywords(
+        df, "doc_id", "text", min_count=5, top_k=10).collect()}
+    wtd = {r.word: r.rank_scaled for r in textrank_keywords(
+        df, "doc_id", "text", min_count=5, top_k=10, weighted=True).collect()}
+    assert unw["heavy"] == unw["light"]  # equal split unweighted
+    assert wtd["heavy"] > wtd["light"]   # strong tie wins weighted
+    assert wtd["pivot"] == max(wtd.values())  # hub still on top
+    # weights change ranks but never the node set
+    assert set(unw) == set(wtd)
