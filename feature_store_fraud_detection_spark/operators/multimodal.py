@@ -217,3 +217,70 @@ def resize_payload(
             )
 
     return df.select(id_col, payload_col).mapInPandas(resize, schema=THUMB_SCHEMA)
+
+
+PCM_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def pcm_energy_windows(
+    df: DataFrame, id_col: str, text_col: str, frame: int = 50
+) -> DataFrame:
+    """Audio-style windowed feature extraction — the audio leg of the
+    multimodal family next to image thumbnails and video frame sampling:
+    treat each item's codepoint stream as a PCM-like sample series
+    (centered at 96 so word characters sit positive and spaces
+    negative), cut it into fixed ``frame``-sample windows (full windows
+    only), and emit per-window RMS energy and the zero-crossing count —
+    the two classic voice-activity/segmentation features. A real
+    deployment decodes true PCM through the ``decode_image``-style codec
+    seam; the windowing/feature math here is the real thing.
+
+    Runs as Arrow-batched ``mapInPandas`` (one input row -> len/frame
+    output rows, the same explode-free fan-out as ``sample_frames``).
+    Determinism: integer squares/products summed exactly; the only
+    floats are one division and one (correctly-rounded, IEEE) sqrt per
+    window, floor-rounded — the DuckDB oracle reproduces both.
+    """
+    import math
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, ns, rms, zc = [], [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                t = text or ""
+                for i in range(len(t) // frame):
+                    cs = [ord(ch) - 96 for ch in t[i * frame : (i + 1) * frame]]
+                    sum_sq = sum(c * c for c in cs)
+                    e = math.sqrt(sum_sq / float(frame))
+                    ids.append(doc_id)
+                    widx.append(i)
+                    ns.append(frame)
+                    rms.append(math.floor(e * 10000 + 0.5) / 10000)
+                    zc.append(
+                        sum(
+                            1
+                            for j in range(1, frame)
+                            if cs[j] * cs[j - 1] < 0
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(widx, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                    "zero_crossings": pd.Series(zc, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        windows, schema=PCM_WINDOW_SCHEMA
+    )

@@ -11058,12 +11058,55 @@ ORDER BY r DESC, node LIMIT 30
 """
 
 
+def _q_pcm_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style windowed RMS energy + zero crossings over each doc's
+    codepoint stream (operators/multimodal.py:pcm_energy_windows) — the
+    audio leg of the multimodal family, Arrow-batched mapInPandas; the
+    only floats are one division and one IEEE sqrt per window, so the
+    features hash-check."""
+    from feature_store_fraud_detection_spark.operators.multimodal import (
+        pcm_energy_windows,
+    )
+
+    return pcm_energy_windows(
+        load_docs(spark, sf_dir), "doc_id", "text", frame=50
+    )
+
+
+_PCM_ENERGY_SQL = """
+WITH w AS (
+  -- scalar range() (list) + unnest: the range TABLE function cannot
+  -- take lateral column arguments in DuckDB
+  SELECT doc_id, text AS t,
+         CAST(unnest(range(0, length(text) // 50)) AS INT) AS win_idx
+  FROM documents
+),
+c AS (
+  SELECT doc_id, win_idx,
+         [unicode(substring(t, win_idx * 50 + j, 1)) - 96
+          for j in range(1, 51)] AS cs
+  FROM w
+)
+SELECT doc_id, win_idx, 50 AS n_samples,
+       floor(sqrt(CAST(list_reduce(list_transform(cs, c -> c * c),
+                                   (a, b) -> a + b) AS DOUBLE) / 50.0)
+             * 10000 + 0.5) / 10000 AS rms,
+       CAST(len(list_filter(range(2, 51),
+                            j -> cs[j] * cs[j - 1] < 0)) AS BIGINT)
+         AS zero_crossings
+FROM c
+"""
+
+
 QUERIES.update(
     {
         "textrank_keywords": QuerySpec(_q_textrank_keywords, _TEXTRANK_SQL),
         "cusum_segments": QuerySpec(_q_cusum_segments, _CUSUM_SEGMENTS_SQL),
         "textrank_weighted": QuerySpec(
             _q_textrank_weighted, _TEXTRANK_WEIGHTED_SQL
+        ),
+        "pcm_energy_windows": QuerySpec(
+            _q_pcm_energy_windows, _PCM_ENERGY_SQL
         ),
     }
 )
@@ -11103,6 +11146,7 @@ _GRADING_PRIORITY: list[str] = [
     "textrank_keywords",
     "cusum_segments",
     "textrank_weighted",
+    "pcm_energy_windows",
     # (b) the stalest driver grades, r1 first then the earliest r2 tail
     # (the three r1 rows-only sampling queries excluded: declared-rows-
     # only by design, hash twins r5-green). (a)'s growth this round

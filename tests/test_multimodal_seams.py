@@ -92,3 +92,27 @@ def test_torch_state_dict_roundtrip_scores_match_torch_eval(tmp_path):
     want = net(xt).detach().numpy()[:, 0]
     got = forward(xt.numpy(), w)
     assert np.allclose(got, want, atol=1e-12)
+
+
+def test_pcm_energy_windows_hand_fixture(spark):
+    import math
+
+    from feature_store_fraud_detection_spark.operators.multimodal import (
+        pcm_energy_windows,
+    )
+
+    # frame=4 over "ab cdef": windows "ab c" -> codes [1,2,-64,3]
+    # (space=32-96=-64): two sign changes (2->-64, -64->3); and "def "?
+    # only len//4 = 1 full window from 7 chars -> exactly one window.
+    df = spark.createDataFrame([(1, "ab cdef"), (2, "xy")],
+                               "doc_id long, text string")
+    out = pcm_energy_windows(df, "doc_id", "text", frame=4).collect()
+    assert len(out) == 1  # doc 2 is shorter than one frame
+    r = out[0]
+    cs = [ord(c) - 96 for c in "ab c"]
+    want_rms = math.floor(
+        math.sqrt(sum(c * c for c in cs) / 4.0) * 10000 + 0.5
+    ) / 10000
+    assert (r.doc_id, r.win_idx, r.n_samples) == (1, 0, 4)
+    assert r.rms == want_rms
+    assert r.zero_crossings == 2
