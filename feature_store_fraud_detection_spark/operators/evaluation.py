@@ -540,3 +540,57 @@ def fairness_report(
         round4_stable(gap(F.col("tpr"))).alias("tpr_gap"),
         round4_stable(gap(F.col("fpr"))).alias("fpr_gap"),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    unit_col: str,
+    salt: str = "exp1",
+    expected_a: float = 0.5,
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the experiment HEALTH gate that must
+    pass before any lift from :func:`ab_test_report` is believed: a
+    chi-square goodness-of-fit of the observed per-arm UNIT counts
+    against the designed split. SRM is the classic symptom of broken
+    assignment/logging (bots filtered from one arm, redirect losses);
+    even a fraction-of-a-percent imbalance on big experiments flags.
+
+    One row out: n_units, n_a, n_b, chi2, srm_flag (chi2 above 3.8415,
+    the 95% critical value for 1 df — quoting the statistic, not a
+    p-value, keeps the output libm-free and hash-checkable).
+
+    Same md5 unit-hash arms as ab_test_report (assignment keyed on the
+    UNIT, salt rotates experiments); the chi2 is exact integer counts +
+    fixed-order double arithmetic. Scale: one distinct-unit aggregate,
+    one 1-row reduction.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+    from feature_store_fraud_detection_spark.operators.encoders import (
+        md5_int,
+    )
+
+    arm_a = (
+        md5_int(F.concat(F.lit(salt + "|"), F.col(unit_col).cast("string")))
+        % 2
+        == 0
+    )
+    units = df.select(F.col(unit_col), arm_a.alias("__a")).distinct()
+    agg = units.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(F.col("__a").cast("bigint")).alias("n_a"),
+    )
+    n = F.col("n_units").cast("double")
+    n_a = F.col("n_a").cast("double")
+    n_b = (F.col("n_units") - F.col("n_a")).cast("double")
+    ea = n * F.lit(float(expected_a))
+    eb = n * F.lit(1.0 - expected_a)
+    chi2 = (n_a - ea) * (n_a - ea) / ea + (n_b - eb) * (n_b - eb) / eb
+    return agg.select(
+        "n_units",
+        "n_a",
+        (F.col("n_units") - F.col("n_a")).alias("n_b"),
+        round4_stable(chi2).alias("chi2"),
+        (chi2 > F.lit(3.8415)).alias("srm_flag"),
+    )

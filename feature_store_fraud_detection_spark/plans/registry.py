@@ -11058,6 +11058,50 @@ ORDER BY r DESC, node LIMIT 30
 """
 
 
+def _q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch health gate for the md5-hashed experiment
+    arms (operators/evaluation.py:srm_check) — chi-square of observed
+    unit counts vs the designed 50/50; the check every A/B readout
+    (`ab_test`, `cuped_lift`, `sequential_ab`) assumes has passed."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        srm_check,
+    )
+
+    return srm_check(load_table(spark, sf_dir, "events"), "user_id")
+
+
+_SRM_CHECK_SQL = """
+WITH u AS (
+  SELECT DISTINCT user_id,
+         (('0x' || substr(md5('exp1|' || CAST(user_id AS VARCHAR)),
+                          1, 15))::BIGINT % 2 = 0) AS a
+  FROM events
+),
+agg AS (
+  SELECT count(*) AS n_units,
+         sum(CASE WHEN a THEN 1 ELSE 0 END) AS n_a
+  FROM u
+),
+c AS (
+  SELECT n_units, n_a, n_units - n_a AS n_b,
+         ((CAST(n_a AS DOUBLE) - CAST(n_units AS DOUBLE) * 0.5)
+          * (CAST(n_a AS DOUBLE) - CAST(n_units AS DOUBLE) * 0.5))
+           / (CAST(n_units AS DOUBLE) * 0.5)
+         + ((CAST(n_units - n_a AS DOUBLE)
+             - CAST(n_units AS DOUBLE) * 0.5)
+            * (CAST(n_units - n_a AS DOUBLE)
+               - CAST(n_units AS DOUBLE) * 0.5))
+           / (CAST(n_units AS DOUBLE) * 0.5) AS chi2
+  FROM agg
+)
+SELECT CAST(n_units AS BIGINT) AS n_units, CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       floor(chi2 * 10000 + 0.5) / 10000 AS chi2,
+       chi2 > 3.8415 AS srm_flag
+FROM c
+"""
+
+
 def _q_pcm_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-style windowed RMS energy + zero crossings over each doc's
     codepoint stream (operators/multimodal.py:pcm_energy_windows) — the
@@ -11108,6 +11152,7 @@ QUERIES.update(
         "pcm_energy_windows": QuerySpec(
             _q_pcm_energy_windows, _PCM_ENERGY_SQL
         ),
+        "srm_check": QuerySpec(_q_srm_check, _SRM_CHECK_SQL),
     }
 )
 
@@ -11147,6 +11192,7 @@ _GRADING_PRIORITY: list[str] = [
     "cusum_segments",
     "textrank_weighted",
     "pcm_energy_windows",
+    "srm_check",
     # (b) the stalest driver grades, r1 first then the earliest r2 tail
     # (the three r1 rows-only sampling queries excluded: declared-rows-
     # only by design, hash twins r5-green). (a)'s growth this round

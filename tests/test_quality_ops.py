@@ -1066,3 +1066,28 @@ def test_cusum_segments_finds_both_shifts(spark):
     boundaries.add(peaks["left"])                    # within [1, root_k]
     boundaries.add(root_k + peaks["right"])          # offset to global
     assert {20, 40} <= boundaries
+
+
+def test_srm_check_flags_planted_imbalance(spark):
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        srm_check,
+    )
+    from feature_store_fraud_detection_spark.operators.encoders import md5_int
+
+    # balanced md5 split over 4000 units must NOT flag
+    ev = spark.createDataFrame(
+        [(i,) for i in range(4000)] * 2, "user_id long"  # dup events ok
+    )
+    r = srm_check(ev, "user_id").collect()[0]
+    assert r.n_units == 4000 and r.n_a + r.n_b == 4000
+    assert r.srm_flag is False
+    # drop 30% of arm A's units (broken logging) -> must flag
+    arm_a = (
+        md5_int(F.concat(F.lit("exp1|"), F.col("user_id").cast("string")))
+        % 2 == 0
+    )
+    broken = ev.withColumn("__a", arm_a).filter(
+        ~F.col("__a") | (F.col("user_id") % 10 >= 3)
+    )
+    r2 = srm_check(broken, "user_id").collect()[0]
+    assert r2.srm_flag is True and r2.chi2 > r.chi2
