@@ -596,30 +596,46 @@ def main() -> None:
     spark.catalog.clearCache()
     streaming = streaming_scenario(spark)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "subtotals": subtotals,
-                "sf": sf,
-                "passes": n_passes,
-                "noise_max_over_min_p50": noise[len(noise) // 2]
-                if noise
-                else None,
-                "noise_max_over_min_max": noise[-1] if noise else None,
-                "loadavg_start": load_start,
-                "loadavg_end": _loadavg(),
-                "flagship_rows_per_sec": round(n_events / steady),
-                "skew": skew,
-                "skew_join": skew_join,
-                "ann_quality": ann_quality,
-                "streaming": streaming,
-            }
-        )
+    # Key order matters: the driver's BENCH_r{N}.json captures only the
+    # TAIL of stdout (front-truncation ate the r5/r6 summaries —
+    # VERDICT r6 item 2), so the big per-query dict goes FIRST and every
+    # summary field (subtotals, streaming, value) goes LAST where the
+    # surviving tail bytes are. The complete document is ALSO written to
+    # .benchmarks/bench_latest.json (tracked) so tools/bench_compare.py
+    # never depends on the driver's capture at all.
+    result = {
+        "metric": "headline_queries_total_wall",
+        "unit": "sec",
+        "queries": timings,
+        "passes": n_passes,
+        "noise_max_over_min_p50": noise[len(noise) // 2]
+        if noise
+        else None,
+        "noise_max_over_min_max": noise[-1] if noise else None,
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
+        "flagship_rows_per_sec": round(n_events / steady),
+        "skew": skew,
+        "skew_join": skew_join,
+        "ann_quality": ann_quality,
+        "streaming": streaming,
+        "subtotals": subtotals,
+        "sf": sf,
+        "value": total,
+    }
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".benchmarks", "bench_latest.json"),
     )
+    try:
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
+    except OSError as exc:  # never let artifact IO kill the stdout line
+        print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

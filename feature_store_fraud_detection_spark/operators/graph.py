@@ -102,10 +102,26 @@ def pagerank(
         if not assume_distinct:
             e = e.distinct()
     else:
+        # fail-loud weight validation (the repo's overflow_checked
+        # convention): a NULL/zero/negative weight would make
+        # `rank div strength` NULL under non-ANSI mode and silently drop
+        # that node's whole contribution mass — abort with the offending
+        # value instead. One vectorized comparison per edge.
+        w_raw = F.col(weight_col).cast("long")
+        w_checked = F.when(w_raw > 0, w_raw).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "pagerank: weight_col must be a positive integer "
+                    "(got %s) — zero/negative/NULL weights silently "
+                    "drop contribution mass",
+                    w_raw.cast("string"),
+                )
+            ).cast("long")
+        )
         e = edges.select(
             F.col(src_col).alias("src"),
             F.col(dst_col).alias("dst"),
-            F.col(weight_col).cast("long").alias("w"),
+            w_checked.alias("w"),
         )
         if not assume_distinct:
             e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
@@ -135,6 +151,26 @@ def pagerank(
         )
         n_nodes = nodes.count()
     n_edges = e.count()  # cached scan — shares the materialization above
+    if weight_col is not None:
+        # the exact-integer contribution identity needs
+        # strength * max_weight < 2^63 (docstring); CHECK it instead of
+        # documenting it — both maxes are one tiny agg over cached tables
+        bounds = (
+            deg_src.agg(F.max("deg").alias("smax"))
+            .crossJoin(e.agg(F.max("w").alias("wmax")))
+            .first()
+        )
+        if (
+            bounds["smax"] is not None
+            and bounds["wmax"] is not None
+            and int(bounds["smax"]) * int(bounds["wmax"]) >= 2**63
+        ):
+            raise ValueError(
+                "pagerank: strength*max_weight = "
+                f"{int(bounds['smax'])}*{int(bounds['wmax'])} >= 2^63 — "
+                "the exact integer contribution path would overflow; "
+                "rescale the weights"
+            )
     # Two execution regimes, same arithmetic (the gate tests assert both):
     # - SMALL graph (|V| fits a broadcast): skip the src pre-keying — the
     #   per-iteration join broadcasts the |V|-row rank table, so the edge

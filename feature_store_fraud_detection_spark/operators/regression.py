@@ -488,9 +488,27 @@ def _conformal_parts(
     return model, cal, test, _resid
 
 
-def _conformal_report(qrow: DataFrame, test_resid: DataFrame) -> DataFrame:
+def _conformal_report(
+    qrow: DataFrame, test_resid: DataFrame, extra_cols: tuple = ()
+) -> DataFrame:
     """Shared coverage stage: test-split coverage of the +-q interval and
-    the one-row report."""
+    the one-row report.
+
+    ``covered_count`` is the EXACT integer numerator of the coverage
+    ratio (count of test residuals <= q). It exists so oracle-facing
+    consumers can hash-check the coverage decision without touching a
+    float-repr surface: an ``avg`` over 0/1 doubles is value-identical
+    cross-engine, but a different DuckDB build's incremental-mean AVG can
+    land 1 ulp away and flip a floor(x*1e4+0.5) boundary — the suspected
+    mechanism behind the round-6 driver-gate divergence on
+    ``ridge_conformal_sketch`` (CORRECTNESS_r06: hash_match false,
+    unreproducible on the local replica). The float ``coverage`` column
+    stays for human use and is derived by ONE division from the exact
+    pair.
+
+    ``extra_cols`` lets a variant thread additional qrow columns (e.g.
+    the sketch's exact ``q_bin``) into the report.
+    """
     from feature_store_fraud_detection_spark.functions.numeric import (
         round4_stable,
     )
@@ -500,8 +518,8 @@ def _conformal_report(qrow: DataFrame, test_resid: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(qrow.select("__q")))
         .agg(
             F.count(F.lit(1)).alias("n_test"),
-            F.avg((F.col("__r") <= F.col("__q")).cast("double")).alias(
-                "__cov"
+            F.sum((F.col("__r") <= F.col("__q")).cast("bigint")).alias(
+                "covered_count"
             ),
         )
     )
@@ -512,8 +530,12 @@ def _conformal_report(qrow: DataFrame, test_resid: DataFrame) -> DataFrame:
         "b0",
         "b1",
         "b2",
+        *extra_cols,
+        F.col("covered_count"),
         round4_stable(F.col("__q")).alias("q"),
-        round4_stable(F.col("__cov")).alias("coverage"),
+        round4_stable(
+            F.col("covered_count").cast("double") / F.col("n_test")
+        ).alias("coverage"),
     )
 
 
@@ -545,6 +567,13 @@ def ridge_conformal_sketch(
     is therefore in [0, (hi - 0)/bins] whenever the rank stays below the
     overflow bin (pinned in tests at sf0.01 data shapes). Residuals are
     nonnegative, so the grid is [0, hi).
+
+    Output carries BOTH the human-facing doubles (``q``, ``coverage``)
+    and an exact-integer surface (``q_bin``: the 1-based bin whose upper
+    edge is q, ``bins`` meaning the overflow/max-residual fallback;
+    ``covered_count``: the integer coverage numerator). Oracle-checked
+    consumers should compare the integer surface — see the round-6
+    divergence note in :func:`_conformal_report`.
     """
     model, cal, test, _resid = _conformal_parts(
         df, x1_col, x2_col, y_col, id_col, lam, seed
@@ -584,20 +613,39 @@ def ridge_conformal_sketch(
             "b1",
             "b2",
             F.expr(
-                f"""CASE WHEN n_cal = 0 THEN CAST(NULL AS DOUBLE) ELSE
-  element_at(aggregate(
+                f"""CASE WHEN n_cal = 0 THEN
+  named_struct('qb', CAST(NULL AS INT), 'q', CAST(NULL AS DOUBLE)) ELSE
+  aggregate(
     sequence(1, {bins}),
-    named_struct('cum', cast(0 as bigint), 'q', cast(NULL as double)),
+    named_struct('cum', cast(0 as bigint), 'qb', cast(NULL as int),
+                 'q', cast(NULL as double)),
     (acc, b) -> named_struct(
       'cum', acc.cum + element_at(__counts, b),
+      'qb', CASE
+              WHEN acc.qb IS NOT NULL THEN acc.qb
+              WHEN acc.cum + element_at(__counts, b)
+                   >= least(ceil((n_cal + 1) * {1 - alpha!r}), n_cal)
+              THEN CAST(b AS INT)
+              ELSE CAST(NULL AS INT) END,
       'q', CASE
              WHEN acc.q IS NOT NULL THEN acc.q
              WHEN acc.cum + element_at(__counts, b)
                   >= least(ceil((n_cal + 1) * {1 - alpha!r}), n_cal)
              THEN IF(b = {bins}, __max_r, b * {w!r})
              ELSE CAST(NULL AS DOUBLE) END),
-    acc -> array(acc.q)), 1) END"""
-            ).alias("__q"),
+    acc -> named_struct('qb', acc.qb, 'q', acc.q)) END"""
+            ).alias("__s"),
+        )
+        .select(
+            "n_train",
+            "n_cal",
+            "b0",
+            "b1",
+            "b2",
+            F.col("__s.qb").alias("q_bin"),
+            F.col("__s.q").alias("__q"),
         )
     )
-    return _conformal_report(qrow, _resid(test))
+    return _conformal_report(
+        qrow, _resid(test), extra_cols=(F.col("q_bin"),)
+    )

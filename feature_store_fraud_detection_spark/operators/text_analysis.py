@@ -782,7 +782,24 @@ def nb_lang_classify(
     decomposed as ``prior + sum_matched tf*ln(c_lg+1) - n_tok*ln(T_l+V)``
     so zero-count (g, l) pairs never materialize (ln(0+1) = 0): the model
     join stays on OBSERVED (label, gram) counts, not the dense V x L
-    matrix. Returns one row per scored doc: (id, label, predicted).
+    matrix. Returns one row per scored doc: (id, predicted), plus the
+    true label carried through as ``label_col`` IF ``score_df`` has that
+    column — scoring genuinely unlabeled data (the primary use of a
+    classifier) needs no label column; the confusion-matrix path is just
+    "carry the label, then groupBy(label, predicted)".
+
+    Quality note (measured, round 7): on the synthetic registry corpus
+    the per-language word mixtures are nearly identical (pairwise KL
+    0.006-0.027 over a 31-word vocabulary), and NO classifier beats the
+    all-'en' majority baseline (0.440) there: this NB scores 0.368,
+    an NB fit on train+test (the cheating upper bound) 0.488, and an
+    L2 multinomial logistic regression converges exactly to the
+    majority predictor (0.440). The operator is correct — the planted-
+    separability fixture classifies perfectly — the corpus is simply
+    near-inseparable, so the registry row is an EVALUATOR of the
+    confusion matrix, not a deployable language-ID model. For real
+    language ID use :func:`lang_id` (marker heuristic) or train on a
+    separable corpus.
 
     Determinism (the repo's cross-engine rules): ln of integer counts is
     bit-stable across engines; the per-(doc, label) matched sum folds the
@@ -843,10 +860,14 @@ def nb_lang_classify(
         )
     )
 
-    tf = gram_rows(score_df, id_col, label_col).groupBy(
-        id_col, label_col, "g"
+    # score-side label is OPTIONAL: unlabeled data — the primary use of
+    # a classifier — scores without it; when present it rides along for
+    # the confusion-matrix path
+    carry = [label_col] if label_col in score_df.columns else []
+    tf = gram_rows(score_df, id_col, *carry).groupBy(
+        id_col, *carry, "g"
     ).agg(F.count(F.lit(1)).alias("tf"))
-    ntok = tf.groupBy(id_col, label_col).agg(F.sum("tf").alias("n_tok"))
+    ntok = tf.groupBy(id_col, *carry).agg(F.sum("tf").alias("n_tok"))
     contrib = tf.join(
         cnt.select(F.col(label_col).alias("__l"), "g", "c"), "g"
     ).select(
@@ -866,7 +887,7 @@ def nb_lang_classify(
         .join(matched, [id_col, "__l"], "left")
         .select(
             F.col(id_col),
-            F.col(label_col),
+            *[F.col(c) for c in carry],
             F.col("__l"),
             (
                 F.col("prior_ln")
@@ -879,7 +900,7 @@ def nb_lang_classify(
     return (
         scores.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
-        .select(id_col, label_col, F.col("__l").alias("predicted"))
+        .select(id_col, *carry, F.col("__l").alias("predicted"))
     )
 
 

@@ -473,6 +473,7 @@ def theil_sen_trend(
     key_col: str,
     ts_col: str,
     val_col: str,
+    max_days: int = 365,
 ) -> DataFrame:
     """Theil-Sen robust trend per key over the daily series: slope =
     MEDIAN of all pairwise slopes (y_j - y_i)/(d_j - d_i), intercept =
@@ -487,11 +488,18 @@ def theil_sen_trend(
     middles, the one division both engines run identically).
 
     Scale: the pairwise slope list is O(days^2) PER KEY, array-local
-    (never a row explosion or a join) — bounded series only; for
-    million-day keys pre-aggregate to coarser buckets first, same bound
-    as :func:`holt_forecast`'s fold. Keys with a single day return NULL
-    slope/intercept.
+    (never a row explosion or a join) — and HARD-CAPPED at the trailing
+    ``max_days`` observed days (default 365): a 10-year key folds
+    365*364/2 = 66k slopes, not 6.7M. The cap is a windowing choice, not
+    an approximation — "trend over the last year" is usually the right
+    question anyway; raise ``max_days`` deliberately for longer fits or
+    pre-aggregate to coarser buckets (same bound as
+    :func:`holt_forecast`'s fold). Keys with a single day return NULL
+    slope/intercept; ``n_days`` reports the days actually fitted (post-
+    cap).
     """
+    if max_days < 2:
+        raise ValueError(f"max_days must be >= 2, got {max_days}")
     day = F.date_trunc("day", F.col(ts_col))
     daily = (
         df.filter(F.col(val_col).isNotNull())
@@ -505,10 +513,25 @@ def theil_sen_trend(
             round4_stable(F.col("__s").cast("double")).alias("__y"),
         )
     )
-    series = daily.groupBy(key_col).agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("__d"), F.col("__y")))
-        ).alias("__sr")
+    full = F.col("__full")
+    series = (
+        daily.groupBy(key_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__d"), F.col("__y")))
+            ).alias("__full")
+        )
+        # trailing-window cap BEFORE the O(n^2) fold: keep the LAST
+        # max_days observed days only
+        .select(
+            key_col,
+            F.when(
+                F.size(full) > max_days,
+                F.slice(full, -max_days, max_days),
+            )
+            .otherwise(full)
+            .alias("__sr"),
+        )
     )
     arr = F.col("__sr")
     n = F.size(arr)

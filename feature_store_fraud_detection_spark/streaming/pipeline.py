@@ -374,7 +374,14 @@ def read_fold_state(spark, state_dir: str) -> DataFrame | None:
     try:
         return spark.read.parquet(state_dir)
     except AnalysisException:
-        return None
+        # two-generation fallback: a crash between _replay_guarded_fold's
+        # two renames leaves the live state parked at ".old" (see its
+        # docstring's crash matrix) — without this probe that window
+        # would silently reset accumulation to None
+        try:
+            return spark.read.parquet(state_dir + ".old")
+        except AnalysisException:
+            return None
 
 
 def _replay_guarded_fold(spark, state_dir: str, batch_id: int, fold_fn) -> None:
@@ -394,7 +401,24 @@ def _replay_guarded_fold(spark, state_dir: str, batch_id: int, fold_fn) -> None:
     ``fold_fn(prev_or_none)`` receives the previous state WITHOUT the meta
     column (or None on the first batch) and returns the new state; the
     meta column is re-stamped here. The returned frame is localCheckpointed
-    BEFORE overwriting the directory it was read from.
+    BEFORE the directory dance so no lazy read still points at the paths
+    being renamed.
+
+    Durability: the state is COMMITTED by directory renames, never by
+    overwriting in place (a plain ``mode("overwrite")`` deletes the old
+    directory before the new write commits — a crash in that window loses
+    ALL accumulated state and the replayed batch folds into None,
+    silently resetting the accumulator). Sequence: (1) write the new
+    state to ``<dir>.tmp`` (overwrite — replaces any orphan), (2) park
+    the live dir at ``<dir>.old``, (3) rename tmp into place, (4) drop
+    ``.old``. Crash matrix (reader = live dir, else ``.old`` —
+    :func:`read_fold_state`): in (1) live state untouched; between (2)
+    and (3) the reader falls back to ``.old`` and the replayed batch
+    re-folds correctly; between (3) and (4) the live dir already carries
+    this batch_id so the replay is skipped and the stale ``.old`` is
+    swept on the next fold. Renames are atomic on local filesystems and
+    HDFS; on S3A a rename is copy+delete — run state dirs on a
+    rename-atomic store (or S3+committer) for the full guarantee.
     """
     prev = read_fold_state(spark, state_dir)
     if prev is not None and _STATE_META_COL in prev.columns:
@@ -403,12 +427,32 @@ def _replay_guarded_fold(spark, state_dir: str, batch_id: int, fold_fn) -> None:
             return
         prev = prev.drop(_STATE_META_COL)
     new = fold_fn(prev)
-    (
+    staged = (
         new.withColumn(_STATE_META_COL, F.lit(int(batch_id)))
         .localCheckpoint(eager=True)
-        .write.mode("overwrite")
-        .parquet(state_dir)
     )
+    _commit_state(spark, staged, state_dir)
+
+
+def _commit_state(spark, staged: DataFrame, state_dir: str) -> None:
+    """Replace a parquet state directory via the tmp/.old rename dance
+    (crash matrix in :func:`_replay_guarded_fold`). ``staged`` must
+    already be materialized (localCheckpoint) — no lazy read may still
+    point at the paths being renamed."""
+    tmp_dir, old_dir = state_dir + ".tmp", state_dir + ".old"
+    staged.write.mode("overwrite").parquet(tmp_dir)
+    # Hadoop FileSystem API (not os.*): state dirs may be HDFS/S3 paths
+    # invisible to the driver-local filesystem
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(state_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath(state_dir)):
+        if fs.exists(hpath(old_dir)):
+            fs.delete(hpath(old_dir), True)
+        fs.rename(hpath(state_dir), hpath(old_dir))
+    fs.rename(hpath(tmp_dir), hpath(state_dir))
+    if fs.exists(hpath(old_dir)):
+        fs.delete(hpath(old_dir), True)
 
 
 def run_stream_neardup_filter(
@@ -574,10 +618,13 @@ def run_stream_pattern_alerts(
                 union.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") < k)
                 .select(key, type_col, ts_col, tiebreak)
-                # materialize BEFORE overwriting the directory it reads
+                # materialize BEFORE replacing the directory it reads
                 .localCheckpoint(eager=True)
             )
-            new_tail.write.mode("overwrite").parquet(state_dir)
+            # same crash-safe commit as the folded monitors: an in-place
+            # overwrite torn mid-write would drop the cross-batch tail
+            # and silently miss patterns spanning the restart
+            _commit_state(union.sparkSession, new_tail, state_dir)
 
     writer = (
         raw_events.writeStream.outputMode("append")

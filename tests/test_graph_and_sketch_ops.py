@@ -51,6 +51,83 @@ def test_pagerank_two_cycle_exact_fixed_point(spark):
     assert out == {"a": r2, "b": r2}
 
 
+def test_pagerank_weighted_rejects_bad_weights(spark):
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    # zero/negative/NULL weights silently NULL `rank div strength` and
+    # drop contribution mass — the weighted path must fail loud instead
+    for bad in (0, -3, None):
+        df = spark.createDataFrame(
+            [("a", "b", 2), ("b", "a", bad)],
+            "src string, dst string, w int",
+        )
+        with pytest.raises(SparkRuntimeException, match="positive integer"):
+            pagerank(df, "src", "dst", iterations=1, weight_col="w").collect()
+    # documented overflow bound strength*max_weight < 2^63 is CHECKED
+    big = 2**33
+    df = spark.createDataFrame(
+        [("a", "b", big), ("a", "c", big)],
+        "src string, dst string, w long",
+    )
+    with pytest.raises(ValueError, match="2\\^63"):
+        pagerank(df, "src", "dst", iterations=1, weight_col="w")
+    # a graph inside the bound still runs
+    ok = spark.createDataFrame(
+        [("a", "b", 3), ("b", "a", 1)], "src string, dst string, w long"
+    )
+    assert pagerank(ok, "src", "dst", iterations=1, weight_col="w").count() == 2
+
+
+def test_coreness_oracle_guard_fires_when_unconverged():
+    """The coreness oracle's convergence guard must ERROR (not silently
+    return a wrong decomposition) when the unrolled peel depth is too
+    shallow for the data — the failure mode on any dataset whose peel
+    fixpoint is deeper than the measured sf0.001/0.01/0.1 depths."""
+    import duckdb
+    import pytest
+
+    from feature_store_fraud_detection_spark.plans import registry
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "'/root/testdata/sf0.001/lineitem.parquet'"
+    )
+    # honest depths converge and return rows on real data
+    assert len(con.execute(registry._coreness_sql()).fetchall()) > 0
+    con.execute("DROP VIEW lineitem")
+    # synthetic chain graph 1-2-3-4-5-6 (each co-purchase pair planted in
+    # TWO orders to clear the w>=2 edge filter): a k=2 peel strips one
+    # endpoint pair per round, so it needs 3 rounds — forcing a 1-round
+    # unroll must make the extra-round check detect the moving fixpoint
+    rows = []
+    order = 0
+    for a in range(1, 6):
+        for _ in range(2):  # two orders per chain edge -> weight 2
+            order += 1
+            rows.append(f"({order}, {a})")
+            rows.append(f"({order}, {a + 1})")
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(l_orderkey, l_partkey)"
+    )
+    orig = dict(registry._CORENESS_ROUNDS)
+    try:
+        registry._CORENESS_ROUNDS[2] = 1
+        with pytest.raises(duckdb.Error, match="unconverged"):
+            con.execute(registry._coreness_sql()).fetchall()
+        # with honest depth the same chain peels to the empty 2-core and
+        # every node reports coreness 1
+        registry._CORENESS_ROUNDS[2] = orig[2]
+        got = dict(con.execute(registry._coreness_sql()).fetchall())
+        assert got == {n: 1 for n in range(1, 7)}
+    finally:
+        registry._CORENESS_ROUNDS.clear()
+        registry._CORENESS_ROUNDS.update(orig)
+
+
 def test_bfs_levels_chain_and_cap(spark):
     # chain a->b->c->d->e->f->g with max_hops=4: g (5 hops) is absent
     chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), ("f", "g")]

@@ -701,6 +701,15 @@ def test_nb_lang_classify_separable_and_edge_docs(spark):
     # char mode: same contract, one prediction per scorable doc
     pred_c = nb_lang_classify(tr, te, "id", "text", "lab", mode="char", gram=2)
     assert pred_c.groupBy("id").count().filter("count > 1").count() == 0
+    # UNLABELED scoring (the primary use of a classifier): score_df
+    # without the label column gets (id, predicted) with identical
+    # predictions to the labeled run
+    pred_u = nb_lang_classify(
+        tr, te.drop("lab"), "id", "text", "lab", mode="word"
+    )
+    assert pred_u.columns == ["id", "predicted"]
+    got_u = {r["id"]: r["predicted"] for r in pred_u.collect()}
+    assert got_u == {i: p for i, (_, p) in got.items()}
 
 
 def test_nb_lang_classify_prior_decides_featureless_overlap(spark):

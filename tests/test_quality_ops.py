@@ -965,6 +965,33 @@ def test_theil_sen_ignores_outlier_day(spark):
     assert out["one"].slope is None and out["one"].intercept is None
 
 
+def test_theil_sen_max_days_caps_to_trailing_window(spark):
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    t = lambda d: BASE + dt.timedelta(days=d)  # noqa: E731
+    # slope 1 for days 0..29, then slope 5 for days 30..59: with
+    # max_days=30 only the trailing 30-day regime is fitted — n_days
+    # reports the capped count and the slope is the RECENT one; the
+    # intercept is the robust level at the capped window's first day
+    rows = [("k", t(d), 10.0 + 1.0 * d) for d in range(30)]
+    rows += [("k", t(30 + d), 40.0 + 5.0 * d) for d in range(30)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    capped = theil_sen_trend(df, "k", "ts", "v", max_days=30).collect()[0]
+    assert capped.n_days == 30
+    assert capped.slope == 5.0
+    assert capped.intercept == 40.0
+    # uncapped (default 365) sees both regimes -> mixed slope, full count
+    full = theil_sen_trend(df, "k", "ts", "v").collect()[0]
+    assert full.n_days == 60
+    assert full.slope != capped.slope
+    import pytest
+
+    with pytest.raises(ValueError):
+        theil_sen_trend(df, "k", "ts", "v", max_days=1)
+
+
 def test_quantile_normalize_targets_are_cross_group_means(spark):
     from feature_store_fraud_detection_spark.operators.stats import (
         quantile_normalize,

@@ -325,6 +325,12 @@ def test_ridge_conformal_sketch_conservative_within_bin_width(spark):
     width = hi / bins
     assert ex.q <= sk.q <= ex.q + width + 1e-9
     assert sk.coverage >= ex.coverage
+    # exact-integer surface: q_bin's upper edge IS q (non-overflow), and
+    # covered_count is the integer numerator of coverage
+    assert 1 <= sk.q_bin < bins
+    assert abs(sk.q_bin * width - sk.q) < 1e-9
+    assert sk.covered_count == round(sk.coverage * sk.n_test)
+    assert ex.covered_count == round(ex.coverage * ex.n_test)
 
     # overflow: a grid far too small for the residuals forces the rank
     # into the last bin -> q = exact max calibration residual (>= q_exact)
@@ -333,3 +339,4 @@ def test_ridge_conformal_sketch_conservative_within_bin_width(spark):
     ).collect()[0]
     assert ov.q >= ex.q
     assert ov.coverage >= ex.coverage
+    assert ov.q_bin == 4  # overflow sentinel = bins
