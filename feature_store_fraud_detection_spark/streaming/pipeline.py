@@ -931,3 +931,60 @@ def stream_heavy_hitters_report(
 
     state = spark.read.parquet(state_dir).select("row", "bucket", "cnt")
     return cms_query(state, items, item_col, depth, width)
+
+
+def run_stream_hll_monitor(
+    raw_rows: DataFrame,
+    state_dir: str,
+    key_col: str,
+    value_col: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming high-cardinality distinct monitoring — the fifth
+    additive-state monitor (drift=categorical counts, quantiles=
+    histogram, distincts=KMV, frequencies=CMS, big distincts=HLL): fold
+    each micro-batch's per-key HLL register state into parquet state by
+    element-wise register MAX, the HLL merge law (associative,
+    commutative, idempotent), so the folded state is BIT-identical to
+    sketching every row ever seen in one pass. Use this over the KMV
+    monitor when per-key cardinality is huge: state is <= 4096 small
+    ints per key regardless of how many distincts flow through, vs
+    KMV's k exact hashes. ``stream_hll_report`` then answers per-key
+    cardinality estimates from the accumulated registers. Per-batch
+    cost: one keyed register aggregate of the batch + a register-sized
+    merge; state never row-sized. Replay-safe via
+    ``_replay_guarded_fold``.
+    """
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        hll_merge,
+        hll_sketch,
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+
+        def _merge(prev: DataFrame | None) -> DataFrame:
+            m = hll_sketch(batch_df, key_col, value_col)
+            return m if prev is None else hll_merge(prev, m, key_col)
+
+        _replay_guarded_fold(spark, state_dir, batch_id, _merge)
+
+    writer = (
+        raw_rows.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def stream_hll_report(spark, state_dir: str, key_col: str) -> DataFrame:
+    """Per-key HLL cardinality estimates from the monitor's accumulated
+    register state."""
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        hll_estimate,
+    )
+
+    state = spark.read.parquet(state_dir).select(key_col, "reg", "m_j")
+    return hll_estimate(state, key_col)

@@ -802,3 +802,68 @@ def test_stream_cms_monitor_equals_batch_sketch(spark, tmp_path):
     true_hot = sum(1 for _, it in rows if it == "hot")
     assert got["hot"] >= true_hot  # CMS never undercounts
     assert got["hot"] <= true_hot + len(rows) * 2 / 128  # and stays tight
+
+
+def test_stream_hll_monitor_equals_batch_sketch(spark, tmp_path):
+    """The HLL monitor's folded register state (and hence every
+    cardinality estimate) must be BIT-identical to one batch sketch over
+    all rows ever seen — HLL merge is element-wise register max, which is
+    associative, commutative and idempotent."""
+    from feature_store_fraud_detection_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+    from feature_store_fraud_detection_spark.streaming.pipeline import (
+        run_stream_hll_monitor,
+        stream_hll_report,
+    )
+
+    # two high-cardinality keys + one tiny late key; values overlap
+    # across micro-batches so idempotence of the register max matters
+    rows = [
+        (i, "a" if i % 2 else "b", i % 977) for i in range(900)
+    ] + [(2000 + j, "late", j) for j in range(25)]
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    for part in range(3):
+        with open(src / f"p{part}.jsonl", "w") as f:
+            for rid, kk, v in rows[part::3]:
+                f.write(json.dumps({"rid": rid, "k": kk, "v": v}) + "\n")
+        os.utime(src / f"p{part}.jsonl", (1_700_000_000 + part,) * 2)
+
+    state_dir = str(tmp_path / "hll_state")
+    raw = (
+        spark.readStream.schema("rid bigint, k string, v int")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_stream_hll_monitor(
+        raw, state_dir, "k", "v",
+        checkpoint_dir=str(tmp_path / "ckpt_hll"),
+    )
+    q.awaitTermination(120)
+
+    all_rows = spark.createDataFrame(rows, "rid bigint, k string, v int")
+    # register state itself is bit-identical to the one-pass sketch
+    folded_regs = {
+        (r.k, r.reg): r.m_j
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    want_regs = {
+        (r.k, r.reg): r.m_j
+        for r in hll_sketch(all_rows, "k", "v").collect()
+    }
+    assert folded_regs == want_regs
+    # and so are the estimates
+    got = {r.k: tuple(r) for r in stream_hll_report(spark, state_dir, "k").collect()}
+    want = {
+        r.k: tuple(r)
+        for r in hll_estimate(hll_sketch(all_rows, "k", "v"), "k").collect()
+    }
+    assert got == want
+    assert set(got) == {"a", "b", "late"}
+    # sanity: the estimates sit near the true cardinalities
+    true = {"a": 450, "b": 450, "late": 25}
+    for kk, n in true.items():
+        est = got[kk][-1]
+        assert abs(est - n) / n < 0.15, (kk, est, n)
