@@ -681,3 +681,106 @@ def adamic_adar(
     )
     e.unpersist()
     return out
+
+
+def sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    max_rounds: int = 6,
+    assert_converged: bool = False,
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths -> (node, dist) — the
+    weighted sibling of :func:`bfs_levels`: Bellman-Ford relaxation
+    rounds ``dist[dst] = min(dist[dst], dist[src] + w)``, exact after
+    ``max_rounds`` rounds for every shortest path of at most that many
+    edges. Weights must be POSITIVE BIGINTs (integer min/plus is
+    order-independent and bit-equal cross-engine — the same reason
+    pagerank runs in scaled-integer arithmetic); NULL/zero/negative
+    weights fail loud, matching the weighted-pagerank convention.
+
+    ``assert_converged=True`` runs ONE extra relaxation round and fails
+    loud if any distance still improves — the data-derived convergence
+    check (same policy as the coreness oracle's peel-fixpoint assertion)
+    for graphs whose diameter is believed, not known. Unreached nodes
+    are absent from the output.
+
+    Scale: identical shuffle profile to bfs_levels — per round one join
+    keyed on ``src`` + one min-aggregate over (|V|-bounded) distance
+    rows; the edge table is persisted (and pre-keyed in the large-graph
+    regime) once across rounds.
+    """
+    w_ok = F.when(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0),
+        F.col(weight_col).cast("bigint"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "sssp: weight must be a positive integer (got %s for "
+                "edge %s -> %s)",
+                F.col(weight_col).cast("string"),
+                F.col(src_col).cast("string"),
+                F.col(dst_col).cast("string"),
+            )
+        )
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        w_ok.alias("w"),
+    )
+    e_cached = e.persist()
+    n_edges = e_cached.count()
+    small_graph = n_edges <= 2 * SMALL_GRAPH_NODE_LIMIT
+    if small_graph:
+        e = e_cached.coalesce(_edge_partitions(edges.sparkSession, n_edges))
+    else:
+        e_cached2 = e_cached.repartition("src").persist()
+        e_cached.unpersist()
+        e_cached = e_cached2
+        e = e_cached
+    dists = seeds.select(
+        F.col(node_col).alias("node"), F.lit(0).cast("bigint").alias("dist")
+    ).distinct()
+
+    def _relax(d: DataFrame) -> DataFrame:
+        d_side = F.broadcast(d) if small_graph else d
+        return (
+            e.join(d_side, e.src == d.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .unionByName(d)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+
+    for i in range(max_rounds):
+        dists = _relax(dists)
+        if (i + 1) % 5 == 0 and (i + 1) < max_rounds:
+            dists = dists.localCheckpoint(eager=True)
+    dists = dists.localCheckpoint(eager=True)
+    if assert_converged:
+        improved = (
+            _relax(dists)
+            .alias("nxt")
+            .join(dists.alias("cur"), "node", "left")
+            .filter(
+                F.col("cur.dist").isNull()
+                | (F.col("nxt.dist") < F.col("cur.dist"))
+            )
+            .count()
+        )
+        if improved:
+            e_cached.unpersist()
+            raise ValueError(
+                f"sssp: {improved} distances still improve after "
+                f"{max_rounds} rounds — raise max_rounds (graph deeper "
+                "than assumed)"
+            )
+    e_cached.unpersist()
+    return dists

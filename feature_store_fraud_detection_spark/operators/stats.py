@@ -733,3 +733,230 @@ def quantile_normalize(
     return per.join(F.broadcast(target), "bucket").select(
         group_col, "bucket", "n_rows", "mean_raw", "target"
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    treatment_value,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two groups — the
+    rank-based robust A/B companion to :func:`chi2_independence`
+    (categorical outcomes) and the t-style mean tests: it compares whole
+    DISTRIBUTIONS without assuming normality, so one whale transaction
+    cannot swing the verdict the way it swings a mean test.
+
+    Exact-integer core (the hashable surface): with ties sharing their
+    average rank, twice the average rank of a value v is the INTEGER
+    ``2*(#below v) + (#equal v) + 1``, so ``2*R_treatment`` is an exact
+    BIGINT; so are the tie-correction term ``sum(t^3 - t)`` and
+    ``2*U = 2*R - n_t*(n_t+1)``. The normal-approximation z-score and the
+    common-language effect size ``U/(n_t*n_c)`` (= P(treatment draw >
+    control draw), the AUC analog) are derived once from those integers
+    in fixed IEEE op order and rounded to 4 decimals.
+
+    Scale design: ranking needs a prefix sum over the ordered distinct
+    values — NOT a global sort of the rows. Rows collapse to one row per
+    distinct value (hash aggregate); the prefix sum over that bounded
+    table is sharded by quantile cut points exactly as
+    ``windows.bucketed_value_ranks`` shards its ranks (per-bucket windows
+    + broadcast bucket offsets), so no single task ever sorts more than
+    ~|distinct|/n_buckets entries. Tie counts are guarded against the
+    double-precision cliff (t^3 must stay exact in the later double
+    divide).
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    rows = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(value_col).alias("__v"),
+        (F.col(group_col) == F.lit(treatment_value))
+        .cast("int")
+        .alias("__t"),
+    )
+    per_v = rows.groupBy("__v").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum("__t").alias("__nt"),
+    )
+    # shard the ordered prefix sum: quantile cuts -> per-bucket windows
+    if n_buckets >= 2:
+        qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+        cut_expr = F.expr(f"percentile(__v, array({qs}))")
+        cuts = per_v.agg(cut_expr.alias("__cuts"))
+        binned = per_v.crossJoin(F.broadcast(cuts)).withColumn(
+            "__bin",
+            F.size(F.filter("__cuts", lambda q: F.col("__v") > q)),
+        ).drop("__cuts")
+    else:
+        binned = per_v.withColumn("__bin", F.lit(0))
+    bucket_tot = binned.groupBy("__bin").agg(F.sum("__cnt").alias("__bc"))
+    woff = Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_tot.select(
+        "__bin", F.coalesce(F.sum("__bc").over(woff), F.lit(0)).alias("__off")
+    )
+    wv = (
+        Window.partitionBy("__bin")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = binned.join(F.broadcast(offsets), "__bin").select(
+        "__v",
+        "__cnt",
+        "__nt",
+        (
+            F.col("__off") + F.coalesce(F.sum("__cnt").over(wv), F.lit(0))
+        ).alias("__below"),
+    )
+    # guard the tie cube: t^3 must stay exact in BIGINT and in the later
+    # double divide (2^53) — fail loud past ~2.09M rows sharing one value
+    t_ok = overflow_checked(
+        F.col("__cnt"), 2097000.0, "mann_whitney_u tie size"
+    )
+    agg = ranked.agg(
+        F.sum("__cnt").alias("n"),
+        F.sum("__nt").alias("n_t"),
+        F.sum(
+            F.col("__nt")
+            * (F.lit(2) * F.col("__below") + F.col("__cnt") + F.lit(1))
+        ).alias("r2_t"),
+        F.sum(t_ok * t_ok * t_ok - t_ok).alias("tie_term"),
+    )
+    n = F.col("n").cast("double")
+    nt = F.col("n_t").cast("double")
+    nc = (F.col("n") - F.col("n_t")).cast("double")
+    two_u = (F.col("r2_t") - F.col("n_t") * (F.col("n_t") + F.lit(1)))
+    sigma2 = (nt * nc / F.lit(12.0)) * (
+        (n + F.lit(1.0))
+        - F.col("tie_term").cast("double") / (n * (n - F.lit(1.0)))
+    )
+    z = (two_u.cast("double") - nt * nc) / (
+        F.lit(2.0) * F.sqrt(sigma2)
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_t").cast("bigint").alias("n_treat"),
+        (F.col("n") - F.col("n_t")).cast("bigint").alias("n_control"),
+        F.col("r2_t").cast("bigint").alias("rank_sum_x2"),
+        two_u.cast("bigint").alias("u_x2"),
+        F.col("tie_term").cast("bigint").alias("tie_term"),
+        round4_stable(two_u.cast("double") / (F.lit(2.0) * nt * nc)).alias(
+            "effect_cl"
+        ),
+        round4_stable(z).alias("z_score"),
+    )
+
+
+def anova_f(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """One-way ANOVA F-test across k groups — "do these groups share a
+    mean?" for a continuous outcome, next to :func:`chi2_independence`
+    (categorical) and :func:`mann_whitney_u` (two-group rank test).
+
+    Exact-moment design (the ridge_fit discipline): values are scaled to
+    integers (``scale``, e.g. cents), so the per-group count/sum are
+    exact BIGINTs and the sum of squares an exact DECIMAL(38,0). The
+    only inexact step is the FINAL cast of those moments to double for
+    the F ratio — a relative 1e-16 perturbation, invisible at 4 decimals
+    for a RATIO statistic (never emit the raw sums of squares, whose
+    absolute error would not round away). Between/within terms fold in
+    group-sorted order (fixed IEEE sequence both engines).
+
+    Output: one row per group (group, n, sum_scaled, mean) — each an
+    exact integer or a ratio — plus the global f_stat / eta^2 / df
+    replicated on every row, so the whole report hash-checks.
+
+    Scale: one hash aggregate to k rows; everything after is arithmetic
+    on the bounded group table (sorted folds over k elements).
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    v_int = F.floor(
+        overflow_checked(
+            F.col(value_col).cast("double") * F.lit(float(scale)),
+            9.0e15,
+            "anova_f scaled value",
+        )
+        + F.lit(0.5)
+    ).cast("bigint")
+    per_g = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), v_int.alias("__v"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum("__v").alias("s_g"),
+            F.sum(
+                F.col("__v").cast("decimal(38,0)") * F.col("__v")
+            ).alias("q_g"),
+        )
+    )
+    folded = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s_tot"),
+        # sorted folds over the k-row group table: identical IEEE order
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("grp").cast("string").alias("g"),
+                        (
+                            F.col("s_g").cast("double")
+                            * F.col("s_g").cast("double")
+                            / F.col("n_g").cast("double")
+                        ).alias("x"),
+                        (
+                            F.col("q_g").cast("double")
+                            - F.col("s_g").cast("double")
+                            * F.col("s_g").cast("double")
+                            / F.col("n_g").cast("double")
+                        ).alias("w"),
+                    )
+                )
+            ),
+            F.struct(F.lit(0.0).alias("x"), F.lit(0.0).alias("w")),
+            lambda acc, e: F.struct(
+                (acc["x"] + e["x"]).alias("x"),
+                (acc["w"] + e["w"]).alias("w"),
+            ),
+        ).alias("__f"),
+    )
+    nD = F.col("n").cast("double")
+    kD = F.col("k").cast("double")
+    ssb = F.col("__f.x") - (
+        F.col("s_tot").cast("double") * F.col("s_tot").cast("double") / nD
+    )
+    ssw = F.col("__f.w")
+    f_stat = (ssb / (kD - F.lit(1.0))) / (ssw / (nD - kD))
+    eta2 = ssb / (ssb + ssw)
+    glob = folded.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n").cast("bigint").alias("n_total"),
+        round4_stable(f_stat).alias("f_stat"),
+        round4_stable(eta2).alias("eta2"),
+    )
+    return per_g.crossJoin(F.broadcast(glob)).select(
+        F.col("grp").alias(group_col),
+        F.col("n_g").cast("bigint").alias("n_g"),
+        F.col("s_g").cast("bigint").alias("sum_scaled"),
+        round4_stable(
+            F.col("s_g").cast("double")
+            / F.lit(float(scale))
+            / F.col("n_g").cast("double")
+        ).alias("mean_val"),
+        "k",
+        "n_total",
+        "f_stat",
+        "eta2",
+    )

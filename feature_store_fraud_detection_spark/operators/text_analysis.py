@@ -1050,3 +1050,95 @@ def textrank_keywords(
         .orderBy(F.col("rank_scaled").desc(), "word")
         .limit(top_k)
     )
+
+
+def dsir_logratio(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int | None = None,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus
+    document by its log importance ratio under two unigram bag-of-words
+    LMs — ``target`` (the in-domain sample you want more of) vs the
+    corpus itself — and rank. Documents whose token mix looks like the
+    target float up; selecting the top slice importance-resamples the
+    corpus toward the target distribution. The published method hashes
+    n-grams into a fixed feature space; the unigram/exact-vocab form here
+    is the same estimator with the hashing collision noise removed.
+
+    log_ratio(doc) = sum over tokens of tf_w * (ln p_tgt(w) - ln p_src(w)),
+    both LMs Laplace-smoothed over the SHARED vocabulary V (so
+    target-unseen words contribute a finite negative preference)::
+
+        p(w) = (count(w) + 1) / (total_tokens + |V|)
+
+    Determinism: counts and totals are exact integers; each (doc, term)
+    contribution takes two ``ln`` calls (measured cross-engine-stable,
+    unlike ``exp`` — see sequential_ab's probe) in fixed op order; the
+    per-doc reduction folds the SORTED contribution list (the repo's
+    fixed-IEEE-order rule). Ranking breaks ties by doc id.
+
+    Scale: term stats are hash aggregates keyed by term; their join onto
+    per-doc tf is co-partitioned on term (vocabulary never broadcast, it
+    can be arbitrarily large); the two scalar totals broadcast. One
+    shuffle family on term, one on doc id — the unigram_nll profile with
+    a second (bounded, target-sized) count table joined in.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    tok_c = corpus.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tok_t = target.select(F.explode(tokens(text_col)).alias("term"))
+    tf = tok_c.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    src_ct = tok_c.groupBy("term").agg(F.count(F.lit(1)).alias("c_src"))
+    tgt_ct = tok_t.groupBy("term").agg(F.count(F.lit(1)).alias("c_tgt"))
+    # shared vocab = the corpus vocab (target-only terms never appear in
+    # a scored doc, so they cannot contribute); |V| still counts them out
+    # of the target mass via the totals below
+    stats = src_ct.join(tgt_ct, "term", "left").select(
+        "term", "c_src", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")
+    )
+    totals = stats.agg(
+        F.sum("c_src").alias("t_src"),
+        F.sum("c_tgt").alias("t_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    contribs = (
+        tf.join(stats, "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.col("tf"),
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("c_tgt") + F.lit(1)).cast("double")
+                        / (F.col("t_tgt") + F.col("v")).cast("double")
+                    )
+                    - F.log(
+                        (F.col("c_src") + F.lit(1)).cast("double")
+                        / (F.col("t_src") + F.col("v")).cast("double")
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    s = F.aggregate(
+        F.array_sort(F.collect_list("c")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = contribs.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        round4_stable(s / F.sum("tf")).alias("log_ratio_per_tok"),
+    )
+    if top_k is not None:
+        scored = scored.orderBy(
+            F.col("log_ratio_per_tok").desc(), F.col(id_col)
+        ).limit(int(top_k))
+    return scored

@@ -672,3 +672,150 @@ def cusum_segments(
     )
     children = peaks(with_split, [key_col, "__seg"], F.col("__seg"))
     return root.unionByName(children)
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.3,
+    period: int = 7,
+    horizon: int = 14,
+) -> DataFrame:
+    """Additive Holt-Winters (level + trend + SEASONALITY) per key over
+    the daily series — completes the smoothing ladder after
+    :func:`ewma_forecast` (level) and :func:`holt_forecast`
+    (level+trend); with ``period=7`` it captures the weekly rhythm that
+    both earlier forecasters smear into noise::
+
+        l_t = alpha*(y_t - s_{t-m}) + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+        s_t = gamma*(y_t - l_t) + (1-gamma)*s_{t-m}
+
+    Seasonality is indexed by POSITION in the day-sorted series (exactly
+    day-of-week only when the series is gap-free — true for dense daily
+    aggregates; resample first if not). Seeding uses the classic
+    first-season initialization: ``l_m = mean(y_1..m)``, ``b_m = 0``
+    (zero-initial-trend, as in holt_forecast), ``s_i = y_i - l_m`` for
+    the first ``period`` observations; the fold then runs from
+    observation ``period+1``. Keys with fewer than ``period``
+    observations are dropped (no season to seed from).
+
+    Emits per key: final level/trend, the next-step seasonal, 1-step and
+    ``horizon``-step forecasts (``l + h*b + s_{appropriate phase}``),
+    and the mean absolute one-step in-sample error over the folded span.
+
+    Determinism: same discipline as holt_forecast — exact DECIMAL daily
+    totals rounded before the fold; the fold is a sequential struct fold
+    over the day-sorted list (identical IEEE op sequence both engines),
+    with the seasonal queue carried as a ``period``-element array
+    (head = s_{t-m}, rotated each step). The DuckDB twin is a recursive
+    CTE carrying the same list column.
+
+    Scale: one (key, day) keyed aggregate, then one per-key fold whose
+    state is 3 doubles + a ``period``-double array; per-key payload is
+    the day count (pre-aggregate million-day keys to coarser buckets
+    first, the collect_list bound shared with holt_forecast).
+    """
+    m = int(period)
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        df.filter(F.col(val_col).isNotNull())
+        .groupBy(F.col(key_col), day.alias("__day"))
+        .agg(F.sum(F.col(val_col).cast("decimal(18,4)")).alias("__s"))
+        .select(
+            key_col,
+            F.unix_timestamp("__day").alias("__d"),
+            round4_stable(F.col("__s").cast("double")).alias("__y"),
+        )
+    )
+    series = daily.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__d"), F.col("__y")))
+        ).alias("__sr")
+    ).filter(F.size("__sr") >= m)
+    ys = F.transform(F.col("__sr"), lambda s: s["__y"])
+    a, ac = F.lit(float(alpha)), F.lit(1.0 - alpha)
+    b, bc = F.lit(float(beta)), F.lit(1.0 - beta)
+    g, gc = F.lit(float(gamma)), F.lit(1.0 - gamma)
+
+    first_season = F.slice(ys, 1, m)
+    l0 = (
+        F.aggregate(first_season, F.lit(0.0), lambda acc, y: acc + y)
+        / F.lit(float(m))
+    )
+    init = F.struct(
+        F.lit(0.0).alias("err"),
+        l0.alias("l"),
+        F.lit(0.0).alias("t"),
+        F.transform(first_season, lambda y: y - l0).alias("s"),
+    )
+    rest = F.slice(ys, m + 1, F.greatest(F.size(ys) - m, F.lit(0)))
+    # every use of the new level recomputes its expression inline — the
+    # same IEEE op sequence the SQL twin spells out (holt discipline)
+    fold = F.aggregate(
+        rest,
+        init,
+        lambda acc, y: F.struct(
+            (
+                acc["err"]
+                + F.abs(y - (acc["l"] + acc["t"] + F.element_at(acc["s"], 1)))
+            ).alias("err"),
+            (
+                a * (y - F.element_at(acc["s"], 1))
+                + ac * (acc["l"] + acc["t"])
+            ).alias("l"),
+            (
+                b
+                * (
+                    (
+                        a * (y - F.element_at(acc["s"], 1))
+                        + ac * (acc["l"] + acc["t"])
+                    )
+                    - acc["l"]
+                )
+                + bc * acc["t"]
+            ).alias("t"),
+            F.concat(
+                F.slice(acc["s"], 2, m - 1),
+                F.array(
+                    g
+                    * (
+                        y
+                        - (
+                            a * (y - F.element_at(acc["s"], 1))
+                            + ac * (acc["l"] + acc["t"])
+                        )
+                    )
+                    + gc * F.element_at(acc["s"], 1)
+                ),
+            ).alias("s"),
+        ),
+    )
+    n = F.size(ys)
+    h = F.lit(float(horizon))
+    # forecast h steps ahead reads the seasonal at phase (h-1) mod m + 1
+    # of the final queue (head = next step's seasonal)
+    phase = ((horizon - 1) % m) + 1
+    n_folded = n - m
+    return series.select(
+        key_col,
+        n.cast("int").alias("n_days"),
+        round4_stable(F.element_at(ys, -1)).alias("last_y"),
+        round4_stable(fold["l"]).alias("level"),
+        round4_stable(fold["t"]).alias("trend"),
+        round4_stable(F.element_at(fold["s"], 1)).alias("season_next"),
+        round4_stable(
+            fold["l"] + fold["t"] + F.element_at(fold["s"], 1)
+        ).alias("forecast_1"),
+        round4_stable(
+            fold["l"] + h * fold["t"] + F.element_at(fold["s"], phase)
+        ).alias(f"forecast_{horizon}"),
+        F.when(
+            n_folded >= 1,
+            round4_stable(fold["err"] / n_folded.cast("double")),
+        ).alias("mae_1step"),
+    )

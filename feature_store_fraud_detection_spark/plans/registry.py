@@ -11259,6 +11259,399 @@ SELECT (SELECT count(*) FROM nation) AS n_nation,
 """
 
 
+# --------------------------------------------------------------------------
+# Round 7: classical inference (Mann-Whitney, ANOVA), seasonal smoothing,
+# weighted shortest paths, DSIR data selection
+# --------------------------------------------------------------------------
+
+
+def _q_mann_whitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: do weekend events carry different
+    values than weekday events? (operators/stats.py:mann_whitney_u) —
+    the rank-based robust twin of chi2_event_weekend: exact-integer
+    doubled rank sums / tie term / 2U, with the z-score and the
+    common-language effect size derived once in fixed IEEE order.
+    Values rank on exact cents (floor(v*100+0.5)) so ties are
+    well-defined cross-engine."""
+    from feature_store_fraud_detection_spark.operators.stats import (
+        mann_whitney_u,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.filter(F.col("ts").isNotNull()).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v_cents"),
+        # Spark dayofweek: 1=Sun..7=Sat
+        F.dayofweek("ts").isin(1, 7).cast("int").alias("is_weekend"),
+    )
+    return mann_whitney_u(ev, "is_weekend", "v_cents", 1)
+
+
+_MANN_WHITNEY_SQL = """
+WITH rows_ AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         -- DuckDB dayofweek: 0=Sun..6=Sat
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS t
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+per_v AS (SELECT v, count(*) AS cnt, sum(t) AS nt FROM rows_ GROUP BY v),
+ranked AS (
+  SELECT v, cnt, nt,
+         COALESCE(sum(cnt) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM per_v
+),
+agg AS (
+  SELECT sum(cnt) AS n, sum(nt) AS n_t,
+         sum(nt * (2 * below + cnt + 1)) AS r2_t,
+         sum(cnt * cnt * cnt - cnt) AS tie_term
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n_t AS BIGINT) AS n_treat,
+       CAST(n - n_t AS BIGINT) AS n_control,
+       CAST(r2_t AS BIGINT) AS rank_sum_x2,
+       CAST(r2_t - n_t * (n_t + 1) AS BIGINT) AS u_x2,
+       CAST(tie_term AS BIGINT) AS tie_term,
+       floor((CAST(r2_t - n_t * (n_t + 1) AS DOUBLE)
+              / (2.0 * CAST(n_t AS DOUBLE) * CAST(n - n_t AS DOUBLE)))
+             * 10000 + 0.5) / 10000 AS effect_cl,
+       floor(((CAST(r2_t - n_t * (n_t + 1) AS DOUBLE)
+               - CAST(n_t AS DOUBLE) * CAST(n - n_t AS DOUBLE))
+              / (2.0 * sqrt(
+                  (CAST(n_t AS DOUBLE) * CAST(n - n_t AS DOUBLE) / 12.0)
+                  * ((CAST(n AS DOUBLE) + 1.0)
+                     - CAST(tie_term AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))))
+             * 10000 + 0.5) / 10000 AS z_score
+FROM agg
+"""
+
+
+def _q_anova_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean order value differ across the five order
+    priorities? (operators/stats.py:anova_f) — exact integer-cents
+    moments per group (the ridge_fit discipline); only the final F/eta^2
+    RATIOS are doubles, where a 1-ulp decimal-cast perturbation is
+    relative and rounds away."""
+    from feature_store_fraud_detection_spark.operators.stats import anova_f
+
+    o = load_table(spark, sf_dir, "orders")
+    return anova_f(o, "o_orderpriority", "o_totalprice", scale=100)
+
+
+_ANOVA_PRIORITY_SQL = """
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+           AS v
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+),
+per_g AS (
+  SELECT grp, count(*) AS n_g, sum(v) AS s_g,
+         sum(CAST(v AS DECIMAL(38,0)) * v) AS q_g
+  FROM base GROUP BY grp
+),
+folded AS (
+  SELECT count(*) AS k, sum(n_g) AS n, sum(s_g) AS s_tot,
+         list_reduce(list(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                          / CAST(n_g AS DOUBLE)
+                          ORDER BY CAST(grp AS VARCHAR)),
+                     (a, b) -> a + b) AS fx,
+         list_reduce(list(CAST(q_g AS DOUBLE)
+                          - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                            / CAST(n_g AS DOUBLE)
+                          ORDER BY CAST(grp AS VARCHAR)),
+                     (a, b) -> a + b) AS fw
+  FROM per_g
+),
+gstats AS (
+  SELECT CAST(k AS INTEGER) AS k, CAST(n AS BIGINT) AS n_total,
+         floor((((fx - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                 / (CAST(k AS DOUBLE) - 1.0))
+                / (fw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))
+               * 10000 + 0.5) / 10000 AS f_stat,
+         floor(((fx - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                / ((fx - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                          / CAST(n AS DOUBLE)) + fw))
+               * 10000 + 0.5) / 10000 AS eta2
+  FROM folded
+)
+SELECT p.grp AS o_orderpriority,
+       CAST(p.n_g AS BIGINT) AS n_g,
+       CAST(p.s_g AS BIGINT) AS sum_scaled,
+       floor((CAST(p.s_g AS DOUBLE) / 100.0 / CAST(p.n_g AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS mean_val,
+       g.k, g.n_total, g.f_stat, g.eta2
+FROM per_g p CROSS JOIN gstats g
+"""
+
+
+def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level+trend+weekly seasonality) over each
+    order priority's daily revenue (operators/timeseries.py:
+    holt_winters_forecast) — the seasonal completion of the
+    ewma/holt smoothing ladder; the seasonal queue rides the fold as a
+    7-double array, rotated each step, and the DuckDB twin carries the
+    same list through a recursive CTE."""
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        holt_winters_forecast,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return holt_winters_forecast(
+        o, "o_orderpriority", "o_orderdate", "o_totalprice",
+        alpha=0.5, beta=0.25, gamma=0.3, period=7, horizon=14,
+    )
+
+
+# gamma complement spelled (1.0 - 0.3), NOT 0.7: Python's 1.0-0.3 is
+# 0.7000000000000001, one ulp off the literal 0.7 — the SQL must run the
+# same subtraction to fold with the identical constant.
+_HOLT_WINTERS_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT o_orderpriority AS k, date_trunc('day', o_orderdate) AS d,
+         floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               * 10000 + 0.5) / 10000 AS y
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+),
+idx AS (
+  SELECT k, row_number() OVER (PARTITION BY k ORDER BY d) AS i, y
+  FROM daily
+),
+sz AS (SELECT k, count(*) AS n FROM idx GROUP BY 1),
+seed0 AS (
+  SELECT k, list(y ORDER BY i) AS fs FROM idx WHERE i <= 7 GROUP BY k
+  HAVING count(*) = 7
+),
+seed AS (
+  SELECT k, list_reduce(fs, (a, b) -> a + b) / 7.0 AS l, fs FROM seed0
+),
+rec AS (
+  SELECT k, CAST(7 AS BIGINT) AS i, CAST(0.0 AS DOUBLE) AS err,
+         l, CAST(0.0 AS DOUBLE) AS t,
+         list_transform(fs, v -> v - l) AS s
+  FROM seed
+  UNION ALL
+  SELECT r.k, x.i,
+         r.err + abs(x.y - (r.l + r.t + r.s[1])),
+         0.5 * (x.y - r.s[1]) + 0.5 * (r.l + r.t),
+         0.25 * ((0.5 * (x.y - r.s[1]) + 0.5 * (r.l + r.t)) - r.l)
+           + 0.75 * r.t,
+         r.s[2:7] || [0.3 * (x.y - (0.5 * (x.y - r.s[1])
+                                    + 0.5 * (r.l + r.t)))
+                      + (1.0 - 0.3) * r.s[1]]
+  FROM rec r JOIN idx x ON x.k = r.k AND x.i = r.i + 1
+)
+SELECT r.k AS o_orderpriority,
+       CAST(s.n AS INT) AS n_days,
+       floor(last.y * 10000 + 0.5) / 10000 AS last_y,
+       floor(r.l * 10000 + 0.5) / 10000 AS level,
+       floor(r.t * 10000 + 0.5) / 10000 AS trend,
+       floor(r.s[1] * 10000 + 0.5) / 10000 AS season_next,
+       floor((r.l + r.t + r.s[1]) * 10000 + 0.5) / 10000 AS forecast_1,
+       floor((r.l + 14.0 * r.t + r.s[7]) * 10000 + 0.5) / 10000
+         AS forecast_14,
+       CASE WHEN s.n - 7 >= 1
+            THEN floor((r.err / CAST(s.n - 7 AS DOUBLE)) * 10000 + 0.5)
+                 / 10000
+            END AS mae_1step
+FROM rec r
+JOIN sz s ON s.k = r.k AND r.i = s.n
+JOIN idx last ON last.k = r.k AND last.i = s.n
+"""
+
+
+def _q_sssp_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest relay route from the lowest-keyed nation to every other
+    nation across the trade network (operators/graph.py:sssp) — hop cost
+    = the cheapest single trade (exact cents) between the two nations,
+    undirected. Weighted Bellman-Ford relaxation in pure BIGINT min/plus
+    arithmetic (order-independent, bit-equal cross-engine), with the
+    data-derived convergence assertion on BOTH sides: Spark runs one
+    extra round and fails loud on improvement; the oracle's guard CTE
+    does the same."""
+    from feature_store_fraud_detection_spark.operators.graph import sssp
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b")
+        )
+        .agg(F.min(cents).alias("w"))
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    seeds = nat.agg(F.min("n_nationkey").alias("node"))
+    d = sssp(edges, seeds, max_rounds=4, assert_converged=True)
+    return d.join(nat, d.node == nat.n_nationkey).select(
+        F.col("node").cast("int").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+        F.col("dist").alias("dist_cents"),
+    )
+
+
+_SSSP_NATIONS_SQL = """
+WITH pairs AS MATERIALIZED (
+  SELECT c.c_nationkey AS a, s.s_nationkey AS b,
+         min(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS w
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst, w FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst, w FROM pairs
+),
+d0 AS MATERIALIZED (
+  SELECT (SELECT min(n_nationkey) FROM nation) AS node,
+         CAST(0 AS BIGINT) AS dist
+),
+d1 AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d0
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d0 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+),
+d2 AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d1
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d1 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+),
+d3 AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d2
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d2 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+),
+d4 AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d3
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d3 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+),
+guard AS MATERIALIZED (
+  SELECT CASE WHEN (
+    SELECT count(*) FROM (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d4
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d4 d JOIN edges e ON e.src = d.node
+      ) GROUP BY node
+    ) nxt LEFT JOIN d4 cur USING (node)
+    WHERE cur.dist IS NULL OR nxt.dist < cur.dist
+  ) = 0 THEN 1
+  ELSE error('sssp oracle unconverged after 4 rounds - deepen the unroll')
+  END AS ok
+)
+SELECT CAST(d4.node AS INT) AS nationkey,
+       n.n_name AS nation,
+       d4.dist AS dist_cents
+FROM d4
+JOIN nation n ON n.n_nationkey = d4.node
+WHERE (SELECT ok FROM guard) = 1
+"""
+
+
+def _q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/text_analysis.py:dsir_logratio):
+    rank every document by its unigram log importance ratio toward the
+    English slice of the corpus and keep the top 100 — the
+    importance-resampling curation step next to the quality
+    (unigram_nll/gopher) and dedup families."""
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        dsir_logratio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_logratio(
+        docs, docs.filter(F.col("lang") == "en"), "doc_id", "text",
+        top_k=100,
+    )
+
+
+_DSIR_SELECTION_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+tokt AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents WHERE lang = 'en'
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+src AS (SELECT term, count(*) AS c_src FROM tok GROUP BY 1),
+tgt AS (SELECT term, count(*) AS c_tgt FROM tokt GROUP BY 1),
+stats AS (
+  SELECT s.term, s.c_src, COALESCE(t.c_tgt, 0) AS c_tgt
+  FROM src s LEFT JOIN tgt t USING (term)
+),
+tot AS (
+  SELECT sum(c_src) AS t_src, sum(c_tgt) AS t_tgt, count(*) AS v FROM stats
+),
+contribs AS (
+  SELECT doc_id, tf,
+         tf * (ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(t_tgt + v AS DOUBLE))
+               - ln(CAST(c_src + 1 AS DOUBLE) / CAST(t_src + v AS DOUBLE)))
+           AS c
+  FROM tf JOIN stats USING (term) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       floor((list_reduce(list_sort(list(c)), (a, b) -> a + b) / sum(tf))
+             * 10000 + 0.5) / 10000 AS log_ratio_per_tok
+FROM contribs
+GROUP BY doc_id
+ORDER BY log_ratio_per_tok DESC, doc_id
+LIMIT 100
+"""
+
+
+QUERIES.update(
+    {
+        "mann_whitney_events": QuerySpec(
+            _q_mann_whitney_events, _MANN_WHITNEY_SQL
+        ),
+        "anova_priority": QuerySpec(_q_anova_priority, _ANOVA_PRIORITY_SQL),
+        "holt_winters_forecast": QuerySpec(
+            _q_holt_winters, _HOLT_WINTERS_SQL
+        ),
+        "sssp_nations": QuerySpec(_q_sssp_nations, _SSSP_NATIONS_SQL),
+        "dsir_selection": QuerySpec(_q_dsir_selection, _DSIR_SELECTION_SQL),
+    }
+)
+
+
 QUERIES.update(
     {
         "gate_float_canary": QuerySpec(
@@ -11289,79 +11682,67 @@ QUERIES.update(
 # Rounds rotate this list deliberately — never let "where the code was
 # appended" decide what gets graded.
 _GRADING_PRIORITY: list[str] = [
-    # (a) round-6 new or semantically-changed queries (16) — grade
-    # first: coreness/mmr_rerank/ridge_conformal_sketch/adamic_adar and
-    # the 10 late-round additions are never-graded; simhash_pairs moved
-    # 32-bit/d<=1 -> 64-bit/d<=3; ridge_conformal's empty-calibration
-    # guard restructured its plan
-    "coreness",
-    "mmr_rerank",
+    # (a) round-7 fixes and new queries (7): gate_float_canary is the
+    # never-graded harness canary shipped after the r6 grade ran;
+    # ridge_conformal_sketch is the repo's one red driver row, re-cut to
+    # an exact-integer surface and needing the driver's verdict; the
+    # five after it are this round's additions
+    "gate_float_canary",
     "ridge_conformal_sketch",
-    "simhash_pairs",
-    "ridge_conformal",
-    "adamic_adar",
-    "nb_lang_confusion",
-    "holt_forecast",
-    "quantile_normalize_sources",
-    "theil_sen_trend",
-    "markov_stationary",
-    "hll_distinct_users",
-    "readability_scores",
-    "attribution_position",
-    "textrank_keywords",
-    "cusum_segments",
-    "textrank_weighted",
-    "pcm_energy_windows",
-    "srm_check",
-    # (b) the stalest driver grades, r1 first then the earliest r2 tail
-    # (the three r1 rows-only sampling queries excluded: declared-rows-
-    # only by design, hash twins r5-green). (a)'s growth this round
-    # pushes ~10 of these past slot 50 — they rotate to round 7
-    # (tools/grading_window.py prints the exact cut).
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_customers",
-    "cold_customers",
-    "customers_with_orders",
-    "customers_without_orders",
-    "large_orders",
-    "small_quantity_revenue",
-    "segment_revenue",
-    "segment_set_ops",
-    "disjunctive_revenue",
-    "local_supplier_volume",
-    "product_revenue_by_year",
-    "grouping_sets_revenue",
-    "cube_revenue",
-    "order_count_distribution",
-    "value_distribution_windows",
-    "embedding_neardup_pairs",
-    "frame_sample",
-    "corpus_prep_pipeline",
-    "ngram_jaccard_pairs",
-    "dict_encode",
-    "stats_with_latest",
-    "sync_offline_online",
-    "text_profile",
-    "activity_bursts",
-    "behavior_entropy",
-    "bm25_topk",
-    "calibration_bins",
-    "cohort_retention",
-    "decontaminate_benchmark",
+    "mann_whitney_events",
+    "anova_priority",
+    "holt_winters_forecast",
+    "sssp_nations",
+    "dsir_selection",
+    # (b) the FULL remaining stale tail — all 41 queries whose latest
+    # driver grade is still r1/r2 (10 were judge-re-verified in r6 but a
+    # fresh driver row beats a spot-check; the three declared rows-only
+    # sampling queries ride along for a current rows signal). After this
+    # round every registry query's latest grade is r3+.
+    "fraction_sample",
+    "rebalance_classes",
+    "train_test_split",
     "dedup_by_source",
-    "doc_chunks",
-    "dup_ngram_stats",
-    "event_transitions",
-    "events_melt",
-    "exact_auc",
-    "feature_drift_ks",
-    "feature_drift_psi",
-    "feature_hash_events",
-    "fraud_capture_curve",
-    "funnel_steps",
     "validate_documents",
     "lang_confusion",
+    "time_embargo_split",
+    "feature_drift_ks",
+    "exact_auc",
+    "fuzzy_pairs",
+    "fraud_capture_curve",
+    "training_set_pipeline",
+    "leakage_scan",
+    "events_melt",
+    "geo_proximity_pairs",
+    "event_transitions",
+    "hashed_doc_vectors",
+    "hashed_vector_topk",
+    "trending_topk",
+    "value_rank_profile",
+    "knn_classify",
+    "validate_events",
+    "key_skew_profile",
+    "sliding_distinct_users",
+    "winsorize_values",
+    "dup_ngram_stats",
+    "pii_redaction",
+    "quality_weighted_sample",
+    "zorder_keys",
+    "funnel_steps",
+    "kfold_balance",
+    "target_encoding_loo",
+    "feature_hash_events",
+    "sq8_topk",
+    "robust_outliers",
+    "feature_drift_psi",
+    "scd2_history",
+    "top_tokens",
+    "resample_gapfill",
+    "doc_chunks",
+    "repetition_profile",
+    # (c) two r3-green regression canaries fill the window to 50
+    "unigram_nll",
+    "pack_sequences",
 ]
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (

@@ -605,3 +605,48 @@ def test_hll_small_range_linear_counting(spark):
     est = hll_estimate(hll_sketch(df, "g", "v"), "g").collect()[0]
     assert est.zeros == 4096 - 3
     assert abs(est.estimate - 3.0) < 0.01
+
+
+def test_sssp_weighted_hand_graph(spark):
+    from feature_store_fraud_detection_spark.operators.graph import sssp
+
+    import pytest
+
+    # diamond: A->B (1), A->C (10), B->C (2), C->D (3), B->D (100)
+    # shortest: A=0, B=1, C=3 (via B), D=6 (A-B-C-D); E unreachable
+    edges = spark.createDataFrame(
+        [
+            ("A", "B", 1), ("A", "C", 10), ("B", "C", 2),
+            ("C", "D", 3), ("B", "D", 100), ("E", "E2", 1),
+        ],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("A",)], "node string")
+    got = {
+        r.node: r.dist
+        for r in sssp(edges, seeds, max_rounds=4).collect()
+    }
+    assert got == {"A": 0, "B": 1, "C": 3, "D": 6}
+
+    # convergence assertion: a 3-edge chain needs 3 rounds; with
+    # max_rounds=2 + assert_converged the operator must fail LOUD
+    chain = spark.createDataFrame(
+        [("A", "B", 1), ("B", "C", 1), ("C", "D", 1)],
+        "src string, dst string, w long",
+    )
+    with pytest.raises(ValueError, match="still improve"):
+        sssp(chain, seeds, max_rounds=2, assert_converged=True)
+    # and pass silently once the rounds cover the diameter
+    ok = {
+        r.node: r.dist
+        for r in sssp(chain, seeds, max_rounds=3,
+                      assert_converged=True).collect()
+    }
+    assert ok == {"A": 0, "B": 1, "C": 2, "D": 3}
+
+    # fail-loud weight validation (the weighted-pagerank convention)
+    bad = spark.createDataFrame(
+        [("A", "B", 0)], "src string, dst string, w long"
+    )
+    with pytest.raises(Exception, match="positive"):
+        sssp(bad, seeds, max_rounds=1).collect()

@@ -1118,3 +1118,154 @@ def test_srm_check_flags_planted_imbalance(spark):
     )
     r2 = srm_check(broken, "user_id").collect()[0]
     assert r2.srm_flag is True and r2.chi2 > r.chi2
+
+
+def test_mann_whitney_hand_fixture(spark):
+    from feature_store_fraud_detection_spark.operators.stats import (
+        mann_whitney_u,
+    )
+
+    # treatment {1,3,5,5}, control {2,5,7}: hand ranks (ties averaged)
+    #   1->1, 2->2, 3->3, 5,5,5 -> (4+5+6)/3 = 5, 7->7
+    # R_t = 1 + 3 + 5 + 5 = 14 -> 2R = 28; U_t = 14 - 4*5/2 = 4 -> 2U = 8
+    # tie_term = 3^3 - 3 = 24
+    rows = [("t", 1), ("t", 3), ("t", 5), ("t", 5),
+            ("c", 2), ("c", 5), ("c", 7)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    r = mann_whitney_u(df, "g", "v", "t").collect()[0]
+    assert (r.n, r.n_treat, r.n_control) == (7, 4, 3)
+    assert r.rank_sum_x2 == 28 and r.u_x2 == 8 and r.tie_term == 24
+    # effect = U/(n_t*n_c) = 4/12
+    assert r.effect_cl == math.floor(8 / (2.0 * 4 * 3) * 10000 + 0.5) / 10000
+    # z from the tie-corrected normal approximation, same formula by hand
+    n, nt, nc, tie = 7.0, 4.0, 3.0, 24.0
+    sigma2 = (nt * nc / 12.0) * ((n + 1.0) - tie / (n * (n - 1.0)))
+    z = (8.0 - nt * nc) / (2.0 * math.sqrt(sigma2))
+    assert r.z_score == math.floor(z * 10000 + 0.5) / 10000
+    # a planted location shift must push |z| up and effect_cl toward 1
+    big = [("t", 100 + i) for i in range(200)] + [
+        ("c", i % 50) for i in range(200)
+    ]
+    r2 = mann_whitney_u(
+        spark.createDataFrame(big, "g string, v int"), "g", "v", "t"
+    ).collect()[0]
+    assert r2.effect_cl == 1.0  # every treatment value beats every control
+    assert r2.z_score > 10
+
+
+def test_anova_f_matches_direct_computation(spark):
+    from feature_store_fraud_detection_spark.operators.stats import anova_f
+
+    import random
+
+    rng = random.Random(7)
+    groups = {"a": 10.0, "b": 12.0, "c": 10.5}
+    rows = [
+        (g, mu + rng.uniform(-1, 1)) for g, mu in groups.items()
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in anova_f(df, "g", "v", scale=10000).collect()}
+    # direct two-pass computation on the SAME scaled integers
+    scaled = {
+        g: [math.floor(v * 10000 + 0.5) for gg, v in rows if gg == g]
+        for g in groups
+    }
+    k, n = 3, 300
+    means = {g: sum(vs) / len(vs) for g, vs in scaled.items()}
+    grand = sum(sum(vs) for vs in scaled.values()) / n
+    ssb = sum(len(vs) * (means[g] - grand) ** 2 for g, vs in scaled.items())
+    ssw = sum(
+        (x - means[g]) ** 2 for g, vs in scaled.items() for x in vs
+    )
+    f_direct = (ssb / (k - 1)) / (ssw / (n - k))
+    got = out["a"]
+    assert got.k == 3 and got.n_total == 300
+    assert abs(got.f_stat - f_direct) < max(1e-4, abs(f_direct) * 1e-6)
+    assert 0.0 < got.eta2 < 1.0
+    # group rows carry exact integer moments
+    for g in groups:
+        assert out[g].n_g == 100
+        assert out[g].sum_scaled == sum(scaled[g])
+    # separated groups -> F far above 1; identical groups -> F ~ 0
+    same = spark.createDataFrame(
+        [("a", float(i % 10)) for i in range(100)]
+        + [("b", float(i % 10)) for i in range(100)],
+        "g string, v double",
+    )
+    r_same = anova_f(same, "g", "v", scale=100).collect()[0]
+    assert r_same.f_stat == 0.0  # identical distributions, zero between-SS
+    assert got.f_stat > 10
+
+
+def test_holt_winters_recovers_planted_seasonality(spark):
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        holt_winters_forecast,
+    )
+
+    t = lambda d: BASE + dt.timedelta(days=d)  # noqa: E731
+    season = [5.0, -3.0, 0.0, 2.0, -4.0, 1.0, -1.0]  # sums to 0
+    # y = 100 + 1.5d + season[d%7], 10 full weeks
+    rows = [
+        ("s", t(d), 100.0 + 1.5 * d + season[d % 7]) for d in range(70)
+    ] + [("short", t(d), 50.0) for d in range(5)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        r.k: r
+        for r in holt_winters_forecast(
+            df, "k", "ts", "v", alpha=0.5, beta=0.25, gamma=0.3,
+            period=7, horizon=14,
+        ).collect()
+    }
+    assert "short" not in out  # < period observations: no season to seed
+    s = out["s"]
+    assert s.n_days == 70
+    # converging toward the true slope 1.5 (the first-season seeding bakes
+    # the within-week ramp into the seasonals, which gamma unwinds slowly —
+    # bias shrinks with more cycles, direction is what's pinned here)
+    assert 1.0 < s.trend < 2.0
+    # 1-step-ahead forecast must hit the true next value (d=70, phase 0)
+    true_next = 100.0 + 1.5 * 70 + season[70 % 7]
+    assert abs(s.forecast_1 - true_next) < 0.5
+    # 14-step-ahead (d=83, same phase): trend bias compounds 14x, so the
+    # tolerance is wider but still tighter than the seasonal amplitude
+    true_14 = 100.0 + 1.5 * 83 + season[83 % 7]
+    assert abs(s.forecast_14 - true_14) < 4.0
+    # exact fold parity with the hand recurrence (incl. seeding)
+    ys = [100.0 + 1.5 * d + season[d % 7] for d in range(70)]
+    l = sum(ys[:7]) / 7.0
+    sq = [y - l for y in ys[:7]]
+    tr, err = 0.0, 0.0
+    for y in ys[7:]:
+        err = err + abs(y - (l + tr + sq[0]))
+        nl = 0.5 * (y - sq[0]) + 0.5 * (l + tr)
+        tr = 0.25 * (nl - l) + 0.75 * tr
+        sq = sq[1:] + [0.3 * (y - nl) + (1.0 - 0.3) * sq[0]]
+        l = nl
+    assert s.level == math.floor(l * 10000 + 0.5) / 10000
+    assert s.trend == math.floor(tr * 10000 + 0.5) / 10000
+    assert s.season_next == math.floor(sq[0] * 10000 + 0.5) / 10000
+
+
+def test_dsir_logratio_prefers_target_like_docs(spark):
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        dsir_logratio,
+    )
+
+    target_text = "alpha beta gamma alpha beta"
+    off_text = "zulu yankee xray zulu yankee"
+    corpus = [
+        (1, "alpha beta alpha gamma beta"),   # target-like
+        (2, "zulu xray yankee zulu"),          # off-domain
+        (3, "alpha zulu beta yankee"),         # mixed
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, target_text), (101, target_text)], "doc_id long, text string"
+    )
+    out = dsir_logratio(docs, target, "doc_id", "text").collect()
+    scores = {r.doc_id: r.log_ratio_per_tok for r in out}
+    assert scores[1] > scores[3] > scores[2]  # target-like floats up
+    # top_k keeps the highest scorer only
+    top = dsir_logratio(docs, target, "doc_id", "text", top_k=1).collect()
+    assert [r.doc_id for r in top] == [1]
