@@ -143,6 +143,13 @@ HEADLINE: list[tuple[str, int]] = [
     ("attribution_position", 6),
     ("textrank_keywords", 6),
     ("cusum_segments", 6),
+    # round-7 additions: rank/variance inference, seasonal smoothing,
+    # weighted shortest paths, DSIR data selection
+    ("mann_whitney_events", 7),
+    ("anova_priority", 7),
+    ("holt_winters_forecast", 7),
+    ("sssp_nations", 7),
+    ("dsir_selection", 7),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

@@ -812,10 +812,22 @@ def mann_whitney_u(
             F.col("__off") + F.coalesce(F.sum("__cnt").over(wv), F.lit(0))
         ).alias("__below"),
     )
-    # guard the tie cube: t^3 must stay exact in BIGINT and in the later
-    # double divide (2^53) — fail loud past ~2.09M rows sharing one value
-    t_ok = overflow_checked(
-        F.col("__cnt"), 2097000.0, "mann_whitney_u tie size"
+    # guard the tie cube: t^3 must stay exact in BIGINT (2^63) — fail
+    # loud past ~2.09M rows sharing one value. The ELSE branch is cast
+    # to BIGINT explicitly so the whole CASE (and hence the tie sum)
+    # stays integer-typed: letting Spark unify it to double would make
+    # the sum order-dependent past 2^53 (overflow_checked's generic
+    # form measured exactly that promotion here).
+    t_ok = F.when(
+        F.col("__cnt") < F.lit(2097000), F.col("__cnt")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "mann_whitney_u tie size: a value shared by %s rows "
+                "overflows the exact tie-term path (bound 2097000)",
+                F.col("__cnt").cast("string"),
+            )
+        ).cast("bigint")
     )
     agg = ranked.agg(
         F.sum("__cnt").alias("n"),

@@ -281,6 +281,8 @@ GLOBAL_WINDOW_QUERIES = [
                               # frame (evaluation.py)
     "fairness_report",        # gap windows over the bounded group frame
                               # (evaluation.py)
+    "mann_whitney_events",    # bucket offsets over the n_buckets-row
+                              # totals table (stats.py mann_whitney_u)
 ]
 
 
@@ -507,3 +509,46 @@ def test_attribution_position_shares_one_keyed_sort(spark, sf_dir):
     plan = _physical(df)
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_mann_whitney_no_raw_row_sort(spark, sf_dir):
+    """The rank prefix sum must run over the distinct-value AGGREGATE,
+    sharded by broadcast quantile cuts — never a sort-merge join or a
+    global sort of raw event rows. (Its two bounded windows — bucket
+    offsets, within-bucket prefix — are covered by the aggregated-frame
+    window gate below.)"""
+    df = QUERIES["mann_whitney_events"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_anova_is_one_aggregate_plus_broadcast(spark, sf_dir):
+    """ANOVA = one keyed moment aggregate; the 1-row global stats fan
+    back over the k-row group table via broadcast. No window, no
+    sort-merge join anywhere."""
+    df = QUERIES["anova_priority"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats x k groups
+
+
+def test_holt_winters_single_keyed_aggregate_no_join(spark, sf_dir):
+    """Holt-Winters keeps holt_forecast's shape: daily totals then ONE
+    keyed aggregate of array-local fold math — no join, no window (the
+    seasonal queue rides the fold, it is not a self-join)."""
+    plan = _physical(QUERIES["holt_winters_forecast"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_dsir_broadcasts_totals_and_bounds_topk(spark, sf_dir):
+    """DSIR's scalar totals broadcast into the contribution fan-out (the
+    vocabulary itself must NEVER broadcast — term stats join stays
+    keyed), and the top-k finishes in TakeOrderedAndProject, not a
+    global sort."""
+    df = QUERIES["dsir_selection"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals
+    assert "TakeOrderedAndProject" in plan

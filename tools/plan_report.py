@@ -137,6 +137,38 @@ SELECTED: dict[str, str] = {
         "windows); the child level re-windows on (key, segment) from the "
         "same hash family plus one keyed join carrying the split point."
     ),
+    # round-7 additions
+    "mann_whitney_events": (
+        "Raw rows collapse to ONE distinct-value hash aggregate; the rank "
+        "prefix sum over it is sharded by broadcast quantile cuts (per-"
+        "bucket windows + a bounded offsets table) — no SortMergeJoin, no "
+        "global sort of row-scale data; the final statistics are one "
+        "4-term scalar aggregate."
+    ),
+    "anova_priority": (
+        "One keyed moment aggregate (exact BIGINT/DECIMAL cents) to k "
+        "rows; the 1-row global F/eta^2 fans back over the k-row group "
+        "table via BroadcastNestedLoopJoin. No window, no sort-merge "
+        "join."
+    ),
+    "holt_winters_forecast": (
+        "Keeps holt_forecast's shape: per-key daily DECIMAL totals, then "
+        "ONE keyed aggregate whose sequential struct fold carries the "
+        "period-slot seasonal queue as an array — no join, no window."
+    ),
+    "sssp_nations": (
+        "Nation-pair edge weights reduce via one keyed min-aggregate; "
+        "each Bellman-Ford round broadcasts the |V|-bounded distance "
+        "table over the persisted coalesced edge cache (bfs_levels dual "
+        "regime) — pure BIGINT min/plus, and the extra assert_converged "
+        "round fails loud instead of silently truncating deep graphs."
+    ),
+    "dsir_selection": (
+        "Term stats join per-doc tf CO-PARTITIONED on term (the "
+        "vocabulary is never broadcast — it can be arbitrarily large); "
+        "only the 1-row totals broadcast; the per-doc sorted fold is "
+        "array-local and the top-100 finishes in TakeOrderedAndProject."
+    ),
 }
 
 
