@@ -150,6 +150,9 @@ HEADLINE: list[tuple[str, int]] = [
     ("holt_winters_forecast", 7),
     ("sssp_nations", 7),
     ("dsir_selection", 7),
+    ("t_closeness", 7),
+    ("ratio_metric_ci", 7),
+    ("linkage_pairs", 7),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

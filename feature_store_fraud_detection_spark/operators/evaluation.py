@@ -594,3 +594,115 @@ def srm_check(
         round4_stable(chi2).alias("chi2"),
         (chi2 > F.lit(3.8415)).alias("srm_flag"),
     )
+
+
+def ratio_metric_report(
+    df: DataFrame,
+    unit_col: str,
+    num_col,
+    den_col,
+    salt: str = "exp1",
+) -> DataFrame:
+    """Delta-method A/B readout for a RATIO metric (revenue per session,
+    CTR per user, cost per order): the workhorse statistic
+    :func:`ab_test_report` cannot cover, because the ratio's numerator
+    and denominator are correlated WITHIN a unit and naive row-level
+    variance is wrong whenever units contribute multiple rows. Per arm::
+
+        R = sum(x_u) / sum(y_u)                     over per-UNIT sums
+        SE(R)^2 = s^2 / (n * ybar^2),
+        s^2 = (Sxx - 2R*Sxy + R^2*Syy) / (n - 1)
+
+    (the n*(xbar - R*ybar)^2 centering term vanishes identically since
+    R = xbar/ybar). Reports per-arm ratios, the difference, its z and
+    the 95% CI. Assignment is the salted-md5 UNIT hash shared with
+    ab_test_report/cuped (all of a unit's rows in one arm — the
+    randomization rule).
+
+    ``num_col`` / ``den_col`` accept Column expressions, so
+    "purchase-revenue per event" is
+    ``ratio_metric_report(ev, "user_id", F.when(type=='purchase',
+    value).otherwise(0.0), F.lit(1.0))``.
+
+    Determinism (the cuped discipline): per-unit sums are exact DECIMAL
+    quantized to integer 1e4-ths; all five moments are exact
+    integer/DECIMAL sums (order-independent); ratios/SEs are derived
+    once in fixed IEEE order and rounded to 4. Scale: one keyed per-unit
+    aggregate + one 1-row moment aggregate — nothing else moves.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+    from feature_store_fraud_detection_spark.operators.encoders import (
+        md5_int,
+    )
+
+    num = F.col(num_col) if isinstance(num_col, str) else num_col
+    den = F.col(den_col) if isinstance(den_col, str) else den_col
+    per_unit = (
+        df.groupBy(unit_col)
+        .agg(
+            F.sum(num.cast("decimal(18,4)")).alias("__x_d"),
+            F.sum(den.cast("decimal(18,4)")).alias("__y_d"),
+        )
+        .select(
+            unit_col,
+            (F.col("__x_d") * 10000).cast("decimal(22,0)").alias("x"),
+            (F.col("__y_d") * 10000).cast("decimal(22,0)").alias("y"),
+            (
+                md5_int(
+                    F.concat(
+                        F.lit(salt + "|"), F.col(unit_col).cast("string")
+                    )
+                )
+                % 2
+                == 0
+            ).alias("arm_a"),
+        )
+    )
+
+    def _arm(flag: F.Column, tag: str) -> list:
+        w = lambda c: F.when(flag, c)  # noqa: E731
+        return [
+            F.sum(flag.cast("bigint")).alias(f"n_{tag}"),
+            F.sum(w(F.col("x"))).alias(f"sx_{tag}"),
+            F.sum(w(F.col("y"))).alias(f"sy_{tag}"),
+            F.sum(w((F.col("x") * F.col("x")).cast("decimal(38,0)"))).alias(
+                f"sxx_{tag}"
+            ),
+            F.sum(w((F.col("x") * F.col("y")).cast("decimal(38,0)"))).alias(
+                f"sxy_{tag}"
+            ),
+            F.sum(w((F.col("y") * F.col("y")).cast("decimal(38,0)"))).alias(
+                f"syy_{tag}"
+            ),
+        ]
+
+    m = per_unit.agg(
+        *_arm(F.col("arm_a"), "a"), *_arm(~F.col("arm_a"), "b")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def _ratio_se(tag: str) -> tuple:
+        n, sx, sy = d(f"n_{tag}"), d(f"sx_{tag}"), d(f"sy_{tag}")
+        sxx, sxy, syy = d(f"sxx_{tag}"), d(f"sxy_{tag}"), d(f"syy_{tag}")
+        r = sx / sy
+        s2 = (sxx - 2.0 * r * sxy + r * r * syy) / (n - 1.0)
+        ybar = sy / n
+        se = F.sqrt(s2 / n) / ybar
+        return r, se
+
+    r_a, se_a = _ratio_se("a")
+    r_b, se_b = _ratio_se("b")
+    diff = r_a - r_b
+    se_diff = F.sqrt(se_a * se_a + se_b * se_b)
+    return m.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        round4_stable(r_a).alias("ratio_a"),
+        round4_stable(r_b).alias("ratio_b"),
+        round4_stable(diff).alias("diff"),
+        round4_stable(diff / se_diff).alias("z"),
+        round4_stable(diff - 1.96 * se_diff).alias("ci_lo"),
+        round4_stable(diff + 1.96 * se_diff).alias("ci_hi"),
+    )

@@ -14,7 +14,7 @@ violation_rate) — joinable, storable, alertable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from feature_store_fraud_detection_spark.functions.numeric import round4_stable
@@ -258,4 +258,79 @@ def dp_noisy_counts(
         cat_col,
         "true_count",
         F.floor(noisy + F.lit(0.5)).cast("bigint").alias("noisy_count"),
+    )
+
+
+def t_closeness_profile(
+    df: DataFrame, quasi_identifiers: list[str], sensitive_col: str
+) -> DataFrame:
+    """t-closeness — the third rung of the release-risk ladder after
+    :func:`k_anonymity_profile` and :func:`l_diversity_profile`:
+    l-diversity still leaks when a class's sensitive values are diverse
+    but SKEWED relative to the population (skewness attack: "everyone in
+    this class is diverse, but 90% have the rare flag"). Per QI class,
+    measure the distance between the class's sensitive-value
+    distribution and the GLOBAL one; a release is t-close iff no class
+    exceeds t. For nominal attributes the standard distance is the
+    variational distance (1/2) * sum over v of |p_class(v) - p_global(v)|.
+
+    Exact-integer core: |n_cv/n_c - N_v/N| = |n_cv*N - N_v*n_c| /
+    (n_c*N), and the values ABSENT from the class contribute their full
+    global mass, so::
+
+        sum_abs = sum over v-in-class |n_cv*N - N_v*n_c|
+                + (N*n_c - sum over v-in-class N_v*n_c)
+
+    is an exact BIGINT per class (overflow-guarded: n_c*N must stay
+    inside int64 — past ~3e9 rows switch the products to DECIMAL). The
+    reported ``t_value = sum_abs / (2*n_c*N)`` is a ratio, derived once
+    in fixed IEEE order and rounded to 4. The max t_value row is the
+    dataset's t.
+
+    Scale: one (QI, v) count, one per-class rollup; the |V|-row global
+    distribution broadcasts (sensitive attributes are low-cardinality by
+    definition of the threat model — a high-cardinality sensitive column
+    needs the numeric-EMD variant, not this one).
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        overflow_checked,
+    )
+
+    base = df.filter(F.col(sensitive_col).isNotNull())
+    cls_v = base.groupBy(
+        *quasi_identifiers, F.col(sensitive_col).alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__n_cv"))
+    glob_v = base.groupBy(F.col(sensitive_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__nv")
+    )
+    tot = glob_v.agg(F.sum("__nv").alias("__n"))
+    wcls = F.sum("__n_cv").over(Window.partitionBy(*quasi_identifiers))
+    joined = (
+        cls_v.withColumn("__n_c", wcls)
+        .join(F.broadcast(glob_v), "__v")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.abs(
+        overflow_checked(
+            F.col("__n_cv") * F.col("__n"), 9.0e18, "t_closeness n_cv*N"
+        )
+        - F.col("__nv") * F.col("__n_c")
+    )
+    per_class = joined.groupBy(*quasi_identifiers).agg(
+        F.first("__n_c").alias("n_rows"),
+        F.first("__n").alias("__n"),
+        F.sum(term).alias("__sum_term"),
+        F.sum(F.col("__nv") * F.col("__n_c")).alias("__sum_cover"),
+    )
+    sum_abs = F.col("__sum_term") + (
+        F.col("__n") * F.col("n_rows") - F.col("__sum_cover")
+    )
+    t_val = sum_abs.cast("double") / (
+        F.lit(2.0) * F.col("n_rows").cast("double") * F.col("__n").cast("double")
+    )
+    return per_class.select(
+        *quasi_identifiers,
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        sum_abs.cast("bigint").alias("sum_abs_scaled"),
+        round4_stable(t_val).alias("t_value"),
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feature_store_fraud_detection_spark.operators.relational import (
@@ -11637,6 +11637,319 @@ LIMIT 100
 """
 
 
+def _q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release screen over the same (hour, user-bucket) QI
+    classes as l_diversity (operators/validate.py:t_closeness_profile) —
+    the skewness-attack rung of the privacy ladder: per-class variational
+    distance between the class's event-type distribution and the global
+    one, exact-integer numerators, max t_value = the dataset's t."""
+    from feature_store_fraud_detection_spark.operators.validate import (
+        t_closeness_profile,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.hour("ts").alias("hour"),
+        F.pmod(F.col("user_id"), F.lit(100)).alias("user_bucket"),
+        "event_type",
+    )
+    return t_closeness_profile(ev, ["hour", "user_bucket"], "event_type")
+
+
+_T_CLOSENESS_SQL = """
+WITH base AS (
+  SELECT hour(ts) AS hour, user_id % 100 AS user_bucket, event_type AS v
+  FROM events WHERE event_type IS NOT NULL
+),
+cls_v AS (
+  SELECT hour, user_bucket, v, count(*) AS n_cv FROM base GROUP BY 1, 2, 3
+),
+glob_v AS (SELECT v, count(*) AS nv FROM base GROUP BY 1),
+tot AS (SELECT CAST(sum(nv) AS BIGINT) AS n FROM glob_v),
+j AS (
+  SELECT c.hour, c.user_bucket, c.n_cv, g.nv, t.n,
+         sum(c.n_cv) OVER (PARTITION BY c.hour, c.user_bucket) AS n_c
+  FROM cls_v c JOIN glob_v g USING (v) CROSS JOIN tot t
+),
+per AS (
+  SELECT hour, user_bucket,
+         max(n_c) AS n_rows, max(n) AS n,
+         sum(abs(n_cv * n - nv * n_c)) AS sum_term,
+         sum(nv * n_c) AS sum_cover
+  FROM j GROUP BY 1, 2
+)
+SELECT hour, user_bucket,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(sum_term + (n * n_rows - sum_cover) AS BIGINT)
+         AS sum_abs_scaled,
+       floor((CAST(sum_term + (n * n_rows - sum_cover) AS DOUBLE)
+              / (2.0 * CAST(n_rows AS DOUBLE) * CAST(n AS DOUBLE)))
+             * 10000 + 0.5) / 10000 AS t_value
+FROM per
+"""
+
+
+def _q_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method CI for purchase revenue per EVENT with user-level
+    clustering (operators/evaluation.py:ratio_metric_report) — the ratio
+    metric ab_test_report cannot cover: numerator and denominator
+    correlate within a unit, so variance comes from the per-unit
+    (x, y) moments, not row-level ones."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        ratio_metric_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    num = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    ).otherwise(F.lit(0.0))
+    return ratio_metric_report(ev, "user_id", num, F.lit(1.0), salt="exp1")
+
+
+_RATIO_METRIC_SQL = """
+WITH per_unit AS (
+  SELECT user_id,
+         CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0.0 END AS DECIMAL(18,4))) * 10000
+              AS DECIMAL(22,0)) AS x,
+         CAST(sum(CAST(1.0 AS DECIMAL(18,4))) * 10000
+              AS DECIMAL(22,0)) AS y,
+         (('0x' || substr(md5('exp1|' || user_id), 1, 15))::BIGINT % 2 = 0)
+           AS arm_a
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT sum(CAST(arm_a AS BIGINT)) AS n_a,
+         sum(CASE WHEN arm_a THEN x END) AS sx_a,
+         sum(CASE WHEN arm_a THEN y END) AS sy_a,
+         sum(CASE WHEN arm_a THEN CAST(x * x AS DECIMAL(38,0)) END) AS sxx_a,
+         sum(CASE WHEN arm_a THEN CAST(x * y AS DECIMAL(38,0)) END) AS sxy_a,
+         sum(CASE WHEN arm_a THEN CAST(y * y AS DECIMAL(38,0)) END) AS syy_a,
+         sum(CAST(NOT arm_a AS BIGINT)) AS n_b,
+         sum(CASE WHEN NOT arm_a THEN x END) AS sx_b,
+         sum(CASE WHEN NOT arm_a THEN y END) AS sy_b,
+         sum(CASE WHEN NOT arm_a THEN CAST(x * x AS DECIMAL(38,0)) END)
+           AS sxx_b,
+         sum(CASE WHEN NOT arm_a THEN CAST(x * y AS DECIMAL(38,0)) END)
+           AS sxy_b,
+         sum(CASE WHEN NOT arm_a THEN CAST(y * y AS DECIMAL(38,0)) END)
+           AS syy_b
+  FROM per_unit
+),
+c1 AS (
+  SELECT n_a, n_b,
+         CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE) AS r_a,
+         CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE) AS r_b,
+         CAST(sxx_a AS DOUBLE) AS xx_a, CAST(sxy_a AS DOUBLE) AS xy_a,
+         CAST(syy_a AS DOUBLE) AS yy_a, CAST(sy_a AS DOUBLE) AS syd_a,
+         CAST(sxx_b AS DOUBLE) AS xx_b, CAST(sxy_b AS DOUBLE) AS xy_b,
+         CAST(syy_b AS DOUBLE) AS yy_b, CAST(sy_b AS DOUBLE) AS syd_b
+  FROM m
+),
+c2 AS (
+  SELECT n_a, n_b, r_a, r_b,
+         (xx_a - 2.0 * r_a * xy_a + r_a * r_a * yy_a)
+           / (CAST(n_a AS DOUBLE) - 1.0) AS s2_a,
+         syd_a / CAST(n_a AS DOUBLE) AS ybar_a,
+         (xx_b - 2.0 * r_b * xy_b + r_b * r_b * yy_b)
+           / (CAST(n_b AS DOUBLE) - 1.0) AS s2_b,
+         syd_b / CAST(n_b AS DOUBLE) AS ybar_b
+  FROM c1
+),
+c3 AS (
+  SELECT n_a, n_b, r_a, r_b,
+         sqrt(s2_a / CAST(n_a AS DOUBLE)) / ybar_a AS se_a,
+         sqrt(s2_b / CAST(n_b AS DOUBLE)) / ybar_b AS se_b
+  FROM c2
+),
+c4 AS (
+  SELECT n_a, n_b, r_a, r_b, (r_a - r_b) AS diff,
+         sqrt(se_a * se_a + se_b * se_b) AS se_diff
+  FROM c3
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       floor(r_a * 10000 + 0.5) / 10000 AS ratio_a,
+       floor(r_b * 10000 + 0.5) / 10000 AS ratio_b,
+       floor(diff * 10000 + 0.5) / 10000 AS diff,
+       floor((diff / se_diff) * 10000 + 0.5) / 10000 AS z,
+       floor((diff - 1.96 * se_diff) * 10000 + 0.5) / 10000 AS ci_lo,
+       floor((diff + 1.96 * se_diff) * 10000 + 0.5) / 10000 AS ci_hi
+FROM c4
+"""
+
+
+def _q_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter entity resolution over behavioral user profiles
+    (operators/linkage.py:fellegi_sunter_pairs): block on the modal
+    event type, score agreement on peak hour / value band / volume band /
+    weekend-share band with exact-u log-likelihood weights, top-50 pairs
+    — "same actor behind two accounts", the linkage question fraud
+    teams ask next to the dedup family's text similarity."""
+    from feature_store_fraud_detection_spark.operators.linkage import (
+        fellegi_sunter_pairs,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_t = Window.partitionBy("user_id").orderBy(
+        F.col("__c").desc(), F.col("event_type").desc()
+    )
+    modal = (
+        per_type.withColumn("__rn", F.row_number().over(w_t))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"))
+    )
+    per_hour = ev.groupBy("user_id", F.hour("ts").alias("__h")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_h = Window.partitionBy("user_id").orderBy(
+        F.col("__c").desc(), F.col("__h").desc()
+    )
+    peak = (
+        per_hour.withColumn("__rn", F.row_number().over(w_h))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.col("__h").alias("peak_hour"))
+    )
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("__cents"),
+        F.sum(F.dayofweek("ts").isin(1, 7).cast("bigint")).alias("__wk"),
+    )
+    profiles = (
+        base.join(modal, "user_id")
+        .join(peak, "user_id")
+        .select(
+            "user_id",
+            "modal_type",
+            "peak_hour",
+            F.floor(
+                F.col("__cents").cast("double")
+                / F.col("__n").cast("double")
+                / F.lit(2000.0)
+            ).cast("int").alias("v_bucket"),
+            F.floor(F.col("__n").cast("double") / F.lit(25.0))
+            .cast("int")
+            .alias("n_bucket"),
+            F.floor(
+                F.col("__wk").cast("double")
+                / F.col("__n").cast("double")
+                * F.lit(10.0)
+            ).cast("int").alias("wk_bucket"),
+        )
+    )
+    return fellegi_sunter_pairs(
+        profiles,
+        "user_id",
+        ["modal_type"],
+        ["peak_hour", "v_bucket", "n_bucket", "wk_bucket"],
+        default_m=0.9,
+        top_k=50,
+    )
+
+
+# the per-field CASE weights spell m=0.9 and (1.0 - 0.9) — NOT 0.1 — so
+# the folded constants match Spark's F.lit(1.0) - F.lit(0.9) exactly
+_LINKAGE_PAIRS_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, hour(ts) AS h,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wk
+  FROM events
+),
+pt AS (SELECT user_id, event_type, count(*) AS c FROM ev GROUP BY 1, 2),
+modal AS (
+  SELECT user_id, event_type AS modal_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY c DESC, event_type DESC) AS rn
+    FROM pt) WHERE rn = 1
+),
+ph AS (SELECT user_id, h, count(*) AS c FROM ev GROUP BY 1, 2),
+peak AS (
+  SELECT user_id, h AS peak_hour FROM (
+    SELECT user_id, h,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY c DESC, h DESC) AS rn
+    FROM ph) WHERE rn = 1
+),
+base AS (
+  SELECT user_id, count(*) AS n, sum(cents) AS cents, sum(wk) AS wk
+  FROM ev GROUP BY 1
+),
+prof AS (
+  SELECT b.user_id, m.modal_type, p.peak_hour,
+         CAST(floor(CAST(b.cents AS DOUBLE) / CAST(b.n AS DOUBLE) / 2000.0)
+              AS INT) AS v_bucket,
+         CAST(floor(CAST(b.n AS DOUBLE) / 25.0) AS INT) AS n_bucket,
+         CAST(floor(CAST(b.wk AS DOUBLE) / CAST(b.n AS DOUBLE) * 10.0)
+              AS INT) AS wk_bucket
+  FROM base b JOIN modal m USING (user_id) JOIN peak p USING (user_id)
+),
+u_ph AS (
+  SELECT CAST(sum(c * (c - 1)) AS DOUBLE) AS ap,
+         CAST(sum(c) * (sum(c) - 1) AS DOUBLE) AS np
+  FROM (SELECT count(*) AS c FROM prof GROUP BY peak_hour)
+),
+u_vb AS (
+  SELECT CAST(sum(c * (c - 1)) AS DOUBLE) AS ap,
+         CAST(sum(c) * (sum(c) - 1) AS DOUBLE) AS np
+  FROM (SELECT count(*) AS c FROM prof GROUP BY v_bucket)
+),
+u_nb AS (
+  SELECT CAST(sum(c * (c - 1)) AS DOUBLE) AS ap,
+         CAST(sum(c) * (sum(c) - 1) AS DOUBLE) AS np
+  FROM (SELECT count(*) AS c FROM prof GROUP BY n_bucket)
+),
+u_wb AS (
+  SELECT CAST(sum(c * (c - 1)) AS DOUBLE) AS ap,
+         CAST(sum(c) * (sum(c) - 1) AS DOUBLE) AS np
+  FROM (SELECT count(*) AS c FROM prof GROUP BY wk_bucket)
+),
+pairs AS (
+  SELECT a.user_id AS id_a, b.user_id AS id_b,
+         CAST(a.peak_hour = b.peak_hour AS INT) AS agree_peak_hour,
+         CAST(a.v_bucket = b.v_bucket AS INT) AS agree_v_bucket,
+         CAST(a.n_bucket = b.n_bucket AS INT) AS agree_n_bucket,
+         CAST(a.wk_bucket = b.wk_bucket AS INT) AS agree_wk_bucket
+  FROM prof a JOIN prof b
+    ON a.modal_type = b.modal_type AND a.user_id < b.user_id
+)
+SELECT id_a, id_b, agree_peak_hour, agree_v_bucket, agree_n_bucket,
+       agree_wk_bucket,
+       floor((
+           (CASE WHEN agree_peak_hour = 1
+                 THEN ln(0.9 / (u_ph.ap / u_ph.np))
+                 ELSE ln((1.0 - 0.9) / (1.0 - u_ph.ap / u_ph.np)) END)
+         + (CASE WHEN agree_v_bucket = 1
+                 THEN ln(0.9 / (u_vb.ap / u_vb.np))
+                 ELSE ln((1.0 - 0.9) / (1.0 - u_vb.ap / u_vb.np)) END)
+         + (CASE WHEN agree_n_bucket = 1
+                 THEN ln(0.9 / (u_nb.ap / u_nb.np))
+                 ELSE ln((1.0 - 0.9) / (1.0 - u_nb.ap / u_nb.np)) END)
+         + (CASE WHEN agree_wk_bucket = 1
+                 THEN ln(0.9 / (u_wb.ap / u_wb.np))
+                 ELSE ln((1.0 - 0.9) / (1.0 - u_wb.ap / u_wb.np)) END)
+       ) * 10000 + 0.5) / 10000 AS score
+FROM pairs CROSS JOIN u_ph CROSS JOIN u_vb CROSS JOIN u_nb CROSS JOIN u_wb
+ORDER BY score DESC, id_a, id_b
+LIMIT 50
+"""
+
+
+QUERIES.update(
+    {
+        "t_closeness": QuerySpec(_q_t_closeness, _T_CLOSENESS_SQL),
+        "ratio_metric_ci": QuerySpec(
+            _q_ratio_metric_ci, _RATIO_METRIC_SQL
+        ),
+        "linkage_pairs": QuerySpec(_q_linkage_pairs, _LINKAGE_PAIRS_SQL),
+    }
+)
+
+
 QUERIES.update(
     {
         "mann_whitney_events": QuerySpec(
@@ -11694,14 +12007,16 @@ _GRADING_PRIORITY: list[str] = [
     "holt_winters_forecast",
     "sssp_nations",
     "dsir_selection",
-    # (b) the FULL remaining stale tail — all 41 queries whose latest
-    # driver grade is still r1/r2 (10 were judge-re-verified in r6 but a
-    # fresh driver row beats a spot-check; the three declared rows-only
-    # sampling queries ride along for a current rows signal). After this
-    # round every registry query's latest grade is r3+.
-    "fraction_sample",
-    "rebalance_classes",
-    "train_test_split",
+    "t_closeness",
+    "ratio_metric_ci",
+    "linkage_pairs",
+    # (b) the remaining stale tail — all 38 hash-checkable queries whose
+    # latest driver grade is still r1/r2 (10 were judge-re-verified in r6
+    # but a fresh driver row beats a spot-check). The three DECLARED
+    # rows-only r1 sampling queries (fraction_sample, rebalance_classes,
+    # train_test_split) are excluded deliberately: a re-grade can only
+    # re-earn "rows-only" and each has an r5-green hash twin. After this
+    # round every hash-checkable query's latest grade is r3+.
     "dedup_by_source",
     "validate_documents",
     "lang_confusion",

@@ -552,3 +552,36 @@ def test_dsir_broadcasts_totals_and_bounds_topk(spark, sf_dir):
     plan = _physical(df)
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals
     assert "TakeOrderedAndProject" in plan
+
+
+def test_t_closeness_windows_partition_by_qi(spark, sf_dir):
+    """The class-size window partitions by the QI columns (never
+    SinglePartition over raw rows) and the |V|-row global distribution
+    joins in broadcast."""
+    df = QUERIES["t_closeness"].fn(spark, sf_dir)
+    plan = _plan_tree(df)
+    for n in _nodes(plan):
+        if n.nodeName() == "Window":
+            assert n.partitionSpec().size() > 0, (
+                "t_closeness window must partition by the QI columns"
+            )
+    phys = _physical(df)
+    assert "BroadcastHashJoin" in phys or "BroadcastNestedLoopJoin" in phys
+    assert "SortMergeJoin" not in phys
+
+
+def test_ratio_metric_is_two_aggregates_no_window(spark, sf_dir):
+    """Delta-method readout = one keyed per-unit aggregate + one 1-row
+    moment aggregate; no window, no join of any kind."""
+    plan = _physical(QUERIES["ratio_metric_ci"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_linkage_pairs_join_is_blocked_not_cartesian(spark, sf_dir):
+    """Candidate generation must be a keyed equi-join on the block
+    columns — never a cartesian product — and the top-k must finish in
+    TakeOrderedAndProject."""
+    plan = _physical(QUERIES["linkage_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -1269,3 +1269,124 @@ def test_dsir_logratio_prefers_target_like_docs(spark):
     # top_k keeps the highest scorer only
     top = dsir_logratio(docs, target, "doc_id", "text", top_k=1).collect()
     assert [r.doc_id for r in top] == [1]
+
+
+def test_t_closeness_flags_skewed_class(spark):
+    from feature_store_fraud_detection_spark.operators.validate import (
+        t_closeness_profile,
+    )
+
+    # global sensitive mix: 50/50 x/y. class A mirrors it (t=0);
+    # class B is all-x (skewness attack: diverse-looking? no - l=1, and
+    # t = variational distance = 0.5 share gap)
+    rows = (
+        [("A", "x")] * 5 + [("A", "y")] * 5
+        + [("B", "x")] * 10
+        + [("C", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "qi string, s string")
+    out = {r.qi: r for r in t_closeness_profile(df, ["qi"], "s").collect()}
+    # global: x 15/30, y 15/30
+    assert out["A"].t_value == 0.0
+    # B: p(x)=1 vs 0.5, p(y)=0 vs 0.5 -> (0.5+0.5)/2 = 0.5
+    assert out["B"].t_value == 0.5
+    assert out["C"].t_value == 0.5
+    assert out["A"].n_rows == 10 and out["B"].n_rows == 10
+    # exact integer surface: sum_abs = sum_v |n_cv*N - N_v*n_c| (+ missing
+    # mass). For A: |5*30-15*10|*2 = 0; for B: |10*30-15*10| + 15*10 = 300
+    assert out["A"].sum_abs_scaled == 0
+    assert out["B"].sum_abs_scaled == 300
+
+
+def test_ratio_metric_matches_direct_delta_method(spark):
+    import math as _m
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        ratio_metric_report,
+    )
+    from feature_store_fraud_detection_spark.operators.encoders import md5_int
+
+    # 40 units x up to 5 rows; numerator = value on 'hit' rows
+    rows = []
+    for u in range(40):
+        for j in range(1 + (u % 5)):
+            rows.append((u, "hit" if (u + j) % 3 == 0 else "miss",
+                         float(10 + (u * 7 + j) % 50)))
+    df = spark.createDataFrame(rows, "unit long, kind string, v double")
+    got = ratio_metric_report(
+        df, "unit",
+        F.when(F.col("kind") == "hit", F.col("v")).otherwise(F.lit(0.0)),
+        F.lit(1.0), salt="t1",
+    ).collect()[0]
+
+    # direct per-unit computation with the SAME md5 arm assignment
+    arm = {
+        r.unit: r.a
+        for r in spark.createDataFrame(
+            [(u,) for u in range(40)], "unit long"
+        ).select(
+            "unit",
+            (md5_int(F.concat(F.lit("t1|"), F.col("unit").cast("string")))
+             % 2 == 0).alias("a"),
+        ).collect()
+    }
+    per = {}
+    for u, kind, v in rows:
+        x, y = per.get(u, (0.0, 0.0))
+        per[u] = (x + (v if kind == "hit" else 0.0), y + 1.0)
+
+    def delta(units):
+        n = len(units)
+        sx = sum(per[u][0] for u in units)
+        sy = sum(per[u][1] for u in units)
+        r = sx / sy
+        s2 = sum((per[u][0] - r * per[u][1]) ** 2 for u in units) / (n - 1)
+        return r, _m.sqrt(s2 / n) / (sy / n), n
+
+    ra, sea, na = delta([u for u in per if arm[u]])
+    rb, seb, nb = delta([u for u in per if not arm[u]])
+    assert (got.n_a, got.n_b) == (na, nb)
+    assert abs(got.ratio_a - ra) < 1e-4 and abs(got.ratio_b - rb) < 1e-4
+    diff, se = ra - rb, _m.sqrt(sea**2 + seb**2)
+    assert abs(got.diff - diff) < 1e-4
+    assert abs(got.z - diff / se) < 1e-3
+    assert abs(got.ci_lo - (diff - 1.96 * se)) < 1e-3
+    assert abs(got.ci_hi - (diff + 1.96 * se)) < 1e-3
+
+
+def test_fellegi_sunter_ranks_planted_twin_first(spark):
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.linkage import (
+        fellegi_sunter_pairs,
+        pair_agreement_stats,
+    )
+
+    # 20 distinct profiles + one planted twin of id 1 (id 100): the twin
+    # pair must outscore every other pair in its block
+    # field periods 7/5/4 (lcm 140 > 20): no ACCIDENTAL all-field twin
+    rows = [(i, "blk", i % 7, (i * 3) % 5, i % 4) for i in range(20)]
+    rows.append((100, "blk", 1 % 7, 3 % 5, 1 % 4))  # exact twin of id 1
+    prof = spark.createDataFrame(
+        rows, "id long, b string, f1 int, f2 int, f3 int"
+    )
+    out = fellegi_sunter_pairs(
+        prof, "id", ["b"], ["f1", "f2", "f3"], default_m=0.9, top_k=5
+    ).collect()
+    assert (out[0].id_a, out[0].id_b) == (1, 100)
+    assert (out[0].agree_f1, out[0].agree_f2, out[0].agree_f3) == (1, 1, 1)
+    assert out[0].score > out[1].score
+
+    # u estimation is the exact ordered-pair ratio
+    ap, n = pair_agreement_stats(prof, "f3")
+    cnts = {}
+    for r in rows:
+        cnts[r[4]] = cnts.get(r[4], 0) + 1
+    assert n == 21 and ap == sum(c * (c - 1) for c in cnts.values())
+
+    # fail-loud validation: constant field (u=1) and m <= u both raise
+    const = prof.withColumn("f1", F.lit(7))
+    with pytest.raises(ValueError, match="constant"):
+        fellegi_sunter_pairs(const, "id", ["b"], ["f1"])
+    with pytest.raises(ValueError, match="u < m < 1"):
+        fellegi_sunter_pairs(prof, "id", ["b"], ["f3"], m_probs={"f3": 0.1})
