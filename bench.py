@@ -153,6 +153,8 @@ HEADLINE: list[tuple[str, int]] = [
     ("t_closeness", 7),
     ("ratio_metric_ci", 7),
     ("linkage_pairs", 7),
+    ("brier_report", 7),
+    ("experiment_power", 7),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

@@ -706,3 +706,201 @@ def ratio_metric_report(
         round4_stable(diff - 1.96 * se_diff).alias("ci_lo"),
         round4_stable(diff + 1.96 * se_diff).alias("ci_hi"),
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the (binned) Brier score — the one-number
+    companion to the `calibration_bins` reliability diagram::
+
+        REL = (1/N) sum_k n_k * (pbar_k - ybar_k)^2   (calibration error)
+        RES = (1/N) sum_k n_k * (ybar_k - ybar)^2     (discrimination)
+        UNC = ybar * (1 - ybar)
+        brier_binned = REL - RES + UNC
+
+    A model can have a pretty reliability diagram and still be useless
+    (low RES); this report separates "is it honest" (REL, want 0) from
+    "does it sort" (RES, want UNC) in one pass.
+
+    Exact-moment design: probabilities quantize to integer millionths
+    (exact BIGINT sums), labels/counts are exact integers; the per-bin
+    means and the three components are derived once in fixed IEEE order
+    (bin-sorted folds over the n_bins-row table) and rounded to 4.
+    Output: one row per bin (exact n/positives/sum_p6 + the two means)
+    with the global REL/RES/UNC/brier replicated — the whole report
+    hash-checks. Probabilities outside [0, 1] fail loud.
+
+    Scale: one hash aggregate to n_bins rows; everything after is
+    arithmetic on that bounded table.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    p_ok = F.when(
+        (F.col(prob_col) >= 0.0) & (F.col(prob_col) <= 1.0), F.col(prob_col)
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "brier_decomposition: probability outside [0,1] (%s)",
+                F.col(prob_col).cast("string"),
+            )
+        )
+    )
+    nb = F.lit(float(n_bins))
+    rows = df.filter(
+        F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.least(
+            F.floor(p_ok * nb).cast("int"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        F.floor(p_ok * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("__p6"),
+        F.col(label_col).cast("int").alias("__y"),
+    )
+    per_bin = rows.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum("__y").alias("s_pos"),
+        F.sum("__p6").alias("sum_p6"),
+    )
+    pbar = F.col("sum_p6").cast("double") / (
+        F.col("n_k").cast("double") * F.lit(1000000.0)
+    )
+    ybar_k = F.col("s_pos").cast("double") / F.col("n_k").cast("double")
+    folded = per_bin.agg(
+        F.sum("n_k").alias("n"),
+        F.sum("s_pos").alias("s"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("bin").alias("b"),
+                        (
+                            F.col("n_k").cast("double")
+                            * (pbar - ybar_k)
+                            * (pbar - ybar_k)
+                        ).alias("rel"),
+                        (F.col("n_k").cast("double") * ybar_k).alias("sy"),
+                        (
+                            F.col("n_k").cast("double") * ybar_k * ybar_k
+                        ).alias("syy"),
+                    )
+                )
+            ),
+            F.struct(
+                F.lit(0.0).alias("rel"),
+                F.lit(0.0).alias("sy"),
+                F.lit(0.0).alias("syy"),
+            ),
+            lambda a, e: F.struct(
+                (a["rel"] + e["rel"]).alias("rel"),
+                (a["sy"] + e["sy"]).alias("sy"),
+                (a["syy"] + e["syy"]).alias("syy"),
+            ),
+        ).alias("__f"),
+    )
+    nD = F.col("n").cast("double")
+    ybar = F.col("s").cast("double") / nD
+    rel = F.col("__f.rel") / nD
+    # sum_k n_k*(ybar_k - ybar)^2 = sum n_k ybar_k^2 - 2 ybar sum n_k ybar_k
+    #                               + ybar^2 * N  (exact algebra, fixed order)
+    res = (
+        F.col("__f.syy")
+        - 2.0 * ybar * F.col("__f.sy")
+        + ybar * ybar * nD
+    ) / nD
+    unc = ybar * (1.0 - ybar)
+    glob = folded.select(
+        F.col("n").cast("bigint").alias("n_total"),
+        round4_stable(rel).alias("reliability"),
+        round4_stable(res).alias("resolution"),
+        round4_stable(unc).alias("uncertainty"),
+        round4_stable(rel - res + unc).alias("brier_binned"),
+    )
+    return per_bin.crossJoin(F.broadcast(glob)).select(
+        "bin",
+        F.col("n_k").cast("bigint").alias("n_k"),
+        F.col("s_pos").cast("bigint").alias("s_pos"),
+        F.col("sum_p6").cast("bigint").alias("sum_p6"),
+        round4_stable(pbar).alias("mean_p"),
+        round4_stable(ybar_k).alias("frac_pos"),
+        "n_total",
+        "reliability",
+        "resolution",
+        "uncertainty",
+        "brier_binned",
+    )
+
+
+def experiment_power(
+    df: DataFrame,
+    unit_col: str,
+    value_col,
+    z_alpha: float = 1.96,
+    z_beta: float = 0.8416,
+) -> DataFrame:
+    """Pre-experiment power / minimum-detectable-effect report: given the
+    unit-level metric's historical moments, how small a lift could a
+    50/50 split detect? ::
+
+        MDE_abs = (z_alpha + z_beta) * sqrt(2 * var / n_per_arm)
+
+    (two-sided alpha=.05, power=.80 by default — the z constants are
+    explicit parameters, folded as plan literals). Run BEFORE launching:
+    an experiment whose interesting effect is below its MDE is burning
+    traffic. Companion to :func:`ab_test_report` (readout),
+    :func:`srm_check` (health), :func:`ratio_metric_report` (ratio
+    readouts).
+
+    Determinism (cuped discipline): per-unit sums are exact DECIMAL
+    quantized to integer 1e4-ths; n/S/Q are exact integer/DECIMAL
+    moments; variance, MDE and the relative MDE are derived once in
+    fixed IEEE order and rounded to 4.
+
+    Scale: one keyed per-unit aggregate + one 1-row moment aggregate.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    per_unit = (
+        df.groupBy(unit_col)
+        .agg(F.sum(val.cast("decimal(18,4)")).alias("__v_d"))
+        .select(
+            (F.col("__v_d") * 10000).cast("decimal(22,0)").alias("v")
+        )
+    )
+    m = per_unit.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("q"),
+    )
+    nD = F.col("n").cast("double")
+    sD, qD = F.col("s").cast("double"), F.col("q").cast("double")
+    # unbiased variance in metric units (the 1e4 quantization cancels in
+    # the relative MDE and divides out once for the absolute numbers)
+    var_scaled = (qD - sD * sD / nD) / (nD - 1.0)
+    mean_u = sD / nD / 10000.0
+    sd_u = F.sqrt(var_scaled) / 10000.0
+    n_half = F.floor(F.col("n") / 2).cast("double")
+    mde_abs = (
+        F.lit(float(z_alpha) + float(z_beta))
+        * F.sqrt(2.0 * (var_scaled / (10000.0 * 10000.0)) / n_half)
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_units"),
+        F.col("s").cast("decimal(22,0)").cast("bigint").alias(
+            "sum_scaled"
+        ),
+        round4_stable(mean_u).alias("mean_val"),
+        round4_stable(sd_u).alias("stddev_val"),
+        F.floor(F.col("n") / 2).cast("bigint").alias("n_per_arm"),
+        round4_stable(mde_abs).alias("mde_abs"),
+        round4_stable(mde_abs / mean_u).alias("mde_rel"),
+    )

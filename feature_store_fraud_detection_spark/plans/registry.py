@@ -11939,6 +11939,138 @@ LIMIT 50
 """
 
 
+def _q_brier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the binned Brier score for the
+    amount-as-pseudo-score vs the error label
+    (operators/evaluation.py:brier_decomposition) — separates "is the
+    score honest" (reliability) from "does it sort" (resolution) next to
+    the calibration_bins reliability diagram."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        brier_decomposition,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.filter(F.col("value").isNotNull()).select(
+        (F.col("value") / F.lit(1000.0)).alias("p"),
+        (F.col("event_type") == "error").cast("int").alias("label"),
+    )
+    return brier_decomposition(scored, "p", "label", n_bins=10)
+
+
+_BRIER_REPORT_SQL = """
+WITH rows_ AS (
+  SELECT least(CAST(floor((value / 1000.0) * 10.0) AS INT), 9) AS bin,
+         CAST(floor((value / 1000.0) * 1000000.0 + 0.5) AS BIGINT) AS p6,
+         CAST(event_type = 'error' AS INT) AS y
+  FROM events WHERE value IS NOT NULL
+),
+per_bin AS (
+  SELECT bin, count(*) AS n_k, sum(y) AS s_pos, sum(p6) AS sum_p6
+  FROM rows_ GROUP BY 1
+),
+f AS (
+  SELECT CAST(sum(n_k) AS BIGINT) AS n, CAST(sum(s_pos) AS BIGINT) AS s,
+         list_reduce(list(
+           CAST(n_k AS DOUBLE)
+           * (CAST(sum_p6 AS DOUBLE) / (CAST(n_k AS DOUBLE) * 1000000.0)
+              - CAST(s_pos AS DOUBLE) / CAST(n_k AS DOUBLE))
+           * (CAST(sum_p6 AS DOUBLE) / (CAST(n_k AS DOUBLE) * 1000000.0)
+              - CAST(s_pos AS DOUBLE) / CAST(n_k AS DOUBLE))
+           ORDER BY bin), (a, b) -> a + b) AS frel,
+         list_reduce(list(
+           CAST(n_k AS DOUBLE)
+           * (CAST(s_pos AS DOUBLE) / CAST(n_k AS DOUBLE))
+           ORDER BY bin), (a, b) -> a + b) AS fsy,
+         list_reduce(list(
+           CAST(n_k AS DOUBLE)
+           * (CAST(s_pos AS DOUBLE) / CAST(n_k AS DOUBLE))
+           * (CAST(s_pos AS DOUBLE) / CAST(n_k AS DOUBLE))
+           ORDER BY bin), (a, b) -> a + b) AS fsyy
+  FROM per_bin
+),
+g AS (
+  SELECT n, s,
+         frel / CAST(n AS DOUBLE) AS rel,
+         (fsyy
+          - 2.0 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * fsy
+          + (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n AS DOUBLE))
+           / CAST(n AS DOUBLE) AS res,
+         (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS unc
+  FROM f
+)
+SELECT p.bin,
+       CAST(p.n_k AS BIGINT) AS n_k,
+       CAST(p.s_pos AS BIGINT) AS s_pos,
+       CAST(p.sum_p6 AS BIGINT) AS sum_p6,
+       floor((CAST(p.sum_p6 AS DOUBLE)
+              / (CAST(p.n_k AS DOUBLE) * 1000000.0)) * 10000 + 0.5) / 10000
+         AS mean_p,
+       floor((CAST(p.s_pos AS DOUBLE) / CAST(p.n_k AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS frac_pos,
+       g.n AS n_total,
+       floor(g.rel * 10000 + 0.5) / 10000 AS reliability,
+       floor(g.res * 10000 + 0.5) / 10000 AS resolution,
+       floor(g.unc * 10000 + 0.5) / 10000 AS uncertainty,
+       floor((g.rel - g.res + g.unc) * 10000 + 0.5) / 10000 AS brier_binned
+FROM per_bin p CROSS JOIN g
+"""
+
+
+def _q_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-experiment MDE report over the per-user value metric
+    (operators/evaluation.py:experiment_power) — the "should we even run
+    this test" gate before ab_test_report: exact per-unit moments, MDE
+    at alpha=.05 / power=.80 as plan literals."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        experiment_power,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return experiment_power(ev, "user_id", "value")
+
+
+# the z constant is spelled (1.96 + 0.8416) — the same float ADDITION
+# Python performs for F.lit(z_alpha + z_beta) — never the decimal 2.8016
+_EXPERIMENT_POWER_SQL = """
+WITH per_unit AS (
+  SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS DECIMAL(22,0))
+           AS v
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT count(*) AS n, sum(v) AS s,
+         sum(CAST(v * v AS DECIMAL(38,0))) AS q
+  FROM per_unit
+),
+c AS (
+  SELECT n, s,
+         (CAST(q AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0) AS var_scaled
+  FROM m
+),
+c2 AS (
+  SELECT n, s, var_scaled,
+         (1.96 + 0.8416)
+           * sqrt(2.0 * (var_scaled / (10000.0 * 10000.0)) / floor(n / 2))
+           AS mde_abs,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 AS mean_u
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_units,
+       CAST(s AS BIGINT) AS sum_scaled,
+       floor(mean_u * 10000 + 0.5) / 10000 AS mean_val,
+       floor((sqrt(var_scaled) / 10000.0) * 10000 + 0.5) / 10000
+         AS stddev_val,
+       CAST(floor(n / 2) AS BIGINT) AS n_per_arm,
+       floor(mde_abs * 10000 + 0.5) / 10000 AS mde_abs,
+       floor((mde_abs / mean_u) * 10000 + 0.5) / 10000 AS mde_rel
+FROM c2
+"""
+
+
 QUERIES.update(
     {
         "t_closeness": QuerySpec(_q_t_closeness, _T_CLOSENESS_SQL),
@@ -11946,6 +12078,10 @@ QUERIES.update(
             _q_ratio_metric_ci, _RATIO_METRIC_SQL
         ),
         "linkage_pairs": QuerySpec(_q_linkage_pairs, _LINKAGE_PAIRS_SQL),
+        "brier_report": QuerySpec(_q_brier_report, _BRIER_REPORT_SQL),
+        "experiment_power": QuerySpec(
+            _q_experiment_power, _EXPERIMENT_POWER_SQL
+        ),
     }
 )
 
@@ -12010,6 +12146,8 @@ _GRADING_PRIORITY: list[str] = [
     "t_closeness",
     "ratio_metric_ci",
     "linkage_pairs",
+    "brier_report",
+    "experiment_power",
     # (b) the remaining stale tail — all 38 hash-checkable queries whose
     # latest driver grade is still r1/r2 (10 were judge-re-verified in r6
     # but a fresh driver row beats a spot-check). The three DECLARED
@@ -12055,9 +12193,6 @@ _GRADING_PRIORITY: list[str] = [
     "resample_gapfill",
     "doc_chunks",
     "repetition_profile",
-    # (c) two r3-green regression canaries fill the window to 50
-    "unigram_nll",
-    "pack_sequences",
 ]
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (

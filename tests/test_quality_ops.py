@@ -1390,3 +1390,71 @@ def test_fellegi_sunter_ranks_planted_twin_first(spark):
         fellegi_sunter_pairs(const, "id", ["b"], ["f1"])
     with pytest.raises(ValueError, match="u < m < 1"):
         fellegi_sunter_pairs(prof, "id", ["b"], ["f3"], m_probs={"f3": 0.1})
+
+
+def test_brier_decomposition_matches_direct(spark):
+    import math as _m
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        brier_decomposition,
+    )
+
+    # two clean bins: p=0.1 (1/4 positive), p=0.9 (3/4 positive)
+    rows = [(0.1, 1), (0.1, 0), (0.1, 0), (0.1, 0),
+            (0.9, 1), (0.9, 1), (0.9, 1), (0.9, 0)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = {r.bin: r for r in brier_decomposition(df, "p", "y").collect()}
+    assert set(out) == {1, 9}
+    b1, b9 = out[1], out[9]
+    assert (b1.n_k, b1.s_pos) == (4, 1) and (b9.n_k, b9.s_pos) == (4, 3)
+    assert b1.sum_p6 == 4 * 100000 and b9.sum_p6 == 4 * 900000
+    assert b1.mean_p == 0.1 and b1.frac_pos == 0.25
+    # direct Murphy decomposition
+    n, ybar = 8, 4 / 8
+    rel = (4 * (0.1 - 0.25) ** 2 + 4 * (0.9 - 0.75) ** 2) / n
+    res = (4 * (0.25 - ybar) ** 2 + 4 * (0.75 - ybar) ** 2) / n
+    unc = ybar * (1 - ybar)
+    r4 = lambda x: _m.floor(x * 10000 + 0.5) / 10000  # noqa: E731
+    assert b1.reliability == r4(rel)
+    assert b1.resolution == r4(res)
+    assert b1.uncertainty == r4(unc)
+    assert b1.brier_binned == r4(rel - res + unc)
+    # an out-of-range probability fails loud
+    import pytest
+
+    bad = spark.createDataFrame([(1.5, 1)], "p double, y int")
+    with pytest.raises(Exception, match="outside"):
+        brier_decomposition(bad, "p", "y").collect()
+
+
+def test_experiment_power_matches_direct(spark):
+    import math as _m
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        experiment_power,
+    )
+
+    # 30 units, a couple of rows each, value sums vary widely
+    rows = [(u, float(10 + (u * 13) % 70)) for u in range(30) for _ in range(2)]
+    df = spark.createDataFrame(rows, "unit long, v double")
+    got = experiment_power(df, "unit", "v").collect()[0]
+    per = {}
+    for u, v in rows:
+        per[u] = per.get(u, 0.0) + v
+    vals = list(per.values())
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((x - mean) ** 2 for x in vals) / (n - 1)
+    mde = (1.96 + 0.8416) * _m.sqrt(2 * var / (n // 2))
+    assert got.n_units == 30 and got.n_per_arm == 15
+    assert abs(got.mean_val - mean) < 1e-4
+    assert abs(got.stddev_val - _m.sqrt(var)) < 1e-4
+    assert abs(got.mde_abs - mde) < 1e-3
+    assert abs(got.mde_rel - mde / mean) < 1e-4
+    # MDE shrinks with more units: doubling n must cut it ~1/sqrt(2)
+    rows2 = rows + [(100 + u, float(10 + (u * 13) % 70)) for u in range(30)
+                    for _ in range(2)]
+    got2 = experiment_power(
+        spark.createDataFrame(rows2, "unit long, v double"), "unit", "v"
+    ).collect()[0]
+    assert got2.mde_abs < got.mde_abs
