@@ -10016,7 +10016,10 @@ cov AS (
          CAST(sum(CAST(r <= qv AS BIGINT)) AS BIGINT) AS covered_count
   FROM testr CROSS JOIN q
 )
-SELECT n_train, n_cal, n_test, b0, b1, b2, q_bin, covered_count
+SELECT CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_cal AS BIGINT) AS n_cal,
+       CAST(n_test AS BIGINT) AS n_test,
+       b0, b1, b2, q_bin, covered_count
 FROM model CROSS JOIN q CROSS JOIN cov
 """
 
