@@ -155,6 +155,7 @@ HEADLINE: list[tuple[str, int]] = [
     ("linkage_pairs", 7),
     ("brier_report", 7),
     ("experiment_power", 7),
+    ("ks_two_sample", 7),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

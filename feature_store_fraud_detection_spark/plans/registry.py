@@ -11332,6 +11332,64 @@ FROM agg
 """
 
 
+def _q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test, weekend vs weekday event
+    values (operators/stats.py:ks_two_sample) — the SHAPE companion to
+    mann_whitney_events: D on an exact-integer surface
+    |c1*n2 - c2*n1|, plus where the CDFs diverge most and the
+    asymptotic lambda."""
+    from feature_store_fraud_detection_spark.operators.stats import (
+        ks_two_sample,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.filter(F.col("ts").isNotNull()).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v_cents"),
+        F.dayofweek("ts").isin(1, 7).cast("int").alias("is_weekend"),
+    )
+    return ks_two_sample(ev, "is_weekend", "v_cents", 1)
+
+
+_KS_TWO_SAMPLE_SQL = """
+WITH rows_ AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS t
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+per_v AS (SELECT v, count(*) AS cnt, sum(t) AS nt FROM rows_ GROUP BY v),
+cum AS (
+  SELECT v,
+         sum(nt) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+         sum(cnt) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS call
+  FROM per_v
+),
+tot AS (SELECT sum(nt) AS n1, sum(cnt) AS n FROM per_v),
+d_v AS (
+  SELECT v, abs(c1 * (n - n1) - (call - c1) * n1) AS d
+  FROM cum CROSS JOIN tot
+),
+dm AS (SELECT max(d) AS dmax FROM d_v)
+SELECT CAST(t.n1 AS BIGINT) AS n_treat,
+       CAST(t.n - t.n1 AS BIGINT) AS n_control,
+       CAST(dm.dmax AS BIGINT) AS d_scaled,
+       CAST((SELECT min(v) FROM d_v WHERE d = dm.dmax) AS BIGINT)
+         AS at_value,
+       floor((CAST(dm.dmax AS DOUBLE)
+              / (CAST(t.n1 AS DOUBLE) * CAST(t.n - t.n1 AS DOUBLE)))
+             * 10000 + 0.5) / 10000 AS d_stat,
+       floor(((CAST(dm.dmax AS DOUBLE)
+               / (CAST(t.n1 AS DOUBLE) * CAST(t.n - t.n1 AS DOUBLE)))
+              * sqrt(CAST(t.n1 AS DOUBLE) * CAST(t.n - t.n1 AS DOUBLE)
+                     / (CAST(t.n1 AS DOUBLE) + CAST(t.n - t.n1 AS DOUBLE))))
+             * 10000 + 0.5) / 10000 AS ks_lambda
+FROM tot t CROSS JOIN dm
+"""
+
+
 def _q_anova_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA: does mean order value differ across the five order
     priorities? (operators/stats.py:anova_f) — exact integer-cents
@@ -12082,6 +12140,7 @@ QUERIES.update(
         ),
         "linkage_pairs": QuerySpec(_q_linkage_pairs, _LINKAGE_PAIRS_SQL),
         "brier_report": QuerySpec(_q_brier_report, _BRIER_REPORT_SQL),
+        "ks_two_sample": QuerySpec(_q_ks_two_sample, _KS_TWO_SAMPLE_SQL),
         "experiment_power": QuerySpec(
             _q_experiment_power, _EXPERIMENT_POWER_SQL
         ),
@@ -12142,6 +12201,7 @@ _GRADING_PRIORITY: list[str] = [
     "gate_float_canary",
     "ridge_conformal_sketch",
     "mann_whitney_events",
+    "ks_two_sample",
     "anova_priority",
     "holt_winters_forecast",
     "sssp_nations",
@@ -12195,7 +12255,8 @@ _GRADING_PRIORITY: list[str] = [
     "top_tokens",
     "resample_gapfill",
     "doc_chunks",
-    "repetition_profile",
+    # repetition_profile (r2 green) rotates to round 8 — displaced by
+    # ks_two_sample so the new query ships with a driver grade
 ]
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (

@@ -283,6 +283,8 @@ GLOBAL_WINDOW_QUERIES = [
                               # (evaluation.py)
     "mann_whitney_events",    # bucket offsets over the n_buckets-row
                               # totals table (stats.py mann_whitney_u)
+    "ks_two_sample",          # same bucket-offsets window (stats.py
+                              # ks_two_sample)
 ]
 
 
@@ -518,6 +520,16 @@ def test_mann_whitney_no_raw_row_sort(spark, sf_dir):
     offsets, within-bucket prefix — are covered by the aggregated-frame
     window gate below.)"""
     df = QUERIES["mann_whitney_events"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ks_no_raw_row_sort(spark, sf_dir):
+    """KS shares mann-whitney's scale shape: distinct-value aggregate,
+    broadcast-cut sharded prefix windows, two bounded scalar aggregates
+    for the argmax — never a sort-merge join or global raw-row sort."""
+    df = QUERIES["ks_two_sample"].fn(spark, sf_dir)
     plan = _physical(df)
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

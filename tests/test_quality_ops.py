@@ -1458,3 +1458,46 @@ def test_experiment_power_matches_direct(spark):
         spark.createDataFrame(rows2, "unit long, v double"), "unit", "v"
     ).collect()[0]
     assert got2.mde_abs < got.mde_abs
+
+
+def test_ks_two_sample_hand_fixture(spark):
+    import math as _m
+
+    from feature_store_fraud_detection_spark.operators.stats import (
+        ks_two_sample,
+    )
+
+    # treatment {1,2,3}, control {3,4,5}: CDF gap peaks at v=2
+    # (F1=2/3, F2=0) and v=3 (F1=1, F2=1/3): D = 2/3 at both — the
+    # smaller value 2 is reported
+    rows = [("t", 1), ("t", 2), ("t", 3), ("c", 3), ("c", 4), ("c", 5)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    r = ks_two_sample(df, "g", "v", "t").collect()[0]
+    assert (r.n_treat, r.n_control) == (3, 3)
+    # d_scaled = max |c1*n2 - c2*n1| = |2*3 - 0*3| = 6 -> D = 6/9
+    assert r.d_scaled == 6 and r.at_value == 2
+    assert r.d_stat == _m.floor(6 / 9 * 10000 + 0.5) / 10000
+    lam = (6 / 9) * _m.sqrt(9 / 6)
+    assert r.ks_lambda == _m.floor(lam * 10000 + 0.5) / 10000
+
+    # identical samples -> D = 0; disjoint samples -> D = 1
+    same = spark.createDataFrame(
+        [("t", i % 5) for i in range(50)] + [("c", i % 5) for i in range(50)],
+        "g string, v int",
+    )
+    assert ks_two_sample(same, "g", "v", "t").collect()[0].d_stat == 0.0
+    apart = spark.createDataFrame(
+        [("t", i) for i in range(20)] + [("c", 100 + i) for i in range(20)],
+        "g string, v int",
+    )
+    assert ks_two_sample(apart, "g", "v", "t").collect()[0].d_stat == 1.0
+
+    # location-free SHAPE sensitivity: same median, different spread —
+    # KS must fire while the rank test barely moves
+    shape = [("t", 50 + (i % 3) - 1) for i in range(99)] + [
+        ("c", 50 + ((i % 21) - 10) * 4) for i in range(99)
+    ]
+    rs = ks_two_sample(
+        spark.createDataFrame(shape, "g string, v int"), "g", "v", "t"
+    ).collect()[0]
+    assert rs.d_stat > 0.3

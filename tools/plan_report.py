@@ -169,6 +169,35 @@ SELECTED: dict[str, str] = {
         "only the 1-row totals broadcast; the per-doc sorted fold is "
         "array-local and the top-100 finishes in TakeOrderedAndProject."
     ),
+    "t_closeness": (
+        "One (QI, v) count whose class-size window partitions by the QI "
+        "columns; the |V|-row global distribution and the 1-row total "
+        "broadcast. Numerators are exact BIGINTs (overflow-guarded); "
+        "no sort-merge join anywhere."
+    ),
+    "ratio_metric_ci": (
+        "One keyed per-unit aggregate (exact quantized DECIMAL moments) "
+        "+ one 1-row moment aggregate carrying both arms' five moments "
+        "as conditional sums — no window, no join; the delta-method "
+        "algebra is a final projection."
+    ),
+    "linkage_pairs": (
+        "Profiles come from three keyed aggregates + two per-user argmax "
+        "windows; candidate pairs exist only within the modal-type block "
+        "(keyed equi-join, never CartesianProduct); u statistics are "
+        "bounded driver scalars folded into the score projection as "
+        "literals; the top-50 is a TakeOrderedAndProject."
+    ),
+    "brier_report": (
+        "One hash aggregate to n_bins rows of exact integer moments; "
+        "REL/RES/UNC fold bin-sorted over that bounded table and the "
+        "1-row global stats broadcast back over the per-bin report."
+    ),
+    "experiment_power": (
+        "The cuped shape: one keyed per-unit aggregate, one 1-row "
+        "moment aggregate, MDE algebra as a final projection with the z "
+        "constants folded as plan literals."
+    ),
 }
 
 
