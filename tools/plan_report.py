@@ -169,6 +169,12 @@ SELECTED: dict[str, str] = {
         "only the 1-row totals broadcast; the per-doc sorted fold is "
         "array-local and the top-100 finishes in TakeOrderedAndProject."
     ),
+    "ks_two_sample": (
+        "Mann-Whitney's scale shape exactly: distinct-value hash "
+        "aggregate, broadcast-cut sharded prefix windows, then two "
+        "bounded scalar aggregates for the argmax — no SortMergeJoin, "
+        "no global raw-row sort."
+    ),
     "t_closeness": (
         "One (QI, v) count whose class-size window partitions by the QI "
         "columns; the |V|-row global distribution and the 1-row total "
