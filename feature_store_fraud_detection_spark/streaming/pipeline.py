@@ -988,3 +988,68 @@ def stream_hll_report(spark, state_dir: str, key_col: str) -> DataFrame:
 
     state = spark.read.parquet(state_dir).select(key_col, "reg", "m_j")
     return hll_estimate(state, key_col)
+
+
+def run_stream_srm_monitor(
+    raw_rows: DataFrame,
+    state_dir: str,
+    unit_col: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming sample-ratio-mismatch monitoring — the sixth
+    additive-state monitor, watching experiment HEALTH while the
+    experiment runs instead of at readout time: fold each micro-batch's
+    DISTINCT unit ids into parquet state (union + distinct — set union
+    is associative, commutative and IDEMPOTENT, so the folded state is
+    bit-identical to the distinct-unit set of all rows ever seen, and
+    even a replayed batch could not corrupt it; the
+    ``_replay_guarded_fold`` batch-id guard still skips the wasted
+    work). ``stream_srm_report`` then runs the exact
+    ``operators.evaluation.srm_check`` over the accumulated units —
+    arms re-derive from the same salted md5 hash, so the streaming
+    report is BIT-identical to the batch one (pinned in
+    test_streaming).
+
+    Unlike the sketch monitors this state is unit-sized, not
+    constant-sized — the same per-key-state budget as the online store;
+    swap the unit set for per-arm HLL registers if unit cardinality
+    ever outgrows that budget (the report then carries sketch error).
+
+    Per-batch cost: one distinct over the batch + a set-sized merge.
+    """
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+
+        def _merge(prev: DataFrame | None) -> DataFrame:
+            m = batch_df.select(F.col(unit_col)).distinct()
+            return m if prev is None else prev.unionByName(m).distinct()
+
+        _replay_guarded_fold(spark, state_dir, batch_id, _merge)
+
+    writer = (
+        raw_rows.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def stream_srm_report(
+    spark,
+    state_dir: str,
+    unit_col: str,
+    salt: str = "exp1",
+    expected_a: float = 0.5,
+) -> DataFrame:
+    """SRM health report over the monitor's accumulated unit set — the
+    exact batch ``srm_check`` (same salted-md5 arms), bit-identical to
+    running it over all rows ever seen."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        srm_check,
+    )
+
+    return srm_check(spark.read.parquet(state_dir), unit_col, salt,
+                     expected_a)

@@ -867,3 +867,51 @@ def test_stream_hll_monitor_equals_batch_sketch(spark, tmp_path):
     for kk, n in true.items():
         est = got[kk][-1]
         assert abs(est - n) / n < 0.15, (kk, est, n)
+
+
+def test_stream_srm_monitor_equals_batch_check(spark, tmp_path):
+    """The SRM monitor's accumulated unit set must make
+    stream_srm_report BIT-identical to srm_check over all rows ever
+    seen — set union is idempotent, so duplicate units across batches
+    (and replays) cannot skew the arm counts."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        srm_check,
+    )
+    from feature_store_fraud_detection_spark.streaming.pipeline import (
+        run_stream_srm_monitor,
+        stream_srm_report,
+    )
+
+    # 900 units, each with 1-3 events spread ACROSS micro-batches, plus a
+    # planted imbalance: drop a slice of one arm's units
+    rows = []
+    for u in range(900):
+        if u % 10 < 2 and u % 2 == 0:
+            continue  # broken logging on part of one hash slice
+        for j in range(1 + u % 3):
+            rows.append((u * 1000 + j, u))
+    src = tmp_path / "srm_src"
+    src.mkdir()
+    for part in range(3):
+        with open(src / f"p{part}.jsonl", "w") as f:
+            for rid, u in rows[part::3]:
+                f.write(json.dumps({"rid": rid, "user_id": u}) + "\n")
+        os.utime(src / f"p{part}.jsonl", (1_700_000_000 + part,) * 2)
+
+    state_dir = str(tmp_path / "srm_state")
+    raw = (
+        spark.readStream.schema("rid bigint, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_stream_srm_monitor(
+        raw, state_dir, "user_id",
+        checkpoint_dir=str(tmp_path / "ckpt_srm"),
+    )
+    q.awaitTermination(120)
+
+    got = stream_srm_report(spark, state_dir, "user_id").collect()[0]
+    all_rows = spark.createDataFrame(rows, "rid bigint, user_id bigint")
+    want = srm_check(all_rows, "user_id").collect()[0]
+    assert tuple(got) == tuple(want)  # bit-identical incl. chi2
+    assert got.n_units == len({u for _, u in rows})
