@@ -156,6 +156,7 @@ HEADLINE: list[tuple[str, int]] = [
     ("brier_report", 7),
     ("experiment_power", 7),
     ("ks_two_sample", 7),
+    ("seasonal_strength", 7),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

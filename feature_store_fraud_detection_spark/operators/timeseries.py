@@ -819,3 +819,122 @@ def holt_winters_forecast(
             round4_stable(fold["err"] / n_folded.cast("double")),
         ).alias("mae_1step"),
     )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+) -> DataFrame:
+    """How much of a key's daily variance the WEEKLY profile explains —
+    the "should you even fit :func:`holt_winters_forecast`" gate::
+
+        strength = 1 - SSW / SST
+                 = 1 - sum_d sum_{y in dow d} (y - ybar_d)^2
+                       / sum (y - ybar)^2
+
+    (the one-way-ANOVA eta^2 with day-of-week as the group — 0 means the
+    weekday tells you nothing, 1 means it determines the value). Also
+    reports the peak weekday (largest |dow mean - grand mean|, lowest
+    dow on ties) and its deviation — the actionable "our Mondays are
+    different" number.
+
+    Exact-moment design: daily totals are the round4 DECIMAL sums every
+    forecaster here uses, re-scaled to exact integer 1e4-ths; per-dow
+    count/sum/sum-of-squares are exact BIGINT/DECIMAL moments; the
+    between-group term folds dow-sorted; the peak argmax rides a packed
+    BIGINT (quantized deviation * 8 + (7 - dow), max-reduced — no
+    multi-field fold, the cross-engine hazard holt documented). Keys
+    with < 2 days or zero variance emit NULL strength (nothing to
+    explain).
+
+    Scale: one (key, day) aggregate, one (key, dow) aggregate, one
+    7-row-per-key rollup — all map-side combinable, no window, no join.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        df.filter(F.col(val_col).isNotNull())
+        .groupBy(F.col(key_col), day.alias("__day"))
+        .agg(F.sum(F.col(val_col).cast("decimal(18,4)")).alias("__s"))
+        .select(
+            key_col,
+            F.dayofweek("__day").alias("__dow"),  # Spark: 1=Sun..7=Sat
+            F.floor(
+                round4_stable(F.col("__s").cast("double")) * 10000
+                + F.lit(0.5)
+            ).cast("bigint").alias("__y4"),
+        )
+    )
+    per_dow = daily.groupBy(key_col, "__dow").agg(
+        F.count(F.lit(1)).alias("n_d"),
+        F.sum("__y4").alias("s_d"),
+        F.sum(
+            F.col("__y4").cast("decimal(38,0)") * F.col("__y4")
+        ).alias("q_d"),
+    )
+    x_d = (
+        F.col("s_d").cast("double")
+        * F.col("s_d").cast("double")
+        / F.col("n_d").cast("double")
+    )
+    per_key = per_dow.groupBy(key_col).agg(
+        F.sum("n_d").alias("n_days"),
+        F.sum("s_d").alias("s"),
+        F.sum("q_d").alias("q"),
+        # between-group term folds dow-sorted (fixed IEEE order)
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__dow").alias("d"), x_d.alias("x")))
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e["x"],
+        ).alias("__fx"),
+        F.count(F.lit(1)).alias("__n_dows"),
+    )
+    nD = F.col("n_days").cast("double")
+    sD, qD = F.col("s").cast("double"), F.col("q").cast("double")
+    sst = qD - sD * sD / nD
+    ssw = qD - F.col("__fx")
+    grand = sD / nD
+    # peak dow: packed-BIGINT argmax over the bounded per-dow frame
+    dev = F.abs(
+        F.col("s_d").cast("double") / F.col("n_d").cast("double")
+        - F.col("__g")
+    )
+    # dev is already in 1e4th-of-value units (the daily totals' scale),
+    # so rounding to the nearest integer IS the round4 quantization
+    packed = (
+        F.floor(dev + F.lit(0.5)).cast("bigint") * F.lit(8)
+        + (F.lit(7) - F.col("__dow"))
+    )
+    peaks = (
+        per_dow.join(
+            F.broadcast(
+                per_key.select(
+                    key_col, (sD / nD).alias("__g")
+                )
+            ),
+            key_col,
+        )
+        .groupBy(key_col)
+        .agg(F.max(packed).alias("__pk"))
+        .select(
+            key_col,
+            (F.lit(7) - F.col("__pk") % 8).cast("int").alias("peak_dow"),
+            round4_stable(
+                F.floor(F.col("__pk") / 8).cast("double") / F.lit(10000.0)
+            ).alias("peak_dev"),
+        )
+    )
+    report = per_key.select(
+        key_col,
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.when(
+            (F.col("n_days") >= 2) & (sst > 0.0),
+            round4_stable(
+                (F.lit(1.0) - ssw / sst)
+            ),
+        ).alias("strength"),
+    )
+    return report.join(peaks, key_col)

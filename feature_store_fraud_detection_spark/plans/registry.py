@@ -11527,6 +11527,78 @@ JOIN idx last ON last.k = r.k AND last.i = s.n
 """
 
 
+def _q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-profile variance share of each priority's daily revenue
+    (operators/timeseries.py:seasonal_strength) — the "should you even
+    fit holt_winters" gate: eta^2 of day-of-week on the daily series,
+    plus the peak weekday and its deviation."""
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        seasonal_strength,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return seasonal_strength(
+        o, "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+
+
+# daily y4 replays the engine's two-step exactly: round4 the DECIMAL sum
+# (floor(x*1e4+0.5)/1e4) THEN re-scale to integer 1e4-ths — one fused
+# floor(x*1e4+0.5) is the same value but a different float path
+_SEASONAL_STRENGTH_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS k,
+         dayofweek(date_trunc('day', o_orderdate)) + 1 AS dow,
+         CAST(floor(
+           (floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  * 10000 + 0.5) / 10000) * 10000 + 0.5
+         ) AS BIGINT) AS y4
+  FROM orders WHERE o_totalprice IS NOT NULL
+  GROUP BY o_orderpriority, date_trunc('day', o_orderdate)
+),
+per_dow AS (
+  SELECT k, dow, count(*) AS n_d, sum(y4) AS s_d,
+         sum(CAST(y4 AS DECIMAL(38,0)) * y4) AS q_d
+  FROM daily GROUP BY 1, 2
+),
+per_key AS (
+  SELECT k, CAST(sum(n_d) AS BIGINT) AS n_days,
+         CAST(sum(s_d) AS BIGINT) AS s, sum(q_d) AS q,
+         list_reduce(list(CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)
+                          / CAST(n_d AS DOUBLE) ORDER BY dow),
+                     (a, b) -> a + b) AS fx
+  FROM per_dow GROUP BY 1
+),
+g AS (
+  SELECT k, CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS grand
+  FROM per_key
+),
+peaks AS (
+  SELECT d.k,
+         max(CAST(floor(abs(CAST(d.s_d AS DOUBLE) / CAST(d.n_d AS DOUBLE)
+                            - g.grand) + 0.5) AS BIGINT) * 8
+             + (7 - d.dow)) AS pk
+  FROM per_dow d JOIN g ON g.k = d.k GROUP BY 1
+)
+SELECT p.k AS o_orderpriority,
+       p.n_days,
+       CASE WHEN p.n_days >= 2
+              AND (CAST(p.q AS DOUBLE)
+                   - CAST(p.s AS DOUBLE) * CAST(p.s AS DOUBLE)
+                     / CAST(p.n_days AS DOUBLE)) > 0.0
+            THEN floor((1.0 - (CAST(p.q AS DOUBLE) - p.fx)
+                              / (CAST(p.q AS DOUBLE)
+                                 - CAST(p.s AS DOUBLE) * CAST(p.s AS DOUBLE)
+                                   / CAST(p.n_days AS DOUBLE)))
+                       * 10000 + 0.5) / 10000
+       END AS strength,
+       CAST(7 - pk.pk % 8 AS INT) AS peak_dow,
+       floor((CAST(floor(pk.pk / 8) AS DOUBLE) / 10000.0) * 10000 + 0.5)
+         / 10000 AS peak_dev
+FROM per_key p JOIN peaks pk ON pk.k = p.k
+"""
+
+
 def _q_sssp_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheapest relay route from the lowest-keyed nation to every other
     nation across the trade network (operators/graph.py:sssp) — hop cost
@@ -12141,6 +12213,9 @@ QUERIES.update(
         "linkage_pairs": QuerySpec(_q_linkage_pairs, _LINKAGE_PAIRS_SQL),
         "brier_report": QuerySpec(_q_brier_report, _BRIER_REPORT_SQL),
         "ks_two_sample": QuerySpec(_q_ks_two_sample, _KS_TWO_SAMPLE_SQL),
+        "seasonal_strength": QuerySpec(
+            _q_seasonal_strength, _SEASONAL_STRENGTH_SQL
+        ),
         "experiment_power": QuerySpec(
             _q_experiment_power, _EXPERIMENT_POWER_SQL
         ),
@@ -12204,6 +12279,7 @@ _GRADING_PRIORITY: list[str] = [
     "ks_two_sample",
     "anova_priority",
     "holt_winters_forecast",
+    "seasonal_strength",
     "sssp_nations",
     "dsir_selection",
     "t_closeness",
@@ -12254,9 +12330,9 @@ _GRADING_PRIORITY: list[str] = [
     "scd2_history",
     "top_tokens",
     "resample_gapfill",
-    "doc_chunks",
-    # repetition_profile (r2 green) rotates to round 8 — displaced by
-    # ks_two_sample so the new query ships with a driver grade
+    # doc_chunks + repetition_profile (both r2 green) rotate to round 8
+    # — displaced by ks_two_sample and seasonal_strength so every new
+    # query ships with a driver grade
 ]
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (

@@ -555,6 +555,14 @@ def test_holt_winters_single_keyed_aggregate_no_join(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_seasonal_strength_no_window_no_cartesian(spark, sf_dir):
+    """Two keyed aggregates + a bounded per-key rollup join — no window
+    anywhere, no cartesian product; the grand-mean side broadcasts."""
+    plan = _physical(QUERIES["seasonal_strength"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_dsir_broadcasts_totals_and_bounds_topk(spark, sf_dir):
     """DSIR's scalar totals broadcast into the contribution fan-out (the
     vocabulary itself must NEVER broadcast — term stats join stays

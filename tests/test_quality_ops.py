@@ -1501,3 +1501,44 @@ def test_ks_two_sample_hand_fixture(spark):
         spark.createDataFrame(shape, "g string, v int"), "g", "v", "t"
     ).collect()[0]
     assert rs.d_stat > 0.3
+
+
+def test_seasonal_strength_separates_seasonal_from_flat(spark):
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        seasonal_strength,
+    )
+
+    t = lambda d: BASE + dt.timedelta(days=d)  # noqa: E731
+    season = [30.0, -10.0, 0.0, 5.0, -20.0, 10.0, -15.0]
+    rows = (
+        # 'seasonal': pure weekly pattern, zero noise -> strength 1
+        [("seasonal", t(d), 100.0 + season[d % 7]) for d in range(70)]
+        # 'aperiodic': period-11 pattern — the weekly profile explains
+        # little of it
+        + [("aperiodic", t(d), 100.0 + 25.0 * ((d % 11) - 5)) for d in range(66)]
+        # 'constant': zero variance -> NULL strength
+        + [("constant", t(d), 50.0) for d in range(14)]
+    )
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r.k: r for r in seasonal_strength(df, "k", "ts", "v").collect()}
+    s = out["seasonal"]
+    assert s.n_days == 70 and s.strength == 1.0
+    # BASE is a Sunday + 7 days offset per dt construction: the peak
+    # weekday must be the one carrying the +30 deviation, with dev 30
+    assert s.peak_dev == 30.0
+    # the pattern is keyed by position from BASE; verify via recompute
+    import collections
+
+    by_dow = collections.defaultdict(list)
+    for k, ts, v in rows:
+        if k == "seasonal":
+            # Spark dayofweek: Sunday=1..Saturday=7
+            by_dow[ts.isoweekday() % 7 + 1].append(v)
+    grand = sum(sum(vs) for vs in by_dow.values()) / 70
+    peak = max(
+        by_dow, key=lambda d: (abs(sum(by_dow[d]) / len(by_dow[d]) - grand), -d)
+    )
+    assert s.peak_dow == peak
+    assert out["aperiodic"].strength < 0.2
+    assert out["constant"].strength is None
+    assert out["constant"].n_days == 14
