@@ -51,3 +51,32 @@ def overflow_checked(col: Column, bound: float, context: str) -> Column:
             )
         ).cast("double")
     )
+
+
+def bigint_checked(col: Column, context: str) -> Column:
+    """Fail-loud DECIMAL(38,0) -> BIGINT narrowing for exact report
+    surfaces.
+
+    The exact-integer operators (mann_whitney_u, anova_f, t_closeness)
+    accumulate in DECIMAL(38,0) — a BIGINT sum WRAPS silently in
+    non-ANSI Spark, while the decimal sum stays exact to a practically
+    unreachable 38-digit bound (and NULLs, visibly, beyond it) — but
+    their REPORT columns are BIGINT for the
+    driver gate's canonicalization. Under non-ANSI mode that final cast
+    silently wraps/NULLs anything outside int64; this guard makes the
+    narrowing explicit: any value outside int64 aborts the job naming
+    the operator. The CASE stays decimal-typed in both branches (the
+    generic :func:`overflow_checked` promotes to double, which is
+    exactly the 2^53 exactness loss these surfaces exist to avoid).
+    """
+    bound = F.lit("9223372036854775807").cast("decimal(38,0)")
+    dec = col.cast("decimal(38,0)")
+    return F.when(dec.isNull() | (F.abs(dec) <= bound), dec).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"{context}: value outside BIGINT range on the exact "
+                "report surface (value=%s)",
+                dec.cast("string"),
+            )
+        ).cast("decimal(38,0)")
+    ).cast("bigint")

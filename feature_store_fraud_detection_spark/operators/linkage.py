@@ -12,10 +12,11 @@ summed log-likelihood ratio.
 
 ``u`` is estimated EXACTLY from the data: for a random pair, the
 probability field f agrees is ``sum_v c_v*(c_v-1) / (N*(N-1))`` over the
-field's value histogram — an exact integer ratio. ``m`` is supplied per
-field (the standard practice when no labeled duplicates exist; EM
-estimation is a separate, iterative path out of scope here — supply
-``m`` from a labeled sample when one appears).
+field's value histogram — an exact integer ratio. ``m`` is either
+supplied per field or estimated WITHOUT labels by
+:func:`em_linkage_params` (Winkler's unsupervised EM over the bounded
+agreement-pattern table; :func:`em_weights_report` turns the estimates
+into the ln-weight table).
 
 Determinism: u ratios are exact-integer-derived doubles; the two ``ln``
 calls per field are the measured-stable libm path (see sequential_ab's
@@ -44,10 +45,15 @@ def pair_agreement_stats(profiles: DataFrame, field: str) -> tuple[int, int]:
     """Exact random-pair agreement statistics for one field:
     ``(agree_pairs, n)`` with u = agree_pairs / (n*(n-1)) — the ordered-
     pair count sum_v c_v*(c_v-1) over the field's value histogram.
-    Bounded driver pull (two scalars); exposed for tests and for tuning
-    m against measured u."""
+    NULL field values are EXCLUDED (``n`` is the non-null count):
+    :func:`fellegi_sunter_pairs` scores a NULL as disagreement, so
+    counting NULL-NULL pairs as agreements here would overstate u and
+    understate the field's agreement weight ln(m/u) — u must match the
+    scoring rule's agreement definition. Bounded driver pull (two
+    scalars); exposed for tests and for tuning m against measured u."""
     row = (
-        profiles.groupBy(F.col(field).alias("__v"))
+        profiles.filter(F.col(field).isNotNull())
+        .groupBy(F.col(field).alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
         .agg(
             F.sum(F.col("__c") * (F.col("__c") - 1)).alias("agree_pairs"),
@@ -56,6 +62,37 @@ def pair_agreement_stats(profiles: DataFrame, field: str) -> tuple[int, int]:
         .collect()[0]
     )
     return int(row["agree_pairs"]), int(row["n"])
+
+
+def _blocked_pairs(
+    profiles: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    field_cols: list[str],
+) -> DataFrame:
+    """Blocked candidate self-join: pairs exist only WITHIN a block
+    (join keyed on the block columns — never all-pairs), each emitted
+    once (``id_a < id_b``), with ``<f>_a`` / ``<f>_b`` field columns."""
+    left = profiles.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in block_cols + field_cols],
+    )
+    right = profiles.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols + field_cols],
+    )
+    cond = [F.col(f"{c}_a") == F.col(f"{c}_b") for c in block_cols]
+    return left.join(right, [*cond, F.col("id_a") < F.col("id_b")], "inner")
+
+
+def _agree_flag(f: str) -> Column:
+    """Field agreement for a candidate pair — NULL counts as
+    DISAGREEMENT (no evidence is not agreement)."""
+    return (
+        F.col(f"{f}_a").isNotNull()
+        & F.col(f"{f}_b").isNotNull()
+        & (F.col(f"{f}_a") == F.col(f"{f}_b"))
+    )
 
 
 def fellegi_sunter_pairs(
@@ -81,18 +118,7 @@ def fellegi_sunter_pairs(
         f: pair_agreement_stats(profiles, f) for f in field_cols
     }
 
-    left = profiles.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(c).alias(f"{c}_a") for c in block_cols + field_cols],
-    )
-    right = profiles.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(c).alias(f"{c}_b") for c in block_cols + field_cols],
-    )
-    cond = [F.col(f"{c}_a") == F.col(f"{c}_b") for c in block_cols]
-    pairs = left.join(
-        right, [*cond, F.col("id_a") < F.col("id_b")], "inner"
-    )
+    pairs = _blocked_pairs(profiles, id_col, block_cols, field_cols)
 
     score = None
     flags = []
@@ -145,3 +171,187 @@ def fellegi_sunter_pairs(
             F.col("score").desc(), F.col("id_a"), F.col("id_b")
         ).limit(int(top_k))
     return out
+
+
+def em_linkage_params(
+    profiles: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    field_cols: list[str],
+    n_iter: int = 20,
+    init_p: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> dict:
+    """Winkler's unsupervised EM over agreement-vector pattern counts —
+    the answer to :func:`fellegi_sunter_pairs`'s hardcoded ``default_m``:
+    estimate ``m`` = P(field agrees | same entity), ``u`` = P(agrees |
+    different entities) and the match share ``p`` FROM THE CANDIDATE
+    PAIRS THEMSELVES, no labeled duplicates needed (Winkler 1988; the
+    two-class latent-mixture view of Fellegi & Sunter 1969).
+
+    The sufficient statistic is tiny: candidate pairs collapse to their
+    agreement PATTERN (one of at most 2^k vectors for k fields) with a
+    count — a bounded table pulled to the driver, where EM runs as a
+    fixed-iteration, fixed-order float loop (hash-stable: the DuckDB
+    oracle twin replays the identical recursion). Per iteration, each
+    pattern's match responsibility is::
+
+        w = p * prod_f m_f^a (1-m_f)^(1-a)
+            / (that + (1-p) * prod_f u_f^a (1-u_f)^(1-a))
+
+    then m/u/p re-estimate as responsibility-weighted agreement shares.
+    All folds run over patterns in a CANONICAL order (flags descending),
+    products over fields in the ORDER GIVEN — both spelled identically
+    in the SQL twin, so every float op sequence matches bit-for-bit.
+
+    Note the estimand: u here is conditional on the BLOCKING (P(agree |
+    non-match within a shared block)) — the right u for scoring blocked
+    candidates, and deliberately different from
+    :func:`pair_agreement_stats`'s unconditional random-pair u.
+
+    Scale design: the only driver-side state is the <=2^k-row pattern
+    table and the O(n_iter * 2^k * k) float loop — independent of data
+    size; pattern counting is one groupBy over the blocked join that
+    :func:`fellegi_sunter_pairs` already performs.
+
+    Returns ``{"p": float, "m": [per field], "u": [per field],
+    "n_pairs": int, "n_patterns": int}`` (raw, un-rounded).
+    """
+    if n_iter < 1:
+        raise ValueError("em_linkage_params: n_iter must be >= 1")
+    k = len(field_cols)
+    if k == 0:
+        raise ValueError("em_linkage_params: need at least one field")
+    pairs = _blocked_pairs(profiles, id_col, block_cols, field_cols)
+    flag_cols = [
+        _agree_flag(f).cast("int").alias(f"__a{i}")
+        for i, f in enumerate(field_cols)
+    ]
+    pat_rows = (
+        pairs.select(*flag_cols)
+        .groupBy(*[f"__a{i}" for i in range(k)])
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    if not pat_rows:
+        raise ValueError(
+            "em_linkage_params: no candidate pairs — every block is a "
+            "singleton; coarsen the block columns"
+        )
+    # canonical pattern order: agreement flags DESCENDING (all-agree
+    # first) — the SQL twin lists patterns ORDER BY a1 DESC, ..., so
+    # every left fold below visits patterns in the same sequence
+    pats = sorted(
+        (
+            (tuple(int(r[f"__a{i}"]) for i in range(k)), int(r["__c"]))
+            for r in pat_rows
+        ),
+        key=lambda t: t[0],
+        reverse=True,
+    )
+    n_pairs = 0
+    for _, c in pats:
+        n_pairs += c
+
+    p = float(init_p)
+    m = [float(init_m)] * k
+    u = [float(init_u)] * k
+    for _ in range(n_iter):
+        # E step: per-pattern responsibility-weighted counts, in
+        # canonical pattern order; products over fields in field order
+        wcs: list[float] = []
+        ucs: list[float] = []
+        for a, c in pats:
+            t_prod = m[0] if a[0] else (1.0 - m[0])
+            for f in range(1, k):
+                t_prod = t_prod * (m[f] if a[f] else (1.0 - m[f]))
+            u_prod = u[0] if a[0] else (1.0 - u[0])
+            for f in range(1, k):
+                u_prod = u_prod * (u[f] if a[f] else (1.0 - u[f]))
+            pm = p * t_prod
+            pu = (1.0 - p) * u_prod
+            w = pm / (pm + pu)
+            wcs.append(w * c)
+            ucs.append((1.0 - w) * c)
+        # M step: left folds in pattern order (list_reduce parity:
+        # first element is the fold seed, NOT 0.0)
+        s_w = wcs[0]
+        for x in wcs[1:]:
+            s_w = s_w + x
+        s_u = ucs[0]
+        for x in ucs[1:]:
+            s_u = s_u + x
+        new_m = []
+        new_u = []
+        for f in range(k):
+            num_m = wcs[0] * pats[0][0][f]
+            num_u = ucs[0] * pats[0][0][f]
+            for i in range(1, len(pats)):
+                num_m = num_m + wcs[i] * pats[i][0][f]
+                num_u = num_u + ucs[i] * pats[i][0][f]
+            new_m.append(num_m / s_w)
+            new_u.append(num_u / s_u)
+        m = new_m
+        u = new_u
+        p = s_w / float(n_pairs)
+    return {
+        "p": p,
+        "m": m,
+        "u": u,
+        "n_pairs": n_pairs,
+        "n_patterns": len(pats),
+    }
+
+
+def em_weights_report(
+    profiles: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    field_cols: list[str],
+    n_iter: int = 20,
+) -> DataFrame:
+    """EM-estimated Fellegi-Sunter weight table — one row per field:
+    ``(field, m_est, u_est, w_agree, w_disagree, match_share, n_pairs)``
+    with ``w_agree = ln(m/u)`` / ``w_disagree = ln((1-m)/(1-u))`` the
+    scoring weights :func:`fellegi_sunter_pairs` would otherwise take
+    from ``default_m``.
+
+    A field whose EM estimates are degenerate (``u <= 0``, ``m >= 1`` or
+    ``m <= u`` — agreement carrying no or negative match evidence) gets
+    NULL weights instead of +-inf: a data property, reported, not an
+    abort. Doubles round to 4 via the house floor(x*1e4+0.5)/1e4; the
+    ``ln`` calls run on the driver (the measured-stable libm path, same
+    as fellegi_sunter_pairs's plan-literal weights).
+    """
+    import math
+
+    est = em_linkage_params(
+        profiles, id_col, block_cols, field_cols, n_iter=n_iter
+    )
+
+    def _r4(x: float) -> float:
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    rows = []
+    for f_idx, fname in enumerate(field_cols):
+        m_f = est["m"][f_idx]
+        u_f = est["u"][f_idx]
+        ok = (u_f > 0.0) and (u_f < m_f) and (m_f < 1.0)
+        rows.append(
+            (
+                fname,
+                _r4(m_f),
+                _r4(u_f),
+                _r4(math.log(m_f / u_f)) if ok else None,
+                _r4(math.log((1.0 - m_f) / (1.0 - u_f))) if ok else None,
+                _r4(est["p"]),
+                est["n_pairs"],
+            )
+        )
+    spark = profiles.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "field string, m_est double, u_est double, w_agree double, "
+        "w_disagree double, match_share double, n_pairs bigint",
+    )

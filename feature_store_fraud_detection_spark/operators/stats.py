@@ -751,8 +751,11 @@ def mann_whitney_u(
     Exact-integer core (the hashable surface): with ties sharing their
     average rank, twice the average rank of a value v is the INTEGER
     ``2*(#below v) + (#equal v) + 1``, so ``2*R_treatment`` is an exact
-    BIGINT; so are the tie-correction term ``sum(t^3 - t)`` and
-    ``2*U = 2*R - n_t*(n_t+1)``. The normal-approximation z-score and the
+    integer; so are the tie-correction term ``sum(t^3 - t)`` and
+    ``2*U = 2*R - n_t*(n_t+1)``. Those sums accumulate in DECIMAL(38,0)
+    (a non-ANSI BIGINT sum wraps silently past int64) and fail loud —
+    via :func:`bigint_checked` — if a total ever leaves the BIGINT
+    report range. The normal-approximation z-score and the
     common-language effect size ``U/(n_t*n_c)`` (= P(treatment draw >
     control draw), the AUC analog) are derived once from those integers
     in fixed IEEE op order and rounded to 4 decimals.
@@ -829,19 +832,43 @@ def mann_whitney_u(
             )
         ).cast("bigint")
     )
+    # the SUMS accumulate in DECIMAL(38,0): per-element products are
+    # bounded by the guards above, but a BIGINT sum wraps silently in
+    # non-ANSI Spark once the TOTAL passes int64 (two ~2M-row tie
+    # groups, or r2_t ~ n_t*2n at ~2e9 rows) — the decimal sum stays
+    # exact and bigint_checked fail-louds the final narrowing
     agg = ranked.agg(
         F.sum("__cnt").alias("n"),
         F.sum("__nt").alias("n_t"),
         F.sum(
-            F.col("__nt")
+            F.col("__nt").cast("decimal(38,0)")
             * (F.lit(2) * F.col("__below") + F.col("__cnt") + F.lit(1))
         ).alias("r2_t"),
-        F.sum(t_ok * t_ok * t_ok - t_ok).alias("tie_term"),
+        F.sum(
+            t_ok.cast("decimal(38,0)") * t_ok * t_ok - t_ok
+        ).alias("tie_term"),
+    )
+    # degenerate-split guard: z and effect_cl divide by n_t*n_c — a
+    # one-group input must abort (fail-loud house rule), not emit NaN
+    n_t_ok = F.when(
+        (F.col("n_t") > 0) & (F.col("n_t") < F.col("n")), F.col("n_t")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "mann_whitney_u: degenerate split (n=%s, n_treat=%s) — "
+                "both groups must be non-empty",
+                F.coalesce(F.col("n").cast("string"), F.lit("0")),
+                F.coalesce(F.col("n_t").cast("string"), F.lit("0")),
+            )
+        ).cast("bigint")
     )
     n = F.col("n").cast("double")
-    nt = F.col("n_t").cast("double")
-    nc = (F.col("n") - F.col("n_t")).cast("double")
-    two_u = (F.col("r2_t") - F.col("n_t") * (F.col("n_t") + F.lit(1)))
+    nt = n_t_ok.cast("double")
+    nc = (F.col("n") - n_t_ok).cast("double")
+    two_u = (
+        F.col("r2_t")
+        - F.col("n_t").cast("decimal(38,0)") * (F.col("n_t") + F.lit(1))
+    )
     sigma2 = (nt * nc / F.lit(12.0)) * (
         (n + F.lit(1.0))
         - F.col("tie_term").cast("double") / (n * (n - F.lit(1.0)))
@@ -849,13 +876,21 @@ def mann_whitney_u(
     z = (two_u.cast("double") - nt * nc) / (
         F.lit(2.0) * F.sqrt(sigma2)
     )
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        bigint_checked,
+    )
+
     return agg.select(
         F.col("n").cast("bigint").alias("n"),
         F.col("n_t").cast("bigint").alias("n_treat"),
         (F.col("n") - F.col("n_t")).cast("bigint").alias("n_control"),
-        F.col("r2_t").cast("bigint").alias("rank_sum_x2"),
-        two_u.cast("bigint").alias("u_x2"),
-        F.col("tie_term").cast("bigint").alias("tie_term"),
+        bigint_checked(F.col("r2_t"), "mann_whitney_u rank_sum_x2").alias(
+            "rank_sum_x2"
+        ),
+        bigint_checked(two_u, "mann_whitney_u u_x2").alias("u_x2"),
+        bigint_checked(F.col("tie_term"), "mann_whitney_u tie_term").alias(
+            "tie_term"
+        ),
         round4_stable(two_u.cast("double") / (F.lit(2.0) * nt * nc)).alias(
             "effect_cl"
         ),
@@ -990,7 +1025,10 @@ def ks_two_sample(
         D_scaled(v) = |c1(v)*n2 - c2(v)*n1|,   D = max_v D_scaled / (n1*n2)
 
     with c1/c2 the inclusive cumulative counts — every quantity an exact
-    BIGINT until the final ratio. Also reports the value at which the
+    integer until the final ratio (the products accumulate in
+    DECIMAL(38,0); a non-ANSI BIGINT product wraps silently past ~3e9
+    rows per group, and :func:`bigint_checked` fail-louds the report
+    narrowing). Also reports the value at which the
     maximum gap occurs (smallest such value on ties — where the two
     populations diverge most, often the actionable number) and the
     asymptotic statistic ``lambda = D * sqrt(n1*n2/(n1+n2))`` (reject at
@@ -1051,13 +1089,18 @@ def ks_two_sample(
     totals = per_v.agg(
         F.sum("__nt").alias("n1"), F.sum("__cnt").alias("n")
     )
+    # products in DECIMAL(38,0): c1*n2 ~ n1*n2 wraps a non-ANSI BIGINT
+    # silently past ~3e9 rows per group; the decimal form stays exact
+    # and bigint_checked fail-louds the report narrowing
     d_v = cum.crossJoin(F.broadcast(totals)).select(
         "__v",
         "n1",
         (F.col("n") - F.col("n1")).alias("n2"),
         F.abs(
-            F.col("__c1") * (F.col("n") - F.col("n1"))
-            - (F.col("__call") - F.col("__c1")) * F.col("n1")
+            F.col("__c1").cast("decimal(38,0)")
+            * (F.col("n") - F.col("n1"))
+            - (F.col("__call") - F.col("__c1")).cast("decimal(38,0)")
+            * F.col("n1")
         ).alias("__d"),
     )
     dmax = d_v.agg(F.max("__d").alias("__dmax"))
@@ -1069,14 +1112,34 @@ def ks_two_sample(
             "at_value"
         ),
     )
-    n1D = F.col("n1").cast("double")
+    # degenerate-split guard: D divides by n1*n2 — a one-group input
+    # must abort (fail-loud house rule), not emit NaN/NULL statistics
+    n1_ok = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0), F.col("n1")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "ks_two_sample: degenerate split (n_treat=%s, "
+                "n_control=%s) — both groups must be non-empty",
+                F.coalesce(F.col("n1").cast("string"), F.lit("0")),
+                F.coalesce(F.col("n2").cast("string"), F.lit("0")),
+            )
+        ).cast("bigint")
+    )
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        bigint_checked,
+    )
+
+    n1D = n1_ok.cast("double")
     n2D = F.col("n2").cast("double")
     d = F.col("d_scaled").cast("double") / (n1D * n2D)
     lam = d * F.sqrt(n1D * n2D / (n1D + n2D))
     return agg.select(
         F.col("n1").cast("bigint").alias("n_treat"),
         F.col("n2").cast("bigint").alias("n_control"),
-        F.col("d_scaled").cast("bigint").alias("d_scaled"),
+        bigint_checked(F.col("d_scaled"), "ks_two_sample d_scaled").alias(
+            "d_scaled"
+        ),
         "at_value",
         round4_stable(d).alias("d_stat"),
         round4_stable(lam).alias("ks_lambda"),

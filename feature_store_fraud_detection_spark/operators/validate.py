@@ -281,8 +281,10 @@ def t_closeness_profile(
         sum_abs = sum over v-in-class |n_cv*N - N_v*n_c|
                 + (N*n_c - sum over v-in-class N_v*n_c)
 
-    is an exact BIGINT per class (overflow-guarded: n_c*N must stay
-    inside int64 — past ~3e9 rows switch the products to DECIMAL). The
+    is an exact integer per class. The products and sums run in
+    DECIMAL(38,0) — a non-ANSI BIGINT product wraps silently past ~3e9
+    rows, and a wrapped value can even pass a post-hoc magnitude test —
+    with :func:`bigint_checked` fail-louding the BIGINT report cast. The
     reported ``t_value = sum_abs / (2*n_c*N)`` is a ratio, derived once
     in fixed IEEE order and rounded to 4. The max t_value row is the
     dataset's t.
@@ -293,7 +295,7 @@ def t_closeness_profile(
     needs the numeric-EMD variant, not this one).
     """
     from feature_store_fraud_detection_spark.functions.numeric import (
-        overflow_checked,
+        bigint_checked,
     )
 
     base = df.filter(F.col(sensitive_col).isNotNull())
@@ -310,20 +312,26 @@ def t_closeness_profile(
         .join(F.broadcast(glob_v), "__v")
         .crossJoin(F.broadcast(tot))
     )
+    # all three products (n_cv*N, N_v*n_c, N*n_c) in DECIMAL(38,0): a
+    # non-ANSI BIGINT product WRAPS silently past ~3e9 rows — and a
+    # wrapped value can still pass a |x|<9e18 post-hoc test, so guarding
+    # the already-wrapped product is no guard at all. The decimal form
+    # stays exact; bigint_checked fail-louds the report narrowing.
     term = F.abs(
-        overflow_checked(
-            F.col("__n_cv") * F.col("__n"), 9.0e18, "t_closeness n_cv*N"
-        )
-        - F.col("__nv") * F.col("__n_c")
+        F.col("__n_cv").cast("decimal(38,0)") * F.col("__n")
+        - F.col("__nv").cast("decimal(38,0)") * F.col("__n_c")
     )
     per_class = joined.groupBy(*quasi_identifiers).agg(
         F.first("__n_c").alias("n_rows"),
         F.first("__n").alias("__n"),
         F.sum(term).alias("__sum_term"),
-        F.sum(F.col("__nv") * F.col("__n_c")).alias("__sum_cover"),
+        F.sum(
+            F.col("__nv").cast("decimal(38,0)") * F.col("__n_c")
+        ).alias("__sum_cover"),
     )
     sum_abs = F.col("__sum_term") + (
-        F.col("__n") * F.col("n_rows") - F.col("__sum_cover")
+        F.col("__n").cast("decimal(38,0)") * F.col("n_rows")
+        - F.col("__sum_cover")
     )
     t_val = sum_abs.cast("double") / (
         F.lit(2.0) * F.col("n_rows").cast("double") * F.col("__n").cast("double")
@@ -331,6 +339,8 @@ def t_closeness_profile(
     return per_class.select(
         *quasi_identifiers,
         F.col("n_rows").cast("bigint").alias("n_rows"),
-        sum_abs.cast("bigint").alias("sum_abs_scaled"),
+        bigint_checked(sum_abs, "t_closeness sum_abs").alias(
+            "sum_abs_scaled"
+        ),
         round4_stable(t_val).alias("t_value"),
     )

@@ -11310,6 +11310,16 @@ agg AS (
          sum(nt * (2 * below + cnt + 1)) AS r2_t,
          sum(cnt * cnt * cnt - cnt) AS tie_term
   FROM ranked
+),
+-- mirrors the Spark side's fail-loud degenerate-split guard: z and
+-- effect_cl divide by n_t*n_c, so a one-group input must error in
+-- BOTH engines, not emit NaN in one
+g AS (
+  SELECT n, n_t, r2_t, tie_term,
+         CASE WHEN n_t IS NULL OR n_t <= 0 OR n_t >= n
+              THEN error('mann_whitney_u: degenerate split')
+              ELSE n_t END AS n_t_ok
+  FROM agg
 )
 SELECT CAST(n AS BIGINT) AS n,
        CAST(n_t AS BIGINT) AS n_treat,
@@ -11318,17 +11328,17 @@ SELECT CAST(n AS BIGINT) AS n,
        CAST(r2_t - n_t * (n_t + 1) AS BIGINT) AS u_x2,
        CAST(tie_term AS BIGINT) AS tie_term,
        floor((CAST(r2_t - n_t * (n_t + 1) AS DOUBLE)
-              / (2.0 * CAST(n_t AS DOUBLE) * CAST(n - n_t AS DOUBLE)))
+              / (2.0 * CAST(n_t_ok AS DOUBLE) * CAST(n - n_t_ok AS DOUBLE)))
              * 10000 + 0.5) / 10000 AS effect_cl,
        floor(((CAST(r2_t - n_t * (n_t + 1) AS DOUBLE)
-               - CAST(n_t AS DOUBLE) * CAST(n - n_t AS DOUBLE))
+               - CAST(n_t_ok AS DOUBLE) * CAST(n - n_t_ok AS DOUBLE))
               / (2.0 * sqrt(
-                  (CAST(n_t AS DOUBLE) * CAST(n - n_t AS DOUBLE) / 12.0)
+                  (CAST(n_t_ok AS DOUBLE) * CAST(n - n_t_ok AS DOUBLE) / 12.0)
                   * ((CAST(n AS DOUBLE) + 1.0)
                      - CAST(tie_term AS DOUBLE)
                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))))
              * 10000 + 0.5) / 10000 AS z_score
-FROM agg
+FROM g
 """
 
 
@@ -11372,21 +11382,31 @@ d_v AS (
   SELECT v, abs(c1 * (n - n1) - (call - c1) * n1) AS d
   FROM cum CROSS JOIN tot
 ),
-dm AS (SELECT max(d) AS dmax FROM d_v)
+dm AS (SELECT max(d) AS dmax FROM d_v),
+-- mirrors the Spark side's fail-loud degenerate-split guard: D divides
+-- by n1*n2, so a one-group input must error in BOTH engines
+totg AS (
+  SELECT n1, n,
+         CASE WHEN n1 IS NULL OR n1 <= 0 OR n1 >= n
+              THEN error('ks_two_sample: degenerate split')
+              ELSE n1 END AS n1_ok
+  FROM tot
+)
 SELECT CAST(t.n1 AS BIGINT) AS n_treat,
        CAST(t.n - t.n1 AS BIGINT) AS n_control,
        CAST(dm.dmax AS BIGINT) AS d_scaled,
        CAST((SELECT min(v) FROM d_v WHERE d = dm.dmax) AS BIGINT)
          AS at_value,
        floor((CAST(dm.dmax AS DOUBLE)
-              / (CAST(t.n1 AS DOUBLE) * CAST(t.n - t.n1 AS DOUBLE)))
+              / (CAST(t.n1_ok AS DOUBLE) * CAST(t.n - t.n1 AS DOUBLE)))
              * 10000 + 0.5) / 10000 AS d_stat,
        floor(((CAST(dm.dmax AS DOUBLE)
-               / (CAST(t.n1 AS DOUBLE) * CAST(t.n - t.n1 AS DOUBLE)))
-              * sqrt(CAST(t.n1 AS DOUBLE) * CAST(t.n - t.n1 AS DOUBLE)
-                     / (CAST(t.n1 AS DOUBLE) + CAST(t.n - t.n1 AS DOUBLE))))
+              / (CAST(t.n1_ok AS DOUBLE) * CAST(t.n - t.n1 AS DOUBLE)))
+              * sqrt(CAST(t.n1_ok AS DOUBLE) * CAST(t.n - t.n1 AS DOUBLE)
+                     / (CAST(t.n1_ok AS DOUBLE)
+                        + CAST(t.n - t.n1 AS DOUBLE))))
              * 10000 + 0.5) / 10000 AS ks_lambda
-FROM tot t CROSS JOIN dm
+FROM totg t CROSS JOIN dm
 """
 
 
@@ -11910,17 +11930,10 @@ FROM c4
 """
 
 
-def _q_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi-Sunter entity resolution over behavioral user profiles
-    (operators/linkage.py:fellegi_sunter_pairs): block on the modal
-    event type, score agreement on peak hour / value band / volume band /
-    weekend-share band with exact-u log-likelihood weights, top-50 pairs
-    — "same actor behind two accounts", the linkage question fraud
-    teams ask next to the dedup family's text similarity."""
-    from feature_store_fraud_detection_spark.operators.linkage import (
-        fellegi_sunter_pairs,
-    )
-
+def _linkage_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral user profiles shared by linkage_pairs and
+    linkage_em_weights: modal event type (block key) + peak hour /
+    value band / volume band / weekend-share band (evidence fields)."""
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("__c")
@@ -11951,7 +11964,7 @@ def _q_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__cents"),
         F.sum(F.dayofweek("ts").isin(1, 7).cast("bigint")).alias("__wk"),
     )
-    profiles = (
+    return (
         base.join(modal, "user_id")
         .join(peak, "user_id")
         .select(
@@ -11973,8 +11986,21 @@ def _q_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("wk_bucket"),
         )
     )
+
+
+def _q_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter entity resolution over behavioral user profiles
+    (operators/linkage.py:fellegi_sunter_pairs): block on the modal
+    event type, score agreement on peak hour / value band / volume band /
+    weekend-share band with exact-u log-likelihood weights, top-50 pairs
+    — "same actor behind two accounts", the linkage question fraud
+    teams ask next to the dedup family's text similarity."""
+    from feature_store_fraud_detection_spark.operators.linkage import (
+        fellegi_sunter_pairs,
+    )
+
     return fellegi_sunter_pairs(
-        profiles,
+        _linkage_profiles(spark, sf_dir),
         "user_id",
         ["modal_type"],
         ["peak_hour", "v_bucket", "n_bucket", "wk_bucket"],
@@ -11983,10 +12009,31 @@ def _q_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# the per-field CASE weights spell m=0.9 and (1.0 - 0.9) — NOT 0.1 — so
-# the folded constants match Spark's F.lit(1.0) - F.lit(0.9) exactly
-_LINKAGE_PAIRS_SQL = """
-WITH ev AS (
+def _q_linkage_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM-estimated Fellegi-Sunter weight table over the SAME profiles
+    and blocked candidates as linkage_pairs
+    (operators/linkage.py:em_linkage_params / em_weights_report):
+    Winkler's unsupervised EM over the <=2^4-row agreement-pattern
+    table replaces linkage_pairs's ``default_m=0.9`` guess with
+    data-estimated m/u/match-share — 20 fixed iterations, fixed-order
+    float folds, replayed bit-for-bit by the oracle's recursive CTE."""
+    from feature_store_fraud_detection_spark.operators.linkage import (
+        em_weights_report,
+    )
+
+    return em_weights_report(
+        _linkage_profiles(spark, sf_dir),
+        "user_id",
+        ["modal_type"],
+        ["peak_hour", "v_bucket", "n_bucket", "wk_bucket"],
+        n_iter=20,
+    )
+
+
+# behavioral-profile + blocked-candidate CTEs shared by the
+# linkage_pairs and linkage_em_weights oracles (one source of truth for
+# the profile semantics both queries score over)
+_LINKAGE_PROFILE_CTES = """ev AS (
   SELECT user_id, event_type, hour(ts) AS h,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
          CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wk
@@ -12021,26 +12068,6 @@ prof AS (
               AS INT) AS wk_bucket
   FROM base b JOIN modal m USING (user_id) JOIN peak p USING (user_id)
 ),
-u_ph AS (
-  SELECT CAST(sum(c * (c - 1)) AS DOUBLE) AS ap,
-         CAST(sum(c) * (sum(c) - 1) AS DOUBLE) AS np
-  FROM (SELECT count(*) AS c FROM prof GROUP BY peak_hour)
-),
-u_vb AS (
-  SELECT CAST(sum(c * (c - 1)) AS DOUBLE) AS ap,
-         CAST(sum(c) * (sum(c) - 1) AS DOUBLE) AS np
-  FROM (SELECT count(*) AS c FROM prof GROUP BY v_bucket)
-),
-u_nb AS (
-  SELECT CAST(sum(c * (c - 1)) AS DOUBLE) AS ap,
-         CAST(sum(c) * (sum(c) - 1) AS DOUBLE) AS np
-  FROM (SELECT count(*) AS c FROM prof GROUP BY n_bucket)
-),
-u_wb AS (
-  SELECT CAST(sum(c * (c - 1)) AS DOUBLE) AS ap,
-         CAST(sum(c) * (sum(c) - 1) AS DOUBLE) AS np
-  FROM (SELECT count(*) AS c FROM prof GROUP BY wk_bucket)
-),
 pairs AS (
   SELECT a.user_id AS id_a, b.user_id AS id_b,
          CAST(a.peak_hour = b.peak_hour AS INT) AS agree_peak_hour,
@@ -12049,6 +12076,32 @@ pairs AS (
          CAST(a.wk_bucket = b.wk_bucket AS INT) AS agree_wk_bucket
   FROM prof a JOIN prof b
     ON a.modal_type = b.modal_type AND a.user_id < b.user_id
+)"""
+
+
+# the per-field CASE weights spell m=0.9 and (1.0 - 0.9) — NOT 0.1 — so
+# the folded constants match Spark's F.lit(1.0) - F.lit(0.9) exactly
+_LINKAGE_PAIRS_SQL = """
+WITH """ + _LINKAGE_PROFILE_CTES + """,
+u_ph AS (
+  SELECT CAST(sum(c * (c - 1)) AS DOUBLE) AS ap,
+         CAST(sum(c) * (sum(c) - 1) AS DOUBLE) AS np
+  FROM (SELECT count(*) AS c FROM prof WHERE peak_hour IS NOT NULL GROUP BY peak_hour)
+),
+u_vb AS (
+  SELECT CAST(sum(c * (c - 1)) AS DOUBLE) AS ap,
+         CAST(sum(c) * (sum(c) - 1) AS DOUBLE) AS np
+  FROM (SELECT count(*) AS c FROM prof WHERE v_bucket IS NOT NULL GROUP BY v_bucket)
+),
+u_nb AS (
+  SELECT CAST(sum(c * (c - 1)) AS DOUBLE) AS ap,
+         CAST(sum(c) * (sum(c) - 1) AS DOUBLE) AS np
+  FROM (SELECT count(*) AS c FROM prof WHERE n_bucket IS NOT NULL GROUP BY n_bucket)
+),
+u_wb AS (
+  SELECT CAST(sum(c * (c - 1)) AS DOUBLE) AS ap,
+         CAST(sum(c) * (sum(c) - 1) AS DOUBLE) AS np
+  FROM (SELECT count(*) AS c FROM prof WHERE wk_bucket IS NOT NULL GROUP BY wk_bucket)
 )
 SELECT id_a, id_b, agree_peak_hour, agree_v_bucket, agree_n_bucket,
        agree_wk_bucket,
@@ -12072,6 +12125,151 @@ LIMIT 50
 """
 
 
+# replays operators/linkage.py:em_linkage_params bit-for-bit: patterns
+# fold in flags-DESCENDING order (list(... ORDER BY a1 DESC ...) ==
+# Python's sorted(..., reverse=True) seed order), list_reduce's seed is
+# the FIRST element (the Python folds start from wcs[0], not 0.0), the
+# responsibility w recomputes identically for wc and uc, and products
+# over fields run left-assoc in field order
+_LINKAGE_EM_SQL = """
+WITH RECURSIVE """ + _LINKAGE_PROFILE_CTES + """,
+pats AS (
+  SELECT agree_peak_hour AS a1, agree_v_bucket AS a2,
+         agree_n_bucket AS a3, agree_wk_bucket AS a4, count(*) AS c
+  FROM pairs GROUP BY 1, 2, 3, 4
+),
+plist AS (
+  SELECT list(struct_pack(c := c, a1 := a1, a2 := a2, a3 := a3,
+                          a4 := a4)
+              ORDER BY a1 DESC, a2 DESC, a3 DESC, a4 DESC) AS ps,
+         sum(c) AS n_pairs
+  FROM pats
+),
+em AS (
+  SELECT 0 AS it, CAST(0.1 AS DOUBLE) AS p,
+         CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
+         CAST(0.9 AS DOUBLE) AS m3, CAST(0.9 AS DOUBLE) AS m4,
+         CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2,
+         CAST(0.1 AS DOUBLE) AS u3, CAST(0.1 AS DOUBLE) AS u4
+  UNION ALL
+  SELECT it + 1, s_w / CAST(n_pairs AS DOUBLE),
+         nm1 / s_w, nm2 / s_w, nm3 / s_w, nm4 / s_w,
+         nu1 / s_u, nu2 / s_u, nu3 / s_u, nu4 / s_u
+  FROM (
+    SELECT it, n_pairs,
+           list_reduce(list_transform(ws, x -> x.wc),
+                       (a, b) -> a + b) AS s_w,
+           list_reduce(list_transform(ws, x -> x.uc),
+                       (a, b) -> a + b) AS s_u,
+           list_reduce(list_transform(ws, x -> x.wc * CAST(x.a1 AS DOUBLE)),
+                       (a, b) -> a + b) AS nm1,
+           list_reduce(list_transform(ws, x -> x.wc * CAST(x.a2 AS DOUBLE)),
+                       (a, b) -> a + b) AS nm2,
+           list_reduce(list_transform(ws, x -> x.wc * CAST(x.a3 AS DOUBLE)),
+                       (a, b) -> a + b) AS nm3,
+           list_reduce(list_transform(ws, x -> x.wc * CAST(x.a4 AS DOUBLE)),
+                       (a, b) -> a + b) AS nm4,
+           list_reduce(list_transform(ws, x -> x.uc * CAST(x.a1 AS DOUBLE)),
+                       (a, b) -> a + b) AS nu1,
+           list_reduce(list_transform(ws, x -> x.uc * CAST(x.a2 AS DOUBLE)),
+                       (a, b) -> a + b) AS nu2,
+           list_reduce(list_transform(ws, x -> x.uc * CAST(x.a3 AS DOUBLE)),
+                       (a, b) -> a + b) AS nu3,
+           list_reduce(list_transform(ws, x -> x.uc * CAST(x.a4 AS DOUBLE)),
+                       (a, b) -> a + b) AS nu4
+    FROM (
+      SELECT e.it AS it, l.n_pairs AS n_pairs,
+             list_transform(l.ps, x -> struct_pack(
+               wc := ((e.p
+                       * ((CASE WHEN x.a1 = 1 THEN e.m1
+                                ELSE 1.0 - e.m1 END)
+                          * (CASE WHEN x.a2 = 1 THEN e.m2
+                                  ELSE 1.0 - e.m2 END)
+                          * (CASE WHEN x.a3 = 1 THEN e.m3
+                                  ELSE 1.0 - e.m3 END)
+                          * (CASE WHEN x.a4 = 1 THEN e.m4
+                                  ELSE 1.0 - e.m4 END)))
+                      / (e.p
+                         * ((CASE WHEN x.a1 = 1 THEN e.m1
+                                  ELSE 1.0 - e.m1 END)
+                            * (CASE WHEN x.a2 = 1 THEN e.m2
+                                    ELSE 1.0 - e.m2 END)
+                            * (CASE WHEN x.a3 = 1 THEN e.m3
+                                    ELSE 1.0 - e.m3 END)
+                            * (CASE WHEN x.a4 = 1 THEN e.m4
+                                    ELSE 1.0 - e.m4 END))
+                         + (1.0 - e.p)
+                           * ((CASE WHEN x.a1 = 1 THEN e.u1
+                                    ELSE 1.0 - e.u1 END)
+                              * (CASE WHEN x.a2 = 1 THEN e.u2
+                                      ELSE 1.0 - e.u2 END)
+                              * (CASE WHEN x.a3 = 1 THEN e.u3
+                                      ELSE 1.0 - e.u3 END)
+                              * (CASE WHEN x.a4 = 1 THEN e.u4
+                                      ELSE 1.0 - e.u4 END))))
+                     * CAST(x.c AS DOUBLE),
+               uc := (1.0
+                      - ((e.p
+                          * ((CASE WHEN x.a1 = 1 THEN e.m1
+                                   ELSE 1.0 - e.m1 END)
+                             * (CASE WHEN x.a2 = 1 THEN e.m2
+                                     ELSE 1.0 - e.m2 END)
+                             * (CASE WHEN x.a3 = 1 THEN e.m3
+                                     ELSE 1.0 - e.m3 END)
+                             * (CASE WHEN x.a4 = 1 THEN e.m4
+                                     ELSE 1.0 - e.m4 END)))
+                         / (e.p
+                            * ((CASE WHEN x.a1 = 1 THEN e.m1
+                                     ELSE 1.0 - e.m1 END)
+                               * (CASE WHEN x.a2 = 1 THEN e.m2
+                                       ELSE 1.0 - e.m2 END)
+                               * (CASE WHEN x.a3 = 1 THEN e.m3
+                                       ELSE 1.0 - e.m3 END)
+                               * (CASE WHEN x.a4 = 1 THEN e.m4
+                                       ELSE 1.0 - e.m4 END))
+                            + (1.0 - e.p)
+                              * ((CASE WHEN x.a1 = 1 THEN e.u1
+                                       ELSE 1.0 - e.u1 END)
+                                 * (CASE WHEN x.a2 = 1 THEN e.u2
+                                         ELSE 1.0 - e.u2 END)
+                                 * (CASE WHEN x.a3 = 1 THEN e.u3
+                                         ELSE 1.0 - e.u3 END)
+                                 * (CASE WHEN x.a4 = 1 THEN e.u4
+                                         ELSE 1.0 - e.u4 END)))))
+                     * CAST(x.c AS DOUBLE),
+               a1 := x.a1, a2 := x.a2, a3 := x.a3, a4 := x.a4)) AS ws
+      FROM em e, plist l WHERE e.it < 20
+    )
+  )
+),
+fin AS (SELECT * FROM em WHERE it = 20),
+np AS (SELECT sum(c) AS n_pairs FROM pats),
+fields AS (
+  SELECT 'peak_hour' AS field, m1 AS m_raw, u1 AS u_raw, p, np.n_pairs
+  FROM fin, np
+  UNION ALL
+  SELECT 'v_bucket', m2, u2, p, np.n_pairs FROM fin, np
+  UNION ALL
+  SELECT 'n_bucket', m3, u3, p, np.n_pairs FROM fin, np
+  UNION ALL
+  SELECT 'wk_bucket', m4, u4, p, np.n_pairs FROM fin, np
+)
+SELECT field,
+       floor(m_raw * 10000 + 0.5) / 10000 AS m_est,
+       floor(u_raw * 10000 + 0.5) / 10000 AS u_est,
+       CASE WHEN u_raw > 0.0 AND u_raw < m_raw AND m_raw < 1.0
+            THEN floor(ln(m_raw / u_raw) * 10000 + 0.5) / 10000
+       END AS w_agree,
+       CASE WHEN u_raw > 0.0 AND u_raw < m_raw AND m_raw < 1.0
+            THEN floor(ln((1.0 - m_raw) / (1.0 - u_raw)) * 10000 + 0.5)
+                 / 10000
+       END AS w_disagree,
+       floor(p * 10000 + 0.5) / 10000 AS match_share,
+       CAST(n_pairs AS BIGINT) AS n_pairs
+FROM fields
+"""
+
+
 def _q_brier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Murphy decomposition of the binned Brier score for the
     amount-as-pseudo-score vs the error label
@@ -12091,8 +12289,15 @@ def _q_brier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BRIER_REPORT_SQL = """
+-- the CASE mirrors the Spark side's fail-loud [0,1] range check
+-- (operators/evaluation.py brier_decomposition p_ok): if events.value
+-- ever leaves [0, 1000] BOTH engines must error, not one error while
+-- the other silently clamps into the top bin
 WITH rows_ AS (
-  SELECT least(CAST(floor((value / 1000.0) * 10.0) AS INT), 9) AS bin,
+  SELECT CASE WHEN value / 1000.0 NOT BETWEEN 0.0 AND 1.0
+              THEN error('brier_report: probability outside [0,1]')
+              ELSE least(CAST(floor((value / 1000.0) * 10.0) AS INT), 9)
+         END AS bin,
          CAST(floor((value / 1000.0) * 1000000.0 + 0.5) AS BIGINT) AS p6,
          CAST(event_type = 'error' AS INT) AS y
   FROM events WHERE value IS NOT NULL
@@ -12211,6 +12416,9 @@ QUERIES.update(
             _q_ratio_metric_ci, _RATIO_METRIC_SQL
         ),
         "linkage_pairs": QuerySpec(_q_linkage_pairs, _LINKAGE_PAIRS_SQL),
+        "linkage_em_weights": QuerySpec(
+            _q_linkage_em_weights, _LINKAGE_EM_SQL
+        ),
         "brier_report": QuerySpec(_q_brier_report, _BRIER_REPORT_SQL),
         "ks_two_sample": QuerySpec(_q_ks_two_sample, _KS_TWO_SAMPLE_SQL),
         "seasonal_strength": QuerySpec(

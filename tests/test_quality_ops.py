@@ -1542,3 +1542,151 @@ def test_seasonal_strength_separates_seasonal_from_flat(spark):
     assert out["aperiodic"].strength < 0.2
     assert out["constant"].strength is None
     assert out["constant"].n_days == 14
+
+
+def test_degenerate_split_guards_fail_loud(spark):
+    """Round-8 ADVICE: mann_whitney_u / ks_two_sample divide by n_t*n_c,
+    so a one-group input must ABORT (fail-loud house rule), never emit
+    NaN/NULL statistics."""
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.stats import (
+        ks_two_sample,
+        mann_whitney_u,
+    )
+
+    one_group = spark.createDataFrame(
+        [("t", i) for i in range(5)], "g string, v int"
+    )
+    with pytest.raises(Exception, match="degenerate split"):
+        mann_whitney_u(one_group, "g", "v", "t").collect()
+    with pytest.raises(Exception, match="degenerate split"):
+        ks_two_sample(one_group, "g", "v", "t").collect()
+    # the other degenerate direction: the treatment value never occurs
+    with pytest.raises(Exception, match="degenerate split"):
+        mann_whitney_u(one_group, "g", "v", "absent").collect()
+    with pytest.raises(Exception, match="degenerate split"):
+        ks_two_sample(one_group, "g", "v", "absent").collect()
+
+
+def test_pair_agreement_stats_excludes_nulls(spark):
+    """Round-8 ADVICE: NULL-NULL pairs are NOT agreements — the scoring
+    rule treats NULL as disagreement, so the u estimate must too (n is
+    the NON-NULL count)."""
+    from feature_store_fraud_detection_spark.operators.linkage import (
+        pair_agreement_stats,
+    )
+
+    prof = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, None), (4, None), (5, None)], "id int, f int"
+    )
+    ap, n = pair_agreement_stats(prof, "f")
+    # only ids 1,2 agree: ordered pairs = 2; the three NULL rows would
+    # have contributed 3*2=6 phantom agreements before the fix
+    assert (ap, n) == (2, 2)
+
+
+def test_bigint_checked_narrowing(spark):
+    """bigint_checked passes int64 extremes through exactly and fail-louds
+    one past the boundary (non-ANSI Spark would silently NULL it)."""
+    import pytest
+
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        bigint_checked,
+    )
+
+    ok = spark.range(1).select(
+        bigint_checked(
+            F.lit("9223372036854775807").cast("decimal(38,0)"), "t"
+        ).alias("hi"),
+        bigint_checked(
+            F.lit("-9223372036854775807").cast("decimal(38,0)"), "t"
+        ).alias("lo"),
+        bigint_checked(F.lit(None).cast("decimal(38,0)"), "t").alias("nul"),
+    ).collect()[0]
+    assert ok.hi == 9223372036854775807
+    assert ok.lo == -9223372036854775807
+    assert ok.nul is None
+    bad = spark.range(1).select(
+        bigint_checked(
+            F.lit("9223372036854775808").cast("decimal(38,0)"), "t"
+        ).alias("x")
+    )
+    with pytest.raises(Exception, match="BIGINT range"):
+        bad.collect()
+
+
+def test_em_linkage_params_recovers_planted_mixture(spark):
+    """EM over agreement patterns must pull m toward the planted twins'
+    agreement rate and u toward the background rate — starting from the
+    same 0.9/0.1 init regardless of the data."""
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.linkage import (
+        em_linkage_params,
+        em_weights_report,
+    )
+
+    # 40 background profiles with near-unique fields (background pairs
+    # rarely agree) + 10 planted twin pairs; six twins disagree on one
+    # rotating field so EM's m converges strictly inside (u, 1) — a
+    # perfect-twin fixture drives m to exactly 1.0 (correctly NULLing
+    # the weights, which the next test pins)
+    rows = []
+    for i in range(40):
+        rows.append((i, "blk", i % 19, (i * 7) % 17, i % 13))
+    for j in range(10):
+        f1, f2, f3 = j % 19, (j * 5) % 17, (j * 3) % 13
+        rows.append((100 + j, "blk", f1, f2, f3))
+        tf = [f1, f2, f3]
+        if j < 6:
+            tf[j % 3] = (tf[j % 3] + 1) % 23 + 30  # guaranteed disagree
+        rows.append((200 + j, "blk", tf[0], tf[1], tf[2]))
+    prof = spark.createDataFrame(
+        rows, "id long, b string, f1 int, f2 int, f3 int"
+    )
+    est = em_linkage_params(prof, "id", ["b"], ["f1", "f2", "f3"])
+    # the all-agree pattern is ~10/1770 of candidate pairs; EM must
+    # separate the two classes: every m above every u, p small
+    assert est["n_pairs"] == 60 * 59 // 2
+    assert est["n_patterns"] <= 8
+    for f in range(3):
+        assert est["m"][f] > 0.5, (f, est)
+        assert est["u"][f] < 0.2, (f, est)
+        assert est["m"][f] > est["u"][f]
+    assert 0.0 < est["p"] < 0.1
+
+    rep = {r.field: r for r in em_weights_report(
+        prof, "id", ["b"], ["f1", "f2", "f3"]
+    ).collect()}
+    assert set(rep) == {"f1", "f2", "f3"}
+    for f in ("f1", "f2", "f3"):
+        assert rep[f].w_agree is not None and rep[f].w_agree > 0
+        assert rep[f].w_disagree is not None and rep[f].w_disagree < 0
+        assert rep[f].n_pairs == est["n_pairs"]
+        assert abs(rep[f].match_share - est["p"]) < 1e-3
+
+    # singleton blocks -> no candidate pairs -> fail loud
+    lonely = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "id long, b string, f1 int"
+    )
+    with pytest.raises(ValueError, match="singleton"):
+        em_linkage_params(lonely, "id", ["b"], ["f1"])
+
+
+def test_em_weights_report_nulls_degenerate_field(spark):
+    """A field on which EVERY candidate pair agrees drives m and u both
+    toward 1 — no linkage evidence; the report must NULL its weights
+    (a data property, reported), never emit +-inf."""
+    from feature_store_fraud_detection_spark.operators.linkage import (
+        em_weights_report,
+    )
+
+    rows = [(i, "blk", 7, i % 5) for i in range(12)]  # f1 constant
+    prof = spark.createDataFrame(rows, "id long, b string, f1 int, f2 int")
+    rep = {r.field: r for r in em_weights_report(
+        prof, "id", ["b"], ["f1", "f2"]
+    ).collect()}
+    assert rep["f1"].w_agree is None and rep["f1"].w_disagree is None
+    assert rep["f1"].m_est is not None  # estimates still reported
+    assert rep["f2"].w_agree is not None
