@@ -1144,3 +1144,170 @@ def ks_two_sample(
         round4_stable(d).alias("d_stat"),
         round4_stable(lam).alias("ks_lambda"),
     )
+
+
+def ks_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    treatment_col: str,
+) -> DataFrame:
+    """Per-group exact two-sample KS statistics — one
+    :func:`ks_two_sample`-style test PER GROUP in a single pass:
+    ``(group, n_treat, n_control, d_scaled, ks_lambda)`` with the same
+    exact-integer surface ``D_scaled = max_v |c1*n2 - c2*n1|`` (products
+    in DECIMAL(38,0)) and the asymptotic lambda rounded to 4. The
+    screen feeds :func:`bh_fdr`, which decides which of the m groups
+    drifted after multiple-testing correction.
+
+    A group where either side is empty fails loud (same rule as
+    ks_two_sample: NaN statistics are not a report).
+
+    Scale: rows collapse to one (group, value) hash aggregate; the
+    cumulative counts are group-partitioned prefix windows (each task
+    sorts one group's distinct values — groups shard naturally; a
+    single monster group belongs in ks_two_sample's quantile-sharded
+    form); per-group totals broadcast back.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        bigint_checked,
+        round4_stable,
+    )
+
+    rows = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).alias("__v"),
+        F.col(treatment_col).cast("int").alias("__t"),
+    )
+    per_v = rows.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum("__t").alias("__nt"),
+    )
+    wv = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_v.select(
+        "__g",
+        F.sum("__nt").over(wv).alias("__c1"),
+        F.sum("__cnt").over(wv).alias("__call"),
+    )
+    totals = per_v.groupBy("__g").agg(
+        F.sum("__nt").alias("n1"), F.sum("__cnt").alias("n")
+    )
+    d_v = cum.join(F.broadcast(totals), "__g").select(
+        "__g",
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        F.abs(
+            F.col("__c1").cast("decimal(38,0)")
+            * (F.col("n") - F.col("n1"))
+            - (F.col("__call") - F.col("__c1")).cast("decimal(38,0)")
+            * F.col("n1")
+        ).alias("__d"),
+    )
+    agg = d_v.groupBy("__g").agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.max("__d").alias("d_scaled"),
+    )
+    n1_ok = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0), F.col("n1")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "ks_by_group: group %s has a degenerate split "
+                "(n_treat=%s, n_control=%s) — both sides must be "
+                "non-empty; filter the group out explicitly",
+                F.col("__g").cast("string"),
+                F.coalesce(F.col("n1").cast("string"), F.lit("0")),
+                F.coalesce(F.col("n2").cast("string"), F.lit("0")),
+            )
+        ).cast("bigint")
+    )
+    n1D = n1_ok.cast("double")
+    n2D = F.col("n2").cast("double")
+    d = F.col("d_scaled").cast("double") / (n1D * n2D)
+    lam = d * F.sqrt(n1D * n2D / (n1D + n2D))
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("n2").cast("bigint").alias("n_control"),
+        bigint_checked(F.col("d_scaled"), "ks_by_group d_scaled").alias(
+            "d_scaled"
+        ),
+        round4_stable(lam).alias("ks_lambda"),
+    )
+
+
+def bh_fdr(
+    stats: DataFrame,
+    lambda_col: str,
+    key_cols: list[str],
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR selection over a BOUNDED table of KS
+    tests — the multiple-testing rung of the experiment ladder: screen
+    m features/slices for drift and you WILL see false alarms at raw
+    alpha; BH keeps the expected false-discovery share at ``alpha`` by
+    rejecting the ``k`` smallest p-values where ``k`` is the largest
+    rank with ``p_(i) <= i*alpha/m``.
+
+    Entirely exp/erf-free on the engine side: with the asymptotic KS
+    tail ``p = 2*exp(-2*lambda^2)``, the BH inequality inverts to
+    ``lambda^2 >= -ln(i*alpha/(2m))/2`` — the m per-rank thresholds are
+    computed ONCE on the driver (Python libm ln, the measured-stable
+    pair with DuckDB's ln — the same discipline as fellegi_sunter's
+    weights; JVM ln/exp is 1 ulp off correctly-rounded, the float
+    canary's finding, so it never touches this surface) and enter the
+    plan as an array literal indexed by rank. The comparison runs on
+    the ROUNDED lambda column so both engines compare identical bits.
+
+    Output per test: ``(key..., ks_lambda, bh_rank, m_tests,
+    rejected)`` — rank 1 = strongest drift; ties on lambda break on the
+    key columns so the ranking is deterministic.
+
+    Scale: ``m`` is the number of TESTS (bounded by construction — you
+    screen features, not rows), so the driver count pull, the m-element
+    literal array, and the two single-partition windows over the m-row
+    table are all bounded state, not data.
+    """
+    import math
+
+    m = stats.count()
+    if m == 0:
+        raise ValueError("bh_fdr: no tests to correct")
+    thresholds = [
+        -math.log((i * alpha) / (2.0 * m)) / 2.0 for i in range(1, m + 1)
+    ]
+    arr = F.array(*[F.lit(t) for t in thresholds])
+    wr = Window.orderBy(
+        F.col(lambda_col).desc(), *[F.col(c) for c in key_cols]
+    )
+    ranked = stats.withColumn("bh_rank", F.row_number().over(wr)).withColumn(
+        "__flag",
+        F.when(
+            F.col(lambda_col) * F.col(lambda_col)
+            >= F.element_at(arr, F.col("bh_rank")),
+            F.col("bh_rank"),
+        ),
+    )
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ranked.withColumn(
+        "__k", F.max("__flag").over(wall)
+    ).select(
+        *key_cols,
+        *[c for c in stats.columns if c not in key_cols],
+        "bh_rank",
+        F.lit(m).cast("int").alias("m_tests"),
+        (F.col("bh_rank") <= F.coalesce(F.col("__k"), F.lit(0)))
+        .cast("int")
+        .alias("rejected"),
+    )

@@ -1,0 +1,176 @@
+"""Survival analysis: Kaplan-Meier product-limit estimation over keyed
+event streams — "how long does a user stay active?" with honest handling
+of users who HAVEN'T churned yet.
+
+The fraud/retention question the windows and funnel families don't
+answer: a naive mean-lifetime over observed durations is biased low
+because the users still active at the observation cutoff are truncated,
+not finished. Kaplan-Meier (1958) fixes this by multiplying conditional
+survival across event times, with right-censored subjects leaving the
+risk set without counting as deaths::
+
+    S(t) = prod_{t_i <= t} (1 - d_i / n_i)
+
+where at each distinct duration t_i: d_i = churned subjects, n_i =
+subjects still at risk (duration >= t_i, churned or censored).
+
+Exact-integer core: subjects collapse to one row per QUANTIZED duration
+(days) carrying exact (d_i, c_i) counts; the at-risk counts come from a
+prefix sum over that bounded day table — the same
+distinct-value-aggregate discipline as mann_whitney_u, never a sort of
+subject rows. Only the survival curve itself is a double: a SINGLE
+ascending-day fold of (1 - d/n) products (fixed IEEE sequence; the
+DuckDB twin replays it with holt_winters' recursive-CTE-over-index
+pattern), rounded to 4.
+
+Scale design: one keyed aggregate to subjects (first/last timestamp),
+one hash aggregate to the bounded day table (duration domain = days in
+the observation window, enforced by a cap), and the fold rides a
+collect_list over that bounded table — driver-free, one shuffle on the
+subject key, one on the day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from feature_store_fraud_detection_spark.functions.numeric import round4_stable
+
+
+def kaplan_meier(
+    df: DataFrame,
+    subject_col: str,
+    ts_col: str,
+    censor_horizon_days: int = 7,
+    max_days: int = 3650,
+) -> DataFrame:
+    """Kaplan-Meier survival over per-subject activity spans.
+
+    Each subject's duration is ``floor((last_ts - first_ts) / 86400)``
+    days; a subject whose LAST event falls within ``censor_horizon_days``
+    of the dataset's maximum timestamp is right-CENSORED (still active —
+    their true lifetime is only known to exceed the observed span), all
+    others are churned at their observed duration.
+
+    Output, one row per observed distinct duration (ascending):
+    ``(duration_days, n_risk, n_churned, n_censored, survival)`` — the
+    three counts exact BIGINTs, ``survival`` the product-limit S(t)
+    after that day's deaths (round4). Censoring-only days keep S
+    unchanged but still appear (their n_risk is real information).
+
+    ``max_days`` fail-louds a duration domain that stopped being
+    day-bounded (the same cap discipline as theil_sen_trend): the fold
+    carries one array of day rows, which is only scale-safe while the
+    domain is.
+    """
+    ts = F.col(ts_col)
+    per_subj = (
+        df.filter(ts.isNotNull() & F.col(subject_col).isNotNull())
+        .groupBy(subject_col)
+        .agg(
+            F.min(ts).alias("__first"),
+            F.max(ts).alias("__last"),
+        )
+    )
+    glob = per_subj.agg(F.max("__last").alias("__cut"))
+    dur = F.floor(
+        (F.unix_timestamp("__last") - F.unix_timestamp("__first"))
+        / F.lit(86400)
+    ).cast("bigint")
+    dur_ok = F.when(dur <= F.lit(int(max_days)), dur).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"kaplan_meier: duration %s days exceeds max_days="
+                f"{int(max_days)} — the day-bounded fold assumption "
+                "broke; quantize coarser or raise the cap deliberately",
+                dur.cast("string"),
+            )
+        ).cast("bigint")
+    )
+    censored = (
+        F.unix_timestamp("__last")
+        >= F.unix_timestamp("__cut") - F.lit(int(censor_horizon_days) * 86400)
+    ).cast("int")
+    subj = per_subj.crossJoin(F.broadcast(glob)).select(
+        dur_ok.alias("__d"), censored.alias("__c")
+    )
+    per_day = subj.groupBy("__d").agg(
+        F.sum(F.lit(1) - F.col("__c")).alias("__died"),
+        F.sum("__c").alias("__cens"),
+    )
+    # at-risk via prefix sum over the bounded day table (exclusive),
+    # subtracted from the subject total
+    tot = per_day.agg(
+        F.sum(F.col("__died") + F.col("__cens")).alias("__n")
+    )
+    w = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, -1)
+    day_rows = per_day.crossJoin(F.broadcast(tot)).select(
+        "__d",
+        "__died",
+        "__cens",
+        (
+            F.col("__n")
+            - F.coalesce(
+                F.sum(F.col("__died") + F.col("__cens")).over(w), F.lit(0)
+            )
+        ).alias("__risk"),
+    )
+    # single ascending-day fold: running product of (1 - d/n), emitted
+    # per day — the one double in the operator, fixed IEEE sequence
+    folded = day_rows.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__d").alias("d"),
+                        F.col("__died").alias("died"),
+                        F.col("__cens").alias("cens"),
+                        F.col("__risk").alias("risk"),
+                    )
+                )
+            ),
+            F.struct(
+                F.lit(1.0).alias("s"),
+                F.expr(
+                    "cast(array() as array<struct<d:bigint,died:bigint,"
+                    "cens:bigint,risk:bigint,surv:double>>)"
+                ).alias("out"),
+            ),
+            lambda acc, x: F.struct(
+                (
+                    acc["s"]
+                    * (
+                        F.lit(1.0)
+                        - x["died"].cast("double") / x["risk"].cast("double")
+                    )
+                ).alias("s"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            x["d"].alias("d"),
+                            x["died"].alias("died"),
+                            x["cens"].alias("cens"),
+                            x["risk"].alias("risk"),
+                            (
+                                acc["s"]
+                                * (
+                                    F.lit(1.0)
+                                    - x["died"].cast("double")
+                                    / x["risk"].cast("double")
+                                )
+                            ).alias("surv"),
+                        )
+                    ),
+                ).alias("out"),
+            ),
+        ).alias("__f")
+    )
+    return folded.select(F.explode("__f.out").alias("r")).select(
+        F.col("r.d").alias("duration_days"),
+        F.col("r.risk").cast("bigint").alias("n_risk"),
+        F.col("r.died").cast("bigint").alias("n_churned"),
+        F.col("r.cens").cast("bigint").alias("n_censored"),
+        round4_stable(F.col("r.surv")).alias("survival"),
+    )

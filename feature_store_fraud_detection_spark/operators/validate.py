@@ -344,3 +344,112 @@ def t_closeness_profile(
         ),
         round4_stable(t_val).alias("t_value"),
     )
+
+
+def t_closeness_numeric_profile(
+    df: DataFrame, quasi_identifiers: list[str], sensitive_col: str
+) -> DataFrame:
+    """t-closeness for ORDERED sensitive attributes — the numeric-EMD
+    companion to :func:`t_closeness_profile`: variational distance
+    treats "salary band 3 vs 4" and "band 3 vs 9" as equally different,
+    so a class whose values sit one notch away from the population
+    looks as risky as one concentrated at the extreme. The
+    ordered-distance earth-mover's distance (Li, Li & Venkatasubramanian
+    2007, the t-closeness paper's numeric form) weighs mass by how FAR
+    it must move::
+
+        EMD(P_c, Q) = (1/(mv-1)) * sum_i |sum_{j<=i} (p_j - q_j)|
+
+    over the mv ordered distinct values of the GLOBAL domain — a prefix
+    sum over the value histogram, the same integer-prefix discipline as
+    mann_whitney_u's rank surface.
+
+    Exact-integer core: the inner cumulative difference scales to
+    ``cum_i = N*C_cv(i) - n_c*C_v(i)`` (class/global inclusive
+    cumulative counts) — every term an exact integer in DECIMAL(38,0)
+    (non-ANSI BIGINT products wrap silently past ~3e9 rows), summed as
+    ``sum_abs = sum_i |cum_i|`` per class with
+    ``t_value = sum_abs / ((mv-1) * n_c * N)`` the only double, derived
+    once in fixed IEEE order and rounded to 4. A single-valued domain
+    (mv=1) fails loud: EMD is undefined and the column carries no
+    release risk to measure.
+
+    Scale design: the operator DENSIFIES each class over the global
+    value domain (absent values shift the cumulative gap too), so the
+    sensitive attribute must be a BOUNDED ordered domain — bands or
+    buckets, the numeric threat model's own requirement (quantize
+    upstream; a raw high-cardinality column belongs to the categorical
+    variational form even less). Work: one (QI, v) count, one |V|-row
+    global histogram broadcast (its prefix sum is a single-partition
+    window over |V| rows, bounded by construction), a classes x |V|
+    dense grid with one per-class ordered prefix window — one shuffle
+    keyed on the QI class.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        bigint_checked,
+    )
+
+    base = df.filter(F.col(sensitive_col).isNotNull())
+    glob_v = base.groupBy(F.col(sensitive_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__nv")
+    )
+    # |V|-row bounded table: global inclusive cumulative + totals
+    wv = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = glob_v.agg(
+        F.sum("__nv").alias("__n"), F.count(F.lit(1)).alias("__mv")
+    )
+    glob_full = glob_v.select(
+        "__v", F.sum("__nv").over(wv).alias("__cnv")
+    ).crossJoin(F.broadcast(tot))
+    cls = base.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    cls_v = base.groupBy(
+        *quasi_identifiers, F.col(sensitive_col).alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__n_cv"))
+    dense = cls.crossJoin(F.broadcast(glob_full)).join(
+        cls_v, [*quasi_identifiers, "__v"], "left"
+    )
+    wc = (
+        Window.partitionBy(*quasi_identifiers)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ccv = F.sum(F.coalesce(F.col("__n_cv"), F.lit(0))).over(wc)
+    term = F.abs(
+        ccv.cast("decimal(38,0)") * F.col("__n")
+        - F.col("__cnv").cast("decimal(38,0)") * F.col("n_rows")
+    )
+    per_class = dense.select(
+        *quasi_identifiers, "n_rows", "__n", "__mv", term.alias("__t")
+    ).groupBy(*quasi_identifiers).agg(
+        F.first("n_rows").alias("n_rows"),
+        F.first("__n").alias("__n"),
+        F.first("__mv").alias("__mv"),
+        F.sum("__t").alias("__sum_abs"),
+    )
+    mv_ok = F.when(F.col("__mv") > 1, F.col("__mv")).otherwise(
+        F.raise_error(
+            F.lit(
+                "t_closeness_numeric: single-valued sensitive domain "
+                "(mv=1) — EMD is undefined; the column carries no "
+                "release risk to measure"
+            )
+        ).cast("bigint")
+    )
+    t_val = F.col("__sum_abs").cast("double") / (
+        (mv_ok - F.lit(1)).cast("double")
+        * F.col("n_rows").cast("double")
+        * F.col("__n").cast("double")
+    )
+    return per_class.select(
+        *quasi_identifiers,
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("__mv").cast("int").alias("n_levels"),
+        bigint_checked(
+            F.col("__sum_abs"), "t_closeness_numeric sum_abs"
+        ).alias("sum_abs_scaled"),
+        round4_stable(t_val).alias("t_value"),
+    )

@@ -11241,6 +11241,74 @@ def _q_gate_float_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gate_type_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-canonicalization canary — the sibling of
+    `gate_float_canary` for the hazard class that ACTUALLY caused the
+    round-6 red row: an uncast DuckDB ``sum()`` returns HUGEINT, whose
+    pandas fetch degrades to float64 ("500" vs 500.0 through the
+    driver gate's canonicalizer) while Spark's BIGINT stays integral.
+    The repo-wide convention is therefore CAST-EVERY-AGGREGATE (BIGINT
+    report surfaces; DECIMAL(38,0) accumulators narrowed via
+    bigint_checked) — this row pins that the convention survives the
+    driver's canonicalization at the exact boundaries where asymmetric
+    handling would show:
+
+    - a literal BIGINT at 2^53+1 (the first integer float64 cannot
+      hold: turns red iff ONE side degrades to float64 and the other
+      does not — symmetric degradation still hashes equal, which is
+      precisely the asymmetry detector we want)
+    - int64 extremes (+/-(2^63-1)) as literals
+    - a >2^53 total reached through each engine's native SUM widening
+      (Spark BIGINT sum vs DuckDB HUGEINT sum) CAST AS BIGINT — the
+      r6 fix, now pinned forever
+    - the same total through the DECIMAL(38,0) accumulator path that
+      mann_whitney_u / anova_f / t_closeness use, CAST AS BIGINT
+    - a DECIMAL(18,4) sum emitted the ONLY sanctioned way (CAST AS
+      DOUBLE then round4) — raw DECIMAL columns never reach the gate
+
+    Green canary + red operator => real operator bug; red canary =>
+    harness-side type canonicalization drift. No operator logic.
+    `tools/check_types.py` statically scans every oracle for uncast
+    aggregates; this row checks the RUNTIME boundary behavior."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.agg(
+        F.count(F.lit(1)).alias("n_nation"),
+        F.sum(F.lit(400000300000007).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cast_bigint"),
+        F.sum(F.lit(400000300000007).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("dec38_sum_bigint"),
+        _round4_pos(
+            F.sum(F.lit("0.1").cast("decimal(18,4)")).cast("double")
+        ).alias("dec_sum_r4"),
+    ).select(
+        "n_nation",
+        F.lit(9007199254740993).alias("past_float53"),
+        F.lit(9223372036854775807).alias("int64_max"),
+        F.lit(-9223372036854775807).alias("int64_min1"),
+        "sum_cast_bigint",
+        "dec38_sum_bigint",
+        "dec_sum_r4",
+    )
+
+
+_GATE_TYPE_CANARY_SQL = """
+SELECT (SELECT count(*) FROM nation) AS n_nation,
+       CAST(9007199254740993 AS BIGINT) AS past_float53,
+       CAST(9223372036854775807 AS BIGINT) AS int64_max,
+       CAST(-9223372036854775807 AS BIGINT) AS int64_min1,
+       (SELECT CAST(sum(CAST(400000300000007 AS BIGINT)) AS BIGINT)
+        FROM nation) AS sum_cast_bigint,
+       (SELECT CAST(sum(CAST(400000300000007 AS DECIMAL(38,0)))
+                    AS BIGINT)
+        FROM nation) AS dec38_sum_bigint,
+       (SELECT floor(CAST(sum(CAST(0.1 AS DECIMAL(18,4))) AS DOUBLE)
+                     * 10000 + 0.5) / 10000
+        FROM nation) AS dec_sum_r4
+"""
+
+
 _GATE_FLOAT_CANARY_SQL = """
 SELECT (SELECT count(*) FROM nation) AS n_nation,
        floor(CAST(-0.00025 AS DOUBLE) * 10000 + 0.5) / 10000
@@ -11841,6 +11909,250 @@ FROM per
 """
 
 
+def _q_t_closeness_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-EMD t-closeness over the same (hour, user-bucket) QI
+    classes, sensitive attribute = ORDERED value band (floor(value/50))
+    (operators/validate.py:t_closeness_numeric_profile) — the
+    ordered-distance EMD weighs how FAR a class's value mass sits from
+    the population, which the categorical variational form cannot see."""
+    from feature_store_fraud_detection_spark.operators.validate import (
+        t_closeness_numeric_profile,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        F.hour("ts").alias("hour"),
+        F.pmod(F.col("user_id"), F.lit(100)).alias("user_bucket"),
+        F.floor(F.col("value") / F.lit(50.0)).cast("int").alias("v_band"),
+    )
+    return t_closeness_numeric_profile(ev, ["hour", "user_bucket"], "v_band")
+
+
+_T_CLOSENESS_EMD_SQL = """
+-- ordered-distance EMD: |cum(N*C_cv - n_c*C_v)| prefix sums over the
+-- DENSE class x global-value grid (absent values shift the gap too);
+-- every term an exact integer until the final (mv-1)*n_c*N ratio
+WITH base AS (
+  SELECT hour(ts) AS hour, user_id % 100 AS user_bucket,
+         CAST(floor(value / 50.0) AS INT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+glob_v AS (SELECT v, count(*) AS nv FROM base GROUP BY 1),
+tot AS (SELECT CAST(sum(nv) AS BIGINT) AS n, count(*) AS mv FROM glob_v),
+glob_full AS (
+  SELECT v, sum(nv) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnv
+  FROM glob_v
+),
+cls AS (SELECT hour, user_bucket, count(*) AS n_rows FROM base
+        GROUP BY 1, 2),
+cls_v AS (SELECT hour, user_bucket, v, count(*) AS n_cv FROM base
+          GROUP BY 1, 2, 3),
+dense AS (
+  SELECT c.hour, c.user_bucket, c.n_rows, g.v, g.cnv,
+         COALESCE(cv.n_cv, 0) AS n_cv
+  FROM cls c CROSS JOIN glob_full g
+  LEFT JOIN cls_v cv ON cv.hour = c.hour
+                    AND cv.user_bucket = c.user_bucket AND cv.v = g.v
+),
+cum AS (
+  SELECT hour, user_bucket, n_rows, cnv,
+         sum(n_cv) OVER (PARTITION BY hour, user_bucket ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccv
+  FROM dense
+),
+per AS (
+  SELECT hour, user_bucket, max(n_rows) AS n_rows,
+         sum(abs(ccv * t.n - cnv * n_rows)) AS sum_abs
+  FROM cum CROSS JOIN tot t GROUP BY 1, 2
+)
+SELECT hour, user_bucket,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(t.mv AS INT) AS n_levels,
+       CAST(sum_abs AS BIGINT) AS sum_abs_scaled,
+       CASE WHEN t.mv <= 1 THEN error('t_closeness_numeric: mv=1')
+            ELSE floor((CAST(sum_abs AS DOUBLE)
+                        / (CAST(t.mv - 1 AS DOUBLE)
+                           * CAST(n_rows AS DOUBLE)
+                           * CAST(t.n AS DOUBLE)))
+                       * 10000 + 0.5) / 10000
+       END AS t_value
+FROM per CROSS JOIN tot t
+"""
+
+
+def _q_kaplan_meier_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier customer-retention curve over ordering lifetimes
+    (operators/survival.py:kaplan_meier): per-customer first->last
+    order-date span in days, right-censored for customers still
+    ordering within 180 days of the dataset cutoff — the unbiased "how
+    long do customers stay" readout a naive mean lifetime gets wrong by
+    truncating the survivors (the 6.5-year order history gives the
+    curve thousands of distinct durations; the events table's 30-day
+    window collapses to a handful)."""
+    from feature_store_fraud_detection_spark.operators.survival import (
+        kaplan_meier,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return kaplan_meier(o, "o_custkey", "o_orderdate", censor_horizon_days=180)
+
+
+# the survival recursion replays the engine's single ascending-day fold
+# with the holt_winters recursive-CTE-over-index pattern: identical
+# float op sequence surv_i = surv_{i-1} * (1 - d_i/n_i), anchor spelled
+# 1.0 * (...) like the fold's 1.0 seed
+_KAPLAN_MEIER_SQL = """
+WITH RECURSIVE per_subj AS (
+  SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+  GROUP BY o_custkey
+),
+gcut AS (SELECT max(l) AS cut FROM per_subj),
+subj AS (
+  SELECT CAST(floor(((epoch_us(l) // 1000000)
+                     - (epoch_us(f) // 1000000)) / 86400) AS BIGINT) AS d,
+         CASE WHEN (epoch_us(l) // 1000000)
+                   >= (epoch_us(g.cut) // 1000000) - 15552000
+              THEN 1 ELSE 0 END AS c
+  FROM per_subj CROSS JOIN gcut g
+),
+per_day AS (
+  SELECT d, sum(1 - c) AS died, sum(c) AS cens FROM subj GROUP BY d
+),
+tot AS (SELECT sum(died + cens) AS n FROM per_day),
+day_rows AS (
+  SELECT d, died, cens,
+         t.n - COALESCE(sum(died + cens) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS risk
+  FROM per_day CROSS JOIN tot t
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY d) AS i, d, died, cens, risk
+  FROM day_rows
+),
+rec AS (
+  SELECT i, d, died, cens, risk,
+         1.0 * (1.0 - CAST(died AS DOUBLE) / CAST(risk AS DOUBLE)) AS surv
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT x.i, x.d, x.died, x.cens, x.risk,
+         r.surv * (1.0 - CAST(x.died AS DOUBLE) / CAST(x.risk AS DOUBLE))
+  FROM rec r JOIN idx x ON x.i = r.i + 1
+)
+SELECT d AS duration_days,
+       CAST(risk AS BIGINT) AS n_risk,
+       CAST(died AS BIGINT) AS n_churned,
+       CAST(cens AS BIGINT) AS n_censored,
+       floor(surv * 10000 + 0.5) / 10000 AS survival
+FROM rec
+"""
+
+
+def _q_drift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH-FDR drift screen over per-event-type value distributions,
+    pre vs post the 2024-01-15 split
+    (operators/stats.py:ks_by_group + bh_fdr): one exact-integer KS
+    test per event type in a single pass, then Benjamini-Hochberg
+    picks which types REALLY drifted at FDR 0.05 — the multiple-testing
+    rung feature_drift_ks (one column, one test) stops short of. The
+    per-rank lambda^2 thresholds are driver-computed Python-ln literals
+    (JVM ln is 1 ulp off correctly-rounded — the float canary's
+    finding — so it never touches this surface)."""
+    from feature_store_fraud_detection_spark.operators.stats import (
+        bh_fdr,
+        ks_by_group,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-15").cast("timestamp")
+    scored = ev.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v_cents"),
+        (F.col("ts") >= split).cast("int").alias("is_post"),
+    )
+    stats = ks_by_group(scored, "event_type", "v_cents", "is_post")
+    return bh_fdr(stats, "ks_lambda", ["event_type"], alpha=0.05)
+
+
+# the threshold spells the SAME float sequence as the driver's Python:
+# -ln((rank * 0.05) / (2.0 * m)) / 2.0 over DuckDB's libm ln (the
+# measured-stable pair with Python ln; fellegi_sunter's precedent)
+_DRIFT_FDR_SQL = """
+WITH rows_ AS (
+  SELECT event_type AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END AS t
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+),
+per_v AS (
+  SELECT g, v, count(*) AS cnt, sum(t) AS nt FROM rows_ GROUP BY 1, 2
+),
+cum AS (
+  SELECT g,
+         sum(nt) OVER (PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+         sum(cnt) OVER (PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS call
+  FROM per_v
+),
+tots AS (SELECT g, sum(nt) AS n1, sum(cnt) AS n FROM per_v GROUP BY 1),
+d_v AS (
+  SELECT c.g, t.n1, t.n - t.n1 AS n2,
+         abs(c.c1 * (t.n - t.n1) - (c.call - c.c1) * t.n1) AS d
+  FROM cum c JOIN tots t USING (g)
+),
+agg AS (
+  SELECT g, max(n1) AS n1, max(n2) AS n2, max(d) AS d_scaled
+  FROM d_v GROUP BY 1
+),
+lam AS (
+  SELECT g, n1, n2, d_scaled,
+         CASE WHEN n1 <= 0 OR n2 <= 0
+              THEN error('ks_by_group: degenerate split')
+              ELSE floor(((CAST(d_scaled AS DOUBLE)
+                           / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                          * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                                 / (CAST(n1 AS DOUBLE)
+                                    + CAST(n2 AS DOUBLE))))
+                         * 10000 + 0.5) / 10000
+         END AS ks_lambda
+  FROM agg
+),
+m AS (SELECT count(*) AS m_tests FROM lam),
+ranked AS (
+  SELECT l.*, m.m_tests,
+         CAST(row_number() OVER (ORDER BY l.ks_lambda DESC, l.g) AS INT)
+           AS bh_rank
+  FROM lam l CROSS JOIN m
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN ks_lambda * ks_lambda >=
+                   -ln((CAST(bh_rank AS DOUBLE) * 0.05)
+                       / (2.0 * CAST(m_tests AS DOUBLE))) / 2.0
+              THEN bh_rank END AS flag
+  FROM ranked
+),
+kk AS (SELECT max(flag) AS k FROM flagged)
+SELECT g AS event_type,
+       CAST(n1 AS BIGINT) AS n_treat,
+       CAST(n2 AS BIGINT) AS n_control,
+       CAST(d_scaled AS BIGINT) AS d_scaled,
+       ks_lambda,
+       bh_rank,
+       CAST(m_tests AS INT) AS m_tests,
+       CAST(bh_rank <= COALESCE(kk.k, 0) AS INT) AS rejected
+FROM flagged CROSS JOIN kk
+"""
+
+
 def _q_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-method CI for purchase revenue per EVENT with user-level
     clustering (operators/evaluation.py:ratio_metric_report) — the ratio
@@ -12412,6 +12724,13 @@ FROM c2
 QUERIES.update(
     {
         "t_closeness": QuerySpec(_q_t_closeness, _T_CLOSENESS_SQL),
+        "t_closeness_emd": QuerySpec(
+            _q_t_closeness_emd, _T_CLOSENESS_EMD_SQL
+        ),
+        "kaplan_meier_users": QuerySpec(
+            _q_kaplan_meier_users, _KAPLAN_MEIER_SQL
+        ),
+        "drift_fdr": QuerySpec(_q_drift_fdr, _DRIFT_FDR_SQL),
         "ratio_metric_ci": QuerySpec(
             _q_ratio_metric_ci, _RATIO_METRIC_SQL
         ),
@@ -12451,6 +12770,9 @@ QUERIES.update(
         "gate_float_canary": QuerySpec(
             _q_gate_float_canary, _GATE_FLOAT_CANARY_SQL
         ),
+        "gate_type_canary": QuerySpec(
+            _q_gate_type_canary, _GATE_TYPE_CANARY_SQL
+        ),
         "textrank_keywords": QuerySpec(_q_textrank_keywords, _TEXTRANK_SQL),
         "cusum_segments": QuerySpec(_q_cusum_segments, _CUSUM_SEGMENTS_SQL),
         "textrank_weighted": QuerySpec(
@@ -12476,71 +12798,74 @@ QUERIES.update(
 # Rounds rotate this list deliberately — never let "where the code was
 # appended" decide what gets graded.
 _GRADING_PRIORITY: list[str] = [
-    # (a) round-7 fixes and new queries (7): gate_float_canary is the
-    # never-graded harness canary shipped after the r6 grade ran;
-    # ridge_conformal_sketch is the repo's one red driver row, re-cut to
-    # an exact-integer surface and needing the driver's verdict; the
-    # five after it are this round's additions
+    # (a) both gate canaries lead every window (cheap; a red here means
+    # harness drift, which re-interprets every other row this round),
+    # then round 8's new queries (EM linkage weights, numeric-EMD
+    # t-closeness) and the five queries whose implementation or oracle
+    # changed this round (decimal-exact sums + degenerate-split guards
+    # in mann_whitney/ks/t_closeness; NULL-excluded u in linkage_pairs;
+    # the brier oracle's mirrored range check) — every behavior change
+    # ships with a fresh driver grade
     "gate_float_canary",
-    "ridge_conformal_sketch",
-    "mann_whitney_events",
-    "ks_two_sample",
-    "anova_priority",
-    "holt_winters_forecast",
-    "seasonal_strength",
-    "sssp_nations",
-    "dsir_selection",
-    "t_closeness",
-    "ratio_metric_ci",
+    "gate_type_canary",
+    "linkage_em_weights",
+    "t_closeness_emd",
+    "kaplan_meier_users",
+    "drift_fdr",
     "linkage_pairs",
     "brier_report",
-    "experiment_power",
-    # (b) the remaining stale tail — all 38 hash-checkable queries whose
-    # latest driver grade is still r1/r2 (10 were judge-re-verified in r6
-    # but a fresh driver row beats a spot-check). The three DECLARED
-    # rows-only r1 sampling queries (fraction_sample, rebalance_classes,
-    # train_test_split) are excluded deliberately: a re-grade can only
-    # re-earn "rows-only" and each has an r5-green hash twin. After this
-    # round every hash-checkable query's latest grade is r3+.
-    "dedup_by_source",
-    "validate_documents",
-    "lang_confusion",
-    "time_embargo_split",
-    "feature_drift_ks",
-    "exact_auc",
-    "fuzzy_pairs",
-    "fraud_capture_curve",
-    "training_set_pipeline",
-    "leakage_scan",
-    "events_melt",
-    "geo_proximity_pairs",
-    "event_transitions",
-    "hashed_doc_vectors",
-    "hashed_vector_topk",
-    "trending_topk",
-    "value_rank_profile",
-    "knn_classify",
-    "validate_events",
-    "key_skew_profile",
-    "sliding_distinct_users",
-    "winsorize_values",
-    "dup_ngram_stats",
-    "pii_redaction",
-    "quality_weighted_sample",
-    "zorder_keys",
-    "funnel_steps",
-    "kfold_balance",
-    "target_encoding_loo",
-    "feature_hash_events",
-    "sq8_topk",
-    "robust_outliers",
-    "feature_drift_psi",
-    "scd2_history",
-    "top_tokens",
-    "resample_gapfill",
-    # doc_chunks + repetition_profile (both r2 green) rotate to round 8
-    # — displaced by ks_two_sample and seasonal_strength so every new
-    # query ships with a driver grade
+    "mann_whitney_events",
+    "ks_two_sample",
+    "t_closeness",
+    # (b) the two r2-green holdovers displaced by round 7's
+    # new-query-first policy — after this round every hash-checkable
+    # query's latest grade is r3+, with no r2 stragglers
+    "doc_chunks",
+    "repetition_profile",
+    # (c) the oldest cohort: 39 of the 45 hash-checkable queries whose
+    # latest grade is r3 (the 3 declared rows-only r3 queries are
+    # excluded — a re-grade can only re-earn "rows-only"); the 8
+    # remaining r3 rows (snapshot_diff, stream_join_batch_twin,
+    # table_profile, token_tfidf, top_returning_customers,
+    # top_supplier_revenue, unigram_nll, winnowing_fingerprints)
+    # rotate to round 9
+    "asof_join_features",
+    "asof_join_tolerance",
+    "attribution_last_touch",
+    "basket_pairs",
+    "benford_digits",
+    "bpe_token_counts",
+    "count_distinct",
+    "customer_revenue_deciles",
+    "dedup_clusters",
+    "duplicate_txns",
+    "events_pivot",
+    "forecast_revenue",
+    "incremental_state_merge",
+    "inter_event_gaps",
+    "interval_join_attribution",
+    "json_extract_stats",
+    "label_centroids",
+    "late_sole_suppliers",
+    "lsh_topk",
+    "market_share",
+    "min_price_supplier",
+    "multimodal_features",
+    "mutual_info_value",
+    "nation_trade_volume",
+    "order_reconciliation",
+    "pack_sequences",
+    "part_value_threshold",
+    "percentiles",
+    "priority_late_orders",
+    "promo_revenue_share",
+    "rare_categories",
+    "rfm_segments",
+    "rolling_rows_avg",
+    "rollup_revenue",
+    "salted_stats",
+    "seasonal_anomalies",
+    "session_windows",
 ]
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (

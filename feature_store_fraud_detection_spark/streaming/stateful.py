@@ -127,7 +127,16 @@ def emit_on_update_join_tws(tagged: DataFrame, ttl_ms: int = 3_600_000) -> DataF
     ``spark.sql.streaming.stateStore.providerClass`` accordingly) and the
     Python ``protobuf`` runtime (transformWithState runs a protobuf-speaking
     state server; absent in this container, so the applyInPandasWithState
-    variant carries the tests here)."""
+    variant carries the tests here).
+
+    Activation was re-attempted round 8 and is NOT possible in this
+    container: pyspark 4.1.2's generated ``StateMessage_pb2`` pins
+    ``ValidateProtobufRuntimeVersion(PUBLIC, 6, 33, 0)`` — a protobuf
+    >= 6.33 runtime — while the only runtime anywhere on disk is a
+    vendored 4.23.2 that predates the ``runtime_version`` module
+    itself (two majors short), and the container has no package
+    network. The importorskip test self-activates the moment a
+    compatible runtime appears."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

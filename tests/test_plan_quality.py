@@ -605,3 +605,75 @@ def test_linkage_pairs_join_is_blocked_not_cartesian(spark, sf_dir):
     plan = _physical(QUERIES["linkage_pairs"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_linkage_em_pattern_aggregate_is_blocked_not_cartesian(spark, sf_dir):
+    """EM's sufficient statistic — the agreement-pattern count — must
+    come from the SAME blocked keyed equi-join as linkage_pairs (never
+    a cartesian product), collapsing straight into a <=2^k-row hash
+    aggregate; the EM loop itself is bounded driver arithmetic over
+    that table, so nothing else may touch data rows."""
+    from feature_store_fraud_detection_spark.operators.linkage import (
+        _agree_flag,
+        _blocked_pairs,
+    )
+    from feature_store_fraud_detection_spark.plans.registry import (
+        _linkage_profiles,
+    )
+    from pyspark.sql import functions as F
+
+    prof = _linkage_profiles(spark, sf_dir)
+    fields = ["peak_hour", "v_bucket", "n_bucket", "wk_bucket"]
+    pats = (
+        _blocked_pairs(prof, "user_id", ["modal_type"], fields)
+        .select(
+            *[
+                _agree_flag(f).cast("int").alias(f"__a{i}")
+                for i, f in enumerate(fields)
+            ]
+        )
+        .groupBy(*[f"__a{i}" for i in range(len(fields))])
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    plan = _physical(pats)
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_t_closeness_emd_grid_is_broadcast_and_keyed(spark, sf_dir):
+    """The dense class x value grid must come from a BROADCAST of the
+    bounded |V|-row global histogram (the ordered-domain threat model's
+    own bound) and a KEYED join against the sparse class-value counts —
+    never a non-broadcast cartesian product; the per-class prefix runs
+    in a QI-partitioned window (no single-partition window over the
+    grid; the global histogram's |V|-row prefix is the one sanctioned
+    single-partition frame and stays under the broadcast)."""
+    df = QUERIES["t_closeness_emd"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" in plan
+
+
+def test_kaplan_meier_no_subject_row_sort(spark, sf_dir):
+    """Subjects collapse to ONE keyed aggregate; the day table is the
+    only windowed/folded frame (bounded by the max_days cap) — never a
+    sort-merge join or cartesian product over subject rows; the global
+    cutoff broadcasts."""
+    df = QUERIES["kaplan_meier_users"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_drift_fdr_is_group_keyed_with_broadcast_totals(spark, sf_dir):
+    """Each group's KS runs in a group-partitioned prefix window over
+    the distinct-value aggregate; totals broadcast back; BH's two
+    windows ride the bounded m-row test table — no sort-merge join, no
+    cartesian product anywhere."""
+    df = QUERIES["drift_fdr"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -1690,3 +1690,163 @@ def test_em_weights_report_nulls_degenerate_field(spark):
     assert rep["f1"].w_agree is None and rep["f1"].w_disagree is None
     assert rep["f1"].m_est is not None  # estimates still reported
     assert rep["f2"].w_agree is not None
+
+
+def test_t_closeness_numeric_emd_hand_fixture(spark):
+    """Ordered-distance EMD by hand, and the discrimination the
+    categorical form cannot make: a class one notch off the population
+    scores LOWER than one at the extreme, though their variational
+    distances are identical."""
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.validate import (
+        t_closeness_numeric_profile,
+    )
+
+    # three 2-row classes, each concentrated on one band of a uniform
+    # global domain {0,1,2}: N=6, mv=3, n_c=2
+    rows = [("z", 0), ("z", 0), ("x", 1), ("x", 1), ("y", 2), ("y", 2)]
+    df = spark.createDataFrame(rows, "qi string, band int")
+    out = {
+        r.qi: r
+        for r in t_closeness_numeric_profile(df, ["qi"], "band").collect()
+    }
+    # middle class x: C_cv=(0,2,2), C_v=(2,4,6) ->
+    # cum |N*C_cv - n_c*C_v| = |0-4|, |12-8|, |12-12| = 4+4+0
+    assert out["x"].sum_abs_scaled == 8
+    assert out["x"].t_value == 0.3333  # 8/((3-1)*2*6) round4
+    # extreme classes y/z: 4+8 -> t = 1/2 — FARTHER mass, higher t,
+    # though the variational distance of x and y is the same (2/3)
+    assert out["y"].sum_abs_scaled == 12 and out["y"].t_value == 0.5
+    assert out["z"].sum_abs_scaled == 12 and out["z"].t_value == 0.5
+    assert all(r.n_levels == 3 and r.n_rows == 2 for r in out.values())
+
+    # single-valued sensitive domain: EMD undefined -> fail loud
+    const = spark.createDataFrame(
+        [("a", 7), ("b", 7)], "qi string, band int"
+    )
+    with pytest.raises(Exception, match="mv=1"):
+        t_closeness_numeric_profile(const, ["qi"], "band").collect()
+
+
+def test_kaplan_meier_hand_fixture(spark):
+    """Product-limit estimator by hand: 6 subjects, deaths at days
+    0/2/5, two censored survivors near the cutoff — censoring must
+    remove subjects from the risk set WITHOUT stepping the curve."""
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.survival import (
+        kaplan_meier,
+    )
+
+    d0 = dt.datetime(2024, 1, 1)
+
+    def span(subj, start_d, end_d):
+        return [(subj, d0 + dt.timedelta(days=start_d)),
+                (subj, d0 + dt.timedelta(days=end_d))]
+
+    rows = (
+        span("f", 0, 0)[:1]        # single event: duration 0, died
+        + span("a", 0, 2) + span("b", 0, 2) + span("c", 0, 5)
+        + span("e", 0, 9) + span("d", 0, 10)  # within 3d of cutoff
+    )
+    df = spark.createDataFrame(rows, "subj string, ts timestamp")
+    out = kaplan_meier(df, "subj", "ts", censor_horizon_days=3).collect()
+    got = [
+        (r.duration_days, r.n_risk, r.n_churned, r.n_censored, r.survival)
+        for r in out
+    ]
+    # S: day0 1*(5/6)=.8333; day2 *(3/5)=.5; day5 *(2/3)=.3333;
+    # censor-only days 9/10 leave S unchanged but shrink the risk set
+    assert got == [
+        (0, 6, 1, 0, 0.8333),
+        (2, 5, 2, 0, 0.5),
+        (5, 3, 1, 0, 0.3333),
+        (9, 2, 0, 1, 0.3333),
+        (10, 1, 0, 1, 0.3333),
+    ]
+
+    # day-bounded fold assumption is enforced, not hoped for
+    wide = spark.createDataFrame(
+        span("x", 0, 4000) + span("y", 0, 1), "subj string, ts timestamp"
+    )
+    with pytest.raises(Exception, match="max_days"):
+        kaplan_meier(wide, "subj", "ts").collect()
+
+
+def test_ks_by_group_matches_single_tests(spark):
+    """Per-group KS must reproduce ks_two_sample run on each group's
+    slice — one pass, same exact-integer surface."""
+    from feature_store_fraud_detection_spark.operators.stats import (
+        ks_by_group,
+        ks_two_sample,
+    )
+
+    rows = (
+        # group "same": identical distributions -> D = 0
+        [("same", i % 5, 1) for i in range(40)]
+        + [("same", i % 5, 0) for i in range(40)]
+        # group "apart": disjoint -> D = 1
+        + [("apart", i, 1) for i in range(20)]
+        + [("apart", 100 + i, 0) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "g string, v int, t int")
+    got = {r.g: r for r in ks_by_group(df, "g", "v", "t").collect()}
+    for g in ("same", "apart"):
+        single = ks_two_sample(
+            df.filter(F.col("g") == g), "t", "v", 1
+        ).collect()[0]
+        assert got[g].d_scaled == single.d_scaled, g
+        assert got[g].ks_lambda == single.ks_lambda, g
+        assert (got[g].n_treat, got[g].n_control) == (
+            single.n_treat,
+            single.n_control,
+        ), g
+    assert got["same"].d_scaled == 0
+    # degenerate group fails loud
+    import pytest
+
+    bad = spark.createDataFrame(
+        [("x", 1, 1), ("x", 2, 1)], "g string, v int, t int"
+    )
+    with pytest.raises(Exception, match="degenerate split"):
+        ks_by_group(bad, "g", "v", "t").collect()
+
+
+def test_bh_fdr_step_up_property(spark):
+    """The BH signature: a LOW rank crossing its (laxer) threshold
+    rescues every stronger test above it, even ones that missed their
+    own — and without that rescue only the plain crossings reject."""
+    import math
+
+    from feature_store_fraud_detection_spark.operators.stats import bh_fdr
+
+    # m=3, alpha=.05: lambda^2 thresholds -ln(i*.05/6)/2 =
+    # 2.3937 / 2.0472 / 1.8444. Lambdas 1.50/1.42/1.37 miss ranks 1-2
+    # but rank 3 crosses (1.8769 >= 1.8444) -> ALL THREE reject.
+    stats = spark.createDataFrame(
+        [("a", 1.50), ("b", 1.42), ("c", 1.37)], "g string, ks_lambda double"
+    )
+    out = {r.g: r for r in bh_fdr(stats, "ks_lambda", ["g"]).collect()}
+    thr3 = -math.log((3 * 0.05) / (2.0 * 3)) / 2.0
+    assert 1.37 * 1.37 >= thr3  # the fixture's premise
+    assert 1.42 * 1.42 < -math.log((2 * 0.05) / (2.0 * 3)) / 2.0
+    assert all(r.rejected == 1 for r in out.values())
+    assert [out[g].bh_rank for g in ("a", "b", "c")] == [1, 2, 3]
+    assert all(r.m_tests == 3 for r in out.values())
+
+    # drop the rescuer: now NOTHING rejects (1-2 still miss their own)
+    out2 = {
+        r.g: r
+        for r in bh_fdr(
+            stats.filter(F.col("g") != "c"), "ks_lambda", ["g"]
+        ).collect()
+    }
+    # m=2 thresholds: -ln(.05/4)/2 = 2.1910, -ln(.1/4)/2 = 1.8444:
+    # 1.42^2 = 2.0164 >= 1.8444 -> rank 2 crosses, both reject
+    assert all(r.rejected == 1 for r in out2.values())
+    # shrink alpha so neither crosses
+    out3 = bh_fdr(
+        stats.filter(F.col("g") != "c"), "ks_lambda", ["g"], alpha=0.001
+    ).collect()
+    assert all(r.rejected == 0 for r in out3)

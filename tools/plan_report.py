@@ -178,8 +178,38 @@ SELECTED: dict[str, str] = {
     "t_closeness": (
         "One (QI, v) count whose class-size window partitions by the QI "
         "columns; the |V|-row global distribution and the 1-row total "
-        "broadcast. Numerators are exact BIGINTs (overflow-guarded); "
-        "no sort-merge join anywhere."
+        "broadcast. Numerators are exact DECIMAL(38,0) products (a "
+        "non-ANSI BIGINT product wraps silently past ~3e9 rows) with a "
+        "fail-loud BIGINT report narrowing; no sort-merge join anywhere."
+    ),
+    "t_closeness_emd": (
+        "The ordered-domain twin: the |V|-row global histogram (plus its "
+        "single-partition prefix window — bounded BY the ordered-domain "
+        "threat model) broadcasts onto the class table, the dense class "
+        "x value grid takes ONE per-class ordered prefix window, and "
+        "every cumulative-gap term is DECIMAL(38,0)-exact until the "
+        "final (mv-1)*n_c*N ratio."
+    ),
+    "kaplan_meier_users": (
+        "Subjects collapse to ONE keyed (min,max) aggregate; the global "
+        "cutoff broadcasts; everything after — at-risk prefix window, "
+        "survival fold — rides the bounded day table (max_days-capped), "
+        "so no subject-row sort, join, or window anywhere."
+    ),
+    "drift_fdr": (
+        "Rows collapse to one (group, value) hash aggregate; cumulative "
+        "counts are GROUP-partitioned prefix windows (groups shard "
+        "naturally); per-group totals broadcast back; BH ranks and the "
+        "step-up max ride two single-partition windows over the m-row "
+        "test table — bounded state, not data."
+    ),
+    "linkage_em_weights": (
+        "Identical candidate generation to linkage_pairs (blocked keyed "
+        "equi-join, never CartesianProduct); pairs collapse to a <=2^k-"
+        "row agreement-pattern hash aggregate, the ONLY thing the driver "
+        "pulls; the 20-iteration EM is bounded driver arithmetic whose "
+        "result returns as a 1-row-per-field literal table — no second "
+        "pass over the data."
     ),
     "ratio_metric_ci": (
         "One keyed per-unit aggregate (exact quantized DECIMAL moments) "
