@@ -166,6 +166,7 @@ HEADLINE: list[tuple[str, int]] = [
     ("t_closeness_emd", 8),
     ("kaplan_meier_users", 8),
     ("drift_fdr", 8),
+    ("logrank_segments", 8),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

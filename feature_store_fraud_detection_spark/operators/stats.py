@@ -1311,3 +1311,109 @@ def bh_fdr(
         .cast("int")
         .alias("rejected"),
     )
+
+
+def ks_from_histograms(
+    hist_treat: DataFrame,
+    hist_control: DataFrame,
+    value_col: str,
+    count_col: str = "n",
+) -> DataFrame:
+    """Exact two-sample KS from two PRE-AGGREGATED histograms — the
+    order-aware companion to ``categorical_psi_from_counts`` (PSI is
+    order-blind: it cannot tell "values shifted up one band" from
+    "values scattered randomly"; the CDF gap can). Output is BIT-
+    identical to :func:`ks_two_sample` run over the expanded rows —
+    same ``|c1*n2 - c2*n1|`` DECIMAL(38,0) surface, same divergence
+    location, same lambda — because a KS statistic only ever sees the
+    value histogram anyway.
+
+    This is the drift readout for states that are already histograms:
+    the streaming drift monitor's accumulated band counts, downsampled
+    telemetry, or a privacy-bounded export.
+
+    Scale: the inputs are band tables (bounded by the quantization that
+    produced them), so the full-outer merge and the one ordered prefix
+    window ride bounded frames, never rows.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        bigint_checked,
+        round4_stable,
+    )
+
+    a = hist_treat.select(
+        F.col(value_col).alias("__v"),
+        F.col(count_col).cast("bigint").alias("__nt"),
+    )
+    b = hist_control.select(
+        F.col(value_col).alias("__v"),
+        F.col(count_col).cast("bigint").alias("__nc"),
+    )
+    per_v = (
+        a.join(b, "__v", "full")
+        .select(
+            "__v",
+            F.coalesce(F.col("__nt"), F.lit(0)).alias("__nt"),
+            (
+                F.coalesce(F.col("__nt"), F.lit(0))
+                + F.coalesce(F.col("__nc"), F.lit(0))
+            ).alias("__cnt"),
+        )
+    )
+    wv = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.select(
+        "__v",
+        F.sum("__nt").over(wv).alias("__c1"),
+        F.sum("__cnt").over(wv).alias("__call"),
+    )
+    totals = per_v.agg(
+        F.sum("__nt").alias("n1"), F.sum("__cnt").alias("n")
+    )
+    d_v = cum.crossJoin(F.broadcast(totals)).select(
+        "__v",
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        F.abs(
+            F.col("__c1").cast("decimal(38,0)")
+            * (F.col("n") - F.col("n1"))
+            - (F.col("__call") - F.col("__c1")).cast("decimal(38,0)")
+            * F.col("n1")
+        ).alias("__d"),
+    )
+    dmax = d_v.agg(F.max("__d").alias("__dmax"))
+    agg = d_v.crossJoin(F.broadcast(dmax)).agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.first("__dmax").alias("d_scaled"),
+        F.min(F.when(F.col("__d") == F.col("__dmax"), F.col("__v"))).alias(
+            "at_value"
+        ),
+    )
+    n1_ok = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0), F.col("n1")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "ks_from_histograms: degenerate split (n_treat=%s, "
+                "n_control=%s) — both histograms must carry mass",
+                F.coalesce(F.col("n1").cast("string"), F.lit("0")),
+                F.coalesce(F.col("n2").cast("string"), F.lit("0")),
+            )
+        ).cast("bigint")
+    )
+    n1D = n1_ok.cast("double")
+    n2D = F.col("n2").cast("double")
+    d = F.col("d_scaled").cast("double") / (n1D * n2D)
+    lam = d * F.sqrt(n1D * n2D / (n1D + n2D))
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("n2").cast("bigint").alias("n_control"),
+        bigint_checked(
+            F.col("d_scaled"), "ks_from_histograms d_scaled"
+        ).alias("d_scaled"),
+        "at_value",
+        round4_stable(d).alias("d_stat"),
+        round4_stable(lam).alias("ks_lambda"),
+    )

@@ -28,6 +28,9 @@ one hash aggregate to the bounded day table (duration domain = days in
 the observation window, enforced by a cap), and the fold rides a
 collect_list over that bounded table — driver-free, one shuffle on the
 subject key, one on the day.
+
+:func:`logrank_test` is the two-cohort inference companion (equal
+hazards vs not) on the same bounded day-table surface.
 """
 
 from __future__ import annotations
@@ -173,4 +176,169 @@ def kaplan_meier(
         F.col("r.died").cast("bigint").alias("n_churned"),
         F.col("r.cens").cast("bigint").alias("n_censored"),
         round4_stable(F.col("r.surv")).alias("survival"),
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    subject_col: str,
+    ts_col: str,
+    group_col: str,
+    treatment_value,
+    censor_horizon_days: int = 7,
+    max_days: int = 3650,
+) -> DataFrame:
+    """Two-group log-rank test — "do these cohorts CHURN differently?",
+    the inference companion to :func:`kaplan_meier` the way
+    mann_whitney_u pairs with the value distributions: under H0 (equal
+    hazards), at each death day the treatment group's deaths are
+    hypergeometric, so::
+
+        O1 = sum_i d1_i                      (exact BIGINT)
+        E1 = sum_i n1_i * d_i / n_i
+        V  = sum_i d_i * (n1_i/n_i) * (1 - n1_i/n_i)
+                 * (n_i - d_i) / (n_i - 1)
+        z  = (O1 - E1) / sqrt(V),   chi2 = z^2   (1 df)
+
+    Exact-integer discipline: every per-day count (d1_i, d_i, n1_i,
+    n_i) is an exact BIGINT from prefix sums over the bounded day
+    table; E1 and V are the only doubles — per-day ratios of exact
+    integers, summed in ONE ascending-day sorted fold (identical IEEE
+    sequence in the DuckDB twin's list_reduce), outputs rounded to 4.
+    Days with no deaths contribute nothing (their factor is exactly 0
+    and is excluded BY CONSTRUCTION, not by floating-point luck);
+    single-subject days have V_i = 0 via the (n_i - 1) guard.
+
+    Censoring follows :func:`kaplan_meier`: subjects last seen within
+    ``censor_horizon_days`` of the dataset cutoff leave the risk set
+    without counting as deaths. A cohort with no subjects fails loud
+    (z divides by its risk contribution).
+
+    Scale: identical to kaplan_meier — one keyed aggregate to
+    subjects, one hash aggregate to the (day x group) table (bounded by
+    ``max_days``), folds over that bounded table only.
+    """
+    ts = F.col(ts_col)
+    per_subj = (
+        df.filter(
+            ts.isNotNull()
+            & F.col(subject_col).isNotNull()
+            & F.col(group_col).isNotNull()
+        )
+        .groupBy(subject_col)
+        .agg(
+            F.min(ts).alias("__first"),
+            F.max(ts).alias("__last"),
+            # a subject's cohort must be unambiguous: deterministic min
+            F.min(
+                (F.col(group_col) == F.lit(treatment_value)).cast("int")
+            ).alias("__t"),
+        )
+    )
+    glob = per_subj.agg(F.max("__last").alias("__cut"))
+    dur = F.floor(
+        (F.unix_timestamp("__last") - F.unix_timestamp("__first"))
+        / F.lit(86400)
+    ).cast("bigint")
+    dur_ok = F.when(dur <= F.lit(int(max_days)), dur).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"logrank_test: duration %s days exceeds max_days="
+                f"{int(max_days)} — quantize coarser or raise the cap "
+                "deliberately",
+                dur.cast("string"),
+            )
+        ).cast("bigint")
+    )
+    censored = (
+        F.unix_timestamp("__last")
+        >= F.unix_timestamp("__cut") - F.lit(int(censor_horizon_days) * 86400)
+    ).cast("int")
+    subj = per_subj.crossJoin(F.broadcast(glob)).select(
+        dur_ok.alias("__d"), censored.alias("__c"), "__t"
+    )
+    per_day = subj.groupBy("__d").agg(
+        F.sum((F.lit(1) - F.col("__c"))).alias("__died"),
+        F.sum((F.lit(1) - F.col("__c")) * F.col("__t")).alias("__died1"),
+        F.sum(F.lit(1)).alias("__left"),
+        F.sum("__t").alias("__left1"),
+    )
+    tot = subj.agg(
+        F.sum(F.lit(1)).alias("__n"),
+        F.sum("__t").alias("__n1"),
+    )
+    w = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, -1)
+    day_rows = per_day.crossJoin(F.broadcast(tot)).select(
+        "__d",
+        "__died",
+        "__died1",
+        (
+            F.col("__n") - F.coalesce(F.sum("__left").over(w), F.lit(0))
+        ).alias("__risk"),
+        (
+            F.col("__n1") - F.coalesce(F.sum("__left1").over(w), F.lit(0))
+        ).alias("__risk1"),
+    ).filter(F.col("__died") > 0)
+    # ascending-day sorted fold over the bounded death-day table: the
+    # ONLY doubles in the operator, fixed IEEE sequence
+    folded = day_rows.agg(
+        F.sum("__died1").alias("o1"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__d").alias("d"),
+                        F.col("__died").alias("dd"),
+                        F.col("__risk").alias("r"),
+                        F.col("__risk1").alias("r1"),
+                    )
+                )
+            ),
+            F.struct(F.lit(0.0).alias("e1"), F.lit(0.0).alias("v")),
+            lambda acc, e: F.struct(
+                (
+                    acc["e1"]
+                    + e["r1"].cast("double") / e["r"].cast("double")
+                    * e["dd"].cast("double")
+                ).alias("e1"),
+                (
+                    acc["v"]
+                    + F.when(
+                        e["r"] > 1,
+                        e["dd"].cast("double")
+                        * (e["r1"].cast("double") / e["r"].cast("double"))
+                        * (
+                            F.lit(1.0)
+                            - e["r1"].cast("double") / e["r"].cast("double")
+                        )
+                        * (e["r"] - e["dd"]).cast("double")
+                        / (e["r"] - F.lit(1)).cast("double"),
+                    ).otherwise(F.lit(0.0))
+                ).alias("v"),
+            ),
+        ).alias("__f"),
+    ).crossJoin(F.broadcast(tot))
+    n1_ok = F.when(
+        (F.col("__n1") > 0) & (F.col("__n1") < F.col("__n")), F.col("__n1")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "logrank_test: degenerate cohorts (n=%s, n_treat=%s) — "
+                "both cohorts must be non-empty",
+                F.coalesce(F.col("__n").cast("string"), F.lit("0")),
+                F.coalesce(F.col("__n1").cast("string"), F.lit("0")),
+            )
+        ).cast("bigint")
+    )
+    z = (F.col("o1").cast("double") - F.col("__f.e1")) / F.sqrt(
+        F.col("__f.v")
+    )
+    return folded.select(
+        n1_ok.cast("bigint").alias("n_treat"),
+        (F.col("__n") - F.col("__n1")).cast("bigint").alias("n_control"),
+        F.col("o1").cast("bigint").alias("observed_treat"),
+        round4_stable(F.col("__f.e1")).alias("expected_treat"),
+        round4_stable(F.col("__f.v")).alias("variance"),
+        round4_stable(z).alias("logrank_z"),
+        round4_stable(z * z).alias("logrank_chi2"),
     )

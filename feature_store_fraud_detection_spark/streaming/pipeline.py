@@ -1053,3 +1053,29 @@ def stream_srm_report(
 
     return srm_check(spark.read.parquet(state_dir), unit_col, salt,
                      expected_a)
+
+
+def stream_ks_report(
+    spark, baseline: DataFrame, counts_dir: str, band_col: str
+) -> DataFrame:
+    """Order-AWARE drift readout over the same accumulated count state
+    :func:`run_stream_drift_monitor` folds: exact two-sample KS between
+    the baseline's band histogram and everything-seen-so-far
+    (operators/stats.ks_from_histograms). PSI (stream_drift_report)
+    cannot tell "every value moved up one band" from "values scattered"
+    — the CDF gap can, so ordered bands get both readouts from ONE
+    state. Bit-identical to ks_two_sample over all rows ever seen
+    (band counts are additive; pinned in test_streaming)."""
+    from pyspark.sql import functions as F
+
+    from feature_store_fraud_detection_spark.operators.stats import (
+        ks_from_histograms,
+    )
+
+    live = spark.read.parquet(counts_dir).select(band_col, "n")
+    base = (
+        baseline.filter(F.col(band_col).isNotNull())
+        .groupBy(band_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return ks_from_histograms(live, base, band_col, "n")

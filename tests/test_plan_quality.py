@@ -677,3 +677,14 @@ def test_drift_fdr_is_group_keyed_with_broadcast_totals(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_logrank_no_subject_row_sort(spark, sf_dir):
+    """Log-rank shares kaplan_meier's shape: one keyed subject
+    aggregate (the orders x customer join is the only row-scale join,
+    keyed on the customer key), then windows/folds over the bounded
+    death-day table only — no cartesian product, totals broadcast."""
+    df = QUERIES["logrank_segments"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -1850,3 +1850,101 @@ def test_bh_fdr_step_up_property(spark):
         stats.filter(F.col("g") != "c"), "ks_lambda", ["g"], alpha=0.001
     ).collect()
     assert all(r.rejected == 0 for r in out3)
+
+
+def test_logrank_hand_fixture(spark):
+    """Log-rank O/E/V by hand over a 5-subject fixture, an exactly-
+    symmetric null case (z must be 0.0, not merely small), and a
+    planted early-churn cohort."""
+    import math as _m
+
+    from feature_store_fraud_detection_spark.operators.survival import (
+        logrank_test,
+    )
+
+    d0 = dt.datetime(2024, 1, 1)
+
+    def subj(name, grp, end_d):
+        return [(name, grp, d0), (name, grp, d0 + dt.timedelta(days=end_d))]
+
+    # T dies at days 1,3; C at 2,4; one censored sentinel holds the
+    # cutoff at day 10 (horizon 3)
+    rows = (
+        subj("a", "T", 1) + subj("b", "T", 3)
+        + subj("c", "C", 2) + subj("d", "C", 4) + subj("s", "C", 10)
+    )
+    df = spark.createDataFrame(rows, "subj string, g string, ts timestamp")
+    r = logrank_test(df, "subj", "ts", "g", "T", censor_horizon_days=3
+                     ).collect()[0]
+    assert (r.n_treat, r.n_control, r.observed_treat) == (2, 3, 2)
+    # replicate the ascending-day fold's exact float sequence:
+    # (d, died, died1, risk, risk1) = (1,1,1,5,2)(2,1,0,4,1)(3,1,1,3,1)
+    # (4,1,0,2,0); censor-only day 10 excluded
+    e1 = v = 0.0
+    for died, risk, risk1 in [(1, 5, 2), (1, 4, 1), (1, 3, 1), (1, 2, 0)]:
+        share = float(risk1) / float(risk)
+        e1 = e1 + share * float(died)
+        if risk > 1:
+            v = v + float(died) * share * (1.0 - share) * float(
+                risk - died
+            ) / float(risk - 1)
+    z = (2.0 - e1) / _m.sqrt(v)
+    r4 = lambda x: _m.floor(x * 10000 + 0.5) / 10000  # noqa: E731
+    assert r.expected_treat == r4(e1)
+    assert r.variance == r4(v)
+    assert r.logrank_z == r4(z) and r.logrank_chi2 == r4(z * z)
+
+    # exactly symmetric cohorts: O == E at every day -> z is 0.0
+    sym = (
+        subj("a", "T", 1) + subj("b", "T", 2) + subj("x", "T", 10)
+        + subj("c", "C", 1) + subj("d", "C", 2) + subj("y", "C", 10)
+    )
+    rz = logrank_test(
+        spark.createDataFrame(sym, "subj string, g string, ts timestamp"),
+        "subj", "ts", "g", "T", censor_horizon_days=3,
+    ).collect()[0]
+    assert rz.logrank_z == 0.0 and rz.logrank_chi2 == 0.0
+
+    # planted early churn: every T subject dies on day 1, C on day 30
+    fast = []
+    for i in range(12):
+        fast += subj(f"t{i}", "T", 1) + subj(f"c{i}", "C", 30)
+    fast += subj("sent", "C", 60)
+    rf = logrank_test(
+        spark.createDataFrame(fast, "subj string, g string, ts timestamp"),
+        "subj", "ts", "g", "T", censor_horizon_days=3,
+    ).collect()[0]
+    assert rf.observed_treat == 12 and rf.logrank_z > 2.5
+
+
+def test_ks_from_histograms_matches_row_level(spark):
+    """KS computed from pre-aggregated band histograms must be
+    BIT-identical to ks_two_sample over the expanded rows — the
+    statistic only ever sees the value histogram."""
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.stats import (
+        ks_from_histograms,
+        ks_two_sample,
+    )
+
+    rows = [("t", (i * 7) % 13) for i in range(90)] + [
+        ("c", (i * 5) % 17) for i in range(110)
+    ]
+    df = spark.createDataFrame(rows, "g string, v int")
+    want = ks_two_sample(df, "g", "v", "t", 1).collect()[0]
+
+    ht = df.filter(F.col("g") == "t").groupBy(F.col("v").alias("band")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hc = df.filter(F.col("g") == "c").groupBy(F.col("v").alias("band")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    got = ks_from_histograms(ht, hc, "band").collect()[0]
+    assert got == want  # every column, bit-for-bit
+
+    # empty-side histogram fails loud like the row-level test
+    with pytest.raises(Exception, match="degenerate"):
+        ks_from_histograms(
+            ht.filter(F.lit(False)), hc, "band"
+        ).collect()

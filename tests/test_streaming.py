@@ -915,3 +915,53 @@ def test_stream_srm_monitor_equals_batch_check(spark, tmp_path):
     want = srm_check(all_rows, "user_id").collect()[0]
     assert tuple(got) == tuple(want)  # bit-identical incl. chi2
     assert got.n_units == len({u for _, u in rows})
+
+
+def test_stream_ks_report_equals_batch(spark, tmp_path):
+    """The order-aware KS readout over the drift monitor's accumulated
+    band counts must be BIT-identical to ks_two_sample over (baseline
+    rows as control) + (all streamed rows as treatment) — band counts
+    are additive, and the KS statistic only sees the histogram."""
+    from pyspark.sql import functions as F
+
+    from feature_store_fraud_detection_spark.operators.stats import (
+        ks_two_sample,
+    )
+    from feature_store_fraud_detection_spark.streaming.pipeline import (
+        run_stream_drift_monitor,
+        stream_ks_report,
+    )
+
+    # streamed bands drift one notch up vs the baseline's
+    rows = [(i, (i % 10) + 1) for i in range(120)]
+    src = tmp_path / "ks_src"
+    src.mkdir()
+    for part in range(3):
+        with open(src / f"p{part}.jsonl", "w") as f:
+            for rid, b in rows[part::3]:
+                f.write(json.dumps({"rid": rid, "band": b}) + "\n")
+        os.utime(src / f"p{part}.jsonl", (1_700_000_000 + part,) * 2)
+
+    counts_dir = str(tmp_path / "ks_counts")
+    raw = (
+        spark.readStream.schema("rid bigint, band int")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_stream_drift_monitor(
+        raw, counts_dir, "band", checkpoint_dir=str(tmp_path / "ckpt_ks")
+    )
+    q.awaitTermination(120)
+
+    baseline = spark.createDataFrame(
+        [(i, i % 10) for i in range(200)], "rid bigint, band int"
+    )
+    got = stream_ks_report(spark, baseline, counts_dir, "band").collect()[0]
+
+    combined = spark.createDataFrame(
+        [(b, 1) for _, b in rows] + [(i % 10, 0) for i in range(200)],
+        "band int, is_live int",
+    )
+    want = ks_two_sample(combined, "is_live", "band", 1, 1).collect()[0]
+    assert got == want  # every column, bit-for-bit
+    assert got.d_scaled > 0  # the planted one-notch shift is visible

@@ -196,6 +196,12 @@ SELECTED: dict[str, str] = {
         "survival fold — rides the bounded day table (max_days-capped), "
         "so no subject-row sort, join, or window anywhere."
     ),
+    "logrank_segments": (
+        "kaplan_meier's shape plus one keyed customer join: subjects "
+        "collapse to one keyed aggregate, totals broadcast, and the "
+        "O/E/V folds ride the bounded death-day table — the z/chi2 "
+        "algebra is a final projection."
+    ),
     "drift_fdr": (
         "Rows collapse to one (group, value) hash aggregate; cumulative "
         "counts are GROUP-partitioned prefix windows (groups shard "
