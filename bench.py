@@ -167,6 +167,7 @@ HEADLINE: list[tuple[str, int]] = [
     ("kaplan_meier_users", 8),
     ("drift_fdr", 8),
     ("logrank_segments", 8),
+    ("isotonic_calibration", 8),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

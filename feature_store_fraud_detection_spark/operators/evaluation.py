@@ -904,3 +904,145 @@ def experiment_power(
         round4_stable(mde_abs).alias("mde_abs"),
         round4_stable(mde_abs / mean_u).alias("mde_rel"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """In-engine isotonic calibration over score bins — the
+    hash-checkable, fully distributed upgrade of :func:`pav_calibrate`
+    (which pools on the driver): instead of iterative pooling it
+    evaluates the CLOSED FORM of isotonic regression (Robertson,
+    Wright & Dykstra 1988)::
+
+        iso_i = max_{j<=i} min_{k>=i} (S_k - S_{j-1}) / (N_k - N_{j-1})
+
+    over the prefix sums of the bin table — the same unique solution
+    PAV converges to, but expressed as bounded array folds.
+
+    EXACT-INTEGER discipline end to end: prefix counts are exact
+    BIGINTs, and the min/max folds compare candidate fractions by
+    integer CROSS-MULTIPLICATION (``A*B' < A'*B`` in DECIMAL(38,0)),
+    never by dividing first — so the selected fraction is decided
+    exactly, identically in both engines, and the ONE division happens
+    at the end on numerator/denominator pairs below 2^53 (correctly
+    rounded to the same double everywhere). Ties keep the earlier
+    candidate (fixed fold order; equal fractions give equal values
+    anyway).
+
+    Output, one row per occupied bin ascending: ``(bin, n_k, s_pos,
+    raw_rate, iso_rate)`` with ``iso_rate`` monotone non-decreasing —
+    the calibrated P(label | score-bin). Probabilities outside [0, 1]
+    fail loud (same rule as brier_decomposition).
+
+    Scale: one hash aggregate to <= n_bins rows; the O(n_bins^3)
+    minimax folds ride arrays over that bounded table — no driver
+    state, no iteration, nothing row-scale after the first aggregate.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    p_ok = F.when(
+        (F.col(prob_col) >= 0.0) & (F.col(prob_col) <= 1.0), F.col(prob_col)
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "isotonic_calibration: probability outside [0,1] (%s)",
+                F.col(prob_col).cast("string"),
+            )
+        )
+    )
+    rows = df.filter(
+        F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.least(
+            F.floor(p_ok * F.lit(float(n_bins))).cast("int"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+        F.col(label_col).cast("int").alias("__y"),
+    )
+    per_bin = rows.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum("__y").alias("s_pos"),
+    )
+    # one bounded array of bin-sorted prefix structs, shared by every
+    # output row; P[1] = (0,0) so P[t+1] = (N_t, S_t)
+    packed = per_bin.agg(
+        F.array_sort(
+            F.collect_list(F.struct("bin", "n_k", "s_pos"))
+        ).alias("__bins")
+    ).select(
+        "__bins",
+        F.concat(
+            F.array(F.struct(F.lit(0).cast("bigint").alias("cn"),
+                             F.lit(0).cast("bigint").alias("cs"))),
+            F.transform(
+                F.sequence(F.lit(1), F.size("__bins")),
+                lambda t: F.struct(
+                    F.aggregate(
+                        F.slice(F.col("__bins"), F.lit(1), t),
+                        F.lit(0).cast("bigint"),
+                        lambda a, x: a + x["n_k"],
+                    ).alias("cn"),
+                    F.aggregate(
+                        F.slice(F.col("__bins"), F.lit(1), t),
+                        F.lit(0).cast("bigint"),
+                        lambda a, x: a + x["s_pos"],
+                    ).alias("cs"),
+                ),
+            ),
+        ).alias("__p"),
+    )
+
+    def _frac(q, p):
+        # candidate fraction (A, B) = (S_k - S_{j-1}, N_k - N_{j-1})
+        return F.struct(
+            (q["cs"] - p["cs"]).alias("a"), (q["cn"] - p["cn"]).alias("b")
+        )
+
+    def _lt(x, acc):
+        return x["a"].cast("decimal(38,0)") * acc["b"] < acc[
+            "a"
+        ].cast("decimal(38,0)") * x["b"]
+
+    zero = F.struct(
+        F.lit(0).cast("bigint").alias("a"), F.lit(0).cast("bigint").alias("b")
+    )
+    exploded = packed.select(
+        F.posexplode("__bins").alias("__i0", "__b"), "__p"
+    )
+    i = F.col("__i0") + 1  # 1-based bin position
+    cand_j = F.slice(F.col("__p"), F.lit(1), i)  # P[1..i]: j-1 = 0..i-1
+    cand_k = F.slice(
+        F.col("__p"), i + 1, F.size(F.col("__p")) - i
+    )  # P[i+1..m+1]: k = i..m
+    inner = lambda p: F.aggregate(  # noqa: E731
+        cand_k,
+        zero,
+        lambda acc, q: F.when(acc["b"] == 0, _frac(q, p))
+        .when(_lt(_frac(q, p), acc), _frac(q, p))
+        .otherwise(acc),
+    )
+    iso_pair = F.aggregate(
+        cand_j,
+        zero,
+        lambda acc, p: F.when(acc["b"] == 0, inner(p))
+        .when(_lt(acc, inner(p)), inner(p))
+        .otherwise(acc),
+    )
+    return exploded.select(
+        F.col("__b.bin").alias("bin"),
+        F.col("__b.n_k").cast("bigint").alias("n_k"),
+        F.col("__b.s_pos").cast("bigint").alias("s_pos"),
+        round4_stable(
+            F.col("__b.s_pos").cast("double")
+            / F.col("__b.n_k").cast("double")
+        ).alias("raw_rate"),
+        round4_stable(
+            iso_pair["a"].cast("double") / iso_pair["b"].cast("double")
+        ).alias("iso_rate"),
+    )

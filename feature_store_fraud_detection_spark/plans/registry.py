@@ -12769,6 +12769,89 @@ FROM per_bin p CROSS JOIN g
 """
 
 
+def _q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the amount-as-pseudo-score vs the error
+    label over the same 10 bins as brier_report
+    (operators/evaluation.py:isotonic_calibration) — the "fix the
+    calibration" step after calibration_bins diagnoses it and
+    brier_report scores it: closed-form minimax isotonic regression,
+    exact integer cross-multiplied fraction folds, one final division."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        isotonic_calibration,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.filter(F.col("value").isNotNull()).select(
+        (F.col("value") / F.lit(1000.0)).alias("p"),
+        (F.col("event_type") == "error").cast("int").alias("label"),
+    )
+    return isotonic_calibration(scored, "p", "label", n_bins=10)
+
+
+# replays the engine's minimax folds with list_reduce: DuckDB's
+# first-element seeding equals Spark's zero-sentinel-replaced-by-first;
+# fraction comparisons cross-multiply in HUGEINT (Spark: DECIMAL(38,0))
+# so selection is EXACT — the one division happens on raw counts < 2^53
+_ISOTONIC_SQL = """
+WITH rows_ AS (
+  SELECT CASE WHEN value / 1000.0 NOT BETWEEN 0.0 AND 1.0
+              THEN error('isotonic_calibration: probability outside')
+              ELSE least(CAST(floor((value / 1000.0) * 10.0) AS INT), 9)
+         END AS bin,
+         CAST(event_type = 'error' AS INT) AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+per_bin AS (
+  SELECT bin, count(*) AS n_k, sum(y) AS s_pos FROM rows_ GROUP BY 1
+),
+packed AS (
+  SELECT list(struct_pack(bin := bin, n_k := n_k, s_pos := s_pos)
+              ORDER BY bin) AS bins
+  FROM per_bin
+),
+prefixed AS (
+  SELECT bins,
+         list_prepend(
+           struct_pack(cn := CAST(0 AS BIGINT), cs := CAST(0 AS BIGINT)),
+           list_transform(generate_series(1, len(bins)), t -> struct_pack(
+             cn := CAST(list_reduce(
+               list_transform(bins[1:t], x -> x.n_k),
+               (a, b) -> a + b) AS BIGINT),
+             cs := CAST(list_reduce(
+               list_transform(bins[1:t], x -> x.s_pos),
+               (a, b) -> a + b) AS BIGINT)))) AS pre
+  FROM packed
+),
+final AS (
+  SELECT unnest(list_transform(generate_series(1, len(bins)),
+    i -> struct_pack(
+      bin := bins[i].bin,
+      n_k := bins[i].n_k,
+      s_pos := bins[i].s_pos,
+      iso := list_reduce(
+        list_transform(pre[1:i], p ->
+          list_reduce(
+            list_transform(pre[i+1:len(pre)],
+              q -> struct_pack(a := q.cs - p.cs, b := q.cn - p.cn)),
+            (acc, x) -> CASE WHEN CAST(x.a AS HUGEINT) * acc.b
+                                  < CAST(acc.a AS HUGEINT) * x.b
+                             THEN x ELSE acc END)),
+        (acc, x) -> CASE WHEN CAST(acc.a AS HUGEINT) * x.b
+                              < CAST(x.a AS HUGEINT) * acc.b
+                         THEN x ELSE acc END)))) AS r
+  FROM prefixed
+)
+SELECT r.bin AS bin,
+       CAST(r.n_k AS BIGINT) AS n_k,
+       CAST(r.s_pos AS BIGINT) AS s_pos,
+       floor((CAST(r.s_pos AS DOUBLE) / CAST(r.n_k AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS raw_rate,
+       floor((CAST(r.iso.a AS DOUBLE) / CAST(r.iso.b AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS iso_rate
+FROM final
+"""
+
+
 def _q_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-experiment MDE report over the per-user value metric
     (operators/evaluation.py:experiment_power) — the "should we even run
@@ -12833,6 +12916,9 @@ QUERIES.update(
         ),
         "drift_fdr": QuerySpec(_q_drift_fdr, _DRIFT_FDR_SQL),
         "logrank_segments": QuerySpec(_q_logrank_segments, _LOGRANK_SQL),
+        "isotonic_calibration": QuerySpec(
+            _q_isotonic_calibration, _ISOTONIC_SQL
+        ),
         "ratio_metric_ci": QuerySpec(
             _q_ratio_metric_ci, _RATIO_METRIC_SQL
         ),
@@ -12915,6 +13001,7 @@ _GRADING_PRIORITY: list[str] = [
     "kaplan_meier_users",
     "drift_fdr",
     "logrank_segments",
+    "isotonic_calibration",
     "linkage_pairs",
     "brier_report",
     "mann_whitney_events",
@@ -12927,11 +13014,11 @@ _GRADING_PRIORITY: list[str] = [
     "repetition_profile",
     # (c) the oldest cohort: 39 of the 45 hash-checkable queries whose
     # latest grade is r3 (the 3 declared rows-only r3 queries are
-    # excluded — a re-grade can only re-earn "rows-only"); the 9
-    # remaining r3 rows (session_windows, snapshot_diff,
-    # stream_join_batch_twin, table_profile, token_tfidf,
-    # top_returning_customers, top_supplier_revenue, unigram_nll,
-    # winnowing_fingerprints) rotate to round 9
+    # excluded — a re-grade can only re-earn "rows-only"); the 10
+    # remaining r3 rows (seasonal_anomalies, session_windows,
+    # snapshot_diff, stream_join_batch_twin, table_profile,
+    # token_tfidf, top_returning_customers, top_supplier_revenue,
+    # unigram_nll, winnowing_fingerprints) rotate to round 9
     "asof_join_features",
     "asof_join_tolerance",
     "attribution_last_touch",
@@ -12967,7 +13054,6 @@ _GRADING_PRIORITY: list[str] = [
     "rolling_rows_avg",
     "rollup_revenue",
     "salted_stats",
-    "seasonal_anomalies",
 ]
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (

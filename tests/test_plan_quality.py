@@ -688,3 +688,13 @@ def test_logrank_no_subject_row_sort(spark, sf_dir):
     plan = _physical(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_isotonic_is_one_aggregate_plus_bounded_folds(spark, sf_dir):
+    """Isotonic calibration = ONE hash aggregate to <= n_bins rows;
+    the minimax runs as array folds over that bounded table — no join,
+    no row-scale window, no iteration."""
+    df = QUERIES["isotonic_calibration"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "Join" not in plan
+    assert "HashAggregate" in plan

@@ -1948,3 +1948,50 @@ def test_ks_from_histograms_matches_row_level(spark):
         ks_from_histograms(
             ht.filter(F.lit(False)), hc, "band"
         ).collect()
+
+
+def test_isotonic_calibration_matches_pav(spark):
+    """The closed-form minimax must equal hand PAV pooling: bins with
+    raw rates .25/.75/.5 pool the violating pair to 5/8 — and the
+    result must agree with the driver-side pav_calibrate on a larger
+    non-monotone profile."""
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        isotonic_calibration,
+        pav_calibrate,
+    )
+
+    rows = (
+        [(0.05, 1)] * 1 + [(0.05, 0)] * 3       # bin 0: 1/4
+        + [(0.15, 1)] * 3 + [(0.15, 0)] * 1     # bin 1: 3/4
+        + [(0.25, 1)] * 2 + [(0.25, 0)] * 2     # bin 2: 2/4
+    )
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = isotonic_calibration(df, "p", "y", 10).orderBy("bin").collect()
+    assert [(r.bin, r.raw_rate, r.iso_rate) for r in out] == [
+        (0, 0.25, 0.25),
+        (1, 0.75, 0.625),
+        (2, 0.5, 0.625),
+    ]
+
+    # larger wiggly profile: equals pav_calibrate bin for bin, monotone
+    big = [
+        (b / 10.0 + 0.05, 1 if (i * 7 + b * b) % 10 < (3 + (b * 4) % 7)
+         else 0)
+        for b in range(10)
+        for i in range(40 + 13 * b)
+    ]
+    bdf = spark.createDataFrame(big, "p double, y int")
+    got = isotonic_calibration(bdf, "p", "y", 10).orderBy("bin").collect()
+    pav = pav_calibrate(
+        [{"bin": r.bin, "n": r.n_k, "n_pos": r.s_pos} for r in got]
+    )
+    assert [r.iso_rate for r in got] == [r["calibrated"] for r in pav]
+    vals = [r.iso_rate for r in got]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))
+
+    # out-of-range probability fails loud (brier's rule)
+    bad = spark.createDataFrame([(1.5, 1), (0.2, 0)], "p double, y int")
+    with pytest.raises(Exception, match="outside"):
+        isotonic_calibration(bad, "p", "y").collect()

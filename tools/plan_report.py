@@ -196,6 +196,12 @@ SELECTED: dict[str, str] = {
         "survival fold — rides the bounded day table (max_days-capped), "
         "so no subject-row sort, join, or window anywhere."
     ),
+    "isotonic_calibration": (
+        "ONE hash aggregate to <= n_bins rows; the closed-form minimax "
+        "(max_j min_k prefix fractions, EXACT cross-multiplied integer "
+        "comparisons) rides array folds over that bounded table — no "
+        "join, no row-scale window, no PAV iteration."
+    ),
     "logrank_segments": (
         "kaplan_meier's shape plus one keyed customer join: subjects "
         "collapse to one keyed aggregate, totals broadcast, and the "
