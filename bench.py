@@ -168,6 +168,7 @@ HEADLINE: list[tuple[str, int]] = [
     ("drift_fdr", 8),
     ("logrank_segments", 8),
     ("isotonic_calibration", 8),
+    ("stratified_ate", 8),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

@@ -1046,3 +1046,129 @@ def isotonic_calibration(
             iso_pair["a"].cast("double") / iso_pair["b"].cast("double")
         ).alias("iso_rate"),
     )
+
+
+def stratified_ate(
+    df: DataFrame,
+    treatment_col: str,
+    outcome_col: str,
+    stratum_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Stratified average-treatment-effect estimate — the causal-
+    adjustment rung after :func:`ab_test_report`: when treatment was
+    NOT randomized, a raw mean difference confounds "treatment works"
+    with "who gets treated"; stratifying on a confounder and weighting
+    each stratum's within-stratum difference by its population share
+    (standardization / blocked difference-in-means) removes the
+    between-stratum part of the bias::
+
+        ATE = sum_s (n_s / N_inc) * (mean_t_s - mean_c_s)
+
+    over strata with BOTH arms present. One-armed strata carry no
+    within-stratum contrast: they are excluded from the estimate,
+    REPORTED (``included=0``), and the weights renormalize over the
+    included mass — silent dropping is how stratified estimates lie.
+
+    Exact-moment discipline (anova_f's): outcomes quantize to integers
+    (``scale``), per-(stratum, arm) counts/sums are exact BIGINTs, and
+    the ATE fold runs stratum-sorted over the bounded stratum table —
+    means, diffs and the final estimate are the only doubles, rounded
+    to 4. Output: one row per stratum (exact counts/sums + means/diff)
+    with the global ``ate`` / ``n_included`` replicated on every row so
+    the whole report hash-checks.
+
+    Scale: one (stratum, arm) hash aggregate; everything after is
+    arithmetic on the bounded stratum table.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        overflow_checked,
+        round4_stable,
+    )
+
+    v_int = F.floor(
+        overflow_checked(
+            F.col(outcome_col).cast("double") * F.lit(float(scale)),
+            9.0e15,
+            "stratified_ate scaled outcome",
+        )
+        + F.lit(0.5)
+    ).cast("bigint")
+    t_flag = F.col(treatment_col).cast("int")
+    per_s = (
+        df.filter(
+            F.col(outcome_col).isNotNull()
+            & F.col(stratum_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+        )
+        .select(
+            F.col(stratum_col).alias("stratum"),
+            t_flag.alias("__t"),
+            v_int.alias("__v"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.sum("__t").alias("n_t"),
+            F.sum(F.lit(1) - F.col("__t")).alias("n_c"),
+            F.sum(F.col("__v") * F.col("__t")).alias("s_t"),
+            F.sum(F.col("__v") * (F.lit(1) - F.col("__t"))).alias("s_c"),
+        )
+    )
+    inc = (F.col("n_t") > 0) & (F.col("n_c") > 0)
+    mean_t = F.col("s_t").cast("double") / F.lit(float(scale)) / F.col(
+        "n_t"
+    ).cast("double")
+    mean_c = F.col("s_c").cast("double") / F.lit(float(scale)) / F.col(
+        "n_c"
+    ).cast("double")
+    # stratum-sorted fold over the bounded table: included mass first
+    # (exact BIGINT), then the weighted-diff double fold
+    folded = per_s.agg(
+        F.sum(
+            F.when(inc, F.col("n_t") + F.col("n_c")).otherwise(F.lit(0))
+        ).alias("__n_inc"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("stratum").cast("string").alias("k"),
+                        F.when(inc, F.col("n_t") + F.col("n_c"))
+                        .otherwise(F.lit(0))
+                        .alias("w"),
+                        F.when(inc, mean_t - mean_c)
+                        .otherwise(F.lit(0.0))
+                        .alias("d"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e["w"].cast("double") * e["d"],
+        ).alias("__wsum"),
+    )
+    n_inc_ok = F.when(F.col("__n_inc") > 0, F.col("__n_inc")).otherwise(
+        F.raise_error(
+            F.lit(
+                "stratified_ate: no stratum has both arms — there is no "
+                "within-stratum contrast to estimate; coarsen the strata"
+            )
+        ).cast("bigint")
+    )
+    glob = folded.select(
+        F.col("__n_inc").cast("bigint").alias("n_included"),
+        round4_stable(
+            F.col("__wsum") / n_inc_ok.cast("double")
+        ).alias("ate"),
+    )
+    return per_s.crossJoin(F.broadcast(glob)).select(
+        "stratum",
+        F.col("n_t").cast("bigint").alias("n_t"),
+        F.col("n_c").cast("bigint").alias("n_c"),
+        F.col("s_t").cast("bigint").alias("sum_t_scaled"),
+        F.col("s_c").cast("bigint").alias("sum_c_scaled"),
+        round4_stable(F.when(inc, mean_t)).alias("mean_t"),
+        round4_stable(F.when(inc, mean_c)).alias("mean_c"),
+        round4_stable(F.when(inc, mean_t - mean_c)).alias("diff"),
+        inc.cast("int").alias("included"),
+        "n_included",
+        "ate",
+    )

@@ -698,3 +698,14 @@ def test_isotonic_is_one_aggregate_plus_bounded_folds(spark, sf_dir):
     plan = _physical(df)
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+def test_stratified_ate_is_one_keyed_aggregate(spark, sf_dir):
+    """ATE = one (stratum) hash aggregate of exact moments; the
+    weighted-diff fold and the replicated global ride the bounded
+    stratum table via broadcast — no window, no sort-merge join."""
+    df = QUERIES["stratified_ate"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -1995,3 +1995,39 @@ def test_isotonic_calibration_matches_pav(spark):
     bad = spark.createDataFrame([(1.5, 1), (0.2, 0)], "p double, y int")
     with pytest.raises(Exception, match="outside"):
         isotonic_calibration(bad, "p", "y").collect()
+
+
+def test_stratified_ate_hand_fixture(spark):
+    """Hand standardization: two balanced strata plus a one-armed
+    stratum that must be EXCLUDED and reported, not silently dropped
+    into the weights — and an all-one-armed input fails loud."""
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        stratified_ate,
+    )
+
+    rows = (
+        [("A", 1, 10.0), ("A", 1, 20.0), ("A", 0, 5.0), ("A", 0, 5.0)]
+        + [("B", 1, 8.0), ("B", 0, 2.0), ("B", 0, 2.0), ("B", 0, 2.0)]
+        + [("C", 0, 99.0), ("C", 0, 99.0)]  # control-only: excluded
+    )
+    df = spark.createDataFrame(rows, "s string, t int, y double")
+    out = {r.stratum: r for r in stratified_ate(df, "t", "y", "s").collect()}
+    # A: diff 15-5=10 (w=4); B: 8-2=6 (w=4); ATE = (40+24)/8 = 8.0
+    assert out["A"].diff == 10.0 and out["B"].diff == 6.0
+    assert out["C"].included == 0 and out["C"].diff is None
+    assert all(r.ate == 8.0 and r.n_included == 8 for r in out.values())
+    assert out["A"].sum_t_scaled == 3000  # exact cents surface
+
+    # the adjustment matters: raw pooled diff is confounded by stratum
+    # mix (treat rows sit in the high-value stratum)
+    raw_t = (10 + 20 + 8) / 3.0
+    raw_c = (5 + 5 + 2 + 2 + 2 + 99 + 99) / 7.0
+    assert abs((raw_t - raw_c) - 8.0) > 3.0
+
+    one_armed = spark.createDataFrame(
+        [("A", 1, 1.0), ("B", 0, 2.0)], "s string, t int, y double"
+    )
+    with pytest.raises(Exception, match="no stratum has both arms"):
+        stratified_ate(one_armed, "t", "y", "s").collect()

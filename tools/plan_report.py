@@ -196,6 +196,12 @@ SELECTED: dict[str, str] = {
         "survival fold — rides the bounded day table (max_days-capped), "
         "so no subject-row sort, join, or window anywhere."
     ),
+    "stratified_ate": (
+        "ONE (stratum) hash aggregate of exact integer-cents moments; "
+        "the stratum-sorted weighted-diff fold and the replicated "
+        "global ATE ride the bounded stratum table via broadcast — no "
+        "window, no sort-merge join."
+    ),
     "isotonic_calibration": (
         "ONE hash aggregate to <= n_bins rows; the closed-form minimax "
         "(max_j min_k prefix fractions, EXACT cross-multiplied integer "
