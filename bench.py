@@ -169,6 +169,7 @@ HEADLINE: list[tuple[str, int]] = [
     ("logrank_segments", 8),
     ("isotonic_calibration", 8),
     ("stratified_ate", 8),
+    ("pettitt_priority", 8),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

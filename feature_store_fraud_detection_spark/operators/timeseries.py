@@ -938,3 +938,120 @@ def seasonal_strength(
         ).alias("strength"),
     )
     return report.join(peaks, key_col)
+
+
+def pettitt_changepoint(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Pettitt changepoint test per key — the rank-based "did the level
+    SHIFT, and when?" companion to :func:`cusum_segments` (CUSUM finds
+    mean shifts assuming the scale; Pettitt is the Mann-Whitney of
+    changepoints: distribution-free, one whale day cannot fake a
+    shift). For the daily series y_1..y_n, with tie-averaged ranks::
+
+        U_t = 2 * sum_{i<=t} R_i - t * (n + 1)
+
+    (Pettitt 1979's identity for sum_{i<=t} sum_{j>t} sgn(y_i - y_j));
+    the changepoint candidate is the t maximizing |U_t|, its sign the
+    shift direction (U > 0: the early segment ranks HIGH — a step
+    DOWN after the changepoint).
+
+    ENTIRELY exact-integer: daily totals quantize to 1e4-ths (the
+    forecaster family's round4-then-scale), doubled ranks
+    ``2R = 2*below + ties + 1`` are the mann_whitney integers, and U_t
+    is a prefix-sum expression — the report has NO doubles at all, the
+    strongest hash surface in the repo. Day counts are calendar-bounded
+    (P2_t <= n*(2n+1): 27 YEARS of days stays under 2^28), so plain
+    BIGINT is exact by construction.
+
+    Output per key: ``(key, n_days, u_abs_max, at_day, u_at,
+    direction)`` — at_day is the EARLIEST day achieving the max gap
+    (the last day of the pre-shift segment), direction = sign(U_at).
+
+    Scale: one (key, day) aggregate; ranks come from the per-(key,
+    value) DISTINCT table (mann_whitney's discipline — never a raw-row
+    sort) with key-partitioned prefix windows; the argmax is one keyed
+    max + one keyed min_by over the bounded day table.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        df.filter(F.col(val_col).isNotNull())
+        .groupBy(F.col(key_col), day.alias("__day"))
+        .agg(F.sum(F.col(val_col).cast("decimal(18,4)")).alias("__s"))
+        .select(
+            key_col,
+            "__day",
+            F.floor(
+                round4_stable(F.col("__s").cast("double")) * 10000
+                + F.lit(0.5)
+            ).cast("bigint").alias("__y4"),
+        )
+    )
+    per_v = daily.groupBy(key_col, "__y4").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    wv = (
+        Window.partitionBy(key_col)
+        .orderBy("__y4")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranks = per_v.select(
+        key_col,
+        "__y4",
+        (
+            F.lit(2) * F.coalesce(F.sum("__cnt").over(wv), F.lit(0))
+            + F.col("__cnt")
+            + F.lit(1)
+        ).alias("__r2"),
+    )
+    wd = Window.partitionBy(key_col).orderBy("__day")
+    wn = Window.partitionBy(key_col)
+    uu = (
+        daily.join(ranks, [key_col, "__y4"])
+        .select(
+            key_col,
+            "__day",
+            F.row_number().over(wd).alias("__t"),
+            F.sum("__r2")
+            .over(wd.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("__p2"),
+            F.count(F.lit(1)).over(wn).alias("__n"),
+        )
+        .select(
+            key_col,
+            "__day",
+            "__n",
+            (
+                F.col("__p2") - F.col("__t") * (F.col("__n") + F.lit(1))
+            ).alias("__u"),
+        )
+    )
+    km = uu.groupBy(key_col).agg(F.max(F.abs(F.col("__u"))).alias("__umax"))
+    return (
+        uu.join(F.broadcast(km), key_col)
+        .filter(F.abs(F.col("__u")) == F.col("__umax"))
+        .groupBy(key_col)
+        .agg(
+            F.first("__n").alias("n_days"),
+            F.first("__umax").alias("u_abs_max"),
+            F.min("__day").alias("at_day"),
+            F.min_by("__u", "__day").alias("u_at"),
+        )
+        .select(
+            key_col,
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("u_abs_max").cast("bigint").alias("u_abs_max"),
+            # DATE, not the truncation's midnight timestamp: the day is
+            # a label, and DATE canonicalizes identically cross-engine
+            F.col("at_day").cast("date").alias("at_day"),
+            F.col("u_at").cast("bigint").alias("u_at"),
+            F.signum(F.col("u_at")).cast("int").alias("direction"),
+        )
+    )

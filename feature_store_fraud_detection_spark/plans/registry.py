@@ -12769,6 +12769,62 @@ FROM per_bin p CROSS JOIN g
 """
 
 
+def _q_pettitt_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint per order priority's daily revenue
+    (operators/timeseries.py:pettitt_changepoint) — the rank-based
+    "did the level shift, and when" next to cusum_segments' parametric
+    CUSUM: tie-averaged rank prefix sums, an ENTIRELY integer report
+    (the repo's strongest hash surface — no doubles at all)."""
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        pettitt_changepoint,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return pettitt_changepoint(
+        o, "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+
+
+_PETTITT_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS k, date_trunc('day', o_orderdate) AS d,
+         CAST(floor(
+           (floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  * 10000 + 0.5) / 10000) * 10000 + 0.5
+         ) AS BIGINT) AS y4
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+),
+per_v AS (SELECT k, y4, count(*) AS cnt FROM daily GROUP BY 1, 2),
+ranks AS (
+  SELECT k, y4,
+         2 * COALESCE(sum(cnt) OVER (PARTITION BY k ORDER BY y4
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + cnt + 1 AS r2
+  FROM per_v
+),
+uu AS (
+  SELECT d.k, d.d,
+         count(*) OVER (PARTITION BY d.k) AS n,
+         sum(r.r2) OVER (PARTITION BY d.k ORDER BY d.d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - (row_number() OVER (PARTITION BY d.k ORDER BY d.d))
+           * (count(*) OVER (PARTITION BY d.k) + 1) AS u
+  FROM daily d JOIN ranks r ON r.k = d.k AND r.y4 = d.y4
+),
+km AS (SELECT k, max(abs(u)) AS umax FROM uu GROUP BY 1)
+SELECT uu.k AS o_orderpriority,
+       CAST(max(uu.n) AS BIGINT) AS n_days,
+       CAST(max(km.umax) AS BIGINT) AS u_abs_max,
+       CAST(min(uu.d) AS DATE) AS at_day,
+       CAST(min_by(uu.u, uu.d) AS BIGINT) AS u_at,
+       CAST(CASE WHEN min_by(uu.u, uu.d) > 0 THEN 1
+                 WHEN min_by(uu.u, uu.d) < 0 THEN -1
+                 ELSE 0 END AS INT) AS direction
+FROM uu JOIN km ON km.k = uu.k AND abs(uu.u) = km.umax
+GROUP BY uu.k
+"""
+
+
 def _q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified ATE: does URGENT priority lift order value once you
     adjust for (status x order-year) strata?
@@ -13013,6 +13069,7 @@ QUERIES.update(
             _q_isotonic_calibration, _ISOTONIC_SQL
         ),
         "stratified_ate": QuerySpec(_q_stratified_ate, _STRATIFIED_ATE_SQL),
+        "pettitt_priority": QuerySpec(_q_pettitt_priority, _PETTITT_SQL),
         "ratio_metric_ci": QuerySpec(
             _q_ratio_metric_ci, _RATIO_METRIC_SQL
         ),
@@ -13097,6 +13154,7 @@ _GRADING_PRIORITY: list[str] = [
     "logrank_segments",
     "isotonic_calibration",
     "stratified_ate",
+    "pettitt_priority",
     "linkage_pairs",
     "brier_report",
     "mann_whitney_events",
@@ -13109,12 +13167,12 @@ _GRADING_PRIORITY: list[str] = [
     "repetition_profile",
     # (c) the oldest cohort: 39 of the 45 hash-checkable queries whose
     # latest grade is r3 (the 3 declared rows-only r3 queries are
-    # excluded — a re-grade can only re-earn "rows-only"); the 11
-    # remaining r3 rows (salted_stats, seasonal_anomalies,
-    # session_windows, snapshot_diff, stream_join_batch_twin,
-    # table_profile, token_tfidf, top_returning_customers,
-    # top_supplier_revenue, unigram_nll, winnowing_fingerprints)
-    # rotate to round 9
+    # excluded — a re-grade can only re-earn "rows-only"); the 12
+    # remaining r3 rows (rollup_revenue, salted_stats,
+    # seasonal_anomalies, session_windows, snapshot_diff,
+    # stream_join_batch_twin, table_profile, token_tfidf,
+    # top_returning_customers, top_supplier_revenue, unigram_nll,
+    # winnowing_fingerprints) rotate to round 9
     "asof_join_features",
     "asof_join_tolerance",
     "attribution_last_touch",
@@ -13148,7 +13206,6 @@ _GRADING_PRIORITY: list[str] = [
     "rare_categories",
     "rfm_segments",
     "rolling_rows_avg",
-    "rollup_revenue",
 ]
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (

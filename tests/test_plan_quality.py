@@ -709,3 +709,16 @@ def test_stratified_ate_is_one_keyed_aggregate(spark, sf_dir):
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pettitt_ranks_never_sort_raw_rows(spark, sf_dir):
+    """Pettitt's ranks come from the per-(key, value) DISTINCT
+    aggregate with key-partitioned prefix windows (mann_whitney's
+    discipline) — no single-partition window, no cartesian product;
+    the argmax join broadcasts the bounded per-key max table."""
+    df = QUERIES["pettitt_priority"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -2031,3 +2031,32 @@ def test_stratified_ate_hand_fixture(spark):
     )
     with pytest.raises(Exception, match="no stratum has both arms"):
         stratified_ate(one_armed, "t", "y", "s").collect()
+
+
+def test_pettitt_changepoint_hand_fixture(spark):
+    """Planted level step: U_t = -10t before the break (all low-half
+    ranks), recovering at +10/day after — max |U| = 100 exactly at the
+    last pre-shift day, direction negative (step UP). A constant
+    series has U identically 0."""
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        pettitt_changepoint,
+    )
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        rows.append(
+            ("shift", d0 + dt.timedelta(days=i),
+             10.0 if i < 10 else 100.0)
+        )
+        rows.append(("flat", d0 + dt.timedelta(days=i), 7.0))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        r.k: r
+        for r in pettitt_changepoint(df, "k", "ts", "v").collect()
+    }
+    s = out["shift"]
+    assert (s.n_days, s.u_abs_max, s.u_at, s.direction) == (20, 100, -100, -1)
+    assert s.at_day == dt.date(2024, 1, 10)  # last pre-shift day
+    f = out["flat"]
+    assert (f.u_abs_max, f.u_at, f.direction) == (0, 0, 0)

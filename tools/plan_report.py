@@ -196,6 +196,13 @@ SELECTED: dict[str, str] = {
         "survival fold — rides the bounded day table (max_days-capped), "
         "so no subject-row sort, join, or window anywhere."
     ),
+    "pettitt_priority": (
+        "Ranks come from the per-(key, value) DISTINCT aggregate with "
+        "key-partitioned prefix windows — never a raw-row or global "
+        "sort; U_t is window arithmetic over the bounded day table and "
+        "the argmax joins the broadcast per-key max. Entirely integer "
+        "output."
+    ),
     "stratified_ate": (
         "ONE (stratum) hash aggregate of exact integer-cents moments; "
         "the stratum-sorted weighted-diff fold and the replicated "
