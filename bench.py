@@ -170,6 +170,7 @@ HEADLINE: list[tuple[str, int]] = [
     ("isotonic_calibration", 8),
     ("stratified_ate", 8),
     ("pettitt_priority", 8),
+    ("acf_priority", 8),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

@@ -1055,3 +1055,106 @@ def pettitt_changepoint(
             F.signum(F.col("u_at")).cast("int").alias("direction"),
         )
     )
+
+
+def acf_profile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    max_lag: int = 14,
+) -> DataFrame:
+    """Per-key autocorrelation profile of the daily series at calendar
+    lags 1..max_lag — the "WHICH lag is the season" diagnostic between
+    :func:`seasonal_strength` (is there a weekly profile at all) and
+    :func:`holt_winters_forecast` (fit it): a spike at lag 7 says
+    weekly, at lag 1 says momentum, nowhere says don't bother.
+
+    Estimator: the Pearson correlation over CALENDAR-lag pairs
+    ``(y_d, y_{d+k})`` — days pair by integer day-number join, so a gap
+    in the series never silently misaligns lags (run
+    :func:`resample_gapfill` first if zero-filling is the right gap
+    semantics instead).
+
+    Exact-moment discipline (anova_f's): daily totals quantize to
+    integer 1e4-ths, all six pair moments are exact BIGINT /
+    DECIMAL(38,0) sums, and the correlation is derived ONCE from those
+    moments in fixed IEEE order and rounded to 4. A lag with fewer than
+    2 pairs or zero variance on either side reports NULL acf (nothing
+    to correlate) — never NaN/inf.
+
+    Scale: one (key, day) aggregate, one lag-exploded SELF-JOIN
+    co-partitioned on (key, day-number) — the joined frame is
+    |days| x max_lag per key, bounded by the calendar — then one
+    (key, lag) moment aggregate. No windows, no driver state.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        df.filter(F.col(val_col).isNotNull())
+        .groupBy(F.col(key_col), day.alias("__day"))
+        .agg(F.sum(F.col(val_col).cast("decimal(18,4)")).alias("__s"))
+        .select(
+            key_col,
+            F.datediff(
+                F.col("__day").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("__dn"),
+            F.floor(
+                round4_stable(F.col("__s").cast("double")) * 10000
+                + F.lit(0.5)
+            ).cast("bigint").alias("__y4"),
+        )
+    )
+    left = daily.select(
+        key_col,
+        "__dn",
+        F.col("__y4").alias("__x"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(max_lag)))
+        ).alias("lag"),
+    ).withColumn("__dn_b", F.col("__dn") + F.col("lag"))
+    right = daily.select(
+        key_col,
+        F.col("__dn").alias("__dn_b"),
+        F.col("__y4").alias("__yv"),
+    )
+    pairs = left.join(right, [key_col, "__dn_b"])
+    per = pairs.groupBy(key_col, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__yv").alias("__sy"),
+        F.sum(F.col("__x").cast("decimal(38,0)") * F.col("__x")).alias(
+            "__sxx"
+        ),
+        F.sum(F.col("__yv").cast("decimal(38,0)") * F.col("__yv")).alias(
+            "__syy"
+        ),
+        F.sum(F.col("__x").cast("decimal(38,0)") * F.col("__yv")).alias(
+            "__sxy"
+        ),
+    )
+    n = F.col("n_pairs")
+    num = (
+        n * F.col("__sxy")
+        - F.col("__sx").cast("decimal(38,0)") * F.col("__sy")
+    ).cast("double")
+    d1 = (
+        n * F.col("__sxx")
+        - F.col("__sx").cast("decimal(38,0)") * F.col("__sx")
+    ).cast("double")
+    d2 = (
+        n * F.col("__syy")
+        - F.col("__sy").cast("decimal(38,0)") * F.col("__sy")
+    ).cast("double")
+    r = num / (F.sqrt(d1) * F.sqrt(d2))
+    return per.select(
+        key_col,
+        F.col("lag").cast("int").alias("lag"),
+        n.cast("bigint").alias("n_pairs"),
+        round4_stable(
+            F.when((n >= 2) & (d1 > 0.0) & (d2 > 0.0), r)
+        ).alias("acf"),
+    )

@@ -722,3 +722,14 @@ def test_pettitt_ranks_never_sort_raw_rows(spark, sf_dir):
     assert "SinglePartition" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_acf_pairs_join_is_keyed_on_day_number(spark, sf_dir):
+    """ACF's lag pairs come from ONE self-join co-partitioned on
+    (key, day-number) — never a cartesian product; the moments collapse
+    in one (key, lag) hash aggregate with no window."""
+    df = QUERIES["acf_priority"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan

@@ -2060,3 +2060,33 @@ def test_pettitt_changepoint_hand_fixture(spark):
     assert s.at_day == dt.date(2024, 1, 10)  # last pre-shift day
     f = out["flat"]
     assert (f.u_abs_max, f.u_at, f.direction) == (0, 0, 0)
+
+
+def test_acf_profile_periodic_and_gaps(spark):
+    """A perfect 2-periodic series has acf(1) = -1 and acf(2) = +1; a
+    constant series reports NULL (zero variance, not NaN); a calendar
+    gap drops pairs instead of silently misaligning lags."""
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        acf_profile,
+    )
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(10):
+        rows.append(("alt", d0 + dt.timedelta(days=i),
+                     10.0 if i % 2 == 0 else 20.0))
+        rows.append(("const", d0 + dt.timedelta(days=i), 7.0))
+        if i != 4:  # calendar hole at day 4
+            rows.append(("gap", d0 + dt.timedelta(days=i), float(i * i)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r.k, r.lag): r
+        for r in acf_profile(df, "k", "ts", "v", max_lag=3).collect()
+    }
+    assert out[("alt", 1)].acf == -1.0 and out[("alt", 1)].n_pairs == 9
+    assert out[("alt", 2)].acf == 1.0 and out[("alt", 2)].n_pairs == 8
+    assert out[("const", 1)].acf is None
+    # gap at day 4: lag-1 pairs lose BOTH (3->4) and (4->5)
+    assert out[("gap", 1)].n_pairs == 7
+    # lag-2: only the pair spanning the hole's ends survives around it
+    assert out[("gap", 2)].n_pairs == 6

@@ -196,6 +196,12 @@ SELECTED: dict[str, str] = {
         "survival fold — rides the bounded day table (max_days-capped), "
         "so no subject-row sort, join, or window anywhere."
     ),
+    "acf_priority": (
+        "Lag pairs come from ONE self-join co-partitioned on (key, "
+        "integer day-number) after the lag explode — bounded |days| x "
+        "max_lag per key; six exact moments collapse in one (key, lag) "
+        "hash aggregate; no window, no driver state."
+    ),
     "pettitt_priority": (
         "Ranks come from the per-(key, value) DISTINCT aggregate with "
         "key-partitioned prefix windows — never a raw-row or global "
