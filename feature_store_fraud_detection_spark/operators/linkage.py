@@ -146,11 +146,7 @@ def fellegi_sunter_pairs(
         # plan literals: ln computed ONCE on the driver (python libm),
         # spelled to the SQL twin as the same ln() over the same exact
         # integer ratio so both engines fold identical constants
-        agree = (
-            F.col(f"{f}_a").isNotNull()
-            & F.col(f"{f}_b").isNotNull()
-            & (F.col(f"{f}_a") == F.col(f"{f}_b"))
-        )
+        agree = _agree_flag(f)
         w_agree = F.log(F.lit(m) / (F.lit(float(ap)) / F.lit(float(n * (n - 1)))))
         w_disagree = F.log(
             (F.lit(1.0) - F.lit(m))

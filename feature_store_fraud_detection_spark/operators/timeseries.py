@@ -292,88 +292,32 @@ def kaplan_meier(
     ts_col: str,
     censor_days: int = 3,
 ) -> DataFrame:
-    """Kaplan-Meier survival curve over per-key activity lifetimes — the
-    product-analytics retention estimator: how long do users stay active,
-    with right-censoring handled correctly (users still active near the
-    observation edge are AT RISK, not churned — naive retention curves
-    silently treat them as dead). Lifetime = whole days between a key's
-    first and last event; a key is censored when its last event falls
-    within ``censor_days`` of the globally latest event.
+    """Kaplan-Meier survival curve over per-key activity lifetimes —
+    the deaths-only retention view ``(t_days, n_at_risk, n_events,
+    survival)`` this module has exported since round 4.
 
-    Output per distinct churn time t: (t_days, n_at_risk, n_events,
-    survival) with S(t) = prod_{t_i <= t} (1 - d_i / n_i), the standard
-    estimator. The product folds the (integer-exact) per-time factors in
-    ascending-t order — a sequential IEEE sequence identical in both
-    engines — and rounds to 4 at the end.
-
-    Scale: one per-key min/max aggregate, then everything happens on the
-    lifetime HISTOGRAM (bounded by the observation span in days): at-risk
-    counts are a suffix sum over it, the survival product an O(k^2) fold
-    over the death-time list — k = distinct days, never keys.
+    Since round 8 this is a thin SCHEMA ADAPTER over the canonical
+    :func:`operators.survival.kaplan_meier` (one implementation of the
+    product-limit estimator in the repo, not two): the canonical form
+    also reports censor counts and censoring-only days; this view
+    filters to death days and keeps the original column names. The
+    survival values are BIT-identical — censor-only days multiply the
+    running product by exactly ``1 - 0/n == 1.0``, an IEEE no-op, so
+    dropping those rows changes nothing downstream (pinned by the
+    original hand fixture and the `user_survival` oracle).
     """
-    from feature_store_fraud_detection_spark.functions.numeric import (
-        round4_stable,
+    from feature_store_fraud_detection_spark.operators.survival import (
+        kaplan_meier as _canonical_km,
     )
 
-    spans = df.groupBy(key_col).agg(
-        F.min(ts_col).alias("__first"), F.max(ts_col).alias("__last")
+    out = _canonical_km(
+        df, key_col, ts_col, censor_horizon_days=censor_days
     )
-    edge = df.agg(F.max(ts_col).alias("__edge"))
-    life = spans.crossJoin(F.broadcast(edge)).select(
-        F.floor(
-            (
-                F.unix_timestamp("__last") - F.unix_timestamp("__first")
-            )
-            / F.lit(86400)
-        )
-        .cast("bigint")
-        .alias("t"),
-        (
-            F.unix_timestamp("__last")
-            >= F.unix_timestamp("__edge") - F.lit(censor_days * 86400)
-        ).alias("censored"),
-    )
-    hist = life.groupBy("t").agg(
-        F.sum((~F.col("censored")).cast("bigint")).alias("d"),
-        F.count(F.lit(1)).alias("n_all"),
-    )
-    # n_at_risk(t) = keys whose lifetime >= t: suffix sum over the
-    # bounded histogram
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("t").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    at_risk = hist.select(
-        "t", "d", F.sum("n_all").over(w).alias("n_at_risk")
-    )
-    deaths = at_risk.filter(F.col("d") > 0)
-    # fold the death-time factor list once (bounded), then look up the
-    # prefix product per row
-    factors = deaths.agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("t"),
-                    (
-                        F.lit(1.0)
-                        - F.col("d").cast("double")
-                        / F.col("n_at_risk").cast("double")
-                    ).alias("f"),
-                )
-            )
-        ).alias("__fs")
-    )
-    joined = deaths.crossJoin(F.broadcast(factors))
-    upto = F.filter("__fs", lambda s: s["t"] <= F.col("t"))
-    surv = F.aggregate(
-        upto, F.lit(1.0), lambda acc, s: acc * s["f"]
-    )
-    return joined.select(
-        F.col("t").alias("t_days"),
-        F.col("n_at_risk"),
-        F.col("d").alias("n_events"),
-        round4_stable(surv).alias("survival"),
+    return out.filter(F.col("n_churned") > 0).select(
+        F.col("duration_days").alias("t_days"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("n_churned").alias("n_events"),
+        "survival",
     )
 
 

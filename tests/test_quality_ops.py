@@ -1729,10 +1729,11 @@ def test_t_closeness_numeric_emd_hand_fixture(spark):
         t_closeness_numeric_profile(const, ["qi"], "band").collect()
 
 
-def test_kaplan_meier_hand_fixture(spark):
-    """Product-limit estimator by hand: 6 subjects, deaths at days
-    0/2/5, two censored survivors near the cutoff — censoring must
-    remove subjects from the risk set WITHOUT stepping the curve."""
+def test_kaplan_meier_survival_hand_fixture(spark):
+    """Product-limit estimator by hand (the survival.py canonical form
+    with censor columns): 6 subjects, deaths at days 0/2/5, two
+    censored survivors near the cutoff — censoring must remove subjects
+    from the risk set WITHOUT stepping the curve."""
     import pytest
 
     from feature_store_fraud_detection_spark.operators.survival import (
