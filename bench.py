@@ -171,6 +171,7 @@ HEADLINE: list[tuple[str, int]] = [
     ("stratified_ate", 8),
     ("pettitt_priority", 8),
     ("acf_priority", 8),
+    ("group_sequential", 8),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from feature_store_fraud_detection_spark.functions.numeric import round4_stable
@@ -1171,4 +1171,157 @@ def stratified_ate(
         inc.cast("int").alias("included"),
         "n_included",
         "ate",
+    )
+
+
+#: O'Brien-Fleming constants C(K) for two-sided alpha=0.05 with K
+#: equally-spaced looks (O'Brien & Fleming 1979; standard group-
+#: sequential tables): look-k boundary = C * sqrt(K / k).
+_OBF_C = {1: 1.96, 2: 1.977, 3: 2.004, 4: 2.024, 5: 2.04}
+
+
+def group_sequential_ab(
+    df: DataFrame,
+    unit_col: str,
+    success_col,
+    ts_col: str,
+    n_looks: int = 5,
+    salt: str = "exp1",
+) -> DataFrame:
+    """Group-sequential A/B readout — "peeking with a plan", the third
+    member of the monitoring ladder next to :func:`ab_test_report`
+    (fixed-horizon, peeking inflates alpha) and
+    :func:`sequential_ab_msprt` (always-valid, any-time peeking at a
+    power cost): the experiment window splits into ``n_looks`` equal
+    time slices, and look k compares the arms over everything seen up
+    to its cutoff against the O'Brien-Fleming boundary
+    ``C(K) * sqrt(K/k)`` — brutally conservative early (4.56 sigma at
+    the first of five looks), converging to ~nominal at the last.
+
+    Determinism: cutoffs are exact integer microseconds
+    ``min + floor(span*k/K)`` (span*k stays under 2^53 — fail-loud
+    guarded); arms are the salted-md5 unit hash every A/B operator here
+    shares; per-look counts are exact; z is the pooled two-proportion
+    statistic derived once per look in fixed IEEE order; boundaries are
+    ``C * sqrt(K/k)`` with C a table literal and sqrt of an exact
+    rational — identical doubles in both engines. A look where an arm
+    is still empty, or with zero/unanimous pooled conversions (zero
+    pooled SE), reports NULL z and crossed=0: "no evidence yet" is a
+    normal interim state, not an error.
+
+    Output per look: ``(look, n_a, n_b, s_a, s_b, z, boundary,
+    crossed)``. The decision rule is the FIRST crossed look; later
+    looks are reported for the full picture.
+
+    Scale: one keyed unit aggregate, one bounded x n_looks explode of
+    the UNIT table (not events), one n_looks-row count aggregate.
+    """
+    import math
+
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+    from feature_store_fraud_detection_spark.operators.encoders import (
+        md5_int,
+    )
+
+    if n_looks not in _OBF_C:
+        raise ValueError(
+            f"group_sequential_ab: n_looks must be one of "
+            f"{sorted(_OBF_C)} (published O'Brien-Fleming constants)"
+        )
+    k_total = int(n_looks)
+    boundaries = [
+        _OBF_C[k_total] * math.sqrt(k_total / k)
+        for k in range(1, k_total + 1)
+    ]
+    b_arr = F.array(*[F.lit(b) for b in boundaries])
+
+    us = F.unix_micros(F.col(ts_col))
+    succ = (
+        success_col if isinstance(success_col, Column)
+        else F.col(success_col)
+    ).cast("boolean")
+    per_unit = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(unit_col).isNotNull())
+        .groupBy(unit_col)
+        .agg(
+            F.min(us).alias("__first"),
+            F.min(F.when(succ, us)).alias("__conv"),
+        )
+    )
+    bounds = df.filter(
+        F.col(ts_col).isNotNull() & F.col(unit_col).isNotNull()
+    ).agg(F.min(us).alias("__lo"), F.max(us).alias("__hi"))
+    arm_a = (
+        md5_int(
+            F.concat(F.lit(salt + "|"), F.col(unit_col).cast("string"))
+        )
+        % 2
+        == 0
+    )
+    span_k = (F.col("__hi") - F.col("__lo")) * F.col("look")
+    span_ok = F.when(span_k < F.lit(9.0e15), span_k).otherwise(
+        F.raise_error(
+            F.lit(
+                "group_sequential_ab: span*look leaves the exact "
+                "double-floor range — shrink the window or the looks"
+            )
+        ).cast("bigint")
+    )
+    cells = (
+        per_unit.select(
+            arm_a.alias("__a"),
+            "__first",
+            "__conv",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(k_total))
+            ).alias("look"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__cut",
+            F.col("__lo")
+            + F.floor(span_ok / F.lit(float(k_total))).cast("bigint"),
+        )
+        .filter(F.col("__first") <= F.col("__cut"))
+        .groupBy("look")
+        .agg(
+            F.sum(F.col("__a").cast("bigint")).alias("n_a"),
+            F.sum((~F.col("__a")).cast("bigint")).alias("n_b"),
+            F.sum(
+                (F.col("__a") & (F.col("__conv") <= F.col("__cut")))
+                .cast("bigint")
+            ).alias("s_a"),
+            F.sum(
+                ((~F.col("__a")) & (F.col("__conv") <= F.col("__cut")))
+                .cast("bigint")
+            ).alias("s_b"),
+        )
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa = F.col("s_a").cast("double")
+    sb = F.col("s_b").cast("double")
+    pp = (sa + sb) / (na + nb)
+    se = F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = F.when(
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("s_a") + F.col("s_b") > 0)
+        & (F.col("s_a") + F.col("s_b") < F.col("n_a") + F.col("n_b")),
+        (sa / na - sb / nb) / se,
+    )
+    boundary = F.element_at(b_arr, F.col("look"))
+    return cells.select(
+        F.col("look").cast("int").alias("look"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("s_a").cast("bigint").alias("s_a"),
+        F.col("s_b").cast("bigint").alias("s_b"),
+        round4_stable(z).alias("z"),
+        round4_stable(boundary).alias("boundary"),
+        F.coalesce(
+            (F.abs(z) >= boundary).cast("int"), F.lit(0)
+        ).alias("crossed"),
     )

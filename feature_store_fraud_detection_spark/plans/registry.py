@@ -12769,6 +12769,88 @@ FROM per_bin p CROSS JOIN g
 """
 
 
+def _q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-look O'Brien-Fleming group-sequential readout of the
+    purchase-conversion experiment
+    (operators/evaluation.py:group_sequential_ab) — "peeking with a
+    plan" between ab_test_report (fixed horizon) and
+    sequential_ab_msprt (always-valid): per-look exact counts up to
+    equal-spaced time cutoffs vs C(5)*sqrt(5/k) boundaries."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        group_sequential_ab,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return group_sequential_ab(
+        ev,
+        "user_id",
+        F.col("event_type") == "purchase",
+        "ts",
+        n_looks=5,
+        salt="exp1",
+    )
+
+
+_GROUP_SEQUENTIAL_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type = 'purchase' AS succ
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+per_unit AS (
+  SELECT user_id, min(us) AS first_us,
+         min(CASE WHEN succ THEN us END) AS conv_us,
+         (('0x' || substr(md5('exp1|' || CAST(user_id AS VARCHAR)),
+                          1, 15))::BIGINT % 2 = 0) AS a
+  FROM ev GROUP BY user_id
+),
+b AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+looks AS (SELECT unnest(generate_series(1, 5)) AS look),
+cells AS (
+  SELECT l.look,
+         sum(CASE WHEN p.a THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN NOT p.a THEN 1 ELSE 0 END) AS n_b,
+         sum(CASE WHEN p.a AND p.conv_us <=
+                  b.lo + CAST(floor(((b.hi - b.lo) * l.look) / 5.0)
+                              AS BIGINT)
+                  THEN 1 ELSE 0 END) AS s_a,
+         sum(CASE WHEN (NOT p.a) AND p.conv_us <=
+                  b.lo + CAST(floor(((b.hi - b.lo) * l.look) / 5.0)
+                              AS BIGINT)
+                  THEN 1 ELSE 0 END) AS s_b
+  FROM per_unit p CROSS JOIN b CROSS JOIN looks l
+  WHERE p.first_us <= b.lo + CAST(floor(((b.hi - b.lo) * l.look) / 5.0)
+                                  AS BIGINT)
+  GROUP BY 1
+),
+zc AS (
+  SELECT look, n_a, n_b, s_a, s_b,
+         CASE WHEN n_a > 0 AND n_b > 0 AND s_a + s_b > 0
+                   AND s_a + s_b < n_a + n_b
+              THEN (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                    - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                   / sqrt(((CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE))
+                           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                          * (1.0 - (CAST(s_a AS DOUBLE)
+                                    + CAST(s_b AS DOUBLE))
+                                   / (CAST(n_a AS DOUBLE)
+                                      + CAST(n_b AS DOUBLE)))
+                          * (1.0 / CAST(n_a AS DOUBLE)
+                             + 1.0 / CAST(n_b AS DOUBLE)))
+         END AS z,
+         2.04 * sqrt(CAST(5 AS DOUBLE) / CAST(look AS DOUBLE)) AS boundary
+  FROM cells
+)
+SELECT CAST(look AS INT) AS look,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(s_a AS BIGINT) AS s_a, CAST(s_b AS BIGINT) AS s_b,
+       floor(z * 10000 + 0.5) / 10000 AS z,
+       floor(boundary * 10000 + 0.5) / 10000 AS boundary,
+       CASE WHEN z IS NOT NULL AND abs(z) >= boundary THEN 1 ELSE 0 END
+         AS crossed
+FROM zc
+"""
+
+
 def _q_acf_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation profile of each priority's daily revenue at
     calendar lags 1..14 (operators/timeseries.py:acf_profile) — the
@@ -13128,6 +13210,9 @@ QUERIES.update(
         "stratified_ate": QuerySpec(_q_stratified_ate, _STRATIFIED_ATE_SQL),
         "pettitt_priority": QuerySpec(_q_pettitt_priority, _PETTITT_SQL),
         "acf_priority": QuerySpec(_q_acf_priority, _ACF_PRIORITY_SQL),
+        "group_sequential": QuerySpec(
+            _q_group_sequential, _GROUP_SEQUENTIAL_SQL
+        ),
         "ratio_metric_ci": QuerySpec(
             _q_ratio_metric_ci, _RATIO_METRIC_SQL
         ),
@@ -13214,6 +13299,7 @@ _GRADING_PRIORITY: list[str] = [
     "stratified_ate",
     "pettitt_priority",
     "acf_priority",
+    "group_sequential",
     "linkage_pairs",
     "brier_report",
     "mann_whitney_events",
@@ -13226,12 +13312,13 @@ _GRADING_PRIORITY: list[str] = [
     "repetition_profile",
     # (c) the oldest cohort: 39 of the 45 hash-checkable queries whose
     # latest grade is r3 (the 3 declared rows-only r3 queries are
-    # excluded — a re-grade can only re-earn "rows-only"); the 13
-    # remaining r3 rows (rolling_rows_avg, rollup_revenue,
-    # salted_stats, seasonal_anomalies, session_windows,
-    # snapshot_diff, stream_join_batch_twin, table_profile,
-    # token_tfidf, top_returning_customers, top_supplier_revenue,
-    # unigram_nll, winnowing_fingerprints) rotate to round 9
+    # excluded — a re-grade can only re-earn "rows-only"); the 14
+    # remaining r3 rows (rfm_segments, rolling_rows_avg,
+    # rollup_revenue, salted_stats, seasonal_anomalies,
+    # session_windows, snapshot_diff, stream_join_batch_twin,
+    # table_profile, token_tfidf, top_returning_customers,
+    # top_supplier_revenue, unigram_nll, winnowing_fingerprints)
+    # rotate to round 9
     "asof_join_features",
     "asof_join_tolerance",
     "attribution_last_touch",
@@ -13263,7 +13350,6 @@ _GRADING_PRIORITY: list[str] = [
     "priority_late_orders",
     "promo_revenue_share",
     "rare_categories",
-    "rfm_segments",
 ]
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (

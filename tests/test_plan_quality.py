@@ -733,3 +733,15 @@ def test_acf_pairs_join_is_keyed_on_day_number(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_group_sequential_explodes_units_not_events(spark, sf_dir):
+    """The look explode rides the per-UNIT aggregate (units x K rows),
+    never raw events; window bounds broadcast as a 1-row scalar; no
+    sort-merge join, no cartesian product (the scalar cross joins are
+    BroadcastNestedLoopJoin)."""
+    df = QUERIES["group_sequential"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

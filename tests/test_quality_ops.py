@@ -2091,3 +2091,66 @@ def test_acf_profile_periodic_and_gaps(spark):
     assert out[("gap", 1)].n_pairs == 7
     # lag-2: only the pair spanning the hole's ends survives around it
     assert out[("gap", 2)].n_pairs == 6
+
+
+def test_group_sequential_ab_boundaries_and_crossing(spark):
+    """O'Brien-Fleming readout: boundaries C*sqrt(K/k) descend to ~2.04
+    at the last look; looks before any conversion report NULL z and
+    never cross; a planted all-treatment-converts effect crosses once
+    enough units have arrived."""
+    import math as _m
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        group_sequential_ab,
+    )
+    from feature_store_fraud_detection_spark.operators.encoders import (
+        md5_int,
+    )
+
+    d0 = dt.datetime(2024, 1, 1)
+    ids = list(range(400))
+    arm_rows = spark.createDataFrame(
+        [(i,) for i in ids], "u long"
+    ).select(
+        "u",
+        (
+            md5_int(F.concat(F.lit("exp1|"), F.col("u").cast("string")))
+            % 2
+            == 0
+        ).alias("a"),
+    ).collect()
+    arm = {r.u: r.a for r in arm_rows}
+
+    rows = []
+    for i in ids:
+        first = d0 + dt.timedelta(days=(i % 10))
+        rows.append((i, first, 0))                  # arrival event
+        if arm[i] and (i % 10) >= 6:
+            # treatment units convert — but only ones arriving late, so
+            # the FIRST looks (cutoffs in days 0-5) see zero conversions
+            rows.append((i, first + dt.timedelta(hours=1), 1))
+    # pin the window: one far-end no-op control event at day 9 23:00
+    rows.append((9999, d0 + dt.timedelta(days=9, hours=23), 0))
+    df = spark.createDataFrame(rows, "u long, ts timestamp, conv int")
+    out = {
+        r.look: r
+        for r in group_sequential_ab(
+            df, "u", F.col("conv") == 1, "ts", n_looks=5
+        ).collect()
+    }
+    r4 = lambda x: _m.floor(x * 10000 + 0.5) / 10000  # noqa: E731
+    for k in range(1, 6):
+        assert out[k].boundary == r4(2.04 * _m.sqrt(5 / k))
+    assert out[5].boundary == 2.04
+    # arrivals accumulate monotonically
+    assert all(
+        out[k].n_a <= out[k + 1].n_a and out[k].n_b <= out[k + 1].n_b
+        for k in range(1, 5)
+    )
+    # early looks: nobody has converted yet -> NULL z, no crossing
+    assert out[1].z is None and out[1].crossed == 0
+    assert out[1].s_a == 0 and out[1].s_b == 0
+    # by the last look every late-arriving treatment unit converted and
+    # no control did: a one-sided wipeout must clear even OBF's bar
+    assert out[5].s_a > 0 and out[5].s_b == 0
+    assert out[5].crossed == 1 and out[5].z > out[5].boundary

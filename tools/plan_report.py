@@ -196,6 +196,12 @@ SELECTED: dict[str, str] = {
         "survival fold — rides the bounded day table (max_days-capped), "
         "so no subject-row sort, join, or window anywhere."
     ),
+    "group_sequential": (
+        "One keyed unit aggregate; the K-look explode rides the UNIT "
+        "table (units x 5 rows, never events); window bounds broadcast "
+        "as a 1-row scalar; per-look counts collapse in one 5-row hash "
+        "aggregate and the z/boundary algebra is a final projection."
+    ),
     "acf_priority": (
         "Lag pairs come from ONE self-join co-partitioned on (key, "
         "integer day-number) after the lag explode — bounded |days| x "
