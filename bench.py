@@ -172,6 +172,7 @@ HEADLINE: list[tuple[str, int]] = [
     ("pettitt_priority", 8),
     ("acf_priority", 8),
     ("group_sequential", 8),
+    ("split_novelty", 8),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

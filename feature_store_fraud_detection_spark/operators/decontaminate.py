@@ -69,3 +69,61 @@ def benchmark_contamination(
         )
         .select(id_col, "n_shingles", "n_overlap", "overlap_ratio", "contaminated")
     )
+
+
+def split_novelty(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-test-document n-gram NOVELTY against the train split — the
+    large-train companion to :func:`benchmark_contamination` (which
+    broadcasts a bounded benchmark): for each test document, the
+    fraction of its distinct k-gram shingles never seen ANYWHERE in
+    train. Low novelty marks memorization risk / split leakage — the
+    eval rows the model may have effectively already read; it is also
+    the honest denominator for "how hard is this held-out set".
+
+    Scale design: both sides collapse to DISTINCT md5 shingle DIGEST
+    tables (text never shuffles — the dup_ngram_stats rule), the probe
+    is one digest-keyed left join (co-partitioned 32-byte keys; the
+    train index can be arbitrarily large — no broadcast assumption),
+    and the readout is one per-doc count aggregate. Test documents with
+    zero shingles (shorter than k tokens) have no novelty to measure
+    and are absent from the output.
+
+    Output per test doc: ``(id, n_shingles, n_seen, novelty)`` with
+    ``novelty = 1 - n_seen/n_shingles`` (round4) — exact integer counts
+    otherwise.
+    """
+    tr = (
+        shingle_table(train, id_col, text_col, k)
+        .select(F.md5("shingle").alias("__d"))
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    te = (
+        shingle_table(test, id_col, text_col, k)
+        .select(F.col(id_col), F.md5("shingle").alias("__d"))
+        .distinct()
+    )
+    per_doc = (
+        te.join(tr, "__d", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__seen"), F.lit(0))).alias("n_seen"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_seen").cast("bigint").alias("n_seen"),
+        round4_stable(
+            F.lit(1.0)
+            - F.col("n_seen").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("novelty"),
+    )

@@ -12769,6 +12769,54 @@ FROM per_bin p CROSS JOIN g
 """
 
 
+def _q_split_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-test-document shingle novelty vs the train split
+    (operators/decontaminate.py:split_novelty): documents split 80/20
+    by the deterministic doc-id hash (train_test_hash_split, salt
+    "nv"), each held-out doc scored by the share of its 3-gram
+    shingles NEVER seen in train — the memorization-risk /
+    split-leakage readout next to benchmark_contamination's
+    bounded-benchmark probe."""
+    from feature_store_fraud_detection_spark.operators.decontaminate import (
+        split_novelty,
+    )
+    from feature_store_fraud_detection_spark.operators.sampling import (
+        train_test_hash_split,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    train, test = train_test_hash_split(
+        docs, "doc_id", test_fraction=0.2, salt="nv"
+    )
+    return split_novelty(train, test, "doc_id", "text", k=3)
+
+
+_SPLIT_NOVELTY_SQL = f"""
+WITH {_SHINGLES_CTE},
+tagged AS (
+  SELECT doc_id, shingle,
+         CAST('0x' || substring(md5('nv|' || CAST(doc_id AS VARCHAR)),
+                                1, 15) AS BIGINT) < 230584300921369408 AS is_test
+  FROM sh
+),
+tr AS (SELECT DISTINCT md5(shingle) AS d FROM tagged WHERE NOT is_test),
+te AS (SELECT DISTINCT doc_id, md5(shingle) AS d FROM tagged
+       WHERE is_test),
+per_doc AS (
+  SELECT te.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN tr.d IS NOT NULL THEN 1 ELSE 0 END) AS n_seen
+  FROM te LEFT JOIN tr ON tr.d = te.d
+  GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_seen AS BIGINT) AS n_seen,
+       floor((1.0 - CAST(n_seen AS DOUBLE) / CAST(n_shingles AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS novelty
+FROM per_doc
+"""
+
+
 def _q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five-look O'Brien-Fleming group-sequential readout of the
     purchase-conversion experiment
@@ -13213,6 +13261,7 @@ QUERIES.update(
         "group_sequential": QuerySpec(
             _q_group_sequential, _GROUP_SEQUENTIAL_SQL
         ),
+        "split_novelty": QuerySpec(_q_split_novelty, _SPLIT_NOVELTY_SQL),
         "ratio_metric_ci": QuerySpec(
             _q_ratio_metric_ci, _RATIO_METRIC_SQL
         ),
@@ -13300,6 +13349,7 @@ _GRADING_PRIORITY: list[str] = [
     "pettitt_priority",
     "acf_priority",
     "group_sequential",
+    "split_novelty",
     "linkage_pairs",
     "brier_report",
     "mann_whitney_events",
@@ -13312,8 +13362,8 @@ _GRADING_PRIORITY: list[str] = [
     "repetition_profile",
     # (c) the oldest cohort: 39 of the 45 hash-checkable queries whose
     # latest grade is r3 (the 3 declared rows-only r3 queries are
-    # excluded — a re-grade can only re-earn "rows-only"); the 14
-    # remaining r3 rows (rfm_segments, rolling_rows_avg,
+    # excluded — a re-grade can only re-earn "rows-only"); the 15
+    # remaining r3 rows (rare_categories, rfm_segments, rolling_rows_avg,
     # rollup_revenue, salted_stats, seasonal_anomalies,
     # session_windows, snapshot_diff, stream_join_batch_twin,
     # table_profile, token_tfidf, top_returning_customers,
@@ -13349,7 +13399,6 @@ _GRADING_PRIORITY: list[str] = [
     "percentiles",
     "priority_late_orders",
     "promo_revenue_share",
-    "rare_categories",
 ]
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (

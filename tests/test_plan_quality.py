@@ -745,3 +745,14 @@ def test_group_sequential_explodes_units_not_events(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_split_novelty_shuffles_digests_not_text(spark, sf_dir):
+    """The train-index probe must join on md5 DIGESTS (32-byte keys at
+    100 TB), never raw shingle text, and never a cartesian product or
+    broadcast-of-the-corpus assumption."""
+    df = QUERIES["split_novelty"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "shingle#" not in seg[:120], seg[:120]

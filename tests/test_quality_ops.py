@@ -2154,3 +2154,36 @@ def test_group_sequential_ab_boundaries_and_crossing(spark):
     # no control did: a one-sided wipeout must clear even OBF's bar
     assert out[5].s_a > 0 and out[5].s_b == 0
     assert out[5].crossed == 1 and out[5].z > out[5].boundary
+
+
+def test_split_novelty_hand_fixture(spark):
+    """Fully-contained test doc -> novelty 0; fully-novel -> 1; a doc
+    sharing half its shingles -> 0.5 with exact counts; sub-k docs are
+    absent (nothing to measure)."""
+    from feature_store_fraud_detection_spark.operators.decontaminate import (
+        split_novelty,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),        # both shingles in train
+            (11, "zeta eta theta iota kappa"),     # nothing in train
+            # shingles: [alpha beta gamma, beta gamma XX, gamma XX YY,
+            # XX YY ZZ]: exactly 1 of 4 seen
+            (12, "alpha beta gamma XX YY ZZ"),
+            (13, "too short"),                     # < k tokens: absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in split_novelty(train, test, "doc_id", "text", k=3).collect()
+    }
+    assert out[10].novelty == 0.0 and out[10].n_seen == out[10].n_shingles
+    assert out[11].novelty == 1.0 and out[11].n_seen == 0
+    assert (out[12].n_shingles, out[12].n_seen) == (4, 1)
+    assert out[12].novelty == 0.75
+    assert 13 not in out

@@ -196,6 +196,13 @@ SELECTED: dict[str, str] = {
         "survival fold — rides the bounded day table (max_days-capped), "
         "so no subject-row sort, join, or window anywhere."
     ),
+    "split_novelty": (
+        "Both splits collapse to DISTINCT md5 digest tables (every "
+        "exchange carries 32-byte digests, never shingle text); the "
+        "train-index probe is one digest-keyed left join with NO "
+        "broadcast-of-the-corpus assumption; the readout is one "
+        "per-doc count aggregate."
+    ),
     "group_sequential": (
         "One keyed unit aggregate; the K-look explode rides the UNIT "
         "table (units x 5 rows, never events); window bounds broadcast "
