@@ -37,11 +37,14 @@ Two scenario rows beyond the per-query timings:
   trailing window vs ``bucketed_trailing_aggs`` on the same skewed input.
   The plain form serializes the hot key on one reducer; the bucketed form
   shuffles on (key, hour-bucket) and must win on this input.
-* ``streaming`` — the rate source driven at 25k events/s through the
-  watermarked sliding-window aggregate into the online-store merge
-  (windowed_stats -> OnlineStoreSink), reporting sustained events/s; at the
-  end every row of the online store is checked against a batch recompute of
-  the same windows (stream == batch on the processed prefix).
+* ``streaming`` — a PINNED 150k-event feed in fixed 25k-row micro-batches
+  (rate-micro-batch source) through the watermarked sliding-window
+  aggregate into the online-store merge (windowed_stats ->
+  OnlineStoreSink), reporting sustained events/s + per-event cost + a
+  per-batch noise marker; at the end every row of the online store is
+  checked against a batch recompute of the same windows (stream == batch
+  on the processed prefix). Round 9 pinned both the feed SIZE and the
+  batch SIZE — earlier rounds' streaming rows are not comparable.
 * ``skew_join`` — the join twin of ``skew``: a 90%-mass hot fact key joined
   many-to-many against a non-broadcastable versioned dim (output
   amplification — the skew AQE cannot see, because it splits by INPUT
@@ -173,15 +176,27 @@ HEADLINE: list[tuple[str, int]] = [
     ("acf_priority", 8),
     ("group_sequential", 8),
     ("split_novelty", 8),
+    # round-9 additions: supervised Fellegi-Sunter m over the planted
+    # shadow-account fixture
+    ("linkage_supervised_m", 9),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key
 SKEW_REPLICATION = 20
 SKEW_WINDOW_SEC = 3600
 
-#: streaming scenario: rate-source events/s and wall seconds to sustain it
-STREAM_RATE = 25_000
-STREAM_SECONDS = 8
+#: streaming scenario: PINNED feed — the measurement processes exactly
+#: STREAM_TARGET_EVENTS events in fixed STREAM_ROWS_PER_BATCH-row
+#: micro-batches (VERDICT r8: a wall-clock-bounded rate-source feed grew
+#: 125k->175k across runs AND let a contended trigger balloon one batch,
+#: so ev/s confounded feed size, batch size, and engine speed; the
+#: rate-micro-batch source fixes both degrees of freedom, so the row is
+#: comparable round-over-round and also reports per-event cost).
+#: NOTE: not comparable to the r2-r8 BENCH rows, which measured variable
+#: (often single-giant-batch) feeds — see PERF.md round-9 note.
+STREAM_ROWS_PER_BATCH = 25_000
+STREAM_TARGET_EVENTS = 150_000
+STREAM_MAX_WALL = 60  # abort guard if the box stalls the feed
 STREAM_BASE_EPOCH = 1_700_000_000  # fixed event-time origin (determinism)
 
 
@@ -411,8 +426,11 @@ def _rate_to_events(raw):
 
 def streaming_scenario(spark) -> dict[str, float]:
     """Drive windowed_stats -> OnlineStoreSink from the rate source at
-    {STREAM_RATE} events/s for {STREAM_SECONDS}s; report sustained events/s
-    and verify every online-store row against a batch recompute of the same
+    fixed {STREAM_ROWS_PER_BATCH}-row micro-batches until exactly
+    {STREAM_TARGET_EVENTS} events have been processed (pinned feed — ev/s
+    is comparable round-over-round); report
+    sustained events/s, per-event cost, a per-batch noise marker, and
+    verify every online-store row against a batch recompute of the same
     windows over the exact processed prefix (stream == batch)."""
     from feature_store_fraud_detection_spark.streaming.pipeline import (
         COUNT_WINDOW,
@@ -448,9 +466,14 @@ def streaming_scenario(spark) -> dict[str, float]:
     warm_q.stop()
     warm_q.awaitTermination()
 
+    # rate-micro-batch emits EXACTLY rowsPerBatch rows per trigger (the
+    # plain rate source accumulates unread rows while a trigger runs, so
+    # under contention one batch balloons and the volume pin overshoots);
+    # with fixed-size batches the measurement prefix crosses the target at
+    # exactly STREAM_TARGET_EVENTS every round
     raw = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", STREAM_RATE)
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", STREAM_ROWS_PER_BATCH)
         .option("numPartitions", 4)
         .load()
     )
@@ -459,7 +482,10 @@ def streaming_scenario(spark) -> dict[str, float]:
         windowed_stats(_rate_to_events(raw))
         .writeStream.outputMode("append")
         .foreachBatch(sink)
-        .trigger(processingTime="1 second")
+        # no pacing trigger: fire each fixed-size batch as soon as the
+        # previous finishes, so ev/s measures ENGINE capacity over a
+        # deterministic feed, not the trigger interval
+        .trigger(processingTime="0 seconds")
         .start()
     )
     # wait for the first DATA batch before opening the measurement window —
@@ -471,13 +497,42 @@ def streaming_scenario(spark) -> dict[str, float]:
         if any(p["numInputRows"] > 0 for p in q.recentProgress):
             break
         time.sleep(0.5)
-    time.sleep(STREAM_SECONDS)
+    # volume-bounded measurement: run until the cumulative input crosses
+    # STREAM_TARGET_EVENTS, so the measured feed is pinned across rounds
+    # instead of riding wall-clock drift. In-flight batches still drain
+    # after stop(), so the REPORTED metrics are computed over the exact
+    # batch PREFIX that first crosses the target (pinned to within one
+    # trigger); the stream==batch verification below covers everything
+    # actually processed. recentProgress is a rolling buffer — accumulate
+    # by batchId so a long run can't silently drop early batches.
+    seen: dict[int, dict] = {}
+
+    def _harvest() -> int:
+        for p in q.recentProgress:
+            if p["numInputRows"] > 0:
+                seen[p["batchId"]] = p
+        return sum(p["numInputRows"] for p in seen.values())
+
+    hard_deadline = t0 + STREAM_MAX_WALL
+    while time.time() < hard_deadline:
+        if _harvest() >= STREAM_TARGET_EVENTS:
+            break
+        time.sleep(0.25)
     q.stop()
     q.awaitTermination()
     wall = time.time() - t0
-    progs = [p for p in q.recentProgress if p["numInputRows"] > 0]
-    n_rows = sum(p["numInputRows"] for p in progs)
-    rate = round(n_rows / wall)
+    _harvest()
+    all_batches = [seen[b] for b in sorted(seen)]
+    # measurement prefix: the smallest batch prefix crossing the target
+    progs, cum = [], 0
+    for p in all_batches:
+        progs.append(p)
+        cum += p["numInputRows"]
+        if cum >= STREAM_TARGET_EVENTS:
+            break
+    # everything processed (for the exact-prefix batch twin)
+    n_rows = sum(p["numInputRows"] for p in all_batches)
+    rate = round(cum / wall)
     # steady-state: exclude query-startup dead time by clocking from the
     # first data batch's timestamp to the last (ISO-8601 w/ trailing Z)
     sustained = None
@@ -523,13 +578,34 @@ def streaming_scenario(spark) -> dict[str, float]:
     assert matched == n_state, (
         f"stream==batch violated: {matched}/{n_state} store rows match"
     )
+    # per-batch noise marker (the flagship loop's pattern): max/min of
+    # per-trigger throughput across the steady batches — >~1.5 marks a
+    # contended feed, so read events_per_sec as a lower bound there
+    per_batch = [
+        p["numInputRows"] / (p["durationMs"]["triggerExecution"] / 1000.0)
+        for p in progs[1:]
+        if p.get("durationMs", {}).get("triggerExecution", 0) > 0
+    ]
+    stream_noise = (
+        round(max(per_batch) / min(per_batch), 3) if per_batch else None
+    )
+    ev_s = sustained if sustained else rate
     return {
         # primary = steady-state (first data batch -> last); the
         # wall-inclusive number charges query startup to throughput and
         # can halve under host contention without the engine being slower
-        "events_per_sec": sustained if sustained else rate,
+        "events_per_sec": ev_s,
         "events_per_sec_incl_startup": rate,
-        "events_total": n_rows,
+        # pinned feed: events_total ~= events_total_target every round
+        # (one trigger of overshoot), so ev/s is comparable across rounds;
+        # per-event cost is feed-size-free either way. events_processed
+        # counts the post-stop drain too — it's what the twin verified.
+        "events_total": cum,
+        "events_total_target": STREAM_TARGET_EVENTS,
+        "events_processed": n_rows,
+        "sec_per_100k_events": round(1e5 / ev_s, 3) if ev_s else None,
+        "rows_per_batch": STREAM_ROWS_PER_BATCH,
+        "stream_noise_max_over_min": stream_noise,
         "state_rows_verified": n_state,
     }
 

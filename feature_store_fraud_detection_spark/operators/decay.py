@@ -125,6 +125,8 @@ def bucketed_decay_recompute(
         .groupBy(key_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            # int-ok: __v cast to double above, w is double — precision
+            # regime, not the silent-int64-wrap class
             F.sum(F.col("__v") * w).alias("decayed_value"),
             F.sum(w).alias("decayed_weight"),
             F.max("__anchor").alias("anchor_bucket"),

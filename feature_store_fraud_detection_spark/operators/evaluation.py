@@ -308,6 +308,8 @@ def poisson_bootstrap_ci(
         reps.withColumn("__w", w.cast("int"))
         .groupBy("rep")
         .agg(
+            # int-ok: __v is decimal(18,4), __w a Poisson draw <= 8 —
+            # the product is decimal-typed already
             F.sum(F.col("__v") * F.col("__w")).alias("__ws"),
             F.sum("__w").alias("__wn"),
         )
@@ -508,8 +510,8 @@ def fairness_report(
             F.count(F.lit(1)).alias("n"),
             F.sum(p).alias("__pp"),
             F.sum(y).alias("__pos"),
-            F.sum(p * y).alias("__tp"),
-            F.sum(p * (1 - y)).alias("__fp"),
+            F.sum(p * y).alias("__tp"),  # int-ok: 0/1 flags, sum <= n
+            F.sum(p * (1 - y)).alias("__fp"),  # int-ok: 0/1 flags, sum <= n
         )
     )
     ppr = F.col("__pp").cast("double") / F.col("n")
@@ -1082,6 +1084,7 @@ def stratified_ate(
     arithmetic on the bounded stratum table.
     """
     from feature_store_fraud_detection_spark.functions.numeric import (
+        bigint_checked,
         overflow_checked,
         round4_stable,
     )
@@ -1110,8 +1113,18 @@ def stratified_ate(
         .agg(
             F.sum("__t").alias("n_t"),
             F.sum(F.lit(1) - F.col("__t")).alias("n_c"),
-            F.sum(F.col("__v") * F.col("__t")).alias("s_t"),
-            F.sum(F.col("__v") * (F.lit(1) - F.col("__t"))).alias("s_c"),
+            # each __v is bounded at 9e15, but a stratum SUM of them is
+            # not — accumulate in DECIMAL(38,0) (a BIGINT sum wraps
+            # silently in non-ANSI Spark; the DuckDB twin widens to
+            # HUGEINT) and narrow fail-loud on the report surface
+            F.sum(
+                (F.col("__v") * F.col("__t")).cast("decimal(38,0)")
+            ).alias("s_t"),
+            F.sum(
+                (F.col("__v") * (F.lit(1) - F.col("__t"))).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("s_c"),
         )
     )
     inc = (F.col("n_t") > 0) & (F.col("n_c") > 0)
@@ -1163,8 +1176,12 @@ def stratified_ate(
         "stratum",
         F.col("n_t").cast("bigint").alias("n_t"),
         F.col("n_c").cast("bigint").alias("n_c"),
-        F.col("s_t").cast("bigint").alias("sum_t_scaled"),
-        F.col("s_c").cast("bigint").alias("sum_c_scaled"),
+        bigint_checked(F.col("s_t"), "stratified_ate sum_t_scaled").alias(
+            "sum_t_scaled"
+        ),
+        bigint_checked(F.col("s_c"), "stratified_ate sum_c_scaled").alias(
+            "sum_c_scaled"
+        ),
         round4_stable(F.when(inc, mean_t)).alias("mean_t"),
         round4_stable(F.when(inc, mean_c)).alias("mean_c"),
         round4_stable(F.when(inc, mean_t - mean_c)).alias("diff"),

@@ -56,7 +56,9 @@ def pair_agreement_stats(profiles: DataFrame, field: str) -> tuple[int, int]:
         .groupBy(F.col(field).alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
         .agg(
-            F.sum(F.col("__c") * (F.col("__c") - 1)).alias("agree_pairs"),
+            F.sum(
+                (F.col("__c") * (F.col("__c") - 1)).cast("decimal(38,0)")
+            ).alias("agree_pairs"),
             F.sum("__c").alias("n"),
         )
         .collect()[0]
@@ -267,6 +269,19 @@ def em_linkage_params(
                 u_prod = u_prod * (u[f] if a[f] else (1.0 - u[f]))
             pm = p * t_prod
             pu = (1.0 - p) * u_prod
+            if pm + pu == 0.0:
+                # both mixture components assign this observed pattern
+                # zero likelihood (an m/u estimate hit exactly 0 or 1
+                # while a conflicting pattern still has mass) — 0/0 here
+                # would be a bare ZeroDivisionError with no operator
+                # context; fail loud naming the degenerate pattern
+                raise ValueError(
+                    "em_linkage_params: degenerate EM state — pattern "
+                    f"{a} (count {c}) has zero likelihood under both "
+                    "classes (m/u estimates reached an exact 0/1 "
+                    "boundary); use less extreme init_m/init_u or drop "
+                    "the constant field"
+                )
             w = pm / (pm + pu)
             wcs.append(w * c)
             ucs.append((1.0 - w) * c)
@@ -350,4 +365,158 @@ def em_weights_report(
         rows,
         "field string, m_est double, u_est double, w_agree double, "
         "w_disagree double, match_share double, n_pairs bigint",
+    )
+
+
+def supervised_m_estimates(
+    profiles: DataFrame,
+    id_col: str,
+    field_cols: list[str],
+    labeled_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Labeled-sample estimation of the Fellegi-Sunter ``m`` — the third
+    rung of the m-ladder (``default_m`` guess < :func:`em_linkage_params`
+    unsupervised < this): given pairs KNOWN to be the same entity
+    (clerical review, a merged-account backfill, planted twins in a
+    fixture), ``m_f`` is just the observed agreement share::
+
+        m_f = #{labeled pairs where field f agrees} / #{labeled pairs}
+
+    an EXACT integer ratio — no latent-mixture modelling, no iteration,
+    no initialization sensitivity. Entirely plan-side (unlike the EM
+    path's driver float loop): two id-keyed joins pull each pair's field
+    values, one aggregate counts agreements per field, one ``stack``
+    unpivots to the per-field report. NULL on either side counts as
+    DISAGREEMENT (:func:`_agree_flag`'s rule — the estimate must match
+    the scoring rule's agreement definition, the same discipline as
+    :func:`pair_agreement_stats`'s NULL exclusion for u).
+
+    Output: ``(field, n_labeled, n_agree, m_est)`` — one row per field
+    in ``field_cols`` order, m rounded to 4. Fails loud on zero labeled
+    pairs (an empty sample estimates nothing).
+
+    Scale: ``labeled_pairs`` joins profiles on the id — keyed equi-joins
+    both broadcastable when the labeled sample is small (the usual case:
+    labels are expensive) and shuffle-joinable when it isn't; the
+    aggregate is one row of 2k integers.
+    """
+    a = profiles.select(
+        F.col(id_col).alias("__ia"),
+        *[F.col(f).alias(f"{f}_a") for f in field_cols],
+    )
+    b = profiles.select(
+        F.col(id_col).alias("__ib"),
+        *[F.col(f).alias(f"{f}_b") for f in field_cols],
+    )
+    joined = (
+        labeled_pairs.select(
+            F.col(id_a).alias("__ia"), F.col(id_b).alias("__ib")
+        )
+        .join(a, "__ia")
+        .join(b, "__ib")
+    )
+    counts = joined.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(_agree_flag(f).cast("bigint")).alias(f"__ag_{i}")
+            for i, f in enumerate(field_cols)
+        ],
+    )
+    n_ok = F.when(F.col("__n") > 0, F.col("__n")).otherwise(
+        F.raise_error(
+            F.lit(
+                "supervised_m_estimates: no labeled pairs matched the "
+                "profile table — check the id columns"
+            )
+        ).cast("bigint")
+    )
+    stack_args = ", ".join(
+        f"'{f}', __ag_{i}" for i, f in enumerate(field_cols)
+    )
+    return (
+        counts.select(
+            n_ok.alias("n_labeled"),
+            F.expr(
+                f"stack({len(field_cols)}, {stack_args}) AS (field, n_agree)"
+            ),
+        )
+        .select(
+            "field",
+            F.col("n_labeled").cast("bigint").alias("n_labeled"),
+            F.col("n_agree").cast("bigint").alias("n_agree"),
+            round4_stable(
+                F.col("n_agree").cast("double")
+                / F.col("n_labeled").cast("double")
+            ).alias("m_est"),
+        )
+    )
+
+
+def supervised_weights_report(
+    profiles: DataFrame,
+    id_col: str,
+    field_cols: list[str],
+    labeled_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Fellegi-Sunter weight table from LABELED duplicates — the
+    supervised twin of :func:`em_weights_report`: ``m`` from
+    :func:`supervised_m_estimates`'s exact agreement shares, ``u`` from
+    :func:`pair_agreement_stats`'s exact random-pair histogram ratio,
+    weights ``w_agree = ln(m/u)`` / ``w_disagree = ln((1-m)/(1-u))``
+    computed ONCE on the driver (Python libm — the measured-stable pair
+    with DuckDB's ln, same as fellegi_sunter_pairs's plan literals) from
+    the pulled exact integers.
+
+    A degenerate field (``m >= 1``: every labeled pair agrees — the
+    disagreement weight is -inf; ``m <= u``: agreement is not evidence;
+    ``n_agree == 0``) reports NULL weights, a data property, matching
+    the EM report's convention.
+
+    Output per field: ``(field, n_labeled, n_agree, m_est, u_est,
+    w_agree, w_disagree)`` — doubles rounded to 4, counts exact BIGINT.
+
+    Scale: the driver state is 2 integers per field (the labeled-pair
+    aggregate) + 2 per field (the u histogram fold) — bounded by the
+    field list, never the data.
+    """
+    import math
+
+    m_rows = {
+        r["field"]: r
+        for r in supervised_m_estimates(
+            profiles, id_col, field_cols, labeled_pairs, id_a, id_b
+        ).collect()
+    }
+
+    def _r4(x: float) -> float:
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    rows = []
+    for f in field_cols:
+        r = m_rows[f]
+        nl, na = int(r["n_labeled"]), int(r["n_agree"])
+        ap, n = pair_agreement_stats(profiles, f)
+        m_f = float(na) / float(nl)
+        u_f = float(ap) / float(n * (n - 1)) if n >= 2 else 0.0
+        ok = 0.0 < u_f < m_f < 1.0
+        rows.append(
+            (
+                f,
+                nl,
+                na,
+                _r4(m_f),
+                _r4(u_f),
+                _r4(math.log(m_f / u_f)) if ok else None,
+                _r4(math.log((1.0 - m_f) / (1.0 - u_f))) if ok else None,
+            )
+        )
+    spark = profiles.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "field string, n_labeled bigint, n_agree bigint, m_est double, "
+        "u_est double, w_agree double, w_disagree double",
     )

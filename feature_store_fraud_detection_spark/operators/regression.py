@@ -54,13 +54,16 @@ def regression_moments(
         F.count(F.lit(1)).alias("n"),
         F.sum(x1).alias("sx1"),
         F.sum(x2).alias("sx2"),
-        F.sum(x1 * x1).alias("sx11"),
-        F.sum(x1 * x2).alias("sx12"),
-        F.sum(x2 * x2).alias("sx22"),
+        # Gram products in DECIMAL(38,0): BIGINT products/sums wrap
+        # silently in non-ANSI Spark; the SQL twin's BIGINT sums widen to
+        # HUGEINT in DuckDB, so decimal is what keeps the engines aligned
+        F.sum((x1 * x1).cast("decimal(38,0)")).alias("sx11"),
+        F.sum((x1 * x2).cast("decimal(38,0)")).alias("sx12"),
+        F.sum((x2 * x2).cast("decimal(38,0)")).alias("sx22"),
         F.sum(y).alias("sy"),
-        F.sum(x1 * y).alias("sx1y"),
-        F.sum(x2 * y).alias("sx2y"),
-        F.sum(y * y).alias("syy"),
+        F.sum(x1 * y).alias("sx1y"),  # int-ok: y is decimal(18,s)
+        F.sum(x2 * y).alias("sx2y"),  # int-ok: y is decimal(18,s)
+        F.sum(y * y).alias("syy"),  # int-ok: y is decimal(18,s)
     )
 
 
@@ -285,9 +288,11 @@ def ridge_fit_k(
     aggs = [F.count(F.lit(1)).alias("n")]
     for i in range(k + 1):
         for j in range(i, k + 1):
+            # int-ok: xs/y all cast("double") above — this variant is
+            # documented as double-moment, not oracle-exact
             aggs.append(F.sum(xs[i] * xs[j]).alias(f"g_{i}_{j}"))
-        aggs.append(F.sum(xs[i] * y).alias(f"xy_{i}"))
-    aggs.append(F.sum(y * y).alias("syy"))
+        aggs.append(F.sum(xs[i] * y).alias(f"xy_{i}"))  # int-ok: doubles
+    aggs.append(F.sum(y * y).alias("syy"))  # int-ok: doubles
     row = df.agg(*aggs).collect()[0]
     G = np.zeros((k + 1, k + 1))
     for i in range(k + 1):
@@ -350,12 +355,21 @@ def ridge_learning_curve(
                 F.count(F.when(g, F.lit(1))).alias(f"n_{i}"),
                 F.sum(gated(F.col("__x1"))).alias(f"sx1_{i}"),
                 F.sum(gated(F.col("__x2"))).alias(f"sx2_{i}"),
-                F.sum(gated(F.col("__x1") * F.col("__x1"))).alias(f"sx11_{i}"),
-                F.sum(gated(F.col("__x1") * F.col("__x2"))).alias(f"sx12_{i}"),
-                F.sum(gated(F.col("__x2") * F.col("__x2"))).alias(f"sx22_{i}"),
+                F.sum(
+                    gated((F.col("__x1") * F.col("__x1")).cast("decimal(38,0)"))
+                ).alias(f"sx11_{i}"),
+                F.sum(
+                    gated((F.col("__x1") * F.col("__x2")).cast("decimal(38,0)"))
+                ).alias(f"sx12_{i}"),
+                F.sum(
+                    gated((F.col("__x2") * F.col("__x2")).cast("decimal(38,0)"))
+                ).alias(f"sx22_{i}"),
                 F.sum(gated(F.col("__y"))).alias(f"sy_{i}"),
+                # int-ok: __y is decimal(18,s) — decimal products
                 F.sum(gated(F.col("__x1") * F.col("__y"))).alias(f"sx1y_{i}"),
+                # int-ok: decimal product (see above)
                 F.sum(gated(F.col("__x2") * F.col("__y"))).alias(f"sx2y_{i}"),
+                # int-ok: decimal product (see above)
                 F.sum(gated(F.col("__y") * F.col("__y"))).alias(f"syy_{i}"),
             ]
         )

@@ -241,7 +241,9 @@ def grid_hotspots(
     moments = cells.agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("n_events").alias("__s1"),
-        F.sum(F.col("n_events") * F.col("n_events")).alias("__s2"),
+        F.sum(
+            (F.col("n_events") * F.col("n_events")).cast("decimal(38,0)")
+        ).alias("__s2"),
     )
     scored = (
         cells.join(

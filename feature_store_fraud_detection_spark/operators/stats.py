@@ -1286,14 +1286,31 @@ def bh_fdr(
         -math.log((i * alpha) / (2.0 * m)) / 2.0 for i in range(1, m + 1)
     ]
     arr = F.array(*[F.lit(t) for t in thresholds])
+    # fail-loud consistency guard: m was read in a SEPARATE count()
+    # action, so a non-deterministic upstream that re-evaluates to MORE
+    # rows here would index past the m-element literal — element_at
+    # would yield NULL thresholds and those ranks would silently never
+    # reject; abort naming the operator instead
+    thr_at_rank = F.when(
+        F.col("bh_rank") <= F.lit(m),
+        F.element_at(arr, F.col("bh_rank")),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"bh_fdr: input produced rank %s but count() saw only {m} "
+                "tests — the stats input is non-deterministic across "
+                "actions; materialize (cache/checkpoint) it first",
+                F.col("bh_rank").cast("string"),
+            )
+        ).cast("double")
+    )
     wr = Window.orderBy(
         F.col(lambda_col).desc(), *[F.col(c) for c in key_cols]
     )
     ranked = stats.withColumn("bh_rank", F.row_number().over(wr)).withColumn(
         "__flag",
         F.when(
-            F.col(lambda_col) * F.col(lambda_col)
-            >= F.element_at(arr, F.col("bh_rank")),
+            F.col(lambda_col) * F.col(lambda_col) >= thr_at_rank,
             F.col("bh_rank"),
         ),
     )

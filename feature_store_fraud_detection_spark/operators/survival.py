@@ -259,6 +259,7 @@ def logrank_test(
     )
     per_day = subj.groupBy("__d").agg(
         F.sum((F.lit(1) - F.col("__c"))).alias("__died"),
+        # int-ok: censor/treat flags are 0/1 — the sum is <= n
         F.sum((F.lit(1) - F.col("__c")) * F.col("__t")).alias("__died1"),
         F.sum(F.lit(1)).alias("__left"),
         F.sum("__t").alias("__left1"),

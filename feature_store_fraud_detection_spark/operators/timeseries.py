@@ -32,6 +32,24 @@ from feature_store_fraud_detection_spark.functions.numeric import (
 TREND_EPOCH = "2024-01-01 00:00:00"
 
 
+def _y4_quantized(s_col, context: str):
+    """Daily-total quantization to exact integer 1e4-ths, fail-loud.
+
+    ``floor(round4(s) * 1e4 + 0.5)`` of an UNBOUNDED double silently
+    leaves the exact-integer regime past 2^53 (and a non-ANSI BIGINT
+    cast wraps/NULLs past int64 with no error) — the exact hazard class
+    the DECIMAL(38,0) accumulators guard everywhere else. Shared by the
+    seasonal_strength / pettitt_changepoint / acf_profile daily series.
+    """
+    return F.floor(
+        overflow_checked(
+            round4_stable(s_col.cast("double")) * 10000 + F.lit(0.5),
+            9.0e15,
+            context,
+        )
+    ).cast("bigint")
+
+
 def user_trend(
     df: DataFrame, key_col: str, ts_col: str, value_col: str
 ) -> DataFrame:
@@ -804,10 +822,7 @@ def seasonal_strength(
         .select(
             key_col,
             F.dayofweek("__day").alias("__dow"),  # Spark: 1=Sun..7=Sat
-            F.floor(
-                round4_stable(F.col("__s").cast("double")) * 10000
-                + F.lit(0.5)
-            ).cast("bigint").alias("__y4"),
+            _y4_quantized(F.col("__s"), "seasonal_strength daily total").alias("__y4"),
         )
     )
     per_dow = daily.groupBy(key_col, "__dow").agg(
@@ -932,10 +947,7 @@ def pettitt_changepoint(
         .select(
             key_col,
             "__day",
-            F.floor(
-                round4_stable(F.col("__s").cast("double")) * 10000
-                + F.lit(0.5)
-            ).cast("bigint").alias("__y4"),
+            _y4_quantized(F.col("__s"), "pettitt_changepoint daily total").alias("__y4"),
         )
     )
     per_v = daily.groupBy(key_col, "__y4").agg(
@@ -1046,10 +1058,7 @@ def acf_profile(
             F.datediff(
                 F.col("__day").cast("date"), F.lit("1970-01-01").cast("date")
             ).alias("__dn"),
-            F.floor(
-                round4_stable(F.col("__s").cast("double")) * 10000
-                + F.lit(0.5)
-            ).cast("bigint").alias("__y4"),
+            _y4_quantized(F.col("__s"), "acf_profile daily total").alias("__y4"),
         )
     )
     left = daily.select(
@@ -1068,8 +1077,11 @@ def acf_profile(
     pairs = left.join(right, [key_col, "__dn_b"])
     per = pairs.groupBy(key_col, "lag").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("__x").alias("__sx"),
-        F.sum("__yv").alias("__sy"),
+        # first moments in DECIMAL(38,0) too — a BIGINT sum of 2^53-bound
+        # values wraps silently in non-ANSI Spark at ~1000 pairs of
+        # max-scale days, while sxx/syy/sxy already ride decimal
+        F.sum(F.col("__x").cast("decimal(38,0)")).alias("__sx"),
+        F.sum(F.col("__yv").cast("decimal(38,0)")).alias("__sy"),
         F.sum(F.col("__x").cast("decimal(38,0)") * F.col("__x")).alias(
             "__sxx"
         ),

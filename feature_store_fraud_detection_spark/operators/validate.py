@@ -162,6 +162,8 @@ def k_anonymity_profile(
         F.count(F.lit(1)).alias("n_classes")
     )
     tot = hist.agg(
+        # int-ok: sum over the histogram of class_size*n_classes IS the
+        # total row count n — bounded by count() by construction
         F.sum(F.col("class_size") * F.col("n_classes")).alias("__total")
     )
     w = Window.orderBy("class_size").rowsBetween(
@@ -174,6 +176,7 @@ def k_anonymity_profile(
             "n_classes",
             (F.col("class_size") * F.col("n_classes")).alias("n_rows"),
             round4_stable(
+                # int-ok: prefix sum of the same histogram identity <= n
                 F.sum(F.col("class_size") * F.col("n_classes")).over(w)
                 / F.col("__total").cast("double")
             ).alias("pct_rows_at_risk"),

@@ -7416,8 +7416,8 @@ def _q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(lx).alias("sx"),
         F.sum(ly).alias("sy"),
-        F.sum(lx * lx).alias("sxx"),
-        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),  # int-ok: lx/ly are F.ln doubles
+        F.sum(lx * ly).alias("sxy"),  # int-ok: lx/ly are F.ln doubles
     )
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -12373,6 +12373,8 @@ def _linkage_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(
+            # int-ok: value is a double (double regime) and events.value
+            # is bounded ~1e3, so the cents sum is ~1e5 * n
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
         ).alias("__cents"),
         F.sum(F.dayofweek("ts").isin(1, 7).cast("bigint")).alias("__wk"),
@@ -12440,6 +12442,61 @@ def _q_linkage_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["modal_type"],
         ["peak_hour", "v_bucket", "n_bucket", "wk_bucket"],
         n_iter=20,
+    )
+
+
+#: planted-duplicate fixture params shared by the supervised-m query and
+#: its oracle: every user with user_id % 17 == 3 gets a shadow account at
+#: user_id + SHADOW_OFFSET whose profile copies the original except for a
+#: per-field deterministic perturbation — so the TRUE m per field is a
+#: known exact fraction (peak_hour ~10/11, v_bucket ~6/7, n_bucket ~2/3,
+#: wk_bucket ~4/5) and the supervised estimator must recover exactly the
+#: planted agreement shares (the verdict-r8 task-6 labeled fixture,
+#: planted the way pii_redaction plants PII)
+_SHADOW_OFFSET = 10_000_000
+
+
+def _linkage_shadow_fixture(spark: SparkSession, sf_dir: str):
+    """(augmented profiles, labeled pairs) for the supervised m-path."""
+    prof = _linkage_profiles(spark, sf_dir)
+    seeds = prof.filter(F.pmod(F.col("user_id"), F.lit(17)) == 3)
+    perturb = lambda col, mod, expr: F.when(  # noqa: E731
+        F.pmod(F.col("user_id"), F.lit(mod)) == 0, expr
+    ).otherwise(F.col(col)).alias(col)
+    shadows = seeds.select(
+        (F.col("user_id") + F.lit(_SHADOW_OFFSET)).alias("user_id"),
+        "modal_type",
+        perturb("peak_hour", 11, F.pmod(F.col("peak_hour") + 1, F.lit(24))),
+        perturb("v_bucket", 7, F.col("v_bucket") + 1),
+        perturb("n_bucket", 3, F.col("n_bucket") + 1),
+        perturb("wk_bucket", 5, F.col("wk_bucket") + 1),
+    )
+    labeled = seeds.select(
+        F.col("user_id").alias("id_a"),
+        (F.col("user_id") + F.lit(_SHADOW_OFFSET)).alias("id_b"),
+    )
+    return prof.unionByName(shadows), labeled
+
+
+def _q_linkage_supervised_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised Fellegi-Sunter m-estimation + weight table
+    (operators/linkage.py:supervised_weights_report) over a
+    deterministically PLANTED labeled-duplicate fixture: shadow accounts
+    clone 1/17th of the behavioral profiles with known per-field
+    disagreement rates, so m per field is an exact recoverable fraction
+    — the labeled rung of the m-ladder (default_m guess -> EM
+    unsupervised -> this), closing VERDICT r8 task 6. u stays the exact
+    random-pair histogram ratio over the augmented profile table."""
+    aug, labeled = _linkage_shadow_fixture(spark, sf_dir)
+    from feature_store_fraud_detection_spark.operators.linkage import (
+        supervised_weights_report,
+    )
+
+    return supervised_weights_report(
+        aug,
+        "user_id",
+        ["peak_hour", "v_bucket", "n_bucket", "wk_bucket"],
+        labeled,
     )
 
 
@@ -12680,6 +12737,98 @@ SELECT field,
        floor(p * 10000 + 0.5) / 10000 AS match_share,
        CAST(n_pairs AS BIGINT) AS n_pairs
 FROM fields
+"""
+
+
+# supervised m-path oracle: replays the planted-shadow fixture, the exact
+# per-field labeled-agreement counts, the exact random-pair u histogram
+# over the augmented profiles, and the driver-ln weight math (DuckDB ln is
+# the measured-stable pair with Python libm — same discipline as the EM
+# twin); one UNION ALL branch per field in field order
+_LINKAGE_SUPERVISED_SQL = """
+WITH """ + _LINKAGE_PROFILE_CTES + """,
+shadow AS (
+  SELECT user_id + 10000000 AS user_id, modal_type,
+         CASE WHEN user_id % 11 = 0 THEN (peak_hour + 1) % 24
+              ELSE peak_hour END AS peak_hour,
+         CASE WHEN user_id % 7 = 0 THEN v_bucket + 1
+              ELSE v_bucket END AS v_bucket,
+         CASE WHEN user_id % 3 = 0 THEN n_bucket + 1
+              ELSE n_bucket END AS n_bucket,
+         CASE WHEN user_id % 5 = 0 THEN wk_bucket + 1
+              ELSE wk_bucket END AS wk_bucket
+  FROM prof WHERE user_id % 17 = 3
+),
+aug AS (SELECT * FROM prof UNION ALL SELECT * FROM shadow),
+lab AS (
+  SELECT user_id AS id_a, user_id + 10000000 AS id_b
+  FROM prof WHERE user_id % 17 = 3
+),
+pv AS (
+  SELECT a.peak_hour AS ph_a, b.peak_hour AS ph_b,
+         a.v_bucket AS vb_a, b.v_bucket AS vb_b,
+         a.n_bucket AS nb_a, b.n_bucket AS nb_b,
+         a.wk_bucket AS wb_a, b.wk_bucket AS wb_b
+  FROM lab l
+  JOIN aug a ON a.user_id = l.id_a
+  JOIN aug b ON b.user_id = l.id_b
+),
+mc AS (
+  SELECT count(*) AS nl,
+         sum(CASE WHEN ph_a IS NOT NULL AND ph_b IS NOT NULL
+                   AND ph_a = ph_b THEN 1 ELSE 0 END) AS ag1,
+         sum(CASE WHEN vb_a IS NOT NULL AND vb_b IS NOT NULL
+                   AND vb_a = vb_b THEN 1 ELSE 0 END) AS ag2,
+         sum(CASE WHEN nb_a IS NOT NULL AND nb_b IS NOT NULL
+                   AND nb_a = nb_b THEN 1 ELSE 0 END) AS ag3,
+         sum(CASE WHEN wb_a IS NOT NULL AND wb_b IS NOT NULL
+                   AND wb_a = wb_b THEN 1 ELSE 0 END) AS ag4
+  FROM pv
+),
+u1 AS (SELECT sum(c * (c - 1)) AS ap, sum(c) AS n FROM (
+  SELECT count(*) AS c FROM aug WHERE peak_hour IS NOT NULL
+  GROUP BY peak_hour)),
+u2 AS (SELECT sum(c * (c - 1)) AS ap, sum(c) AS n FROM (
+  SELECT count(*) AS c FROM aug WHERE v_bucket IS NOT NULL
+  GROUP BY v_bucket)),
+u3 AS (SELECT sum(c * (c - 1)) AS ap, sum(c) AS n FROM (
+  SELECT count(*) AS c FROM aug WHERE n_bucket IS NOT NULL
+  GROUP BY n_bucket)),
+u4 AS (SELECT sum(c * (c - 1)) AS ap, sum(c) AS n FROM (
+  SELECT count(*) AS c FROM aug WHERE wk_bucket IS NOT NULL
+  GROUP BY wk_bucket)),
+rep AS (
+  SELECT 'peak_hour' AS field, nl, ag1 AS na,
+         CAST(ag1 AS DOUBLE) / CAST(nl AS DOUBLE) AS m,
+         CAST(ap AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS u
+  FROM mc, u1
+  UNION ALL
+  SELECT 'v_bucket', nl, ag2,
+         CAST(ag2 AS DOUBLE) / CAST(nl AS DOUBLE),
+         CAST(ap AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+  FROM mc, u2
+  UNION ALL
+  SELECT 'n_bucket', nl, ag3,
+         CAST(ag3 AS DOUBLE) / CAST(nl AS DOUBLE),
+         CAST(ap AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+  FROM mc, u3
+  UNION ALL
+  SELECT 'wk_bucket', nl, ag4,
+         CAST(ag4 AS DOUBLE) / CAST(nl AS DOUBLE),
+         CAST(ap AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+  FROM mc, u4
+)
+SELECT field,
+       CAST(nl AS BIGINT) AS n_labeled,
+       CAST(na AS BIGINT) AS n_agree,
+       floor(m * 10000 + 0.5) / 10000 AS m_est,
+       floor(u * 10000 + 0.5) / 10000 AS u_est,
+       CASE WHEN u > 0 AND u < m AND m < 1
+            THEN floor(ln(m / u) * 10000 + 0.5) / 10000 END AS w_agree,
+       CASE WHEN u > 0 AND u < m AND m < 1
+            THEN floor(ln((1 - m) / (1 - u)) * 10000 + 0.5) / 10000
+       END AS w_disagree
+FROM rep
 """
 
 
@@ -13269,6 +13418,9 @@ QUERIES.update(
         "linkage_em_weights": QuerySpec(
             _q_linkage_em_weights, _LINKAGE_EM_SQL
         ),
+        "linkage_supervised_m": QuerySpec(
+            _q_linkage_supervised_m, _LINKAGE_SUPERVISED_SQL
+        ),
         "brier_report": QuerySpec(_q_brier_report, _BRIER_REPORT_SQL),
         "ks_two_sample": QuerySpec(_q_ks_two_sample, _KS_TWO_SAMPLE_SQL),
         "seasonal_strength": QuerySpec(
@@ -13331,74 +13483,69 @@ QUERIES.update(
 _GRADING_PRIORITY: list[str] = [
     # (a) both gate canaries lead every window (cheap; a red here means
     # harness drift, which re-interprets every other row this round),
-    # then round 8's new queries (EM linkage weights, numeric-EMD
-    # t-closeness) and the five queries whose implementation or oracle
-    # changed this round (decimal-exact sums + degenerate-split guards
-    # in mann_whitney/ks/t_closeness; NULL-excluded u in linkage_pairs;
-    # the brier oracle's mirrored range check) — every behavior change
-    # ships with a fresh driver grade
+    # then round 9's new query (the supervised Fellegi-Sunter m-path)
+    # and the ten queries whose implementation changed this round —
+    # the ADVICE r8 DECIMAL(38,0)/fail-loud hardening (stratified_ate
+    # sums, the shared _y4_quantized guard in seasonal_strength /
+    # pettitt / acf, bh_fdr's rank-consistency guard, the EM
+    # zero-likelihood guard) and the --scan-source decimal lifts
+    # (pair_agreement_stats, regression Gram moments, grid_hotspots) —
+    # every behavior change ships with a fresh driver grade
     "gate_float_canary",
     "gate_type_canary",
-    "linkage_em_weights",
-    "t_closeness_emd",
-    "kaplan_meier_users",
-    "drift_fdr",
-    "logrank_segments",
-    "isotonic_calibration",
+    "linkage_supervised_m",
     "stratified_ate",
-    "pettitt_priority",
     "acf_priority",
-    "group_sequential",
-    "split_novelty",
+    "pettitt_priority",
+    "seasonal_strength",
+    "drift_fdr",
+    "linkage_em_weights",
     "linkage_pairs",
-    "brier_report",
-    "mann_whitney_events",
-    "ks_two_sample",
-    "t_closeness",
-    # (b) the two r2-green holdovers displaced by round 7's
-    # new-query-first policy — after this round every hash-checkable
-    # query's latest grade is r3+, with no r2 stragglers
-    "doc_chunks",
-    "repetition_profile",
-    # (c) the oldest cohort: 39 of the 45 hash-checkable queries whose
-    # latest grade is r3 (the 3 declared rows-only r3 queries are
-    # excluded — a re-grade can only re-earn "rows-only"); the 15
-    # remaining r3 rows (rare_categories, rfm_segments, rolling_rows_avg,
-    # rollup_revenue, salted_stats, seasonal_anomalies,
-    # session_windows, snapshot_diff, stream_join_batch_twin,
-    # table_profile, token_tfidf, top_returning_customers,
-    # top_supplier_revenue, unigram_nll, winnowing_fingerprints)
-    # rotate to round 9
-    "asof_join_features",
-    "asof_join_tolerance",
-    "attribution_last_touch",
-    "basket_pairs",
-    "benford_digits",
-    "bpe_token_counts",
-    "count_distinct",
-    "customer_revenue_deciles",
-    "dedup_clusters",
-    "duplicate_txns",
-    "events_pivot",
-    "forecast_revenue",
-    "incremental_state_merge",
-    "inter_event_gaps",
-    "interval_join_attribution",
-    "json_extract_stats",
-    "label_centroids",
-    "late_sole_suppliers",
-    "lsh_topk",
-    "market_share",
-    "min_price_supplier",
-    "multimodal_features",
-    "mutual_info_value",
-    "nation_trade_volume",
-    "order_reconciliation",
-    "pack_sequences",
-    "part_value_threshold",
-    "percentiles",
-    "priority_late_orders",
-    "promo_revenue_share",
+    "ridge_fit",
+    "ridge_learning_curve",
+    "geo_hotspots",
+    # (b) the 15-row r3 cohort deferred from round 8 — after this round
+    # NO hash-checkable query's latest grade is older than r4
+    # (tools/grading_window.py verifies)
+    "rare_categories",
+    "rfm_segments",
+    "rolling_rows_avg",
+    "rollup_revenue",
+    "salted_stats",
+    "seasonal_anomalies",
+    "session_windows",
+    "snapshot_diff",
+    "stream_join_batch_twin",
+    "table_profile",
+    "token_tfidf",
+    "top_returning_customers",
+    "top_supplier_revenue",
+    "unigram_nll",
+    "winnowing_fingerprints",
+    # (c) the oldest r4 cohort, alphabetical: 22 of the 50 r4 rows fit
+    # this window; the remaining 28 rotate to round 10
+    "ann_recall",
+    "bfs_levels",
+    "bigram_nll",
+    "bloom_semi_join",
+    "bpe_encoded_lengths",
+    "bpe_merges",
+    "bucketed_trailing_features",
+    "canonical_docs",
+    "chunk_dedup",
+    "cluster_safe_split",
+    "cms_heavy_hitters",
+    "cosine_topk",
+    "cross_source_dups",
+    "curation_summary",
+    "cusum_changepoints",
+    "dbscan_clusters",
+    "degree_distribution",
+    "dup_cluster_histogram",
+    "exact_dedup",
+    "feature_freshness",
+    "flagship_features",
+    "gopher_flags",
 ]
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (

@@ -18,26 +18,147 @@ This tool flags every query whose Spark schema or DuckDB oracle result
 contains one of those types so the boundary cast (double + round4_stable /
 CAST(... AS BIGINT) / stringify) can be applied BEFORE the driver grades it.
 
+It ALSO statically scans the Spark operator sources for the r6 red-row
+hazard class on the ENGINE side: ``F.sum(<a> * <b>)`` where the product is
+not lifted into DECIMAL(38,0) — in non-ANSI Spark a BIGINT product/sum
+WRAPS silently past int64 while the DuckDB twin widens to HUGEINT and stays
+exact, so the first symptom is a red value-hash at a scale nobody tested.
+The scan is AST-based over the literal inline-product idiom the operators
+use (``F.sum(x * y)`` / ``F.sum((x * y).cast(...))``); a product whose
+enclosing sum argument carries a ``decimal`` cast is considered guarded,
+and a knowingly-bounded product can be waived with an ``# int-ok:`` comment
+on the product's line explaining WHY it cannot overflow.
+
 Usage: python tools/check_types.py [sf_dir] [query ...]
+       python tools/check_types.py --scan-source      (static scan only)
 """
 
 from __future__ import annotations
 
+import ast
+import glob
+import os
 import sys
 
-import duckdb
-
 sys.path.insert(0, "/root/repo")
-
-import __spark_entry__ as entrymod  # noqa: E402
-from feature_store_fraud_detection_spark.schemas import TESTDATA_TABLES  # noqa: E402
-from feature_store_fraud_detection_spark.session import get_spark  # noqa: E402
 
 SPARK_BAD = ("decimal", "array", "map", "struct")
 DUCK_BAD = ("DECIMAL", "HUGEINT", "UHUGEINT", "[]", "STRUCT", "MAP", "LIST")
 
+_PKG_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "feature_store_fraud_detection_spark",
+)
+
+
+def _has_decimal_cast(node: ast.AST) -> bool:
+    """True if any .cast('decimal...') appears in the subtree."""
+    for sub in ast.walk(node):
+        if (
+            isinstance(sub, ast.Call)
+            and isinstance(sub.func, ast.Attribute)
+            and sub.func.attr == "cast"
+            and sub.args
+            and isinstance(sub.args[0], ast.Constant)
+            and isinstance(sub.args[0].value, str)
+            and "decimal" in sub.args[0].value.lower()
+        ):
+            return True
+    return False
+
+
+#: F functions that always return DOUBLE — a product over one of these is
+#: in the precision regime, not the silent-int64-wrap class
+_DOUBLE_FUNCS = {"ln", "log", "log2", "log10", "sqrt", "exp", "avg", "rand"}
+
+
+def _is_float_literal_mult(node: ast.BinOp) -> bool:
+    """Products with a visibly-double operand run in double — a different
+    (precision) regime, not the silent-int64-wrap class this scan hunts."""
+    for side in (node.left, node.right):
+        if isinstance(side, ast.Constant) and isinstance(side.value, float):
+            return True
+        for sub in ast.walk(side):
+            if isinstance(sub, ast.Call) and isinstance(
+                sub.func, ast.Attribute
+            ):
+                if sub.func.attr in _DOUBLE_FUNCS:
+                    return True
+                if sub.func.attr == "cast" and sub.args and isinstance(
+                    sub.args[0], ast.Constant
+                ):
+                    t = str(sub.args[0].value).lower()
+                    if "double" in t or "float" in t:
+                        return True
+                if sub.func.attr == "lit" and sub.args and isinstance(
+                    sub.args[0], ast.Constant
+                ) and isinstance(sub.args[0].value, float):
+                    return True
+    return False
+
+
+def scan_spark_sources() -> list[str]:
+    """Flag ``F.sum(...)`` aggregates whose argument multiplies columns
+    without lifting the product into DECIMAL — the silent-BIGINT-wrap
+    hazard class (ADVICE r8: stratified_ate, acf_profile). Waive a
+    genuinely bounded product with an ``# int-ok: <reason>`` comment on
+    the product's source line."""
+    hits: list[str] = []
+    for path in sorted(glob.glob(f"{_PKG_DIR}/**/*.py", recursive=True)):
+        src = open(path).read()
+        lines = src.splitlines()
+        tree = ast.parse(src)
+        rel = os.path.relpath(path, os.path.dirname(_PKG_DIR))
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "sum"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "F"
+                and node.args
+            ):
+                continue
+            arg = node.args[0]
+            if _has_decimal_cast(arg):
+                continue  # the sum rides the exact-decimal path
+            for sub in ast.walk(arg):
+                if not (
+                    isinstance(sub, ast.BinOp)
+                    and isinstance(sub.op, ast.Mult)
+                ):
+                    continue
+                if _is_float_literal_mult(sub):
+                    continue
+                # waiver window: the product's line or the two lines above
+                # (the comment convention puts the reason right above the
+                # expression it waives)
+                lo = max(0, sub.lineno - 3)
+                if any("int-ok:" in ln for ln in lines[lo:sub.lineno]):
+                    continue
+                hits.append(
+                    f"{rel}:{sub.lineno}: unguarded product inside "
+                    f"F.sum(): {lines[sub.lineno - 1].strip()[:80]}"
+                )
+    return hits
+
 
 def main() -> int:
+    if "--scan-source" in sys.argv:
+        hits = scan_spark_sources()
+        for h in hits:
+            print(f"  {h}")
+        print(
+            f"\n{len(hits)} unguarded products" if hits else "\nSCAN CLEAN"
+        )
+        return 1 if hits else 0
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from feature_store_fraud_detection_spark.schemas import TESTDATA_TABLES
+    from feature_store_fraud_detection_spark.session import get_spark
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     spark = get_spark(app_name="check_types")
