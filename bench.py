@@ -177,8 +177,11 @@ HEADLINE: list[tuple[str, int]] = [
     ("group_sequential", 8),
     ("split_novelty", 8),
     # round-9 additions: supervised Fellegi-Sunter m over the planted
-    # shadow-account fixture
+    # shadow-account fixture; the categorical-inference family
     ("linkage_supervised_m", 9),
+    ("cmh_urgent_highvalue", 9),
+    ("mcnemar_value_rules", 9),
+    ("kappa_lang_id", 9),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

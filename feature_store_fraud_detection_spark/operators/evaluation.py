@@ -1342,3 +1342,272 @@ def group_sequential_ab(
             (F.abs(z) >= boundary).cast("int"), F.lit(0)
         ).alias("crossed"),
     )
+
+
+def cmh_test(
+    df: DataFrame,
+    treatment_col: str,
+    outcome_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel test + Mantel-Haenszel common odds ratio
+    — the BINARY-outcome rung next to :func:`stratified_ate`'s
+    continuous one: "does treatment associate with the outcome after
+    controlling for the stratifying confounder?", pooling the per-
+    stratum 2x2 tables instead of per-stratum means. With per-stratum
+    counts ``a`` (treated+outcome), ``b`` (treated-only), ``c``
+    (outcome-only), ``d`` (neither), ``n = a+b+c+d``::
+
+        chi2  = (sum_s a_s - sum_s E_s)^2 / sum_s V_s
+        E_s   = (a+b)(a+c)/n
+        V_s   = (a+b)(c+d)(a+c)(b+d) / (n^2 (n-1))
+        OR_MH = sum_s (a*d/n) / sum_s (b*c/n)
+
+    (no continuity correction — documented choice, matching large-sample
+    usage). Strata with ``n < 2`` carry no variance and are EXCLUDED and
+    reported (``included=0``) — the stratified_ate transparency rule.
+
+    Determinism: the 2x2 counts are exact BIGINTs from one (stratum)
+    aggregate; E/V/OR terms are rationals, so they fold stratum-sorted
+    in fixed IEEE order (the stratified_ate fold discipline) and the
+    final chi2 / odds ratio are the only derived doubles, rounded to 4.
+    ``sum V == 0`` (no stratum has both margins) or ``sum b*c/n == 0``
+    report NULL chi2 / NULL odds ratio — a data property, reported.
+
+    Output: one row per stratum (exact a/b/c/d + included flag) with the
+    global ``chi2`` / ``or_mh`` / ``n_strata_included`` replicated so
+    the whole report hash-checks.
+
+    Scale: one keyed aggregate to the bounded stratum table; everything
+    after is arithmetic over that table. 100 TB of rows still collapse
+    to one row per stratum before any fold.
+    """
+    t = F.col(treatment_col).cast("int")
+    o = F.col(outcome_col).cast("int")
+    per_s = (
+        df.filter(
+            F.col(treatment_col).isNotNull()
+            & F.col(outcome_col).isNotNull()
+            & F.col(stratum_col).isNotNull()
+        )
+        .select(
+            F.col(stratum_col).alias("stratum"),
+            t.alias("__t"),
+            o.alias("__o"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.sum(F.col("__t") * F.col("__o")).alias("a"),  # int-ok: 0/1 flags
+            F.sum(F.col("__t") * (1 - F.col("__o"))).alias("b"),  # int-ok: flags
+            F.sum((1 - F.col("__t")) * F.col("__o")).alias("c"),  # int-ok: flags
+            F.sum((1 - F.col("__t")) * (1 - F.col("__o"))).alias("d"),  # int-ok: flags
+        )
+    )
+    n_s = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    inc = n_s >= 2
+    nD = n_s.cast("double")
+    e_s = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        / nD
+    )
+    v_s = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        * (F.col("b") + F.col("d")).cast("double")
+        / (nD * nD * (nD - F.lit(1.0)))
+    )
+    ad_n = F.col("a").cast("double") * F.col("d").cast("double") / nD
+    bc_n = F.col("b").cast("double") * F.col("c").cast("double") / nD
+    # stratum-sorted fold over the bounded table (fixed IEEE order; the
+    # SQL twin lists strata ORDER BY stratum in its list_reduce)
+    folded = per_s.agg(
+        F.sum(F.when(inc, F.lit(1)).otherwise(F.lit(0))).alias("__k"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("stratum").cast("string").alias("k"),
+                        F.when(inc, F.col("a").cast("double"))
+                        .otherwise(F.lit(0.0)).alias("a"),
+                        F.when(inc, e_s).otherwise(F.lit(0.0)).alias("e"),
+                        F.when(inc, v_s).otherwise(F.lit(0.0)).alias("v"),
+                        F.when(inc, ad_n).otherwise(F.lit(0.0)).alias("x"),
+                        F.when(inc, bc_n).otherwise(F.lit(0.0)).alias("y"),
+                    )
+                )
+            ),
+            F.struct(
+                F.lit(0.0).alias("sa"),
+                F.lit(0.0).alias("se"),
+                F.lit(0.0).alias("sv"),
+                F.lit(0.0).alias("sx"),
+                F.lit(0.0).alias("sy"),
+            ),
+            lambda acc, r: F.struct(
+                (acc["sa"] + r["a"]).alias("sa"),
+                (acc["se"] + r["e"]).alias("se"),
+                (acc["sv"] + r["v"]).alias("sv"),
+                (acc["sx"] + r["x"]).alias("sx"),
+                (acc["sy"] + r["y"]).alias("sy"),
+            ),
+        ).alias("__f"),
+    )
+    diff = F.col("__f.sa") - F.col("__f.se")
+    glob = folded.select(
+        F.col("__k").cast("bigint").alias("n_strata_included"),
+        round4_stable(
+            F.when(F.col("__f.sv") > 0.0, diff * diff / F.col("__f.sv"))
+        ).alias("chi2"),
+        round4_stable(
+            F.when(F.col("__f.sy") > 0.0, F.col("__f.sx") / F.col("__f.sy"))
+        ).alias("or_mh"),
+    )
+    return per_s.crossJoin(F.broadcast(glob)).select(
+        "stratum",
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("c").cast("bigint").alias("c"),
+        F.col("d").cast("bigint").alias("d"),
+        inc.cast("int").alias("included"),
+        "n_strata_included",
+        "chi2",
+        "or_mh",
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    pred_a_col: str,
+    pred_b_col: str,
+    label_col: str,
+) -> DataFrame:
+    """McNemar's test on PAIRED model predictions — "did model B beat
+    model A on the SAME examples?", the right question when two
+    classifiers are evaluated on one dataset (two independent accuracy
+    CIs overlap exactly when this test is still decisive, because it
+    ignores the examples both get right/wrong). With discordant counts
+    ``b`` (A right, B wrong) and ``c`` (A wrong, B right)::
+
+        chi2    = (b - c)^2 / (b + c)
+        chi2_cc = (|b - c| - 1)^2 / (b + c)     (Edwards continuity corr.)
+
+    ``b + c == 0`` (the models never disagree) reports NULL statistics —
+    nothing to test, a data property.
+
+    Entirely exact-integer until the single final division (counts are
+    BIGINT sums of 0/1 flags, the squared difference stays well under
+    2^63 for any real evaluation set); doubles rounded to 4. One row
+    out: ``(n, both_right, both_wrong, a_only, b_only, chi2, chi2_cc)``.
+
+    Scale: one scan, one 1-row aggregate of five flag sums.
+    """
+    ra = (F.col(pred_a_col) == F.col(label_col)).cast("int")
+    rb = (F.col(pred_b_col) == F.col(label_col)).cast("int")
+    agg = df.filter(
+        F.col(pred_a_col).isNotNull()
+        & F.col(pred_b_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ra * rb).alias("both_right"),  # int-ok: 0/1 flags, sum <= n
+        F.sum((1 - ra) * (1 - rb)).alias("both_wrong"),  # int-ok: flags
+        F.sum(ra * (1 - rb)).alias("a_only"),  # int-ok: 0/1 flags
+        F.sum((1 - ra) * rb).alias("b_only"),  # int-ok: 0/1 flags
+    )
+    b, c = F.col("a_only").cast("double"), F.col("b_only").cast("double")
+    disc = F.col("a_only") + F.col("b_only")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("both_right").cast("bigint").alias("both_right"),
+        F.col("both_wrong").cast("bigint").alias("both_wrong"),
+        F.col("a_only").cast("bigint").alias("a_only"),
+        F.col("b_only").cast("bigint").alias("b_only"),
+        round4_stable(
+            F.when(disc > 0, (b - c) * (b - c) / (b + c))
+        ).alias("chi2"),
+        round4_stable(
+            F.when(
+                disc > 0,
+                (F.abs(b - c) - F.lit(1.0))
+                * (F.abs(b - c) - F.lit(1.0))
+                / (b + c),
+            )
+        ).alias("chi2_cc"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two raters
+    over the same items (annotator QA for labeling pipelines; also the
+    right "do these two classifiers agree" number, where raw accuracy-
+    of-agreement is inflated by class imbalance)::
+
+        kappa = (po - pe) / (1 - pe)
+              = (n * agree - sum_k nA_k * nB_k) / (n^2 - sum_k nA_k * nB_k)
+
+    — a ratio of EXACT integers: ``agree`` and the per-category marginal
+    counts are BIGINT sums, the marginal products accumulate in
+    DECIMAL(38,0) (nA_k * nB_k <= n^2 wraps int64 past ~3e9 rows), and
+    the single division is the only double, rounded to 4. ``pe == 1``
+    (both raters constant and identical) reports NULL kappa.
+
+    Output: one row ``(n, n_agree, po, pe, kappa)`` — po/pe rounded 4.
+
+    Scale: one (category) x (category) aggregate for agree, one
+    per-category marginal aggregate each side, joined on the bounded
+    category table. Items NULL on either side are excluded (no rating
+    is not a rating).
+    """
+    pairs = df.filter(
+        F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+    ).select(
+        F.col(rater_a_col).cast("string").alias("__a"),
+        F.col(rater_b_col).cast("string").alias("__b"),
+    )
+    base = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("__a") == F.col("__b")).cast("bigint")).alias("n_agree"),
+    )
+    ma = pairs.groupBy(F.col("__a").alias("__k")).agg(
+        F.count(F.lit(1)).alias("__na")
+    )
+    mb = pairs.groupBy(F.col("__b").alias("__k")).agg(
+        F.count(F.lit(1)).alias("__nb")
+    )
+    pe_num = (
+        ma.join(mb, "__k")
+        .agg(
+            F.sum(
+                (F.col("__na") * F.col("__nb")).cast("decimal(38,0)")
+            ).alias("__pe_num")
+        )
+    )
+    joined = base.crossJoin(F.broadcast(pe_num))
+    nD = F.col("n").cast("double")
+    pe = F.col("__pe_num").cast("double") / (nD * nD)
+    po = F.col("n_agree").cast("double") / nD
+    # kappa divides two EXACT decimal integers once — no float
+    # subtraction chain for the engines to disagree on
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("n_agree")
+        - F.col("__pe_num")
+    )
+    den = (
+        F.col("n").cast("decimal(38,0)") * F.col("n")
+        - F.col("__pe_num")
+    )
+    return joined.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_agree").cast("bigint").alias("n_agree"),
+        round4_stable(po).alias("po"),
+        round4_stable(pe).alias("pe"),
+        round4_stable(
+            F.when(den > 0, num.cast("double") / den.cast("double"))
+        ).alias("kappa"),
+    )

@@ -13470,6 +13470,243 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# Paired / stratified categorical inference (round 9): CMH, McNemar, kappa
+# --------------------------------------------------------------------------
+
+
+def _q_cmh_urgent_highvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel association of urgent priority with
+    high-value orders, stratified by order year
+    (operators/evaluation.py:cmh_test) — the BINARY-outcome companion to
+    stratified_ate: per-year 2x2 tables pooled into one chi2 + the
+    Mantel-Haenszel common odds ratio."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        cmh_test,
+    )
+
+    od = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_urgent"),
+        (F.col("o_totalprice") > 150000.0).alias("is_high"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    return cmh_test(od, "is_urgent", "is_high", "yr")
+
+
+_CMH_SQL = """
+WITH base AS (
+  SELECT year(o_orderdate) AS stratum,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS t,
+         CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS o
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    AND o_orderdate IS NOT NULL
+),
+per_s AS (
+  SELECT stratum,
+         sum(t * o) AS a, sum(t * (1 - o)) AS b,
+         sum((1 - t) * o) AS c, sum((1 - t) * (1 - o)) AS d
+  FROM base GROUP BY 1
+),
+terms AS (
+  SELECT stratum, a, b, c, d, a + b + c + d AS n,
+         CASE WHEN a + b + c + d >= 2 THEN CAST(a AS DOUBLE) ELSE 0.0
+         END AS fa,
+         CASE WHEN a + b + c + d >= 2
+              THEN CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE)
+              ELSE 0.0 END AS fe,
+         CASE WHEN a + b + c + d >= 2
+              THEN CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                   * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+                   / (CAST(a + b + c + d AS DOUBLE)
+                      * CAST(a + b + c + d AS DOUBLE)
+                      * (CAST(a + b + c + d AS DOUBLE) - 1.0))
+              ELSE 0.0 END AS fv,
+         CASE WHEN a + b + c + d >= 2
+              THEN CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE)
+              ELSE 0.0 END AS fx,
+         CASE WHEN a + b + c + d >= 2
+              THEN CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE)
+              ELSE 0.0 END AS fy
+  FROM per_s
+),
+folded AS (
+  SELECT sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS k,
+         list_reduce(list(fa ORDER BY CAST(stratum AS VARCHAR)),
+                     (x, y) -> x + y) AS sa,
+         list_reduce(list(fe ORDER BY CAST(stratum AS VARCHAR)),
+                     (x, y) -> x + y) AS se,
+         list_reduce(list(fv ORDER BY CAST(stratum AS VARCHAR)),
+                     (x, y) -> x + y) AS sv,
+         list_reduce(list(fx ORDER BY CAST(stratum AS VARCHAR)),
+                     (x, y) -> x + y) AS sx,
+         list_reduce(list(fy ORDER BY CAST(stratum AS VARCHAR)),
+                     (x, y) -> x + y) AS sy
+  FROM terms
+),
+g AS (
+  SELECT CAST(k AS BIGINT) AS n_strata_included,
+         CASE WHEN sv > 0.0
+              THEN floor(((sa - se) * (sa - se) / sv) * 10000 + 0.5)
+                   / 10000 END AS chi2,
+         CASE WHEN sy > 0.0
+              THEN floor((sx / sy) * 10000 + 0.5) / 10000 END AS or_mh
+  FROM folded
+)
+SELECT p.stratum,
+       CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
+       CAST(p.c AS BIGINT) AS c, CAST(p.d AS BIGINT) AS d,
+       CAST(p.a + p.b + p.c + p.d >= 2 AS INT) AS included,
+       g.n_strata_included, g.chi2, g.or_mh
+FROM per_s p CROSS JOIN g
+"""
+
+
+def _q_mcnemar_value_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired comparison of two deterministic purchase
+    predictors on the SAME events
+    (operators/evaluation.py:mcnemar_test): rule A = value above the
+    global-ish 35.0 cut, rule B = afternoon event — discordant-pair
+    inference, the "did B beat A on the same data" readout two separate
+    accuracy CIs cannot give."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        mcnemar_test,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("value") > 35.0).alias("pred_a"),
+        (F.hour("ts") >= 12).alias("pred_b"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    return mcnemar_test(ev, "pred_a", "pred_b", "label")
+
+
+_MCNEMAR_SQL = """
+WITH base AS (
+  SELECT CASE WHEN (value > 35.0) = (event_type = 'purchase')
+              THEN 1 ELSE 0 END AS ra,
+         CASE WHEN (hour(ts) >= 12) = (event_type = 'purchase')
+              THEN 1 ELSE 0 END AS rb
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+agg AS (
+  SELECT count(*) AS n,
+         sum(ra * rb) AS both_right,
+         sum((1 - ra) * (1 - rb)) AS both_wrong,
+         sum(ra * (1 - rb)) AS a_only,
+         sum((1 - ra) * rb) AS b_only
+  FROM base
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(both_right AS BIGINT) AS both_right,
+       CAST(both_wrong AS BIGINT) AS both_wrong,
+       CAST(a_only AS BIGINT) AS a_only,
+       CAST(b_only AS BIGINT) AS b_only,
+       CASE WHEN a_only + b_only > 0
+            THEN floor(((CAST(a_only AS DOUBLE) - CAST(b_only AS DOUBLE))
+                        * (CAST(a_only AS DOUBLE) - CAST(b_only AS DOUBLE))
+                        / (CAST(a_only AS DOUBLE) + CAST(b_only AS DOUBLE)))
+                       * 10000 + 0.5) / 10000 END AS chi2,
+       CASE WHEN a_only + b_only > 0
+            THEN floor(((abs(CAST(a_only AS DOUBLE)
+                             - CAST(b_only AS DOUBLE)) - 1.0)
+                        * (abs(CAST(a_only AS DOUBLE)
+                               - CAST(b_only AS DOUBLE)) - 1.0)
+                        / (CAST(a_only AS DOUBLE) + CAST(b_only AS DOUBLE)))
+                       * 10000 + 0.5) / 10000 END AS chi2_cc
+FROM agg
+"""
+
+
+def _q_kappa_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the documents table's declared lang column
+    and the marker-word language-ID heuristic
+    (operators/evaluation.py:cohens_kappa over
+    operators/text_analysis.py:lang_id) — chance-corrected annotator
+    agreement, the label-QA number lang_confusion's raw matrix doesn't
+    normalize."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        cohens_kappa,
+    )
+    from feature_store_fraud_detection_spark.operators.text_analysis import (
+        lang_id,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    rated = docs.select(
+        F.col("lang"), lang_id("text").alias("lang_pred")
+    )
+    return cohens_kappa(rated, "lang", "lang_pred")
+
+
+# the lang_pred CASE mirrors _LANG_CONFUSION_SQL verbatim
+_KAPPA_LANG_SQL = r"""
+WITH tk AS (
+  SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+    CASE
+      WHEN len(list_filter(toks, t -> t IN ('der','die','das','und','ist')))
+             >= greatest(len(list_filter(toks, t -> t IN ('the','a','of','and','in'))),
+                         len(list_filter(toks, t -> t IN ('el','la','de','los','que'))))
+           AND len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) > 0
+        THEN 'de'
+      WHEN len(list_filter(toks, t -> t IN ('the','a','of','and','in')))
+             >= len(list_filter(toks, t -> t IN ('el','la','de','los','que')))
+           AND len(list_filter(toks, t -> t IN ('the','a','of','and','in'))) > 0
+        THEN 'en'
+      WHEN len(list_filter(toks, t -> t IN ('el','la','de','los','que'))) > 0
+        THEN 'es'
+      ELSE 'und'
+    END AS lang_pred
+  FROM tk
+  WHERE lang IS NOT NULL
+),
+base AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS n_agree
+  FROM pred
+),
+ma AS (SELECT lang AS k, count(*) AS na FROM pred GROUP BY 1),
+mb AS (SELECT lang_pred AS k, count(*) AS nb FROM pred GROUP BY 1),
+pe AS (
+  SELECT sum(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)) AS pe_num
+  FROM ma JOIN mb USING (k)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n_agree AS BIGINT) AS n_agree,
+       floor((CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5)
+         / 10000 AS po,
+       floor((CAST(pe_num AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 10000 + 0.5)
+         / 10000 AS pe,
+       CASE WHEN CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - pe_num > 0
+            THEN floor((CAST(CAST(n AS HUGEINT) * CAST(n_agree AS HUGEINT)
+                             - pe_num AS DOUBLE)
+                        / CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+                               - pe_num AS DOUBLE)) * 10000 + 0.5)
+                 / 10000 END AS kappa
+FROM base CROSS JOIN pe
+"""
+
+
+QUERIES.update(
+    {
+        "cmh_urgent_highvalue": QuerySpec(_q_cmh_urgent_highvalue, _CMH_SQL),
+        "mcnemar_value_rules": QuerySpec(
+            _q_mcnemar_value_rules, _MCNEMAR_SQL
+        ),
+        "kappa_lang_id": QuerySpec(_q_kappa_lang_id, _KAPPA_LANG_SQL),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so
@@ -13483,7 +13720,8 @@ QUERIES.update(
 _GRADING_PRIORITY: list[str] = [
     # (a) both gate canaries lead every window (cheap; a red here means
     # harness drift, which re-interprets every other row this round),
-    # then round 9's new query (the supervised Fellegi-Sunter m-path)
+    # then round 9's new queries (the supervised Fellegi-Sunter m-path
+    # and the CMH / McNemar / kappa categorical-inference family)
     # and the ten queries whose implementation changed this round —
     # the ADVICE r8 DECIMAL(38,0)/fail-loud hardening (stratified_ate
     # sums, the shared _y4_quantized guard in seasonal_strength /
@@ -13494,6 +13732,9 @@ _GRADING_PRIORITY: list[str] = [
     "gate_float_canary",
     "gate_type_canary",
     "linkage_supervised_m",
+    "cmh_urgent_highvalue",
+    "mcnemar_value_rules",
+    "kappa_lang_id",
     "stratified_ate",
     "acf_priority",
     "pettitt_priority",
@@ -13522,8 +13763,10 @@ _GRADING_PRIORITY: list[str] = [
     "top_supplier_revenue",
     "unigram_nll",
     "winnowing_fingerprints",
-    # (c) the oldest r4 cohort, alphabetical: 22 of the 50 r4 rows fit
-    # this window; the remaining 28 rotate to round 10
+    # (c) the oldest r4 cohort, alphabetical (flagship kept in-window):
+    # 19 of the 50 r4 rows fit this window after round 9's three
+    # categorical-inference queries took their slots; the remaining
+    # 31 rotate to round 10
     "ann_recall",
     "bfs_levels",
     "bigram_nll",
@@ -13542,10 +13785,7 @@ _GRADING_PRIORITY: list[str] = [
     "dbscan_clusters",
     "degree_distribution",
     "dup_cluster_histogram",
-    "exact_dedup",
-    "feature_freshness",
     "flagship_features",
-    "gopher_flags",
 ]
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (

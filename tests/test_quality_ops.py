@@ -1762,6 +1762,107 @@ def test_supervised_m_exact_and_vs_em(spark):
         supervised_m_estimates(prof, "id", ["f1"], empty).collect()
 
 
+def test_cmh_hand_fixture(spark):
+    """CMH chi2 / MH odds ratio against hand-computed per-stratum terms:
+    stratum s1 is perfectly balanced (contributes 0 to the numerator),
+    s2 carries the association; a single-row stratum must be excluded
+    and reported."""
+    import math
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        cmh_test,
+    )
+
+    rows = []
+    # s1: a=10 b=10 c=10 d=10 ; s2: a=20 b=10 c=10 d=20
+    for t, o, k in ((1, 1, 10), (1, 0, 10), (0, 1, 10), (0, 0, 10)):
+        rows += [("s1", t, o)] * k
+    for t, o, k in ((1, 1, 20), (1, 0, 10), (0, 1, 10), (0, 0, 20)):
+        rows += [("s2", t, o)] * k
+    rows.append(("s3", 1, 1))  # n=1: no variance, excluded
+    df = spark.createDataFrame(rows, "stratum string, t int, o int")
+    out = {r.stratum: r for r in cmh_test(df, "t", "o", "stratum").collect()}
+
+    assert (out["s1"].a, out["s1"].b, out["s1"].c, out["s1"].d) == (
+        10, 10, 10, 10,
+    )
+    assert out["s3"].included == 0 and out["s1"].included == 1
+    assert out["s1"].n_strata_included == 2
+
+    # hand fold in the same stratum-sorted order
+    def terms(a, b, c, d):
+        n = float(a + b + c + d)
+        e = float(a + b) * float(a + c) / n
+        v = (
+            float(a + b) * float(c + d) * float(a + c) * float(b + d)
+            / (n * n * (n - 1.0))
+        )
+        return float(a), e, v, float(a) * d / n, float(b) * c / n
+    sa = se = sv = sx = sy = 0.0
+    for t5 in (terms(10, 10, 10, 10), terms(20, 10, 10, 20)):
+        sa += t5[0]; se += t5[1]; sv += t5[2]; sx += t5[3]; sy += t5[4]
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
+    assert out["s1"].chi2 == r4((sa - se) ** 2 / sv)
+    assert out["s1"].or_mh == r4(sx / sy)
+    # sanity on the hand numbers themselves
+    assert abs(out["s1"].chi2 - 3.9199) < 5e-4
+    assert abs(out["s1"].or_mh - 2.2) < 5e-4
+
+
+def test_mcnemar_hand_fixture(spark):
+    """Textbook discordant pairs: b=10, c=4 -> chi2 = 36/14, with
+    continuity correction 25/14; zero-discordance reports NULL."""
+    import math
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        mcnemar_test,
+    )
+
+    rows = (
+        [(1, 1, 1)] * 20        # both right
+        + [(0, 0, 1)] * 6       # both wrong
+        + [(1, 0, 1)] * 10      # A right only
+        + [(0, 1, 1)] * 4       # B right only
+    )
+    df = spark.createDataFrame(rows, "pa int, pb int, y int")
+    r = mcnemar_test(df, "pa", "pb", "y").collect()[0]
+    assert (r.n, r.both_right, r.both_wrong, r.a_only, r.b_only) == (
+        40, 20, 6, 10, 4,
+    )
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
+    assert r.chi2 == r4(36.0 / 14.0)
+    assert r.chi2_cc == r4(25.0 / 14.0)
+
+    same = spark.createDataFrame(
+        [(1, 1, 1), (0, 0, 1)], "pa int, pb int, y int"
+    )
+    r0 = mcnemar_test(same, "pa", "pb", "y").collect()[0]
+    assert r0.chi2 is None and r0.chi2_cc is None
+
+
+def test_cohens_kappa_hand_fixture(spark):
+    """The classic 2x2 agreement table: po=0.7, pe=0.5, kappa=0.4 —
+    exact; a constant identical pair of raters (pe=1) reports NULL."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        cohens_kappa,
+    )
+
+    rows = (
+        [("y", "y")] * 20
+        + [("n", "n")] * 15
+        + [("y", "n")] * 10
+        + [("n", "y")] * 5
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert (r.n, r.n_agree) == (50, 35)
+    assert r.po == 0.7 and r.pe == 0.5 and r.kappa == 0.4
+
+    const = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    rc = cohens_kappa(const, "a", "b").collect()[0]
+    assert rc.kappa is None and rc.po == 1.0 and rc.pe == 1.0
+
+
 def test_t_closeness_numeric_emd_hand_fixture(spark):
     """Ordered-distance EMD by hand, and the discrimination the
     categorical form cannot make: a class one notch off the population
