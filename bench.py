@@ -182,6 +182,7 @@ HEADLINE: list[tuple[str, int]] = [
     ("cmh_urgent_highvalue", 9),
     ("mcnemar_value_rules", 9),
     ("kappa_lang_id", 9),
+    ("conformal_events", 9),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

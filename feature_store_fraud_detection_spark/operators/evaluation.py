@@ -1611,3 +1611,130 @@ def cohens_kappa(
             F.when(den > 0, num.cast("double") / den.cast("double"))
         ).alias("kappa"),
     )
+
+
+def conformal_report(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    unit_col: str,
+    alpha: float = 0.1,
+    salt: str = "conformal",
+    scale: int = 10000,
+) -> DataFrame:
+    """Split-conformal prediction intervals + their coverage audit — the
+    distribution-free uncertainty rung of the eval ladder: for ANY
+    point predictor, the interval ``pred ± q_hat`` with ``q_hat`` the
+    ``ceil((n_cal+1)(1-alpha))``-th smallest calibration nonconformity
+    score ``|label - pred|`` covers a fresh point with probability
+    >= 1-alpha (Vovk et al.; the finite-sample split-conformal
+    guarantee — no model assumptions, only exchangeability).
+
+    Units split 50/50 into calibration/test by salted md5 (the repo's
+    assignment rule: every row of a unit lands on one side, so leakage
+    across the split is impossible by construction). Scores quantize to
+    exact integer 1e4-ths (the house discipline), making ``q_hat`` an
+    EXACT order statistic: one (score) aggregate, one prefix window over
+    the bounded distinct-score table — never a global row sort
+    (mann_whitney's shard rule). The report audits the guarantee on the
+    held-out test side: ``coverage`` must land >= 1-alpha up to
+    finite-sample noise.
+
+    One row out: ``(n_cal, n_test, k_rank, qhat, coverage,
+    mean_width)`` — qhat/width in label units (rounded 4), coverage an
+    exact count ratio (rounded 4). ``k_rank > n_cal`` (too few
+    calibration points for the requested alpha) reports NULL
+    qhat/coverage/width — the honest "interval is infinite" answer.
+
+    Scale: two keyed aggregates + one bounded-table window; test rows
+    never join calibration rows (q_hat broadcasts as a 1-row frame).
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        overflow_checked,
+        round4_stable,
+    )
+    from feature_store_fraud_detection_spark.operators.encoders import (
+        md5_int,
+    )
+
+    is_cal = (
+        md5_int(F.concat(F.lit(salt + "|"), F.col(unit_col).cast("string")))
+        % 2
+        == 0
+    )
+    s4 = F.floor(
+        overflow_checked(
+            F.abs(
+                F.col(label_col).cast("double")
+                - F.col(pred_col).cast("double")
+            )
+            * F.lit(float(scale))
+            + F.lit(0.5),
+            9.0e15,
+            "conformal_report score",
+        )
+    ).cast("bigint")
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(is_cal.alias("__cal"), s4.alias("__s4"))
+    per_score = (
+        base.filter(F.col("__cal"))
+        .groupBy("__s4")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wp = (
+        Window.orderBy("__s4")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_score.select(
+        "__s4", F.sum("__c").over(wp).alias("__cum")
+    )
+    n_cal_df = base.filter(F.col("__cal")).agg(
+        F.count(F.lit(1)).alias("n_cal")
+    )
+    # k = ceil((n_cal + 1) * (1 - alpha)) — identical double expression
+    # in the SQL twin
+    k_rank = F.ceil(
+        (F.col("n_cal") + F.lit(1)).cast("double")
+        * F.lit(1.0 - float(alpha))
+    ).cast("bigint")
+    qhat = (
+        cum.crossJoin(F.broadcast(n_cal_df))
+        .filter(F.col("__cum") >= k_rank)
+        .agg(F.min("__s4").alias("qhat4"))
+    )
+    glob = n_cal_df.crossJoin(F.broadcast(qhat)).select(
+        "n_cal",
+        k_rank.alias("k_rank"),
+        F.when(k_rank <= F.col("n_cal"), F.col("qhat4")).alias("qhat4"),
+    )
+    test_agg = (
+        base.filter(~F.col("__cal"))
+        .crossJoin(F.broadcast(glob))
+        .agg(
+            F.first("n_cal").alias("n_cal"),
+            F.first("k_rank").alias("k_rank"),
+            F.first("qhat4").alias("qhat4"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (F.col("__s4") <= F.col("qhat4")).cast("bigint")
+            ).alias("__covered"),
+        )
+    )
+    inv = F.lit(1.0) / F.lit(float(scale))
+    return test_agg.select(
+        F.col("n_cal").cast("bigint").alias("n_cal"),
+        F.col("n_test").cast("bigint").alias("n_test"),
+        F.col("k_rank").cast("bigint").alias("k_rank"),
+        round4_stable(F.col("qhat4").cast("double") * inv).alias("qhat"),
+        round4_stable(
+            F.when(
+                F.col("qhat4").isNotNull() & (F.col("n_test") > 0),
+                F.col("__covered").cast("double")
+                / F.col("n_test").cast("double"),
+            )
+        ).alias("coverage"),
+        round4_stable(
+            F.col("qhat4").cast("double") * F.lit(2.0) * inv
+        ).alias("mean_width"),
+    )

@@ -13695,8 +13695,79 @@ FROM base CROSS JOIN pe
 """
 
 
+def _q_conformal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval report for a crude deterministic value
+    predictor (operators/evaluation.py:conformal_report): pred =
+    3*hour(ts) + 5, label = value, units md5-split 50/50 into
+    calibration/test; q_hat is the exact ceil((n+1)(1-alpha))-th order
+    statistic of the quantized calibration residuals and coverage
+    audits the >= 1-alpha guarantee on the held-out side."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        conformal_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.hour("ts") * 3).cast("double") + F.lit(5.0),
+        F.col("value"),
+    ).toDF("user_id", "pred", "value")
+    return conformal_report(ev, "pred", "value", "user_id", alpha=0.1)
+
+
+_CONFORMAL_SQL = """
+WITH base AS (
+  SELECT (('0x' || substr(md5('conformal|' || user_id), 1, 15))::BIGINT
+            % 2 = 0) AS cal,
+         CAST(floor(abs(CAST(value AS DOUBLE)
+                        - (CAST(hour(ts) * 3 AS DOUBLE) + 5.0))
+                    * 10000.0 + 0.5) AS BIGINT) AS s4
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+nc AS (SELECT count(*) AS n_cal FROM base WHERE cal),
+k AS (
+  SELECT n_cal,
+         CAST(ceil(CAST(n_cal + 1 AS DOUBLE) * 0.9) AS BIGINT) AS k_rank
+  FROM nc
+),
+cum AS (
+  SELECT s4, sum(c) OVER (ORDER BY s4
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cm
+  FROM (SELECT s4, count(*) AS c FROM base WHERE cal GROUP BY 1)
+),
+q AS (
+  SELECT k.n_cal, k.k_rank,
+         CASE WHEN k.k_rank <= k.n_cal
+              THEN (SELECT min(s4) FROM cum WHERE cm >= k.k_rank)
+         END AS qhat4
+  FROM k
+),
+t AS (
+  SELECT q.n_cal, q.k_rank, q.qhat4,
+         count(*) AS n_test,
+         sum(CASE WHEN b.s4 <= q.qhat4 THEN 1 ELSE 0 END) AS covered
+  FROM base b CROSS JOIN q
+  WHERE NOT b.cal
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(n_cal AS BIGINT) AS n_cal,
+       CAST(n_test AS BIGINT) AS n_test,
+       CAST(k_rank AS BIGINT) AS k_rank,
+       floor((CAST(qhat4 AS DOUBLE) * (1.0 / 10000.0)) * 10000 + 0.5)
+         / 10000 AS qhat,
+       CASE WHEN qhat4 IS NOT NULL AND n_test > 0
+            THEN floor((CAST(covered AS DOUBLE) / CAST(n_test AS DOUBLE))
+                       * 10000 + 0.5) / 10000 END AS coverage,
+       floor((CAST(qhat4 AS DOUBLE) * 2.0 * (1.0 / 10000.0)) * 10000 + 0.5)
+         / 10000 AS mean_width
+FROM t
+"""
+
+
 QUERIES.update(
     {
+        "conformal_events": QuerySpec(_q_conformal_events, _CONFORMAL_SQL),
         "cmh_urgent_highvalue": QuerySpec(_q_cmh_urgent_highvalue, _CMH_SQL),
         "mcnemar_value_rules": QuerySpec(
             _q_mcnemar_value_rules, _MCNEMAR_SQL
@@ -13735,6 +13806,7 @@ _GRADING_PRIORITY: list[str] = [
     "cmh_urgent_highvalue",
     "mcnemar_value_rules",
     "kappa_lang_id",
+    "conformal_events",
     "stratified_ate",
     "acf_priority",
     "pettitt_priority",
@@ -13764,9 +13836,9 @@ _GRADING_PRIORITY: list[str] = [
     "unigram_nll",
     "winnowing_fingerprints",
     # (c) the oldest r4 cohort, alphabetical (flagship kept in-window):
-    # 19 of the 50 r4 rows fit this window after round 9's three
-    # categorical-inference queries took their slots; the remaining
-    # 31 rotate to round 10
+    # 18 of the 50 r4 rows fit this window after round 9's four new
+    # inference queries took their slots; the remaining 32 rotate
+    # to round 10
     "ann_recall",
     "bfs_levels",
     "bigram_nll",
@@ -13784,7 +13856,6 @@ _GRADING_PRIORITY: list[str] = [
     "cusum_changepoints",
     "dbscan_clusters",
     "degree_distribution",
-    "dup_cluster_histogram",
     "flagship_features",
 ]
 

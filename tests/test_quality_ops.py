@@ -1863,6 +1863,52 @@ def test_cohens_kappa_hand_fixture(spark):
     assert rc.kappa is None and rc.po == 1.0 and rc.pe == 1.0
 
 
+def test_conformal_report_exact_and_guarantee(spark):
+    """q_hat must be the exact ceil((n_cal+1)(1-alpha))-th smallest
+    calibration score (replicated in pure Python over the same md5
+    split), coverage the exact test-side count ratio — and on this
+    exchangeable fixture the split-conformal guarantee must hold:
+    coverage >= 1 - alpha."""
+    import hashlib
+    import math
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        conformal_report,
+    )
+
+    # deterministic "residuals": unit i predicts 0.0, label = (i*37 % 100)
+    # in tenths — spread, exchangeable across the hash split
+    rows = [(i, 0.0, float((i * 37) % 100) / 10.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "uid long, pred double, label double")
+    alpha = 0.2
+    r = conformal_report(df, "pred", "label", "uid", alpha=alpha).collect()[0]
+
+    def is_cal(uid: int) -> bool:
+        h = hashlib.md5(f"conformal|{uid}".encode()).hexdigest()[:15]
+        return int(h, 16) % 2 == 0
+
+    cal = [round(abs(lbl - 0.0) * 10000) for (u, _, lbl) in rows if is_cal(u)]
+    tst = [round(abs(lbl - 0.0) * 10000) for (u, _, lbl) in rows if not is_cal(u)]
+    k = math.ceil((len(cal) + 1) * (1 - alpha))
+    qhat4 = sorted(cal)[k - 1]
+    covered = sum(1 for s in tst if s <= qhat4)
+    assert (r.n_cal, r.n_test, r.k_rank) == (len(cal), len(tst), k)
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
+    assert r.qhat == r4(qhat4 * (1.0 / 10000.0))
+    assert r.coverage == r4(covered / len(tst))
+    assert r.mean_width == r4(qhat4 * 2.0 * (1.0 / 10000.0))
+    # the distribution-free guarantee on an exchangeable split
+    assert r.coverage >= 1 - alpha - 0.05, r.coverage
+
+    # too few calibration points for alpha: k > n_cal -> NULL interval
+    tiny = spark.createDataFrame(
+        [(i, 0.0, float(i)) for i in range(6)],
+        "uid long, pred double, label double",
+    )
+    rt = conformal_report(tiny, "pred", "label", "uid", alpha=0.01).collect()[0]
+    assert rt.qhat is None and rt.coverage is None
+
+
 def test_t_closeness_numeric_emd_hand_fixture(spark):
     """Ordered-distance EMD by hand, and the discrimination the
     categorical form cannot make: a class one notch off the population

@@ -196,6 +196,25 @@ SELECTED: dict[str, str] = {
         "survival fold — rides the bounded day table (max_days-capped), "
         "so no subject-row sort, join, or window anywhere."
     ),
+    "linkage_supervised_m": (
+        "The labeled m-estimate is two id-keyed equi-joins of the "
+        "bounded labeled-pair table against profiles (broadcastable "
+        "when labels are scarce) + ONE 1-row aggregate unpivoted via "
+        "stack; driver state is 2 integers per field. The u-histogram "
+        "folds are per-field bounded aggregates."
+    ),
+    "cmh_urgent_highvalue": (
+        "One (stratum) hash aggregate collapses all rows to exact 2x2 "
+        "counts; every E/V/odds term folds stratum-sorted over that "
+        "bounded frame; the global chi2/OR broadcast back as a 1-row "
+        "frame. No window over raw rows, no join on the fact side."
+    ),
+    "conformal_events": (
+        "q_hat is a prefix window over the DISTINCT quantized-score "
+        "table (bounded by score cardinality, never a global row "
+        "sort); the test side joins only the broadcast 1-row q_hat "
+        "frame — calibration and test rows never join each other."
+    ),
     "split_novelty": (
         "Both splits collapse to DISTINCT md5 digest tables (every "
         "exchange carries 32-byte digests, never shingle text); the "
