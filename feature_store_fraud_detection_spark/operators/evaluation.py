@@ -1738,3 +1738,537 @@ def conformal_report(
             F.col("qhat4").cast("double") * F.lit(2.0) * inv
         ).alias("mean_width"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    rater_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among r >= 2 raters
+    over the same items, the multi-rater generalization of
+    :func:`cohens_kappa` (which handles exactly two): the number that
+    says whether a labeling pipeline's annotators (or an ensemble of
+    heuristic quality raters) actually agree beyond what their marginal
+    category rates force.
+
+    Exact-integer surface end to end::
+
+        P_bar   = (sum_ic n_ic^2 - N*r) / (N*r*(r-1))      =: A / D1
+        P_e     = sum_c T_c^2 / (N*r)^2                    =: B / D2
+        kappa   = (A*D2 - B*D1) / (D1 * (D2 - B))
+
+    — every term an exact integer in DECIMAL(38,0) (A*D2 ~ N^3 r^4
+    wraps int64 LONG before it strains 38 digits), so kappa is ONE
+    division of two exact decimals; P_bar/P_e are each one division
+    too. No float folds anywhere, which makes this the strongest hash
+    surface in the agreement family. ``P_e == 1`` (every rating in one
+    category) reports NULL kappa.
+
+    Fleiss' formula requires the SAME number of ratings per item: a
+    ragged panel fails loud naming the min/max (drop to Krippendorff's
+    alpha semantics — not implemented — or filter upstream; silently
+    pooling ragged items would bias P_bar). NULL item/rater/category
+    rows are excluded first (no rating is not a rating).
+
+    Scale: one (item, category) hash aggregate, one item-total check,
+    one bounded per-category marginal — nothing keyed wider than the
+    input, no sort.
+    """
+    rows = df.filter(
+        F.col(item_col).isNotNull()
+        & F.col(rater_col).isNotNull()
+        & F.col(category_col).isNotNull()
+    ).select(
+        F.col(item_col).alias("__i"),
+        F.col(category_col).cast("string").alias("__c"),
+    )
+    n_ic = rows.groupBy("__i", "__c").agg(
+        F.count(F.lit(1)).alias("__nic")
+    )
+    per_item = n_ic.groupBy("__i").agg(
+        F.sum("__nic").alias("__r"),
+        F.sum(
+            F.col("__nic").cast("decimal(38,0)") * F.col("__nic")
+        ).alias("__sq"),
+    )
+    per_cat = rows.groupBy("__c").agg(F.count(F.lit(1)).alias("__tc"))
+    b_tot = per_cat.agg(
+        F.sum(
+            F.col("__tc").cast("decimal(38,0)") * F.col("__tc")
+        ).alias("B"),
+        F.count(F.lit(1)).alias("k_categories"),
+    )
+    tot = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("__r").alias("__rmin"),
+        F.max("__r").alias("__rmax"),
+        F.sum(F.col("__sq")).alias("__sqsum"),
+    )
+    joined = tot.crossJoin(F.broadcast(b_tot))
+    # ragged-panel / degenerate guards: Fleiss needs a constant r >= 2
+    r_ok = F.when(
+        (F.col("__rmin") == F.col("__rmax")) & (F.col("__rmin") >= 2),
+        F.col("__rmin"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "fleiss_kappa: ratings per item must be a constant "
+                ">= 2 (min=%s, max=%s) — filter to a complete panel "
+                "or use a missing-data coefficient",
+                F.coalesce(F.col("__rmin").cast("string"), F.lit("0")),
+                F.coalesce(F.col("__rmax").cast("string"), F.lit("0")),
+            )
+        ).cast("bigint")
+    )
+    n = F.col("n_items").cast("decimal(38,0)")
+    r = r_ok.cast("decimal(38,0)")
+    a = F.col("__sqsum") - n * r
+    d1 = n * r * (r - F.lit(1).cast("decimal(38,0)"))
+    d2 = (n * r) * (n * r)
+    b = F.col("B")
+    kappa_num = (a * d2 - b * d1).cast("double")
+    kappa_den = (d1 * (d2 - b)).cast("double")
+    return joined.select(
+        F.col("n_items").cast("bigint").alias("n_items"),
+        r_ok.cast("int").alias("n_raters"),
+        F.col("k_categories").cast("int").alias("k_categories"),
+        round4_stable(a.cast("double") / d1.cast("double")).alias("p_bar"),
+        round4_stable(b.cast("double") / d2.cast("double")).alias("p_e"),
+        round4_stable(
+            F.when(kappa_den > 0.0, kappa_num / kappa_den)
+        ).alias("kappa"),
+    )
+
+
+def diff_in_differences(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences — the 2x2 causal workhorse between
+    :func:`ab_test_report` (randomized, no time axis) and
+    :func:`stratified_ate` (observational, stratum adjustment): when a
+    change hits GROUP T at a point in time, the effect estimate is how
+    much T's pre->post move exceeded the control group's::
+
+        DiD = (mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre)
+
+    under the parallel-trends assumption (control's move is the
+    counterfactual). ``treat_col`` / ``post_col`` are boolean-like;
+    ``value_col`` must be integral (quantize upstream, e.g. cents).
+
+    Exact-moment design: the 2x2 cell counts / sums / sums of squares
+    are exact BIGINT / DECIMAL(38,0) conditional aggregates in ONE pass
+    (map-side combined, no join); means, the pooled unequal-variance
+    standard error ``sqrt(sum_cells s^2/n)`` and z are derived once
+    from the exact moments in a fixed cell order (t_pre, t_post,
+    c_pre, c_post) and rounded to 4 decimals. Any cell with n < 2
+    aborts fail-loud (its variance — hence the SE — is undefined;
+    silently dropping a cell would fake a tighter interval).
+
+    Output: one row — per-cell n and mean, did, se, z.
+    """
+    t = F.col(treat_col).cast("boolean")
+    p = F.col(post_col).cast("boolean")
+    v = F.col(value_col).cast("bigint")
+
+    def cell(tv: bool, pv: bool, name: str):
+        m = (t == F.lit(tv)) & (p == F.lit(pv))
+        return [
+            F.sum(F.when(m, 1).otherwise(0)).alias(f"n_{name}"),
+            F.sum(
+                F.when(m, v).otherwise(F.lit(0)).cast("decimal(38,0)")
+            ).alias(f"s_{name}"),
+            F.sum(
+                F.when(m, v.cast("decimal(38,0)") * v).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).alias(f"q_{name}"),
+        ]
+
+    agg = df.filter(
+        t.isNotNull() & p.isNotNull() & F.col(value_col).isNotNull()
+    ).agg(
+        *(
+            cell(True, False, "t_pre")
+            + cell(True, True, "t_post")
+            + cell(False, False, "c_pre")
+            + cell(False, True, "c_post")
+        )
+    )
+
+    def n_ok(name: str):
+        c = F.col(f"n_{name}")
+        return F.when(c >= 2, c).otherwise(
+            F.raise_error(
+                F.format_string(
+                    f"diff_in_differences: cell {name} has n=%s < 2 — "
+                    "every 2x2 cell needs variance",
+                    F.coalesce(c.cast("string"), F.lit("0")),
+                )
+            ).cast("bigint")
+        )
+
+    names = ["t_pre", "t_post", "c_pre", "c_post"]
+    mean = {
+        k: F.col(f"s_{k}").cast("double") / n_ok(k).cast("double")
+        for k in names
+    }
+    var_over_n = {
+        k: (
+            F.col(f"q_{k}").cast("double")
+            - F.col(f"s_{k}").cast("double")
+            * F.col(f"s_{k}").cast("double")
+            / F.col(f"n_{k}").cast("double")
+        )
+        / (F.col(f"n_{k}").cast("double") - F.lit(1.0))
+        / F.col(f"n_{k}").cast("double")
+        for k in names
+    }
+    did = (mean["t_post"] - mean["t_pre"]) - (
+        mean["c_post"] - mean["c_pre"]
+    )
+    # fixed IEEE fold order: t_pre + t_post + c_pre + c_post
+    se = F.sqrt(
+        var_over_n["t_pre"]
+        + var_over_n["t_post"]
+        + var_over_n["c_pre"]
+        + var_over_n["c_post"]
+    )
+    out_cols = []
+    for k in names:
+        out_cols.append(F.col(f"n_{k}").cast("bigint").alias(f"n_{k}"))
+        out_cols.append(round4_stable(mean[k]).alias(f"mean_{k}"))
+    return agg.select(
+        *out_cols,
+        round4_stable(did).alias("did"),
+        round4_stable(se).alias("se"),
+        round4_stable(F.when(se > 0.0, did / se)).alias("z_score"),
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Kendall's tau-b between two ORDINAL columns — concordance-based
+    association with full tie correction, the companion to
+    :func:`~feature_store_fraud_detection_spark.operators.stats.spearman_rho`
+    when both margins are low-cardinality (priority grades, buckets,
+    star ratings)::
+
+        tau_b = (C - D) / sqrt((n0 - n1) * (n0 - n2))
+
+    with C/D the concordant/discordant pair counts, n0 = n(n-1)/2, and
+    n1/n2 the tied-pair counts per margin. Everything is an exact
+    integer until the final ratio: rows collapse to the (x, y)
+    contingency table, C and D come from a self-join over the BOUNDED
+    cell table (strictly-greater / strictly-lesser quadrant pairs,
+    counted once via the x < x' orientation), and all pair counts
+    accumulate in DECIMAL(38,0) with fail-loud BIGINT narrowing.
+
+    The cell self-join is |cells|^2 — right for ordinal data (tens of
+    levels); ``max_cells`` fails loud if a continuous column sneaks in
+    (bucket it first, or use spearman_rho which ranks unbounded
+    margins).
+
+    Output: one row — n, n_cells, conc_pairs, disc_pairs, tau_b.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        bigint_checked,
+    )
+
+    rows = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+    cells = rows.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    n_cells = cells.agg(F.count(F.lit(1)).alias("n_cells"))
+    guard = n_cells.select(
+        F.when(F.col("n_cells") <= F.lit(max_cells), F.col("n_cells"))
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "kendall_tau_b: %s distinct (x, y) cells exceeds "
+                    f"max_cells={max_cells} — bucket the margins or use "
+                    "spearman_rho",
+                    F.col("n_cells").cast("string"),
+                )
+            ).cast("bigint")
+        )
+        .alias("n_cells")
+    )
+    a = cells.select(
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+        F.col("__c").alias("__ca"),
+    )
+    b = cells.select(
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+        F.col("__c").alias("__cb"),
+    )
+    # orient on x: every unordered pair of cells with xa < xb counted
+    # exactly once; concordant if y moves the same way, discordant if
+    # opposite (equal-y pairs are margin ties, handled via n1/n2)
+    pairs = a.join(b, F.col("__xa") < F.col("__xb"))
+    cd = pairs.agg(
+        F.sum(
+            F.when(
+                F.col("__ya") < F.col("__yb"),
+                F.col("__ca").cast("decimal(38,0)") * F.col("__cb"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("conc"),
+        F.sum(
+            F.when(
+                F.col("__ya") > F.col("__yb"),
+                F.col("__ca").cast("decimal(38,0)") * F.col("__cb"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("disc"),
+    )
+    half = F.lit(2).cast("decimal(38,0)")
+
+    def tie_pairs(col: str):
+        per = rows.groupBy(col).agg(F.count(F.lit(1)).alias("__t"))
+        return per.agg(
+            F.sum(
+                F.col("__t").cast("decimal(38,0)")
+                * (F.col("__t") - F.lit(1))
+            ).alias("x2")
+        )
+    n1x2 = tie_pairs("__x").select(F.col("x2").alias("n1_x2"))
+    n2x2 = tie_pairs("__y").select(F.col("x2").alias("n2_x2"))
+    tot = rows.agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        tot.crossJoin(F.broadcast(cd))
+        .crossJoin(F.broadcast(n1x2))
+        .crossJoin(F.broadcast(n2x2))
+        .crossJoin(F.broadcast(guard))
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    n0x2 = nd * (F.col("n") - F.lit(1))  # 2 * n0, exact
+    d1 = (n0x2 - F.col("n1_x2")).cast("double") / F.lit(2.0)
+    d2 = (n0x2 - F.col("n2_x2")).cast("double") / F.lit(2.0)
+    num = (F.col("conc") - F.col("disc")).cast("double")
+    return j.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_cells").cast("int").alias("n_cells"),
+        bigint_checked(F.col("conc"), "kendall_tau_b conc_pairs").alias(
+            "conc_pairs"
+        ),
+        bigint_checked(F.col("disc"), "kendall_tau_b disc_pairs").alias(
+            "disc_pairs"
+        ),
+        round4_stable(
+            F.when(
+                (d1 > 0.0) & (d2 > 0.0),
+                num / (F.sqrt(d1) * F.sqrt(d2)),
+            )
+        ).alias("tau_b"),
+    )
+
+
+def welch_t_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    treatment_value,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t test on an integral metric
+    — the MEAN companion to
+    :func:`~feature_store_fraud_detection_spark.operators.stats.mann_whitney_u`
+    (ranks) and :func:`~feature_store_fraud_detection_spark.operators.stats.ks_two_sample`
+    (shape): "did the average move, and by how many pooled standard
+    deviations" (Cohen's d), without assuming the two groups share a
+    variance (the assumption :func:`~feature_store_fraud_detection_spark.operators.stats.brown_forsythe`
+    tests and real metrics routinely fail).
+
+    Exact-moment design: per-arm count / sum / sum of squares are exact
+    BIGINT / DECIMAL(38,0) conditional aggregates in ONE map-side-
+    combined pass (``value_col`` must be integral — quantize upstream);
+    means, Welch's SE, t, the Welch-Satterthwaite df and Cohen's d
+    (pooled-SD convention) are derived once from the exact moments in
+    fixed IEEE order and rounded to 4 decimals. An arm with n < 2
+    aborts fail-loud (no variance, no test); zero pooled variance
+    reports NULL t/d — never NaN.
+    """
+    t = (F.col(group_col) == F.lit(treatment_value))
+    v = F.col(value_col).cast("bigint")
+
+    def arm(flag: bool, name: str):
+        m = t == F.lit(flag)
+        return [
+            F.sum(F.when(m, 1).otherwise(0)).alias(f"n_{name}"),
+            F.sum(
+                F.when(m, v).otherwise(F.lit(0)).cast("decimal(38,0)")
+            ).alias(f"s_{name}"),
+            F.sum(
+                F.when(m, v.cast("decimal(38,0)") * v).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).alias(f"q_{name}"),
+        ]
+
+    agg = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).agg(*(arm(True, "t") + arm(False, "c")))
+
+    def n_ok(name: str):
+        c = F.col(f"n_{name}")
+        return F.when(c >= 2, c).otherwise(
+            F.raise_error(
+                F.format_string(
+                    f"welch_t_test: arm {name} has n=%s < 2 — both arms "
+                    "need a variance",
+                    F.coalesce(c.cast("string"), F.lit("0")),
+                )
+            ).cast("bigint")
+        )
+
+    nt = n_ok("t").cast("double")
+    nc = n_ok("c").cast("double")
+    mt = F.col("s_t").cast("double") / nt
+    mc = F.col("s_c").cast("double") / nc
+    vt = (
+        F.col("q_t").cast("double")
+        - F.col("s_t").cast("double") * F.col("s_t").cast("double") / nt
+    ) / (nt - F.lit(1.0))
+    vc = (
+        F.col("q_c").cast("double")
+        - F.col("s_c").cast("double") * F.col("s_c").cast("double") / nc
+    ) / (nc - F.lit(1.0))
+    se2 = vt / nt + vc / nc
+    se = F.sqrt(se2)
+    diff = mt - mc
+    df_w = (se2 * se2) / (
+        (vt / nt) * (vt / nt) / (nt - F.lit(1.0))
+        + (vc / nc) * (vc / nc) / (nc - F.lit(1.0))
+    )
+    sd_pool = F.sqrt(
+        ((nt - F.lit(1.0)) * vt + (nc - F.lit(1.0)) * vc)
+        / (nt + nc - F.lit(2.0))
+    )
+    return agg.select(
+        F.col("n_t").cast("bigint").alias("n_treat"),
+        F.col("n_c").cast("bigint").alias("n_control"),
+        round4_stable(mt).alias("mean_treat"),
+        round4_stable(mc).alias("mean_control"),
+        round4_stable(diff).alias("mean_diff"),
+        round4_stable(se).alias("se"),
+        round4_stable(F.when(se > 0.0, diff / se)).alias("t_stat"),
+        round4_stable(F.when(se > 0.0, df_w)).alias("df_welch"),
+        round4_stable(
+            F.when(sd_pool > 0.0, diff / sd_pool)
+        ).alias("cohens_d"),
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    max_thresholds: int = 200_000,
+) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve,
+    step interpolation) — the imbalanced-data companion to
+    :func:`exact_auc`: ROC-AUC stays rosy when negatives dominate; AP
+    weights every recall step by the precision actually achieved::
+
+        AP = sum_t (dTP_t / n_pos) * TP_t / (TP_t + FP_t)
+
+    over distinct score thresholds (descending), the same convention
+    sklearn's ``average_precision_score`` computes. TP/FP/dTP are exact
+    integer prefix counts over the distinct-score table (exact_auc's
+    surface); each threshold's term is derived in fixed IEEE form and
+    the terms fold in score-sorted order — both engines run the
+    identical sequence.
+
+    Scores must be quantized upstream (cents, 4-decimal probabilities):
+    ``max_thresholds`` fails loud if the distinct-score table exceeds
+    it, because the sorted fold materializes the threshold terms as one
+    in-plan array — a raw-float score column would silently turn that
+    bounded array into an unbounded collect. Zero positives fails loud
+    (AP undefined).
+
+    Output: one row — n_pos, n_neg, n_thresholds, ap.
+    """
+    groups = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).groupBy(F.col(score_col).alias("__s")).agg(
+        F.sum((F.col(label_col) == 1).cast("long")).alias("__np"),
+        F.sum((F.col(label_col) != 1).cast("long")).alias("__nn"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    pre = groups.select(
+        "__s",
+        "__np",
+        "__nn",
+        F.coalesce(F.sum("__np").over(w), F.lit(0)).alias("__below_np"),
+        F.coalesce(F.sum("__nn").over(w), F.lit(0)).alias("__below_nn"),
+    )
+    # totals are needed inside each term (TP = n_pos - below_np), so
+    # fold AFTER the totals aggregate: re-aggregate the bounded
+    # threshold table against the broadcast totals
+    tot = pre.agg(
+        F.sum("__np").alias("n_pos"),
+        F.sum("__nn").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_thresholds"),
+    )
+    n_pos_ok = F.when(F.col("n_pos") > 0, F.col("n_pos")).otherwise(
+        F.raise_error(
+            F.lit(
+                "average_precision: zero positive labels — AP undefined"
+            )
+        ).cast("bigint")
+    )
+    th_ok = F.when(
+        F.col("n_thresholds") <= F.lit(max_thresholds),
+        F.col("n_thresholds"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "average_precision: %s distinct scores exceeds "
+                f"max_thresholds={max_thresholds} — quantize the score",
+                F.col("n_thresholds").cast("string"),
+            )
+        ).cast("bigint")
+    )
+    joined = pre.crossJoin(F.broadcast(tot))
+    folded = joined.groupBy("n_pos", "n_neg", "n_thresholds").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__s").alias("s"),
+                        (
+                            F.col("__np").cast("double")
+                            * (
+                                (F.col("n_pos") - F.col("__below_np"))
+                                .cast("double")
+                                / (
+                                    (F.col("n_pos") - F.col("__below_np"))
+                                    + (F.col("n_neg") - F.col("__below_nn"))
+                                ).cast("double")
+                            )
+                        ).alias("x"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e["x"],
+        ).alias("__fx"),
+    )
+    return folded.select(
+        n_pos_ok.cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        th_ok.cast("int").alias("n_thresholds"),
+        round4_stable(
+            F.col("__fx") / F.col("n_pos").cast("double")
+        ).alias("ap"),
+    )

@@ -1434,3 +1434,453 @@ def ks_from_histograms(
         round4_stable(d).alias("d_stat"),
         round4_stable(lam).alias("ks_lambda"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Kruskal-Wallis H test across k groups — the k-group extension of
+    :func:`mann_whitney_u` exactly as :func:`anova_f` extends the
+    two-sample mean test: "do these k groups draw from the same
+    distribution?" on ranks, so one whale value cannot swing the verdict
+    the way it swings the ANOVA F.
+
+    Exact-integer core (mann_whitney_u's): with ties sharing their
+    average rank, twice the average rank of a value v is the INTEGER
+    ``2*(#below v) + (#equal v) + 1``, so each group's doubled rank sum
+    ``2*R_g`` and the tie term ``sum(t^3 - t)`` are exact integers
+    accumulated in DECIMAL(38,0) and narrowed fail-loud via
+    :func:`bigint_checked`. H is derived ONCE from those integers in
+    fixed IEEE order (group-sorted fold of ``(2R_g)^2 / (4 n_g)``, the
+    anova_f discipline) and rounded to 4 decimals; the tie-corrected
+    ``H / (1 - tie_term/(n^3 - n))`` reports NULL when every value is
+    tied (zero rank variance — nothing to test), and a single-group
+    input aborts fail-loud rather than emitting NaN.
+
+    Output: one row per group (group, n_g, doubled rank sum, mean rank)
+    with the global (k, n_total, tie_term, h_stat, h_tie_corrected)
+    replicated on every row so the whole report hash-checks.
+
+    Scale: rows collapse to one row per (group, value) then per value
+    (hash aggregates); the rank prefix sum runs over the bounded
+    distinct-value table, sharded by quantile cut points exactly as
+    mann_whitney_u shards it — no global row sort, no single-task rank.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        bigint_checked,
+        round4_stable,
+    )
+
+    rows = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    )
+    per_gv = rows.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).alias("__cnt_gv")
+    )
+    per_v = per_gv.groupBy("__v").agg(F.sum("__cnt_gv").alias("__cnt"))
+    # shard the ordered prefix sum: quantile cuts -> per-bucket windows
+    if n_buckets >= 2:
+        qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+        cut_expr = F.expr(f"percentile(__v, array({qs}))")
+        cuts = per_v.agg(cut_expr.alias("__cuts"))
+        binned = per_v.crossJoin(F.broadcast(cuts)).withColumn(
+            "__bin",
+            F.size(F.filter("__cuts", lambda q: F.col("__v") > q)),
+        ).drop("__cuts")
+    else:
+        binned = per_v.withColumn("__bin", F.lit(0))
+    bucket_tot = binned.groupBy("__bin").agg(F.sum("__cnt").alias("__bc"))
+    woff = Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_tot.select(
+        "__bin", F.coalesce(F.sum("__bc").over(woff), F.lit(0)).alias("__off")
+    )
+    wv = (
+        Window.partitionBy("__bin")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = binned.join(F.broadcast(offsets), "__bin").select(
+        "__v",
+        "__cnt",
+        (
+            F.col("__off") + F.coalesce(F.sum("__cnt").over(wv), F.lit(0))
+        ).alias("__below"),
+    )
+    # per-group doubled rank sums: join the (group, value) counts to the
+    # value ranks — both sides keyed on the value, one co-keyed shuffle
+    per_g = (
+        per_gv.join(ranked, "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__cnt_gv").alias("n_g"),
+            F.sum(
+                F.col("__cnt_gv").cast("decimal(38,0)")
+                * (F.lit(2) * F.col("__below") + F.col("__cnt") + F.lit(1))
+            ).alias("r2_g"),
+        )
+    )
+    # tie cube guard: t^3 must stay exact in BIGINT before the decimal
+    # sum (mann_whitney_u's bound and rationale)
+    t_ok = F.when(
+        F.col("__cnt") < F.lit(2097000), F.col("__cnt")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "kruskal_wallis tie size: a value shared by %s rows "
+                "overflows the exact tie-term path (bound 2097000)",
+                F.col("__cnt").cast("string"),
+            )
+        ).cast("bigint")
+    )
+    ties = per_v.agg(
+        F.sum(t_ok.cast("decimal(38,0)") * t_ok * t_ok - t_ok).alias(
+            "tie_term"
+        )
+    )
+    folded = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        # group-sorted fold of (2R_g)^2 / (4 n_g): identical IEEE order
+        # on both engines (anova_f's discipline)
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__g").cast("string").alias("g"),
+                        (
+                            F.col("r2_g").cast("double")
+                            * F.col("r2_g").cast("double")
+                            / (F.lit(4.0) * F.col("n_g").cast("double"))
+                        ).alias("x"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e["x"],
+        ).alias("__fx"),
+    ).crossJoin(F.broadcast(ties))
+    # degenerate-input guard: H divides by (n^3 - n) and needs k >= 2 —
+    # a one-group (or empty) input aborts fail-loud (house rule)
+    k_ok = F.when(F.col("k") >= 2, F.col("k")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "kruskal_wallis: degenerate input (k=%s groups) — need "
+                "at least 2 non-empty groups",
+                F.coalesce(F.col("k").cast("string"), F.lit("0")),
+            )
+        ).cast("bigint")
+    )
+    nD = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) / (nD * (nD + F.lit(1.0))) * F.col("__fx")
+        - F.lit(3.0) * (nD + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("tie_term").cast("double") / (
+        nD * nD * nD - nD
+    )
+    glob = folded.select(
+        k_ok.cast("int").alias("k"),
+        F.col("n").cast("bigint").alias("n_total"),
+        bigint_checked(F.col("tie_term"), "kruskal_wallis tie_term").alias(
+            "tie_term"
+        ),
+        round4_stable(h).alias("h_stat"),
+        round4_stable(F.when(corr > 0.0, h / corr)).alias(
+            "h_tie_corrected"
+        ),
+    )
+    return per_g.crossJoin(F.broadcast(glob)).select(
+        F.col("__g").alias(group_col),
+        F.col("n_g").cast("bigint").alias("n_g"),
+        bigint_checked(F.col("r2_g"), "kruskal_wallis rank_sum_x2").alias(
+            "rank_sum_x2"
+        ),
+        round4_stable(
+            F.col("r2_g").cast("double")
+            / (F.lit(2.0) * F.col("n_g").cast("double"))
+        ).alias("mean_rank"),
+        "k",
+        "n_total",
+        "tie_term",
+        "h_stat",
+        "h_tie_corrected",
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — the
+    monotone-association companion to the Pearson moments in
+    :func:`~feature_store_fraud_detection_spark.operators.regression`:
+    Pearson on AVERAGE RANKS, so it measures "does y go up when x goes
+    up" without assuming linearity and without a whale value owning the
+    slope. Ties get their average rank (the tau-consistent convention).
+
+    Exact-integer core: doubled average ranks ``2*R(v) = 2*(#below v) +
+    (#equal v) + 1`` are exact integers per distinct value; rows
+    collapse to (x, y) pair counts, and all five weighted rank moments
+    (sum, sum of squares, cross product) accumulate in DECIMAL(38,0) —
+    exact while ``4 n^4 < 10^38`` (n ~ 1.2e9 rows; beyond that the
+    decimal sum NULLs visibly rather than wrapping). rho is derived ONCE
+    from the exact moments in fixed IEEE order and rounded to 4
+    decimals; zero rank variance on either margin (a constant column)
+    reports NULL rho — never NaN.
+
+    Scale: two bounded distinct-value rank tables (quantile-sharded
+    prefix sums, mann_whitney_u's machinery), joined back to the (x, y)
+    pair-count table on each key — hash joins, no global row sort.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    rows = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+    per_xy = rows.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+
+    def rank_table(col: str) -> DataFrame:
+        per_v = per_xy.groupBy(col).agg(F.sum("__cnt").alias("__c"))
+        if n_buckets >= 2:
+            qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+            cut_expr = F.expr(f"percentile({col}, array({qs}))")
+            cuts = per_v.agg(cut_expr.alias("__cuts"))
+            binned = per_v.crossJoin(F.broadcast(cuts)).withColumn(
+                "__bin",
+                F.size(F.filter("__cuts", lambda q: F.col(col) > q)),
+            ).drop("__cuts")
+        else:
+            binned = per_v.withColumn("__bin", F.lit(0))
+        bucket_tot = binned.groupBy("__bin").agg(F.sum("__c").alias("__bc"))
+        woff = Window.orderBy("__bin").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = bucket_tot.select(
+            "__bin",
+            F.coalesce(F.sum("__bc").over(woff), F.lit(0)).alias("__off"),
+        )
+        wv = (
+            Window.partitionBy("__bin")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return binned.join(F.broadcast(offsets), "__bin").select(
+            col,
+            (
+                F.lit(2)
+                * (
+                    F.col("__off")
+                    + F.coalesce(F.sum("__c").over(wv), F.lit(0))
+                )
+                + F.col("__c")
+                + F.lit(1)
+            ).alias(f"__r2{col}"),
+        )
+
+    j = per_xy.join(rank_table("__x"), "__x").join(rank_table("__y"), "__y")
+    agg = j.agg(
+        F.sum("__cnt").alias("n"),
+        F.sum(
+            F.col("__cnt").cast("decimal(38,0)") * F.col("__r2__x")
+        ).alias("sx"),
+        F.sum(
+            F.col("__cnt").cast("decimal(38,0)") * F.col("__r2__y")
+        ).alias("sy"),
+        F.sum(
+            F.col("__cnt").cast("decimal(38,0)")
+            * F.col("__r2__x")
+            * F.col("__r2__x")
+        ).alias("sxx"),
+        F.sum(
+            F.col("__cnt").cast("decimal(38,0)")
+            * F.col("__r2__y")
+            * F.col("__r2__y")
+        ).alias("syy"),
+        F.sum(
+            F.col("__cnt").cast("decimal(38,0)")
+            * F.col("__r2__x")
+            * F.col("__r2__y")
+        ).alias("sxy"),
+    )
+    # degenerate guard: rho needs at least 2 rows (house rule: abort,
+    # don't emit NaN); constant margins report NULL below
+    n_ok = F.when(F.col("n") >= 2, F.col("n")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "spearman_rho: degenerate input (n=%s non-null pairs) — "
+                "need at least 2",
+                F.coalesce(F.col("n").cast("string"), F.lit("0")),
+            )
+        ).cast("bigint")
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    rho = num / (F.sqrt(d1) * F.sqrt(d2))
+    return agg.select(
+        n_ok.cast("bigint").alias("n"),
+        round4_stable(
+            F.when((d1 > 0.0) & (d2 > 0.0), rho)
+        ).alias("spearman_rho"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown-Forsythe homogeneity-of-variance test — Levene's test on
+    deviations from the group MEDIAN: "do these k groups share a
+    SPREAD?", the dispersion companion to :func:`anova_f` (shared mean)
+    and :func:`kruskal_wallis` (shared distribution). The median-based
+    variant is the robust one (Brown & Forsythe 1974): a heavy-tailed
+    group cannot fake a variance difference through its mean.
+
+    Requires an integral ``value_col`` (quantize upstream, e.g. cents):
+    with integer values, twice the group median is an exact .0/.5-free
+    double (lo + (hi-lo)*0.5 of integers), so the doubled absolute
+    deviation ``|2v - 2*median|`` is an exact integer — the F statistic
+    then rides :func:`anova_f`'s exact-moment surface unchanged
+    (BIGINT/DECIMAL(38,0) sums, group-sorted IEEE folds, fail-loud
+    narrowing).
+
+    Scale note: the group median uses Spark's exact ``percentile``
+    aggregate — per-group state is the value multiset, fine for bounded
+    group counts over quantized values; swap ``percentile_approx`` in at
+    unbounded-cardinality scale exactly as the percentiles query
+    documents. The median table is k rows, broadcast back.
+
+    Output: anova_f's report shape on the doubled deviations — per
+    group (group, n_g, sum_absdev_x2, mean_absdev_x2) + global
+    (k, n_total, f_stat, eta2) replicated per row.
+    """
+    rows = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v"))
+    med = rows.groupBy("__g").agg(
+        (F.expr("percentile(__v, 0.5)") * F.lit(2.0)).alias("__med2")
+    )
+    z = rows.join(F.broadcast(med), "__g").select(
+        "__g",
+        F.abs(
+            overflow_checked(
+                F.col("__v").cast("double") * F.lit(2.0),
+                9.0e15,
+                "brown_forsythe doubled value",
+            )
+            - F.col("__med2")
+        )
+        .cast("bigint")
+        .alias("__z2"),
+    )
+    out = anova_f(z, "__g", "__z2", scale=1)
+    return out.select(
+        F.col("__g").alias(group_col),
+        "n_g",
+        F.col("sum_scaled").alias("sum_absdev_x2"),
+        F.col("mean_val").alias("mean_absdev_x2"),
+        "k",
+        "n_total",
+        "f_stat",
+        "eta2",
+    )
+
+
+def jarque_bera(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    value_bound: float = 1.0e7,
+) -> DataFrame:
+    """Jarque-Bera normality screen per group — "is this distribution
+    even roughly Gaussian?" from skewness and excess kurtosis, the
+    shape diagnostic upstream of every mean-based test in this module
+    (:func:`anova_f`'s F assumes it; :func:`kruskal_wallis` is the
+    escape hatch when this screen says no).
+
+    Exact-moment design: requires an integral ``value_col`` (quantize
+    upstream); the four raw power sums accumulate in DECIMAL(38,0) —
+    exact while ``n * bound^4 < 10^38``, which is why ``value_bound``
+    fail-louds any |value| >= 1e7 (guard, don't skew: a non-ANSI decimal
+    overflow would NULL silently). Central moments, skewness
+    ``m3/m2^1.5``, excess kurtosis ``m4/m2^2 - 3`` and
+    ``JB = n/6 * (skew^2 + exkurt^2/4)`` are derived ONCE from the exact
+    sums in fixed IEEE order and rounded to 4 decimals. A zero-variance
+    group reports NULL shape stats — never NaN.
+
+    Scale: one hash aggregate to k group rows; everything after is
+    per-row arithmetic on the bounded group table.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    v = overflow_checked(
+        F.col(value_col).cast("double"), value_bound, "jarque_bera value"
+    ).cast("bigint")
+    per_g = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(F.col(group_col).alias("__g"), v.alias("__v"))
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(F.col("__v").cast("decimal(38,0)")).alias("s1"),
+            F.sum(
+                F.col("__v").cast("decimal(38,0)") * F.col("__v")
+            ).alias("s2"),
+            F.sum(
+                F.col("__v").cast("decimal(38,0)")
+                * F.col("__v")
+                * F.col("__v")
+            ).alias("s3"),
+            F.sum(
+                F.col("__v").cast("decimal(38,0)")
+                * F.col("__v")
+                * F.col("__v")
+                * F.col("__v")
+            ).alias("s4"),
+        )
+    )
+    nD = F.col("n_g").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    mu = s1 / nD
+    m2 = s2 / nD - mu * mu
+    m3 = s3 / nD - F.lit(3.0) * mu * (s2 / nD) + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        s4 / nD
+        - F.lit(4.0) * mu * (s3 / nD)
+        + F.lit(6.0) * (mu * mu) * (s2 / nD)
+        - F.lit(3.0) * (mu * mu * mu * mu)
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    exk = m4 / (m2 * m2) - F.lit(3.0)
+    jb = nD / F.lit(6.0) * (
+        skew * skew + exk * exk / F.lit(4.0)
+    )
+    ok = m2 > 0.0
+    return per_g.select(
+        F.col("__g").alias(group_col),
+        F.col("n_g").cast("bigint").alias("n_g"),
+        round4_stable(mu).alias("mean_q"),
+        round4_stable(F.when(ok, skew)).alias("skewness"),
+        round4_stable(F.when(ok, exk)).alias("ex_kurtosis"),
+        round4_stable(F.when(ok, jb)).alias("jb_stat"),
+    )

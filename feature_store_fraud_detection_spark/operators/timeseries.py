@@ -1114,3 +1114,81 @@ def acf_profile(
             F.when((n >= 2) & (d1 > 0.0) & (d2 > 0.0), r)
         ).alias("acf"),
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    max_lag: int = 10,
+) -> DataFrame:
+    """Ljung-Box portmanteau test per key — "is this daily series white
+    noise?" pooled over the first ``max_lag`` calendar-lag
+    autocorrelations: the yes/no gate in front of :func:`acf_profile`
+    (which says WHERE the structure is) and the forecasters (which
+    assume there is some)::
+
+        Q = n (n + 2) * sum_{k=1..h} rho_k^2 / (n - k)
+
+    with n the number of observed days and rho_k the SAME calendar-lag
+    Pearson estimator :func:`acf_profile` reports (gaps pair by integer
+    day-number join, never by row position — run
+    :func:`resample_gapfill` first if zero-filling is the right gap
+    semantics). Lags with undefined acf (under 2 pairs or zero
+    variance) or ``n - k <= 0`` are EXCLUDED and the df reported as
+    ``lags_used`` — never silently folded as zero.
+
+    Determinism: rho_k is already 4-decimal-stable (exact-moment
+    derivation in acf_profile), so the lag-sorted fold of
+    ``rho^2/(n-k)`` runs the identical IEEE sequence on both engines;
+    Q is rounded once at the end. A key with NO usable lag drops out
+    (nothing to pool), matching the SQL twin's inner join.
+
+    Scale: acf_profile's plan (bounded calendar self-join) plus one
+    per-key distinct-day count and a fold over <= max_lag rows per key.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    acf = acf_profile(df, key_col, ts_col, val_col, max_lag)
+    day = F.date_trunc("day", F.col(ts_col))
+    ndays = (
+        df.filter(F.col(val_col).isNotNull())
+        .groupBy(F.col(key_col))
+        .agg(F.countDistinct(day).alias("n_days"))
+    )
+    incl = acf.join(F.broadcast(ndays), key_col).filter(
+        F.col("acf").isNotNull() & (F.col("n_days") - F.col("lag") > 0)
+    )
+    folded = incl.groupBy(key_col, "n_days").agg(
+        F.count(F.lit(1)).alias("lags_used"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("lag").alias("lag"),
+                        (
+                            F.col("acf")
+                            * F.col("acf")
+                            / (F.col("n_days") - F.col("lag")).cast(
+                                "double"
+                            )
+                        ).alias("x"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e["x"],
+        ).alias("__fx"),
+    )
+    nD = F.col("n_days").cast("double")
+    return folded.select(
+        key_col,
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("lags_used").cast("int").alias("lags_used"),
+        round4_stable(nD * (nD + F.lit(2.0)) * F.col("__fx")).alias(
+            "q_stat"
+        ),
+    )

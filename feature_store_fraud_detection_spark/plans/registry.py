@@ -13778,6 +13778,958 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# Round 9 (cont.): rank-based inference — Kruskal-Wallis, Spearman
+# --------------------------------------------------------------------------
+
+
+def _q_kruskal_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: do the event types draw their values from
+    the same distribution? (operators/stats.py:kruskal_wallis) — the
+    k-group rank extension of mann_whitney_events, next to
+    anova_priority's mean test: exact-integer doubled rank sums per
+    group, DECIMAL(38,0) tie term, H folded group-sorted in fixed IEEE
+    order. Values rank on exact cents so ties are well-defined
+    cross-engine."""
+    from feature_store_fraud_detection_spark.operators.stats import (
+        kruskal_wallis,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        F.col("event_type"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v_cents"),
+    )
+    return kruskal_wallis(ev, "event_type", "v_cents")
+
+
+_KRUSKAL_SQL = """
+WITH rows_ AS (
+  SELECT event_type AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+per_gv AS (SELECT g, v, count(*) AS cnt_gv FROM rows_ GROUP BY g, v),
+per_v AS (SELECT v, sum(cnt_gv) AS cnt FROM per_gv GROUP BY v),
+ranked AS (
+  SELECT v, cnt,
+         COALESCE(sum(cnt) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM per_v
+),
+per_g AS (
+  SELECT g, sum(cnt_gv) AS n_g,
+         sum(CAST(cnt_gv AS DECIMAL(38,0)) * (2 * below + cnt + 1)) AS r2_g
+  FROM per_gv JOIN ranked USING (v) GROUP BY g
+),
+ties AS (
+  SELECT sum(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) AS tie_term
+  FROM per_v
+),
+folded AS (
+  SELECT count(*) AS k, sum(n_g) AS n,
+         list_reduce(list(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)
+                          / (4.0 * CAST(n_g AS DOUBLE))
+                          ORDER BY CAST(g AS VARCHAR)),
+                     (a, b) -> a + b) AS fx
+  FROM per_g
+),
+-- mirrors the Spark side's fail-loud degenerate guard: H needs >= 2 groups
+gstats AS (
+  SELECT CAST(CASE WHEN k >= 2 THEN k
+              ELSE error('kruskal_wallis: degenerate input') END
+              AS INTEGER) AS k,
+         CAST(n AS BIGINT) AS n_total,
+         CAST(tie_term AS BIGINT) AS tie_term,
+         floor((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * fx
+                - 3.0 * (CAST(n AS DOUBLE) + 1.0)) * 10000 + 0.5) / 10000
+           AS h_stat,
+         CASE WHEN 1.0 - CAST(tie_term AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) > 0.0
+              THEN floor(((12.0 / (CAST(n AS DOUBLE)
+                                   * (CAST(n AS DOUBLE) + 1.0)) * fx
+                           - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                          / (1.0 - CAST(tie_term AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))))
+                         * 10000 + 0.5) / 10000
+         END AS h_tie_corrected
+  FROM folded CROSS JOIN ties
+)
+SELECT p.g AS event_type,
+       CAST(p.n_g AS BIGINT) AS n_g,
+       CAST(p.r2_g AS BIGINT) AS rank_sum_x2,
+       floor((CAST(p.r2_g AS DOUBLE) / (2.0 * CAST(p.n_g AS DOUBLE)))
+             * 10000 + 0.5) / 10000 AS mean_rank,
+       gl.k, gl.n_total, gl.tie_term, gl.h_stat, gl.h_tie_corrected
+FROM per_g p CROSS JOIN gstats gl
+"""
+
+
+def _q_spearman_order_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between an order's line-item count and
+    its total price (operators/stats.py:spearman_rho) — the monotone-
+    association reading of the size->value relationship that a Pearson
+    slope would let whale orders own: exact doubled average ranks on
+    both margins, all five weighted rank moments in DECIMAL(38,0), rho
+    derived once in fixed IEEE order."""
+    from feature_store_fraud_detection_spark.operators.stats import (
+        spearman_rho,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+    j = (
+        o.filter(F.col("o_totalprice").isNotNull())
+        .join(items, o["o_orderkey"] == items["l_orderkey"])
+        .select(
+            F.col("n_items"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+    )
+    return spearman_rho(j, "n_items", "price_cents")
+
+
+_SPEARMAN_SQL = """
+WITH pairs AS (
+  SELECT li.n_items AS x,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS y
+  FROM orders o
+  JOIN (SELECT l_orderkey, count(*) AS n_items
+        FROM lineitem GROUP BY l_orderkey) li
+    ON o.o_orderkey = li.l_orderkey
+  WHERE o.o_totalprice IS NOT NULL
+),
+per_xy AS (SELECT x, y, count(*) AS cnt FROM pairs GROUP BY x, y),
+rx AS (
+  SELECT x,
+         2 * COALESCE(sum(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS r2x
+  FROM (SELECT x, sum(cnt) AS c FROM per_xy GROUP BY x)
+),
+ry AS (
+  SELECT y,
+         2 * COALESCE(sum(c) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS r2y
+  FROM (SELECT y, sum(cnt) AS c FROM per_xy GROUP BY y)
+),
+j AS (
+  SELECT cnt, r2x, r2y
+  FROM per_xy JOIN rx USING (x) JOIN ry USING (y)
+),
+agg AS (
+  SELECT sum(cnt) AS n,
+         sum(CAST(cnt AS DECIMAL(38,0)) * r2x) AS sx,
+         sum(CAST(cnt AS DECIMAL(38,0)) * r2y) AS sy,
+         sum(CAST(cnt AS DECIMAL(38,0)) * r2x * r2x) AS sxx,
+         sum(CAST(cnt AS DECIMAL(38,0)) * r2y * r2y) AS syy,
+         sum(CAST(cnt AS DECIMAL(38,0)) * r2x * r2y) AS sxy
+  FROM j
+)
+SELECT CAST(CASE WHEN n >= 2 THEN n
+            ELSE error('spearman_rho: degenerate input') END
+            AS BIGINT) AS n,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+             AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0
+            THEN floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                           * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+                       * 10000 + 0.5) / 10000
+       END AS spearman_rho
+FROM agg
+"""
+
+
+QUERIES.update(
+    {
+        "kruskal_event_types": QuerySpec(
+            _q_kruskal_event_types, _KRUSKAL_SQL
+        ),
+        "spearman_order_size": QuerySpec(
+            _q_spearman_order_size, _SPEARMAN_SQL
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Round 9 (cont.): distributional screens — Brown-Forsythe, Jarque-Bera,
+# Ljung-Box
+# --------------------------------------------------------------------------
+
+
+def _q_brown_forsythe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test: do the event types share
+    a SPREAD of values? (operators/stats.py:brown_forsythe) — the
+    dispersion companion to kruskal_event_types (location) and
+    anova_priority (mean): anova_f's exact-moment F on doubled absolute
+    deviations |2v - 2*median| from each type's exact cent median."""
+    from feature_store_fraud_detection_spark.operators.stats import (
+        brown_forsythe,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        F.col("event_type"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v_cents"),
+    )
+    return brown_forsythe(ev, "event_type", "v_cents")
+
+
+_BROWN_FORSYTHE_SQL = """
+WITH base AS (
+  SELECT event_type AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+med AS (
+  SELECT g, quantile_cont(v, 0.5) * 2.0 AS med2 FROM base GROUP BY g
+),
+z AS (
+  SELECT b.g,
+         CAST(abs(CAST(b.v AS DOUBLE) * 2.0 - m.med2) AS BIGINT) AS z2
+  FROM base b JOIN med m USING (g)
+),
+per_g AS (
+  SELECT g, count(*) AS n_g, sum(z2) AS s_g,
+         sum(CAST(z2 AS DECIMAL(38,0)) * z2) AS q_g
+  FROM z GROUP BY g
+),
+folded AS (
+  SELECT count(*) AS k, sum(n_g) AS n, sum(s_g) AS s_tot,
+         list_reduce(list(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                          / CAST(n_g AS DOUBLE)
+                          ORDER BY CAST(g AS VARCHAR)),
+                     (a, b) -> a + b) AS fx,
+         list_reduce(list(CAST(q_g AS DOUBLE)
+                          - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                            / CAST(n_g AS DOUBLE)
+                          ORDER BY CAST(g AS VARCHAR)),
+                     (a, b) -> a + b) AS fw
+  FROM per_g
+),
+gstats AS (
+  SELECT CAST(k AS INTEGER) AS k, CAST(n AS BIGINT) AS n_total,
+         floor((((fx - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                 / (CAST(k AS DOUBLE) - 1.0))
+                / (fw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))
+               * 10000 + 0.5) / 10000 AS f_stat,
+         floor(((fx - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                / ((fx - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                          / CAST(n AS DOUBLE)) + fw))
+               * 10000 + 0.5) / 10000 AS eta2
+  FROM folded
+)
+SELECT p.g AS event_type,
+       CAST(p.n_g AS BIGINT) AS n_g,
+       CAST(p.s_g AS BIGINT) AS sum_absdev_x2,
+       floor((CAST(p.s_g AS DOUBLE) / 1.0 / CAST(p.n_g AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS mean_absdev_x2,
+       g.k, g.n_total, g.f_stat, g.eta2
+FROM per_g p CROSS JOIN gstats g
+"""
+
+
+def _q_jarque_bera_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality screen per event type
+    (operators/stats.py:jarque_bera) — the shape gate in front of the
+    mean-based tests: exact DECIMAL(38,0) power sums of cent values,
+    skewness / excess kurtosis / JB derived once in fixed IEEE order."""
+    from feature_store_fraud_detection_spark.operators.stats import (
+        jarque_bera,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        F.col("event_type"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v_cents"),
+    )
+    return jarque_bera(ev, "event_type", "v_cents")
+
+
+_JARQUE_BERA_SQL = """
+WITH base AS (
+  SELECT event_type AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+per_g AS (
+  SELECT g, count(*) AS n_g,
+         sum(CAST(v AS DECIMAL(38,0))) AS s1,
+         sum(CAST(v AS DECIMAL(38,0)) * v) AS s2,
+         sum(CAST(v AS DECIMAL(38,0)) * v * v) AS s3,
+         sum(CAST(v AS DECIMAL(38,0)) * v * v * v) AS s4
+  FROM base GROUP BY g
+),
+m AS (
+  SELECT g, n_g,
+         CAST(n_g AS DOUBLE) AS nD,
+         CAST(s1 AS DOUBLE) / CAST(n_g AS DOUBLE) AS mu,
+         CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+         CAST(s4 AS DOUBLE) AS s4d
+  FROM per_g
+),
+mm AS (
+  SELECT g, n_g, nD, mu,
+         s2d / nD - mu * mu AS m2,
+         s3d / nD - 3.0 * mu * (s2d / nD) + 2.0 * mu * mu * mu AS m3,
+         s4d / nD - 4.0 * mu * (s3d / nD)
+           + 6.0 * (mu * mu) * (s2d / nD)
+           - 3.0 * (mu * mu * mu * mu) AS m4
+  FROM m
+),
+shaped AS (
+  SELECT g, n_g, nD, mu, m2,
+         m3 / (m2 * sqrt(m2)) AS skew,
+         m4 / (m2 * m2) - 3.0 AS exk
+  FROM mm
+)
+SELECT g AS event_type,
+       CAST(n_g AS BIGINT) AS n_g,
+       floor(mu * 10000 + 0.5) / 10000 AS mean_q,
+       CASE WHEN m2 > 0.0
+            THEN floor(skew * 10000 + 0.5) / 10000 END AS skewness,
+       CASE WHEN m2 > 0.0
+            THEN floor(exk * 10000 + 0.5) / 10000 END AS ex_kurtosis,
+       CASE WHEN m2 > 0.0
+            THEN floor((nD / 6.0 * (skew * skew + exk * exk / 4.0))
+                       * 10000 + 0.5) / 10000 END AS jb_stat
+FROM shaped
+"""
+
+
+def _q_ljung_box_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box white-noise test over each order priority's daily
+    revenue (operators/timeseries.py:ljung_box) — the yes/no
+    portmanteau gate in front of acf_priority's per-lag profile:
+    Q = n(n+2) * sum rho_k^2/(n-k) over the first 10 calendar lags,
+    folding the 4-decimal-stable acf values in lag order."""
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        ljung_box,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return ljung_box(
+        o, "o_orderpriority", "o_orderdate", "o_totalprice", max_lag=10
+    )
+
+
+_LJUNG_BOX_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS k,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)) AS dn,
+         CAST(floor(
+           (floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  * 10000 + 0.5) / 10000) * 10000 + 0.5
+         ) AS BIGINT) AS y4
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+),
+lags AS (SELECT unnest(generate_series(1, 10)) AS lag),
+pairs AS (
+  SELECT a.k, l.lag, a.y4 AS x, b.y4 AS y
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.k = a.k AND b.dn = a.dn + l.lag
+),
+per AS (
+  SELECT k, lag, count(*) AS n_pairs,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM pairs GROUP BY 1, 2
+),
+acfv AS (
+  SELECT k, lag,
+         CASE WHEN n_pairs >= 2
+                   AND CAST(n_pairs * sxx - sx * sx AS DOUBLE) > 0.0
+                   AND CAST(n_pairs * syy - sy * sy AS DOUBLE) > 0.0
+              THEN floor((CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                          / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                             * sqrt(CAST(n_pairs * syy - sy * sy
+                                         AS DOUBLE))))
+                         * 10000 + 0.5) / 10000
+         END AS acf
+  FROM per
+),
+nd AS (SELECT k, count(*) AS n_days FROM daily GROUP BY k),
+incl AS (
+  SELECT a.k, a.lag, a.acf, nd.n_days
+  FROM acfv a JOIN nd USING (k)
+  WHERE a.acf IS NOT NULL AND nd.n_days - a.lag > 0
+),
+fold AS (
+  SELECT k, n_days, count(*) AS lags_used,
+         list_reduce(list(acf * acf / CAST(n_days - lag AS DOUBLE)
+                          ORDER BY lag),
+                     (a, b) -> a + b) AS fx
+  FROM incl GROUP BY k, n_days
+)
+SELECT k AS o_orderpriority,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(lags_used AS INT) AS lags_used,
+       floor((CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0) * fx)
+             * 10000 + 0.5) / 10000 AS q_stat
+FROM fold
+"""
+
+
+QUERIES.update(
+    {
+        "brown_forsythe_events": QuerySpec(
+            _q_brown_forsythe_events, _BROWN_FORSYTHE_SQL
+        ),
+        "jarque_bera_events": QuerySpec(
+            _q_jarque_bera_events, _JARQUE_BERA_SQL
+        ),
+        "ljung_box_priority": QuerySpec(
+            _q_ljung_box_priority, _LJUNG_BOX_SQL
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Round 9 (cont.): Fleiss' kappa, difference-in-differences, Kendall tau-b
+# --------------------------------------------------------------------------
+
+
+def _q_fleiss_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over a deterministic 3-rater document-quality panel
+    (operators/evaluation.py:fleiss_kappa) — the multi-rater
+    generalization of kappa_lang_id: three independent heuristic
+    "raters" grade every document low/med/high (character count, word
+    count, character-per-word density; thresholds at the corpus
+    tertiles), and kappa says how much they agree beyond their
+    marginals. Exact-integer surface end to end — the division is the
+    only double."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        fleiss_kappa,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    words = (
+        F.length("text")
+        - F.length(F.translate(F.col("text"), " ", ""))
+        + F.lit(1)
+    )
+    docs = docs.select(
+        "doc_id",
+        F.col("n_chars"),
+        words.alias("__w"),
+        (F.col("n_chars").cast("double") / words.cast("double")).alias(
+            "__awl"
+        ),
+    )
+    grade = (
+        lambda c, lo, hi: F.when(c < lo, F.lit("low"))
+        .when(c < hi, F.lit("med"))
+        .otherwise(F.lit("high"))
+    )
+    ratings = (
+        docs.select(
+            F.col("doc_id").alias("item"),
+            F.lit("len").alias("rater"),
+            grade(F.col("n_chars"), F.lit(220), F.lit(370)).alias("cat"),
+        )
+        .unionAll(
+            docs.select(
+                F.col("doc_id"),
+                F.lit("words"),
+                grade(F.col("__w"), F.lit(40), F.lit(68)),
+            )
+        )
+        .unionAll(
+            docs.select(
+                F.col("doc_id"),
+                F.lit("density"),
+                grade(F.col("__awl"), F.lit(5.42), F.lit(5.56)),
+            )
+        )
+    )
+    return fleiss_kappa(ratings, "item", "rater", "cat")
+
+
+_FLEISS_SQL = """
+WITH docs AS (
+  SELECT doc_id, n_chars,
+         length(text) - length(replace(text, ' ', '')) + 1 AS w,
+         CAST(n_chars AS DOUBLE)
+           / CAST(length(text) - length(replace(text, ' ', '')) + 1
+                  AS DOUBLE) AS awl
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+),
+ratings AS (
+  SELECT doc_id AS i,
+         CASE WHEN n_chars < 220 THEN 'low'
+              WHEN n_chars < 370 THEN 'med' ELSE 'high' END AS c
+  FROM docs
+  UNION ALL
+  SELECT doc_id,
+         CASE WHEN w < 40 THEN 'low'
+              WHEN w < 68 THEN 'med' ELSE 'high' END
+  FROM docs
+  UNION ALL
+  SELECT doc_id,
+         CASE WHEN awl < 5.42 THEN 'low'
+              WHEN awl < 5.56 THEN 'med' ELSE 'high' END
+  FROM docs
+),
+n_ic AS (SELECT i, c, count(*) AS nic FROM ratings GROUP BY i, c),
+per_item AS (
+  SELECT i, sum(nic) AS r,
+         sum(CAST(nic AS HUGEINT) * nic) AS sq
+  FROM n_ic GROUP BY i
+),
+per_cat AS (SELECT c, count(*) AS tc FROM ratings GROUP BY c),
+bt AS (
+  SELECT sum(CAST(tc AS HUGEINT) * tc) AS b,
+         count(*) AS k_categories
+  FROM per_cat
+),
+tot AS (
+  SELECT count(*) AS n_items, min(r) AS rmin, max(r) AS rmax,
+         sum(sq) AS sqsum
+  FROM per_item
+),
+-- mirrors the Spark side's fail-loud ragged-panel guard
+g AS (
+  SELECT n_items, k_categories, b, sqsum,
+         CASE WHEN rmin = rmax AND rmin >= 2 THEN rmin
+              ELSE error('fleiss_kappa: ragged panel') END AS r
+  FROM tot CROSS JOIN bt
+),
+terms AS (
+  SELECT n_items, k_categories, r, b,
+         CAST(sqsum AS HUGEINT)
+           - CAST(n_items AS HUGEINT) * r AS a,
+         CAST(n_items AS HUGEINT) * r * (r - 1) AS d1,
+         (CAST(n_items AS HUGEINT) * r)
+           * (CAST(n_items AS HUGEINT) * r) AS d2
+  FROM g
+)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(r AS INT) AS n_raters,
+       CAST(k_categories AS INT) AS k_categories,
+       floor((CAST(a AS DOUBLE) / CAST(d1 AS DOUBLE)) * 10000 + 0.5)
+         / 10000 AS p_bar,
+       floor((CAST(b AS DOUBLE) / CAST(d2 AS DOUBLE)) * 10000 + 0.5)
+         / 10000 AS p_e,
+       CASE WHEN CAST(d1 * (d2 - b) AS DOUBLE) > 0.0
+            THEN floor((CAST(a * d2 - b * d1 AS DOUBLE)
+                        / CAST(d1 * (d2 - b) AS DOUBLE))
+                       * 10000 + 0.5) / 10000
+       END AS kappa
+FROM terms
+"""
+
+
+def _q_did_user_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on a deterministic md5 user split
+    (operators/evaluation.py:diff_in_differences): treated = half the
+    users by salted hash, post = events from Jan 16 on — an A/A
+    placebo scaffold (no real intervention exists in the synthetic
+    feed, so DiD should sit near zero) exercising the full 2x2
+    exact-moment path: cell counts/sums/squares in one conditional
+    aggregate, unequal-variance SE, fail-loud thin cells."""
+    from feature_store_fraud_detection_spark.operators.encoders import (
+        md5_int,
+    )
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        diff_in_differences,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    ev = ev.select(
+        (
+            md5_int(
+                F.concat(
+                    F.lit("did|"), F.col("user_id").cast("string")
+                )
+            )
+            % 2
+            == 0
+        ).alias("treated"),
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).alias(
+            "post"
+        ),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v_cents"),
+    )
+    return diff_in_differences(ev, "treated", "post", "v_cents")
+
+
+_DID_SQL = """
+WITH base AS (
+  SELECT (('0x' || substr(md5('did|' || user_id), 1, 15))::BIGINT
+            % 2 = 0) AS t,
+         (ts >= TIMESTAMP '2024-01-16') AS p,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+agg AS (
+  SELECT
+    sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS n_t_pre,
+    sum(CASE WHEN t AND NOT p THEN v ELSE 0 END) AS s_t_pre,
+    sum(CASE WHEN t AND NOT p THEN CAST(v AS HUGEINT) * v
+             ELSE 0 END) AS q_t_pre,
+    sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS n_t_post,
+    sum(CASE WHEN t AND p THEN v ELSE 0 END) AS s_t_post,
+    sum(CASE WHEN t AND p THEN CAST(v AS HUGEINT) * v
+             ELSE 0 END) AS q_t_post,
+    sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS n_c_pre,
+    sum(CASE WHEN NOT t AND NOT p THEN v ELSE 0 END) AS s_c_pre,
+    sum(CASE WHEN NOT t AND NOT p THEN CAST(v AS HUGEINT) * v
+             ELSE 0 END) AS q_c_pre,
+    sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS n_c_post,
+    sum(CASE WHEN NOT t AND p THEN v ELSE 0 END) AS s_c_post,
+    sum(CASE WHEN NOT t AND p THEN CAST(v AS HUGEINT) * v
+             ELSE 0 END) AS q_c_post
+  FROM base
+),
+-- mirrors the Spark side's fail-loud thin-cell guard
+ok AS (
+  SELECT *,
+         CASE WHEN n_t_pre >= 2 AND n_t_post >= 2
+                   AND n_c_pre >= 2 AND n_c_post >= 2 THEN 1
+              ELSE error('diff_in_differences: cell n < 2') END AS _g
+  FROM agg
+),
+m AS (
+  SELECT *,
+    CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE) AS m_t_pre,
+    CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE) AS m_t_post,
+    CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE) AS m_c_pre,
+    CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE) AS m_c_post,
+    (CAST(q_t_pre AS DOUBLE)
+     - CAST(s_t_pre AS DOUBLE) * CAST(s_t_pre AS DOUBLE)
+       / CAST(n_t_pre AS DOUBLE))
+      / (CAST(n_t_pre AS DOUBLE) - 1.0) / CAST(n_t_pre AS DOUBLE)
+      AS vn_t_pre,
+    (CAST(q_t_post AS DOUBLE)
+     - CAST(s_t_post AS DOUBLE) * CAST(s_t_post AS DOUBLE)
+       / CAST(n_t_post AS DOUBLE))
+      / (CAST(n_t_post AS DOUBLE) - 1.0) / CAST(n_t_post AS DOUBLE)
+      AS vn_t_post,
+    (CAST(q_c_pre AS DOUBLE)
+     - CAST(s_c_pre AS DOUBLE) * CAST(s_c_pre AS DOUBLE)
+       / CAST(n_c_pre AS DOUBLE))
+      / (CAST(n_c_pre AS DOUBLE) - 1.0) / CAST(n_c_pre AS DOUBLE)
+      AS vn_c_pre,
+    (CAST(q_c_post AS DOUBLE)
+     - CAST(s_c_post AS DOUBLE) * CAST(s_c_post AS DOUBLE)
+       / CAST(n_c_post AS DOUBLE))
+      / (CAST(n_c_post AS DOUBLE) - 1.0) / CAST(n_c_post AS DOUBLE)
+      AS vn_c_post
+  FROM ok
+),
+fin AS (
+  SELECT *,
+    (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did_raw,
+    sqrt(vn_t_pre + vn_t_post + vn_c_pre + vn_c_post) AS se_raw
+  FROM m
+)
+SELECT CAST(n_t_pre AS BIGINT) AS n_t_pre,
+       floor(m_t_pre * 10000 + 0.5) / 10000 AS mean_t_pre,
+       CAST(n_t_post AS BIGINT) AS n_t_post,
+       floor(m_t_post * 10000 + 0.5) / 10000 AS mean_t_post,
+       CAST(n_c_pre AS BIGINT) AS n_c_pre,
+       floor(m_c_pre * 10000 + 0.5) / 10000 AS mean_c_pre,
+       CAST(n_c_post AS BIGINT) AS n_c_post,
+       floor(m_c_post * 10000 + 0.5) / 10000 AS mean_c_post,
+       floor(did_raw * 10000 + 0.5) / 10000 AS did,
+       floor(se_raw * 10000 + 0.5) / 10000 AS se,
+       CASE WHEN se_raw > 0.0
+            THEN floor((did_raw / se_raw) * 10000 + 0.5) / 10000
+       END AS z_score
+FROM fin
+"""
+
+
+def _q_kendall_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between an order's priority grade (ordinal 1-5)
+    and its $50k total-price band
+    (operators/evaluation.py:kendall_tau_b) — concordance-based
+    association with full tie correction over the bounded 5 x ~10
+    contingency table; exact integer pair counts, one final division.
+    The ordinal companion to spearman_order_size's rank correlation."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        kendall_tau_b,
+    )
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    )
+    o = o.select(
+        F.substring(F.col("o_orderpriority"), 1, 1)
+        .cast("int")
+        .alias("prio"),
+        F.floor(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            / F.lit(5000000)
+        )
+        .cast("int")
+        .alias("price_band"),
+    )
+    return kendall_tau_b(o, "prio", "price_band")
+
+
+_KENDALL_SQL = """
+WITH base AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS x,
+         CAST(floor(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    / 5000000) AS INTEGER) AS y
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+),
+cells AS (SELECT x, y, count(*) AS c FROM base GROUP BY x, y),
+nc AS (SELECT count(*) AS n_cells FROM cells),
+cd AS (
+  SELECT
+    sum(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * b.c
+             ELSE 0 END) AS conc,
+    sum(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * b.c
+             ELSE 0 END) AS disc
+  FROM cells a JOIN cells b ON a.x < b.x
+),
+tx AS (
+  SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS n1_x2
+  FROM (SELECT count(*) AS t FROM base GROUP BY x)
+),
+ty AS (
+  SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS n2_x2
+  FROM (SELECT count(*) AS t FROM base GROUP BY y)
+),
+tot AS (SELECT count(*) AS n FROM base),
+j AS (
+  SELECT n, n_cells, conc, disc, n1_x2, n2_x2,
+         CAST(n AS HUGEINT) * (n - 1) AS n0_x2
+  FROM tot CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN nc
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n_cells AS INT) AS n_cells,
+       CAST(conc AS BIGINT) AS conc_pairs,
+       CAST(disc AS BIGINT) AS disc_pairs,
+       CASE WHEN CAST(n0_x2 - n1_x2 AS DOUBLE) / 2.0 > 0.0
+             AND CAST(n0_x2 - n2_x2 AS DOUBLE) / 2.0 > 0.0
+            THEN floor((CAST(conc - disc AS DOUBLE)
+                        / (sqrt(CAST(n0_x2 - n1_x2 AS DOUBLE) / 2.0)
+                           * sqrt(CAST(n0_x2 - n2_x2 AS DOUBLE) / 2.0)))
+                       * 10000 + 0.5) / 10000
+       END AS tau_b
+FROM j
+"""
+
+
+QUERIES.update(
+    {
+        "fleiss_doc_quality": QuerySpec(
+            _q_fleiss_doc_quality, _FLEISS_SQL
+        ),
+        "did_user_split": QuerySpec(_q_did_user_split, _DID_SQL),
+        "kendall_priority_price": QuerySpec(
+            _q_kendall_priority_price, _KENDALL_SQL
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Round 9 (cont.): Welch's t, exact average precision
+# --------------------------------------------------------------------------
+
+
+def _q_welch_t_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t test, weekend vs weekday event values
+    (operators/evaluation.py:welch_t_test) — the MEAN member of the
+    two-sample family next to mann_whitney_events (ranks) and
+    ks_two_sample (shape): exact one-pass conditional moments, Welch-
+    Satterthwaite df, Cohen's d on the pooled-SD convention."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        welch_t_test,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.filter(F.col("ts").isNotNull()).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v_cents"),
+        F.dayofweek("ts").isin(1, 7).cast("int").alias("is_weekend"),
+    )
+    return welch_t_test(ev, "is_weekend", "v_cents", 1)
+
+
+_WELCH_T_SQL = """
+WITH base AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS t
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+agg AS (
+  SELECT
+    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS n_t,
+    sum(CASE WHEN t = 1 THEN v ELSE 0 END) AS s_t,
+    sum(CASE WHEN t = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q_t,
+    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS n_c,
+    sum(CASE WHEN t = 0 THEN v ELSE 0 END) AS s_c,
+    sum(CASE WHEN t = 0 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q_c
+  FROM base
+),
+-- mirrors the Spark side's fail-loud thin-arm guard
+ok AS (
+  SELECT *,
+         CASE WHEN n_t >= 2 AND n_c >= 2 THEN 1
+              ELSE error('welch_t_test: arm n < 2') END AS _g
+  FROM agg
+),
+m AS (
+  SELECT n_t, n_c,
+    CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mt,
+    CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS mc,
+    (CAST(q_t AS DOUBLE)
+     - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+      / (CAST(n_t AS DOUBLE) - 1.0) AS vt,
+    (CAST(q_c AS DOUBLE)
+     - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+      / (CAST(n_c AS DOUBLE) - 1.0) AS vc
+  FROM ok
+),
+fin AS (
+  SELECT n_t, n_c, mt, mc, vt, vc,
+    mt - mc AS diff,
+    vt / CAST(n_t AS DOUBLE) + vc / CAST(n_c AS DOUBLE) AS se2,
+    sqrt(vt / CAST(n_t AS DOUBLE) + vc / CAST(n_c AS DOUBLE)) AS se,
+    sqrt(((CAST(n_t AS DOUBLE) - 1.0) * vt
+          + (CAST(n_c AS DOUBLE) - 1.0) * vc)
+         / (CAST(n_t AS DOUBLE) + CAST(n_c AS DOUBLE) - 2.0)) AS sd_pool
+  FROM m
+)
+SELECT CAST(n_t AS BIGINT) AS n_treat,
+       CAST(n_c AS BIGINT) AS n_control,
+       floor(mt * 10000 + 0.5) / 10000 AS mean_treat,
+       floor(mc * 10000 + 0.5) / 10000 AS mean_control,
+       floor(diff * 10000 + 0.5) / 10000 AS mean_diff,
+       floor(se * 10000 + 0.5) / 10000 AS se,
+       CASE WHEN se > 0.0
+            THEN floor((diff / se) * 10000 + 0.5) / 10000 END AS t_stat,
+       CASE WHEN se > 0.0
+            THEN floor(((se2 * se2)
+                        / ((vt / CAST(n_t AS DOUBLE))
+                           * (vt / CAST(n_t AS DOUBLE))
+                           / (CAST(n_t AS DOUBLE) - 1.0)
+                           + (vc / CAST(n_c AS DOUBLE))
+                             * (vc / CAST(n_c AS DOUBLE))
+                             / (CAST(n_c AS DOUBLE) - 1.0)))
+                       * 10000 + 0.5) / 10000 END AS df_welch,
+       CASE WHEN sd_pool > 0.0
+            THEN floor((diff / sd_pool) * 10000 + 0.5) / 10000
+       END AS cohens_d
+FROM fin
+"""
+
+
+def _q_avg_precision_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision of event value (cents) as a ranker for
+    "is this a purchase" (operators/evaluation.py:average_precision) —
+    the PR-curve companion to exact_auc over the same distinct-score
+    prefix surface; sklearn's step-interpolation convention."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        average_precision,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.filter(F.col("event_type").isNotNull()).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v_cents"),
+        (F.col("event_type") == F.lit("purchase")).cast("int").alias("y"),
+    )
+    return average_precision(ev, "v_cents", "y")
+
+
+_AVG_PRECISION_SQL = """
+WITH base AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+groups AS (
+  SELECT s,
+         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+         sum(CASE WHEN y != 1 THEN 1 ELSE 0 END) AS nn
+  FROM base GROUP BY s
+),
+pre AS (
+  SELECT s, np, nn,
+         COALESCE(sum(np) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bp,
+         COALESCE(sum(nn) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bn
+  FROM groups
+),
+tot AS (
+  SELECT sum(np) AS n_pos, sum(nn) AS n_neg, count(*) AS n_th
+  FROM groups
+),
+-- mirrors the Spark side's fail-loud zero-positives guard
+totg AS (
+  SELECT n_neg, n_th,
+         CASE WHEN n_pos > 0 THEN n_pos
+              ELSE error('average_precision: zero positive labels')
+         END AS n_pos
+  FROM tot
+),
+folded AS (
+  SELECT t.n_pos, t.n_neg, t.n_th,
+         list_reduce(list(CAST(np AS DOUBLE)
+                          * (CAST(t.n_pos - bp AS DOUBLE)
+                             / CAST((t.n_pos - bp) + (t.n_neg - bn)
+                                    AS DOUBLE))
+                          ORDER BY s),
+                     (a, b) -> a + b) AS fx
+  FROM pre CROSS JOIN totg t
+  GROUP BY t.n_pos, t.n_neg, t.n_th
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(n_th AS INT) AS n_thresholds,
+       floor((fx / CAST(n_pos AS DOUBLE)) * 10000 + 0.5) / 10000 AS ap
+FROM folded
+"""
+
+
+QUERIES.update(
+    {
+        "welch_t_events": QuerySpec(_q_welch_t_events, _WELCH_T_SQL),
+        "avg_precision_purchase": QuerySpec(
+            _q_avg_precision_purchase, _AVG_PRECISION_SQL
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so
@@ -13802,6 +14754,16 @@ _GRADING_PRIORITY: list[str] = [
     # every behavior change ships with a fresh driver grade
     "gate_float_canary",
     "gate_type_canary",
+    "kruskal_event_types",
+    "spearman_order_size",
+    "brown_forsythe_events",
+    "jarque_bera_events",
+    "ljung_box_priority",
+    "fleiss_doc_quality",
+    "did_user_split",
+    "kendall_priority_price",
+    "welch_t_events",
+    "avg_precision_purchase",
     "linkage_supervised_m",
     "cmh_urgent_highvalue",
     "mcnemar_value_rules",
@@ -13835,15 +14797,10 @@ _GRADING_PRIORITY: list[str] = [
     "top_supplier_revenue",
     "unigram_nll",
     "winnowing_fingerprints",
-    # (c) the oldest r4 cohort, alphabetical (flagship kept in-window):
-    # 18 of the 50 r4 rows fit this window after round 9's four new
-    # inference queries took their slots; the remaining 32 rotate
-    # to round 10
-    "ann_recall",
-    "bfs_levels",
-    "bigram_nll",
-    "bloom_semi_join",
-    "bpe_encoded_lengths",
+    # (c) the oldest r4 cohort, alphabetical (flagship kept in-window,
+    # cosine_topk kept for a fresh grade after the drift bisect): 13 of
+    # the 50 r4 rows fit this window after round 9's nine new inference
+    # queries took their slots; the remaining 37 rotate to round 10
     "bpe_merges",
     "bucketed_trailing_features",
     "canonical_docs",
@@ -13851,13 +14808,14 @@ _GRADING_PRIORITY: list[str] = [
     "cluster_safe_split",
     "cms_heavy_hitters",
     "cosine_topk",
-    "cross_source_dups",
-    "curation_summary",
-    "cusum_changepoints",
-    "dbscan_clusters",
-    "degree_distribution",
     "flagship_features",
 ]
+# ann_recall / bfs_levels / bigram_nll / bloom_semi_join /
+# bpe_encoded_lengths / cross_source_dups / curation_summary /
+# cusum_changepoints / dbscan_clusters / degree_distribution rotated out
+# of this round's window (r4-graded, green) to make room for round 9's
+# ten new inference queries — they rejoin the r10 rotation with the
+# other r4 rows.
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (
     sorted(set(_GRADING_PRIORITY) - set(QUERIES))

@@ -2404,3 +2404,349 @@ def test_split_novelty_hand_fixture(spark):
     assert (out[12].n_shingles, out[12].n_seen) == (4, 1)
     assert out[12].novelty == 0.75
     assert 13 not in out
+
+
+def test_kruskal_wallis_textbook_no_ties(spark):
+    from feature_store_fraud_detection_spark.operators.stats import (
+        kruskal_wallis,
+    )
+
+    # three cleanly separated groups of 3 -> ranks 1..9 by group:
+    # R = 6, 15, 24; H = 12/(9*10) * (12+75+192) - 3*10 = 7.2 exactly
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (4, 5, 6)] \
+        + [("c", v) for v in (7, 8, 9)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in kruskal_wallis(df, "g", "v").collect()}
+    assert len(out) == 3
+    assert out["a"].rank_sum_x2 == 12 and out["c"].rank_sum_x2 == 48
+    assert out["a"].mean_rank == 2.0 and out["c"].mean_rank == 8.0
+    r = out["a"]
+    assert r.k == 3 and r.n_total == 9 and r.tie_term == 0
+    assert r.h_stat == 7.2
+    assert r.h_tie_corrected == 7.2  # no ties -> correction is identity
+
+
+def test_kruskal_wallis_ties_and_correction(spark):
+    from feature_store_fraud_detection_spark.operators.stats import (
+        kruskal_wallis,
+    )
+
+    # A=[1,2,2], B=[3,2,5]: avg rank of the tied 2s = 3; R_A=7, R_B=14
+    # H = 12/42 * (49/3 + 196/3) - 21 = 7/3; ties: 3^3-3 = 24
+    # C = 1 - 24/210; H_c = (7/3)/C = 2.6344 at 4 decimals
+    rows = [("A", 1), ("A", 2), ("A", 2), ("B", 3), ("B", 2), ("B", 5)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in kruskal_wallis(df, "g", "v").collect()}
+    assert out["A"].rank_sum_x2 == 14 and out["B"].rank_sum_x2 == 28
+    assert out["A"].tie_term == 24
+    assert abs(out["A"].h_stat - 2.3333) < 5e-4
+    assert abs(out["A"].h_tie_corrected - 2.6344) < 5e-4
+
+
+def test_kruskal_wallis_degenerate_single_group_fails_loud(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from feature_store_fraud_detection_spark.operators.stats import (
+        kruskal_wallis,
+    )
+
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        kruskal_wallis(df, "g", "v").collect()
+
+
+def test_spearman_rho_hand_values(spark):
+    from feature_store_fraud_detection_spark.operators.stats import (
+        spearman_rho,
+    )
+
+    # classic no-ties case: rho = 1 - 6*sum(d^2)/(n(n^2-1)) = 0.8
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (4, 3), (5, 5)], "x long, y long"
+    )
+    r = spearman_rho(df, "x", "y").collect()[0]
+    assert r.n == 5 and r.spearman_rho == 0.8
+
+    # tied x margin: ranks x = [1.5, 1.5, 3], y = [1, 2, 3]
+    # Pearson on ranks = 1.5 / sqrt(1.5 * 2) = 0.8660 at 4 decimals
+    df2 = spark.createDataFrame([(1, 1), (1, 2), (2, 3)], "x long, y long")
+    r2 = spearman_rho(df2, "x", "y").collect()[0]
+    assert abs(r2.spearman_rho - 0.8660) < 5e-4
+
+    # perfect monotone (with a tie broken consistently) -> exactly 1.0
+    df3 = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "x long, y long"
+    )
+    assert spearman_rho(df3, "x", "y").collect()[0].spearman_rho == 1.0
+
+    # constant margin -> NULL rho (zero rank variance), not NaN
+    df4 = spark.createDataFrame([(1, 7), (2, 7), (3, 7)], "x long, y long")
+    assert spearman_rho(df4, "x", "y").collect()[0].spearman_rho is None
+
+
+def test_brown_forsythe_hand_fixture(spark):
+    from feature_store_fraud_detection_spark.operators.stats import (
+        brown_forsythe,
+    )
+
+    # A = [0,2,4] (median 2 -> |2v-4| = [4,0,4]); B = [10,11,12]
+    # (median 11 -> [2,0,2]); ANOVA on the deviations: F = 0.8 exactly,
+    # eta2 = 1/6
+    rows = [("A", 0), ("A", 2), ("A", 4), ("B", 10), ("B", 11), ("B", 12)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in brown_forsythe(df, "g", "v").collect()}
+    assert out["A"].sum_absdev_x2 == 8 and out["B"].sum_absdev_x2 == 4
+    assert out["A"].f_stat == 0.8
+    assert abs(out["A"].eta2 - 0.1667) < 5e-4
+    assert out["A"].n_total == 6 and out["A"].k == 2
+
+
+def test_jarque_bera_hand_fixture(spark):
+    from feature_store_fraud_detection_spark.operators.stats import (
+        jarque_bera,
+    )
+
+    # symmetric two-point {-1,+1}: skew 0, excess kurtosis -2,
+    # JB = n/6 * (0 + 4/4) = 1.0 at n=6; constant group -> NULL shape
+    rows = [("s", v) for v in (-1, 1, -1, 1, -1, 1)] + [("c", 5)] * 4
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in jarque_bera(df, "g", "v").collect()}
+    s = out["s"]
+    assert s.n_g == 6 and s.mean_q == 0.0
+    assert s.skewness == 0.0 and s.ex_kurtosis == -2.0 and s.jb_stat == 1.0
+    c = out["c"]
+    assert c.skewness is None and c.jb_stat is None and c.mean_q == 5.0
+
+
+def test_ljung_box_linear_series_q(spark):
+    import datetime as dt
+
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        ljung_box,
+    )
+
+    # a perfectly linear daily series has acf exactly 1.0 at every lag:
+    # Q = n(n+2) * sum_{k=1..3} 1/(n-k) = 120*(1/9+1/8+1/7) = 45.4762
+    rows = [
+        ("k", dt.datetime(2024, 1, 1) + dt.timedelta(days=d), float(d + 1))
+        for d in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    r = ljung_box(df, "k", "ts", "v", max_lag=3).collect()[0]
+    assert r.n_days == 10 and r.lags_used == 3
+    assert abs(r.q_stat - 45.4762) < 5e-4
+
+
+def test_ljung_box_excludes_undefined_lags(spark):
+    import datetime as dt
+
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        ljung_box,
+    )
+
+    # 3 observed days, max_lag 5: lags 3..5 have <2 pairs (or n-k<=0)
+    # and must be excluded from the pooled df, not folded as zero
+    rows = [
+        ("k", dt.datetime(2024, 1, 1) + dt.timedelta(days=d), float(d * d + 1))
+        for d in range(3)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    r = ljung_box(df, "k", "ts", "v", max_lag=5).collect()[0]
+    assert r.n_days == 3 and r.lags_used == 1  # only lag 1 has 2 pairs
+
+
+def test_fleiss_kappa_hand_fixtures(spark):
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        fleiss_kappa,
+    )
+
+    # 3 items x 3 raters: P_bar = P_e = 10/18 = 45/81 -> kappa exactly 0
+    rows = [
+        (1, "r1", "a"), (1, "r2", "a"), (1, "r3", "a"),
+        (2, "r1", "a"), (2, "r2", "a"), (2, "r3", "b"),
+        (3, "r1", "b"), (3, "r2", "b"), (3, "r3", "a"),
+    ]
+    df = spark.createDataFrame(rows, "item long, rater string, cat string")
+    r = fleiss_kappa(df, "item", "rater", "cat").collect()[0]
+    assert r.n_items == 3 and r.n_raters == 3 and r.k_categories == 2
+    assert abs(r.p_bar - 0.5556) < 5e-4 and abs(r.p_e - 0.5556) < 5e-4
+    assert r.kappa == 0.0
+
+    # perfect 2-rater agreement -> kappa exactly 1
+    rows2 = [(1, "r1", "a"), (1, "r2", "a"), (2, "r1", "b"), (2, "r2", "b")]
+    df2 = spark.createDataFrame(rows2, "item long, rater string, cat string")
+    r2 = fleiss_kappa(df2, "item", "rater", "cat").collect()[0]
+    assert r2.p_bar == 1.0 and r2.kappa == 1.0
+
+
+def test_fleiss_kappa_ragged_panel_fails_loud(spark):
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        fleiss_kappa,
+    )
+
+    rows = [(1, "r1", "a"), (1, "r2", "a"), (2, "r1", "b")]
+    df = spark.createDataFrame(rows, "item long, rater string, cat string")
+    with pytest.raises(Exception, match="fleiss_kappa"):
+        fleiss_kappa(df, "item", "rater", "cat").collect()
+
+
+def test_diff_in_differences_hand_fixture(spark):
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        diff_in_differences,
+    )
+
+    # means 2/7 (treated pre/post), 3/4 (control): DiD = 5 - 1 = 4;
+    # each cell's s^2/n: 1, 4, 1, 1 -> se = sqrt(7) = 2.6458
+    rows = [
+        (True, False, 1), (True, False, 3),
+        (True, True, 5), (True, True, 9),
+        (False, False, 2), (False, False, 4),
+        (False, True, 3), (False, True, 5),
+    ]
+    df = spark.createDataFrame(rows, "t boolean, p boolean, v long")
+    r = diff_in_differences(df, "t", "p", "v").collect()[0]
+    assert (r.n_t_pre, r.n_t_post, r.n_c_pre, r.n_c_post) == (2, 2, 2, 2)
+    assert r.mean_t_pre == 2.0 and r.mean_t_post == 7.0
+    assert r.mean_c_pre == 3.0 and r.mean_c_post == 4.0
+    assert r.did == 4.0
+    assert abs(r.se - 2.6458) < 5e-4
+    assert abs(r.z_score - 1.5119) < 5e-4
+
+
+def test_diff_in_differences_thin_cell_fails_loud(spark):
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        diff_in_differences,
+    )
+
+    rows = [
+        (True, False, 1), (True, True, 5), (True, True, 6),
+        (False, False, 2), (False, False, 3),
+        (False, True, 3), (False, True, 4),
+    ]
+    df = spark.createDataFrame(rows, "t boolean, p boolean, v long")
+    with pytest.raises(Exception, match="diff_in_differences"):
+        diff_in_differences(df, "t", "p", "v").collect()
+
+
+def test_kendall_tau_b_hand_fixtures(spark):
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        kendall_tau_b,
+    )
+
+    # perfect concordance, no ties
+    df = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "x long, y long")
+    r = kendall_tau_b(df, "x", "y").collect()[0]
+    assert r.conc_pairs == 3 and r.disc_pairs == 0 and r.tau_b == 1.0
+
+    # one tie on each margin: C=4, D=0, tau_b = 4/5 = 0.8
+    df2 = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2), (3, 3)], "x long, y long"
+    )
+    r2 = kendall_tau_b(df2, "x", "y").collect()[0]
+    assert r2.conc_pairs == 4 and r2.disc_pairs == 0
+    assert r2.tau_b == 0.8
+
+    # balanced 2x2 -> tau exactly 0
+    df3 = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2)], "x long, y long"
+    )
+    r3 = kendall_tau_b(df3, "x", "y").collect()[0]
+    assert r3.conc_pairs == 1 and r3.disc_pairs == 1 and r3.tau_b == 0.0
+
+
+def test_kendall_tau_b_cell_cap_fails_loud(spark):
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        kendall_tau_b,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i * 7 % 11) for i in range(30)], "x long, y long"
+    )
+    with pytest.raises(Exception, match="kendall_tau_b"):
+        kendall_tau_b(df, "x", "y", max_cells=10).collect()
+
+
+def test_welch_t_test_hand_fixture(spark):
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        welch_t_test,
+    )
+
+    # treat [1,3] (mean 2, var 2), control [2,4,6] (mean 4, var 4):
+    # se = sqrt(1 + 4/3) = 1.5275, t = -1.3093, Welch df = 2.8824,
+    # pooled sd = sqrt(10/3) -> d = -1.0954
+    rows = [("t", 1), ("t", 3), ("c", 2), ("c", 4), ("c", 6)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = welch_t_test(df, "g", "v", "t").collect()[0]
+    assert (r.n_treat, r.n_control) == (2, 3)
+    assert r.mean_treat == 2.0 and r.mean_control == 4.0
+    assert r.mean_diff == -2.0
+    assert abs(r.se - 1.5275) < 5e-4
+    assert abs(r.t_stat - -1.3093) < 5e-4
+    assert abs(r.df_welch - 2.8824) < 5e-4
+    assert abs(r.cohens_d - -1.0954) < 5e-4
+
+
+def test_welch_t_test_thin_arm_fails_loud(spark):
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        welch_t_test,
+    )
+
+    df = spark.createDataFrame(
+        [("t", 1), ("c", 2), ("c", 3)], "g string, v long"
+    )
+    with pytest.raises(Exception, match="welch_t_test"):
+        welch_t_test(df, "g", "v", "t").collect()
+
+
+def test_average_precision_sklearn_convention(spark):
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        average_precision,
+    )
+
+    # scores 4,3,2,1 / labels 1,0,1,0 -> AP = (1 + 2/3)/2 = 0.8333
+    df = spark.createDataFrame(
+        [(4, 1), (3, 0), (2, 1), (1, 0)], "s long, y int"
+    )
+    r = average_precision(df, "s", "y").collect()[0]
+    assert (r.n_pos, r.n_neg, r.n_thresholds) == (2, 2, 4)
+    assert abs(r.ap - 0.8333) < 5e-4
+
+    # tied scores: one threshold covers both rows -> AP = 0.5
+    df2 = spark.createDataFrame(
+        [(2, 1), (2, 0), (1, 1), (1, 0)], "s long, y int"
+    )
+    r2 = average_precision(df2, "s", "y").collect()[0]
+    assert r2.n_thresholds == 2 and r2.ap == 0.5
+
+    # perfect ranking -> AP = 1.0
+    df3 = spark.createDataFrame(
+        [(3, 1), (2, 1), (1, 0)], "s long, y int"
+    )
+    assert average_precision(df3, "s", "y").collect()[0].ap == 1.0
+
+
+def test_average_precision_guards_fail_loud(spark):
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        average_precision,
+    )
+
+    df = spark.createDataFrame([(1, 0), (2, 0)], "s long, y int")
+    with pytest.raises(Exception, match="average_precision"):
+        average_precision(df, "s", "y").collect()
+    df2 = spark.createDataFrame(
+        [(i, i % 2) for i in range(50)], "s long, y int"
+    )
+    with pytest.raises(Exception, match="average_precision"):
+        average_precision(df2, "s", "y", max_thresholds=10).collect()
