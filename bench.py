@@ -183,6 +183,22 @@ HEADLINE: list[tuple[str, int]] = [
     ("mcnemar_value_rules", 9),
     ("kappa_lang_id", 9),
     ("conformal_events", 9),
+    # round-9 second batch: rank/shape/agreement/causal inference —
+    # each a bounded-table fold after one hash aggregate or one
+    # distinct-value prefix, so expect sub-second fixed-overhead costs
+    ("kruskal_event_types", 9),
+    ("spearman_order_size", 9),
+    ("brown_forsythe_events", 9),
+    ("jarque_bera_events", 9),
+    ("ljung_box_priority", 9),
+    ("fleiss_doc_quality", 9),
+    ("did_user_split", 9),
+    ("kendall_priority_price", 9),
+    ("welch_t_events", 9),
+    ("avg_precision_purchase", 9),
+    ("cochran_q_event_rules", 9),
+    ("ca_trend_priority", 9),
+    ("cronbach_doc_signals", 9),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

@@ -2272,3 +2272,199 @@ def average_precision(
             F.col("__fx") / F.col("n_pos").cast("double")
         ).alias("ap"),
     )
+
+
+def cochran_q(
+    df: DataFrame,
+    item_col: str,
+    treatment_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran's Q test — did ANY of k binary classifiers/treatments
+    perform differently on the SAME items? The k-group extension of
+    :func:`mcnemar_test` exactly as :func:`fleiss_kappa` extends
+    :func:`cohens_kappa`: with two treatments Q reduces to McNemar's
+    uncorrected chi2::
+
+        Q = (k-1) * (k * sum_j T_j^2 - G^2) / (k * G - sum_i R_i^2)
+
+    with T_j the per-treatment success totals, R_i the per-item success
+    totals and G the grand total — every term an exact integer in
+    DECIMAL(38,0), so Q is ONE division of two exact decimals (the
+    fleiss_kappa hash discipline; no float folds). A zero denominator
+    (every item unanimous across treatments — no discordance anywhere)
+    reports NULL Q, a data property, exactly like McNemar's zero
+    discordant pairs.
+
+    Requires the SAME k treatments observed per item: a ragged panel
+    fails loud naming min/max (silently pooling would bias both G and
+    the R_i). ``outcome_col`` is boolean-like (success = truthy).
+
+    Scale: one per-item and one per-treatment hash aggregate; the
+    treatment table is bounded, the item table never leaves the
+    aggregate.
+    """
+    rows = df.filter(
+        F.col(item_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+    ).select(
+        F.col(item_col).alias("__i"),
+        F.col(treatment_col).alias("__t"),
+        F.col(outcome_col).cast("boolean").cast("int").alias("__y"),
+    )
+    per_item = rows.groupBy("__i").agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__y").alias("__r"),
+    )
+    per_treat = rows.groupBy("__t").agg(F.sum("__y").alias("__tj"))
+    st2 = per_treat.agg(
+        F.count(F.lit(1)).alias("k_treatments"),
+        F.sum(
+            F.col("__tj").cast("decimal(38,0)") * F.col("__tj")
+        ).alias("st2"),
+    )
+    tot = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("__k").alias("__kmin"),
+        F.max("__k").alias("__kmax"),
+        F.sum("__r").alias("G"),
+        F.sum(
+            F.col("__r").cast("decimal(38,0)") * F.col("__r")
+        ).alias("sr2"),
+    )
+    joined = tot.crossJoin(F.broadcast(st2))
+    k_ok = F.when(
+        (F.col("__kmin") == F.col("__kmax"))
+        & (F.col("__kmin") >= 2)
+        & (F.col("__kmin") == F.col("k_treatments")),
+        F.col("__kmin"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "cochran_q: every item needs the same k >= 2 "
+                "treatments (min=%s, max=%s, distinct treatments=%s)",
+                F.coalesce(F.col("__kmin").cast("string"), F.lit("0")),
+                F.coalesce(F.col("__kmax").cast("string"), F.lit("0")),
+                F.col("k_treatments").cast("string"),
+            )
+        ).cast("bigint")
+    )
+    k = k_ok.cast("decimal(38,0)")
+    g = F.col("G").cast("decimal(38,0)")
+    num = (k - F.lit(1).cast("decimal(38,0)")) * (
+        k * F.col("st2") - g * g
+    )
+    den = k * g - F.col("sr2")
+    return joined.select(
+        F.col("n_items").cast("bigint").alias("n_items"),
+        k_ok.cast("int").alias("k_treatments"),
+        (k_ok - F.lit(1)).cast("int").alias("df"),
+        round4_stable(
+            F.when(
+                den.cast("double") > 0.0,
+                num.cast("double") / den.cast("double"),
+            )
+        ).alias("q_stat"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran-Armitage trend test — does a binary outcome's rate move
+    MONOTONICALLY with an ordinal exposure (dose, priority grade, price
+    band)? The trend-aware refinement of
+    :func:`~feature_store_fraud_detection_spark.operators.stats.chi2_independence`,
+    which spends its df on ANY deviation; one df on the linear trend is
+    far more powerful when order is the hypothesis::
+
+        z = T_num / sqrt(P * (N - P) * (N * S_nc2 - S_cn^2) / N)
+        T_num = N * sum_i c_i p_i - P * sum_i c_i n_i
+
+    with c_i the integer scores, n_i/p_i per-level trials/successes,
+    N/P the totals, S_cn = sum c_i n_i, S_nc2 = sum c_i^2 n_i — every
+    term inside the sqrt an exact DECIMAL(38,0) integer (the variance
+    is the standard H0 score-test form), so z is one double derivation.
+    Degenerate inputs fail loud: fewer than 2 score levels, or an
+    outcome that never/always fires (zero variance — nothing to trend).
+
+    ``score_col`` must be integral. Output: one row — n, n_pos,
+    k_levels, t_num, z_trend.
+
+    Scale: one per-level hash aggregate to a bounded table, then exact
+    folds over it.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        bigint_checked,
+    )
+
+    rows = df.filter(
+        F.col(score_col).isNotNull() & F.col(outcome_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("bigint").alias("__c"),
+        F.col(outcome_col).cast("boolean").cast("int").alias("__y"),
+    )
+    per_level = rows.groupBy("__c").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__y").alias("__p"),
+    )
+    agg = per_level.agg(
+        F.count(F.lit(1)).alias("k_levels"),
+        F.sum("__n").alias("n"),
+        F.sum("__p").alias("p"),
+        F.sum(
+            F.col("__c").cast("decimal(38,0)") * F.col("__p")
+        ).alias("scp"),
+        F.sum(
+            F.col("__c").cast("decimal(38,0)") * F.col("__n")
+        ).alias("scn"),
+        F.sum(
+            F.col("__c").cast("decimal(38,0)")
+            * F.col("__c")
+            * F.col("__n")
+        ).alias("snc2"),
+    )
+    k_ok = F.when(F.col("k_levels") >= 2, F.col("k_levels")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "cochran_armitage: need >= 2 score levels (got %s)",
+                F.coalesce(F.col("k_levels").cast("string"), F.lit("0")),
+            )
+        ).cast("bigint")
+    )
+    p_ok = F.when(
+        (F.col("p") > 0) & (F.col("p") < F.col("n")), F.col("p")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "cochran_armitage: outcome is constant (n=%s, "
+                "positives=%s) — zero variance, nothing to trend",
+                F.coalesce(F.col("n").cast("string"), F.lit("0")),
+                F.coalesce(F.col("p").cast("string"), F.lit("0")),
+            )
+        ).cast("bigint")
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    t_num = nd * F.col("scp") - F.col("p").cast("decimal(38,0)") * F.col(
+        "scn"
+    )
+    var_num = (
+        p_ok.cast("decimal(38,0)")
+        * (nd - F.col("p"))
+        * (nd * F.col("snc2") - F.col("scn") * F.col("scn"))
+    )
+    z = t_num.cast("double") / F.sqrt(
+        var_num.cast("double") / F.col("n").cast("double")
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("p").cast("bigint").alias("n_pos"),
+        k_ok.cast("int").alias("k_levels"),
+        bigint_checked(t_num, "cochran_armitage t_num").alias("t_num"),
+        round4_stable(
+            F.when(var_num.cast("double") > 0.0, z)
+        ).alias("z_trend"),
+    )

@@ -1884,3 +1884,100 @@ def jarque_bera(
         round4_stable(F.when(ok, exk)).alias("ex_kurtosis"),
         round4_stable(F.when(ok, jb)).alias("jb_stat"),
     )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    item_cols: list[str],
+) -> DataFrame:
+    """Cronbach's alpha — internal-consistency reliability of a k-item
+    scale: do these k signals measure ONE underlying construct? The
+    scale-health companion to :func:`~feature_store_fraud_detection_spark.operators.evaluation.fleiss_kappa`
+    (which asks the same of categorical raters)::
+
+        alpha = k/(k-1) * (1 - sum_i var_i / var_total)
+
+    with var_total the variance of the per-row item SUM (sample
+    variance convention). Items must be integral (quantize/scale
+    upstream — alpha is covariance-based, so bring items to comparable
+    scales first or standardize).
+
+    Exact-moment design: per-item and total sums / sums of squares are
+    exact BIGINT / DECIMAL(38,0) aggregates in ONE pass; the variance
+    terms are derived once per item and folded in the CALLER's column
+    order (spelled out, not data-dependent — both engines run the same
+    IEEE sequence), rounded to 4. Rows with ANY null item are excluded
+    (listwise deletion, the textbook convention). Zero total variance
+    reports NULL alpha; n < 2 or k < 2 fails loud.
+
+    Output: one row — n, k_items, sum_item_var, total_var, alpha.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    k = len(item_cols)
+    if k < 2:
+        raise ValueError(
+            f"cronbach_alpha: need >= 2 item columns (got {k})"
+        )
+    cond = F.lit(True)
+    for c in item_cols:
+        cond = cond & F.col(c).isNotNull()
+    total = None
+    for c in item_cols:
+        total = F.col(c) if total is None else total + F.col(c)
+    rows = df.filter(cond).select(
+        *[F.col(c).cast("bigint").alias(f"__x{i}") for i, c in
+          enumerate(item_cols)],
+        total.cast("bigint").alias("__t"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(k):
+        aggs.append(
+            F.sum(F.col(f"__x{i}").cast("decimal(38,0)")).alias(f"s{i}")
+        )
+        aggs.append(
+            F.sum(
+                F.col(f"__x{i}").cast("decimal(38,0)") * F.col(f"__x{i}")
+            ).alias(f"q{i}")
+        )
+    aggs.append(F.sum(F.col("__t").cast("decimal(38,0)")).alias("st"))
+    aggs.append(
+        F.sum(
+            F.col("__t").cast("decimal(38,0)") * F.col("__t")
+        ).alias("qt")
+    )
+    agg = rows.agg(*aggs)
+    n_ok = F.when(F.col("n") >= 2, F.col("n")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "cronbach_alpha: need n >= 2 complete rows (got %s)",
+                F.coalesce(F.col("n").cast("string"), F.lit("0")),
+            )
+        ).cast("bigint")
+    )
+    nD = n_ok.cast("double")
+
+    def var_of(s: str, q: str):
+        return (
+            F.col(q).cast("double")
+            - F.col(s).cast("double") * F.col(s).cast("double") / nD
+        ) / (nD - F.lit(1.0))
+
+    sum_item_var = var_of("s0", "q0")
+    for i in range(1, k):
+        sum_item_var = sum_item_var + var_of(f"s{i}", f"q{i}")
+    total_var = var_of("st", "qt")
+    alpha = (
+        F.lit(float(k))
+        / F.lit(float(k - 1))
+        * (F.lit(1.0) - sum_item_var / total_var)
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(k).cast("int").alias("k_items"),
+        round4_stable(sum_item_var).alias("sum_item_var"),
+        round4_stable(total_var).alias("total_var"),
+        round4_stable(F.when(total_var > 0.0, alpha)).alias("alpha"),
+    )

@@ -14730,6 +14730,260 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# Round 9 (cont.): Cochran's Q, Cochran-Armitage trend, Cronbach's alpha
+# --------------------------------------------------------------------------
+
+
+def _q_cochran_q_event_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over THREE deterministic purchase predictors on the
+    same events (operators/evaluation.py:cochran_q) — the k-classifier
+    extension of mcnemar_value_rules (same rules A/B plus a weekend
+    rule C): did ANY rule perform differently? Exact-integer Q, NULL
+    on zero discordance."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        cochran_q,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    lbl = F.col("event_type") == "purchase"
+    base = ev.select(
+        F.col("event_id").alias("item"),
+        ((F.col("value") > 35.0) == lbl).cast("int").alias("ra"),
+        ((F.hour("ts") >= 12) == lbl).cast("int").alias("rb"),
+        (F.dayofweek("ts").isin(1, 7) == lbl).cast("int").alias("rc"),
+    )
+    long = (
+        base.select("item", F.lit("rule_a").alias("treat"),
+                    F.col("ra").alias("y"))
+        .unionAll(base.select("item", F.lit("rule_b"), F.col("rb")))
+        .unionAll(base.select("item", F.lit("rule_c"), F.col("rc")))
+    )
+    return cochran_q(long, "item", "treat", "y")
+
+
+_COCHRAN_Q_SQL = """
+WITH base AS (
+  SELECT event_id AS i,
+         CASE WHEN (value > 35.0) = (event_type = 'purchase')
+              THEN 1 ELSE 0 END AS ra,
+         CASE WHEN (hour(ts) >= 12) = (event_type = 'purchase')
+              THEN 1 ELSE 0 END AS rb,
+         CASE WHEN (dayofweek(ts) IN (0, 6)) = (event_type = 'purchase')
+              THEN 1 ELSE 0 END AS rc
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+long AS (
+  SELECT i, 'rule_a' AS t, ra AS y FROM base
+  UNION ALL SELECT i, 'rule_b', rb FROM base
+  UNION ALL SELECT i, 'rule_c', rc FROM base
+),
+per_item AS (
+  SELECT i, count(*) AS k, sum(y) AS r FROM long GROUP BY i
+),
+per_treat AS (SELECT t, sum(y) AS tj FROM long GROUP BY t),
+st AS (
+  SELECT count(*) AS k_treatments,
+         sum(CAST(tj AS HUGEINT) * tj) AS st2
+  FROM per_treat
+),
+tot AS (
+  SELECT count(*) AS n_items, min(k) AS kmin, max(k) AS kmax,
+         sum(r) AS g, sum(CAST(r AS HUGEINT) * r) AS sr2
+  FROM per_item
+),
+-- mirrors the Spark side's fail-loud complete-panel guard
+g AS (
+  SELECT n_items, g, sr2, st2, k_treatments,
+         CASE WHEN kmin = kmax AND kmin >= 2 AND kmin = k_treatments
+              THEN kmin
+              ELSE error('cochran_q: ragged panel') END AS k
+  FROM tot CROSS JOIN st
+)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(k AS INT) AS k_treatments,
+       CAST(k - 1 AS INT) AS df,
+       CASE WHEN CAST(k * g - sr2 AS DOUBLE) > 0.0
+            THEN floor((CAST((k - 1) * (k * st2 - CAST(g AS HUGEINT) * g)
+                             AS DOUBLE)
+                        / CAST(k * g - sr2 AS DOUBLE))
+                       * 10000 + 0.5) / 10000
+       END AS q_stat
+FROM g
+"""
+
+
+def _q_ca_trend_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend: does the high-value-order rate (total
+    price > $200k) trend with the priority grade 1..5?
+    (operators/evaluation.py:cochran_armitage) — one df spent on the
+    LINEAR trend where chi2_independence spends four on any deviation;
+    exact integer T and H0 score variance, one double z."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        cochran_armitage,
+    )
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    )
+    o = o.select(
+        F.substring(F.col("o_orderpriority"), 1, 1)
+        .cast("bigint")
+        .alias("grade"),
+        (F.col("o_totalprice") > 200000.0).alias("high_value"),
+    )
+    return cochran_armitage(o, "grade", "high_value")
+
+
+_CA_TREND_SQL = """
+WITH base AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS c,
+         CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END AS y
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+),
+per_level AS (
+  SELECT c, count(*) AS n, sum(y) AS p FROM base GROUP BY c
+),
+agg AS (
+  SELECT count(*) AS k_levels, sum(n) AS n, sum(p) AS p,
+         sum(CAST(c AS HUGEINT) * p) AS scp,
+         sum(CAST(c AS HUGEINT) * n) AS scn,
+         sum(CAST(c AS HUGEINT) * c * n) AS snc2
+  FROM per_level
+),
+-- mirrors the Spark side's fail-loud degenerate guards
+g AS (
+  SELECT *,
+         CASE WHEN k_levels >= 2 THEN k_levels
+              ELSE error('cochran_armitage: < 2 levels') END AS k_ok,
+         CASE WHEN p > 0 AND p < n THEN p
+              ELSE error('cochran_armitage: constant outcome')
+         END AS p_ok
+  FROM agg
+),
+t AS (
+  SELECT n, p, k_ok,
+         CAST(n AS HUGEINT) * scp - CAST(p AS HUGEINT) * scn AS t_num,
+         CAST(p_ok AS HUGEINT) * (CAST(n AS HUGEINT) - p)
+           * (CAST(n AS HUGEINT) * snc2 - scn * scn) AS var_num
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(p AS BIGINT) AS n_pos,
+       CAST(k_ok AS INT) AS k_levels,
+       CAST(t_num AS BIGINT) AS t_num,
+       CASE WHEN CAST(var_num AS DOUBLE) > 0.0
+            THEN floor((CAST(t_num AS DOUBLE)
+                        / sqrt(CAST(var_num AS DOUBLE)
+                               / CAST(n AS DOUBLE)))
+                       * 10000 + 0.5) / 10000
+       END AS z_trend
+FROM t
+"""
+
+
+def _q_cronbach_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over three document length signals brought to a
+    common scale (chars; words x 6; sentence marks x 40)
+    (operators/stats.py:cronbach_alpha) — do the length heuristics
+    measure one underlying "document size" construct? Exact one-pass
+    moments, item variances folded in declared column order."""
+    from feature_store_fraud_detection_spark.operators.stats import (
+        cronbach_alpha,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    words = (
+        F.length("text")
+        - F.length(F.translate(F.col("text"), " ", ""))
+        + F.lit(1)
+    )
+    periods = F.length("text") - F.length(
+        F.translate(F.col("text"), ".", "")
+    )
+    d = d.select(
+        F.col("n_chars").alias("sig_chars"),
+        (words * F.lit(6)).alias("sig_words"),
+        (periods * F.lit(40)).alias("sig_sentences"),
+    )
+    return cronbach_alpha(d, ["sig_chars", "sig_words", "sig_sentences"])
+
+
+_CRONBACH_SQL = """
+WITH base AS (
+  SELECT CAST(n_chars AS BIGINT) AS x0,
+         CAST((length(text) - length(replace(text, ' ', '')) + 1) * 6
+              AS BIGINT) AS x1,
+         CAST((length(text) - length(replace(text, '.', ''))) * 40
+              AS BIGINT) AS x2
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+),
+rows_ AS (SELECT x0, x1, x2, x0 + x1 + x2 AS t FROM base),
+agg AS (
+  SELECT count(*) AS n,
+         sum(x0) AS s0, sum(CAST(x0 AS HUGEINT) * x0) AS q0,
+         sum(x1) AS s1, sum(CAST(x1 AS HUGEINT) * x1) AS q1,
+         sum(x2) AS s2, sum(CAST(x2 AS HUGEINT) * x2) AS q2,
+         sum(t) AS st, sum(CAST(t AS HUGEINT) * t) AS qt
+  FROM rows_
+),
+-- mirrors the Spark side's fail-loud n guard
+g AS (
+  SELECT *,
+         CASE WHEN n >= 2 THEN n
+              ELSE error('cronbach_alpha: n < 2') END AS n_ok
+  FROM agg
+),
+v AS (
+  SELECT n, n_ok,
+    ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+        / CAST(n_ok AS DOUBLE)) / (CAST(n_ok AS DOUBLE) - 1.0)
+     + (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        / CAST(n_ok AS DOUBLE)) / (CAST(n_ok AS DOUBLE) - 1.0)
+     + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        / CAST(n_ok AS DOUBLE)) / (CAST(n_ok AS DOUBLE) - 1.0))
+      AS sum_item_var,
+    (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+       / CAST(n_ok AS DOUBLE)) / (CAST(n_ok AS DOUBLE) - 1.0)
+      AS total_var
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(3 AS INT) AS k_items,
+       floor(sum_item_var * 10000 + 0.5) / 10000 AS sum_item_var,
+       floor(total_var * 10000 + 0.5) / 10000 AS total_var,
+       CASE WHEN total_var > 0.0
+            THEN floor((3.0 / 2.0 * (1.0 - sum_item_var / total_var))
+                       * 10000 + 0.5) / 10000
+       END AS alpha
+FROM v
+"""
+
+
+QUERIES.update(
+    {
+        "cochran_q_event_rules": QuerySpec(
+            _q_cochran_q_event_rules, _COCHRAN_Q_SQL
+        ),
+        "ca_trend_priority": QuerySpec(
+            _q_ca_trend_priority, _CA_TREND_SQL
+        ),
+        "cronbach_doc_signals": QuerySpec(
+            _q_cronbach_doc_signals, _CRONBACH_SQL
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so
@@ -14764,6 +15018,9 @@ _GRADING_PRIORITY: list[str] = [
     "kendall_priority_price",
     "welch_t_events",
     "avg_precision_purchase",
+    "cochran_q_event_rules",
+    "ca_trend_priority",
+    "cronbach_doc_signals",
     "linkage_supervised_m",
     "cmh_urgent_highvalue",
     "mcnemar_value_rules",
@@ -14798,12 +15055,9 @@ _GRADING_PRIORITY: list[str] = [
     "unigram_nll",
     "winnowing_fingerprints",
     # (c) the oldest r4 cohort, alphabetical (flagship kept in-window,
-    # cosine_topk kept for a fresh grade after the drift bisect): 13 of
-    # the 50 r4 rows fit this window after round 9's nine new inference
-    # queries took their slots; the remaining 37 rotate to round 10
-    "bpe_merges",
-    "bucketed_trailing_features",
-    "canonical_docs",
+    # cosine_topk kept for a fresh grade after the drift bisect): 5 of
+    # the 50 r4 rows fit this window after round 9's thirteen new
+    # inference queries took their slots; the rest rotate to round 10
     "chunk_dedup",
     "cluster_safe_split",
     "cms_heavy_hitters",
@@ -14811,10 +15065,11 @@ _GRADING_PRIORITY: list[str] = [
     "flagship_features",
 ]
 # ann_recall / bfs_levels / bigram_nll / bloom_semi_join /
-# bpe_encoded_lengths / cross_source_dups / curation_summary /
+# bpe_encoded_lengths / bpe_merges / bucketed_trailing_features /
+# canonical_docs / cross_source_dups / curation_summary /
 # cusum_changepoints / dbscan_clusters / degree_distribution rotated out
 # of this round's window (r4-graded, green) to make room for round 9's
-# ten new inference queries — they rejoin the r10 rotation with the
+# thirteen new inference queries — they rejoin the r10 rotation with the
 # other r4 rows.
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (

@@ -2750,3 +2750,107 @@ def test_average_precision_guards_fail_loud(spark):
     )
     with pytest.raises(Exception, match="average_precision"):
         average_precision(df2, "s", "y", max_thresholds=10).collect()
+
+
+def test_cochran_q_reduces_to_mcnemar_at_k2(spark):
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        cochran_q,
+    )
+
+    # discordant pairs b=3, c=1 -> McNemar chi2 (uncorrected) = 1.0
+    rows = []
+    for i, (a, b) in enumerate(
+        [(1, 0)] * 3 + [(0, 1)] * 1 + [(1, 1)] * 2 + [(0, 0)] * 1
+    ):
+        rows += [(i, "A", a), (i, "B", b)]
+    df = spark.createDataFrame(rows, "item long, treat string, y int")
+    r = cochran_q(df, "item", "treat", "y").collect()[0]
+    assert r.n_items == 7 and r.k_treatments == 2 and r.df == 1
+    assert r.q_stat == 1.0
+
+
+def test_cochran_q_three_treatments_hand_value(spark):
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        cochran_q,
+    )
+
+    # T=(3,2,1), G=6, sum T^2=14, sum R^2=14, k=3:
+    # Q = 2*(3*14-36)/(3*6-14) = 12/4 = 3.0
+    panel = [(1, 1, 0), (1, 0, 0), (1, 1, 1), (0, 0, 0)]
+    rows = []
+    for i, outs in enumerate(panel):
+        for j, y in enumerate(outs):
+            rows.append((i, f"t{j}", y))
+    df = spark.createDataFrame(rows, "item long, treat string, y int")
+    r = cochran_q(df, "item", "treat", "y").collect()[0]
+    assert r.n_items == 4 and r.k_treatments == 3 and r.df == 2
+    assert r.q_stat == 3.0
+
+    # unanimous items everywhere -> zero denominator -> NULL Q
+    rows2 = []
+    for i, y in enumerate([1, 0, 1]):
+        for j in range(3):
+            rows2.append((i, f"t{j}", y))
+    df2 = spark.createDataFrame(rows2, "item long, treat string, y int")
+    assert cochran_q(df2, "item", "treat", "y").collect()[0].q_stat is None
+
+
+def test_cochran_q_ragged_fails_loud(spark):
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        cochran_q,
+    )
+
+    rows = [(1, "A", 1), (1, "B", 0), (2, "A", 1)]
+    df = spark.createDataFrame(rows, "item long, treat string, y int")
+    with pytest.raises(Exception, match="cochran_q"):
+        cochran_q(df, "item", "treat", "y").collect()
+
+
+def test_cochran_armitage_hand_fixture(spark):
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        cochran_armitage,
+    )
+
+    # c=0: 1/4 positive; c=1: 3/4 positive
+    # T_num = 8*3 - 4*4 = 8; var_num/N = 256/8 -> z = 8/sqrt(32) = 1.4142
+    rows = [(0, 1), (0, 0), (0, 0), (0, 0), (1, 1), (1, 1), (1, 1), (1, 0)]
+    df = spark.createDataFrame(rows, "c long, y int")
+    r = cochran_armitage(df, "c", "y").collect()[0]
+    assert (r.n, r.n_pos, r.k_levels) == (8, 4, 2)
+    assert r.t_num == 8
+    assert abs(r.z_trend - 1.4142) < 5e-4
+
+    # constant outcome fails loud
+    df2 = spark.createDataFrame([(0, 1), (1, 1)], "c long, y int")
+    with pytest.raises(Exception, match="cochran_armitage"):
+        cochran_armitage(df2, "c", "y").collect()
+
+
+def test_cronbach_alpha_extremes(spark):
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.stats import (
+        cronbach_alpha,
+    )
+
+    # duplicated item -> alpha exactly 1
+    df = spark.createDataFrame(
+        [(1, 1), (3, 3), (5, 5), (7, 7)], "a long, b long"
+    )
+    r = cronbach_alpha(df, ["a", "b"]).collect()[0]
+    assert r.k_items == 2 and r.alpha == 1.0
+
+    # orthogonal items (zero covariance) -> alpha exactly 0
+    df2 = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1)], "a long, b long"
+    )
+    r2 = cronbach_alpha(df2, ["a", "b"]).collect()[0]
+    assert r2.alpha == 0.0
+
+    # k < 2 is a caller error
+    with pytest.raises(ValueError, match="cronbach_alpha"):
+        cronbach_alpha(df, ["a"])
