@@ -199,6 +199,7 @@ HEADLINE: list[tuple[str, int]] = [
     ("cochran_q_event_rules", 9),
     ("ca_trend_priority", 9),
     ("cronbach_doc_signals", 9),
+    ("krippendorff_doc_panel", 9),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

@@ -2468,3 +2468,124 @@ def cochran_armitage(
             F.when(var_num.cast("double") > 0.0, z)
         ).alias("z_trend"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    rater_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) — chance-corrected multi-rater
+    agreement that, unlike :func:`fleiss_kappa`, tolerates MISSING
+    ratings: items keep whatever raters showed up (any r_i >= 2 is
+    pairable; r_i < 2 items carry no information and are excluded AND
+    counted). This is the coefficient to reach for when an annotator
+    pool rotates or a heuristic rater abstains::
+
+        alpha = 1 - (n.. - 1) * sum_i sum_c n_ic (r_i - n_ic)/(r_i - 1)
+                    / (n..^2 - sum_c T_c^2)
+
+    (the nominal coincidence-matrix form; n.. = total pairable ratings,
+    T_c = category totals). Exactness: items GROUP BY their r_i — the
+    per-r disagreement sums are exact DECIMAL(38,0) integers, and only
+    the final ``sum_r S_r/(r-1)`` folds in double, r-sorted over the
+    BOUNDED distinct-r table (ratings per item are panel-bounded), so
+    both engines run the identical IEEE sequence. ``D_e == 0`` (every
+    rating one category) reports NULL alpha; an input with NO pairable
+    item fails loud.
+
+    Output: one row — n_items_used, n_items_dropped, n_ratings,
+    k_categories, alpha.
+
+    Scale: one (item, category) aggregate, one per-item r-group
+    reduction, one bounded per-category marginal — fleiss_kappa's plan
+    with an extra bounded fold.
+    """
+    rows = df.filter(
+        F.col(item_col).isNotNull()
+        & F.col(rater_col).isNotNull()
+        & F.col(category_col).isNotNull()
+    ).select(
+        F.col(item_col).alias("__i"),
+        F.col(category_col).cast("string").alias("__c"),
+    )
+    n_ic = rows.groupBy("__i", "__c").agg(
+        F.count(F.lit(1)).alias("__nic")
+    )
+    per_item = n_ic.groupBy("__i").agg(
+        F.sum("__nic").alias("__r"),
+        # sum_c n_ic * (r_i - n_ic) = r_i^2 - sum_c n_ic^2, via the
+        # square sum so one aggregate row carries it
+        F.sum(
+            F.col("__nic").cast("decimal(38,0)") * F.col("__nic")
+        ).alias("__sq"),
+    )
+    usable = per_item.filter(F.col("__r") >= 2)
+    dropped = per_item.filter(F.col("__r") < 2).agg(
+        F.count(F.lit(1)).alias("n_items_dropped")
+    )
+    # category totals over PAIRABLE items only (dropped items carry no
+    # pairable ratings and must not skew the margins)
+    t_c = (
+        rows.join(usable.select("__i"), "__i")
+        .groupBy("__c")
+        .agg(F.count(F.lit(1)).alias("__tc"))
+    )
+    marg = t_c.agg(
+        F.count(F.lit(1)).alias("k_categories"),
+        F.sum(F.col("__tc").cast("decimal(38,0)")).alias("n_tot"),
+        F.sum(
+            F.col("__tc").cast("decimal(38,0)") * F.col("__tc")
+        ).alias("st2"),
+    )
+    per_r = usable.groupBy("__r").agg(
+        F.count(F.lit(1)).alias("__items"),
+        F.sum(
+            F.col("__r").cast("decimal(38,0)") * F.col("__r")
+            - F.col("__sq")
+        ).alias("__s_r"),
+    )
+    folded = per_r.agg(
+        F.sum("__items").alias("n_items_used"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__r").alias("r"),
+                        (
+                            F.col("__s_r").cast("double")
+                            / (F.col("__r") - F.lit(1)).cast("double")
+                        ).alias("x"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e["x"],
+        ).alias("__do_num"),
+    )
+    joined = folded.crossJoin(F.broadcast(marg)).crossJoin(
+        F.broadcast(dropped)
+    )
+    items_ok = F.when(
+        F.col("n_items_used") >= 1, F.col("n_items_used")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "krippendorff_alpha: no item has >= 2 ratings — "
+                "nothing is pairable"
+            )
+        ).cast("bigint")
+    )
+    n_tot = F.col("n_tot")
+    de_num = (n_tot * n_tot - F.col("st2")).cast("double")
+    alpha = F.lit(1.0) - (n_tot - F.lit(1)).cast("double") * F.col(
+        "__do_num"
+    ) / de_num
+    return joined.select(
+        items_ok.cast("bigint").alias("n_items_used"),
+        F.col("n_items_dropped").cast("bigint").alias("n_items_dropped"),
+        F.col("n_tot").cast("bigint").alias("n_ratings"),
+        F.col("k_categories").cast("int").alias("k_categories"),
+        round4_stable(F.when(de_num > 0.0, alpha)).alias("alpha"),
+    )

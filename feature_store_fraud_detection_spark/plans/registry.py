@@ -14984,6 +14984,157 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# Round 9 (cont.): Krippendorff's alpha (missing-tolerant agreement)
+# --------------------------------------------------------------------------
+
+
+def _q_krippendorff_doc_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's nominal alpha over the 3-heuristic document
+    quality panel WITH deterministic missingness — the density rater
+    abstains on documents under 40 words
+    (operators/evaluation.py:krippendorff_alpha): the missing-tolerant
+    twin of fleiss_doc_quality (which requires the complete panel);
+    items keep whatever raters showed up, r-grouped exact disagreement
+    sums, one bounded r-sorted fold."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        krippendorff_alpha,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    words = (
+        F.length("text")
+        - F.length(F.translate(F.col("text"), " ", ""))
+        + F.lit(1)
+    )
+    docs = docs.select(
+        "doc_id",
+        F.col("n_chars"),
+        words.alias("__w"),
+        (F.col("n_chars").cast("double") / words.cast("double")).alias(
+            "__awl"
+        ),
+    )
+    grade = (
+        lambda c, lo, hi: F.when(c < lo, F.lit("low"))
+        .when(c < hi, F.lit("med"))
+        .otherwise(F.lit("high"))
+    )
+    ratings = (
+        docs.select(
+            F.col("doc_id").alias("item"),
+            F.lit("len").alias("rater"),
+            grade(F.col("n_chars"), F.lit(220), F.lit(370)).alias("cat"),
+        )
+        .unionAll(
+            docs.select(
+                F.col("doc_id"),
+                F.lit("words"),
+                grade(F.col("__w"), F.lit(40), F.lit(68)),
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("__w") >= 40).select(
+                F.col("doc_id"),
+                F.lit("density"),
+                grade(F.col("__awl"), F.lit(5.42), F.lit(5.56)),
+            )
+        )
+    )
+    return krippendorff_alpha(ratings, "item", "rater", "cat")
+
+
+_KRIPPENDORFF_SQL = """
+WITH docs AS (
+  SELECT doc_id, n_chars,
+         length(text) - length(replace(text, ' ', '')) + 1 AS w,
+         CAST(n_chars AS DOUBLE)
+           / CAST(length(text) - length(replace(text, ' ', '')) + 1
+                  AS DOUBLE) AS awl
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+),
+ratings AS (
+  SELECT doc_id AS i,
+         CASE WHEN n_chars < 220 THEN 'low'
+              WHEN n_chars < 370 THEN 'med' ELSE 'high' END AS c
+  FROM docs
+  UNION ALL
+  SELECT doc_id,
+         CASE WHEN w < 40 THEN 'low'
+              WHEN w < 68 THEN 'med' ELSE 'high' END
+  FROM docs
+  UNION ALL
+  SELECT doc_id,
+         CASE WHEN awl < 5.42 THEN 'low'
+              WHEN awl < 5.56 THEN 'med' ELSE 'high' END
+  FROM docs WHERE w >= 40
+),
+n_ic AS (SELECT i, c, count(*) AS nic FROM ratings GROUP BY i, c),
+per_item AS (
+  SELECT i, sum(nic) AS r,
+         sum(CAST(nic AS HUGEINT) * nic) AS sq
+  FROM n_ic GROUP BY i
+),
+usable AS (SELECT * FROM per_item WHERE r >= 2),
+dropped AS (
+  SELECT count(*) AS n_items_dropped FROM per_item WHERE r < 2
+),
+t_c AS (
+  SELECT rt.c, count(*) AS tc
+  FROM ratings rt JOIN usable u ON rt.i = u.i
+  GROUP BY rt.c
+),
+marg AS (
+  SELECT count(*) AS k_categories, sum(tc) AS n_tot,
+         sum(CAST(tc AS HUGEINT) * tc) AS st2
+  FROM t_c
+),
+per_r AS (
+  SELECT r, count(*) AS items,
+         sum(CAST(r AS HUGEINT) * r - sq) AS s_r
+  FROM usable GROUP BY r
+),
+folded AS (
+  SELECT sum(items) AS n_items_used,
+         list_reduce(list(CAST(s_r AS DOUBLE)
+                          / CAST(r - 1 AS DOUBLE) ORDER BY r),
+                     (a, b) -> a + b) AS do_num
+  FROM per_r
+),
+-- mirrors the Spark side's fail-loud nothing-pairable guard
+g AS (
+  SELECT CASE WHEN n_items_used >= 1 THEN n_items_used
+              ELSE error('krippendorff_alpha: nothing pairable')
+         END AS n_items_used,
+         do_num, n_items_dropped, n_tot, st2, k_categories
+  FROM folded CROSS JOIN dropped CROSS JOIN marg
+)
+SELECT CAST(n_items_used AS BIGINT) AS n_items_used,
+       CAST(n_items_dropped AS BIGINT) AS n_items_dropped,
+       CAST(n_tot AS BIGINT) AS n_ratings,
+       CAST(k_categories AS INT) AS k_categories,
+       CASE WHEN CAST(CAST(n_tot AS HUGEINT) * n_tot - st2 AS DOUBLE)
+                 > 0.0
+            THEN floor((1.0 - CAST(n_tot - 1 AS DOUBLE) * do_num
+                              / CAST(CAST(n_tot AS HUGEINT) * n_tot
+                                     - st2 AS DOUBLE))
+                       * 10000 + 0.5) / 10000
+       END AS alpha
+FROM g
+"""
+
+
+QUERIES.update(
+    {
+        "krippendorff_doc_panel": QuerySpec(
+            _q_krippendorff_doc_panel, _KRIPPENDORFF_SQL
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so
@@ -15021,6 +15172,7 @@ _GRADING_PRIORITY: list[str] = [
     "cochran_q_event_rules",
     "ca_trend_priority",
     "cronbach_doc_signals",
+    "krippendorff_doc_panel",
     "linkage_supervised_m",
     "cmh_urgent_highvalue",
     "mcnemar_value_rules",
@@ -15058,7 +15210,6 @@ _GRADING_PRIORITY: list[str] = [
     # cosine_topk kept for a fresh grade after the drift bisect): 5 of
     # the 50 r4 rows fit this window after round 9's thirteen new
     # inference queries took their slots; the rest rotate to round 10
-    "chunk_dedup",
     "cluster_safe_split",
     "cms_heavy_hitters",
     "cosine_topk",
@@ -15066,10 +15217,10 @@ _GRADING_PRIORITY: list[str] = [
 ]
 # ann_recall / bfs_levels / bigram_nll / bloom_semi_join /
 # bpe_encoded_lengths / bpe_merges / bucketed_trailing_features /
-# canonical_docs / cross_source_dups / curation_summary /
+# canonical_docs / chunk_dedup / cross_source_dups / curation_summary /
 # cusum_changepoints / dbscan_clusters / degree_distribution rotated out
 # of this round's window (r4-graded, green) to make room for round 9's
-# thirteen new inference queries — they rejoin the r10 rotation with the
+# fourteen new inference queries — they rejoin the r10 rotation with the
 # other r4 rows.
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (

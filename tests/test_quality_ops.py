@@ -2854,3 +2854,64 @@ def test_cronbach_alpha_extremes(spark):
     # k < 2 is a caller error
     with pytest.raises(ValueError, match="cronbach_alpha"):
         cronbach_alpha(df, ["a"])
+
+
+def test_krippendorff_alpha_hand_fixtures(spark):
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        krippendorff_alpha,
+    )
+
+    # classic 2-rater binary: 2 agree + 2 disagree items ->
+    # alpha = 1 - 7*4/(64-32) = 0.125 (coincidence-matrix hand calc)
+    rows = [
+        (1, "u", "a"), (1, "v", "a"),
+        (2, "u", "b"), (2, "v", "b"),
+        (3, "u", "a"), (3, "v", "b"),
+        (4, "u", "b"), (4, "v", "a"),
+    ]
+    df = spark.createDataFrame(rows, "item long, rater string, cat string")
+    r = krippendorff_alpha(df, "item", "rater", "cat").collect()[0]
+    assert r.n_items_used == 4 and r.n_items_dropped == 0
+    assert r.n_ratings == 8 and r.k_categories == 2
+    assert r.alpha == 0.125
+
+    # ragged panel: r_i in {2,3}, one unpairable item dropped AND
+    # counted; hand value alpha = 1 - 6*4/20 = -0.2
+    rows2 = [
+        (1, "u", "a"), (1, "v", "a"),
+        (2, "u", "a"), (2, "v", "a"), (2, "w", "b"),
+        (3, "u", "a"), (3, "v", "b"),
+        (4, "u", "a"),
+    ]
+    df2 = spark.createDataFrame(rows2, "item long, rater string, cat string")
+    r2 = krippendorff_alpha(df2, "item", "rater", "cat").collect()[0]
+    assert r2.n_items_used == 3 and r2.n_items_dropped == 1
+    assert r2.n_ratings == 7
+    assert r2.alpha == -0.2
+
+    # perfect agreement across 2 categories -> exactly 1; one category
+    # everywhere -> NULL (D_e = 0)
+    rows3 = [(1, "u", "a"), (1, "v", "a"), (2, "u", "b"), (2, "v", "b")]
+    df3 = spark.createDataFrame(rows3, "item long, rater string, cat string")
+    assert krippendorff_alpha(
+        df3, "item", "rater", "cat"
+    ).collect()[0].alpha == 1.0
+    rows4 = [(1, "u", "a"), (1, "v", "a")]
+    df4 = spark.createDataFrame(rows4, "item long, rater string, cat string")
+    assert krippendorff_alpha(
+        df4, "item", "rater", "cat"
+    ).collect()[0].alpha is None
+
+
+def test_krippendorff_alpha_nothing_pairable_fails_loud(spark):
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        krippendorff_alpha,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "u", "a"), (2, "u", "b")], "item long, rater string, cat string"
+    )
+    with pytest.raises(Exception, match="krippendorff_alpha"):
+        krippendorff_alpha(df, "item", "rater", "cat").collect()
