@@ -200,6 +200,7 @@ HEADLINE: list[tuple[str, int]] = [
     ("ca_trend_priority", 9),
     ("cronbach_doc_signals", 9),
     ("krippendorff_doc_panel", 9),
+    ("decomposition_priority", 9),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

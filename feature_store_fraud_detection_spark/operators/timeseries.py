@@ -1192,3 +1192,154 @@ def ljung_box(
             "q_stat"
         ),
     )
+
+
+def classical_decomposition(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive decomposition of each key's daily series —
+    ``y = trend + seasonal + remainder`` with a centered ``period``-day
+    moving-average trend and day-slot seasonal indices: the EXPLAIN
+    step between :func:`seasonal_strength` (is there a weekly profile)
+    and :func:`holt_winters_forecast` (exploit it) — it shows WHERE the
+    level is going and what each weekday is worth, per key.
+
+    Mechanics (period must be odd; 7 = weekly on daily data):
+
+    * trend_t = mean(y_{t-h}..y_{t+h}), h = period//2 — NULL unless all
+      ``period`` calendar days are present (gaps never fake a trend;
+      resample first if zero-filling is right);
+    * seasonal index per day slot ``dn % period`` (day-number modulo —
+      engine-independent, unlike locale dayofweek) = mean of the
+      detrended values on that slot, centered so the indices sum to 0;
+    * remainder = y - trend - seasonal, NULL wherever trend is.
+
+    Exactness: daily totals quantize to integer 1e4-ths; the trend
+    window sum and the detrended value ``period*y4 - sum_window`` are
+    exact DECIMAL(38,0) integers; the per-slot means and their center
+    fold over the BOUNDED slot table (<= period rows per key) in
+    slot-sorted order. Every report double derives once and rounds to 4.
+
+    Scale: one (key, day) aggregate, one explode-by-offset co-keyed
+    window-sum join (acf_profile's calendar pattern, |days| x period),
+    one bounded per-slot aggregate. No row windows, no driver state.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        round4_stable,
+    )
+
+    if period % 2 != 1 or period < 3:
+        raise ValueError(
+            f"classical_decomposition: period must be odd >= 3 "
+            f"(got {period})"
+        )
+    half = period // 2
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        df.filter(F.col(val_col).isNotNull())
+        .groupBy(F.col(key_col), day.alias("__day"))
+        .agg(F.sum(F.col(val_col).cast("decimal(18,4)")).alias("__s"))
+        .select(
+            key_col,
+            F.datediff(
+                F.col("__day").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("__dn"),
+            _y4_quantized(
+                F.col("__s"), "classical_decomposition daily total"
+            ).alias("__y4"),
+        )
+    )
+    contrib = daily.select(
+        F.col(key_col).alias("__k2"),
+        F.explode(
+            F.sequence(
+                F.col("__dn") - F.lit(half), F.col("__dn") + F.lit(half)
+            )
+        ).alias("__t"),
+        F.col("__y4").alias("__yc"),
+    )
+    sums = contrib.groupBy("__k2", "__t").agg(
+        F.sum(F.col("__yc").cast("decimal(38,0)")).alias("__w"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    base = daily.join(
+        sums,
+        (F.col(key_col) == F.col("__k2")) & (F.col("__dn") == F.col("__t")),
+    ).select(
+        F.col(key_col).alias("__k"),
+        "__dn",
+        "__y4",
+        "__w",
+        "__cnt",
+    )
+    complete = F.col("__cnt") == F.lit(period)
+    detr = (
+        F.lit(period).cast("decimal(38,0)") * F.col("__y4") - F.col("__w")
+    )
+    slot = F.pmod(F.col("__dn"), F.lit(period))
+    per_slot = (
+        base.filter(complete)
+        .groupBy(F.col("__k"), slot.alias("__slot"))
+        .agg(
+            F.sum(detr).alias("__sd"),
+            F.count(F.lit(1)).alias("__nd"),
+        )
+        .select(
+            "__k",
+            "__slot",
+            (
+                F.col("__sd").cast("double")
+                / (
+                    F.lit(float(period) * 10000.0)
+                    * F.col("__nd").cast("double")
+                )
+            ).alias("__s_raw"),
+        )
+    )
+    centers = per_slot.groupBy("__k").agg(
+        (
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__slot").alias("slot"),
+                            F.col("__s_raw").alias("x"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, e: acc + e["x"],
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__mean_s")
+    )
+    seasonal = per_slot.join(F.broadcast(centers), "__k").select(
+        F.col("__k").alias("__k3"),
+        "__slot",
+        (F.col("__s_raw") - F.col("__mean_s")).alias("__seas"),
+    )
+    out = base.join(
+        seasonal,
+        (F.col("__k") == F.col("__k3"))
+        & (F.pmod(F.col("__dn"), F.lit(period)) == F.col("__slot")),
+        "left",
+    )
+    yv = F.col("__y4").cast("double") / F.lit(10000.0)
+    tr = F.col("__w").cast("double") / F.lit(float(period) * 10000.0)
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__dn").cast("int").alias("day_number"),
+        round4_stable(yv).alias("y"),
+        round4_stable(F.when(complete, tr)).alias("trend"),
+        round4_stable(F.col("__seas")).alias("seasonal"),
+        round4_stable(
+            F.when(
+                complete & F.col("__seas").isNotNull(),
+                yv - tr - F.col("__seas"),
+            )
+        ).alias("remainder"),
+    )

@@ -15135,6 +15135,97 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# Round 9 (cont.): classical additive decomposition
+# --------------------------------------------------------------------------
+
+
+def _q_decomposition_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (y = trend + seasonal +
+    remainder) of each order priority's daily revenue
+    (operators/timeseries.py:classical_decomposition) — the EXPLAIN
+    step between seasonal_strength and holt_winters_forecast: centered
+    7-day MA trend (NULL over calendar gaps/edges), day-slot seasonal
+    indices centered to zero, exact integer window sums."""
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        classical_decomposition,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return classical_decomposition(
+        o, "o_orderpriority", "o_orderdate", "o_totalprice", period=7
+    )
+
+
+_DECOMPOSITION_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS k,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)) AS dn,
+         CAST(floor(
+           (floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  * 10000 + 0.5) / 10000) * 10000 + 0.5
+         ) AS BIGINT) AS y4
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+),
+offs AS (SELECT unnest(generate_series(-3, 3)) AS o),
+contrib AS (
+  SELECT d.k, d.dn + f.o AS t, d.y4 FROM daily d CROSS JOIN offs f
+),
+sums AS (
+  SELECT k, t, sum(CAST(y4 AS HUGEINT)) AS w, count(*) AS cnt
+  FROM contrib GROUP BY k, t
+),
+base AS (
+  SELECT d.k, d.dn, d.y4, s.w, s.cnt
+  FROM daily d JOIN sums s ON s.k = d.k AND s.t = d.dn
+),
+per_slot AS (
+  SELECT k, dn % 7 AS slot,
+         sum(7 * CAST(y4 AS HUGEINT) - w) AS sd, count(*) AS nd
+  FROM base WHERE cnt = 7 GROUP BY 1, 2
+),
+sraw AS (
+  SELECT k, slot,
+         CAST(sd AS DOUBLE) / (70000.0 * CAST(nd AS DOUBLE)) AS s_raw
+  FROM per_slot
+),
+centers AS (
+  SELECT k, list_reduce(list(s_raw ORDER BY slot), (a, b) -> a + b)
+           / CAST(count(*) AS DOUBLE) AS mean_s
+  FROM sraw GROUP BY k
+),
+seasonal AS (
+  SELECT s.k, s.slot, s.s_raw - c.mean_s AS seas
+  FROM sraw s JOIN centers c ON c.k = s.k
+)
+SELECT b.k AS o_orderpriority,
+       CAST(b.dn AS INT) AS day_number,
+       floor((CAST(b.y4 AS DOUBLE) / 10000.0) * 10000 + 0.5) / 10000
+         AS y,
+       CASE WHEN b.cnt = 7
+            THEN floor((CAST(b.w AS DOUBLE) / 70000.0) * 10000 + 0.5)
+                   / 10000 END AS trend,
+       floor(se.seas * 10000 + 0.5) / 10000 AS seasonal,
+       CASE WHEN b.cnt = 7 AND se.seas IS NOT NULL
+            THEN floor((CAST(b.y4 AS DOUBLE) / 10000.0
+                        - CAST(b.w AS DOUBLE) / 70000.0
+                        - se.seas) * 10000 + 0.5) / 10000
+       END AS remainder
+FROM base b
+LEFT JOIN seasonal se ON se.k = b.k AND se.slot = b.dn % 7
+"""
+
+
+QUERIES.update(
+    {
+        "decomposition_priority": QuerySpec(
+            _q_decomposition_priority, _DECOMPOSITION_SQL
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so
@@ -15173,6 +15264,7 @@ _GRADING_PRIORITY: list[str] = [
     "ca_trend_priority",
     "cronbach_doc_signals",
     "krippendorff_doc_panel",
+    "decomposition_priority",
     "linkage_supervised_m",
     "cmh_urgent_highvalue",
     "mcnemar_value_rules",
@@ -15210,17 +15302,17 @@ _GRADING_PRIORITY: list[str] = [
     # cosine_topk kept for a fresh grade after the drift bisect): 5 of
     # the 50 r4 rows fit this window after round 9's thirteen new
     # inference queries took their slots; the rest rotate to round 10
-    "cluster_safe_split",
     "cms_heavy_hitters",
     "cosine_topk",
     "flagship_features",
 ]
 # ann_recall / bfs_levels / bigram_nll / bloom_semi_join /
 # bpe_encoded_lengths / bpe_merges / bucketed_trailing_features /
-# canonical_docs / chunk_dedup / cross_source_dups / curation_summary /
+# canonical_docs / chunk_dedup / cluster_safe_split / cross_source_dups /
+# curation_summary /
 # cusum_changepoints / dbscan_clusters / degree_distribution rotated out
 # of this round's window (r4-graded, green) to make room for round 9's
-# fourteen new inference queries — they rejoin the r10 rotation with the
+# fifteen new inference queries — they rejoin the r10 rotation with the
 # other r4 rows.
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (

@@ -2915,3 +2915,80 @@ def test_krippendorff_alpha_nothing_pairable_fails_loud(spark):
     )
     with pytest.raises(Exception, match="krippendorff_alpha"):
         krippendorff_alpha(df, "item", "rater", "cat").collect()
+
+
+def test_classical_decomposition_linear_and_spike(spark):
+    import datetime as dt
+
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        classical_decomposition,
+    )
+
+    # linear series: centered MA reproduces the line exactly ->
+    # seasonal 0, remainder 0 on every complete-window day
+    rows = [
+        ("lin", dt.datetime(2024, 1, 1) + dt.timedelta(days=d), float(d + 10))
+        for d in range(21)
+    ]
+    # weekly spike: slot of day 0 gets +7 -> seasonal +6, others -1
+    rows += [
+        (
+            "spk",
+            dt.datetime(2024, 1, 1) + dt.timedelta(days=d),
+            10.0 + (7.0 if d % 7 == 0 else 0.0),
+        )
+        for d in range(21)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = classical_decomposition(df, "k", "ts", "v", period=7).collect()
+    lin = {r.day_number: r for r in out if r.k == "lin"}
+    assert len(lin) == 21
+    d0 = min(lin)
+    # edges: first/last 3 days have no complete window
+    assert lin[d0].trend is None and lin[d0].remainder is None
+    mid = lin[d0 + 10]
+    assert mid.y == 20.0 and mid.trend == 20.0
+    assert mid.seasonal == 0.0 and mid.remainder == 0.0
+
+    spk = {r.day_number: r for r in out if r.k == "spk"}
+    m = spk[d0 + 10]
+    assert m.trend == 11.0  # 10 + 7/7
+    # spike slot seasonal = 7 - 1 = 6; other slots = -1
+    spike_days = [r for r in spk.values() if r.y == 17.0]
+    flat_days = [r for r in spk.values() if r.y == 10.0]
+    assert any(r.seasonal == 6.0 for r in spike_days)
+    assert all(r.seasonal == -1.0 for r in flat_days if r.seasonal is not None)
+    assert m.remainder == 0.0
+
+
+def test_classical_decomposition_gap_blocks_trend(spark):
+    import datetime as dt
+
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.timeseries import (
+        classical_decomposition,
+    )
+
+    days = [0, 1, 2, 3, 5, 6, 7, 8, 9, 10]  # day 4 missing
+    rows = [
+        ("k", dt.datetime(2024, 2, 1) + dt.timedelta(days=d), 5.0)
+        for d in days
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        r.day_number: r
+        for r in classical_decomposition(df, "k", "ts", "v", 7).collect()
+    }
+    # any target whose 7-day window spans the missing day has NULL trend
+    base = min(out)
+    for d, r in out.items():
+        off = d - base
+        window = set(range(off - 3, off + 4))
+        if 4 in window or window - set(days):
+            assert r.trend is None
+        else:
+            assert r.trend == 5.0
+
+    with pytest.raises(ValueError, match="classical_decomposition"):
+        classical_decomposition(df, "k", "ts", "v", period=6)
