@@ -201,6 +201,8 @@ HEADLINE: list[tuple[str, int]] = [
     ("cronbach_doc_signals", 9),
     ("krippendorff_doc_panel", 9),
     ("decomposition_priority", 9),
+    ("wilcoxon_user_shift", 9),
+    ("classification_value_rule", 9),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

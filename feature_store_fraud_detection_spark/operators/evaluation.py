@@ -2589,3 +2589,76 @@ def krippendorff_alpha(
         F.col("k_categories").cast("int").alias("k_categories"),
         round4_stable(F.when(de_num > 0.0, alpha)).alias("alpha"),
     )
+
+
+def binary_classification_report(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Thresholded binary classification report — the confusion matrix
+    and every ratio a model card quotes, exact: TP/FP/FN/TN as BIGINT
+    conditional counts in one pass, then accuracy, precision, recall,
+    F1 (``2TP / (2TP + FP + FN)``) and Matthews correlation each
+    derived as ONE division of exact integers (the MCC numerator
+    ``TP*TN - FP*FN`` and the four marginal factors ride
+    DECIMAL(38,0) — their product wraps int64 LONG before 38 digits).
+    The threshold-free companions are :func:`exact_auc` (ROC) and
+    :func:`average_precision` (PR); this is the operating-point view.
+
+    Degenerate margins report NULL for the ratios they break
+    (precision with no positive predictions, recall with no positive
+    labels, MCC with any zero marginal) — never NaN; an EMPTY input
+    fails loud. NULL pred/label rows are excluded.
+
+    Output: one row — n, tp, fp, fn, tn, accuracy, precision, recall,
+    f1, mcc.
+    """
+    p = F.col(pred_col).cast("boolean")
+    y = F.col(label_col).cast("boolean")
+    agg = df.filter(p.isNotNull() & y.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((p & y).cast("bigint")).alias("tp"),
+        F.sum((p & ~y).cast("bigint")).alias("fp"),
+        F.sum((~p & y).cast("bigint")).alias("fn"),
+        F.sum((~p & ~y).cast("bigint")).alias("tn"),
+    )
+    n_ok = F.when(F.col("n") >= 1, F.col("n")).otherwise(
+        F.raise_error(
+            F.lit("binary_classification_report: empty input")
+        ).cast("bigint")
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    dec = lambda c: c.cast("decimal(38,0)")
+    acc = (tp + tn).cast("double") / n_ok.cast("double")
+    prec = F.when(
+        tp + fp > 0, tp.cast("double") / (tp + fp).cast("double")
+    )
+    rec = F.when(
+        tp + fn > 0, tp.cast("double") / (tp + fn).cast("double")
+    )
+    f1 = F.when(
+        F.lit(2) * tp + fp + fn > 0,
+        (F.lit(2) * tp).cast("double")
+        / (F.lit(2) * tp + fp + fn).cast("double"),
+    )
+    mcc_num = dec(tp) * tn - dec(fp) * fn
+    mcc_den = (
+        (dec(tp) + fp) * (dec(tp) + fn) * (dec(tn) + fp) * (dec(tn) + fn)
+    )
+    mcc = F.when(
+        mcc_den.cast("double") > 0.0,
+        mcc_num.cast("double") / F.sqrt(mcc_den.cast("double")),
+    )
+    return agg.select(
+        n_ok.cast("bigint").alias("n"),
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        round4_stable(acc).alias("accuracy"),
+        round4_stable(prec).alias("precision"),
+        round4_stable(rec).alias("recall"),
+        round4_stable(f1).alias("f1"),
+        round4_stable(mcc).alias("mcc"),
+    )

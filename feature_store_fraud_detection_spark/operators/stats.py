@@ -1981,3 +1981,131 @@ def cronbach_alpha(
         round4_stable(total_var).alias("total_var"),
         round4_stable(F.when(total_var > 0.0, alpha)).alias("alpha"),
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    diff_col: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED differences — "did the same
+    units move" (pre/post per user, model A minus model B per example):
+    the paired companion to :func:`mann_whitney_u` (independent
+    samples), robust where the paired t assumes normal diffs. Zero
+    diffs carry no sign information and are DROPPED and counted
+    (Wilcoxon's convention); ``diff_col`` must be integral (quantize
+    upstream) so ties are well-defined cross-engine.
+
+    Exact-integer core: |d| ranks with tie-averaged DOUBLED ranks (the
+    mann_whitney_u integers — 2*rank(v) = 2*(#below) + (#equal) + 1
+    over the distinct-|d| table, quantile-sharded prefix, no row sort),
+    so twice the positive-rank sum ``2*W+``, its null expectation
+    ``n(n+1)/2`` and the integer variance surface
+    ``V12 = 2n(n+1)(2n+1) - tie_term`` (with ``Var(2W+) = V12/12``) are
+    all exact DECIMAL(38,0); z derives once and rounds to 4. All-zero
+    input fails loud (nothing to rank); an all-tied |d| table (zero
+    variance) reports NULL z.
+
+    Output: one row — n_nonzero, n_zero, w_plus_x2, tie_term, z_score.
+    """
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        bigint_checked,
+        round4_stable,
+    )
+
+    d = F.col(diff_col).cast("bigint")
+    rows = df.filter(d.isNotNull()).select(
+        F.abs(d).alias("__a"), (d > 0).cast("int").alias("__pos")
+    )
+    zeros = rows.filter(F.col("__a") == 0).agg(
+        F.count(F.lit(1)).alias("n_zero")
+    )
+    nz = rows.filter(F.col("__a") > 0)
+    per_v = nz.groupBy("__a").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum("__pos").alias("__npos"),
+    )
+    if n_buckets >= 2:
+        qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+        cut_expr = F.expr(f"percentile(__a, array({qs}))")
+        cuts = per_v.agg(cut_expr.alias("__cuts"))
+        binned = per_v.crossJoin(F.broadcast(cuts)).withColumn(
+            "__bin",
+            F.size(F.filter("__cuts", lambda q: F.col("__a") > q)),
+        ).drop("__cuts")
+    else:
+        binned = per_v.withColumn("__bin", F.lit(0))
+    bucket_tot = binned.groupBy("__bin").agg(F.sum("__cnt").alias("__bc"))
+    woff = Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_tot.select(
+        "__bin", F.coalesce(F.sum("__bc").over(woff), F.lit(0)).alias("__off")
+    )
+    wv = (
+        Window.partitionBy("__bin")
+        .orderBy("__a")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = binned.join(F.broadcast(offsets), "__bin").select(
+        "__cnt",
+        "__npos",
+        (
+            F.col("__off") + F.coalesce(F.sum("__cnt").over(wv), F.lit(0))
+        ).alias("__below"),
+    )
+    t_ok = F.when(
+        F.col("__cnt") < F.lit(2097000), F.col("__cnt")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "wilcoxon_signed_rank tie size: a value shared by %s "
+                "rows overflows the exact tie-term path (bound 2097000)",
+                F.col("__cnt").cast("string"),
+            )
+        ).cast("bigint")
+    )
+    agg = ranked.agg(
+        F.sum("__cnt").alias("n"),
+        F.sum(
+            F.col("__npos").cast("decimal(38,0)")
+            * (F.lit(2) * F.col("__below") + F.col("__cnt") + F.lit(1))
+        ).alias("w2"),
+        F.sum(
+            t_ok.cast("decimal(38,0)") * t_ok * t_ok - t_ok
+        ).alias("tie_term"),
+    ).crossJoin(F.broadcast(zeros))
+    n_ok = F.when(F.col("n") >= 1, F.col("n")).otherwise(
+        F.raise_error(
+            F.lit(
+                "wilcoxon_signed_rank: every paired difference is zero "
+                "— nothing to rank"
+            )
+        ).cast("bigint")
+    )
+    nd = n_ok.cast("decimal(38,0)")
+    e2 = nd * (nd + F.lit(1).cast("decimal(38,0)"))  # 2 * 2E[W+]... E of 2W+ doubled below
+    # Var(2W+) = V12 / 12 with V12 = 2n(n+1)(2n+1) - tie_term (exact)
+    v12 = (
+        F.lit(2).cast("decimal(38,0)")
+        * nd
+        * (nd + F.lit(1))
+        * (F.lit(2).cast("decimal(38,0)") * nd + F.lit(1))
+        - F.col("tie_term")
+    )
+    # E[2W+] = n(n+1)/2: n(n+1) is even, halve exactly in decimal
+    e_half = (e2 / F.lit(2)).cast("decimal(38,0)")
+    z = (F.col("w2") - e_half).cast("double") / F.sqrt(
+        v12.cast("double") / F.lit(12.0)
+    )
+    return agg.select(
+        n_ok.cast("bigint").alias("n_nonzero"),
+        F.col("n_zero").cast("bigint").alias("n_zero"),
+        bigint_checked(F.col("w2"), "wilcoxon_signed_rank w_plus_x2").alias(
+            "w_plus_x2"
+        ),
+        bigint_checked(
+            F.col("tie_term"), "wilcoxon_signed_rank tie_term"
+        ).alias("tie_term"),
+        round4_stable(
+            F.when(v12.cast("double") > 0.0, z)
+        ).alias("z_score"),
+    )

@@ -15226,6 +15226,209 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# Round 9 (cont.): Wilcoxon signed-rank, thresholded classification report
+# --------------------------------------------------------------------------
+
+
+def _q_wilcoxon_user_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank on PAIRED per-user mean-value shifts across
+    the Jan-16 period break (operators/stats.py:wilcoxon_signed_rank) —
+    the paired companion to welch_t_events/mann_whitney_events: each
+    user contributes ONE quantized pre->post difference, so
+    between-user variance cancels by construction. Users active in
+    only one period drop out (nothing paired)."""
+    from feature_store_fraud_detection_spark.operators.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    pre = F.col("ts") < cut
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, 1).otherwise(0)).alias("n_pre"),
+        F.sum(
+            F.when(pre, cents).otherwise(F.lit(0)).cast("decimal(38,0)")
+        ).alias("s_pre"),
+        F.sum(F.when(~pre, 1).otherwise(0)).alias("n_post"),
+        F.sum(
+            F.when(~pre, cents).otherwise(F.lit(0)).cast("decimal(38,0)")
+        ).alias("s_post"),
+    )
+    paired = per_user.filter(
+        (F.col("n_pre") > 0) & (F.col("n_post") > 0)
+    ).select(
+        F.floor(
+            (
+                F.col("s_post").cast("double")
+                / F.col("n_post").cast("double")
+                - F.col("s_pre").cast("double")
+                / F.col("n_pre").cast("double")
+            )
+            * 10000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("d4")
+    )
+    return wilcoxon_signed_rank(paired, "d4")
+
+
+_WILCOXON_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+    sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+      AS n_pre,
+    sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+             THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+             ELSE 0 END) AS s_pre,
+    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+      AS n_post,
+    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+             THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+             ELSE 0 END) AS s_post
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+diffs AS (
+  SELECT CAST(floor((CAST(s_post AS DOUBLE) / CAST(n_post AS DOUBLE)
+                     - CAST(s_pre AS DOUBLE) / CAST(n_pre AS DOUBLE))
+                    * 10000 + 0.5) AS BIGINT) AS d
+  FROM per_user WHERE n_pre > 0 AND n_post > 0
+),
+zeros AS (SELECT count(*) AS n_zero FROM diffs WHERE d = 0),
+nzv AS (
+  SELECT abs(d) AS a, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+  FROM diffs WHERE d != 0
+),
+per_v AS (SELECT a, count(*) AS cnt, sum(pos) AS npos FROM nzv GROUP BY a),
+ranked AS (
+  SELECT a, cnt, npos,
+         COALESCE(sum(cnt) OVER (ORDER BY a
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM per_v
+),
+agg AS (
+  SELECT sum(cnt) AS n,
+         sum(CAST(npos AS HUGEINT) * (2 * below + cnt + 1)) AS w2,
+         sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_term
+  FROM ranked
+),
+-- mirrors the Spark side's fail-loud all-zero guard
+g AS (
+  SELECT n_zero, w2, tie_term,
+         CASE WHEN n >= 1 THEN n
+              ELSE error('wilcoxon_signed_rank: all zero') END AS n_ok
+  FROM agg CROSS JOIN zeros
+),
+fin AS (
+  SELECT n_ok, n_zero, w2, tie_term,
+         CAST(n_ok AS HUGEINT) * (n_ok + 1) // 2 AS e_half,
+         2 * CAST(n_ok AS HUGEINT) * (n_ok + 1) * (2 * n_ok + 1)
+           - tie_term AS v12
+  FROM g
+)
+SELECT CAST(n_ok AS BIGINT) AS n_nonzero,
+       CAST(n_zero AS BIGINT) AS n_zero,
+       CAST(w2 AS BIGINT) AS w_plus_x2,
+       CAST(tie_term AS BIGINT) AS tie_term,
+       CASE WHEN CAST(v12 AS DOUBLE) > 0.0
+            THEN floor((CAST(w2 - e_half AS DOUBLE)
+                        / sqrt(CAST(v12 AS DOUBLE) / 12.0))
+                       * 10000 + 0.5) / 10000 END AS z_score
+FROM fin
+"""
+
+
+def _q_classification_value_rule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Thresholded classification report for the value>35 purchase rule
+    (operators/evaluation.py:binary_classification_report) — the
+    operating-point view next to exact_auc / avg_precision_purchase:
+    exact confusion counts, accuracy/precision/recall/F1/MCC each one
+    division of exact integers."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        binary_classification_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    ev = ev.select(
+        (F.col("value") > 35.0).alias("pred"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    return binary_classification_report(ev, "pred", "label")
+
+
+_CLASSIFICATION_SQL = """
+WITH base AS (
+  SELECT (value > 35.0) AS p, (event_type = 'purchase') AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS tn
+  FROM base
+),
+-- mirrors the Spark side's fail-loud empty-input guard
+g AS (
+  SELECT tp, fp, fn, tn,
+         CASE WHEN n >= 1 THEN n
+              ELSE error('binary_classification_report: empty') END AS n
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       CAST(tn AS BIGINT) AS tn,
+       floor((CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS accuracy,
+       CASE WHEN tp + fp > 0
+            THEN floor((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                       * 10000 + 0.5) / 10000 END AS precision,
+       CASE WHEN tp + fn > 0
+            THEN floor((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+                       * 10000 + 0.5) / 10000 END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN floor((CAST(2 * tp AS DOUBLE)
+                        / CAST(2 * tp + fp + fn AS DOUBLE))
+                       * 10000 + 0.5) / 10000 END AS f1,
+       CASE WHEN CAST((CAST(tp AS HUGEINT) + fp) * (CAST(tp AS HUGEINT) + fn)
+                      * (CAST(tn AS HUGEINT) + fp)
+                      * (CAST(tn AS HUGEINT) + fn) AS DOUBLE) > 0.0
+            THEN floor((CAST(CAST(tp AS HUGEINT) * tn
+                             - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+                        / sqrt(CAST((CAST(tp AS HUGEINT) + fp)
+                                    * (CAST(tp AS HUGEINT) + fn)
+                                    * (CAST(tn AS HUGEINT) + fp)
+                                    * (CAST(tn AS HUGEINT) + fn)
+                                    AS DOUBLE)))
+                       * 10000 + 0.5) / 10000 END AS mcc
+FROM g
+"""
+
+
+QUERIES.update(
+    {
+        "wilcoxon_user_shift": QuerySpec(
+            _q_wilcoxon_user_shift, _WILCOXON_SQL
+        ),
+        "classification_value_rule": QuerySpec(
+            _q_classification_value_rule, _CLASSIFICATION_SQL
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so
@@ -15265,6 +15468,8 @@ _GRADING_PRIORITY: list[str] = [
     "cronbach_doc_signals",
     "krippendorff_doc_panel",
     "decomposition_priority",
+    "wilcoxon_user_shift",
+    "classification_value_rule",
     "linkage_supervised_m",
     "cmh_urgent_highvalue",
     "mcnemar_value_rules",
@@ -15297,19 +15502,21 @@ _GRADING_PRIORITY: list[str] = [
     "top_returning_customers",
     "top_supplier_revenue",
     "unigram_nll",
-    "winnowing_fingerprints",
+    # winnowing_fingerprints (r3-green) deferred ONE more round: round
+    # 9's seventeen never-graded queries outrank a re-grade of a green
+    # row (window policy (c) vs (b)); it leads the r10 rotation
+    # alongside the r4 cohort
     # (c) the oldest r4 cohort, alphabetical (flagship kept in-window,
     # cosine_topk kept for a fresh grade after the drift bisect): 5 of
     # the 50 r4 rows fit this window after round 9's thirteen new
     # inference queries took their slots; the rest rotate to round 10
-    "cms_heavy_hitters",
     "cosine_topk",
     "flagship_features",
 ]
 # ann_recall / bfs_levels / bigram_nll / bloom_semi_join /
 # bpe_encoded_lengths / bpe_merges / bucketed_trailing_features /
-# canonical_docs / chunk_dedup / cluster_safe_split / cross_source_dups /
-# curation_summary /
+# canonical_docs / chunk_dedup / cluster_safe_split / cms_heavy_hitters /
+# cross_source_dups / curation_summary /
 # cusum_changepoints / dbscan_clusters / degree_distribution rotated out
 # of this round's window (r4-graded, green) to make room for round 9's
 # fifteen new inference queries — they rejoin the r10 rotation with the

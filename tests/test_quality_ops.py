@@ -2992,3 +2992,66 @@ def test_classical_decomposition_gap_blocks_trend(spark):
 
     with pytest.raises(ValueError, match="classical_decomposition"):
         classical_decomposition(df, "k", "ts", "v", period=6)
+
+
+def test_wilcoxon_signed_rank_hand_fixtures(spark):
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    # diffs [1,2,3,-4,5]: W+ = 11, E = 7.5, Var = 13.75
+    # z = 3.5/sqrt(13.75) = 0.9439
+    df = spark.createDataFrame([(1,), (2,), (3,), (-4,), (5,)], "d long")
+    r = wilcoxon_signed_rank(df, "d").collect()[0]
+    assert r.n_nonzero == 5 and r.n_zero == 0
+    assert r.w_plus_x2 == 22 and r.tie_term == 0
+    assert abs(r.z_score - 0.9439) < 5e-4
+
+    # ties + zeros: diffs [1,1,-1,2,0]: 2W+ = 16, tie(3) = 24,
+    # Var(2W+) = (2*4*5*9 - 24)/12 = 28 -> z = 6/sqrt(28) = 1.1339
+    df2 = spark.createDataFrame([(1,), (1,), (-1,), (2,), (0,)], "d long")
+    r2 = wilcoxon_signed_rank(df2, "d").collect()[0]
+    assert r2.n_nonzero == 4 and r2.n_zero == 1
+    assert r2.w_plus_x2 == 16 and r2.tie_term == 24
+    assert abs(r2.z_score - 1.1339) < 5e-4
+
+    # all zeros -> fail loud
+    df3 = spark.createDataFrame([(0,), (0,)], "d long")
+    with pytest.raises(Exception, match="wilcoxon_signed_rank"):
+        wilcoxon_signed_rank(df3, "d").collect()
+
+
+def test_binary_classification_report_hand_fixture(spark):
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        binary_classification_report,
+    )
+
+    # TP=4 FP=1 FN=2 TN=3: acc=0.7, prec=0.8, rec=2/3, f1=8/11,
+    # mcc = (12-2)/sqrt(5*6*4*5) = 10/sqrt(600) = 0.4082
+    rows = (
+        [(True, True)] * 4 + [(True, False)] * 1
+        + [(False, True)] * 2 + [(False, False)] * 3
+    )
+    df = spark.createDataFrame(rows, "p boolean, y boolean")
+    r = binary_classification_report(df, "p", "y").collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (4, 1, 2, 3)
+    assert r.accuracy == 0.7 and r.precision == 0.8
+    assert abs(r.recall - 0.6667) < 5e-4
+    assert abs(r.f1 - 0.7273) < 5e-4
+    assert abs(r.mcc - 0.4082) < 5e-4
+
+    # degenerate margins -> NULL ratios, not NaN
+    df2 = spark.createDataFrame(
+        [(False, True), (False, True)], "p boolean, y boolean"
+    )
+    r2 = binary_classification_report(df2, "p", "y").collect()[0]
+    assert r2.precision is None and r2.mcc is None and r2.f1 == 0.0
+
+    with pytest.raises(Exception, match="binary_classification_report"):
+        binary_classification_report(
+            spark.createDataFrame([], "p boolean, y boolean"), "p", "y"
+        ).collect()
