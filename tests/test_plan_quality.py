@@ -285,6 +285,14 @@ GLOBAL_WINDOW_QUERIES = [
                               # totals table (stats.py mann_whitney_u)
     "ks_two_sample",          # same bucket-offsets window (stats.py
                               # ks_two_sample)
+    "kruskal_event_types",    # same bucket-offsets window over the
+                              # distinct-value table (stats.py kruskal_wallis)
+    "spearman_order_size",    # two bucket-offsets windows, one per margin
+                              # (stats.py spearman_rho)
+    "wilcoxon_user_shift",    # bucket-offsets window over distinct |d|
+                              # (stats.py wilcoxon_signed_rank)
+    "avg_precision_purchase", # distinct-score prefix window, exact_auc's
+                              # surface (evaluation.py average_precision)
 ]
 
 

@@ -297,6 +297,29 @@ SELECTED: dict[str, str] = {
         "moment aggregate, MDE algebra as a final projection with the z "
         "constants folded as plan literals."
     ),
+    "kruskal_event_types": (
+        "Rows collapse to hash aggregates per (group, value) then per value; "
+        "the rank prefix is a `Window` PARTITIONED by quantile bucket over "
+        "the distinct-value table (never a global row sort), and the only "
+        "partition-less Windows sit over the n_buckets-row offsets table. "
+        "Group rank sums join back value-keyed; H folds over the k-row "
+        "group table."
+    ),
+    "avg_precision_purchase": (
+        "exact_auc's surface: one hash aggregate to distinct scores, one "
+        "prefix `Window` over that aggregated frame (max_thresholds "
+        "fail-louds the unquantized-score case), totals broadcast back, one "
+        "score-sorted array fold. No per-row Python, no global sort of raw "
+        "rows."
+    ),
+    "decomposition_priority": (
+        "acf_profile's calendar pattern: one (key, day) aggregate, the "
+        "centered-MA window as an explode-by-offset CO-KEYED join "
+        "(`Exchange hashpartitioning` on (key, day) both sides — |days| x "
+        "period rows, bounded by the calendar), seasonal indices as a "
+        "bounded per-slot aggregate broadcast back. No row windows, no "
+        "driver state."
+    ),
 }
 
 
