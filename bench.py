@@ -220,6 +220,9 @@ SKEW_WINDOW_SEC = 3600
 #: (often single-giant-batch) feeds — see PERF.md round-9 note.
 STREAM_ROWS_PER_BATCH = 25_000
 STREAM_TARGET_EVENTS = 150_000
+#: state partitions for the measured stream — sized to the 50-key feed
+#: (see streaming_scenario); recorded in the JSON row
+STREAM_STATE_PARTITIONS = 4
 STREAM_MAX_WALL = 60  # abort guard if the box stalls the feed
 STREAM_BASE_EPOCH = 1_700_000_000  # fixed event-time origin (determinism)
 
@@ -494,7 +497,15 @@ def streaming_scenario(spark) -> dict[str, float]:
     # plain rate source accumulates unread rows while a trigger runs, so
     # under contention one batch balloons and the volume pin overshoots);
     # with fixed-size batches the measurement prefix crosses the target at
-    # exactly STREAM_TARGET_EVENTS every round
+    # exactly STREAM_TARGET_EVENTS every round.
+    # State partitions are RIGHT-SIZED to the feed: the scenario's
+    # keyspace is 50 cc_nums, and each state partition costs a state-store
+    # instance + commit per micro-batch — at the session default (32) that
+    # fixed overhead dominated a 25k-row batch (measured 4.2k ev/s at 32
+    # partitions vs 8.2k at 4, same feed; PERF.md round-9 streaming note).
+    # At a real keyspace/throughput this number scales UP with the keys —
+    # it is pinned per-checkpoint at first run, exactly like production.
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
     raw = (
         spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", STREAM_ROWS_PER_BATCH)
@@ -614,6 +625,7 @@ def streaming_scenario(spark) -> dict[str, float]:
         round(max(per_batch) / min(per_batch), 3) if per_batch else None
     )
     ev_s = sustained if sustained else rate
+    spark.conf.set("spark.sql.shuffle.partitions", "32")  # restore session
     return {
         # primary = steady-state (first data batch -> last); the
         # wall-inclusive number charges query startup to throughput and
@@ -629,6 +641,7 @@ def streaming_scenario(spark) -> dict[str, float]:
         "events_processed": n_rows,
         "sec_per_100k_events": round(1e5 / ev_s, 3) if ev_s else None,
         "rows_per_batch": STREAM_ROWS_PER_BATCH,
+        "state_partitions": STREAM_STATE_PARTITIONS,
         "stream_noise_max_over_min": stream_noise,
         "state_rows_verified": n_state,
     }

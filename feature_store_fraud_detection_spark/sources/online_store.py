@@ -56,13 +56,25 @@ def upsert_latest_state(
     unioned = batch if current is None else current.unionByName(batch)
     latest = latest_n_per_key(unioned, key, ts, n=1, tiebreak=tiebreak).drop("rn")
     if retention_seconds is not None:
-        horizon_row = unioned.agg(F.max(F.col(ts)).alias("m")).first()
-        if horizon_row is not None and horizon_row["m"] is not None:
-            latest = latest.filter(
-                F.col(ts)
-                >= F.lit(horizon_row["m"])
-                - F.expr(f"INTERVAL {retention_seconds} SECONDS")
+        # horizon folded into the plan as a broadcast scalar (the repo's
+        # 1-row crossJoin idiom) instead of a per-upsert driver action:
+        # in a foreachBatch sink every extra action re-evaluates the
+        # micro-batch's stateful aggregation, and the action was ~a
+        # whole extra job per batch. NULL horizon (no non-null ts in the
+        # union) keeps every row, matching the old skip-the-filter path.
+        horizon = unioned.agg(F.max(F.col(ts)).alias("__horizon_ts"))
+        latest = (
+            latest.crossJoin(F.broadcast(horizon))
+            .filter(
+                F.col("__horizon_ts").isNull()
+                | (
+                    F.col(ts)
+                    >= F.col("__horizon_ts")
+                    - F.expr(f"INTERVAL {retention_seconds} SECONDS")
+                )
             )
+            .drop("__horizon_ts")
+        )
     return latest
 
 
@@ -128,9 +140,18 @@ class ParquetOnlineStore:
         return self.spark.read.parquet(self.path).drop(BUCKET_COL)
 
     def upsert(self, batch: DataFrame) -> None:
-        b = self._with_bucket(batch)
+        # materialize the batch ONCE: in a foreachBatch sink the incoming
+        # frame is backed by the stateful aggregation, and every separate
+        # action (emptiness probe, touched-bucket scan, merge) would
+        # re-run that aggregation from the state store. One eager
+        # localCheckpoint pins the 25k-ish rows in block storage; the
+        # touched-bucket collect and the merge then read memory. An empty
+        # batch falls out of the same collect (no separate isEmpty pass).
+        b = self._with_bucket(batch).localCheckpoint(eager=True)
+        touched = [r[0] for r in b.select(BUCKET_COL).distinct().collect()]
+        if not touched:
+            return
         if self.exists():
-            touched = [r[0] for r in b.select(BUCKET_COL).distinct().collect()]
             cur = self.spark.read.parquet(self.path).filter(
                 F.col(BUCKET_COL).isin(touched)
             )

@@ -214,8 +214,10 @@ class OnlineStoreSink:
         return self._store
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # no isEmpty() probe: on a foreachBatch frame it re-evaluates the
+        # whole stateful aggregation just to learn there are rows, and the
+        # store's upsert already short-circuits an empty batch off the
+        # touched-bucket collect it needs anyway
         self._store_for(batch_df.sparkSession).upsert(batch_df)
 
     @property
