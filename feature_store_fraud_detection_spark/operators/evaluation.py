@@ -2018,18 +2018,27 @@ def kendall_tau_b(
     # exactly once; concordant if y moves the same way, discordant if
     # opposite (equal-y pairs are margin ties, handled via n1/n2)
     pairs = a.join(b, F.col("__xa") < F.col("__xb"))
+    # coalesce: with a single (x, y) cell the oriented pair join is EMPTY
+    # and sum-over-empty is NULL — the correct pair counts are 0 (property
+    # test counterexample: two identical rows)
     cd = pairs.agg(
-        F.sum(
-            F.when(
-                F.col("__ya") < F.col("__yb"),
-                F.col("__ca").cast("decimal(38,0)") * F.col("__cb"),
-            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__ya") < F.col("__yb"),
+                    F.col("__ca").cast("decimal(38,0)") * F.col("__cb"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ),
+            F.lit(0).cast("decimal(38,0)"),
         ).alias("conc"),
-        F.sum(
-            F.when(
-                F.col("__ya") > F.col("__yb"),
-                F.col("__ca").cast("decimal(38,0)") * F.col("__cb"),
-            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__ya") > F.col("__yb"),
+                    F.col("__ca").cast("decimal(38,0)") * F.col("__cb"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ),
+            F.lit(0).cast("decimal(38,0)"),
         ).alias("disc"),
     )
     half = F.lit(2).cast("decimal(38,0)")

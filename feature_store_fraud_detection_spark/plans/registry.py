@@ -14506,11 +14506,13 @@ WITH base AS (
 cells AS (SELECT x, y, count(*) AS c FROM base GROUP BY x, y),
 nc AS (SELECT count(*) AS n_cells FROM cells),
 cd AS (
+  -- COALESCE mirrors the Spark side: a single-cell table makes the
+  -- oriented pair join empty and sum-over-empty NULL; the counts are 0
   SELECT
-    sum(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * b.c
-             ELSE 0 END) AS conc,
-    sum(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * b.c
-             ELSE 0 END) AS disc
+    COALESCE(sum(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * b.c
+             ELSE 0 END), 0) AS conc,
+    COALESCE(sum(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * b.c
+             ELSE 0 END), 0) AS disc
   FROM cells a JOIN cells b ON a.x < b.x
 ),
 tx AS (
