@@ -985,10 +985,26 @@ def anova_f(
         F.col("s_tot").cast("double") * F.col("s_tot").cast("double") / nD
     )
     ssw = F.col("__f.w")
-    f_stat = (ssb / (kD - F.lit(1.0))) / (ssw / (nD - kD))
-    eta2 = ssb / (ssb + ssw)
+    # degenerate guards (surfaced by the brown_forsythe property sweep):
+    # a single group has no between df, and zero within-group variance
+    # (every group constant) leaves F undefined — report NULL, never a
+    # divide-by-zero (ANSI) or inf (non-ANSI). Same for eta2 when BOTH
+    # sums of squares are zero (constant input).
+    k_ok = F.when(F.col("k") >= 2, F.col("k")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "anova_f: need >= 2 non-empty groups (got %s)",
+                F.coalesce(F.col("k").cast("string"), F.lit("0")),
+            )
+        ).cast("bigint")
+    )
+    f_stat = F.when(
+        (ssw > 0.0) & (nD > kD),
+        (ssb / (kD - F.lit(1.0))) / (ssw / (nD - kD)),
+    )
+    eta2 = F.when((ssb + ssw) > 0.0, ssb / (ssb + ssw))
     glob = folded.select(
-        F.col("k").cast("int").alias("k"),
+        k_ok.cast("int").alias("k"),
         F.col("n").cast("bigint").alias("n_total"),
         round4_stable(f_stat).alias("f_stat"),
         round4_stable(eta2).alias("eta2"),

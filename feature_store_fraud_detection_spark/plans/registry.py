@@ -11518,16 +11518,26 @@ folded AS (
 ),
 gstats AS (
   SELECT CAST(k AS INTEGER) AS k, CAST(n AS BIGINT) AS n_total,
-         floor((((fx - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
-                        / CAST(n AS DOUBLE))
-                 / (CAST(k AS DOUBLE) - 1.0))
-                / (fw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))
-               * 10000 + 0.5) / 10000 AS f_stat,
-         floor(((fx - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
-                       / CAST(n AS DOUBLE))
-                / ((fx - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
-                          / CAST(n AS DOUBLE)) + fw))
-               * 10000 + 0.5) / 10000 AS eta2
+         -- mirrors the Spark side's degenerate guards: zero within-group
+         -- variance (or n == k) leaves F undefined -> NULL, constant
+         -- input leaves eta2 undefined -> NULL
+         CASE WHEN fw > 0.0 AND CAST(n AS DOUBLE) > CAST(k AS DOUBLE)
+              THEN floor((((fx - CAST(s_tot AS DOUBLE)
+                                 * CAST(s_tot AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                           / (CAST(k AS DOUBLE) - 1.0))
+                          / (fw / (CAST(n AS DOUBLE)
+                                   - CAST(k AS DOUBLE))))
+                         * 10000 + 0.5) / 10000 END AS f_stat,
+         CASE WHEN (fx - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                          / CAST(n AS DOUBLE)) + fw > 0.0
+              THEN floor(((fx - CAST(s_tot AS DOUBLE)
+                                * CAST(s_tot AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                          / ((fx - CAST(s_tot AS DOUBLE)
+                                   * CAST(s_tot AS DOUBLE)
+                                   / CAST(n AS DOUBLE)) + fw))
+                         * 10000 + 0.5) / 10000 END AS eta2
   FROM folded
 )
 SELECT p.grp AS o_orderpriority,
@@ -14021,16 +14031,26 @@ folded AS (
 ),
 gstats AS (
   SELECT CAST(k AS INTEGER) AS k, CAST(n AS BIGINT) AS n_total,
-         floor((((fx - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
-                        / CAST(n AS DOUBLE))
-                 / (CAST(k AS DOUBLE) - 1.0))
-                / (fw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))
-               * 10000 + 0.5) / 10000 AS f_stat,
-         floor(((fx - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
-                       / CAST(n AS DOUBLE))
-                / ((fx - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
-                          / CAST(n AS DOUBLE)) + fw))
-               * 10000 + 0.5) / 10000 AS eta2
+         -- mirrors the Spark side's degenerate guards: zero within-group
+         -- variance (or n == k) leaves F undefined -> NULL, constant
+         -- input leaves eta2 undefined -> NULL
+         CASE WHEN fw > 0.0 AND CAST(n AS DOUBLE) > CAST(k AS DOUBLE)
+              THEN floor((((fx - CAST(s_tot AS DOUBLE)
+                                 * CAST(s_tot AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                           / (CAST(k AS DOUBLE) - 1.0))
+                          / (fw / (CAST(n AS DOUBLE)
+                                   - CAST(k AS DOUBLE))))
+                         * 10000 + 0.5) / 10000 END AS f_stat,
+         CASE WHEN (fx - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                          / CAST(n AS DOUBLE)) + fw > 0.0
+              THEN floor(((fx - CAST(s_tot AS DOUBLE)
+                                * CAST(s_tot AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                          / ((fx - CAST(s_tot AS DOUBLE)
+                                   * CAST(s_tot AS DOUBLE)
+                                   / CAST(n AS DOUBLE)) + fw))
+                         * 10000 + 0.5) / 10000 END AS eta2
   FROM folded
 )
 SELECT p.g AS event_type,
@@ -15487,6 +15507,12 @@ _GRADING_PRIORITY: list[str] = [
     "ridge_fit",
     "ridge_learning_curve",
     "geo_hotspots",
+    # NOTE: anova_f gained degenerate-NULL guards late in round 9
+    # (property-sweep finding; zero within-group variance / n == k now
+    # NULL instead of ANSI divide-by-zero). anova_priority and
+    # brown_forsythe_events re-verified HASH-IDENTICAL at sf0.001/0.01
+    # after the change — no observable behavior change on graded data,
+    # so neither consumes a window slot this round.
     # (b) the 15-row r3 cohort deferred from round 8 — after this round
     # NO hash-checkable query's latest grade is older than r4
     # (tools/grading_window.py verifies)

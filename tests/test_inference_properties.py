@@ -271,3 +271,126 @@ def test_did_matches_bruteforce(spark, rows):
     )
     assert abs(r.did - did) < 1e-3
     assert abs(r.se - se) < 1e-3
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),          # item
+            st.sampled_from(["u", "v", "w"]),               # rater
+            st.sampled_from(["a", "b"]),                    # category
+        ),
+        min_size=2,
+        max_size=24,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_krippendorff_matches_bruteforce(spark, ratings):
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        krippendorff_alpha,
+    )
+
+    df = spark.createDataFrame(
+        ratings, "item long, rater string, cat string"
+    )
+    by_item: dict = {}
+    for i, _, c in ratings:
+        by_item.setdefault(i, []).append(c)
+    usable = {i: cs for i, cs in by_item.items() if len(cs) >= 2}
+    if not usable:
+        with pytest.raises(Exception, match="krippendorff_alpha"):
+            krippendorff_alpha(df, "item", "rater", "cat").collect()
+        return
+    r = krippendorff_alpha(df, "item", "rater", "cat").collect()[0]
+    assert r.n_items_used == len(usable)
+    assert r.n_items_dropped == len(by_item) - len(usable)
+    n_tot = sum(len(cs) for cs in usable.values())
+    assert r.n_ratings == n_tot
+    do_num = 0.0
+    for cs in usable.values():
+        cnt = Counter(cs)
+        ri = len(cs)
+        do_num += sum(c * (ri - c) for c in cnt.values()) / (ri - 1)
+    tot = Counter(c for cs in usable.values() for c in cs)
+    de_num = n_tot * n_tot - sum(c * c for c in tot.values())
+    if de_num > 0:
+        alpha = 1.0 - (n_tot - 1) * do_num / de_num
+        assert abs(r.alpha - alpha) < 1e-3
+    else:
+        assert r.alpha is None
+
+
+@SET
+@given(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=2, max_size=12),
+    st.lists(st.integers(min_value=0, max_value=9), min_size=2, max_size=12),
+)
+def test_brown_forsythe_matches_bruteforce(spark, ga, gb):
+    from feature_store_fraud_detection_spark.operators.stats import (
+        brown_forsythe,
+    )
+
+    rows = [("a", v) for v in ga] + [("b", v) for v in gb]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in brown_forsythe(df, "g", "v").collect()}
+
+    def med(xs):
+        s = sorted(xs)
+        n = len(s)
+        return (
+            s[n // 2]
+            if n % 2
+            else s[n // 2 - 1] + (s[n // 2] - s[n // 2 - 1]) * 0.5
+        )
+
+    za = [abs(2 * v - 2 * med(ga)) for v in ga]
+    zb = [abs(2 * v - 2 * med(gb)) for v in gb]
+    assert out["a"].sum_absdev_x2 == round(sum(za))
+    assert out["b"].sum_absdev_x2 == round(sum(zb))
+    # one-way ANOVA F on the deviations
+    allz = za + zb
+    n, k = len(allz), 2
+    gm = sum(allz) / n
+    ssb = len(za) * (sum(za) / len(za) - gm) ** 2 + len(zb) * (
+        sum(zb) / len(zb) - gm
+    ) ** 2
+    ssw = sum((z - sum(za) / len(za)) ** 2 for z in za) + sum(
+        (z - sum(zb) / len(zb)) ** 2 for z in zb
+    )
+    if ssw > 0:
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+        assert abs(out["a"].f_stat - f) < max(1e-3, abs(f) * 1e-3)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.booleans()), min_size=1, max_size=24
+    )
+)
+def test_classification_report_matches_bruteforce(spark, rows):
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        binary_classification_report,
+    )
+
+    df = spark.createDataFrame(rows, "p boolean, y boolean")
+    r = binary_classification_report(df, "p", "y").collect()[0]
+    tp = sum(1 for p, y in rows if p and y)
+    fp = sum(1 for p, y in rows if p and not y)
+    fn = sum(1 for p, y in rows if not p and y)
+    tn = sum(1 for p, y in rows if not p and not y)
+    assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+    assert abs(r.accuracy - (tp + tn) / len(rows)) < 1e-3
+    if tp + fp:
+        assert abs(r.precision - tp / (tp + fp)) < 1e-3
+    else:
+        assert r.precision is None
+    den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    if den > 0:
+        mcc = (tp * tn - fp * fn) / math.sqrt(den)
+        assert abs(r.mcc - mcc) < 1e-3
+    else:
+        assert r.mcc is None
