@@ -203,6 +203,7 @@ HEADLINE: list[tuple[str, int]] = [
     ("decomposition_priority", 9),
     ("wilcoxon_user_shift", 9),
     ("classification_value_rule", 9),
+    ("nelson_aalen_users", 9),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

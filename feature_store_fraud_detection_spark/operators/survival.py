@@ -343,3 +343,153 @@ def logrank_test(
         round4_stable(z).alias("logrank_z"),
         round4_stable(z * z).alias("logrank_chi2"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    subject_col: str,
+    ts_col: str,
+    censor_horizon_days: int = 7,
+    max_days: int = 3650,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator on the same per-subject
+    lifetime surface as :func:`kaplan_meier`::
+
+        H(t) = sum_{t_i <= t} d_i / n_i,     var(H) ~= sum d_i / n_i^2
+
+    The ADDITIVE twin of the KM product-limit: H reads as "expected
+    churn events per subject so far", is the quantity hazard-ratio
+    models (log-rank, Cox) actually work in, and behaves better than
+    the product at small risk sets. Deliberately NOT emitting
+    exp(-H) (the Fleming-Harrington survival): the float canary showed
+    JVM libm and DuckDB disagree at 1 ulp on transcendental calls, and
+    H is the estimator — callers can exponentiate downstream.
+
+    Same exact-integer day table, censoring rule, duration cap and
+    ascending-day fold discipline as kaplan_meier; the two running
+    sums (hazard, its Poisson variance) are the only doubles, each a
+    fixed left-assoc IEEE sequence both engines replay, rounded to 4.
+
+    Output, one row per observed distinct duration (ascending):
+    (duration_days, n_risk, n_churned, n_censored, cum_hazard,
+    cum_hazard_var).
+    """
+    ts = F.col(ts_col)
+    per_subj = (
+        df.filter(ts.isNotNull() & F.col(subject_col).isNotNull())
+        .groupBy(subject_col)
+        .agg(F.min(ts).alias("__first"), F.max(ts).alias("__last"))
+    )
+    glob = per_subj.agg(F.max("__last").alias("__cut"))
+    dur = F.floor(
+        (F.unix_timestamp("__last") - F.unix_timestamp("__first"))
+        / F.lit(86400)
+    ).cast("bigint")
+    dur_ok = F.when(dur <= F.lit(int(max_days)), dur).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"nelson_aalen: duration %s days exceeds max_days="
+                f"{int(max_days)} — the day-bounded fold assumption "
+                "broke; quantize coarser or raise the cap deliberately",
+                dur.cast("string"),
+            )
+        ).cast("bigint")
+    )
+    censored = (
+        F.unix_timestamp("__last")
+        >= F.unix_timestamp("__cut")
+        - F.lit(int(censor_horizon_days) * 86400)
+    ).cast("int")
+    subj = per_subj.crossJoin(F.broadcast(glob)).select(
+        dur_ok.alias("__d"), censored.alias("__c")
+    )
+    per_day = subj.groupBy("__d").agg(
+        F.sum(F.lit(1) - F.col("__c")).alias("__died"),
+        F.sum("__c").alias("__cens"),
+    )
+    tot = per_day.agg(
+        F.sum(F.col("__died") + F.col("__cens")).alias("__n")
+    )
+    w = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, -1)
+    day_rows = per_day.crossJoin(F.broadcast(tot)).select(
+        "__d",
+        "__died",
+        "__cens",
+        (
+            F.col("__n")
+            - F.coalesce(
+                F.sum(F.col("__died") + F.col("__cens")).over(w), F.lit(0)
+            )
+        ).alias("__risk"),
+    )
+    # single ascending-day fold: running sums of d/n and d/n^2, emitted
+    # per day — fixed IEEE sequence, seeded 0.0 (0.0 + x == x bitwise
+    # for the non-negative terms, so the DuckDB running-window twin
+    # folds identically)
+    folded = day_rows.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__d").alias("d"),
+                        F.col("__died").alias("died"),
+                        F.col("__cens").alias("cens"),
+                        F.col("__risk").alias("risk"),
+                    )
+                )
+            ),
+            F.struct(
+                F.lit(0.0).alias("h"),
+                F.lit(0.0).alias("v"),
+                F.expr(
+                    "cast(array() as array<struct<d:bigint,died:bigint,"
+                    "cens:bigint,risk:bigint,h:double,v:double>>)"
+                ).alias("out"),
+            ),
+            lambda acc, x: F.struct(
+                (
+                    acc["h"]
+                    + x["died"].cast("double") / x["risk"].cast("double")
+                ).alias("h"),
+                (
+                    acc["v"]
+                    + x["died"].cast("double")
+                    / (
+                        x["risk"].cast("double") * x["risk"].cast("double")
+                    )
+                ).alias("v"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            x["d"].alias("d"),
+                            x["died"].alias("died"),
+                            x["cens"].alias("cens"),
+                            x["risk"].alias("risk"),
+                            (
+                                acc["h"]
+                                + x["died"].cast("double")
+                                / x["risk"].cast("double")
+                            ).alias("h"),
+                            (
+                                acc["v"]
+                                + x["died"].cast("double")
+                                / (
+                                    x["risk"].cast("double")
+                                    * x["risk"].cast("double")
+                                )
+                            ).alias("v"),
+                        )
+                    ),
+                ).alias("out"),
+            ),
+        ).alias("__f")
+    )
+    return folded.select(F.explode("__f.out").alias("r")).select(
+        F.col("r.d").alias("duration_days"),
+        F.col("r.died").cast("bigint").alias("n_churned"),
+        F.col("r.cens").cast("bigint").alias("n_censored"),
+        F.col("r.risk").cast("bigint").alias("n_risk"),
+        round4_stable(F.col("r.h")).alias("cum_hazard"),
+        round4_stable(F.col("r.v")).alias("cum_hazard_var"),
+    )

@@ -15451,6 +15451,93 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# Round 9 (cont.): Nelson-Aalen cumulative hazard (r10 grading pool)
+# --------------------------------------------------------------------------
+
+
+def _q_nelson_aalen_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative churn hazard over customer ordering
+    lifetimes (operators/survival.py:nelson_aalen) — the ADDITIVE twin
+    of kaplan_meier_users on the identical lifetime surface: H(t) =
+    sum d/n reads as expected churn events per customer so far, with
+    the Poisson variance alongside; same 180-day censoring rule."""
+    from feature_store_fraud_detection_spark.operators.survival import (
+        nelson_aalen,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return nelson_aalen(
+        o, "o_custkey", "o_orderdate", censor_horizon_days=180
+    )
+
+
+# the two running sums replay the engine's single ascending-day fold
+# with kaplan_meier's recursive-CTE-over-index pattern (a window SUM
+# over doubles may combine pairwise, not left-assoc — only the
+# recursion pins the identical IEEE sequence); anchors spelled
+# 0.0 + term like the fold's 0.0 seed
+_NELSON_AALEN_SQL = """
+WITH RECURSIVE per_subj AS (
+  SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+  GROUP BY o_custkey
+),
+gcut AS (SELECT max(l) AS cut FROM per_subj),
+subj AS (
+  SELECT CAST(floor(((epoch_us(l) // 1000000)
+                     - (epoch_us(f) // 1000000)) / 86400) AS BIGINT) AS d,
+         CASE WHEN (epoch_us(l) // 1000000)
+                   >= (epoch_us(g.cut) // 1000000) - 15552000
+              THEN 1 ELSE 0 END AS c
+  FROM per_subj CROSS JOIN gcut g
+),
+per_day AS (
+  SELECT d, sum(1 - c) AS died, sum(c) AS cens FROM subj GROUP BY d
+),
+tot AS (SELECT sum(died + cens) AS n FROM per_day),
+day_rows AS (
+  SELECT d, died, cens,
+         t.n - COALESCE(sum(died + cens) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS risk
+  FROM per_day CROSS JOIN tot t
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY d) AS i, d, died, cens, risk
+  FROM day_rows
+),
+rec AS (
+  SELECT i, d, died, cens, risk,
+         0.0 + CAST(died AS DOUBLE) / CAST(risk AS DOUBLE) AS h,
+         0.0 + CAST(died AS DOUBLE)
+             / (CAST(risk AS DOUBLE) * CAST(risk AS DOUBLE)) AS v
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT x.i, x.d, x.died, x.cens, x.risk,
+         r.h + CAST(x.died AS DOUBLE) / CAST(x.risk AS DOUBLE),
+         r.v + CAST(x.died AS DOUBLE)
+             / (CAST(x.risk AS DOUBLE) * CAST(x.risk AS DOUBLE))
+  FROM rec r JOIN idx x ON x.i = r.i + 1
+)
+SELECT d AS duration_days,
+       CAST(died AS BIGINT) AS n_churned,
+       CAST(cens AS BIGINT) AS n_censored,
+       CAST(risk AS BIGINT) AS n_risk,
+       floor(h * 10000 + 0.5) / 10000 AS cum_hazard,
+       floor(v * 10000 + 0.5) / 10000 AS cum_hazard_var
+FROM rec
+"""
+
+
+QUERIES.update(
+    {
+        "nelson_aalen_users": QuerySpec(
+            _q_nelson_aalen_users, _NELSON_AALEN_SQL
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so

@@ -3055,3 +3055,37 @@ def test_binary_classification_report_hand_fixture(spark):
         binary_classification_report(
             spark.createDataFrame([], "p boolean, y boolean"), "p", "y"
         ).collect()
+
+
+def test_nelson_aalen_hand_fixture(spark):
+    import datetime as dt
+
+    from feature_store_fraud_detection_spark.operators.survival import (
+        nelson_aalen,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def span(subj, first_d, last_d):
+        return [(subj, base + dt.timedelta(days=first_d)),
+                (subj, base + dt.timedelta(days=last_d))]
+
+    # durations: A,B = 1 (churn), C,D = 2 (churn), E = 5 (censored:
+    # last within 1 day of the cutoff). H: 2/5, +2/3, +0/1;
+    # var: 2/25, +2/9, +0
+    rows = (
+        span("A", 0, 1) + span("B", 0, 1) + span("C", 0, 2)
+        + span("D", 0, 2) + span("E", 0, 5)
+    )
+    df = spark.createDataFrame(rows, "s string, ts timestamp")
+    out = {r.duration_days: r for r in
+           nelson_aalen(df, "s", "ts", censor_horizon_days=1).collect()}
+    assert set(out) == {1, 2, 5}
+    assert (out[1].n_risk, out[1].n_churned) == (5, 2)
+    assert (out[2].n_risk, out[2].n_churned) == (3, 2)
+    assert (out[5].n_risk, out[5].n_censored, out[5].n_churned) == (1, 1, 0)
+    assert out[1].cum_hazard == 0.4
+    assert abs(out[2].cum_hazard - 1.0667) < 5e-4
+    assert out[5].cum_hazard == out[2].cum_hazard  # censoring adds nothing
+    assert abs(out[1].cum_hazard_var - 0.08) < 5e-4
+    assert abs(out[2].cum_hazard_var - 0.3022) < 5e-4
