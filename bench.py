@@ -204,6 +204,7 @@ HEADLINE: list[tuple[str, int]] = [
     ("wilcoxon_user_shift", 9),
     ("classification_value_rule", 9),
     ("nelson_aalen_users", 9),
+    ("hosmer_lemeshow_hour", 9),
 ]
 
 #: planted-skew scenario: this fraction of rows remaps to one hot key

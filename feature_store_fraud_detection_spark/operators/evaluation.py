@@ -2671,3 +2671,121 @@ def binary_classification_report(
         round4_stable(f1).alias("f1"),
         round4_stable(mcc).alias("mcc"),
     )
+
+
+def hosmer_lemeshow(
+    df: DataFrame,
+    prob4_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-calibration test over fixed-width
+    probability bins — "are the predicted probabilities actually
+    probabilities?" as a single chi-square number, the inferential
+    companion to the reliability-diagram surface (calibration_bins /
+    isotonic_calibration tell you WHERE it miscalibrates; HL says
+    whether the miscalibration is statistically real)::
+
+        H = sum_g (O_g - E_g)^2 / (E_g * (1 - E_g/n_g)),  df = g - 2
+
+    ``prob4_col`` must be the prediction quantized to integer 1e-4
+    units (0..10000) — that makes every E_g an exact DECIMAL(38,0) sum
+    (a raw-double expectation sum is order-dependent, the exact hazard
+    class this repo's oracle gate exists to catch); out-of-range values
+    fail loud. Fixed-width bins (floor(p4 * n_bins / 10000), top edge
+    closed) rather than decile-of-risk: deterministic, engine-portable,
+    and the variant recommended when ties make risk deciles ambiguous.
+
+    Bins with E_g == 0 or E_g == n_g carry no chi-square information
+    (zero binomial variance) and are EXCLUDED and counted — never
+    silently folded. H folds bin-sorted over the bounded bin table;
+    fewer than 3 usable bins reports NULL H (df would be <= 0).
+
+    Output: one row per non-empty bin (bin, n_g, obs_pos, exp_pos4,
+    obs_rate, exp_rate) with the global (bins_used, bins_excluded,
+    hl_stat, df) replicated on every row.
+    """
+    p4 = F.col(prob4_col).cast("bigint")
+    p4_ok = F.when((p4 >= 0) & (p4 <= 10000), p4).otherwise(
+        F.raise_error(
+            F.format_string(
+                "hosmer_lemeshow: prob4 value %s outside [0, 10000] — "
+                "pass the prediction quantized to 1e-4 units",
+                p4.cast("string"),
+            )
+        ).cast("bigint")
+    )
+    y = F.col(label_col).cast("boolean").cast("int")
+    binned = df.filter(
+        F.col(prob4_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.least(
+            F.floor(p4_ok * n_bins / F.lit(10000)).cast("int"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+        p4_ok.alias("__p4"),
+        y.alias("__y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("__y").alias("obs_pos"),
+        F.sum(F.col("__p4").cast("decimal(38,0)")).alias("exp_pos4"),
+    )
+    # usable = binomial variance > 0: 0 < E_g < n_g (exact integer
+    # comparison on the 1e-4 surface)
+    usable = (F.col("exp_pos4") > 0) & (
+        F.col("exp_pos4") < F.col("n_g").cast("decimal(38,0)") * 10000
+    )
+    e = F.col("exp_pos4").cast("double") / F.lit(10000.0)
+    nD = F.col("n_g").cast("double")
+    term = (
+        (F.col("obs_pos").cast("double") - e)
+        * (F.col("obs_pos").cast("double") - e)
+        / (e * (F.lit(1.0) - e / nD))
+    )
+    folded = per_bin.agg(
+        F.sum(usable.cast("int")).alias("bins_used"),
+        F.sum((~usable).cast("int")).alias("bins_excluded"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        usable,
+                        F.struct(F.col("bin").alias("b"), term.alias("x")),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, e_: acc + e_["x"],
+        ).alias("__h"),
+    )
+    glob = folded.select(
+        F.col("bins_used").cast("int").alias("bins_used"),
+        F.col("bins_excluded").cast("int").alias("bins_excluded"),
+        round4_stable(
+            F.when(F.col("bins_used") >= 3, F.col("__h"))
+        ).alias("hl_stat"),
+        F.when(
+            F.col("bins_used") >= 3, F.col("bins_used") - F.lit(2)
+        ).cast("int").alias("df"),
+    )
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        bigint_checked,
+    )
+
+    return per_bin.crossJoin(F.broadcast(glob)).select(
+        F.col("bin"),
+        F.col("n_g").cast("bigint").alias("n_g"),
+        F.col("obs_pos").cast("bigint").alias("obs_pos"),
+        bigint_checked(F.col("exp_pos4"), "hosmer_lemeshow exp_pos4").alias(
+            "exp_pos4"
+        ),
+        round4_stable(
+            F.col("obs_pos").cast("double") / F.col("n_g").cast("double")
+        ).alias("obs_rate"),
+        round4_stable(e / nD).alias("exp_rate"),
+        "bins_used",
+        "bins_excluded",
+        "hl_stat",
+        "df",
+    )

@@ -15538,6 +15538,98 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# Round 9 (cont.): Hosmer-Lemeshow calibration test (r10 grading pool)
+# --------------------------------------------------------------------------
+
+
+def _q_hosmer_lemeshow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow calibration chi-square for the hour-of-day
+    pseudo-probability of a purchase
+    (operators/evaluation.py:hosmer_lemeshow) — the inferential
+    companion to the calibration_bins reliability surface: exact 1e-4
+    expected sums per fixed-width bin, zero-variance bins excluded AND
+    counted, H folded bin-sorted. The hour predictor is deliberately
+    miscalibrated, so H should be large — the test statistic, not a
+    pass."""
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        hosmer_lemeshow,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    ev = ev.select(
+        F.floor(
+            (F.hour("ts") + F.lit(0.5)) / F.lit(24.0) * 10000 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("p4"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return hosmer_lemeshow(ev, "p4", "y", n_bins=10)
+
+
+_HOSMER_LEMESHOW_SQL = """
+WITH base AS (
+  SELECT CAST(floor((hour(ts) + 0.5) / 24.0 * 10000 + 0.5) AS BIGINT)
+           AS p4,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+binned AS (
+  SELECT LEAST(CAST(floor(p4 * 10 / 10000) AS INT), 9) AS bin, p4, y
+  FROM base
+),
+per_bin AS (
+  SELECT bin, count(*) AS n_g, sum(y) AS obs_pos,
+         sum(CAST(p4 AS HUGEINT)) AS exp4
+  FROM binned GROUP BY bin
+),
+flagged AS (
+  SELECT *,
+         (exp4 > 0 AND exp4 < CAST(n_g AS HUGEINT) * 10000) AS usable,
+         (CAST(obs_pos AS DOUBLE) - CAST(exp4 AS DOUBLE) / 10000.0)
+           * (CAST(obs_pos AS DOUBLE) - CAST(exp4 AS DOUBLE) / 10000.0)
+           / ((CAST(exp4 AS DOUBLE) / 10000.0)
+              * (1.0 - (CAST(exp4 AS DOUBLE) / 10000.0)
+                       / CAST(n_g AS DOUBLE))) AS term
+  FROM per_bin
+),
+folded AS (
+  SELECT sum(CASE WHEN usable THEN 1 ELSE 0 END) AS bins_used,
+         sum(CASE WHEN usable THEN 0 ELSE 1 END) AS bins_excluded,
+         list_reduce(list(term ORDER BY bin) FILTER (WHERE usable),
+                     (a, b) -> a + b) AS h
+  FROM flagged
+)
+SELECT p.bin,
+       CAST(p.n_g AS BIGINT) AS n_g,
+       CAST(p.obs_pos AS BIGINT) AS obs_pos,
+       CAST(p.exp4 AS BIGINT) AS exp_pos4,
+       floor((CAST(p.obs_pos AS DOUBLE) / CAST(p.n_g AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS obs_rate,
+       floor(((CAST(p.exp4 AS DOUBLE) / 10000.0) / CAST(p.n_g AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS exp_rate,
+       CAST(f.bins_used AS INT) AS bins_used,
+       CAST(f.bins_excluded AS INT) AS bins_excluded,
+       CASE WHEN f.bins_used >= 3
+            THEN floor(f.h * 10000 + 0.5) / 10000 END AS hl_stat,
+       CASE WHEN f.bins_used >= 3
+            THEN CAST(f.bins_used - 2 AS INT) END AS df
+FROM per_bin p CROSS JOIN folded f
+"""
+
+
+QUERIES.update(
+    {
+        "hosmer_lemeshow_hour": QuerySpec(
+            _q_hosmer_lemeshow_hour, _HOSMER_LEMESHOW_SQL
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # Driver grading-window ordering
 # --------------------------------------------------------------------------
 # The external grader runs only the FIRST 50 entries of QUERIES per round, so

@@ -3089,3 +3089,49 @@ def test_nelson_aalen_hand_fixture(spark):
     assert out[5].cum_hazard == out[2].cum_hazard  # censoring adds nothing
     assert abs(out[1].cum_hazard_var - 0.08) < 5e-4
     assert abs(out[2].cum_hazard_var - 0.3022) < 5e-4
+
+
+def test_hosmer_lemeshow_hand_fixture(spark):
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        hosmer_lemeshow,
+    )
+
+    # three usable bins with clean terms: (3-2)^2/(2*0.5)=1,
+    # (1-1)^2/...=0, (2-3)^2/(3*0.25)=4/3 -> H = 7/3; one zero-E bin
+    # excluded and counted
+    rows = (
+        [(5000, 1)] * 3 + [(5000, 0)]          # bin 5: n=4, E=2, O=3
+        + [(2500, 1)] + [(2500, 0)] * 3        # bin 2: n=4, E=1, O=1
+        + [(7500, 1)] * 2 + [(7500, 0)] * 2    # bin 7: n=4, E=3, O=2
+        + [(0, 0)] * 2                          # bin 0: E=0 -> excluded
+    )
+    df = spark.createDataFrame(rows, "p4 long, y int")
+    out = {r.bin: r for r in hosmer_lemeshow(df, "p4", "y").collect()}
+    assert set(out) == {0, 2, 5, 7}
+    r = out[5]
+    assert r.bins_used == 3 and r.bins_excluded == 1 and r.df == 1
+    assert abs(r.hl_stat - 7.0 / 3.0) < 5e-4
+    assert r.n_g == 4 and r.obs_pos == 3 and r.exp_pos4 == 20000
+    assert r.obs_rate == 0.75 and r.exp_rate == 0.5
+
+    # p4 = 10000 lands in the top bin (closed edge), never bin n_bins
+    df2 = spark.createDataFrame(
+        [(10000, 1)] * 2 + [(5000, 1), (5000, 0)] + [(1, 0)] * 2,
+        "p4 long, y int",
+    )
+    out2 = {r.bin: r for r in hosmer_lemeshow(df2, "p4", "y").collect()}
+    assert 9 in out2 and 10 not in out2
+
+    # out-of-range prob4 fails loud
+    df3 = spark.createDataFrame([(20000, 1), (1, 0)], "p4 long, y int")
+    with pytest.raises(Exception, match="hosmer_lemeshow"):
+        hosmer_lemeshow(df3, "p4", "y").collect()
+
+    # fewer than 3 usable bins -> NULL H, NULL df
+    df4 = spark.createDataFrame(
+        [(5000, 1), (5000, 0), (2500, 1), (2500, 0)], "p4 long, y int"
+    )
+    r4 = hosmer_lemeshow(df4, "p4", "y").collect()[0]
+    assert r4.hl_stat is None and r4.df is None
