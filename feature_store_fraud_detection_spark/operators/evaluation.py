@@ -2080,6 +2080,17 @@ def kendall_tau_b(
                 num / (F.sqrt(d1) * F.sqrt(d2)),
             )
         ).alias("tau_b"),
+        # the two sibling coefficients the same pair counts buy for free:
+        # gamma ignores ALL ties (the optimist), Somers' D_{y|x} charges
+        # only y-ties against predicting y from x (the asymmetric one a
+        # ranking evaluation wants — it equals 2*AUC - 1 for binary y)
+        round4_stable(
+            F.when(
+                (F.col("conc") + F.col("disc")).cast("double") > 0.0,
+                num / (F.col("conc") + F.col("disc")).cast("double"),
+            )
+        ).alias("gamma"),
+        round4_stable(F.when(d1 > 0.0, num / d1)).alias("somers_dyx"),
     )
 
 

@@ -14559,7 +14559,15 @@ SELECT CAST(n AS BIGINT) AS n,
                         / (sqrt(CAST(n0_x2 - n1_x2 AS DOUBLE) / 2.0)
                            * sqrt(CAST(n0_x2 - n2_x2 AS DOUBLE) / 2.0)))
                        * 10000 + 0.5) / 10000
-       END AS tau_b
+       END AS tau_b,
+       CASE WHEN CAST(conc + disc AS DOUBLE) > 0.0
+            THEN floor((CAST(conc - disc AS DOUBLE)
+                        / CAST(conc + disc AS DOUBLE))
+                       * 10000 + 0.5) / 10000 END AS gamma,
+       CASE WHEN CAST(n0_x2 - n1_x2 AS DOUBLE) / 2.0 > 0.0
+            THEN floor((CAST(conc - disc AS DOUBLE)
+                        / (CAST(n0_x2 - n1_x2 AS DOUBLE) / 2.0))
+                       * 10000 + 0.5) / 10000 END AS somers_dyx
 FROM j
 """
 

@@ -2644,13 +2644,15 @@ def test_kendall_tau_b_hand_fixtures(spark):
     r = kendall_tau_b(df, "x", "y").collect()[0]
     assert r.conc_pairs == 3 and r.disc_pairs == 0 and r.tau_b == 1.0
 
-    # one tie on each margin: C=4, D=0, tau_b = 4/5 = 0.8
+    # one tie on each margin: C=4, D=0, tau_b = 4/5 = 0.8;
+    # gamma ignores ties entirely (=1), Somers' D_{y|x} = 4/5
     df2 = spark.createDataFrame(
         [(1, 1), (1, 2), (2, 2), (3, 3)], "x long, y long"
     )
     r2 = kendall_tau_b(df2, "x", "y").collect()[0]
     assert r2.conc_pairs == 4 and r2.disc_pairs == 0
     assert r2.tau_b == 0.8
+    assert r2.gamma == 1.0 and r2.somers_dyx == 0.8
 
     # balanced 2x2 -> tau exactly 0
     df3 = spark.createDataFrame(

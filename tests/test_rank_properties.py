@@ -158,6 +158,14 @@ def test_kendall_tau_b_matches_bruteforce(spark, pairs):
         assert abs(r.tau_b - tau) < 1e-3
     else:
         assert r.tau_b is None
+    if conc + disc > 0:
+        assert abs(r.gamma - (conc - disc) / (conc + disc)) < 1e-3
+    else:
+        assert r.gamma is None
+    if n0 - n1 > 0:
+        assert abs(r.somers_dyx - (conc - disc) / (n0 - n1)) < 1e-3
+    else:
+        assert r.somers_dyx is None
 
 
 @SET
