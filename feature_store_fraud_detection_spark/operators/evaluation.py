@@ -1580,11 +1580,17 @@ def cohens_kappa(
     mb = pairs.groupBy(F.col("__b").alias("__k")).agg(
         F.count(F.lit(1)).alias("__nb")
     )
+    # coalesce: raters with DISJOINT category sets make the marginal
+    # join empty and sum-over-empty NULL — the correct chance agreement
+    # is 0 (property-sweep counterexample: a single disagreeing pair)
     pe_num = (
         ma.join(mb, "__k")
         .agg(
-            F.sum(
-                (F.col("__na") * F.col("__nb")).cast("decimal(38,0)")
+            F.coalesce(
+                F.sum(
+                    (F.col("__na") * F.col("__nb")).cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
             ).alias("__pe_num")
         )
     )

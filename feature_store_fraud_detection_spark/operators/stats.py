@@ -873,8 +873,12 @@ def mann_whitney_u(
         (n + F.lit(1.0))
         - F.col("tie_term").cast("double") / (n * (n - F.lit(1.0)))
     )
-    z = (two_u.cast("double") - nt * nc) / (
-        F.lit(2.0) * F.sqrt(sigma2)
+    # all-tied input (every value identical) zeroes the tie-corrected
+    # variance — z is undefined, report NULL, never an ANSI
+    # divide-by-zero (property-sweep counterexample)
+    z = F.when(
+        sigma2 > 0.0,
+        (two_u.cast("double") - nt * nc) / (F.lit(2.0) * F.sqrt(sigma2)),
     )
     from feature_store_fraud_detection_spark.functions.numeric import (
         bigint_checked,

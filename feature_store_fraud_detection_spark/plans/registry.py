@@ -11398,14 +11398,21 @@ SELECT CAST(n AS BIGINT) AS n,
        floor((CAST(r2_t - n_t * (n_t + 1) AS DOUBLE)
               / (2.0 * CAST(n_t_ok AS DOUBLE) * CAST(n - n_t_ok AS DOUBLE)))
              * 10000 + 0.5) / 10000 AS effect_cl,
-       floor(((CAST(r2_t - n_t * (n_t + 1) AS DOUBLE)
+       -- mirrors the Spark side's NULL-on-zero-variance guard (all
+       -- values tied zeroes the tie-corrected variance)
+       CASE WHEN (CAST(n_t_ok AS DOUBLE) * CAST(n - n_t_ok AS DOUBLE) / 12.0)
+                 * ((CAST(n AS DOUBLE) + 1.0)
+                    - CAST(tie_term AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                 > 0.0
+            THEN floor(((CAST(r2_t - n_t * (n_t + 1) AS DOUBLE)
                - CAST(n_t_ok AS DOUBLE) * CAST(n - n_t_ok AS DOUBLE))
               / (2.0 * sqrt(
                   (CAST(n_t_ok AS DOUBLE) * CAST(n - n_t_ok AS DOUBLE) / 12.0)
                   * ((CAST(n AS DOUBLE) + 1.0)
                      - CAST(tie_term AS DOUBLE)
                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))))
-             * 10000 + 0.5) / 10000 AS z_score
+             * 10000 + 0.5) / 10000 END AS z_score
 FROM g
 """
 
@@ -13685,7 +13692,10 @@ base AS (
 ma AS (SELECT lang AS k, count(*) AS na FROM pred GROUP BY 1),
 mb AS (SELECT lang_pred AS k, count(*) AS nb FROM pred GROUP BY 1),
 pe AS (
-  SELECT sum(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)) AS pe_num
+  -- COALESCE mirrors the Spark side: disjoint rater category sets make
+  -- the marginal join empty and sum-over-empty NULL; chance agreement 0
+  SELECT COALESCE(sum(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)), 0)
+    AS pe_num
   FROM ma JOIN mb USING (k)
 )
 SELECT CAST(n AS BIGINT) AS n,
