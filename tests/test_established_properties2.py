@@ -1,0 +1,150 @@
+"""Second property-sweep batch for established operators:
+stratified_ate, fairness_report and benford_profile vs brute-force
+pure-Python references."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SET = settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # stratum
+            st.booleans(),                            # treated
+            st.integers(min_value=0, max_value=20),   # outcome (integral)
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_stratified_ate_matches_bruteforce(spark, rows):
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        stratified_ate,
+    )
+
+    df = spark.createDataFrame(
+        [(s, int(t), float(v)) for s, t, v in rows], "s int, t int, y double"
+    )
+    strata: dict = {}
+    for s, t, v in rows:
+        strata.setdefault(s, {"t": [], "c": []})["t" if t else "c"].append(v)
+    inc = {
+        s: g for s, g in strata.items() if g["t"] and g["c"]
+    }
+    if not inc:
+        with pytest.raises(Exception, match="stratified_ate"):
+            stratified_ate(df, "t", "y", "s", scale=1).collect()
+        return
+    out = {r.stratum: r for r in
+           stratified_ate(df, "t", "y", "s", scale=1).collect()}
+    n_inc = sum(len(g["t"]) + len(g["c"]) for g in inc.values())
+    ate = sum(
+        (len(g["t"]) + len(g["c"])) / n_inc
+        * (sum(g["t"]) / len(g["t"]) - sum(g["c"]) / len(g["c"]))
+        for g in inc.values()
+    )
+    any_row = next(iter(out.values()))
+    assert any_row.n_included == n_inc
+    assert abs(any_row.ate - ate) < 1e-3
+    for s, g in strata.items():
+        r = out[s]
+        assert (r.n_t, r.n_c) == (len(g["t"]), len(g["c"]))
+        assert r.included == (1 if s in inc else 0)
+        if s in inc:
+            assert abs(
+                r.diff - (sum(g["t"]) / len(g["t"]) - sum(g["c"]) / len(g["c"]))
+            ) < 1e-3
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.booleans(),   # pred
+            st.booleans(),   # label
+        ),
+        min_size=4,
+        max_size=30,
+    )
+)
+def test_fairness_report_matches_bruteforce(spark, rows):
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        fairness_report,
+    )
+
+    df = spark.createDataFrame(rows, "g string, p boolean, y boolean")
+    out = {r.g: r for r in fairness_report(df, "g", "p", "y").collect()}
+    by_g: dict = {}
+    for g, p, y in rows:
+        by_g.setdefault(g, []).append((p, y))
+    for g, cells in by_g.items():
+        r = out[g]
+        n = len(cells)
+        assert r.n == n
+        ppr = sum(1 for p, _ in cells if p) / n
+        assert abs(r.pred_pos_rate - ppr) < 1e-3
+        pos = [p for p, y in cells if y]
+        neg = [p for p, y in cells if not y]
+        if pos:
+            assert abs(r.tpr - sum(pos) / len(pos)) < 1e-3
+        else:
+            assert r.tpr is None
+        if neg:
+            assert abs(r.fpr - sum(neg) / len(neg)) < 1e-3
+        else:
+            assert r.fpr is None
+    # gaps: max-min across groups where defined
+    pprs = [r.pred_pos_rate for r in out.values()]
+    any_row = next(iter(out.values()))
+    assert abs(any_row.dp_gap - (max(pprs) - min(pprs))) < 2e-3
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=99999),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_benford_profile_matches_bruteforce(spark, rows):
+    from feature_store_fraud_detection_spark.operators.stats import (
+        benford_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(v) / 100.0) for g, v in rows], "g string, v double"
+    )
+    out = {(r.g, r.digit): r for r in
+           benford_profile(df, "g", "v").collect()}
+    counts: dict = {}
+    for g, v in rows:
+        s = str(v)  # v/100 rendered as DECIMAL(18,2) keeps v's digits
+        first = next((ch for ch in s if ch != "0"), None)
+        if first is None:
+            continue
+        d = int(first)
+        counts[(g, d)] = counts.get((g, d), 0) + 1
+    totals = Counter(g for (g, _), c in counts.items() for _ in range(c))
+    for (g, d), c in counts.items():
+        r = out[(g, d)]
+        assert r.n == c
+        assert abs(r.observed - c / totals[g]) < 1e-3
+        assert abs(r.expected - math.log10(1 + 1.0 / d)) < 1e-3
+    assert set(out) == set(counts)
