@@ -123,7 +123,27 @@ def ab_test_report(
         F.sum((arm_a & F.col(success_col)).cast("bigint")).alias("s_a"),
         F.sum(((~arm_a) & F.col(success_col)).cast("bigint")).alias("s_b"),
     )
-    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    # degenerate-split guard (property-sweep finding): a tiny unit pool
+    # can hash every unit into one arm — every rate below divides by the
+    # arm size, so the guard lives INSIDE the denominators (a separate
+    # guard column evaluates too late: the ANSI divide-by-zero in the
+    # same projection fires first) and fails loud with the operator's
+    # name
+    def _arm_ok(col: str):
+        return F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0), F.col(col)
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "ab_test_report: empty arm (n_a=%s, n_b=%s) — the "
+                    "salted split needs units in both arms",
+                    F.coalesce(F.col("n_a").cast("string"), F.lit("0")),
+                    F.coalesce(F.col("n_b").cast("string"), F.lit("0")),
+                )
+            ).cast("bigint")
+        )
+
+    na, nb = _arm_ok("n_a").cast("double"), _arm_ok("n_b").cast("double")
     sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
     pa, pb = sa / na, sb / nb
     pp = (sa + sb) / (na + nb)
@@ -136,7 +156,12 @@ def ab_test_report(
         round4_stable(pa).alias("p_a"),
         round4_stable(pb).alias("p_b"),
         round4_stable(lift).alias("lift"),
-        round4_stable(lift / se_pooled).alias("z"),
+        # zero/unanimous POOLED conversions zero the pooled SE — z is
+        # undefined (sequential_ab's convention): NULL, never a
+        # divide-by-zero
+        round4_stable(F.when(se_pooled > 0.0, lift / se_pooled)).alias(
+            "z"
+        ),
         round4_stable(lift - 1.96 * se_unpooled).alias("ci_lo"),
         round4_stable(lift + 1.96 * se_unpooled).alias("ci_hi"),
     )

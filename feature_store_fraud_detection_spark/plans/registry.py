@@ -9566,11 +9566,16 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        floor((s_b / CAST(n_b AS DOUBLE)) * 10000 + 0.5) / 10000 AS p_b,
        floor((s_a / CAST(n_a AS DOUBLE) - s_b / CAST(n_b AS DOUBLE))
              * 10000 + 0.5) / 10000 AS lift,
-       floor(((s_a / CAST(n_a AS DOUBLE) - s_b / CAST(n_b AS DOUBLE))
+       -- mirrors the Spark side's NULL-on-zero-pooled-SE guard
+       CASE WHEN sqrt(((s_a + s_b) / (CAST(n_a AS DOUBLE) + n_b))
+                      * (1.0 - (s_a + s_b) / (CAST(n_a AS DOUBLE) + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)) > 0.0
+            THEN floor(((s_a / CAST(n_a AS DOUBLE)
+                         - s_b / CAST(n_b AS DOUBLE))
               / sqrt(((s_a + s_b) / (CAST(n_a AS DOUBLE) + n_b))
                      * (1.0 - (s_a + s_b) / (CAST(n_a AS DOUBLE) + n_b))
                      * (1.0 / n_a + 1.0 / n_b)))
-             * 10000 + 0.5) / 10000 AS z,
+             * 10000 + 0.5) / 10000 END AS z,
        floor(((s_a / CAST(n_a AS DOUBLE) - s_b / CAST(n_b AS DOUBLE))
               - 1.96 * sqrt((s_a / CAST(n_a AS DOUBLE))
                             * (1.0 - s_a / CAST(n_a AS DOUBLE)) / n_a

@@ -148,3 +148,76 @@ def test_benford_profile_matches_bruteforce(spark, rows):
         assert abs(r.observed - c / totals[g]) < 1e-3
         assert abs(r.expected - math.log10(1 + 1.0 / d)) < 1e-3
     assert set(out) == set(counts)
+
+
+@SET
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=3, max_size=30
+    )
+)
+def test_winsorize_matches_bruteforce(spark, vals):
+    from feature_store_fraud_detection_spark.operators.stats import (
+        winsorize,
+    )
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {r.id: r for r in
+           winsorize(df, "v", 0.25, 0.75, id_cols=("id",)).collect()}
+
+    def q(p):
+        s = sorted(vals)
+        idx = (len(s) - 1) * p
+        lo_i = int(math.floor(idx))
+        frac = idx - lo_i
+        hi_i = min(lo_i + 1, len(s) - 1)
+        return s[lo_i] + (s[hi_i] - s[lo_i]) * frac
+
+    lo, hi = q(0.25), q(0.75)
+    for i, v in enumerate(vals):
+        r = out[i]
+        clipped = min(max(v, lo), hi)
+        assert abs(r.clipped_value - clipped) < 1e-3
+        assert r.was_clipped == (1 if (v < lo or v > hi) else 0)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),  # unit id
+            st.booleans(),                            # success
+        ),
+        min_size=6,
+        max_size=40,
+    )
+)
+def test_ab_test_report_matches_bruteforce(spark, rows):
+    import hashlib
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        ab_test_report,
+    )
+
+    df = spark.createDataFrame(rows, "u long, s boolean")
+
+    def arm_a(u):
+        h = hashlib.md5(f"exp1|{u}".encode()).hexdigest()[:15]
+        return int(h, 16) % 2 == 0
+
+    import pytest
+
+    n_a = sum(1 for u, _ in rows if arm_a(u))
+    n_b = len(rows) - n_a
+    s_a = sum(1 for u, s in rows if arm_a(u) and s)
+    s_b = sum(1 for u, s in rows if not arm_a(u) and s)
+    if not (n_a and n_b):
+        with pytest.raises(Exception, match="ab_test_report"):
+            ab_test_report(df, "u", "s", salt="exp1").collect()
+        return
+    r = ab_test_report(df, "u", "s", salt="exp1").collect()[0]
+    assert (r.n_a, r.n_b) == (n_a, n_b)
+    pa, pb = s_a / n_a, s_b / n_b
+    assert abs(r.p_a - pa) < 1e-3 and abs(r.p_b - pb) < 1e-3
+    assert abs(r.lift - (pa - pb)) < 1e-3
