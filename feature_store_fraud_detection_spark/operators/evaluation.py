@@ -1801,11 +1801,15 @@ def fleiss_kappa(
     ragged panel fails loud naming the min/max (drop to Krippendorff's
     alpha semantics — not implemented — or filter upstream; silently
     pooling ragged items would bias P_bar). NULL item/rater/category
-    rows are excluded first (no rating is not a rating).
+    rows are excluded first (no rating is not a rating). Duplicate
+    (item, rater) ratings ALSO fail loud: r_i counts ratings, so a
+    rater rating an item twice inflates r — and when the duplication is
+    uniform it would still pass the constant-r check while silently
+    shifting kappa. One rating per (item, rater), enforced.
 
-    Scale: one (item, category) hash aggregate, one item-total check,
-    one bounded per-category marginal — nothing keyed wider than the
-    input, no sort.
+    Scale: one (item, category) hash aggregate, one item-keyed
+    distinct-rater check, one bounded per-category marginal — nothing
+    keyed wider than the input, no sort.
     """
     rows = df.filter(
         F.col(item_col).isNotNull()
@@ -1813,6 +1817,7 @@ def fleiss_kappa(
         & F.col(category_col).isNotNull()
     ).select(
         F.col(item_col).alias("__i"),
+        F.col(rater_col).cast("string").alias("__rt"),
         F.col(category_col).cast("string").alias("__c"),
     )
     n_ic = rows.groupBy("__i", "__c").agg(
@@ -1824,6 +1829,12 @@ def fleiss_kappa(
             F.col("__nic").cast("decimal(38,0)") * F.col("__nic")
         ).alias("__sq"),
     )
+    # duplicate-(item, rater) detector: ratings per item must equal
+    # DISTINCT raters per item (item-keyed join, same key as per_item)
+    per_item_r = rows.groupBy("__i").agg(
+        F.count_distinct("__rt").alias("__dr")
+    )
+    per_item = per_item.join(per_item_r, "__i")
     per_cat = rows.groupBy("__c").agg(F.count(F.lit(1)).alias("__tc"))
     b_tot = per_cat.agg(
         F.sum(
@@ -1836,12 +1847,29 @@ def fleiss_kappa(
         F.min("__r").alias("__rmin"),
         F.max("__r").alias("__rmax"),
         F.sum(F.col("__sq")).alias("__sqsum"),
+        F.sum(
+            (F.col("__r") != F.col("__dr")).cast("bigint")
+        ).alias("__dup_items"),
     )
     joined = tot.crossJoin(F.broadcast(b_tot))
+    # duplicate-(item, rater) guard first: uniform duplication passes
+    # the constant-r check below while silently shifting kappa
+    dup_ok = F.when(
+        F.col("__dup_items") == 0, F.col("__rmin")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "fleiss_kappa: %s item(s) have duplicate (item, rater) "
+                "ratings — r_i counts ratings, so one rating per "
+                "(item, rater) is required; deduplicate upstream",
+                F.col("__dup_items").cast("string"),
+            )
+        ).cast("bigint")
+    )
     # ragged-panel / degenerate guards: Fleiss needs a constant r >= 2
     r_ok = F.when(
-        (F.col("__rmin") == F.col("__rmax")) & (F.col("__rmin") >= 2),
-        F.col("__rmin"),
+        (dup_ok == F.col("__rmax")) & (dup_ok >= 2),
+        dup_ok,
     ).otherwise(
         F.raise_error(
             F.format_string(
@@ -1948,15 +1976,19 @@ def diff_in_differences(
         k: F.col(f"s_{k}").cast("double") / n_ok(k).cast("double")
         for k in names
     }
+    # n_ok in the variance path too: if a caller projects only se/z,
+    # column pruning drops the mean columns and the guard must still
+    # fire (matching welch_t_test) — otherwise a thin cell yields NaN
+    # se instead of the fail-loud error.
     var_over_n = {
         k: (
             F.col(f"q_{k}").cast("double")
             - F.col(f"s_{k}").cast("double")
             * F.col(f"s_{k}").cast("double")
-            / F.col(f"n_{k}").cast("double")
+            / n_ok(k).cast("double")
         )
-        / (F.col(f"n_{k}").cast("double") - F.lit(1.0))
-        / F.col(f"n_{k}").cast("double")
+        / (n_ok(k).cast("double") - F.lit(1.0))
+        / n_ok(k).cast("double")
         for k in names
     }
     did = (mean["t_post"] - mean["t_pre"]) - (

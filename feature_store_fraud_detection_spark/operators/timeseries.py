@@ -1159,7 +1159,12 @@ def ljung_box(
         .groupBy(F.col(key_col))
         .agg(F.countDistinct(day).alias("n_days"))
     )
-    incl = acf.join(F.broadcast(ndays), key_col).filter(
+    # no broadcast hint: ndays grows with key cardinality (one row per
+    # key), so at high-cardinality keys a forced broadcast could exceed
+    # the threshold / driver memory — let the optimizer pick (it still
+    # broadcasts when the table is provably small, and falls back to a
+    # key-partitioned hash join otherwise)
+    incl = acf.join(ndays, key_col).filter(
         F.col("acf").isNotNull() & (F.col("n_days") - F.col("lag") > 0)
     )
     folded = incl.groupBy(key_col, "n_days").agg(
@@ -1317,7 +1322,10 @@ def classical_decomposition(
             / F.count(F.lit(1)).cast("double")
         ).alias("__mean_s")
     )
-    seasonal = per_slot.join(F.broadcast(centers), "__k").select(
+    # no broadcast hint: centers is one row per key — per-key tables
+    # scale with key cardinality; let the optimizer choose (see
+    # ljung_box note)
+    seasonal = per_slot.join(centers, "__k").select(
         F.col("__k").alias("__k3"),
         "__slot",
         (F.col("__s_raw") - F.col("__mean_s")).alias("__seas"),

@@ -2594,6 +2594,41 @@ def test_fleiss_kappa_ragged_panel_fails_loud(spark):
         fleiss_kappa(df, "item", "rater", "cat").collect()
 
 
+def test_fleiss_kappa_duplicate_rating_fails_loud(spark):
+    """Round-10 ADVICE: duplicate (item, rater) ratings inflate r_i and
+    pass the constant-r guard when duplicates are uniform — they must
+    fail loud, not silently shift kappa."""
+    import pytest
+
+    from feature_store_fraud_detection_spark.operators.evaluation import (
+        fleiss_kappa,
+    )
+
+    # uniform duplication: every rater rates every item twice -> the
+    # pre-fix constant-r check saw r=4 everywhere and passed
+    rows = [
+        (i, r, c)
+        for (i, r, c) in [
+            (1, "r1", "a"), (1, "r2", "a"),
+            (2, "r1", "b"), (2, "r2", "b"),
+        ]
+        for _ in range(2)
+    ]
+    df = spark.createDataFrame(rows, "item long, rater string, cat string")
+    with pytest.raises(Exception, match="duplicate \\(item, rater\\)"):
+        fleiss_kappa(df, "item", "rater", "cat").collect()
+
+    # a rater splitting one item across two categories is ALSO a
+    # duplicate rating (2 ratings, 1 distinct rater on that item)
+    rows2 = [
+        (1, "r1", "a"), (1, "r1", "b"),
+        (2, "r1", "a"), (2, "r2", "a"),
+    ]
+    df2 = spark.createDataFrame(rows2, "item long, rater string, cat string")
+    with pytest.raises(Exception, match="fleiss_kappa"):
+        fleiss_kappa(df2, "item", "rater", "cat").collect()
+
+
 def test_diff_in_differences_hand_fixture(spark):
     from feature_store_fraud_detection_spark.operators.evaluation import (
         diff_in_differences,
@@ -2632,6 +2667,14 @@ def test_diff_in_differences_thin_cell_fails_loud(spark):
     df = spark.createDataFrame(rows, "t boolean, p boolean, v long")
     with pytest.raises(Exception, match="diff_in_differences"):
         diff_in_differences(df, "t", "p", "v").collect()
+
+    # Round-10 ADVICE: the guard must live in the VARIANCE path too —
+    # selecting only se/z prunes the mean columns, and the thin cell
+    # must still fail loud instead of yielding NaN se
+    with pytest.raises(Exception, match="diff_in_differences"):
+        diff_in_differences(df, "t", "p", "v").select(
+            "se", "z_score"
+        ).collect()
 
 
 def test_kendall_tau_b_hand_fixtures(spark):
