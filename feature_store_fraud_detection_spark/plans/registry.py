@@ -15664,93 +15664,75 @@ QUERIES.update(
 # Rounds rotate this list deliberately — never let "where the code was
 # appended" decide what gets graded.
 _GRADING_PRIORITY: list[str] = [
-    # (a) both gate canaries lead every window (cheap; a red here means
-    # harness drift, which re-interprets every other row this round),
-    # then round 9's new queries (the supervised Fellegi-Sunter m-path
-    # and the CMH / McNemar / kappa categorical-inference family)
-    # and the ten queries whose implementation changed this round —
-    # the ADVICE r8 DECIMAL(38,0)/fail-loud hardening (stratified_ate
-    # sums, the shared _y4_quantized guard in seasonal_strength /
-    # pettitt / acf, bh_fdr's rank-consistency guard, the EM
-    # zero-likelihood guard) and the --scan-source decimal lifts
-    # (pair_agreement_stats, regression Gram moments, grid_hotspots) —
-    # every behavior change ships with a fresh driver grade
+    # ROUND-10 WINDOW. (a) both gate canaries lead every window (cheap;
+    # a red here means harness drift, which re-interprets every other
+    # row this round); (b) the two round-9 queries that landed after the
+    # r9 window froze and have NEVER received a driver row, plus the
+    # twice-deferred r3-green winnowing_fingerprints; (c) 45 of the 48
+    # remaining r4-graded rows, alphabetical — after this round no
+    # hash-checkable query's latest grade is older than r4, and only
+    # three r4 rows remain (validate_embeddings / value_autocorr /
+    # weighted_topk_sample lead the r11 rotation).
+    # NOTE on round-10 behavior changes: fleiss_kappa gained a
+    # duplicate-(item, rater) fail-loud guard and diff_in_differences
+    # moved its thin-cell guard into the variance path (ADVICE r9);
+    # ljung_box / classical_decomposition dropped per-key broadcast
+    # hints (plan-only). fleiss_doc_quality, did_user_split,
+    # ljung_box_priority and decomposition_priority re-verified
+    # HASH-IDENTICAL at sf0.001/0.01 after the changes — no observable
+    # behavior change on graded data, so none consumes a window slot
+    # (the anova_f precedent from round 9).
     "gate_float_canary",
     "gate_type_canary",
-    "kruskal_event_types",
-    "spearman_order_size",
-    "brown_forsythe_events",
-    "jarque_bera_events",
-    "ljung_box_priority",
-    "fleiss_doc_quality",
-    "did_user_split",
-    "kendall_priority_price",
-    "welch_t_events",
-    "avg_precision_purchase",
-    "cochran_q_event_rules",
-    "ca_trend_priority",
-    "cronbach_doc_signals",
-    "krippendorff_doc_panel",
-    "decomposition_priority",
-    "wilcoxon_user_shift",
-    "classification_value_rule",
-    "linkage_supervised_m",
-    "cmh_urgent_highvalue",
-    "mcnemar_value_rules",
-    "kappa_lang_id",
-    "conformal_events",
-    "stratified_ate",
-    "acf_priority",
-    "pettitt_priority",
-    "seasonal_strength",
-    "drift_fdr",
-    "linkage_em_weights",
-    "linkage_pairs",
-    "ridge_fit",
-    "ridge_learning_curve",
-    "geo_hotspots",
-    # NOTE: anova_f gained degenerate-NULL guards late in round 9
-    # (property-sweep finding; zero within-group variance / n == k now
-    # NULL instead of ANSI divide-by-zero). anova_priority and
-    # brown_forsythe_events re-verified HASH-IDENTICAL at sf0.001/0.01
-    # after the change — no observable behavior change on graded data,
-    # so neither consumes a window slot this round.
-    # (b) the 15-row r3 cohort deferred from round 8 — after this round
-    # NO hash-checkable query's latest grade is older than r4
-    # (tools/grading_window.py verifies)
-    "rare_categories",
-    "rfm_segments",
-    "rolling_rows_avg",
-    "rollup_revenue",
-    "salted_stats",
-    "seasonal_anomalies",
-    "session_windows",
-    "snapshot_diff",
-    "stream_join_batch_twin",
-    "table_profile",
-    "token_tfidf",
-    "top_returning_customers",
-    "top_supplier_revenue",
-    "unigram_nll",
-    # winnowing_fingerprints (r3-green) deferred ONE more round: round
-    # 9's seventeen never-graded queries outrank a re-grade of a green
-    # row (window policy (c) vs (b)); it leads the r10 rotation
-    # alongside the r4 cohort
-    # (c) the oldest r4 cohort, alphabetical (flagship kept in-window,
-    # cosine_topk kept for a fresh grade after the drift bisect): 5 of
-    # the 50 r4 rows fit this window after round 9's thirteen new
-    # inference queries took their slots; the rest rotate to round 10
-    "cosine_topk",
-    "flagship_features",
+    "nelson_aalen_users",
+    "hosmer_lemeshow_hour",
+    "winnowing_fingerprints",
+    "ann_recall",
+    "bfs_levels",
+    "bigram_nll",
+    "bloom_semi_join",
+    "bpe_encoded_lengths",
+    "bpe_merges",
+    "bucketed_trailing_features",
+    "canonical_docs",
+    "chunk_dedup",
+    "cluster_safe_split",
+    "cms_heavy_hitters",
+    "cross_source_dups",
+    "curation_summary",
+    "cusum_changepoints",
+    "dbscan_clusters",
+    "degree_distribution",
+    "dup_cluster_histogram",
+    "exact_dedup",
+    "feature_freshness",
+    "gopher_flags",
+    "hard_negatives",
+    "hist_quantiles",
+    "hist_quantiles_rollup",
+    "incremental_dedup",
+    "incremental_neardup",
+    "ivf_topk",
+    "kmv_distinct_users",
+    "kmv_overlap",
+    "latest5_per_key",
+    "minhash_lsh_pairs",
+    "multiprobe_recall",
+    "multiprobe_topk",
+    "offline_store_range_scan",
+    "pagerank",
+    "resize_thumbs",
+    "revenue_gini",
+    "simhash_fingerprints",
+    "sliding_window_aggs",
+    "source_mix_sample",
+    "stratified_sample",
+    "stream_latest_state",
+    "summary_stats",
+    "tokenizer_fertility",
+    "training_triplets",
+    "user_value_trend",
 ]
-# ann_recall / bfs_levels / bigram_nll / bloom_semi_join /
-# bpe_encoded_lengths / bpe_merges / bucketed_trailing_features /
-# canonical_docs / chunk_dedup / cluster_safe_split / cms_heavy_hitters /
-# cross_source_dups / curation_summary /
-# cusum_changepoints / dbscan_clusters / degree_distribution rotated out
-# of this round's window (r4-graded, green) to make room for round 9's
-# fifteen new inference queries — they rejoin the r10 rotation with the
-# other r4 rows.
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (
     sorted(set(_GRADING_PRIORITY) - set(QUERIES))
