@@ -283,7 +283,10 @@ def logrank_test(
     # ascending-day sorted fold over the bounded death-day table: the
     # ONLY doubles in the operator, fixed IEEE sequence
     folded = day_rows.agg(
-        F.sum("__died1").alias("o1"),
+        # coalesce: with NO death days (all subjects censored) the sum
+        # is NULL — but zero observed deaths is a statement, not a
+        # missing value (round-10 property-sweep finding)
+        F.coalesce(F.sum("__died1"), F.lit(0).cast("bigint")).alias("o1"),
         F.aggregate(
             F.array_sort(
                 F.collect_list(
@@ -331,8 +334,14 @@ def logrank_test(
             )
         ).cast("bigint")
     )
-    z = (F.col("o1").cast("double") - F.col("__f.e1")) / F.sqrt(
-        F.col("__f.v")
+    # V == 0 (every death day had a single subject at risk, or no death
+    # days at all) carries no hypergeometric information: z is NULL, not
+    # an ANSI divide-by-zero (round-10 property-sweep finding, the
+    # anova_f zero-within-variance class)
+    z = F.when(
+        F.col("__f.v") > 0.0,
+        (F.col("o1").cast("double") - F.col("__f.e1"))
+        / F.sqrt(F.col("__f.v")),
     )
     return folded.select(
         n1_ok.cast("bigint").alias("n_treat"),
