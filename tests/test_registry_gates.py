@@ -119,3 +119,39 @@ def test_overflow_scan_clean():
         "DECIMAL(38,0) or waive with an '# int-ok: <reason>' comment:\n"
         + "\n".join(hits)
     )
+
+
+def test_core_tier_covers_every_test_module():
+    """`pytest -m core` drift gate (round 10): every non-property test
+    module must contribute at least one test to the fast tier, and every
+    CORE_TESTS name must still exist — so the ~5-min round-close path
+    keeps touching every operator family as the suite grows. Property-
+    sweep modules are exempt: they cross-check operators whose hand
+    fixtures already carry the family coverage."""
+    import ast
+    import glob
+
+    from conftest import CORE_TESTS
+
+    tests_dir = os.path.join(REPO, "tests")
+    all_names: set[str] = set()
+    missing_modules = []
+    for path in sorted(glob.glob(os.path.join(tests_dir, "test_*.py"))):
+        tree = ast.parse(open(path).read())
+        names = {
+            n.name
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            and n.name.startswith("test_")
+        }
+        all_names |= names
+        if "_properties" in os.path.basename(path):
+            continue
+        if not names & CORE_TESTS:
+            missing_modules.append(os.path.basename(path))
+    assert not missing_modules, (
+        f"test modules with NO core-tier test (add one representative "
+        f"to tests/conftest.py::CORE_TESTS): {missing_modules}"
+    )
+    stale = sorted(CORE_TESTS - all_names)
+    assert not stale, f"CORE_TESTS names that no longer exist: {stale}"
