@@ -12,6 +12,11 @@ run-level co-tenant drift, single queries can swing 2-3x. So:
   band real regressions clear but scheduler jitter rarely does
 - a streaming row with events_total far below the configured feed is
   flagged untrustworthy (starved rate source, PERF.md)
+- host normalization (round 10): when BOTH runs carry the fixed
+  data-independent ``host_canary_sec`` row, every subtotal ratio is
+  divided by the canary ratio first — a uniformly slower box (rounds
+  8->9 measured ~30%) then reads as ~0% drift instead of a fleet of
+  false INVESTIGATE flags. Raw ratios are still printed alongside.
 
 The driver's BENCH_r{N}.json wraps the bench line under "tail"; this
 tool accepts both the raw bench JSON line and the driver wrapper.
@@ -64,6 +69,14 @@ def load(path: str) -> dict:
         obj = _extract_obj(tail, key)
         if obj is not None:
             out[key] = obj
+    c = tail.find('"host_canary_sec":')
+    if c >= 0:
+        try:
+            out["host_canary_sec"] = float(
+                tail[c + 18 :].split(",")[0].split("}")[0].strip()
+            )
+        except ValueError:
+            pass
     m = tail.find('"value":')
     if m >= 0:
         try:
@@ -84,14 +97,23 @@ def main() -> int:
     a, b = load(sys.argv[1]), load(sys.argv[2])
     print(f"total: {a.get('value')} -> {b.get('value')} s "
           "(NOT comparable if the headline set grew — use subtotals)")
+    ca, cb = a.get("host_canary_sec"), b.get("host_canary_sec")
+    host = None
+    if ca and cb:
+        host = cb / ca
+        print(f"host canary: {ca:.2f} -> {cb:.2f} s "
+              f"(box B is {host:.2f}x box A's time on fixed work; "
+              "subtotal ratios below are host-normalized)")
     subs_a, subs_b = a.get("subtotals", {}), b.get("subtotals", {})
     for k in sorted(set(subs_a) & set(subs_b)):
-        ra = subs_b[k] / subs_a[k] if subs_a[k] else float("nan")
+        raw = subs_b[k] / subs_a[k] if subs_a[k] else float("nan")
+        ra = raw / host if host else raw
         verdict = (
             "within noise" if 1 / 1.15 <= ra <= 1.15 else "INVESTIGATE"
         )
+        norm = f" (raw {(raw - 1) * 100:+.0f}%)" if host else ""
         print(f"  {k}: {subs_a[k]:.2f} -> {subs_b[k]:.2f} s "
-              f"({(ra - 1) * 100:+.0f}%)  {verdict}")
+              f"({(ra - 1) * 100:+.0f}%){norm}  {verdict}")
     qa, qb = a.get("queries", {}), b.get("queries", {})
     flagged = [
         (qb[q] / qa[q], q)
