@@ -412,8 +412,17 @@ def triangle_stats(
     return tri.crossJoin(wed).select(
         "n_triangles",
         "n_wedges",
+        # zero wedges (every component a single edge): clustering is
+        # undefined — NULL, not an ANSI divide-by-zero (round-10
+        # property-sweep finding, the anova_f/logrank zero-denominator
+        # class)
         round4_stable(
-            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges").cast("double")
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0)
+                * F.col("n_triangles")
+                / F.col("n_wedges").cast("double"),
+            )
         ).alias("clustering"),
     )
 
