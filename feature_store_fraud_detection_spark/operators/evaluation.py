@@ -245,16 +245,37 @@ def cuped_adjusted_lift(
         F.sum(F.when(~F.col("arm_a"), F.col("p"))).alias("sp_b"),
         F.sum(F.when(~F.col("arm_a"), F.col("q"))).alias("sq_b"),
     )
+    # degenerate guards (round-10 property-sweep finding, the
+    # ab_test_report conventions): an EMPTY arm fails loud inside the
+    # denominators with the operator's name; ZERO pre-period variance
+    # makes theta (hence the adjustment) undefined — those columns go
+    # NULL, never an unnamed ANSI divide-by-zero, while raw_lift (which
+    # needs no pre-period) still reports.
+    def _arm_ok(col: str):
+        return F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0), F.col(col)
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "cuped_adjusted_lift: empty arm (n_a=%s, n_b=%s) — "
+                    "the salted split needs units in both arms",
+                    F.coalesce(F.col("n_a").cast("string"), F.lit("0")),
+                    F.coalesce(F.col("n_b").cast("string"), F.lit("0")),
+                )
+            ).cast("bigint")
+        )
+
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     n = d("n")
+    na, nb = _arm_ok("n_a").cast("double"), _arm_ok("n_b").cast("double")
     cov_pq = n * d("spq") - d("sp") * d("sq")
     var_p = n * d("spp") - d("sp") * d("sp")
     var_q = n * d("sqq") - d("sq") * d("sq")
-    theta = cov_pq / var_p
+    theta = F.when(var_p > 0.0, cov_pq / var_p)
     mean_pre = d("sp") / n
-    raw_lift = d("sq_a") / d("n_a") - d("sq_b") / d("n_b")
-    adj_a = d("sq_a") / d("n_a") - theta * (d("sp_a") / d("n_a") - mean_pre)
-    adj_b = d("sq_b") / d("n_b") - theta * (d("sp_b") / d("n_b") - mean_pre)
+    raw_lift = d("sq_a") / na - d("sq_b") / nb
+    adj_a = d("sq_a") / na - theta * (d("sp_a") / na - mean_pre)
+    adj_b = d("sq_b") / nb - theta * (d("sp_b") / nb - mean_pre)
     scale = F.lit(10000.0)
     return m.select(
         "n_a",
@@ -262,9 +283,12 @@ def cuped_adjusted_lift(
         round4_stable(theta).alias("theta"),
         round4_stable(raw_lift / scale).alias("raw_lift"),
         round4_stable((adj_a - adj_b) / scale).alias("adjusted_lift"),
-        round4_stable(cov_pq * cov_pq / (var_p * var_q)).alias(
-            "var_reduction"
-        ),
+        round4_stable(
+            F.when(
+                (var_p > 0.0) & (var_q > 0.0),
+                cov_pq * cov_pq / (var_p * var_q),
+            )
+        ).alias("var_reduction"),
     )
 
 
@@ -710,8 +734,38 @@ def ratio_metric_report(
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
 
+    # degenerate guards (round-10 property-sweep finding, the
+    # welch_t_test thin-arm convention): the delta-method variance
+    # divides by (n-1) and by the arm's denominator mass — a one-unit
+    # arm or a zero-denominator arm fails loud INSIDE the expressions
+    # with the operator's name, never an unnamed ANSI divide-by-zero.
+    def _n_ok(tag: str):
+        c = F.col(f"n_{tag}")
+        return F.when(c >= 2, c).otherwise(
+            F.raise_error(
+                F.format_string(
+                    f"ratio_metric_report: arm {tag} has n=%s < 2 "
+                    "units — the delta-method variance needs at least "
+                    "two units per arm",
+                    F.coalesce(c.cast("string"), F.lit("0")),
+                )
+            ).cast("bigint")
+        )
+
+    def _sy_ok(tag: str):
+        c = F.col(f"sy_{tag}")
+        return F.when(c != 0, c).otherwise(
+            F.raise_error(
+                F.format_string(
+                    f"ratio_metric_report: arm {tag} has zero "
+                    "denominator mass — the ratio is undefined",
+                )
+            ).cast("decimal(22,0)")
+        )
+
     def _ratio_se(tag: str) -> tuple:
-        n, sx, sy = d(f"n_{tag}"), d(f"sx_{tag}"), d(f"sy_{tag}")
+        n, sx = _n_ok(tag).cast("double"), d(f"sx_{tag}")
+        sy = _sy_ok(tag).cast("double")
         sxx, sxy, syy = d(f"sxx_{tag}"), d(f"sxy_{tag}"), d(f"syy_{tag}")
         r = sx / sy
         s2 = (sxx - 2.0 * r * sxy + r * r * syy) / (n - 1.0)
@@ -729,7 +783,9 @@ def ratio_metric_report(
         round4_stable(r_a).alias("ratio_a"),
         round4_stable(r_b).alias("ratio_b"),
         round4_stable(diff).alias("diff"),
-        round4_stable(diff / se_diff).alias("z"),
+        # zero combined SE (both arms constant): z undefined — NULL,
+        # the ab_test_report pooled-SE convention
+        round4_stable(F.when(se_diff > 0.0, diff / se_diff)).alias("z"),
         round4_stable(diff - 1.96 * se_diff).alias("ci_lo"),
         round4_stable(diff + 1.96 * se_diff).alias("ci_hi"),
     )
