@@ -620,8 +620,14 @@ def token_frequency_spectrum(
         fold(lx * lx).alias("sxx"),
         fold(lx * ly).alias("sxy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # single-frequency spectrum (e.g. a tiny corpus where every token is
+    # unique): the log-log OLS has zero x-variance and the slope is
+    # undefined — NULL, never an ANSI divide-by-zero (round-10
+    # property-sweep finding, the anova_f zero-denominator class)
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        denom > 0.0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom,
     )
     return spectrum.join(
         F.broadcast(m.select(round4_stable(slope).alias("zipf_slope")))
@@ -746,7 +752,27 @@ def keyness_g2(
     j = counts.filter(
         (F.col("n_a") + F.col("n_b")) >= min_count
     ).crossJoin(F.broadcast(tot))
-    na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+
+    # degenerate-corpus guard (round-10 property-sweep finding, the
+    # logrank_test convention): a group with ZERO total tokens has no
+    # usage rate — every expected count and the direction flag divide by
+    # it, so fail loud with the operator's name instead of an unnamed
+    # ANSI divide-by-zero. The guard lives INSIDE the denominators.
+    def _tot_ok(col: str):
+        return F.when(
+            (F.col("__na") > 0) & (F.col("__nb") > 0), F.col(col)
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "keyness_g2: empty corpus (tokens_a=%s, tokens_b=%s)"
+                    " — both groups need at least one token",
+                    F.coalesce(F.col("__na").cast("string"), F.lit("0")),
+                    F.coalesce(F.col("__nb").cast("string"), F.lit("0")),
+                )
+            ).cast("bigint")
+        )
+
+    na, nb = _tot_ok("__na").cast("double"), _tot_ok("__nb").cast("double")
     a, b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     ea = na * (a + b) / (na + nb)
     eb = nb * (a + b) / (na + nb)
