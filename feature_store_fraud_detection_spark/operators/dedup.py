@@ -929,8 +929,14 @@ def lsh_recall_report(
             "n_truth",
             "n_verified",
             (F.col("n_truth") - F.col("n_hit")).alias("n_missed"),
+            # no true near-dup pairs at this threshold: recall is 0/0 —
+            # NULL, never an ANSI divide-by-zero (round-10
+            # degenerate-probe finding)
             round4_stable(
-                F.col("n_hit") / F.col("n_truth").cast("double")
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.col("n_hit") / F.col("n_truth").cast("double"),
+                )
             ).alias("recall"),
         )
     )

@@ -43,12 +43,17 @@ def exact_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         "__np",
         "__nn",
     )
+    # a single-class label has no ranking to score: AUC is undefined —
+    # NULL, never an ANSI divide-by-zero (round-10 degenerate-probe)
     return contrib.agg(
         F.sum("__np").cast("bigint").alias("n_pos"),
         F.sum("__nn").cast("bigint").alias("n_neg"),
         round4_stable(
-            F.sum("__c").cast("double")
-            / (2.0 * F.sum("__np") * F.sum("__nn"))
+            F.when(
+                (F.sum("__np") > 0) & (F.sum("__nn") > 0),
+                F.sum("__c").cast("double")
+                / (2.0 * F.sum("__np") * F.sum("__nn")),
+            )
         ).alias("auc"),
     )
 
@@ -363,8 +368,12 @@ def poisson_bootstrap_ci(
             F.sum("__w").alias("__wn"),
         )
         .select(
-            (
-                F.col("__ws").cast("double") / F.col("__wn").cast("double")
+            # a replicate whose Poisson weights all drew 0 resamples
+            # nothing — no mean, and collect_list below skips the NULL
+            # (round-10 degenerate-probe finding)
+            F.when(
+                F.col("__wn") > 0,
+                F.col("__ws").cast("double") / F.col("__wn").cast("double"),
             ).alias("__m")
         )
     )
@@ -377,11 +386,19 @@ def poisson_bootstrap_ci(
             / F.count(F.lit(1))
         ).alias("mean"),
     )
+    # dropped (NULL-mean) replicates shorten __ms: clamp the order
+    # statistics to the surviving count (ANSI element_at past the end is
+    # an error, not NULL) and report NULL on an empty/one-entry list
+    sz = F.size(F.col("__ms"))
     boot = per_rep.agg(
         F.array_sort(F.collect_list("__m")).alias("__ms")
     ).select(
-        round4_stable(F.element_at("__ms", lo_idx)).alias("ci_lo"),
-        round4_stable(F.element_at("__ms", hi_idx)).alias("ci_hi"),
+        round4_stable(
+            F.when(sz > 0, F.element_at("__ms", F.least(F.lit(lo_idx), sz)))
+        ).alias("ci_lo"),
+        round4_stable(
+            F.when(sz > 0, F.element_at("__ms", F.least(F.lit(hi_idx), sz)))
+        ).alias("ci_hi"),
         round4_stable(
             F.sqrt(
                 F.aggregate(
@@ -405,7 +422,7 @@ def poisson_bootstrap_ci(
                     F.lit(0.0),
                     lambda a, x: a + x,
                 )
-                / (F.size("__ms") - 1)
+                / F.when(sz >= 2, sz - 1).cast("double")
             )
         ).alias("se_boot"),
     )
@@ -499,11 +516,19 @@ def sequential_ab_msprt(
         F.sum(F.coalesce("__sa", F.lit(0))).over(w).alias("__csa"),
         F.sum(F.coalesce("__sb", F.lit(0))).over(w).alias("__csb"),
     )
-    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    # per-checkpoint degenerate guards (round-10 degenerate-probe
+    # finding): a checkpoint whose CUMULATIVE sample is still one-armed
+    # has no rates to compare, and zero pooled variance (unanimous
+    # outcomes) makes the mSPRT statistic undefined — those rows report
+    # NULL, never an ANSI divide-by-zero; later checkpoints recover.
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    na = F.when(F.col("n_a") > 0, F.col("n_a")).cast("double")
+    nb = F.when(F.col("n_b") > 0, F.col("n_b")).cast("double")
     sa, sb = F.col("__csa").cast("double"), F.col("__csb").cast("double")
     pa, pb = sa / na, sb / nb
-    pp = (sa + sb) / (na + nb)
-    v = pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)
+    pp = F.when(both, (sa + sb) / (na + nb))
+    v_raw = pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)
+    v = F.when(v_raw > 0.0, v_raw)
     lift = pa - pb
     t2 = F.lit(float(tau2))
     import math as _math
@@ -964,14 +989,28 @@ def experiment_power(
         F.sum("v").alias("s"),
         F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("q"),
     )
-    nD = F.col("n").cast("double")
+    # thin-input guard (round-10 degenerate-probe finding, the
+    # welch_t_test convention): fewer than 2 units has no variance and
+    # no per-arm split — fail loud with the operator's name instead of
+    # an unnamed ANSI divide-by-zero. The guard lives INSIDE the
+    # denominators.
+    n_ok = F.when(F.col("n") >= 2, F.col("n")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "experiment_power: n=%s units < 2 — power analysis "
+                "needs a variance estimate and two arms",
+                F.coalesce(F.col("n").cast("string"), F.lit("0")),
+            )
+        ).cast("bigint")
+    )
+    nD = n_ok.cast("double")
     sD, qD = F.col("s").cast("double"), F.col("q").cast("double")
     # unbiased variance in metric units (the 1e4 quantization cancels in
     # the relative MDE and divides out once for the absolute numbers)
     var_scaled = (qD - sD * sD / nD) / (nD - 1.0)
     mean_u = sD / nD / 10000.0
     sd_u = F.sqrt(var_scaled) / 10000.0
-    n_half = F.floor(F.col("n") / 2).cast("double")
+    n_half = F.floor(n_ok / 2).cast("double")
     mde_abs = (
         F.lit(float(z_alpha) + float(z_beta))
         * F.sqrt(2.0 * (var_scaled / (10000.0 * 10000.0)) / n_half)

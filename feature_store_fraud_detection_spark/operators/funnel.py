@@ -74,8 +74,13 @@ def funnel_counts(
         "step",
         "step_order",
         "n_users",
+        # nobody reached step 1: conversion is 0/0 — NULL, never an
+        # ANSI divide-by-zero (round-10 degenerate-probe finding)
         round4_stable(
-            F.col("n_users") / F.col("__base_n").cast("double")
+            F.when(
+                F.col("__base_n") > 0,
+                F.col("n_users") / F.col("__base_n").cast("double"),
+            )
         ).alias("conversion"),
     )
 

@@ -178,6 +178,19 @@ def pagerank(
     #   of rounds isn't 32-tiny-task stage overhead per round.
     # - LARGE graph: hash-partition edges on src ONCE; every iteration's
     #   SMJ reuses that exchange and only the rank table moves.
+    if n_nodes == 0:
+        # empty edge list (round-10 degenerate-probe finding, surfaced
+        # via textrank on a sub-min_count corpus): ranks of nothing is
+        # an EMPTY frame with the right schema — not a Python
+        # ZeroDivisionError from the integer seed split below
+        empty = nodes.select(
+            "node", F.lit(0).cast("long").alias("rank_scaled")
+        )
+        deg_src.unpersist()
+        if not symmetric:
+            nodes.unpersist()
+        e.unpersist()
+        return empty
     small_graph = n_nodes <= SMALL_GRAPH_NODE_LIMIT
     if small_graph:
         work, deg = e, deg_src

@@ -155,12 +155,17 @@ def ridge_from_moments(
         - a12 * (a12 * b3 - b2 * a13)
         + b1 * (a12 * a23 - a22 * a13)
     )
+    # a singular system (empty moment row: n=0 zeroes the whole first
+    # column even with the ridge penalty on the diagonal) has no
+    # solution — NULL coefficients, never an ANSI divide-by-zero
+    # (round-10 degenerate-probe finding)
+    det_ok = F.when(det != 0.0, det)
     with_dets = moments.select(
         *keep_cols,
         "n", "sy", "sx1y", "sx2y", "syy", "sx1", "sx2", "sx11", "sx12", "sx22",
-        (det0 / det).alias("__b0"),
-        (det1 / det).alias("__b1"),
-        (det2 / det).alias("__b2"),
+        (det0 / det_ok).alias("__b0"),
+        (det1 / det_ok).alias("__b1"),
+        (det2 / det_ok).alias("__b2"),
     )
     # SSE = y'y - 2 b'X'y + b'(X'X)b over the UNpenalized Gram matrix;
     # SST = y'y - (sum y)^2 / n. Same fixed-order expressions in the twin.
@@ -174,7 +179,8 @@ def ridge_from_moments(
         + b2c * (g13 * b0c + g23 * b1c + g33 * b2c)
     )
     sse = d("syy") - F.lit(2.0) * bxy + bgb
-    sst = d("syy") - d("sy") * d("sy") / d("n")
+    n_pos = F.when(F.col("n") > 0, F.col("n")).cast("double")
+    sst = d("syy") - d("sy") * d("sy") / n_pos
     from feature_store_fraud_detection_spark.functions.numeric import (
         round4_stable,
     )
@@ -186,7 +192,9 @@ def ridge_from_moments(
         r4(b0c).alias("b0"),
         r4(b1c).alias("b1"),
         r4(b2c).alias("b2"),
-        r4(F.lit(1.0) - sse / sst).alias("r2"),
+        # constant-y input: SST = 0 and R^2 is undefined — NULL, never
+        # an ANSI divide-by-zero (round-10 degenerate-probe finding)
+        r4(F.when(sst > 0.0, F.lit(1.0) - sse / sst)).alias("r2"),
     )
 
 

@@ -125,12 +125,18 @@ def rebalance_classes_hash(
     # 16^15 == 2^60: exactly representable, so the double multiply + floor
     # lands on the same BIGINT on every engine
     thr = counts.select(
+        # no negatives: there is nothing to threshold — keep-everything
+        # (the vacuous truth), never an ANSI divide-by-zero (round-10
+        # degenerate-probe finding)
         F.floor(
-            F.least(
-                F.lit(1.0),
-                (F.lit(float(negative_ratio)) * F.col("__np"))
-                / F.col("__nn").cast("double"),
-            )
+            F.when(
+                F.col("__nn") > 0,
+                F.least(
+                    F.lit(1.0),
+                    (F.lit(float(negative_ratio)) * F.col("__np"))
+                    / F.col("__nn").cast("double"),
+                ),
+            ).otherwise(F.lit(1.0))
             * F.lit(float(16**15))
         )
         .cast("long")

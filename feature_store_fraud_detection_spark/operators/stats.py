@@ -51,9 +51,14 @@ def summary_stats(df: DataFrame, col: str) -> DataFrame:
     cnt = F.count(F.lit(1))
     s = F.sum(dec)
     sq = F.sum((dec * dec).cast("decimal(38,12)"))
-    mean_d = s.cast("double") / cnt
-    var = (sq.cast("double") - s.cast("double") * s.cast("double") / cnt) / (
-        cnt - 1
+    # degenerate guards (round-10 degenerate-probe finding): an empty
+    # frame has no mean and a single row has no sample variance — NULL,
+    # matching describe() semantics, never an ANSI divide-by-zero
+    mean_d = F.when(cnt > 0, s.cast("double") / cnt)
+    var = F.when(
+        cnt >= 2,
+        (sq.cast("double") - s.cast("double") * s.cast("double") / cnt)
+        / (cnt - 1),
     )
     return df.agg(
         cnt.alias("cnt"),
@@ -305,7 +310,13 @@ def leakage_scan(
         m1 = s1 / n1
         m0 = (s - s1) / (n - n1)
         var = s2 / n - m * m
-        corr = (m1 - m0) * F.sqrt(p * (1 - p)) / F.sqrt(var)
+        # single-class label or zero-variance feature: the point-biserial
+        # correlation is undefined — NULL, never an ANSI divide-by-zero
+        # (round-10 degenerate-probe finding)
+        corr = F.when(
+            (n1 > 0) & (n1 < n) & (var > 0),
+            (m1 - m0) * F.sqrt(p * (1 - p)) / F.sqrt(var),
+        )
         reports.append(
             F.struct(
                 F.lit(c).alias("feature"),
@@ -367,10 +378,17 @@ def drift_ks(
             "bin",
             "n_base",
             "n_curr",
+            # an empty side has no CDF to compare — NULL gap, never an
+            # ANSI divide-by-zero (round-10 degenerate-probe finding)
             round4_stable(
-                F.abs(
-                    F.sum("n_base").over(w) / F.col("__ta").cast("double")
-                    - F.sum("n_curr").over(w) / F.col("__tb").cast("double")
+                F.when(
+                    (F.col("__ta") > 0) & (F.col("__tb") > 0),
+                    F.abs(
+                        F.sum("n_base").over(w)
+                        / F.col("__ta").cast("double")
+                        - F.sum("n_curr").over(w)
+                        / F.col("__tb").cast("double")
+                    ),
                 )
             ).alias("cdf_gap"),
         )

@@ -8148,9 +8148,19 @@ def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.countDistinct(inq).alias(f"vocab_{q * 25}"))
         aggs.append(F.count(inq).alias(f"tokens_{q * 25}"))
     row = tok.agg(*aggs)
-    heaps = (
+    # degenerate corpora (round-10 degenerate-probe finding): an empty
+    # first half (vocab_50/tokens_50 = 0) or a second half adding no
+    # tokens (log denominator 0) leaves the Heaps exponent undefined —
+    # NULL, never an ANSI divide-by-zero
+    heaps_ok = (
+        (F.col("vocab_50") > 0)
+        & (F.col("tokens_50") > 0)
+        & (F.col("tokens_100") > F.col("tokens_50"))
+    )
+    heaps = F.when(
+        heaps_ok,
         F.log(F.col("vocab_100") / F.col("vocab_50").cast("double"))
-        / F.log(F.col("tokens_100") / F.col("tokens_50").cast("double"))
+        / F.log(F.col("tokens_100") / F.col("tokens_50").cast("double")),
     )
     return row.select(
         "*", (F.floor(heaps * 10000 + F.lit(0.5)) / 10000).alias("heaps_exp")
