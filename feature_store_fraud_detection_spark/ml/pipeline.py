@@ -96,6 +96,14 @@ def build_pipeline(config: FraudModelConfig | None = None) -> Pipeline:
 
 
 def train(features: DataFrame, config: FraudModelConfig | None = None) -> PipelineModel:
+    # fail loud on an empty training frame: MLlib's fit otherwise dies
+    # deep inside the optimizer with an unnamed engine error (round-10
+    # degenerate-probe finding). isEmpty reads one partition, not a
+    # full count — trivial next to the fit itself.
+    if features.isEmpty():
+        raise ValueError(
+            "ml.pipeline.train: empty training input — nothing to fit"
+        )
     return build_pipeline(config).fit(features)
 
 

@@ -1715,7 +1715,9 @@ def cohens_kappa(
         )
     )
     joined = base.crossJoin(F.broadcast(pe_num))
-    nD = F.col("n").cast("double")
+    # empty input: no pairs, no rates — NULL po/pe/kappa, never an ANSI
+    # divide-by-zero (round-10 degenerate-probe finding at k=0)
+    nD = F.when(F.col("n") > 0, F.col("n")).cast("double")
     pe = F.col("__pe_num").cast("double") / (nD * nD)
     po = F.col("n_agree").cast("double") / nD
     # kappa divides two EXACT decimal integers once — no float

@@ -305,6 +305,16 @@ def markov_stationary(
     counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
     types = df.select(F.col(type_col).alias("t")).distinct().persist()
     k = types.count()
+    if k == 0:
+        # empty input: the stationary distribution of nothing is an
+        # EMPTY frame, not a divide-by-zero in the uniform seed
+        # (round-10 degenerate-probe finding at k=0)
+        out = types.select(
+            F.col("t").alias(type_col),
+            F.lit(None).cast("double").alias("stationary_p"),
+        ).localCheckpoint(eager=True)
+        types.unpersist()
+        return out
     grid = (
         types.select(F.col("t").alias("src"))
         .crossJoin(F.broadcast(types.select(F.col("t").alias("dst"))))

@@ -324,9 +324,17 @@ def bfs_levels(
         e_cached.unpersist()
         e_cached = e_cached2
         e = e_cached
-    levels = seeds.select(
-        F.col(node_col).alias("node"), F.lit(0).cast("int").alias("level")
-    ).distinct()
+    # a NULL seed id is not a node: drop it (an agg-min seed over an
+    # empty table yields one NULL row, and NULL never equi-joins — it
+    # would silently seed nothing while still occupying a row)
+    levels = (
+        seeds.filter(F.col(node_col).isNotNull())
+        .select(
+            F.col(node_col).alias("node"),
+            F.lit(0).cast("int").alias("level"),
+        )
+        .distinct()
+    )
     for i in range(max_hops):
         lvl_side = F.broadcast(levels) if small_graph else levels
         levels = (
@@ -764,9 +772,18 @@ def sssp(
         e_cached.unpersist()
         e_cached = e_cached2
         e = e_cached
-    dists = seeds.select(
-        F.col(node_col).alias("node"), F.lit(0).cast("bigint").alias("dist")
-    ).distinct()
+    # NULL seed rows dropped (see bfs_levels): a NULL node never
+    # equi-joins, so it would relax nothing — worse, the convergence
+    # check's left join counts the unjoinable row as "still improving"
+    # (round-10 degenerate-probe finding at k=0)
+    dists = (
+        seeds.filter(F.col(node_col).isNotNull())
+        .select(
+            F.col(node_col).alias("node"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+        .distinct()
+    )
 
     def _relax(d: DataFrame) -> DataFrame:
         d_side = F.broadcast(d) if small_graph else d

@@ -791,7 +791,13 @@ def pq_topk(
     vecs = _valid_vectors(df, vec_col).select(
         F.col(id_col), _to_double(F.col(vec_col)).alias("__v")
     )
-    dim = vecs.select(F.size("__v")).first()[0]  # driver scalar (schema-ish)
+    # driver scalar (schema-ish); None on an EMPTY corpus — fail loud
+    # with the operator's name, not a NoneType subscript (round-10
+    # degenerate-probe finding)
+    first = vecs.select(F.size("__v")).first()
+    if first is None:
+        raise ValueError("pq_topk: empty embedding corpus — nothing to train a quantizer on")
+    dim = first[0]
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub_dim = dim // m
 
@@ -951,7 +957,10 @@ def ivfpq_topk(
     vecs = _valid_vectors(df, vec_col).select(
         F.col(id_col), _to_double(F.col(vec_col)).alias("__v")
     )
-    dim = vecs.select(F.size("__v")).first()[0]
+    first = vecs.select(F.size("__v")).first()
+    if first is None:
+        raise ValueError("ivfpq_topk: empty embedding corpus — nothing to train a quantizer on")
+    dim = first[0]
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub_dim = dim // m
 

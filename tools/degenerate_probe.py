@@ -38,10 +38,15 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-#: error-message fragments that mark a DELIBERATE fail-loud (named)
+#: error-message fragments that mark a DELIBERATE fail-loud (named):
+#: USER_RAISED_EXCEPTION is Spark's wrapper for F.raise_error — every
+#: in-plan fail-loud in this repo goes through it; the name pattern
+#: catches "operator_name: ..." prefixes (head can't eat underscores so
+#: bh_fdr:/sssp:-style names match); the fragments cover older wording.
 NAMED_MARKERS = re.compile(
-    r"[a-z0-9_]{3,}(?:_[a-z0-9]+)+:|needs at least|must be|undefined|"
-    r"degenerate|empty arm|empty corpus|duplicate \(item",
+    r"USER_RAISED_EXCEPTION|\b[a-z][a-z0-9]*(?:[._][a-z0-9]+)*: \S|"
+    r"needs at least|must be|undefined|degenerate|empty arm|empty corpus|"
+    r"duplicate \(item",
 )
 
 
@@ -79,7 +84,12 @@ def main() -> int:
             results["OK"].append(name)
         except Exception as exc:  # noqa: BLE001
             msg = str(exc)
-            if NAMED_MARKERS.search(msg):
+            # driver-side deliberate fail-louds raise ValueError (the
+            # engine never does); everything in-plan goes through
+            # F.raise_error -> USER_RAISED_EXCEPTION
+            if isinstance(exc, (ValueError, AssertionError)) or (
+                NAMED_MARKERS.search(msg)
+            ):
                 results["NAMED-FAIL"].append(name)
             else:
                 results["UNNAMED-FAIL"].append(name)
