@@ -674,20 +674,26 @@ def _streaming_scenario_run(spark) -> dict[str, float]:
 def host_canary(spark) -> dict[str, float]:
     """Fixed, DATA-INDEPENDENT micro-benchmark: a generated-range hash
     aggregate + sort at pinned size (100M rows, 32 input slices, the
-    session's 32 shuffle partitions), min-of-3 via the noop sink —
-    ~1 s per sample on the round-10 box, long enough that scheduler
-    jitter cannot double a sample the way it did a 0.3 s one.
+    session's 32 shuffle partitions), min-of-5 via the noop sink.
+    Measured ~0.5-0.7 s per sample on the round-10 boxes (ADVICE r10:
+    the earlier "~1 s" claim was wrong) — sub-second samples DO admit
+    scheduler jitter (observed max/min up to 1.36x across same-day
+    runs), which is why (a) the min is taken over FIVE samples, not 3,
+    and (b) the max/min marker ships so bench_compare can refuse to
+    normalize by a noisy canary. The WORK stays pinned at the round-10
+    shape: changing it would break the cross-round canary ratio that is
+    this row's whole purpose.
 
     Why: rounds 8->9 needed a hand-run same-day A/B of the old commit to
     separate host drift (~30% slower box, 1-4% KVM steal) from code
     drift. This row makes that mechanical: the canary's work never
     changes across rounds, so ``host_canary_sec(r10)/host_canary_sec(r9)``
     IS the host-speed ratio, and tools/bench_compare.py divides it out
-    of every subtotal ratio before flagging regressions. max/min of the
-    3 samples is the canary's own contention marker.
+    of every subtotal ratio before flagging regressions — but only when
+    the canary's own noise marker says the sample is trustworthy.
     """
     samples: list[float] = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         (
             spark.range(0, 100_000_000, 1, 32)
@@ -878,6 +884,47 @@ def main() -> None:
     except OSError as exc:  # never let artifact IO kill the stdout line
         print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
     print(json.dumps(result))
+    # Compact summary as the LAST stdout line (VERDICT r10 task 3): the
+    # driver's BENCH_r{N}.json keeps only a 2,000-byte TAIL of stdout, so
+    # the full ~4.4 KB line above always arrives front-truncated and
+    # unparseable ("parsed": null in r9/r10). This line carries every
+    # cross-round comparison field under 1,800 bytes so the tail always
+    # contains one COMPLETE JSON document; tools/bench_compare.py prefers
+    # it when recovering driver artifacts. The trim loop is a guard for
+    # future growth (subtotals gain ~20 bytes per round).
+    compact = {
+        "metric": result["metric"],
+        "unit": "sec",
+        "value": total,
+        "sf": sf,
+        "compact": True,
+        "queries_n": len(timings),
+        "subtotals": subtotals,
+        **canary,
+        "flagship_rows_per_sec": result["flagship_rows_per_sec"],
+        "flagship_noise_max_over_min": flagship_noise,
+        "streaming": {
+            "sec_per_100k_events": streaming.get("sec_per_100k_events"),
+            "events_per_sec": streaming.get("events_per_sec"),
+            "events_total": streaming.get("events_total"),
+            "stream_cross_run_max_over_min": streaming.get(
+                "stream_cross_run_max_over_min"
+            ),
+        },
+        "noise_max_over_min_p50": result["noise_max_over_min_p50"],
+        "noise_max_over_min_max": result["noise_max_over_min_max"],
+        "full": os.path.relpath(out_path, os.path.dirname(os.path.abspath(__file__)))
+        if out_path.startswith(os.path.dirname(os.path.abspath(__file__)))
+        else out_path,
+    }
+    # drop optional fields until the line fits the driver's tail capture
+    for drop in ("full", "noise_max_over_min_p50", "noise_max_over_min_max",
+                 "queries_n", "subtotals"):
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) < 1800:
+            break
+        compact.pop(drop, None)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

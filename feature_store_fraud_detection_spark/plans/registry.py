@@ -9782,6 +9782,7 @@ overall AS (
   FROM base
 )
 SELECT CAST(n_rows AS BIGINT) AS n_rows, mean,
+       CAST(len(l) AS BIGINT) AS n_boot,
        floor(l[2] * 10000 + 0.5) / 10000 AS ci_lo,
        floor(l[30] * 10000 + 0.5) / 10000 AS ci_hi,
        floor(sqrt(
@@ -15674,74 +15675,80 @@ QUERIES.update(
 # Rounds rotate this list deliberately — never let "where the code was
 # appended" decide what gets graded.
 _GRADING_PRIORITY: list[str] = [
-    # ROUND-10 WINDOW. (a) both gate canaries lead every window (cheap;
-    # a red here means harness drift, which re-interprets every other
-    # row this round); (b) the two round-9 queries that landed after the
-    # r9 window froze and have NEVER received a driver row, plus the
-    # twice-deferred r3-green winnowing_fingerprints; (c) 45 of the 48
-    # remaining r4-graded rows, alphabetical — after this round no
-    # hash-checkable query's latest grade is older than r4, and only
-    # three r4 rows remain (validate_embeddings / value_autocorr /
-    # weighted_topk_sample lead the r11 rotation).
-    # NOTE on round-10 behavior changes: fleiss_kappa gained a
-    # duplicate-(item, rater) fail-loud guard and diff_in_differences
-    # moved its thin-cell guard into the variance path (ADVICE r9);
-    # ljung_box / classical_decomposition dropped per-key broadcast
-    # hints (plan-only). fleiss_doc_quality, did_user_split,
-    # ljung_box_priority and decomposition_priority re-verified
-    # HASH-IDENTICAL at sf0.001/0.01 after the changes — no observable
-    # behavior change on graded data, so none consumes a window slot
-    # (the anova_f precedent from round 9).
+    # ROUND-11 WINDOW — generated by `python tools/grading_window.py
+    # --propose` (VERDICT r10 task 1: the policy is now MECHANICAL).
+    # Composition: (a) both gate canaries (a red here means harness
+    # drift, which re-interprets every other row this round); (b) all
+    # 44 oracle-backed queries whose implementing CODE changed after
+    # their latest driver grade — detected at SYMBOL granularity (the
+    # registry query fn, its resolved oracle SQL, and the transitive
+    # closure of package functions/constants it uses, diffed between
+    # each grade's driver commit and HEAD) — oldest grade first; this
+    # covers the verdict's hand-audited list (exact_auc, cuped_lift,
+    # bootstrap_ci, sequential_ab, triangle_stats, keyness_g2,
+    # token_frequency_spectrum, logrank_segments, the r9 ADVICE rows,
+    # the graph-guard consumers) plus every older row the same test
+    # catches, and the round-11 timeseries hint removals
+    # (seasonal_strength, pettitt_priority); (c) the final three
+    # r4-graded rows (validate_embeddings / value_autocorr /
+    # weighted_topk_sample — after this round no hash-checkable grade
+    # is older than r5); (d) one r5 backfill slot (bulk_export).
+    # Changed-since-grade rows-only queries (fraction_sample,
+    # rebalance_classes, train_test_split r1; ml_train_score,
+    # mlp_batch_scoring r3) are deliberately NOT given slots: a
+    # rows-only grade is weak and each has an oracle-checked
+    # deterministic twin either already green-after-change or in this
+    # window.
     "gate_float_canary",
     "gate_type_canary",
-    "nelson_aalen_users",
-    "hosmer_lemeshow_hour",
-    "winnowing_fingerprints",
-    "ann_recall",
-    "bfs_levels",
-    "bigram_nll",
-    "bloom_semi_join",
-    "bpe_encoded_lengths",
-    "bpe_merges",
-    "bucketed_trailing_features",
-    "canonical_docs",
-    "chunk_dedup",
-    "cluster_safe_split",
-    "cms_heavy_hitters",
-    "cross_source_dups",
-    "curation_summary",
-    "cusum_changepoints",
-    "dbscan_clusters",
-    "degree_distribution",
-    "dup_cluster_histogram",
-    "exact_dedup",
-    "feature_freshness",
-    "gopher_flags",
-    "hard_negatives",
-    "hist_quantiles",
-    "hist_quantiles_rollup",
-    "incremental_dedup",
-    "incremental_neardup",
-    "ivf_topk",
-    "kmv_distinct_users",
-    "kmv_overlap",
-    "latest5_per_key",
-    "minhash_lsh_pairs",
-    "multiprobe_recall",
-    "multiprobe_topk",
-    "offline_store_range_scan",
-    "pagerank",
-    "resize_thumbs",
-    "revenue_gini",
-    "simhash_fingerprints",
-    "sliding_window_aggs",
-    "source_mix_sample",
-    "stratified_sample",
-    "stream_latest_state",
-    "summary_stats",
-    "tokenizer_fertility",
-    "training_triplets",
-    "user_value_trend",
+    "ab_test",
+    "bootstrap_ci",
+    "cuped_lift",
+    "fairness_report",
+    "feature_audit",
+    "ivfpq_topk",
+    "k_anonymity",
+    "kcore_members",
+    "keyness_g2",
+    "lsh_recall_report",
+    "pq_recall",
+    "pq_topk",
+    "rebalance_hash",
+    "sequential_ab",
+    "token_frequency_spectrum",
+    "triangle_stats",
+    "user_survival",
+    "vocab_growth",
+    "markov_stationary",
+    "nb_lang_confusion",
+    "ridge_conformal",
+    "textrank_keywords",
+    "textrank_weighted",
+    "theil_sen_trend",
+    "anova_priority",
+    "exact_auc",
+    "experiment_power",
+    "feature_drift_ks",
+    "funnel_steps",
+    "leakage_scan",
+    "ratio_metric_ci",
+    "ridge_conformal_sketch",
+    "sssp_nations",
+    "logrank_segments",
+    "mann_whitney_events",
+    "decomposition_priority",
+    "did_user_split",
+    "fleiss_doc_quality",
+    "kappa_lang_id",
+    "ljung_box_priority",
+    "pettitt_priority",
+    "ridge_fit",
+    "ridge_learning_curve",
+    "seasonal_strength",
+    "validate_embeddings",
+    "value_autocorr",
+    "weighted_topk_sample",
+    "bulk_export",
 ]
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (

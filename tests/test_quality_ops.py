@@ -788,6 +788,9 @@ def test_poisson_bootstrap_ci_brackets_mean(spark):
     )
     r = poisson_bootstrap_ci(df, "v", "rid", n_replicates=32).collect()[0]
     assert r.n_rows == 2000
+    # all 32 replicates survive at this n (ADVICE r10: n_boot makes a
+    # degraded CI visible when they don't)
+    assert r.n_boot == 32
     # CI brackets both the sample mean and (with margin) the true mean
     assert r.ci_lo <= r.mean <= r.ci_hi
     assert r.ci_lo < 50.0 + 1.5 and r.ci_hi > 50.0 - 1.5

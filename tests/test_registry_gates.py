@@ -121,6 +121,43 @@ def test_overflow_scan_clean():
     )
 
 
+_BAD_BROADCAST_SNIPPET = '''
+def seasonal(df, key_col, val_col):
+    per_key = df.groupBy(key_col).agg(F.sum(val_col).alias("s"))
+    narrowed = per_key.select(key_col, "s")
+    return df.join(F.broadcast(narrowed), key_col)
+'''
+
+_WAIVED_BROADCAST_SNIPPET = '''
+def seasonal(df, key_col, val_col):
+    per_key = df.groupBy(key_col).agg(F.sum(val_col).alias("s"))
+    # bounded-broadcast: key_col is contractually <= 8 distinct here
+    return df.join(F.broadcast(per_key), key_col)
+'''
+
+
+def test_per_key_broadcast_scan_clean_and_detector_fires():
+    """VERDICT r10 task 2: no F.broadcast on a table keyed by a
+    user-supplied key column (the seasonal_strength / pettitt class —
+    the hint grows with key cardinality). The repo must be clean AND
+    the detector must actually fire on the known-bad shape (including
+    through one select() hop), else a clean run proves nothing."""
+    from check_types import scan_broadcast_per_key, scan_broadcast_src
+
+    assert scan_broadcast_src(_BAD_BROADCAST_SNIPPET, "x.py"), (
+        "detector failed to flag the known-bad per-key broadcast shape"
+    )
+    assert not scan_broadcast_src(_WAIVED_BROADCAST_SNIPPET, "x.py"), (
+        "bounded-broadcast waiver comment not honored"
+    )
+    hits = scan_broadcast_per_key()
+    assert not hits, (
+        "F.broadcast of a per-key_col table (grows with key cardinality "
+        "— drop the hint or waive with '# bounded-broadcast: <reason>'):\n"
+        + "\n".join(hits)
+    )
+
+
 def test_core_tier_covers_every_test_module():
     """`pytest -m core` drift gate (round 10): every non-property test
     module must contribute at least one test to the fast tier, and every

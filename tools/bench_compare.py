@@ -17,15 +17,35 @@ run-level co-tenant drift, single queries can swing 2-3x. So:
   divided by the canary ratio first — a uniformly slower box (rounds
   8->9 measured ~30%) then reads as ~0% drift instead of a fleet of
   false INVESTIGATE flags. Raw ratios are still printed alongside.
+- canary-noise gating (round 11, ADVICE r10): the canary itself is a
+  sub-second min-of-N and carries jitter (shipped r10 artifacts:
+  noise up to 1.095; same-day spread 1.36x). When EITHER run's
+  ``host_canary_noise_max_over_min`` exceeds NOISY_CANARY the tool
+  refuses to normalize (raw ratios only, with a note). When it does
+  normalize, the verdict is the CONSERVATIVE one: a subtotal is
+  "within noise" only if BOTH the raw and the normalized ratio sit
+  inside the ±15% band — a noisy canary can manufacture drift in
+  either direction, so agreement is required before dismissing it.
 
-The driver's BENCH_r{N}.json wraps the bench line under "tail"; this
-tool accepts both the raw bench JSON line and the driver wrapper.
+Artifact formats accepted, newest first:
+1. the full JSON document bench.py writes to .benchmarks/ (has
+   "queries");
+2. the compact summary line bench.py prints LAST since round 11
+   ("compact": true — the only line guaranteed to survive the
+   driver's 2,000-byte stdout tail intact);
+3. a driver BENCH_r{N}.json wrapper: the LAST parseable JSON line in
+   its "tail" is used (that is the compact line when present), else
+   brace-matched section recovery from the truncated big line.
 """
 
 from __future__ import annotations
 
 import json
 import sys
+
+#: refuse host normalization past this canary self-noise (max/min of
+#: the canary's own samples within one run)
+NOISY_CANARY = 1.25
 
 
 def _extract_obj(text: str, key: str):
@@ -50,42 +70,47 @@ def _extract_obj(text: str, key: str):
     return None
 
 
+def _extract_num(text: str, key: str):
+    anchor = text.find(f'"{key}":')
+    if anchor < 0:
+        return None
+    frag = text[anchor + len(key) + 3 :]
+    try:
+        return float(frag.split(",")[0].split("}")[0].strip())
+    except ValueError:
+        return None
+
+
 def load(path: str) -> dict:
     with open(path) as f:
         doc = json.load(f)
-    if "queries" in doc:
+    if "queries" in doc or doc.get("compact"):
         return doc
-    # driver wrapper: the bench line is the (possibly front-truncated)
-    # tail of captured stdout — recover the sections we compare
+    # driver wrapper: the bench stdout is the (possibly front-truncated)
+    # tail — prefer the LAST parseable JSON line (the round-11 compact
+    # summary), then the full line if it survived, then section recovery
     tail = doc.get("tail", "")
-    start = tail.find('{"metric"')
-    if start >= 0:
+    for line in reversed(tail.splitlines()):
+        line = line.strip()
+        if not (line.startswith("{") and line.endswith("}")):
+            continue
         try:
-            return json.loads(tail[start:].splitlines()[0])
+            parsed = json.loads(line)
         except json.JSONDecodeError:
-            pass
+            continue
+        if "subtotals" in parsed or "queries" in parsed:
+            return parsed
     out = {}
     for key in ("queries", "subtotals", "streaming"):
         obj = _extract_obj(tail, key)
         if obj is not None:
             out[key] = obj
-    c = tail.find('"host_canary_sec":')
-    if c >= 0:
-        try:
-            out["host_canary_sec"] = float(
-                tail[c + 18 :].split(",")[0].split("}")[0].strip()
-            )
-        except ValueError:
-            pass
-    m = tail.find('"value":')
-    if m >= 0:
-        try:
-            out["value"] = float(
-                tail[m + 8 :].split(",")[0].strip()
-            )
-        except ValueError:
-            pass
-    if "queries" not in out:
+    for key in ("host_canary_sec", "host_canary_noise_max_over_min",
+                "value"):
+        v = _extract_num(tail, key)
+        if v is not None:
+            out[key] = v
+    if "queries" not in out and "subtotals" not in out:
         raise SystemExit(f"{path}: no bench JSON line found")
     return out
 
@@ -98,22 +123,32 @@ def main() -> int:
     print(f"total: {a.get('value')} -> {b.get('value')} s "
           "(NOT comparable if the headline set grew — use subtotals)")
     ca, cb = a.get("host_canary_sec"), b.get("host_canary_sec")
+    na = a.get("host_canary_noise_max_over_min")
+    nb = b.get("host_canary_noise_max_over_min")
     host = None
     if ca and cb:
-        host = cb / ca
-        print(f"host canary: {ca:.2f} -> {cb:.2f} s "
-              f"(box B is {host:.2f}x box A's time on fixed work; "
-              "subtotal ratios below are host-normalized)")
+        noisy = max(na or 1.0, nb or 1.0)
+        if noisy > NOISY_CANARY:
+            print(f"host canary: {ca:.2f} -> {cb:.2f} s, but canary "
+                  f"self-noise {noisy:.2f} > {NOISY_CANARY} — NOT "
+                  "normalizing (raw subtotal ratios below; re-run on a "
+                  "quieter box before believing either direction)")
+        else:
+            host = cb / ca
+            print(f"host canary: {ca:.2f} -> {cb:.2f} s "
+                  f"(box B is {host:.2f}x box A's time on fixed work; "
+                  "verdicts require raw AND normalized to agree)")
     subs_a, subs_b = a.get("subtotals", {}), b.get("subtotals", {})
     for k in sorted(set(subs_a) & set(subs_b)):
         raw = subs_b[k] / subs_a[k] if subs_a[k] else float("nan")
-        ra = raw / host if host else raw
-        verdict = (
-            "within noise" if 1 / 1.15 <= ra <= 1.15 else "INVESTIGATE"
-        )
-        norm = f" (raw {(raw - 1) * 100:+.0f}%)" if host else ""
+        norm = raw / host if host else None
+        in_band = lambda r: 1 / 1.15 <= r <= 1.15  # noqa: E731
+        # conservative: flag unless every available view is in band
+        ok = in_band(raw) and (norm is None or in_band(norm))
+        verdict = "within noise" if ok else "INVESTIGATE"
+        extra = f" (norm {(norm - 1) * 100:+.0f}%)" if norm else ""
         print(f"  {k}: {subs_a[k]:.2f} -> {subs_b[k]:.2f} s "
-              f"({(ra - 1) * 100:+.0f}%){norm}  {verdict}")
+              f"(raw {(raw - 1) * 100:+.0f}%){extra}  {verdict}")
     qa, qb = a.get("queries", {}), b.get("queries", {})
     flagged = [
         (qb[q] / qa[q], q)

@@ -143,7 +143,130 @@ def scan_spark_sources() -> list[str]:
     return hits
 
 
+def _root_name(node: ast.AST) -> str | None:
+    """Root Name of a method chain: ``a.groupBy(k).agg(x)`` -> ``a``."""
+    cur = node
+    while True:
+        if isinstance(cur, ast.Name):
+            return cur.id
+        if isinstance(cur, ast.Call):
+            cur = cur.func
+        elif isinstance(cur, ast.Attribute):
+            cur = cur.value
+        else:
+            return None
+
+
+def _groups_by_param(node: ast.AST, params: set[str]) -> bool:
+    """True if the subtree contains ``.groupBy(<param>)`` / ``.partitionBy
+    (<param>)`` over one of the named function parameters."""
+    for sub in ast.walk(node):
+        if (
+            isinstance(sub, ast.Call)
+            and isinstance(sub.func, ast.Attribute)
+            and sub.func.attr in ("groupBy", "partitionBy")
+            and any(
+                isinstance(a, ast.Name) and a.id in params for a in sub.args
+            )
+        ):
+            return True
+    return False
+
+
+def scan_broadcast_per_key() -> list[str]:
+    """Flag ``F.broadcast(X)`` where X derives from ``groupBy(key_col)``
+    over a USER-SUPPLIED per-entity key parameter — the r9/r10 ADVICE
+    class (ljung_box, classical_decomposition, seasonal_strength,
+    pettitt_changepoint): a per-key table grows with key cardinality, so
+    the hint exceeds the broadcast threshold / driver memory exactly when
+    the data gets big. Scope: function parameters literally named
+    ``key_col`` (the per-entity key convention in operators/); bounded
+    group columns (label, event_type buckets) use other parameter names
+    and legitimately broadcast. Waive a genuinely bounded case with a
+    ``# bounded-broadcast: <reason>`` comment within 3 lines above."""
+    hits: list[str] = []
+    for path in sorted(glob.glob(f"{_PKG_DIR}/**/*.py", recursive=True)):
+        src = open(path).read()
+        if "F.broadcast" not in src:
+            continue
+        rel = os.path.relpath(path, os.path.dirname(_PKG_DIR))
+        hits.extend(scan_broadcast_src(src, rel))
+    return hits
+
+
+def scan_broadcast_src(src: str, rel: str) -> list[str]:
+    """Per-source worker for :func:`scan_broadcast_per_key` (separate so
+    the gate test can feed it a known-bad snippet and prove the detector
+    actually fires)."""
+    hits: list[str] = []
+    lines = src.splitlines()
+    for fn in ast.walk(ast.parse(src)):
+        if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        params = {
+            a.arg
+            for a in fn.args.args + fn.args.kwonlyargs
+            if a.arg == "key_col"
+        }
+        if not params:
+            continue
+        # transitive closure: names assigned from a groupBy(key_col)
+        # chain, or from a chain rooted at an already-tainted name
+        tainted: set[str] = set()
+        changed = True
+        while changed:
+            changed = False
+            for st in ast.walk(fn):
+                if not (
+                    isinstance(st, ast.Assign)
+                    and len(st.targets) == 1
+                    and isinstance(st.targets[0], ast.Name)
+                ):
+                    continue
+                tgt = st.targets[0].id
+                if tgt in tainted:
+                    continue
+                if _groups_by_param(st.value, params) or (
+                    _root_name(st.value) in tainted
+                ):
+                    tainted.add(tgt)
+                    changed = True
+        for sub in ast.walk(fn):
+            if not (
+                isinstance(sub, ast.Call)
+                and isinstance(sub.func, ast.Attribute)
+                and sub.func.attr == "broadcast"
+                and isinstance(sub.func.value, ast.Name)
+                and sub.func.value.id == "F"
+                and sub.args
+            ):
+                continue
+            arg = sub.args[0]
+            bad = _groups_by_param(arg, params) or (
+                _root_name(arg) in tainted
+            )
+            if not bad:
+                continue
+            lo = max(0, sub.lineno - 4)
+            if any(
+                "bounded-broadcast:" in ln for ln in lines[lo:sub.lineno]
+            ):
+                continue
+            hits.append(
+                f"{rel}:{sub.lineno}: F.broadcast of a per-key_col "
+                f"table in {fn.name}(): "
+                f"{lines[sub.lineno - 1].strip()[:70]}"
+            )
+    return hits
+
+
 def main() -> int:
+    if "--scan-broadcast" in sys.argv:
+        hits = scan_broadcast_per_key()
+        for h in hits:
+            print(f"  {h}")
+        print(f"\n{len(hits)} per-key broadcasts" if hits else "\nSCAN CLEAN")
+        return 1 if hits else 0
     if "--scan-source" in sys.argv:
         hits = scan_spark_sources()
         for h in hits:

@@ -1,30 +1,55 @@
 """Degenerate-input robustness probe: run EVERY registry query against
-a pathologically tiny dataset and classify the failures.
+pathological dataset shapes and classify the failures.
 
 Motivation (round 10): the property-sweep program keeps finding the
 same bug class — an ANSI divide-by-zero (or NULL-propagating aggregate)
 fired by a degenerate denominator the full-size testdata never
 exercises (zero variance, empty cohort, single-frequency spectrum,
 all-censored panel). Sweeps find them one operator at a time; this
-probe points the whole registry at a K-row slice of every table at
-once.
+probe points the whole registry at degenerate shapes at once.
 
-Classification per query:
+Shapes (round 11 added the asymmetric ones — VERDICT r10 task 5: the
+uniform K-row slice can't produce an empty side of a two-input
+operator, a single-distinct key, or an all-NULL optional column):
+
+- K-row slice       (default; ``degenerate_probe.py 1`` / ``3``)
+- empty:TABLE       every table gets 3 rows except TABLE, which keeps
+                    its schema but zero rows — the "empty on exactly
+                    one side" case for every asof/interval/linkage/
+                    decontaminate/diff-shaped operator
+- const             every table is ONE row duplicated 3x: every key
+                    column single-valued, every join all-matching,
+                    every variance zero
+- nulls             3 rows with every OPTIONAL column NULL (keeps id /
+                    key / timestamp columns and the embedding vector —
+                    those are structural; text, labels, values, props
+                    all go NULL)
+- asym              runs every empty:TABLE variant plus const plus
+                    nulls in sequence (the round-11 gate)
+
+Classification per query (ADVICE r10: primarily by exception TYPE plus
+an operator-name allowlist, not generic word-colon fragments a wrapped
+engine error could accidentally match):
 
 - OK            — ran and returned (possibly zero rows)
-- NAMED-FAIL    — raised an error whose message names an operator or
-                  query (the repo's fail-loud convention: acceptable)
-- UNNAMED-FAIL  — raised a bare engine error (DIVIDE_BY_ZERO, cast
-                  overflow, ...) with no operator name: the bug class
-                  this tool exists to catch. Exit code 1 if any.
+- NAMED-FAIL    — a deliberate fail-loud: driver-side ValueError /
+                  AssertionError, an in-plan F.raise_error
+                  (USER_RAISED_EXCEPTION), or a message carrying a
+                  "<known operator/query name>:" prefix where the name
+                  comes from the registry + package function inventory
+- UNNAMED-FAIL  — a bare engine error (DIVIDE_BY_ZERO, cast overflow,
+                  getbit range, ...) with no recognized name: the bug
+                  class this tool exists to catch. Exit code 1 if any.
 
 Usage: python tools/degenerate_probe.py [rows_per_table] [query ...]
-       (default 1 row per table; a second run with e.g. 3 exercises
-       slightly-less-degenerate shapes)
+       python tools/degenerate_probe.py --mode empty:events [query ...]
+       python tools/degenerate_probe.py --mode asym
 """
 
 from __future__ import annotations
 
+import ast
+import glob as globlib
 import os
 import re
 import sys
@@ -38,16 +63,58 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-#: error-message fragments that mark a DELIBERATE fail-loud (named):
-#: USER_RAISED_EXCEPTION is Spark's wrapper for F.raise_error — every
-#: in-plan fail-loud in this repo goes through it; the name pattern
-#: catches "operator_name: ..." prefixes (head can't eat underscores so
-#: bh_fdr:/sssp:-style names match); the fragments cover older wording.
-NAMED_MARKERS = re.compile(
-    r"USER_RAISED_EXCEPTION|\b[a-z][a-z0-9]*(?:[._][a-z0-9]+)*: \S|"
-    r"needs at least|must be|undefined|degenerate|empty arm|empty corpus|"
-    r"duplicate \(item",
+#: tables worth an empty-one-side variant (the dims region/nation are
+#: never the "other side" of a two-input operator in the registry)
+EMPTY_VARIANT_TABLES = [
+    "events", "documents", "embeddings", "orders", "lineitem",
+    "customer", "supplier", "part",
+]
+
+_PKG_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "feature_store_fraud_detection_spark",
 )
+
+
+def _known_names() -> set[str]:
+    """Operator/query-name allowlist for fail-loud classification: every
+    registry query name plus every top-level function name in the
+    package (fail-loud messages use one of these as their prefix)."""
+    names: set[str] = set()
+    for path in globlib.glob(f"{_PKG_DIR}/**/*.py", recursive=True):
+        try:
+            tree = ast.parse(open(path).read())
+        except SyntaxError:
+            continue
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                names.add(node.name.lstrip("_"))
+    from feature_store_fraud_detection_spark.plans.registry import QUERIES
+
+    names |= set(QUERIES)
+    return {n for n in names if len(n) >= 3}
+
+
+def _named_matcher() -> re.Pattern[str]:
+    alts = "|".join(sorted(map(re.escape, _known_names()), key=len,
+                           reverse=True))
+    return re.compile(rf"\b(?:{alts})\s*:")
+
+
+def is_named_failure(
+    exc: Exception, msg: str, matcher: re.Pattern[str]
+) -> bool:
+    """Deliberate fail-loud? Type first (driver-side fail-louds raise
+    ValueError/AssertionError; in-plan ones go through F.raise_error ->
+    USER_RAISED_EXCEPTION), then the operator-name allowlist."""
+    if isinstance(exc, (ValueError, AssertionError)):
+        return True
+    if "USER_RAISED_EXCEPTION" in msg:
+        return True
+    return bool(matcher.search(msg))
+
+
+# -- slice builders ----------------------------------------------------------
 
 
 def build_slice(src_dir: str, out_dir: str, k: int) -> None:
@@ -61,55 +128,167 @@ def build_slice(src_dir: str, out_dir: str, k: int) -> None:
         )
 
 
-def main() -> int:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    only = set(sys.argv[2:])
+def build_empty_one(src_dir: str, out_dir: str, empty_table: str) -> None:
+    """3 rows per table, except ``empty_table``: schema, zero rows."""
+    import duckdb
 
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        lim = 0 if t == empty_table else 3
+        duckdb.sql(
+            f"COPY (SELECT * FROM '{src_dir}/{t}.parquet' LIMIT {lim}) "
+            f"TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
+def build_const(src_dir: str, out_dir: str) -> None:
+    """One row per table, duplicated 3x — single-distinct everything."""
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        duckdb.sql(
+            f"COPY (SELECT one.* FROM (SELECT * FROM '{src_dir}/{t}.parquet'"
+            f" LIMIT 1) one, range(3)) TO '{out_dir}/{t}.parquet'"
+            f" (FORMAT PARQUET)"
+        )
+
+
+#: structural columns the nulls variant keeps: keys/ids, event time,
+#: and the embedding vector (an all-NULL vector column is a different
+#: probe; here we target OPTIONAL payload columns)
+def _is_structural(col: str, typ: str) -> bool:
+    c = col.lower()
+    return (
+        "id" in c
+        or "key" in c
+        or c == "embedding"
+        or "TIMESTAMP" in typ.upper()
+    )
+
+
+def build_nulls(src_dir: str, out_dir: str) -> None:
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        cols = duckdb.sql(
+            f"DESCRIBE SELECT * FROM '{src_dir}/{t}.parquet'"
+        ).fetchall()
+        proj = ", ".join(
+            f'"{c}"' if _is_structural(c, typ)
+            else f'CAST(NULL AS {typ}) AS "{c}"'
+            for c, typ, *_ in cols
+        )
+        duckdb.sql(
+            f"COPY (SELECT {proj} FROM '{src_dir}/{t}.parquet' LIMIT 3) "
+            f"TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
+# -- runner ------------------------------------------------------------------
+
+
+def run_variant(spark, matcher, label: str, data_dir: str,
+                only: set[str]) -> list[str]:
+    """Run the registry against one slice; print and return UNNAMED."""
     from feature_store_fraud_detection_spark.plans.registry import QUERIES
-    from feature_store_fraud_detection_spark.session import get_spark
 
-    src = "/root/testdata/sf0.001"
-    out = os.path.join(tempfile.gettempdir(), f"degenerate_sf_k{k}")
-    build_slice(src, out, k)
-
-    spark = get_spark(app_name="degenerate-probe")
-    spark.sparkContext.setLogLevel("FATAL")
     results: dict[str, list[str]] = {"OK": [], "NAMED-FAIL": [],
                                      "UNNAMED-FAIL": []}
     for name, spec in QUERIES.items():
         if only and name not in only:
             continue
         try:
-            spec.fn(spark, out).limit(5000).collect()
+            spec.fn(spark, data_dir).limit(5000).collect()
             results["OK"].append(name)
         except Exception as exc:  # noqa: BLE001
             msg = str(exc)
-            # driver-side deliberate fail-louds raise ValueError (the
-            # engine never does); everything in-plan goes through
-            # F.raise_error -> USER_RAISED_EXCEPTION
-            if isinstance(exc, (ValueError, AssertionError)) or (
-                NAMED_MARKERS.search(msg)
-            ):
+            if is_named_failure(exc, msg, matcher):
                 results["NAMED-FAIL"].append(name)
             else:
                 results["UNNAMED-FAIL"].append(name)
                 head = msg.strip().splitlines()[0][:160] if msg else (
                     traceback.format_exc().strip().splitlines()[-1][:160]
                 )
-                print(f"  UNNAMED {name}: {head}", flush=True)
+                print(f"  UNNAMED [{label}] {name}: {head}", flush=True)
         spark.catalog.clearCache()
-    print(f"\nrows/table={k}  OK={len(results['OK'])}  "
+    print(f"[{label}]  OK={len(results['OK'])}  "
           f"named-fail={len(results['NAMED-FAIL'])}  "
-          f"UNNAMED-fail={len(results['UNNAMED-FAIL'])}")
+          f"UNNAMED-fail={len(results['UNNAMED-FAIL'])}", flush=True)
     if results["NAMED-FAIL"]:
-        print("named fail-louds (acceptable):")
+        print(f"[{label}] named fail-louds (acceptable):")
         for n in results["NAMED-FAIL"]:
             print(f"    {n}")
-    if results["UNNAMED-FAIL"]:
-        print("UNNAMED failures (fix these):")
-        for n in results["UNNAMED-FAIL"]:
+    return results["UNNAMED-FAIL"]
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    mode = "k"
+    k = 1
+    if args and args[0] == "--mode":
+        mode = args[1]
+        args = args[2:]
+    elif args and args[0].isdigit():
+        k = int(args[0])
+        args = args[1:]
+    only = set(args)
+
+    from feature_store_fraud_detection_spark.session import get_spark
+
+    src = "/root/testdata/sf0.001"
+    tmp = tempfile.gettempdir()
+    matcher = _named_matcher()
+    spark = get_spark(app_name="degenerate-probe")
+    spark.sparkContext.setLogLevel("FATAL")
+
+    variants: list[tuple[str, str]] = []
+    if mode == "k":
+        out = os.path.join(tmp, f"degenerate_sf_k{k}")
+        build_slice(src, out, k)
+        variants.append((f"k{k}", out))
+    elif mode.startswith("empty:"):
+        t = mode.split(":", 1)[1]
+        out = os.path.join(tmp, f"degenerate_sf_empty_{t}")
+        build_empty_one(src, out, t)
+        variants.append((mode, out))
+    elif mode == "const":
+        out = os.path.join(tmp, "degenerate_sf_const")
+        build_const(src, out)
+        variants.append((mode, out))
+    elif mode == "nulls":
+        out = os.path.join(tmp, "degenerate_sf_nulls")
+        build_nulls(src, out)
+        variants.append((mode, out))
+    elif mode == "asym":
+        for t in EMPTY_VARIANT_TABLES:
+            out = os.path.join(tmp, f"degenerate_sf_empty_{t}")
+            build_empty_one(src, out, t)
+            variants.append((f"empty:{t}", out))
+        out = os.path.join(tmp, "degenerate_sf_const")
+        build_const(src, out)
+        variants.append(("const", out))
+        out = os.path.join(tmp, "degenerate_sf_nulls")
+        build_nulls(src, out)
+        variants.append(("nulls", out))
+    else:
+        print(f"unknown mode {mode!r}", file=sys.stderr)
+        return 2
+
+    unnamed: list[str] = []
+    for label, data_dir in variants:
+        unnamed += [
+            f"[{label}] {n}"
+            for n in run_variant(spark, matcher, label, data_dir, only)
+        ]
+    if unnamed:
+        print(f"\nUNNAMED failures across variants (fix these): "
+              f"{len(unnamed)}")
+        for n in unnamed:
             print(f"    {n}")
         return 1
+    print("\nALL VARIANTS CLEAN")
     return 0
 
 
