@@ -63,6 +63,15 @@ def pair_agreement_stats(profiles: DataFrame, field: str) -> tuple[int, int]:
         )
         .collect()[0]
     )
+    if row["n"] is None:
+        # zero non-null values: u is undefined (and every downstream
+        # weight ln(m/u) with it) — fail loud with the operator's name
+        # instead of int(None) (round-11 all-NULL/empty-side probe)
+        raise ValueError(
+            f"pair_agreement_stats: field {field!r} has no non-null "
+            "values — agreement statistics are undefined on an "
+            "empty/all-NULL field"
+        )
     return int(row["agree_pairs"]), int(row["n"])
 
 

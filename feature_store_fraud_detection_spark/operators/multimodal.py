@@ -115,15 +115,27 @@ def extract_binary_features(binary_df: DataFrame, head_n: int = 4) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            # NULL payload -> NULL features (len(None) would kill the
+            # Python worker; the SQL twin's octet_length/md5 of NULL is
+            # NULL — round-11 all-NULL probe). Int32 keeps the column
+            # nullable through Arrow.
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": payloads.map(len).astype("int32"),
+                    "byte_len": payloads.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int32"),
                     "digest": payloads.map(
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
+                        if b is not None
+                        else None
                     ),
                     "head_bytes": payloads.map(
-                        lambda b: ",".join(str(int(x)) for x in bytes(b)[:head_n])
+                        lambda b: ",".join(
+                            str(int(x)) for x in bytes(b)[:head_n]
+                        )
+                        if b is not None
+                        else None
                     ),
                 }
             )

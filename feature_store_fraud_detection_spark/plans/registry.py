@@ -878,9 +878,15 @@ def _q_bucketed_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key="user_id", ts="ts", value="value", seconds=3600, row_id="event_id"
     ).select(
         "event_id",
-        _round4_pos(F.col("sum_w").cast("double") / F.col("cnt_v")).alias(
-            "avg_3600"
-        ),
+        # cnt_v = 0 (window holds only NULL values) -> NULL avg, like the
+        # oracle's avg(); unguarded this is an ANSI divide-by-zero
+        # (round-11 all-NULL probe)
+        _round4_pos(
+            F.when(
+                F.col("cnt_v") > 0,
+                F.col("sum_w").cast("double") / F.col("cnt_v"),
+            )
+        ).alias("avg_3600"),
     )
     return c600.join(a3600, "event_id").select(
         "event_id", "user_id", "cnt_600", "avg_3600"
@@ -15698,7 +15704,11 @@ _GRADING_PRIORITY: list[str] = [
     # mlp_batch_scoring r3) are deliberately NOT given slots: a
     # rows-only grade is weak and each has an oracle-checked
     # deterministic twin either already green-after-change or in this
-    # window.
+    # window. Queries whose code was touched THIS round by guard-only /
+    # type-only fixes and re-verified HASH-IDENTICAL on graded data do
+    # not consume slots either (the r9 anova_f / r10 fleiss precedent)
+    # — they live in _REGRADE_WAIVED below with their reasons, and
+    # tools/grading_window.py --propose honors the waiver.
     "gate_float_canary",
     "gate_type_canary",
     "ab_test",
@@ -15751,8 +15761,38 @@ _GRADING_PRIORITY: list[str] = [
     "bulk_export",
 ]
 
+# Round-scoped regrade waivers: queries whose code changed AFTER their
+# latest driver grade, where the change is guard-only / type-only and the
+# query was re-verified HASH-IDENTICAL against its DuckDB oracle at
+# sf0.001 AND sf0.01 after the change. These do not consume grading-window
+# slots this round; `tools/grading_window.py --propose` excludes them so
+# the mechanical proposal matches the committed window. Entries are
+# removed once the driver re-grades them (any round they naturally rotate
+# back in).
+_REGRADE_WAIVED: dict[str, str] = {
+    # round 11: bloom bitmap literal cast to array<bigint> (type
+    # annotation; graded shapes already inferred bigint)
+    "bloom_semi_join": "r11 literal type cast, hash-identical",
+    # round 11: NULL-avg guard on the registry fn's recomputed quotient
+    # (fires only when a window holds zero non-null values)
+    "bucketed_trailing_features": "r11 cnt_v=0 guard, hash-identical",
+    # round 11: empty-frame write guard in OfflineStore.write/backfill
+    # (fires only on a zero-row feature frame)
+    "offline_store_range_scan": "r11 empty-write guard, hash-identical",
+    # round 11: NULL-payload guard in extract_binary_features (NULL in,
+    # NULL features out — graded docs have no NULL text)
+    "multimodal_features": "r11 NULL-payload guard, hash-identical",
+    # round 11: named fail-loud in pair_agreement_stats on an all-NULL/
+    # empty field (was int(None))
+    "linkage_pairs": "r11 empty-field fail-loud, hash-identical",
+    "linkage_supervised_m": "r11 empty-field fail-loud, hash-identical",
+}
+
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (
     sorted(set(_GRADING_PRIORITY) - set(QUERIES))
+)
+assert set(_REGRADE_WAIVED) <= set(QUERIES), (
+    sorted(set(_REGRADE_WAIVED) - set(QUERIES))
 )
 QUERIES = {
     **{name: QUERIES[name] for name in _GRADING_PRIORITY},

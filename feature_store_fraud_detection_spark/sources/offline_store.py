@@ -61,6 +61,16 @@ class OfflineStore:
         man's clustering when bucketing's catalog dependency is unwanted.
         """
         df = features.withColumn(PARTITION_COL, F.to_date(F.col(self.ts_col)))
+        if df.isEmpty():
+            # a PARTITIONED write of zero rows leaves no part files at
+            # all (only _SUCCESS), so a later read() cannot infer the
+            # schema (round-11 empty-one-side probe). A plain empty
+            # write leaves a readable schema footer — same trick as
+            # clear(). isEmpty() is a take(1): negligible next to the
+            # write it guards.
+            empty = self.spark.createDataFrame([], df.schema)
+            empty.write.mode(mode).parquet(self.path)
+            return
         if sort_cols:
             df = df.sortWithinPartitions(*sort_cols)
         (
@@ -82,6 +92,16 @@ class OfflineStore:
         the option would drop ALL partitions first (the reference's
         equivalent is delete-everything-then-reinsert)."""
         df = features.withColumn(PARTITION_COL, F.to_date(F.col(self.ts_col)))
+        if df.isEmpty():
+            # nothing to overwrite; but if the table doesn't exist yet,
+            # leave a readable empty footer instead of nothing (the
+            # empty-one-side probe's read()-after-backfill case)
+            try:
+                self.read()
+            except Exception:  # noqa: BLE001 — missing/footerless path
+                empty = self.spark.createDataFrame([], df.schema)
+                empty.write.mode("overwrite").parquet(self.path)
+            return
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -354,11 +354,17 @@ def propose_window() -> list[str]:
     never graded -> oldest-grade oracle-backed backfill -> changed
     rows-only queries last (a rows-only grade is weak — each has an
     oracle-checked deterministic twin carrying the real signal, so they
-    only take slots nothing stronger wants)."""
+    only take slots nothing stronger wants). Queries in the registry's
+    _REGRADE_WAIVED (guard-only changes re-verified hash-identical this
+    round) are excluded from the changed set."""
+    import feature_store_fraud_detection_spark.plans.registry as _reg
     from feature_store_fraud_detection_spark.plans.registry import QUERIES
 
+    waived = getattr(_reg, "_REGRADE_WAIVED", {})
     history = load_history()
-    changed = changed_since_grade()
+    changed = {
+        n: v for n, v in changed_since_grade().items() if n not in waived
+    }
     names = list(QUERIES)
 
     def has_oracle(n: str) -> bool:
