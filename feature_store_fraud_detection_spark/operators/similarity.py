@@ -34,12 +34,23 @@ def dot_expr(a: Column, b: Column) -> Column:
 
 
 def with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Attach a double-typed copy of the vector and its L2 norm."""
+    """Attach a double-typed copy of the vector and its L2 norm.
+
+    NULL/empty and zero-NORM vectors are dropped here, centrally: a
+    zero-norm vector has no defined cosine against anything, and under
+    ANSI mode the division is a job-killing DIVIDE_BY_ZERO rather than a
+    NULL (round-11 empty-embedding probe). Every cosine-ranking operator
+    flows through this helper, so the contract is uniform: rows that
+    cannot be ranked are absent, never silently mis-ranked."""
     vec_d = _to_double(F.col(vec_col))
-    return df.select(
-        F.col(id_col),
-        vec_d.alias("__vec_d"),
-        F.sqrt(dot_expr(vec_d, vec_d)).alias("__norm"),
+    return (
+        _valid_vectors(df, vec_col)
+        .select(
+            F.col(id_col),
+            vec_d.alias("__vec_d"),
+            F.sqrt(dot_expr(vec_d, vec_d)).alias("__norm"),
+        )
+        .filter(F.col("__norm") > 0.0)
     )
 
 
@@ -274,9 +285,12 @@ def ivf_topk(
         F.col("__cluster").alias("cluster"),
         F.col("__vec_d").alias("__nvec"),
         F.sqrt(dot_expr(F.col("__vec_d"), F.col("__vec_d"))).alias("__nnorm"),
-    )
+    ).filter(F.col("__nnorm") > 0.0)  # zero-norm has no cosine (r11 probe)
     pairs = F.broadcast(probes).join(norms, "cluster").filter(
-        F.col("query_id") != F.col("neighbor_id")
+        (F.col("query_id") != F.col("neighbor_id"))
+        # zero-norm QUERY vectors rank nothing — and under ANSI the
+        # division would abort the job rather than yield NULL
+        & (dot_expr(F.col("__qvec"), F.col("__qvec")) > 0.0)
     )
     scored = pairs.select(
         "query_id",
@@ -453,7 +467,9 @@ def sq8_topk(
         F.col(id_col),
         F.col("__vec_d"),
         F.sqrt(dot_expr(F.col("__vec_d"), F.col("__vec_d"))).alias("__norm"),
-    )
+        # zero-norm dequantized vectors (empty or all-zero input) have no
+        # cosine — drop, don't DIVIDE_BY_ZERO (round-11 probe)
+    ).filter(F.col("__norm") > 0.0)
     q = v.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("query_id"),
         F.col("__vec_d").alias("__qvec"),
@@ -500,12 +516,12 @@ def knn_classify(
     from pyspark.sql import Window
 
     vec_d = _to_double(F.col(vec_col))
-    base = df.select(
+    base = _valid_vectors(df, vec_col).select(
         F.col(id_col),
         F.col(label_col),
         vec_d.alias("__vec_d"),
         F.sqrt(dot_expr(vec_d, vec_d)).alias("__norm"),
-    )
+    ).filter(F.col("__norm") > 0.0)  # zero-norm has no cosine (r11 probe)
     q = base.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("query_id"),
         F.col("__vec_d").alias("__qvec"),
@@ -572,12 +588,12 @@ def hard_negatives(
     from pyspark.sql import Window
 
     vd = _to_double(F.col(vec_col))
-    v = df.select(
+    v = _valid_vectors(df, vec_col).select(
         F.col(id_col),
         F.col(label_col),
         vd.alias("__vec_d"),
         F.sqrt(dot_expr(vd, vd)).alias("__norm"),
-    )
+    ).filter(F.col("__norm") > 0.0)  # zero-norm has no cosine (r11 probe)
     q = v.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("query_label"),

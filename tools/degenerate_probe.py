@@ -24,8 +24,14 @@ operator, a single-distinct key, or an all-NULL optional column):
                     key / timestamp columns and the embedding vector —
                     those are structural; text, labels, values, props
                     all go NULL)
-- asym              runs every empty:TABLE variant plus const plus
-                    nulls in sequence (the round-11 gate)
+- nullvec           embeddings.embedding all NULL (the vector analogue
+                    of nulls — ANN paths must drop, not crash)
+- emptyvec          embeddings.embedding all zero-length arrays — the
+                    zero-NORM case (cosine undefined; found 9 ANSI
+                    DIVIDE_BY_ZERO aborts in round 11)
+- asym              runs every empty:TABLE variant plus const, nulls,
+                    nullvec and emptyvec in sequence (the round-11
+                    gate)
 
 Classification per query (ADVICE r10: primarily by exception TYPE plus
 an operator-name allowlist, not generic word-colon fragments a wrapped
@@ -167,6 +173,31 @@ def _is_structural(col: str, typ: str) -> bool:
     )
 
 
+def build_vec_variant(src_dir: str, out_dir: str, expr: str) -> None:
+    """3 rows per table; embeddings.embedding replaced by `expr`."""
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        if t == "embeddings":
+            duckdb.sql(
+                f"COPY (SELECT vec_id, {expr} AS embedding, label FROM "
+                f"'{src_dir}/{t}.parquet' LIMIT 3) TO "
+                f"'{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        else:
+            duckdb.sql(
+                f"COPY (SELECT * FROM '{src_dir}/{t}.parquet' LIMIT 3) "
+                f"TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+            )
+
+
+_VEC_EXPRS = {
+    "nullvec": "CAST(NULL AS FLOAT[])",
+    "emptyvec": "CAST([] AS FLOAT[])",
+}
+
+
 def build_nulls(src_dir: str, out_dir: str) -> None:
     import duckdb
 
@@ -261,6 +292,10 @@ def main() -> int:
         out = os.path.join(tmp, "degenerate_sf_nulls")
         build_nulls(src, out)
         variants.append((mode, out))
+    elif mode in _VEC_EXPRS:
+        out = os.path.join(tmp, f"degenerate_sf_{mode}")
+        build_vec_variant(src, out, _VEC_EXPRS[mode])
+        variants.append((mode, out))
     elif mode == "asym":
         for t in EMPTY_VARIANT_TABLES:
             out = os.path.join(tmp, f"degenerate_sf_empty_{t}")
@@ -272,6 +307,10 @@ def main() -> int:
         out = os.path.join(tmp, "degenerate_sf_nulls")
         build_nulls(src, out)
         variants.append(("nulls", out))
+        for vm, expr in _VEC_EXPRS.items():
+            out = os.path.join(tmp, f"degenerate_sf_{vm}")
+            build_vec_variant(src, out, expr)
+            variants.append((vm, out))
     else:
         print(f"unknown mode {mode!r}", file=sys.stderr)
         return 2
