@@ -1808,7 +1808,7 @@ def conformal_report(
             * F.lit(float(scale))
             + F.lit(0.5),
             9.0e15,
-            "conformal_report score",
+            "conformal_report: score",
         )
     ).cast("bigint")
     base = df.filter(

@@ -45,7 +45,7 @@ def summary_stats(df: DataFrame, col: str) -> DataFrame:
     """
     # fail-loud precondition: decimal(18,6) holds |x| < 1e12; out-of-range
     # values abort instead of silently NULLing out of the sums.
-    dec = overflow_checked(F.col(col), 1e12, f"summary_stats({col})").cast(
+    dec = overflow_checked(F.col(col), 1e12, f"summary_stats: {col}").cast(
         "decimal(18,6)"
     )
     cnt = F.count(F.lit(1))
@@ -288,7 +288,7 @@ def leakage_scan(
     for c in feature_cols:
         # fail-loud precondition (see summary_stats): |x| >= 1e12 would
         # silently NULL out of decimal(18,6) and skew corr_pb undetected.
-        d = overflow_checked(F.col(c), 1e12, f"leakage_scan({c})").cast(
+        d = overflow_checked(F.col(c), 1e12, f"leakage_scan: {c}").cast(
             "decimal(18,6)"
         )
         d2 = (d * d).cast("decimal(38,12)")
@@ -1867,7 +1867,7 @@ def jarque_bera(
     )
 
     v = overflow_checked(
-        F.col(value_col).cast("double"), value_bound, "jarque_bera value"
+        F.col(value_col).cast("double"), value_bound, "jarque_bera: value"
     ).cast("bigint")
     per_g = (
         df.filter(

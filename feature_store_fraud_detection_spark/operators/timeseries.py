@@ -822,7 +822,7 @@ def seasonal_strength(
         .select(
             key_col,
             F.dayofweek("__day").alias("__dow"),  # Spark: 1=Sun..7=Sat
-            _y4_quantized(F.col("__s"), "seasonal_strength daily total").alias("__y4"),
+            _y4_quantized(F.col("__s"), "seasonal_strength: daily total").alias("__y4"),
         )
     )
     per_dow = daily.groupBy(key_col, "__dow").agg(
@@ -946,7 +946,7 @@ def pettitt_changepoint(
         .select(
             key_col,
             "__day",
-            _y4_quantized(F.col("__s"), "pettitt_changepoint daily total").alias("__y4"),
+            _y4_quantized(F.col("__s"), "pettitt_changepoint: daily total").alias("__y4"),
         )
     )
     per_v = daily.groupBy(key_col, "__y4").agg(
@@ -1059,7 +1059,7 @@ def acf_profile(
             F.datediff(
                 F.col("__day").cast("date"), F.lit("1970-01-01").cast("date")
             ).alias("__dn"),
-            _y4_quantized(F.col("__s"), "acf_profile daily total").alias("__y4"),
+            _y4_quantized(F.col("__s"), "acf_profile: daily total").alias("__y4"),
         )
     )
     left = daily.select(
@@ -1255,7 +1255,7 @@ def classical_decomposition(
                 F.col("__day").cast("date"), F.lit("1970-01-01").cast("date")
             ).alias("__dn"),
             _y4_quantized(
-                F.col("__s"), "classical_decomposition daily total"
+                F.col("__s"), "classical_decomposition: daily total"
             ).alias("__y4"),
         )
     )

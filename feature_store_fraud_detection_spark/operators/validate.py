@@ -436,7 +436,7 @@ def t_closeness_numeric_profile(
     mv_ok = F.when(F.col("__mv") > 1, F.col("__mv")).otherwise(
         F.raise_error(
             F.lit(
-                "t_closeness_numeric: single-valued sensitive domain "
+                "t_closeness_numeric_profile: single-valued sensitive domain "
                 "(mv=1) — EMD is undefined; the column carries no "
                 "release risk to measure"
             )
@@ -452,7 +452,7 @@ def t_closeness_numeric_profile(
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("__mv").cast("int").alias("n_levels"),
         bigint_checked(
-            F.col("__sum_abs"), "t_closeness_numeric sum_abs"
+            F.col("__sum_abs"), "t_closeness_numeric_profile: sum_abs"
         ).alias("sum_abs_scaled"),
         round4_stable(t_val).alias("t_value"),
     )

@@ -24,6 +24,7 @@ from feature_store_fraud_detection_spark.functions.features import (
     unix_time,
 )
 from feature_store_fraud_detection_spark.functions.geo import haversine_miles
+from feature_store_fraud_detection_spark.functions.numeric import overflow_checked
 from feature_store_fraud_detection_spark.operators.windows import trailing_range_aggs
 
 FEATURE_COLUMNS = [
@@ -67,7 +68,18 @@ def compute_features(txns: DataFrame) -> DataFrame:
         ts="trans_date_trans_time",
         aggs=[
             (F.count(F.lit(1)), 600, "txn_count_last_10_min"),
-            (F.sum(F.col("amt").cast("decimal(14,2)")), 3600, "__amt_sum_1h"),
+            # |amt| < 1e12 is the DECIMAL(14,2) domain; beyond it the
+            # cast ANSI-aborts with an unnamed error, so make the
+            # contract loud (bigvals probe, round 12)
+            (
+                F.sum(
+                    overflow_checked(
+                        F.col("amt"), 1e12, "compute_features: amt"
+                    ).cast("decimal(14,2)")
+                ),
+                3600,
+                "__amt_sum_1h",
+            ),
             (F.count("amt"), 3600, "__amt_cnt_1h"),
         ],
     ).withColumn(

@@ -81,8 +81,19 @@ class QuerySpec:
 # halves). Use for any avg/ratio OUTPUT column; plain round() stays fine for
 # sums of 2-decimal money (never near a half).
 from feature_store_fraud_detection_spark.functions.numeric import (  # noqa: E402
+    overflow_checked as _ofc,
     round4_stable as _round4_pos,
 )
+
+
+def _money_dec(col: F.Column, context: str, precision: str = "decimal(12,4)",
+               bound: float = 1e8) -> F.Column:
+    """Named-fail-loud DECIMAL cast for the exact-money aggregation paths
+    (bigvals probe, round 12): an out-of-domain value must abort with the
+    query name, never a bare ANSI NUMERIC_VALUE_OUT_OF_RANGE. The bound is
+    the cast's integral-digit capacity (10^(p-s)); graded data sits orders
+    of magnitude inside it, so graded hashes are untouched."""
+    return _ofc(col, bound, context).cast(precision)
 
 
 # --------------------------------------------------------------------------
@@ -244,7 +255,7 @@ def _q_bulk_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _disc_price_dec() -> F.Column:
-    ext = F.col("l_extendedprice").cast("decimal(12,4)")
+    ext = _money_dec(F.col("l_extendedprice"), "disc_price_dec: l_extendedprice")
     disc = F.col("l_discount").cast("decimal(6,4)")
     return ext * (F.lit(1).cast("decimal(6,4)") - disc)
 
@@ -265,7 +276,7 @@ _CHARGE_SQL = (
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    dec = lambda c: c.cast("decimal(12,4)")  # noqa: E731
+    dec = lambda c: _money_dec(c, "pricing_summary: money column")  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -405,7 +416,10 @@ def _q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(
             F.round(
-                F.sum(F.col("l_quantity").cast("decimal(12,4)")).cast("double"), 4
+                F.sum(
+                    _money_dec(F.col("l_quantity"), "large_orders: l_quantity")
+                ).cast("double"),
+                4,
             ).alias("sum_qty")
         )
         .filter(F.col("sum_qty") > 200)
@@ -498,7 +512,9 @@ def _q_cold_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         cu.filter(F.col("c_acctbal") > 0)
         .agg(
             (
-                F.sum(F.col("c_acctbal").cast("decimal(12,4)")).cast("double")
+                F.sum(
+                    _money_dec(F.col("c_acctbal"), "cold_customers: c_acctbal")
+                ).cast("double")
                 / F.count(F.lit(1))
             ).alias("__thr")
         )
@@ -667,7 +683,10 @@ def _q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.lit(0.2)
             * (
-                F.sum(F.col("l_quantity").cast("decimal(12,4)")).cast("double")
+                F.sum(
+                    _money_dec(F.col("l_quantity"),
+                               "small_quantity_revenue: l_quantity")
+                ).cast("double")
                 / F.count(F.lit(1))
             )
         ).alias("thr")
@@ -678,7 +697,10 @@ def _q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("thr"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(12,4)")).cast("double")
+                F.sum(
+                    _money_dec(F.col("l_extendedprice"),
+                               "small_quantity_revenue: l_extendedprice")
+                ).cast("double")
                 / 7.0,
                 4,
             ).alias("avg_yearly"),
@@ -833,7 +855,10 @@ def _q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs=[
             F.count(F.lit(1)).alias("txn_count"),
             _round4_pos(
-                F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+                F.sum(
+                    _money_dec(F.col("value"), "sliding_window_aggs: value",
+                               "decimal(14,2)", 1e12)
+                ).cast("double")
                 / F.count("value")
             ).alias("avg_value"),
         ],
@@ -869,7 +894,9 @@ def _q_bucketed_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decomposed partial sums are order-independent; avg via the
     # floor-rounded exact quotient (see _round4_pos).
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "value", F.col("value").cast("decimal(14,2)")
+        "value",
+        _money_dec(F.col("value"), "bucketed_trailing_features: value",
+                   "decimal(14,2)", 1e12),
     )
     c600 = bucketed_trailing_aggs(
         ev, key="user_id", ts="ts", value="value", seconds=600, row_id="event_id"
@@ -2324,7 +2351,9 @@ def _q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the two-level summation is order-independent — double sums diverge
     # from the oracle once keys hold enough rows (seen at sf0.1).
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "value", F.col("value").cast("decimal(14,2)")
+        "value",
+        _money_dec(F.col("value"), "salted_stats: value",
+                   "decimal(14,2)", 1e12),
     )
     out = salted_stats(ev, "user_id", "value", num_salts=8)
     return out.select(
@@ -4321,7 +4350,10 @@ def _q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("label").cast("bigint").alias("n_pos"),
             _round4_pos(
-                F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+                F.sum(
+                    _money_dec(F.col("score"), "calibration_bins: score",
+                               "decimal(18,6)", 1e12)
+                ).cast("double")
                 / F.count(F.lit(1))
             ).alias("avg_score"),
             _round4_pos(
@@ -11967,7 +11999,14 @@ def _q_t_closeness_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.hour("ts").alias("hour"),
         F.pmod(F.col("user_id"), F.lit(100)).alias("user_bucket"),
-        F.floor(F.col("value") / F.lit(50.0)).cast("int").alias("v_band"),
+        # int32 band is safe to value ~1e11 (value/50 < 2^31); abort
+        # NAMED beyond it instead of a bare CAST_OVERFLOW (bigvals
+        # probe, round 12)
+        _ofc(
+            F.floor(F.col("value") / F.lit(50.0)),
+            2.0e9,
+            "t_closeness_emd: v_band",
+        ).cast("int").alias("v_band"),
     )
     return t_closeness_numeric_profile(ev, ["hour", "user_bucket"], "v_band")
 
@@ -12429,10 +12468,18 @@ def _linkage_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "modal_type",
             "peak_hour",
-            F.floor(
-                F.col("__cents").cast("double")
-                / F.col("__n").cast("double")
-                / F.lit(2000.0)
+            # the int32 bucket is safe to a mean value of ~4.3e10 (mean
+            # cents / 2000 < 2^31); the events.value contract is ~1e3,
+            # so abort NAMED well inside the cast's own overflow
+            # (bigvals probe, round 12)
+            _ofc(
+                F.floor(
+                    F.col("__cents").cast("double")
+                    / F.col("__n").cast("double")
+                    / F.lit(2000.0)
+                ),
+                2.0e9,
+                "linkage_profiles: v_bucket",
             ).cast("int").alias("v_bucket"),
             F.floor(F.col("__n").cast("double") / F.lit(25.0))
             .cast("int")
@@ -15773,41 +15820,15 @@ _GRADING_PRIORITY: list[str] = [
 # the mechanical proposal matches the committed window. Entries are
 # removed once the driver re-grades them (any round they naturally rotate
 # back in).
-_REGRADE_WAIVED: dict[str, str] = {
-    # round 11: bloom bitmap literal cast to array<bigint> (type
-    # annotation; graded shapes already inferred bigint)
-    "bloom_semi_join": "r11 literal type cast, hash-identical",
-    # round 11: NULL-avg guard on the registry fn's recomputed quotient
-    # (fires only when a window holds zero non-null values)
-    "bucketed_trailing_features": "r11 cnt_v=0 guard, hash-identical",
-    # round 11: empty-frame write guard in OfflineStore.write/backfill
-    # (fires only on a zero-row feature frame)
-    "offline_store_range_scan": "r11 empty-write guard, hash-identical",
-    # round 11: NULL-payload guard in extract_binary_features (NULL in,
-    # NULL features out — graded docs have no NULL text)
-    "multimodal_features": "r11 NULL-payload guard, hash-identical",
-    # round 11: named fail-loud in pair_agreement_stats on an all-NULL/
-    # empty field (was int(None))
-    "linkage_pairs": "r11 empty-field fail-loud, hash-identical",
-    "linkage_supervised_m": "r11 empty-field fail-loud, hash-identical",
-    # round 11: zero-norm/empty embedding guards in the cosine family
-    # (with_norm + the inline-norm operators) — an empty or all-zero
-    # vector has no defined cosine and under ANSI was a job-killing
-    # DIVIDE_BY_ZERO (nullvec/emptyvec probe variants); graded
-    # embeddings are all non-empty/non-zero, every query re-verified
-    # hash-identical at sf0.001 AND sf0.01
-    "ann_recall": "r11 zero-norm vector guard, hash-identical",
-    "cosine_topk": "r11 zero-norm vector guard, hash-identical",
-    "embedding_neardup_pairs": "r11 zero-norm vector guard, hash-identical",
-    "hard_negatives": "r11 zero-norm vector guard, hash-identical",
-    "ivf_topk": "r11 zero-norm vector guard, hash-identical",
-    "knn_classify": "r11 zero-norm vector guard, hash-identical",
-    "lsh_topk": "r11 zero-norm vector guard, hash-identical",
-    "multiprobe_recall": "r11 zero-norm vector guard, hash-identical",
-    "multiprobe_topk": "r11 zero-norm vector guard, hash-identical",
-    "sq8_topk": "r11 zero-norm vector guard, hash-identical",
-    "training_triplets": "r11 zero-norm vector guard, hash-identical",
-}
+#
+# Round 12: EMPTY by design — the r11 waivers (bloom literal cast,
+# bucketed-trailing cnt=0 guard, offline-store empty-write guard,
+# multimodal NULL-payload guard, linkage fail-louds, and the eleven
+# zero-norm cosine-family consumers) all drain into the r12 grading
+# window above, where the driver's grade retires them (VERDICT r11
+# task 1: no local verification may keep substituting for the
+# authoritative driver signal).
+_REGRADE_WAIVED: dict[str, str] = {}
 
 assert set(_GRADING_PRIORITY) <= set(QUERIES), (
     sorted(set(_GRADING_PRIORITY) - set(QUERIES))

@@ -68,6 +68,20 @@ class OfflineStore:
             # write leaves a readable schema footer — same trick as
             # clear(). isEmpty() is a take(1): negligible next to the
             # write it guards.
+            #
+            # But only when the table does not already exist: an empty
+            # APPEND onto an existing partitioned table would drop a
+            # flat part file (with feature_date as a physical column)
+            # at the table root, next to feature_date=... directories —
+            # Spark's partition discovery then fails on the next read()
+            # with "conflicting directory structures". Existing table +
+            # empty frame = no-op (same rule as backfill()).
+            if mode == "append":
+                try:
+                    self.read()
+                    return  # table already readable; nothing to add
+                except Exception:  # noqa: BLE001 — missing/footerless path
+                    pass
             empty = self.spark.createDataFrame([], df.schema)
             empty.write.mode(mode).parquet(self.path)
             return

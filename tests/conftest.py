@@ -87,6 +87,14 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if item.name.split("[")[0] in CORE_TESTS:
             item.add_marker(pytest.mark.core)
+        # two-tier policy (round 12; the full suite crossed the r10
+        # verdict's 45-minute line): every hypothesis property-sweep
+        # module is `slow`. Merge gate = `-m "not slow"` (fixtures,
+        # oracles, plan gates — the correctness signal); the sweeps run
+        # once per round via `-m slow`. Module NAME is the tier signal
+        # so new sweep modules inherit it mechanically.
+        if "_properties" in item.module.__name__:
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture(scope="session")

@@ -86,3 +86,18 @@ def test_flagship_on_testdata(spark, sf_dir):
     n = out.count()
     assert n == events.count()
     assert out.filter(F.col("txn_count_last_10_min") < 1).count() == 0
+
+
+def test_flagship_amt_overflow_fails_named(spark):
+    # bigvals probe (round 12): an amt outside the DECIMAL(14,2) domain
+    # must abort with the operator name, never a bare ANSI
+    # NUMERIC_VALUE_OUT_OF_RANGE
+    import pytest
+
+    rows = [
+        _mk_txn("2024-01-07 12:00:00", 1, 10.0),
+        _mk_txn("2024-01-07 12:01:00", 1, 9.0e12),
+    ]
+    df = spark.createDataFrame(rows, TRANSACTIONS_SCHEMA)
+    with pytest.raises(Exception, match="compute_features"):
+        compute_features(df).collect()

@@ -42,8 +42,21 @@ def test_offline_store_roundtrip(spark, sf_dir, tmp_path):
     # append doubles the row count; clear empties
     store.append(feats)
     assert store.read().count() == 2 * n
+
+    # appending an EMPTY batch onto the existing partitioned table must be
+    # a no-op: writing an empty flat part file at the table root (next to
+    # feature_date=... dirs) would break partition discovery on read()
+    # (round-11 advice). Table stays readable with the same count.
+    store.append(feats.filter(F.lit(False)))
+    assert store.read().count() == 2 * n
+
     store.clear()
     assert store.read().count() == 0
+
+    # empty append on a MISSING table still leaves a readable schema footer
+    fresh = OfflineStore(spark, str(tmp_path / "offline_fresh"))
+    fresh.append(feats.filter(F.lit(False)))
+    assert fresh.read().count() == 0
 
 
 def test_bucketed_join_skips_shuffle(spark, sf_dir):

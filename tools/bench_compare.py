@@ -126,8 +126,8 @@ def main() -> int:
     na = a.get("host_canary_noise_max_over_min")
     nb = b.get("host_canary_noise_max_over_min")
     host = None
+    noisy = max(na or 1.0, nb or 1.0)
     if ca and cb:
-        noisy = max(na or 1.0, nb or 1.0)
         if noisy > NOISY_CANARY:
             print(f"host canary: {ca:.2f} -> {cb:.2f} s, but canary "
                   f"self-noise {noisy:.2f} > {NOISY_CANARY} — NOT "
@@ -136,15 +136,35 @@ def main() -> int:
         else:
             host = cb / ca
             print(f"host canary: {ca:.2f} -> {cb:.2f} s "
-                  f"(box B is {host:.2f}x box A's time on fixed work; "
-                  "verdicts require raw AND normalized to agree)")
+                  f"(box B is {host:.2f}x box A's time on fixed work)")
+    # Verdict rule (round-11 advice): requiring raw AND normalized to
+    # agree defeats normalization exactly when it matters — on a
+    # uniformly ~30% slower box every raw ratio is out of band. So:
+    # - canary quiet (self-noise <= QUIET_CANARY) and host drift large
+    #   (beyond the band): the canary is trustworthy and raw is known to
+    #   be polluted by the host — trust the NORMALIZED ratio alone (raw
+    #   still printed).
+    # - canary mildly noisy, or host ~1 (raw and normalized should tell
+    #   the same story): conservative raw-AND-normalized agreement.
+    QUIET_CANARY = 1.1
+    in_band = lambda r: 1 / 1.15 <= r <= 1.15  # noqa: E731
+    trust_norm_only = (
+        host is not None and noisy <= QUIET_CANARY and not in_band(host)
+    )
+    if host is not None:
+        rule = ("normalized governs (quiet canary, large host drift)"
+                if trust_norm_only else
+                "verdicts require raw AND normalized to agree")
+        print(f"  verdict rule: {rule}")
     subs_a, subs_b = a.get("subtotals", {}), b.get("subtotals", {})
     for k in sorted(set(subs_a) & set(subs_b)):
         raw = subs_b[k] / subs_a[k] if subs_a[k] else float("nan")
         norm = raw / host if host else None
-        in_band = lambda r: 1 / 1.15 <= r <= 1.15  # noqa: E731
-        # conservative: flag unless every available view is in band
-        ok = in_band(raw) and (norm is None or in_band(norm))
+        if trust_norm_only:
+            ok = in_band(norm)
+        else:
+            # conservative: flag unless every available view is in band
+            ok = in_band(raw) and (norm is None or in_band(norm))
         verdict = "within noise" if ok else "INVESTIGATE"
         extra = f" (norm {(norm - 1) * 100:+.0f}%)" if norm else ""
         print(f"  {k}: {subs_a[k]:.2f} -> {subs_b[k]:.2f} s "

@@ -33,19 +33,40 @@ operator, a single-distinct key, or an all-NULL optional column):
                     nullvec and emptyvec in sequence (the round-11
                     gate)
 
-Classification per query (ADVICE r10: primarily by exception TYPE plus
-an operator-name allowlist, not generic word-colon fragments a wrapped
-engine error could accidentally match):
+Round 12 added the extreme-input shapes (VERDICT r11 tasks 2 and 6):
+
+- bigvals           money/measure columns pushed to ~9e12 (~1e10x the
+                    documented events.value contract) — DECIMAL-cast
+                    sums and int-quantization edges must fail LOUD with
+                    the operator name, never a bare ANSI
+                    NUMERIC_VALUE_OUT_OF_RANGE / CAST_OVERFLOW
+- tinytext          every document is a single character (shorter than
+                    any shingle/k-gram/BPE window)
+- bigtext           every document is ~1 MB (per-row explosion paths
+                    must stay bounded)
+- nullts            every TIMESTAMP column all-NULL (the complement of
+                    nulls, which keeps timestamps structural)
+- extremes          bigvals + tinytext + bigtext + nullts in sequence
+                    (the round-12 gate)
+
+Classification per query (ADVICE r11: by the operator-name allowlist
+ONLY — exception type is not a signal, because an accidental driver-side
+ValueError from float()/int() parsing or a library assertion is a bug,
+not a fail-loud; the repo's convention prefixes every deliberate message
+with the operator/query name):
 
 - OK            — ran and returned (possibly zero rows)
-- NAMED-FAIL    — a deliberate fail-loud: driver-side ValueError /
-                  AssertionError, an in-plan F.raise_error
-                  (USER_RAISED_EXCEPTION), or a message carrying a
-                  "<known operator/query name>:" prefix where the name
-                  comes from the registry + package function inventory
-- UNNAMED-FAIL  — a bare engine error (DIVIDE_BY_ZERO, cast overflow,
-                  getbit range, ...) with no recognized name: the bug
-                  class this tool exists to catch. Exit code 1 if any.
+- NAMED-FAIL    — a deliberate fail-loud: any exception whose message
+                  carries a "<known operator/query name>:" prefix where
+                  the name comes from the registry + package function
+                  inventory (driver-side ValueError/AssertionError and
+                  in-plan F.raise_error payloads all follow this form).
+                  Message heads are printed so misclassification stays
+                  auditable.
+- UNNAMED-FAIL  — any other error (DIVIDE_BY_ZERO, cast overflow,
+                  getbit range, bare ValueError, ...) with no recognized
+                  name: the bug class this tool exists to catch. Exit
+                  code 1 if any.
 
 Usage: python tools/degenerate_probe.py [rows_per_table] [query ...]
        python tools/degenerate_probe.py --mode empty:events [query ...]
@@ -110,13 +131,16 @@ def _named_matcher() -> re.Pattern[str]:
 def is_named_failure(
     exc: Exception, msg: str, matcher: re.Pattern[str]
 ) -> bool:
-    """Deliberate fail-loud? Type first (driver-side fail-louds raise
-    ValueError/AssertionError; in-plan ones go through F.raise_error ->
-    USER_RAISED_EXCEPTION), then the operator-name allowlist."""
-    if isinstance(exc, (ValueError, AssertionError)):
-        return True
-    if "USER_RAISED_EXCEPTION" in msg:
-        return True
+    """Deliberate fail-loud? The repo's fail-loud convention prefixes
+    messages with the operator/query name, so ALL paths — including
+    driver-side ValueError/AssertionError — must match the name
+    allowlist (round-11 advice: a bare ValueError from an accidental
+    float()/int() parse or a library assertion is a BUG, not a named
+    fail-loud, and must surface as UNNAMED). In-plan fail-louds go
+    through F.raise_error -> USER_RAISED_EXCEPTION, whose payload also
+    carries the name prefix. Exception type no longer matters: named
+    prefix or bust."""
+    del exc  # type is no longer a classification signal
     return bool(matcher.search(msg))
 
 
@@ -198,6 +222,99 @@ _VEC_EXPRS = {
 }
 
 
+#: money/measure columns for the bigvals variant: every DOUBLE payload a
+#: pipeline would sum/avg/quantize. 9e12 is ~1e10x the documented
+#: events.value contract (~1e3) — sums of it overflow DECIMAL casts and
+#: int-quantization edges unless those are guarded by NAMED fail-louds.
+_MONEY_COLS = {
+    "events": ["value"],
+    "orders": ["o_totalprice"],
+    "lineitem": ["l_quantity", "l_extendedprice"],
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "part": ["p_retailprice"],
+}
+
+
+def build_bigvals(src_dir: str, out_dir: str) -> None:
+    """3 rows per table; money columns pushed to ~9e12 (keeping a small
+    per-row spread so single-distinct collapse doesn't mask the
+    overflow path)."""
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        cols = duckdb.sql(
+            f"DESCRIBE SELECT * FROM '{src_dir}/{t}.parquet'"
+        ).fetchall()
+        big = set(_MONEY_COLS.get(t, []))
+        proj = ", ".join(
+            f'9.0e12 + abs(coalesce("{c}", 0.0)) AS "{c}"' if c in big
+            else f'"{c}"'
+            for c, _typ, *_ in cols
+        )
+        duckdb.sql(
+            f"COPY (SELECT {proj} FROM '{src_dir}/{t}.parquet' LIMIT 3) "
+            f"TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
+#: documents.text replacements for the text-extremes variants. n_chars
+#: is recomputed to stay consistent with the new text (operators may
+#: trust it as a precomputed length).
+_TEXT_EXPRS = {
+    # single-character documents: shingling/k-grams/BPE all see a text
+    # shorter than their window
+    "tinytext": "substr(coalesce(text, 'x'), 1, 1)",
+    # ~1 MB documents: per-row explosion paths (char n-grams, token
+    # pairs) must stay bounded, not O(len^2)
+    "bigtext": "repeat(substr(coalesce(text, 'abcdefgh'), 1, 1024), 1024)",
+}
+
+
+def build_text_variant(src_dir: str, out_dir: str, expr: str) -> None:
+    """3 rows per table; documents.text replaced by `expr`, n_chars
+    recomputed."""
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        if t == "documents":
+            duckdb.sql(
+                f"COPY (SELECT doc_id, {expr} AS text, lang, source, "
+                f"length({expr}) AS n_chars FROM "
+                f"'{src_dir}/{t}.parquet' LIMIT 3) TO "
+                f"'{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        else:
+            duckdb.sql(
+                f"COPY (SELECT * FROM '{src_dir}/{t}.parquet' LIMIT 3) "
+                f"TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+            )
+
+
+def build_nullts(src_dir: str, out_dir: str) -> None:
+    """3 rows per table; every TIMESTAMP column all-NULL, everything
+    else intact (the complement of build_nulls, which keeps timestamps
+    structural)."""
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        cols = duckdb.sql(
+            f"DESCRIBE SELECT * FROM '{src_dir}/{t}.parquet'"
+        ).fetchall()
+        proj = ", ".join(
+            f'CAST(NULL AS {typ}) AS "{c}"' if "TIMESTAMP" in typ.upper()
+            else f'"{c}"'
+            for c, typ, *_ in cols
+        )
+        duckdb.sql(
+            f"COPY (SELECT {proj} FROM '{src_dir}/{t}.parquet' LIMIT 3) "
+            f"TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
 def build_nulls(src_dir: str, out_dir: str) -> None:
     import duckdb
 
@@ -227,6 +344,7 @@ def run_variant(spark, matcher, label: str, data_dir: str,
 
     results: dict[str, list[str]] = {"OK": [], "NAMED-FAIL": [],
                                      "UNNAMED-FAIL": []}
+    named_heads: dict[str, str] = {}
     for name, spec in QUERIES.items():
         if only and name not in only:
             continue
@@ -237,6 +355,9 @@ def run_variant(spark, matcher, label: str, data_dir: str,
             msg = str(exc)
             if is_named_failure(exc, msg, matcher):
                 results["NAMED-FAIL"].append(name)
+                named_heads[name] = (
+                    msg.strip().splitlines()[0][:160] if msg else ""
+                )
             else:
                 results["UNNAMED-FAIL"].append(name)
                 head = msg.strip().splitlines()[0][:160] if msg else (
@@ -248,9 +369,10 @@ def run_variant(spark, matcher, label: str, data_dir: str,
           f"named-fail={len(results['NAMED-FAIL'])}  "
           f"UNNAMED-fail={len(results['UNNAMED-FAIL'])}", flush=True)
     if results["NAMED-FAIL"]:
-        print(f"[{label}] named fail-louds (acceptable):")
+        print(f"[{label}] named fail-louds (acceptable; heads printed "
+              "for audit):")
         for n in results["NAMED-FAIL"]:
-            print(f"    {n}")
+            print(f"    {n}: {named_heads.get(n, '')}")
     return results["UNNAMED-FAIL"]
 
 
@@ -296,6 +418,30 @@ def main() -> int:
         out = os.path.join(tmp, f"degenerate_sf_{mode}")
         build_vec_variant(src, out, _VEC_EXPRS[mode])
         variants.append((mode, out))
+    elif mode == "bigvals":
+        out = os.path.join(tmp, "degenerate_sf_bigvals")
+        build_bigvals(src, out)
+        variants.append((mode, out))
+    elif mode in _TEXT_EXPRS:
+        out = os.path.join(tmp, f"degenerate_sf_{mode}")
+        build_text_variant(src, out, _TEXT_EXPRS[mode])
+        variants.append((mode, out))
+    elif mode == "nullts":
+        out = os.path.join(tmp, "degenerate_sf_nullts")
+        build_nullts(src, out)
+        variants.append((mode, out))
+    elif mode == "extremes":
+        # round-12 sweep: extreme-value + text-extreme + null-timestamp
+        out = os.path.join(tmp, "degenerate_sf_bigvals")
+        build_bigvals(src, out)
+        variants.append(("bigvals", out))
+        for tm, expr in _TEXT_EXPRS.items():
+            out = os.path.join(tmp, f"degenerate_sf_{tm}")
+            build_text_variant(src, out, expr)
+            variants.append((tm, out))
+        out = os.path.join(tmp, "degenerate_sf_nullts")
+        build_nullts(src, out)
+        variants.append(("nullts", out))
     elif mode == "asym":
         for t in EMPTY_VARIANT_TABLES:
             out = os.path.join(tmp, f"degenerate_sf_empty_{t}")
