@@ -409,12 +409,19 @@ def dedup_clusters(
     This is the canonical "keep one doc per duplicate cluster" reducer fed
     by minhash_lsh_pairs / ngram_jaccard_pairs output.
     """
+    # r12 optimization (guide §5 caching): every iteration joins edges —
+    # without the persist each round's actions (the eager checkpoint and
+    # the convergence count) re-ran the ENTIRE pairs pipeline (for the
+    # LSH/ngram/dbscan callers: shingles, banding, the grid join).
+    # Unpersisted after the loop — labels is eagerly checkpointed each
+    # round, so nothing downstream re-reads edges.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
+        .persist()
     )
     labels = all_ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
@@ -445,6 +452,7 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("canonical_id"))
 
 
@@ -670,6 +678,16 @@ def minhash_probe(
     clearing a duplicate's matches (which would invert the streaming
     dedup filter's purpose).
     """
+    # r12 optimization (guide §5 / §2.4): each state feeds TWO subtrees —
+    # its band-bucket index and its shingle side of the exact verify —
+    # and when the caller composes the state lazily (the registry shape:
+    # minhash_doc_state straight into the probe) every reference re-ran
+    # the shingle + permutation sketch. The persist implements the
+    # docstring's own contract ("the corpus is sketched once"); callers
+    # that pass an already-materialized index read it from store and the
+    # cache is a no-op. Not unpersisted (the lazy return reads both).
+    new_state = new_state.persist()
+    corpus_state = corpus_state.persist()
     nb = minhash_bucket_index(new_state, id_col).select(
         F.col(id_col).alias("new_id"), "band", "band_key"
     )

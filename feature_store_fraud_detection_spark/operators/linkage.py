@@ -75,6 +75,46 @@ def pair_agreement_stats(profiles: DataFrame, field: str) -> tuple[int, int]:
     return int(row["agree_pairs"]), int(row["n"])
 
 
+def _pair_agreement_stats_multi(
+    profiles: DataFrame, field_cols: list[str]
+) -> dict[str, tuple[int, int]]:
+    """:func:`pair_agreement_stats` for several fields in ONE Spark job:
+    the per-field 1-row aggregates union into a single bounded frame and
+    collect once. Each field's histogram fold is the same expression as
+    the single-field path (same NULL exclusion, same DECIMAL sums), so
+    the returned integers are identical — this only removes the
+    k-separate-actions overhead (every action re-ran the whole profile
+    pipeline before the caller-side persist landed; r12 optimization,
+    guide §5 driver discipline)."""
+    parts = [
+        profiles.filter(F.col(f).isNotNull())
+        .groupBy(F.col(f).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.lit(f).alias("__field"),
+            F.sum(
+                (F.col("__c") * (F.col("__c") - 1)).cast("decimal(38,0)")
+            ).alias("agree_pairs"),
+            F.sum("__c").alias("n"),
+        )
+        for f in field_cols
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    out: dict[str, tuple[int, int]] = {}
+    for row in u.collect():
+        f = row["__field"]
+        if row["n"] is None:
+            raise ValueError(
+                f"pair_agreement_stats: field {f!r} has no non-null "
+                "values — agreement statistics are undefined on an "
+                "empty/all-NULL field"
+            )
+        out[f] = (int(row["agree_pairs"]), int(row["n"]))
+    return out
+
+
 def _blocked_pairs(
     profiles: DataFrame,
     id_col: str,
@@ -123,11 +163,21 @@ def fellegi_sunter_pairs(
     agreement). Pairs are emitted once (``id_a < id_b``).
     """
     m_probs = m_probs or {}
+    # r12 optimization (guide §5 / §2.4): the u statistics are driver
+    # actions — without a persist each one re-ran the ENTIRE profile
+    # pipeline (events scan + aggregates + rank windows for the registry
+    # callers), and the blocked self-join below re-ran it twice more.
+    # The profile table is bounded (one row per entity), so cache it
+    # once; every u job and both join sides then read memory. The cache
+    # is deliberately NOT unpersisted: the returned frame still scans it
+    # (materializing the result here would replace the plan the
+    # shape gates and the serving callers see), matching the
+    # ngram_jaccard_pairs shingle-cache convention.
+    profiles = profiles.cache()
     # exact u per field — bounded driver pulls (two scalars per field)
-    # that land in the score expression as plan literals
-    u_map: dict[str, tuple[int, int]] = {
-        f: pair_agreement_stats(profiles, f) for f in field_cols
-    }
+    # that land in the score expression as plan literals; ONE job for
+    # all fields (each was a separate full-pipeline action before)
+    u_map = _pair_agreement_stats_multi(profiles, field_cols)
 
     pairs = _blocked_pairs(profiles, id_col, block_cols, field_cols)
 
@@ -230,6 +280,11 @@ def em_linkage_params(
     k = len(field_cols)
     if k == 0:
         raise ValueError("em_linkage_params: need at least one field")
+    # r12 optimization (guide §2.4): the blocked self-join evaluates the
+    # profile pipeline on BOTH sides of one job — persist it for the
+    # single pattern-count action, release right after (the EM loop and
+    # the report are pure driver arithmetic; nothing later reads it)
+    profiles = profiles.persist()
     pairs = _blocked_pairs(profiles, id_col, block_cols, field_cols)
     flag_cols = [
         _agree_flag(f).cast("int").alias(f"__a{i}")
@@ -241,6 +296,7 @@ def em_linkage_params(
         .agg(F.count(F.lit(1)).alias("__c"))
         .collect()
     )
+    profiles.unpersist()
     if not pat_rows:
         raise ValueError(
             "em_linkage_params: no candidate pairs — every block is a "
@@ -494,12 +550,21 @@ def supervised_weights_report(
     """
     import math
 
+    # r12 optimization (guide §5): this report is k+1 driver actions over
+    # the same profile table — the m-estimate join and one u histogram
+    # per field. Each action re-ran the whole profile pipeline (events
+    # scan + aggregates + rank windows for the registry caller, ~12
+    # evaluations at k=4). Persist once, fold the k u-jobs into one, and
+    # release before returning (the result is driver rows).
+    profiles = profiles.persist()
     m_rows = {
         r["field"]: r
         for r in supervised_m_estimates(
             profiles, id_col, field_cols, labeled_pairs, id_a, id_b
         ).collect()
     }
+    u_stats = _pair_agreement_stats_multi(profiles, field_cols)
+    profiles.unpersist()
 
     def _r4(x: float) -> float:
         return math.floor(x * 10000 + 0.5) / 10000
@@ -508,7 +573,7 @@ def supervised_weights_report(
     for f in field_cols:
         r = m_rows[f]
         nl, na = int(r["n_labeled"]), int(r["n_agree"])
-        ap, n = pair_agreement_stats(profiles, f)
+        ap, n = u_stats[f]
         m_f = float(na) / float(nl)
         u_f = float(ap) / float(n * (n - 1)) if n >= 2 else 0.0
         ok = 0.0 < u_f < m_f < 1.0

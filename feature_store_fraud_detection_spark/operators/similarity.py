@@ -122,27 +122,81 @@ def hyperplane_value(plane: Column, dim: Column) -> Column:
     return F.conv(F.substring(h, 1, 1), 16, 10).cast("double") - F.lit(7.5)
 
 
-def bucket_expr(vec_d: Column, num_planes: int = 8) -> Column:
+def hyperplanes_literal(num_planes: int, dim: int) -> list[list[float]]:
+    """The ``num_planes x dim`` hyperplane constants of
+    :func:`hyperplane_value`, computed ONCE on the driver (same md5
+    nibble arithmetic, bit-identical doubles). ``bucket_expr`` evaluated
+    the md5 chain PER ROW — num_planes*dim md5 calls per vector, the
+    dominant per-row cost of every LSH consumer at any scale — for
+    values that depend only on (plane, dim). r12 optimization, guide
+    §1.2 step 2 (per-task work): the constants ship as one plan literal
+    instead. The SQL oracle twin keeps spelling the md5 chain — md5 is
+    md5 on both engines, so the folded constants are identical."""
+    import hashlib
+
+    return [
+        [
+            float(
+                int(
+                    hashlib.md5(f"{p},{d}".encode("utf-8")).hexdigest()[0], 16
+                )
+            )
+            - 7.5
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def bucket_expr(
+    vec_d: Column,
+    num_planes: int = 8,
+    planes: list[list[float]] | None = None,
+) -> Column:
     """Random-hyperplane LSH bucket key as a pure array-local expression:
     bit p = sign of <vec, H_p>, concatenated over planes. Sequential
     left-fold dot products — deterministic and engine-portable (the
     alternating explode/groupBy formulation sums in shuffle order, whose
-    low-bit nondeterminism can flip signs near zero)."""
+    low-bit nondeterminism can flip signs near zero).
 
-    def plane_bit(vb: Column, p: Column) -> Column:
-        dot = F.aggregate(
-            F.zip_with(
-                vb,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vb) - 1),
-                    lambda d: hyperplane_value(p, d),
+    ``planes``: optional pre-computed ``num_planes x dim`` hyperplane
+    constants (:func:`hyperplanes_literal`). When given, the per-row md5
+    chain is replaced by one literal array — the same doubles, folded in
+    the same order, so the bucket strings are bit-identical. Callers that
+    know the corpus dimension should pass it; the md5-per-row form stays
+    for callers that cannot probe the dimension up front."""
+
+    if planes is not None:
+        pl = F.lit([[float(x) for x in row] for row in planes])
+
+        def plane_bit(vb: Column, p: Column) -> Column:
+            dot = F.aggregate(
+                F.zip_with(
+                    vb,
+                    F.element_at(pl, (p + 1).cast("int")),
+                    lambda x, h: x * h,
                 ),
-                lambda x, h: x * h,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    else:
+
+        def plane_bit(vb: Column, p: Column) -> Column:
+            dot = F.aggregate(
+                F.zip_with(
+                    vb,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(vb) - 1),
+                        lambda d: hyperplane_value(p, d),
+                    ),
+                    lambda x, h: x * h,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
 
     return F.element_at(
         F.transform(
@@ -159,14 +213,35 @@ def bucket_expr(vec_d: Column, num_planes: int = 8) -> Column:
     )
 
 
+def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector dimensionality from one row (None on an empty frame) — the
+    bounded driver probe pq_topk/ivfpq_topk already pay to size their
+    codebooks; LSH callers use it to fold the hyperplane constants."""
+    first = (
+        _valid_vectors(df, vec_col).select(F.size(vec_col)).first()
+    )
+    return None if first is None else int(first[0])
+
+
 def lsh_buckets(
-    df: DataFrame, id_col: str, vec_col: str, num_planes: int = 8
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign each vector its hyperplane-LSH bucket key — one narrow
     projection, no shuffle. Cosine-similar vectors agree on most signs, so
-    near neighbors collide."""
+    near neighbors collide. Pass ``dim`` (the corpus dimensionality) to
+    fold the hyperplane constants into a plan literal instead of the
+    md5-per-row chain (bit-identical buckets — see
+    :func:`hyperplanes_literal`)."""
+    planes = hyperplanes_literal(num_planes, dim) if dim is not None else None
     return df.select(
-        F.col(id_col), bucket_expr(_to_double(F.col(vec_col)), num_planes).alias("bucket")
+        F.col(id_col),
+        bucket_expr(_to_double(F.col(vec_col)), num_planes, planes).alias(
+            "bucket"
+        ),
     )
 
 
@@ -203,7 +278,6 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    spark = df.sparkSession
     vecs = _valid_vectors(df, vec_col).select(
         F.col(id_col), _to_double(F.col(vec_col)).alias("__vec_d")
     )
@@ -217,26 +291,20 @@ def ivf_topk(
             .limit(num_clusters)
             .collect()
         )
-        cent_df = spark.createDataFrame(
-            [(i, list(r["__vec_d"])) for i, r in enumerate(picked)],
-            "cluster int, centroid array<double>",
+        cent_list = [list(r["__vec_d"]) for r in picked]
+        # assign every vector to its nearest centroid — same sequential-
+        # fold dist2 both engines, ties broken on cluster id; narrow
+        # literal argmin instead of crossJoin + row_number window (r12,
+        # see _nearest_centroid_exprs — bit-identical winners). Fanned
+        # out so the per-row distance folds never serialize on a
+        # one-file corpus (no-op at scale).
+        from feature_store_fraud_detection_spark.operators.dedup import (
+            fan_out_if_few_inputs,
         )
-        # assign every vector to its nearest centroid — same sequential-fold
-        # dist2 both engines, ties broken on cluster id
-        dist2 = F.aggregate(
-            F.zip_with(
-                "__vec_d", "centroid", lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        w_asg = Window.partitionBy(id_col).orderBy("__d2", "cluster")
-        assigned = (
-            vecs.crossJoin(F.broadcast(cent_df))
-            .withColumn("__d2", dist2)
-            .withColumn("__rn", F.row_number().over(w_asg))
-            .filter(F.col("__rn") == 1)
-            .select(id_col, "__vec_d", F.col("cluster").alias("__cluster"))
+
+        _, cluster_expr = _nearest_centroid_exprs(cent_list, "__vec_d")
+        assigned = fan_out_if_few_inputs(vecs, id_col).select(
+            id_col, "__vec_d", cluster_expr.alias("__cluster")
         )
     elif init == "kmeans":
         from pyspark.ml.clustering import KMeans
@@ -253,32 +321,25 @@ def ivf_topk(
         assigned = model.transform(feat)
 
         # distance of every query to every centroid -> n_probe nearest lists
-        centroids = [
-            (i, [float(x) for x in c])
-            for i, c in enumerate(model.clusterCenters())
+        cent_list = [
+            [float(x) for x in c] for c in model.clusterCenters()
         ]
-        cent_df = spark.createDataFrame(
-            centroids, "cluster int, centroid array<double>"
-        )
     else:
         raise ValueError(f"unknown init {init!r}")
     q = assigned.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("query_id"), F.col("__vec_d").alias("__qvec")
     )
-    q_cent = q.crossJoin(F.broadcast(cent_df)).select(
-        "query_id",
-        "__qvec",
-        "cluster",
-        F.aggregate(
-            F.zip_with("__qvec", "centroid", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("dist2"),
+    # probe selection: same (dist2, cluster) ordering as the old per-query
+    # row_number window, as a literal array_sort (r12 — no crossJoin)
+    qd2s, _ = _nearest_centroid_exprs(cent_list, "__qvec")
+    probes = (
+        q.select(
+            "query_id",
+            "__qvec",
+            F.explode(_nearest_probes_expr(qd2s, n_probe)).alias("p"),
+        )
+        .select("query_id", "__qvec", F.col("p.cluster").alias("cluster"))
     )
-    w_probe = Window.partitionBy("query_id").orderBy("dist2", "cluster")
-    probes = q_cent.withColumn("pr", F.row_number().over(w_probe)).filter(
-        F.col("pr") <= n_probe
-    ).select("query_id", "__qvec", "cluster")
 
     norms = assigned.select(
         F.col(id_col).alias("neighbor_id"),
@@ -369,8 +430,24 @@ def lsh_topk(
     )
     from pyspark.sql import Window
 
-    buckets = lsh_buckets(df, id_col, vec_col, num_planes)
-    v = with_norm(df, id_col, vec_col).join(buckets, id_col)
+    # r12 optimization (guide §2.4): the bucket is a narrow projection of
+    # the same vector column with_norm already carries — computing it
+    # inline removes the corpus-by-corpus id equi-join (a full shuffle of
+    # the corpus on a key unrelated to the search) the old
+    # lsh_buckets-then-join shape paid. Bucket strings are bit-identical:
+    # same doubles, same fold, hyperplane constants folded to a literal
+    # when the dimension is probeable (hyperplanes_literal).
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        fan_out_if_few_inputs,
+    )
+
+    dim = _probe_dim(df, vec_col)
+    planes = (
+        hyperplanes_literal(num_planes, dim) if dim is not None else None
+    )
+    v = with_norm(
+        fan_out_if_few_inputs(df, id_col), id_col, vec_col
+    ).withColumn("bucket", bucket_expr(F.col("__vec_d"), num_planes, planes))
     q = v.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("query_id"),
         F.col("__vec_d").alias("__qvec"),
@@ -718,8 +795,19 @@ def multiprobe_lsh_topk(
     """
     from pyspark.sql import Window
 
-    buckets = lsh_buckets(df, id_col, vec_col, num_planes)
-    v = with_norm(df, id_col, vec_col).join(buckets, id_col)
+    # same inline-bucket + literal-planes shape as lsh_topk (r12): no
+    # corpus id self-join, no per-row md5 chain — bit-identical buckets
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        fan_out_if_few_inputs,
+    )
+
+    dim = _probe_dim(df, vec_col)
+    planes = (
+        hyperplanes_literal(num_planes, dim) if dim is not None else None
+    )
+    v = with_norm(
+        fan_out_if_few_inputs(df, id_col), id_col, vec_col
+    ).withColumn("bucket", bucket_expr(F.col("__vec_d"), num_planes, planes))
     probes = F.array(
         F.col("bucket"), *[_flip_bit(F.col("bucket"), p) for p in range(num_planes)]
     )
@@ -770,6 +858,45 @@ def _pq_subvectors(vecs: DataFrame, id_col: str, m: int, sub_dim: int) -> DataFr
     return vecs.select(F.col(id_col), F.explode(subs).alias("e")).select(
         id_col, "e.sub", "e.s"
     )
+
+
+
+def _nearest_centroid_exprs(
+    cent_list: list[list[float]], vec_col: str
+) -> tuple[Column, Column]:
+    """(d2s, cluster) expressions for a driver-side centroid table:
+    ``d2s`` = the per-centroid squared-L2 array (same sequential fold as
+    the crossJoin shape), ``cluster`` = the argmin index with the same
+    (distance, cluster-id) tie-break as ``row_number() over (order by
+    __d2, cluster)``. Replaces the corpus x centroids crossJoin + window
+    (a |corpus|*k row blow-up through a shuffle) with a narrow
+    projection — r12 optimization, guide §2.4."""
+    cent_lit = F.lit([[float(x) for x in c] for c in cent_list])
+    d2s = F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    cluster = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+    return d2s, cluster
+
+
+def _nearest_probes_expr(d2s: Column, n_probe: int) -> Column:
+    """The ``n_probe`` nearest cluster ids from a per-centroid distance
+    array — ``array_sort`` over struct<d2, cluster> sorts by (d2,
+    cluster), the exact ordering of the old per-query window; slice
+    keeps the probe count (all of them when there are fewer clusters,
+    matching ``row_number() <= n_probe``)."""
+    structs = F.transform(
+        d2s,
+        lambda d, i: F.struct(
+            d.alias("__d2"), i.cast("int").alias("cluster")
+        ),
+    )
+    return F.slice(F.array_sort(structs), 1, n_probe)
 
 
 def pq_topk(
@@ -832,26 +959,40 @@ def pq_topk(
     ]
     cb = spark.createDataFrame(cb_rows, "sub int, code int, cent array<double>")
 
-    # corpus sub-vectors from ONE scan (struct-array explode; no shuffle)
-    sv = _pq_subvectors(vecs, id_col, m, sub_dim)
+    # corpus encoding: broadcast the codebook, take the per-(id, sub)
+    # argmin with min_by — NOT a row_number window. The old shape
+    # shuffled AND sorted all |corpus|*m*k joined rows to rank each
+    # group; min_by(code, struct(__d2, code)) reduces map-side, so the
+    # exchange carries |corpus|*m tiny rows and nothing sorts. The
+    # struct ordering (d2 asc, then code asc) is exactly the old
+    # ``row_number() over (order by __d2, code)`` tie-break, so every
+    # winner is bit-identical. r12 optimization, guide §2.3
+    # ("aggregate before you shuffle").
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        fan_out_if_few_inputs,
+    )
 
+    sv = _pq_subvectors(
+        fan_out_if_few_inputs(vecs, id_col), id_col, m, sub_dim
+    )
     d2 = F.aggregate(
         F.zip_with("s", "cent", lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w_enc = Window.partitionBy(id_col, "sub").orderBy("__d2", "code")
     codes = (
         sv.join(F.broadcast(cb), "sub")
-        .withColumn("__d2", d2)
-        .withColumn("__rn", F.row_number().over(w_enc))
-        .filter(F.col("__rn") == 1)
+        .groupBy(id_col, "sub")
+        .agg(F.min_by("code", F.struct(d2, F.col("code"))).alias("code"))
         .select(F.col(id_col).alias("neighbor_id"), "sub", "code")
     )
 
-    # ADC: per query an (m x k) distance table against every codebook entry
+    # ADC: per query an (m x k) distance table against every codebook
+    # entry (query side only — sub-vectors of the few query rows)
     qt = (
-        sv.filter(F.col(id_col) < query_max_id)
+        _pq_subvectors(
+            vecs.filter(F.col(id_col) < query_max_id), id_col, m, sub_dim
+        )
         .join(F.broadcast(cb), "sub")
         .select(
             F.col(id_col).alias("query_id"), "sub", "code", d2.alias("__qd")
@@ -999,10 +1140,7 @@ def ivfpq_topk(
 
         X_train = np.array([list(r["__v"]) for r in train_rows])
         coarse_cent = _numpy_kmeans(X_train, num_clusters, seed=seed)
-        cent = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(coarse_cent)],
-            "cluster int, centroid array<double>",
-        )
+        cent_list = [[float(x) for x in c] for c in coarse_cent]
     elif init == "md5_sample":
         # --- coarse quantizer: md5-sampled centroids, nearest-list assignment
         coarse_rows = (
@@ -1013,44 +1151,45 @@ def ivfpq_topk(
             .limit(num_clusters)
             .collect()
         )
-        cent = spark.createDataFrame(
-            [(i, list(r["__v"])) for i, r in enumerate(coarse_rows)],
-            "cluster int, centroid array<double>",
-        )
+        cent_list = [list(r["__v"]) for r in coarse_rows]
     else:
         raise ValueError(f"unknown init {init!r}")
-    cd2 = F.aggregate(
-        F.zip_with("__v", "centroid", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # the centroid table is driver-side in BOTH inits — assignment and
+    # probe selection are narrow literal expressions (bit-identical
+    # (d2, cluster) tie-breaks; no corpus x centroids crossJoin, no
+    # row_number shuffle — r12, see _nearest_centroid_exprs)
+    cent_lit = F.lit(cent_list)
+    cd2s, cluster_expr = _nearest_centroid_exprs(cent_list, "__v")
+    # corpus-side assignment + encoding are CPU-bound narrow expressions
+    # now — fan the corpus out so they never serialize on a one-file
+    # input (no-op at scale; the old crossJoin+window got parallelism
+    # from its shuffle)
+    from feature_store_fraud_detection_spark.operators.dedup import (
+        fan_out_if_few_inputs,
     )
-    w_asg = Window.partitionBy(id_col).orderBy("__cd2", "cluster")
-    assigned = (
-        vecs.crossJoin(F.broadcast(cent))
-        .withColumn("__cd2", cd2)
-        .withColumn("__rn", F.row_number().over(w_asg))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "cluster")
+
+    assigned = fan_out_if_few_inputs(vecs, id_col).select(
+        id_col, cluster_expr.alias("cluster")
     )
     probes = (
         vecs.filter(F.col(id_col) < query_max_id)
-        .crossJoin(F.broadcast(cent))
-        .withColumn("__cd2", cd2)
-        .withColumn("__rn", F.row_number().over(w_asg))
-        .filter(F.col("__rn") <= n_probe)
-        .select(F.col(id_col).alias("query_id"), "cluster")
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(_nearest_probes_expr(cd2s, n_probe)).alias("p"),
+        )
+        .select("query_id", F.col("p.cluster").alias("cluster"))
     )
 
     # --- PQ codebooks / codes / per-query distance tables (pq_topk shape).
     # In residual mode everything downstream operates on v - centroid[list].
     if residual:
-        enc_vecs = (
-            vecs.join(assigned, id_col)
-            .join(F.broadcast(cent), "cluster")
-            .select(
-                F.col(id_col),
-                F.zip_with("__v", "centroid", lambda a, b: a - b).alias("__v"),
-            )
+        enc_vecs = vecs.select(
+            F.col(id_col),
+            F.zip_with(
+                "__v",
+                F.element_at(cent_lit, cluster_expr + 1),
+                lambda a, b: a - b,
+            ).alias("__v"),
         )
     else:
         enc_vecs = vecs
@@ -1068,16 +1207,11 @@ def ivfpq_topk(
             X_enc = X_train - coarse_cent[d2s.argmin(axis=1)]
         else:
             X_enc = X_train
-        cb_rows = []
+        cb_subs = []
         for j in range(m):
             sub = X_enc[:, j * sub_dim : (j + 1) * sub_dim]
             cents = _numpy_kmeans(sub, k_per_sub, seed=seed + j + 1)
-            cb_rows.extend(
-                (j, c, [float(x) for x in v]) for c, v in enumerate(cents)
-            )
-        cb = spark.createDataFrame(
-            cb_rows, "sub int, code int, cent array<double>"
-        )
+            cb_subs.append([[float(x) for x in v] for v in cents])
     else:
         picked = (
             enc_vecs.orderBy(
@@ -1087,26 +1221,36 @@ def ivfpq_topk(
             .limit(k_per_sub)
             .collect()
         )
-        cb = spark.createDataFrame(
-            [
-                (j, c, list(r["__v"][j * sub_dim : (j + 1) * sub_dim]))
-                for j in range(m)
-                for c, r in enumerate(picked)
-            ],
-            "sub int, code int, cent array<double>",
-        )
-    sv = _pq_subvectors(enc_vecs, id_col, m, sub_dim)
+        cb_subs = [
+            [list(r["__v"][j * sub_dim : (j + 1) * sub_dim]) for r in picked]
+            for j in range(m)
+        ]
+    # the (sub, code, cent) table feeds the per-QUERY distance tables
+    # and the broadcast side of the corpus min_by encode below
+    cb = spark.createDataFrame(
+        [
+            (j, c, cb_subs[j][c])
+            for j in range(m)
+            for c in range(len(cb_subs[j]))
+        ],
+        "sub int, code int, cent array<double>",
+    )
     d2 = F.aggregate(
         F.zip_with("s", "cent", lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w_enc = Window.partitionBy(id_col, "sub").orderBy("__d2", "code")
+    # corpus encoding: broadcast codebook + min_by partial-agg argmin —
+    # same bit-identical (d2, code) winner as the old row_number window,
+    # but the exchange carries |corpus|*m rows and nothing sorts (r12,
+    # guide §2.3; see pq_topk)
     codes = (
-        sv.join(F.broadcast(cb), "sub")
-        .withColumn("__d2", d2)
-        .withColumn("__rn", F.row_number().over(w_enc))
-        .filter(F.col("__rn") == 1)
+        _pq_subvectors(
+            fan_out_if_few_inputs(enc_vecs, id_col), id_col, m, sub_dim
+        )
+        .join(F.broadcast(cb), "sub")
+        .groupBy(id_col, "sub")
+        .agg(F.min_by("code", F.struct(d2, F.col("code"))).alias("code"))
         .select(F.col(id_col).alias("neighbor_id"), "sub", "code")
     )
     if residual:
@@ -1119,11 +1263,14 @@ def ivfpq_topk(
                 ),
                 "query_id",
             )
-            .join(F.broadcast(cent), "cluster")
             .select(
                 "query_id",
                 "cluster",
-                F.zip_with("__qv", "centroid", lambda a, b: a - b).alias("__r"),
+                F.zip_with(
+                    "__qv",
+                    F.element_at(cent_lit, F.col("cluster") + 1),
+                    lambda a, b: a - b,
+                ).alias("__r"),
             )
         )
         qsubs = F.transform(
@@ -1142,7 +1289,12 @@ def ivfpq_topk(
         qt_keys = ["query_id", "cluster", "sub", "code"]
     else:
         qt = (
-            sv.filter(F.col(id_col) < query_max_id)
+            _pq_subvectors(
+                enc_vecs.filter(F.col(id_col) < query_max_id),
+                id_col,
+                m,
+                sub_dim,
+            )
             .join(F.broadcast(cb), "sub")
             .select(
                 F.col(id_col).alias("query_id"), "sub", "code", d2.alias("__qd")

@@ -179,7 +179,13 @@ def dbscan_labels(
             F.col("cluster_id"),
         )
     )
-    pairs.unpersist()
+    # r12 fix (guide §5): the unpersist used to run HERE — at plan-build
+    # time, BEFORE the caller's action — so the final evaluation of
+    # ``out`` recomputed the grid-join subtree for every reference
+    # (sym x2, deg, border, core join: 53 parquet scans measured at
+    # sf0.1). pairs/core stay cached for the caller's action — the
+    # linkage/ngram not-unpersisted convention (dedup_clusters'
+    # iterations populate them; the final job then reads memory).
     return out
 
 

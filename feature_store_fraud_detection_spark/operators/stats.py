@@ -804,6 +804,14 @@ def mann_whitney_u(
         F.count(F.lit(1)).alias("__cnt"),
         F.sum("__t").alias("__nt"),
     )
+    # r12 note (guide §1 empirical loop): per_v feeds three independent
+    # subtrees (cuts broadcast, bucket-offsets broadcast, ranked join) —
+    # each re-runs the base scan + collapse. A persist was measured here
+    # (min-of-5 A/B at sf0.1): 0.91 s -> 1.04 s, +14% — the duplicated
+    # subqueries evaluate CONCURRENTLY on idle cores, while caching
+    # serializes them behind the block locks of one materialization.
+    # The duplication factor is fixed (3x, not data-dependent), so the
+    # parallel-duplicate form is kept; see OPTIMIZATION_r12.md.
     # shard the ordered prefix sum: quantile cuts -> per-bucket windows
     if n_buckets >= 2:
         qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
@@ -1090,6 +1098,10 @@ def ks_two_sample(
         .cast("int")
         .alias("__t"),
     )
+    # r12 note: a persist of per_v (and d_v below) was measured at
+    # 0.97 s -> 1.14 s min-of-5 (+19%) — concurrent duplicate subqueries
+    # beat a serialized cache at bench scale; kept parallel-duplicate
+    # (fixed 4x fan-out). See OPTIMIZATION_r12.md.
     per_v = rows.groupBy("__v").agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.sum("__t").alias("__nt"),
@@ -1221,6 +1233,10 @@ def ks_by_group(
         F.col(value_col).alias("__v"),
         F.col(treatment_col).cast("int").alias("__t"),
     )
+    # r12 note: a persist of per_v was measured (drift_fdr min-of-5 A/B
+    # at sf0.1): 0.85 s -> 0.90 s — cum and the totals broadcast evaluate
+    # concurrently on idle cores, and the cache serializes them; kept
+    # parallel-duplicate (fixed 2x fan-out). See OPTIMIZATION_r12.md.
     per_v = rows.groupBy("__g", "__v").agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.sum("__t").alias("__nt"),
@@ -1414,6 +1430,7 @@ def ks_from_histograms(
                 + F.coalesce(F.col("__nc"), F.lit(0))
             ).alias("__cnt"),
         )
+        .persist()  # r12: cum + totals each re-ran the hist upstreams
     )
     wv = Window.orderBy("__v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1436,7 +1453,7 @@ def ks_from_histograms(
             - (F.col("__call") - F.col("__c1")).cast("decimal(38,0)")
             * F.col("n1")
         ).alias("__d"),
-    )
+    ).persist()  # r12: referenced by the dmax broadcast AND the final argmax
     dmax = d_v.agg(F.max("__d").alias("__dmax"))
     agg = d_v.crossJoin(F.broadcast(dmax)).agg(
         F.first("n1").alias("n1"),
@@ -1517,10 +1534,18 @@ def kruskal_wallis(
     ).select(
         F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
     )
+    # r12 note: persists of per_gv + per_v + per_g were measured here
+    # (min-of-5 A/B at sf0.1): 1.15 s -> 1.63 s, +41% — the five
+    # consumers (cuts, offsets, ranked, ties, per-group join) evaluate
+    # CONCURRENTLY on idle cores, and a cache chain serializes the
+    # critical path behind block locks. Kept parallel-duplicate (fixed
+    # ~5x fan-out, not data-dependent). See OPTIMIZATION_r12.md.
     per_gv = rows.groupBy("__g", "__v").agg(
         F.count(F.lit(1)).alias("__cnt_gv")
     )
-    per_v = per_gv.groupBy("__v").agg(F.sum("__cnt_gv").alias("__cnt"))
+    per_v = per_gv.groupBy("__v").agg(
+        F.sum("__cnt_gv").alias("__cnt")
+    )
     # shard the ordered prefix sum: quantile cuts -> per-bucket windows
     if n_buckets >= 2:
         qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
@@ -1684,12 +1709,20 @@ def spearman_rho(
     rows = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+    # r12 optimization (guide §5 / §2.4): per_xy feeds BOTH rank tables
+    # (each evaluating it under its own cuts/offsets broadcast subtrees)
+    # plus the final join — ~9 re-runs of the base scan + collapse
+    # before these persists (36 parquet scans measured at sf0.1). per_xy
+    # and the per-column per_v are bounded collapse tables; not
+    # unpersisted (the returned lazy frame reads them).
     per_xy = rows.groupBy("__x", "__y").agg(
         F.count(F.lit(1)).alias("__cnt")
-    )
+    ).persist()
 
     def rank_table(col: str) -> DataFrame:
-        per_v = per_xy.groupBy(col).agg(F.sum("__cnt").alias("__c"))
+        per_v = (
+            per_xy.groupBy(col).agg(F.sum("__cnt").alias("__c")).persist()
+        )
         if n_buckets >= 2:
             qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
             cut_expr = F.expr(f"percentile({col}, array({qs}))")
@@ -2059,6 +2092,10 @@ def wilcoxon_signed_rank(
         F.count(F.lit(1)).alias("n_zero")
     )
     nz = rows.filter(F.col("__a") > 0)
+    # r12 note: a persist of per_v was measured (min-of-5 A/B at sf0.1):
+    # 0.90 s -> 1.10 s, +22% — cuts/offsets/ranked evaluate concurrently
+    # on idle cores, and the cache serializes them. Kept
+    # parallel-duplicate (fixed 3x fan-out). See OPTIMIZATION_r12.md.
     per_v = nz.groupBy("__a").agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.sum("__pos").alias("__npos"),

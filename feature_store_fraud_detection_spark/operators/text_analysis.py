@@ -434,10 +434,20 @@ def bigram_nll(
         F.count(F.lit(1)).alias("cb")
     )
     lm_toks = lm_df.select(F.explode(tokens(text_col)).alias("term"))
-    lm_uni = lm_toks.groupBy("term").agg(F.count(F.lit(1)).alias("cu"))
+    # r12 optimization (guide §5 / §2.4): lm_uni feeds BOTH join sides
+    # (w1 contexts, w2 continuations) and the token total — before the
+    # persist each re-ran the LM-corpus tokenize + explode + aggregate
+    # (the LM side evaluated 4x per action). The unigram table is
+    # bounded (one row per distinct term); the total re-derives from it
+    # exactly (sum of per-term counts == token count, both BIGINT), so
+    # the scored probabilities are bit-identical. Not unpersisted (the
+    # returned lazy frame reads it).
+    lm_uni = (
+        lm_toks.groupBy("term").agg(F.count(F.lit(1)).alias("cu")).persist()
+    )
     lm_ctx = lm_uni.select(F.col("term").alias("w1"), F.col("cu").alias("c1"))
     lm_next = lm_uni.select(F.col("term").alias("w2"), F.col("cu").alias("c2"))
-    total = lm_toks.agg(F.count(F.lit(1)).alias("t"))
+    total = lm_uni.agg(F.sum("cu").alias("t"))
 
     tf = bigram_table(score_df).groupBy(id_col, "w1", "w2").agg(
         F.count(F.lit(1)).alias("tf")
@@ -1044,27 +1054,46 @@ def textrank_keywords(
     if weighted:
         # directed adjacency counts, mirrored; pagerank's weighted path
         # sums duplicate (src, dst) rows, yielding the undirected
-        # either-direction co-occurrence weight
+        # either-direction co-occurrence weight. Mirroring is a 2-element
+        # struct explode — NOT a self-union, which would evaluate the
+        # aggregate subtree twice (r12 optimization, guide §2.4; the
+        # _trade_edges single-pass symmetric-explode idiom)
         wts = kept.groupBy("w1", "w2").agg(
             F.count(F.lit(1)).cast("long").alias("cw")
         )
-        edges = wts.unionByName(
-            wts.select(
-                F.col("w2").alias("w1"), F.col("w1").alias("w2"), "cw"
-            )
-        )
+        edges = wts.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("w1"), F.col("w2"), F.col("cw")),
+                    F.struct(
+                        F.col("w2").alias("w1"),
+                        F.col("w1").alias("w2"),
+                        F.col("cw"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.w1", "e.w2", "e.cw")
         ranked = pagerank(
             edges, "w1", "w2", iterations=iterations,
             symmetric=True, weight_col="cw",
         )
     else:
+        # same single-pass symmetric explode: the tokenize + explode +
+        # two-vocab-join subtree behind `kept` runs ONCE (the old
+        # self-union re-ran it for the mirrored half — broadcast joins
+        # leave no exchange for ReuseExchange to share)
         edges = (
-            kept.select("w1", "w2")
-            .unionByName(
-                kept.select(
-                    F.col("w2").alias("w1"), F.col("w1").alias("w2")
-                )
+            kept.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("w1"), F.col("w2")),
+                        F.struct(
+                            F.col("w2").alias("w1"), F.col("w1").alias("w2")
+                        ),
+                    )
+                ).alias("e")
             )
+            .select("e.w1", "e.w2")
             .distinct()
         )
         ranked = pagerank(

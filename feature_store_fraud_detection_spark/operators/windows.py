@@ -414,7 +414,16 @@ def bucketed_value_ranks(
         cut_expr = F.expr(f"percentile({value_col}, array({qs}))")
     else:
         cut_expr = F.first(F.array().cast("array<double>"))
-    cuts = df.groupBy(part_col).agg(cut_expr.alias("__cuts"))
+    # r12 optimization (guide §5 / §2.4): cuts is referenced under BOTH
+    # binned occurrences (the counts subtree and the final join) — each
+    # re-ran the full-column percentile aggregate (the single most
+    # expensive node here: percentile buffers the whole column). counts
+    # likewise feeds the offsets broadcast whose subtree re-ran
+    # binned -> scan + percentile. Both tables are bounded (one row per
+    # partition value resp. per (partition, bucket)); persisting them
+    # leaves ONE percentile pass and two narrow binned scans. Not
+    # unpersisted (the returned lazy frame reads them).
+    cuts = df.groupBy(part_col).agg(cut_expr.alias("__cuts")).persist()
     binned = (
         df.join(F.broadcast(cuts), part_col)
         .withColumn(
@@ -425,7 +434,7 @@ def bucketed_value_ranks(
     )
     counts = binned.groupBy(part_col, "__bin").agg(
         F.count(F.lit(1)).alias("__cnt")
-    )
+    ).persist()
     # cumulative offsets + totals over the bounded per-bucket counts table
     woff = (
         Window.partitionBy(part_col)

@@ -163,7 +163,15 @@ class ParquetOnlineStore:
                 None, b, self.key, self.ts, self.retention_seconds, self.tiebreak
             )
         (
-            merged.localCheckpoint(eager=True)
+            # cluster by the partition column BEFORE the partitioned write
+            # (guide §6): without it every merge task holds rows of MANY
+            # buckets, so each touched bucket directory collects one file
+            # PER TASK per upsert (t*b tiny files written, and read back
+            # by every later upsert of that bucket); keyed on __kb each
+            # bucket lands in exactly one task — one file per touched
+            # bucket. Same rows, same merge semantics; r12 optimization.
+            merged.repartition(F.col(BUCKET_COL))
+            .localCheckpoint(eager=True)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(BUCKET_COL)

@@ -503,6 +503,12 @@ def run_stream_neardup_filter(
         ).select(F.col("new_id").alias(id_col)).distinct()
         kept = batch_df.join(dup_ids, id_col, "left_anti")
         sink(kept, batch_id)
+        # minhash_probe persists the batch state (it feeds both the band
+        # index and the exact verify); drop THIS batch's entry once the
+        # sink action has run, or a long stream accumulates one cached
+        # sketch per micro-batch (the shared corpus_state cache stays —
+        # that reuse across batches is the point of the index)
+        state.unpersist()
 
     writer = (
         raw_docs.writeStream.outputMode("append")

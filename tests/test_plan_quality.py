@@ -226,6 +226,15 @@ def _plan_tree(df):
 
 
 def _children(n):
+    # a persisted intermediate appears as InMemoryTableScan; the property
+    # every tree gate checks (aggregation-boundedness, window placement)
+    # holds THROUGH a cache, so traverse into the cached plan — the r12
+    # duplicated-subtree persists must not hide the shapes being audited
+    if n.nodeName() == "InMemoryTableScan":
+        cached = n.relation().cachedPlan()
+        if cached.nodeName() == "AdaptiveSparkPlan":
+            cached = cached.initialPlan()
+        return [cached]
     ch = n.children()
     return [ch.apply(i) for i in range(ch.size())]
 
