@@ -365,7 +365,16 @@ def unigram_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ct"))
-    tot = tok.agg(F.count(F.lit(1)).alias("total_tokens"))
+    # r12 optimization (guide §2.4): the token total re-derives from the
+    # term-count table exactly (sum of per-term counts == token count,
+    # both BIGINT — the bigram_nll total-from-unigrams identity), so the
+    # third full tokenize+explode+count evaluation becomes a per-term
+    # re-aggregation whose exchange is map-side-combined to the distinct
+    # terms per partition. A tc.persist() variant measured 0.72 -> 3.85 s
+    # at sf0.1 (the batch-2 regime-2 effect: the broadcast total subquery
+    # then serializes behind the cache materialization's block locks)
+    # and was reverted — the parallel duplicate evaluation is cheaper.
+    tot = tc.agg(F.sum("ct").alias("total_tokens"))
     contribs = (
         tf.join(tc, "term")
         .crossJoin(F.broadcast(tot))
@@ -554,7 +563,13 @@ def curriculum_stages(
         round4_stable,
     )
 
-    nll = unigram_nll(df, id_col, text_col)
+    # r12 optimization (guide §5 caching): the NLL frame feeds BOTH the
+    # stage-boundary aggregate (a broadcast subquery) and the staged
+    # projection — without the persist the whole unigram-LM pipeline
+    # (tokenize + explode + two keyed aggregates + join) evaluated twice.
+    # One row per doc, the collapsed table; not unpersisted (the returned
+    # lazy frame reads it — the linkage convention; bench clears cache).
+    nll = unigram_nll(df, id_col, text_col).persist()
     qs = [i / n_stages for i in range(1, n_stages)]
     bounds = nll.agg(
         F.array(

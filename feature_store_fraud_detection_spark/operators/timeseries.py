@@ -622,7 +622,12 @@ def cusum_segments(
             )
         )
 
-    root = peaks(ranked, [key_col], F.lit("root"))
+    # r12 optimization (guide §5 caching): root is bounded (<= 1 row per
+    # key) and consumed TWICE — as the split-point join side and in the
+    # final union — so without the persist the whole root-level CUSUM
+    # (scan + three windows over every event) evaluated twice. Not
+    # unpersisted (lazy return convention; bench clears cache).
+    root = peaks(ranked, [key_col], F.lit("root")).persist()
     with_split = ranked.join(
         root.select(F.col(key_col), F.col("peak_k").alias("__root_k")),
         key_col,

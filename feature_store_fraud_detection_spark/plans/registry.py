@@ -329,12 +329,18 @@ def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     na = load_table(spark, sf_dir, "nation")
     revenue = _disc_price_dec()
+    # r12 optimization (guide §2.3, the top_customers pre-aggregation):
+    # collapse lineitem to one DECIMAL partial sum per order before the
+    # joins — the orderkey exchange then carries one narrow row per order
+    # instead of every lineitem, and sum-of-per-order-sums is exact
+    # (decimal(29,8) partials into decimal(38,8)).
+    per_order = li.groupBy("l_orderkey").agg(F.sum(revenue).alias("__rev"))
     return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
+        per_order.join(od, per_order.l_orderkey == od.o_orderkey)
         .join(cu, od.o_custkey == cu.c_custkey)
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue).cast("double"), 4).alias("revenue"))
+        .agg(F.round(F.sum("__rev").cast("double"), 4).alias("revenue"))
     )
 
 
@@ -354,11 +360,20 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     revenue = _disc_price_dec()
+    # r12 optimization (guide §2.3, aggregate before you shuffle): collapse
+    # lineitem to one DECIMAL partial sum per order BEFORE the joins — at
+    # cluster scale (orders too big to broadcast) the orderkey shuffle then
+    # carries one narrow row per order instead of every lineitem, and the
+    # per-order groupBy's partitioning is exactly the join key. Exact
+    # equivalence: sum of per-order DECIMAL sums == sum over lineitems
+    # (decimal(29,8) partials into decimal(38,8), no overflow), and the
+    # inner joins drop unmatched rows groupwise either way.
+    per_order = li.groupBy("l_orderkey").agg(F.sum(revenue).alias("__rev"))
     return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
+        per_order.join(od, per_order.l_orderkey == od.o_orderkey)
         .join(cu, od.o_custkey == cu.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum(revenue).cast("double"), 4).alias("revenue"))
+        .agg(F.round(F.sum("__rev").cast("double"), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(10)
     )
@@ -2094,13 +2109,18 @@ def _q_token_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         F.col("doc_id"), F.explode(tokens("text")).alias("token")
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_counts = (
-        tok.select("doc_id", "token")
-        .distinct()
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # r12 optimization (guide §2.4/§5): tf IS the distinct (doc, token)
+    # table, so df re-derives from it with one bounded aggregate — the
+    # second tokenize + explode + distinct evaluation is gone; the persist
+    # makes the tokenize single-pass (tf feeds both the broadcast df
+    # subquery and the main join). Not unpersisted (lazy return; bench
+    # clears cache).
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
+    df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.join(F.broadcast(df_counts), "token")
@@ -14346,26 +14366,37 @@ def _q_fleiss_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(c < hi, F.lit("med"))
         .otherwise(F.lit("high"))
     )
-    ratings = (
-        docs.select(
-            F.col("doc_id").alias("item"),
-            F.lit("len").alias("rater"),
-            grade(F.col("n_chars"), F.lit(220), F.lit(370)).alias("cat"),
-        )
-        .unionAll(
-            docs.select(
-                F.col("doc_id"),
-                F.lit("words"),
-                grade(F.col("__w"), F.lit(40), F.lit(68)),
+    # r12 optimization (guide §2.4, the textrank single-pass idiom): the
+    # 3-rater panel was a 3-way unionAll over the same docs projection, so
+    # every downstream reference scanned documents three times (18 scans in
+    # the before plan). One explode of a 3-struct array emits the identical
+    # rating rows in one pass.
+    ratings = docs.select(
+        F.col("doc_id").alias("item"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("len").alias("rater"),
+                    grade(F.col("n_chars"), F.lit(220), F.lit(370)).alias(
+                        "cat"
+                    ),
+                ),
+                F.struct(
+                    F.lit("words").alias("rater"),
+                    grade(F.col("__w"), F.lit(40), F.lit(68)).alias("cat"),
+                ),
+                F.struct(
+                    F.lit("density").alias("rater"),
+                    grade(F.col("__awl"), F.lit(5.42), F.lit(5.56)).alias(
+                        "cat"
+                    ),
+                ),
             )
-        )
-        .unionAll(
-            docs.select(
-                F.col("doc_id"),
-                F.lit("density"),
-                grade(F.col("__awl"), F.lit(5.42), F.lit(5.56)),
-            )
-        )
+        ).alias("__rc"),
+    ).select(
+        "item",
+        F.col("__rc.rater").alias("rater"),
+        F.col("__rc.cat").alias("cat"),
     )
     return fleiss_kappa(ratings, "item", "rater", "cat")
 
@@ -15134,25 +15165,44 @@ def _q_krippendorff_doc_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(c < hi, F.lit("med"))
         .otherwise(F.lit("high"))
     )
+    # r12 optimization (guide §2.4, the textrank single-pass idiom): the
+    # 3-rater panel was a 3-way unionAll over the same docs projection, so
+    # every downstream reference scanned documents three times (24 scans in
+    # the before plan). One explode of a 3-struct array emits the identical
+    # rating rows in one pass; the density rater's abstention (< 40 words)
+    # becomes a NULL struct dropped by the filter.
     ratings = (
         docs.select(
             F.col("doc_id").alias("item"),
-            F.lit("len").alias("rater"),
-            grade(F.col("n_chars"), F.lit(220), F.lit(370)).alias("cat"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("len").alias("rater"),
+                        grade(F.col("n_chars"), F.lit(220), F.lit(370)).alias(
+                            "cat"
+                        ),
+                    ),
+                    F.struct(
+                        F.lit("words").alias("rater"),
+                        grade(F.col("__w"), F.lit(40), F.lit(68)).alias("cat"),
+                    ),
+                    F.when(
+                        F.col("__w") >= 40,
+                        F.struct(
+                            F.lit("density").alias("rater"),
+                            grade(
+                                F.col("__awl"), F.lit(5.42), F.lit(5.56)
+                            ).alias("cat"),
+                        ),
+                    ),
+                )
+            ).alias("__rc"),
         )
-        .unionAll(
-            docs.select(
-                F.col("doc_id"),
-                F.lit("words"),
-                grade(F.col("__w"), F.lit(40), F.lit(68)),
-            )
-        )
-        .unionAll(
-            docs.filter(F.col("__w") >= 40).select(
-                F.col("doc_id"),
-                F.lit("density"),
-                grade(F.col("__awl"), F.lit(5.42), F.lit(5.56)),
-            )
+        .filter(F.col("__rc").isNotNull())
+        .select(
+            "item",
+            F.col("__rc.rater").alias("rater"),
+            F.col("__rc.cat").alias("cat"),
         )
     )
     return krippendorff_alpha(ratings, "item", "rater", "cat")

@@ -60,6 +60,8 @@ CORE_TESTS: frozenset[str] = frozenset(
         "test_fleiss_kappa_hand_fixtures",
         # regression
         "test_ridge_matches_numpy_solve",
+        # r12 optimization equivalences
+        "test_nearest_centroid_exprs_match_crossjoin_window",
         # registry drift gates (cheap, no Spark)
         "test_no_duplicate_registry_names",
         "test_grading_priority_is_valid",

@@ -212,6 +212,102 @@ def test_bigram_nll_total_from_unigrams(spark):
         assert got_nll == pytest.approx(nll, abs=1e-4)
 
 
+def test_panel_explode_matches_unionall(spark):
+    """The single-pass 3-struct explode that replaced the rater-panel
+    unionAll (krippendorff_doc_panel / fleiss_doc_quality) must emit the
+    identical rating multiset — including the density rater's conditional
+    abstention becoming a NULL struct dropped by the filter."""
+    docs = spark.createDataFrame(
+        [(i, 100 + 37 * i, 10 + (i * 11) % 70, 4.9 + (i % 9) / 10.0) for i in range(60)],
+        "doc_id bigint, n_chars int, __w int, __awl double",
+    )
+    grade = (
+        lambda c, lo, hi: F.when(c < lo, F.lit("low"))
+        .when(c < hi, F.lit("med"))
+        .otherwise(F.lit("high"))
+    )
+    union_form = (
+        docs.select(
+            F.col("doc_id").alias("item"),
+            F.lit("len").alias("rater"),
+            grade(F.col("n_chars"), F.lit(220), F.lit(370)).alias("cat"),
+        )
+        .unionAll(
+            docs.select(
+                F.col("doc_id"), F.lit("words"), grade(F.col("__w"), F.lit(40), F.lit(68))
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("__w") >= 40).select(
+                F.col("doc_id"),
+                F.lit("density"),
+                grade(F.col("__awl"), F.lit(5.42), F.lit(5.56)),
+            )
+        )
+    )
+    explode_form = (
+        docs.select(
+            F.col("doc_id").alias("item"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("len").alias("rater"),
+                        grade(F.col("n_chars"), F.lit(220), F.lit(370)).alias("cat"),
+                    ),
+                    F.struct(
+                        F.lit("words").alias("rater"),
+                        grade(F.col("__w"), F.lit(40), F.lit(68)).alias("cat"),
+                    ),
+                    F.when(
+                        F.col("__w") >= 40,
+                        F.struct(
+                            F.lit("density").alias("rater"),
+                            grade(F.col("__awl"), F.lit(5.42), F.lit(5.56)).alias("cat"),
+                        ),
+                    ),
+                )
+            ).alias("__rc"),
+        )
+        .filter(F.col("__rc").isNotNull())
+        .select("item", F.col("__rc.rater").alias("rater"), F.col("__rc.cat").alias("cat"))
+    )
+    assert sorted(map(tuple, union_form.collect())) == sorted(
+        map(tuple, explode_form.collect())
+    )
+
+
+def test_preagg_decimal_revenue_matches_direct_sum(spark):
+    """top_customers' per-order DECIMAL pre-aggregation: sum of per-order
+    sums must equal the direct sum over joined lineitems, exactly."""
+    li = spark.createDataFrame(
+        [
+            (i % 17, (1000 + 7 * i) / 100.0, (i % 11) / 100.0)
+            for i in range(200)
+        ],
+        "l_orderkey int, l_extendedprice double, l_discount double",
+    )
+    od = spark.createDataFrame(
+        [(k, k % 5) for k in range(15)], "o_orderkey int, o_custkey int"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,4)") * (
+        F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)")
+    )
+    direct = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+    )
+    per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("__rev"))
+    preagg = (
+        per_order.join(od, per_order.l_orderkey == od.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("__rev").cast("double"), 4).alias("revenue"))
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, preagg.collect())
+    )
+
+
 def test_rank_family_persists_preserve_results(spark):
     """The rank-statistics persists must not change a single reported
     number (spot check: spearman + kruskal on a frame with heavy ties)."""
