@@ -108,7 +108,11 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # cache the CAPPED table too: it has four consumers (sizes, both
+        # self-join sides) and without its own cache every one re-ran the
+        # df aggregation AND the anti-join from the raw cache (r12 plan
+        # audit: 4x HashAggregate+Exchange over the full shingle table)
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -766,7 +770,9 @@ def ngram_containment_pairs(
             .filter(F.col("__df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # capped table cached for the same reason as ngram_jaccard_pairs:
+        # four consumers, each otherwise re-running the df agg + anti-join
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
