@@ -80,3 +80,43 @@ def bigint_checked(col: Column, context: str) -> Column:
             )
         ).cast("decimal(38,0)")
     ).cast("bigint")
+
+
+def lit_bigint_array(vals: list[int]) -> Column:
+    """``array<bigint>`` literal built as ONE SQL expression string.
+
+    ``F.lit(list)`` costs one py4j round-trip per element in classic
+    PySpark — measured 1.65 s of pure driver time for a 2048-word Bloom
+    bitmap vs 4 ms as expression text (r12, guide §5: the driver should
+    do almost no work; plan CONSTRUCTION is driver work too). The ``L``
+    suffix parses every element as a BIGINT literal directly (verified
+    incl. LONG_MIN), so the array is exactly the one ``F.lit`` built.
+    """
+    if not vals:
+        return F.lit([]).cast("array<bigint>")
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+
+
+def lit_double_array2(rows: list[list[float]]) -> Column:
+    """``array<array<double>>`` literal as ONE SQL expression string (the
+    nested twin of :func:`lit_bigint_array` for hyperplane / centroid
+    constant tables). ``repr(float)`` is the shortest round-trip decimal
+    form and Java's ``Double.parseDouble`` is correctly rounded, so every
+    element is BIT-IDENTICAL to the ``F.lit`` path (pinned in
+    tests/test_r12_optimizations.py). Falls back to ``F.lit`` for shapes
+    with empty/non-finite entries (degenerate callers keep old behavior).
+    """
+    import math
+
+    if not rows or any(
+        not r or any(not math.isfinite(float(x)) for x in r) for r in rows
+    ):
+        return F.lit([[float(x) for x in r] for r in rows])
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in r) + ")"
+            for r in rows
+        )
+        + ")"
+    )

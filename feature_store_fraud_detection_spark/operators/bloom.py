@@ -42,6 +42,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from feature_store_fraud_detection_spark.functions.numeric import (
+    lit_bigint_array,
+)
+
 
 def _positions(key: Column, m_bits: int, k: int, salt: str) -> list[Column]:
     """k bit positions in [0, m_bits) per key — independent seeded xxhash64
@@ -98,8 +102,10 @@ def bloom_might_contain(
     # explicit array<bigint>: the packing is 64-bit words, but a literal
     # list whose values all happen to fit an int32 infers array<int> —
     # getbit then rejects positions >= 32 and any probe with p % 64 in
-    # [32, 64) crashes on valid input (round-11 property-sweep finding)
-    arr = F.lit(words).cast("array<bigint>")
+    # [32, 64) crashes on valid input (round-11 property-sweep finding).
+    # Built as ONE expression string: F.lit(list) paid a py4j round-trip
+    # per element — ~1.7 s of driver time per query at m_bits=2^17 (r12)
+    arr = lit_bigint_array(words)
     cond = key.isNotNull()
     for p in _positions(key, m_bits, k, salt):
         word = F.element_at(arr, (p / 64).cast("int") + 1)

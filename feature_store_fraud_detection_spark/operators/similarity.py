@@ -19,7 +19,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from feature_store_fraud_detection_spark.functions.numeric import round4_stable
+from feature_store_fraud_detection_spark.functions.numeric import (
+    lit_double_array2,
+    round4_stable,
+)
 
 
 def _to_double(vec: Column) -> Column:
@@ -167,7 +170,9 @@ def bucket_expr(
     for callers that cannot probe the dimension up front."""
 
     if planes is not None:
-        pl = F.lit([[float(x) for x in row] for row in planes])
+        # one expression string, not per-element py4j lit calls (r12,
+        # see functions.numeric.lit_double_array2 — bit-identical)
+        pl = lit_double_array2(planes)
 
         def plane_bit(vb: Column, p: Column) -> Column:
             dot = F.aggregate(
@@ -871,7 +876,7 @@ def _nearest_centroid_exprs(
     __d2, cluster)``. Replaces the corpus x centroids crossJoin + window
     (a |corpus|*k row blow-up through a shuffle) with a narrow
     projection — r12 optimization, guide §2.4."""
-    cent_lit = F.lit([[float(x) for x in c] for c in cent_list])
+    cent_lit = lit_double_array2(cent_list)
     d2s = F.transform(
         cent_lit,
         lambda c: F.aggregate(
@@ -1158,7 +1163,7 @@ def ivfpq_topk(
     # probe selection are narrow literal expressions (bit-identical
     # (d2, cluster) tie-breaks; no corpus x centroids crossJoin, no
     # row_number shuffle — r12, see _nearest_centroid_exprs)
-    cent_lit = F.lit(cent_list)
+    cent_lit = lit_double_array2(cent_list)
     cd2s, cluster_expr = _nearest_centroid_exprs(cent_list, "__v")
     # corpus-side assignment + encoding are CPU-bound narrow expressions
     # now — fan the corpus out so they never serialize on a one-file

@@ -815,7 +815,7 @@ def mann_whitney_u(
     # shard the ordered prefix sum: quantile cuts -> per-bucket windows
     if n_buckets >= 2:
         qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
-        cut_expr = F.expr(f"percentile(__v, array({qs}))")
+        cut_expr = F.expr(f"approx_percentile(__v, array({qs}), 1000)")
         cuts = per_v.agg(cut_expr.alias("__cuts"))
         binned = per_v.crossJoin(F.broadcast(cuts)).withColumn(
             "__bin",
@@ -1109,7 +1109,7 @@ def ks_two_sample(
     if n_buckets >= 2:
         qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
         cuts = per_v.agg(
-            F.expr(f"percentile(__v, array({qs}))").alias("__cuts")
+            F.expr(f"approx_percentile(__v, array({qs}), 1000)").alias("__cuts")
         )
         binned = per_v.crossJoin(F.broadcast(cuts)).withColumn(
             "__bin",
@@ -1549,7 +1549,7 @@ def kruskal_wallis(
     # shard the ordered prefix sum: quantile cuts -> per-bucket windows
     if n_buckets >= 2:
         qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
-        cut_expr = F.expr(f"percentile(__v, array({qs}))")
+        cut_expr = F.expr(f"approx_percentile(__v, array({qs}), 1000)")
         cuts = per_v.agg(cut_expr.alias("__cuts"))
         binned = per_v.crossJoin(F.broadcast(cuts)).withColumn(
             "__bin",
@@ -1724,8 +1724,15 @@ def spearman_rho(
             per_xy.groupBy(col).agg(F.sum("__cnt").alias("__c")).persist()
         )
         if n_buckets >= 2:
+            # approx_percentile (r12): the cuts only SHARD the prefix sum —
+            # any monotone binning yields the same exact ranks (bin(v) =
+            # #cuts below v is order-consistent for every cut multiset) —
+            # and the sketch state is bounded where exact percentile
+            # buffers every distinct value into one reducer's merge.
+            # Same swap in mann_whitney_u / ks_two_sample / kruskal_wallis
+            # / wilcoxon_signed_rank / bucketed_value_ranks.
             qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
-            cut_expr = F.expr(f"percentile({col}, array({qs}))")
+            cut_expr = F.expr(f"approx_percentile({col}, array({qs}), 1000)")
             cuts = per_v.agg(cut_expr.alias("__cuts"))
             binned = per_v.crossJoin(F.broadcast(cuts)).withColumn(
                 "__bin",
@@ -2102,7 +2109,7 @@ def wilcoxon_signed_rank(
     )
     if n_buckets >= 2:
         qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
-        cut_expr = F.expr(f"percentile(__a, array({qs}))")
+        cut_expr = F.expr(f"approx_percentile(__a, array({qs}), 1000)")
         cuts = per_v.agg(cut_expr.alias("__cuts"))
         binned = per_v.crossJoin(F.broadcast(cuts)).withColumn(
             "__bin",

@@ -401,9 +401,11 @@ def bucketed_value_ranks(
     (value, id) keys: percent_rank = (rn-1)/(n-1), cume_dist = rn/n, and
     ntile(t) by the standard first-(n mod t)-tiles-get-one-extra split.
 
-    At 100 TB swap ``percentile`` for ``percentile_approx`` — bin balance
-    shifts but every output is exact regardless of where the cuts land
-    (they only shard the sort; correctness never depends on them).
+    Cuts come from ``approx_percentile`` (r12): bin balance shifts but
+    every output is exact regardless of where the cuts land (they only
+    shard the sort; correctness never depends on them), and the sketch
+    state is bounded where exact ``percentile`` buffers every distinct
+    value of the column into one reducer's merge.
     """
     # ONE percentile with an array argument: N separate percentile()
     # aggregates each buffer the whole column (N x memory and sort work);
@@ -411,7 +413,7 @@ def bucketed_value_ranks(
     # n_buckets=1 degenerates to a single unsharded bucket (empty cuts).
     if n_buckets >= 2:
         qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
-        cut_expr = F.expr(f"percentile({value_col}, array({qs}))")
+        cut_expr = F.expr(f"approx_percentile({value_col}, array({qs}), 1000)")
     else:
         cut_expr = F.first(F.array().cast("array<double>"))
     # r12 optimization (guide §5 / §2.4): cuts is referenced under BOTH

@@ -11810,11 +11810,25 @@ def _q_sssp_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min(cents).alias("w"))
     )
+    # single-pass symmetric explode (the _trade_edges idiom, r12): the
+    # self-union form evaluated the 4-table join + min-aggregate TWICE
+    # while sssp's edge cache materialized — one branch per direction
     edges = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
-    ).unionByName(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("src"),
+                    F.col("b").alias("dst"),
+                    F.col("w"),
+                ),
+                F.struct(
+                    F.col("b").alias("src"),
+                    F.col("a").alias("dst"),
+                    F.col("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
     seeds = nat.agg(F.min("n_nationkey").alias("node"))
     d = sssp(edges, seeds, max_rounds=4, assert_converged=True)
     return d.join(nat, d.node == nat.n_nationkey).select(

@@ -329,3 +329,45 @@ def test_rank_family_persists_preserve_results(spark):
     kw = kruskal_wallis(df, "g", "y").collect()
     assert len(kw) == 3
     assert all(r["h_stat"] == kw[0]["h_stat"] for r in kw)
+
+
+def test_literal_text_arrays_bit_identical(spark):
+    """lit_bigint_array / lit_double_array2 (r12: one expression string
+    instead of a py4j round-trip per element) must produce BIT-IDENTICAL
+    values to the F.lit path — including LONG_MIN/LONG_MAX words and
+    shortest-repr doubles."""
+    import struct
+
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        lit_bigint_array,
+        lit_double_array2,
+    )
+
+    words = [0, 1, -1, (1 << 63) - 1, -(1 << 63), 123456789012345678]
+    row = (
+        spark.range(1)
+        .select(
+            lit_bigint_array(words).alias("a"),
+            F.lit(words).cast("array<bigint>").alias("b"),
+        )
+        .first()
+    )
+    assert row["a"] == row["b"] == words
+
+    rows = [[0.1, -7.5, 3.141592653589793], [1e-300, -0.0, 2.5e17]]
+    got = (
+        spark.range(1)
+        .select(
+            lit_double_array2(rows).alias("a"),
+            F.lit([[float(x) for x in r] for r in rows]).alias("b"),
+        )
+        .first()
+    )
+    for ra, rb, rr in zip(got["a"], got["b"], rows):
+        for xa, xb, xr in zip(ra, rb, rr):
+            assert struct.pack("d", xa) == struct.pack("d", xb) == struct.pack("d", xr)
+    # degenerate shapes fall back to the F.lit path unchanged
+    assert (
+        spark.range(1).select(lit_double_array2([]).alias("a")).first()["a"]
+        == []
+    )
