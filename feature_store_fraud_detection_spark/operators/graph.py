@@ -138,10 +138,30 @@ def pagerank(
     deg_expr = (
         F.count(F.lit(1)) if weight_col is None else F.sum("w")
     ).alias("deg")
-    deg_src = e.groupBy("src").agg(deg_expr).persist()
+    # one aggregate carries degree + per-src edge count (+ per-src max
+    # weight when weighted), so EVERY driver scalar below — |V|, |E|, the
+    # overflow bounds — folds into a single job over this cached table
+    # instead of separate count()/count()/crossJoin-agg jobs (r12; the
+    # fn-call jobs are part of every caller's critical path)
+    deg_aggs = [deg_expr, F.count(F.lit(1)).alias("__ec")]
+    if weight_col is not None:
+        deg_aggs.append(F.max("w").alias("__wmax"))
+    deg_full = e.groupBy("src").agg(*deg_aggs).persist()
+    deg_src = deg_full.select("src", "deg")
     if symmetric:
         nodes = deg_src.select(F.col("src").alias("node"))
-        n_nodes = deg_src.count()  # materializes e + deg in one job
+        stat_aggs = [
+            F.count(F.lit(1)).alias("nv"),
+            F.sum("__ec").alias("ne"),
+        ]
+        if weight_col is not None:
+            stat_aggs += [
+                F.max("deg").alias("smax"),
+                F.max("__wmax").alias("wmax"),
+            ]
+        stats = deg_full.agg(*stat_aggs).first()  # materializes e + deg
+        n_nodes = stats["nv"]
+        n_edges = int(stats["ne"] or 0)
     else:
         nodes = (
             e.select(F.col("src").alias("node"))
@@ -150,16 +170,16 @@ def pagerank(
             .persist()
         )
         n_nodes = nodes.count()
-    n_edges = e.count()  # cached scan — shares the materialization above
+        n_edges = e.count()  # cached scan — shares the materialization
+        if weight_col is not None:
+            stats = deg_full.agg(
+                F.max("deg").alias("smax"), F.max("__wmax").alias("wmax")
+            ).first()
     if weight_col is not None:
         # the exact-integer contribution identity needs
         # strength * max_weight < 2^63 (docstring); CHECK it instead of
-        # documenting it — both maxes are one tiny agg over cached tables
-        bounds = (
-            deg_src.agg(F.max("deg").alias("smax"))
-            .crossJoin(e.agg(F.max("w").alias("wmax")))
-            .first()
-        )
+        # documenting it — the maxes ride the single stats job above
+        bounds = stats
         if (
             bounds["smax"] is not None
             and bounds["wmax"] is not None
@@ -186,7 +206,7 @@ def pagerank(
         empty = nodes.select(
             "node", F.lit(0).cast("long").alias("rank_scaled")
         )
-        deg_src.unpersist()
+        deg_full.unpersist()
         if not symmetric:
             nodes.unpersist()
         e.unpersist()
@@ -231,7 +251,7 @@ def pagerank(
     # materialize ONCE (while ed/nodes are still cached), then release them
     ranks = ranks.localCheckpoint(eager=True)
     ed_cached.unpersist()
-    deg_src.unpersist()
+    deg_full.unpersist()
     if not symmetric:
         nodes.unpersist()
     e.unpersist()
