@@ -15796,84 +15796,69 @@ QUERIES.update(
 # Rounds rotate this list deliberately — never let "where the code was
 # appended" decide what gets graded.
 _GRADING_PRIORITY: list[str] = [
-    # ROUND-11 WINDOW — generated by `python tools/grading_window.py
-    # --propose` (VERDICT r10 task 1: the policy is now MECHANICAL).
-    # Composition: (a) both gate canaries (a red here means harness
-    # drift, which re-interprets every other row this round); (b) all
-    # 44 oracle-backed queries whose implementing CODE changed after
-    # their latest driver grade — detected at SYMBOL granularity (the
-    # registry query fn, its resolved oracle SQL, and the transitive
-    # closure of package functions/constants it uses, diffed between
-    # each grade's driver commit and HEAD) — oldest grade first; this
-    # covers the verdict's hand-audited list (exact_auc, cuped_lift,
-    # bootstrap_ci, sequential_ab, triangle_stats, keyness_g2,
-    # token_frequency_spectrum, logrank_segments, the r9 ADVICE rows,
-    # the graph-guard consumers) plus every older row the same test
-    # catches, and the round-11 timeseries hint removals
-    # (seasonal_strength, pettitt_priority); (c) the final three
-    # r4-graded rows (validate_embeddings / value_autocorr /
-    # weighted_topk_sample — after this round no hash-checkable grade
-    # is older than r5); (d) one r5 backfill slot (bulk_export).
-    # Changed-since-grade rows-only queries (fraction_sample,
-    # rebalance_classes, train_test_split r1; ml_train_score,
-    # mlp_batch_scoring r3) are deliberately NOT given slots: a
-    # rows-only grade is weak and each has an oracle-checked
-    # deterministic twin either already green-after-change or in this
-    # window. Queries whose code was touched THIS round by guard-only /
-    # type-only fixes and re-verified HASH-IDENTICAL on graded data do
-    # not consume slots either (the r9 anova_f / r10 fleiss precedent)
-    # — they live in _REGRADE_WAIVED below with their reasons, and
-    # tools/grading_window.py --propose honors the waiver.
+    # ROUND-12 WINDOW — generated by `python tools/grading_window.py
+    # --propose` at the end of the optimization round (VERDICT r11 task 1:
+    # the window policy stays MECHANICAL). Composition: (a) both gate
+    # canaries; (b) changed-since-grade rows, oldest grade first. The
+    # optimization round touched shared modules (functions/numeric,
+    # operators/{stats,windows,graph,similarity,bloom,dedup}, the
+    # registry), so 75 oracle-backed queries changed since their latest
+    # grade — more than the 48 free slots; the 27 that do not fit
+    # (r11-graded rows: the ANN family, textrank/pagerank/sssp, the rater
+    # panels) rotate into the r13 window. EVERY changed query was
+    # re-verified hash-identical against its DuckDB oracle at sf0.001 AND
+    # sf0.01 this round (per-batch targeted gates plus three full
+    # 280-oracle gate runs at each sf — see OPTIMIZATION_r12.md).
     "gate_float_canary",
     "gate_type_canary",
-    "ab_test",
-    "bootstrap_ci",
-    "cuped_lift",
-    "fairness_report",
-    "feature_audit",
-    "ivfpq_topk",
-    "k_anonymity",
-    "kcore_members",
-    "keyness_g2",
-    "lsh_recall_report",
-    "pq_recall",
-    "pq_topk",
-    "rebalance_hash",
-    "sequential_ab",
-    "token_frequency_spectrum",
-    "triangle_stats",
-    "user_survival",
-    "vocab_growth",
-    "markov_stationary",
-    "nb_lang_confusion",
-    "ridge_conformal",
-    "textrank_keywords",
-    "textrank_weighted",
-    "theil_sen_trend",
-    "anova_priority",
-    "exact_auc",
-    "experiment_power",
-    "feature_drift_ks",
-    "funnel_steps",
-    "leakage_scan",
-    "ratio_metric_ci",
-    "ridge_conformal_sketch",
-    "sssp_nations",
-    "logrank_segments",
-    "mann_whitney_events",
-    "decomposition_priority",
-    "did_user_split",
-    "fleiss_doc_quality",
-    "kappa_lang_id",
-    "ljung_box_priority",
-    "pettitt_priority",
-    "ridge_fit",
-    "ridge_learning_curve",
-    "seasonal_strength",
-    "validate_embeddings",
-    "value_autocorr",
-    "weighted_topk_sample",
-    "bulk_export",
+    "curriculum_stages",
+    "ngram_containment",
+    "calibration_bins",
+    "cold_customers",
+    "cusum_segments",
+    "embedding_neardup_pairs",
+    "large_orders",
+    "ngram_jaccard_pairs",
+    "pricing_summary",
+    "revenue_by_nation",
+    "small_quantity_revenue",
+    "top_customers",
+    "knn_classify",
+    "sq8_topk",
+    "value_rank_profile",
+    "dedup_clusters",
+    "ks_two_sample",
+    "lsh_topk",
+    "multimodal_features",
+    "t_closeness_emd",
+    "acf_priority",
+    "conformal_events",
+    "cosine_topk",
+    "drift_fdr",
+    "flagship_features",
+    "jarque_bera_events",
+    "krippendorff_doc_panel",
+    "kruskal_event_types",
+    "linkage_em_weights",
+    "linkage_pairs",
+    "linkage_supervised_m",
+    "salted_stats",
+    "spearman_order_size",
+    "token_tfidf",
+    "unigram_nll",
+    "wilcoxon_user_shift",
+    "ann_recall",
+    "bigram_nll",
+    "bloom_semi_join",
+    "bucketed_trailing_features",
+    "canonical_docs",
+    "cluster_safe_split",
+    "curation_summary",
+    "dbscan_clusters",
+    "dup_cluster_histogram",
+    "hard_negatives",
+    "incremental_neardup",
+    "ivf_topk",
 ]
 
 # Round-scoped regrade waivers: queries whose code changed AFTER their
