@@ -436,6 +436,11 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # r13 (VERDICT item 7): the change flag rides the checkpointed
+        # frame — a node's label changes iff a strictly smaller neighbor
+        # label arrived — so the convergence probe is a limit-1 scan of
+        # checkpoint blocks instead of a full |V|-vs-|V| self-join per
+        # round (was: join new_labels to labels and filter differing).
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -443,17 +448,15 @@ def dedup_clusters(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.col("nbr_label").isNotNull()
+                    & (F.col("nbr_label") < F.col("label"))
+                ).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("__chg").limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()

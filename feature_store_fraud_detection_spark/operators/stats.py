@@ -825,7 +825,17 @@ def mann_whitney_u(
     if n_buckets >= 2:
         qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
         cut_expr = F.expr(f"approx_percentile(__v, array({qs}), 1000)")
-        cuts = per_v.agg(cut_expr.alias("__cuts"))
+        # the 1-row cuts frame is persisted (r13): binned appears under
+        # BOTH the offsets broadcast subtree and the ranked probe side,
+        # and approx_percentile's sketch can merge partials in a
+        # different order per evaluation — two evaluations could bin
+        # with different cut arrays, desynchronizing offsets from the
+        # window partitions. The cache pins ONE cut multiset for every
+        # consumer (exact percentile was deterministic, so the r12 swap
+        # introduced this; same fix in ks_two_sample / kruskal_wallis /
+        # wilcoxon_signed_rank / spearman_rho's rank_table, and
+        # bucketed_value_ranks already persisted its cuts).
+        cuts = per_v.agg(cut_expr.alias("__cuts")).persist()
         binned = per_v.crossJoin(F.broadcast(cuts)).withColumn(
             "__bin",
             F.size(F.filter("__cuts", lambda q: F.col("__v") > q)),
@@ -1117,9 +1127,12 @@ def ks_two_sample(
     )
     if n_buckets >= 2:
         qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+        # 1-row cuts persisted (r13): one cut multiset for both the
+        # offsets and the cum subtree — approx_percentile can vary
+        # per evaluation (see mann_whitney_u's note).
         cuts = per_v.agg(
             F.expr(f"approx_percentile(__v, array({qs}), 1000)").alias("__cuts")
-        )
+        ).persist()
         binned = per_v.crossJoin(F.broadcast(cuts)).withColumn(
             "__bin",
             F.size(F.filter("__cuts", lambda q: F.col("__v") > q)),
@@ -1559,7 +1572,9 @@ def kruskal_wallis(
     if n_buckets >= 2:
         qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
         cut_expr = F.expr(f"approx_percentile(__v, array({qs}), 1000)")
-        cuts = per_v.agg(cut_expr.alias("__cuts"))
+        # 1-row cuts persisted (r13): one cut multiset for both the
+        # offsets and the ranked subtree (see mann_whitney_u's note).
+        cuts = per_v.agg(cut_expr.alias("__cuts")).persist()
         binned = per_v.crossJoin(F.broadcast(cuts)).withColumn(
             "__bin",
             F.size(F.filter("__cuts", lambda q: F.col("__v") > q)),
@@ -1734,8 +1749,11 @@ def spearman_rho(
     # orchestration at this size (measured 4.0 -> 2.5 s at sf0.1, where
     # |per_xy| = 150k). The probe is one count on the cache the final
     # action materializes anyway; above the limit the quantile-sharded
-    # form is unchanged (ranks are cut-invariant either way).
-    if per_xy.count() <= RANK_SINGLE_SORT_LIMIT:
+    # form is unchanged (ranks are cut-invariant either way). Skipped
+    # when the caller already asked for the un-sharded form (r13,
+    # ADVICE: the probe job is pure cost then, and it must not override
+    # an explicit n_buckets=1).
+    if n_buckets >= 2 and per_xy.count() <= RANK_SINGLE_SORT_LIMIT:
         n_buckets = 1
 
     def rank_table(col: str) -> DataFrame:
@@ -1752,7 +1770,9 @@ def spearman_rho(
             # / wilcoxon_signed_rank / bucketed_value_ranks.
             qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
             cut_expr = F.expr(f"approx_percentile({col}, array({qs}), 1000)")
-            cuts = per_v.agg(cut_expr.alias("__cuts"))
+            # 1-row cuts persisted (r13): one cut multiset for both the
+            # offsets and the binned subtree (mann_whitney_u's note).
+            cuts = per_v.agg(cut_expr.alias("__cuts")).persist()
             binned = per_v.crossJoin(F.broadcast(cuts)).withColumn(
                 "__bin",
                 F.size(F.filter("__cuts", lambda q: F.col(col) > q)),
@@ -2129,7 +2149,9 @@ def wilcoxon_signed_rank(
     if n_buckets >= 2:
         qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
         cut_expr = F.expr(f"approx_percentile(__a, array({qs}), 1000)")
-        cuts = per_v.agg(cut_expr.alias("__cuts"))
+        # 1-row cuts persisted (r13): one cut multiset for both the
+        # offsets and the ranked subtree (see mann_whitney_u's note).
+        cuts = per_v.agg(cut_expr.alias("__cuts")).persist()
         binned = per_v.crossJoin(F.broadcast(cuts)).withColumn(
             "__bin",
             F.size(F.filter("__cuts", lambda q: F.col("__a") > q)),
