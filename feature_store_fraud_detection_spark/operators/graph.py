@@ -364,9 +364,15 @@ def bfs_levels(
             .groupBy("node")
             .agg(F.min("level").cast("int").alias("level"))
         )
-        # same lineage policy as pagerank: one chained job for shallow
-        # loops, an eager cut only every 5th round
-        if (i + 1) % 5 == 0 and (i + 1) < max_hops:
+        # r13: checkpoint EVERY round, not every 5th. Unlike pagerank's
+        # single-reference iteration, this round body references
+        # ``levels`` TWICE (join side + union side), so a chained plan
+        # duplicates every prior round's subtree 2x per round —
+        # measured at 4 rounds: 31 Exchange / 18 parquet scans /
+        # 0 ReusedExchange in one 1,943-line plan, 33 jobs. The eager
+        # per-round cut keeps lineage linear: 21 jobs, -11% wall,
+        # rows identical (plans/r13/bfs_levels_*.txt).
+        if (i + 1) < max_hops:
             levels = levels.localCheckpoint(eager=True)
     # materialize ONCE (while the edge cache is live), then release it
     levels = levels.localCheckpoint(eager=True)
@@ -820,7 +826,11 @@ def sssp(
 
     for i in range(max_rounds):
         dists = _relax(dists)
-        if (i + 1) % 5 == 0 and (i + 1) < max_rounds:
+        # r13: checkpoint every round — _relax references ``d`` twice
+        # (join side + union side), so chained rounds duplicate every
+        # prior round's subtree 2x per round (bfs_levels' measured
+        # defect; same loop shape). The eager cut keeps lineage linear.
+        if (i + 1) < max_rounds:
             dists = dists.localCheckpoint(eager=True)
     dists = dists.localCheckpoint(eager=True)
     if assert_converged:
