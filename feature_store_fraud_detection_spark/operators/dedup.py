@@ -91,13 +91,17 @@ def ngram_jaccard_pairs(
     shuffles on the same shingle key the self-join needs, so the cap rides
     the existing exchange.
     """
-    # cache the exploded shingles ONCE (they feed the df aggregation plus
-    # both sides of the candidate join); the cap itself is narrow on top.
+    # Cache exactly ONE shingle table (r13, ADVICE: the r12 shape pinned
+    # BOTH the raw and the capped tables for the session lifetime). With
+    # max_df set, only the CAPPED table is cached — it has four consumers
+    # (sizes, both self-join sides; r12 plan audit: without its cache each
+    # re-ran the df aggregation) — and the raw shingles are recomputed
+    # once more during its materialization (the hot agg and the anti-join
+    # input each tokenize; measured min-of-5 at sf0.1: 1.46 s capped-only
+    # vs 1.41 s both-cached — noise-level — for half the pinned memory).
     # fan_out_if_few_inputs keeps the explode parallel when the corpus
     # arrives as fewer files than cores (no-op at scale).
-    sh = shingle_table(
-        fan_out_if_few_inputs(df, id_col), id_col, text_col, k
-    ).cache()
+    sh = shingle_table(fan_out_if_few_inputs(df, id_col), id_col, text_col, k)
     if max_df is not None:
         # the HOT set (df > cap) is tiny by construction, so it broadcasts
         # and the corpus side takes a narrow anti-join — the only shuffle
@@ -108,11 +112,9 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") > max_df)
             .select("shingle")
         )
-        # cache the CAPPED table too: it has four consumers (sizes, both
-        # self-join sides) and without its own cache every one re-ran the
-        # df aggregation AND the anti-join from the raw cache (r12 plan
-        # audit: 4x HashAggregate+Exchange over the full shingle table)
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti").cache()
+    else:
+        sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -763,9 +765,9 @@ def ngram_containment_pairs(
     :func:`ngram_jaccard_pairs` — the bounded-verification path; pre-filter
     candidates with the LSH index at scale.
     """
-    sh = shingle_table(
-        fan_out_if_few_inputs(df, id_col), id_col, text_col, k
-    ).cache()
+    # single-cache policy: see ngram_jaccard_pairs (capped-only when
+    # max_df is set; raw otherwise)
+    sh = shingle_table(fan_out_if_few_inputs(df, id_col), id_col, text_col, k)
     if max_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -776,6 +778,8 @@ def ngram_containment_pairs(
         # capped table cached for the same reason as ngram_jaccard_pairs:
         # four consumers, each otherwise re-running the df agg + anti-join
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti").cache()
+    else:
+        sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
