@@ -421,11 +421,26 @@ def dedup_clusters(
     # LSH/ngram/dbscan callers: shingles, banding, the grid join).
     # Unpersisted after the loop — labels is eagerly checkpointed each
     # round, so nothing downstream re-reads edges.
+    # r13: BOTH edge directions from ONE pass over pairs (the registry's
+    # _trade_edges 2-struct explode idiom) — the old self-UNION evaluated
+    # the entire pairs pipeline twice during cache materialization (the
+    # minhash base is persisted by the caller, but banding, candidate
+    # expansion and the exact-Jaccard verify join all re-ran per branch;
+    # measured: edges materialization 2.4 s of dedup_clusters' 3.2 s).
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
