@@ -939,16 +939,6 @@ def pq_topk(
     vecs = _valid_vectors(df, vec_col).select(
         F.col(id_col), _to_double(F.col(vec_col)).alias("__v")
     )
-    # driver scalar (schema-ish); None on an EMPTY corpus — fail loud
-    # with the operator's name, not a NoneType subscript (round-10
-    # degenerate-probe finding)
-    first = vecs.select(F.size("__v")).first()
-    if first is None:
-        raise ValueError("pq_topk: empty embedding corpus — nothing to train a quantizer on")
-    dim = first[0]
-    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
-    sub_dim = dim // m
-
     picked = (
         vecs.orderBy(
             F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
@@ -957,6 +947,15 @@ def pq_topk(
         .limit(k_per_sub)
         .collect()
     )
+    # dimension comes from the codebook sample itself (r13): the separate
+    # one-row size probe was a second driver job on every call. An EMPTY
+    # corpus still fails loud with the operator's name (round-10
+    # degenerate-probe convention).
+    if not picked:
+        raise ValueError("pq_topk: empty embedding corpus — nothing to train a quantizer on")
+    dim = len(picked[0]["__v"])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub_dim = dim // m
     cb_rows = [
         (j, c, list(r["__v"][j * sub_dim : (j + 1) * sub_dim]))
         for j in range(m)
@@ -1119,13 +1118,6 @@ def ivfpq_topk(
     vecs = _valid_vectors(df, vec_col).select(
         F.col(id_col), _to_double(F.col(vec_col)).alias("__v")
     )
-    first = vecs.select(F.size("__v")).first()
-    if first is None:
-        raise ValueError("ivfpq_topk: empty embedding corpus — nothing to train a quantizer on")
-    dim = first[0]
-    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
-    sub_dim = dim // m
-
     if init == "kmeans":
         # bounded md5-ordered training sample (deterministic for fixed
         # data); FAISS-style driver-side quantizer training
@@ -1141,6 +1133,8 @@ def ivfpq_topk(
             .limit(max_train_rows)
             .collect()
         )
+        if not train_rows:
+            raise ValueError("ivfpq_topk: empty embedding corpus — nothing to train a quantizer on")
         import numpy as np
 
         X_train = np.array([list(r["__v"]) for r in train_rows])
@@ -1159,6 +1153,14 @@ def ivfpq_topk(
         cent_list = [list(r["__v"]) for r in coarse_rows]
     else:
         raise ValueError(f"unknown init {init!r}")
+    # dimension from the quantizer sample (r13): the separate one-row
+    # size probe was a second driver job on every call; an empty corpus
+    # still fails loud (round-10 degenerate-probe convention)
+    if not cent_list:
+        raise ValueError("ivfpq_topk: empty embedding corpus — nothing to train a quantizer on")
+    dim = len(cent_list[0])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub_dim = dim // m
     # the centroid table is driver-side in BOTH inits — assignment and
     # probe selection are narrow literal expressions (bit-identical
     # (d2, cluster) tie-breaks; no corpus x centroids crossJoin, no
