@@ -62,6 +62,8 @@ CORE_TESTS: frozenset[str] = frozenset(
         "test_ridge_matches_numpy_solve",
         # r12 optimization equivalences
         "test_nearest_centroid_exprs_match_crossjoin_window",
+        # r13 optimization equivalences
+        "test_rank_stats_sharded_equals_unsharded",
         # registry drift gates (cheap, no Spark)
         "test_no_duplicate_registry_names",
         "test_grading_priority_is_valid",
