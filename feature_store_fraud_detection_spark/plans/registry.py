@@ -15796,69 +15796,72 @@ QUERIES.update(
 # Rounds rotate this list deliberately — never let "where the code was
 # appended" decide what gets graded.
 _GRADING_PRIORITY: list[str] = [
-    # ROUND-12 WINDOW — generated by `python tools/grading_window.py
-    # --propose` at the end of the optimization round (VERDICT r11 task 1:
-    # the window policy stays MECHANICAL). Composition: (a) both gate
-    # canaries; (b) changed-since-grade rows, oldest grade first. The
-    # optimization round touched shared modules (functions/numeric,
-    # operators/{stats,windows,graph,similarity,bloom,dedup}, the
-    # registry), so 75 oracle-backed queries changed since their latest
-    # grade — more than the 48 free slots; the 27 that do not fit
-    # (r11-graded rows: the ANN family, textrank/pagerank/sssp, the rater
-    # panels) rotate into the r13 window. EVERY changed query was
-    # re-verified hash-identical against its DuckDB oracle at sf0.001 AND
-    # sf0.01 this round (per-batch targeted gates plus three full
-    # 280-oracle gate runs at each sf — see OPTIMIZATION_r12.md).
+    # ROUND-13 WINDOW — generated by `python tools/grading_window.py
+    # --propose` at the end of optimization round 2 (the window policy
+    # stays MECHANICAL). Composition: (a) both gate canaries; (b) ALL 35
+    # oracle-backed changed-since-grade rows, oldest grade first — this
+    # drains the r12 overflow (the ANN/PQ family, textrank/pagerank/
+    # sssp/bfs, lsh_recall_report, the rater panels, r11-graded) AND
+    # covers every r13 optimization (rank-stat cuts persists, the
+    # dedup_clusters symmetric explode + convergence probe, the graph
+    # loop checkpoints, the ngram single-cache, the PQ dim-probe
+    # fusion); (c) 13 oldest-grade oracle-backed backfill rows. Zero
+    # oracle-backed queries remain whose code postdates their grade
+    # (the five rows-only changed queries — sampling/ML, no oracle —
+    # rank below backfill by design: a rows-only grade is weak). EVERY
+    # changed query was re-verified hash-identical against its DuckDB
+    # oracle at sf0.001 AND sf0.01 this round (per-batch targeted gates
+    # plus full 280-oracle runs — see OPTIMIZATION_r13.md).
     "gate_float_canary",
     "gate_type_canary",
-    "curriculum_stages",
-    "ngram_containment",
-    "calibration_bins",
-    "cold_customers",
-    "cusum_segments",
-    "embedding_neardup_pairs",
-    "large_orders",
-    "ngram_jaccard_pairs",
-    "pricing_summary",
-    "revenue_by_nation",
-    "small_quantity_revenue",
-    "top_customers",
-    "knn_classify",
-    "sq8_topk",
-    "value_rank_profile",
-    "dedup_clusters",
-    "ks_two_sample",
-    "lsh_topk",
-    "multimodal_features",
-    "t_closeness_emd",
-    "acf_priority",
-    "conformal_events",
-    "cosine_topk",
-    "drift_fdr",
-    "flagship_features",
-    "jarque_bera_events",
-    "krippendorff_doc_panel",
-    "kruskal_event_types",
-    "linkage_em_weights",
-    "linkage_pairs",
-    "linkage_supervised_m",
-    "salted_stats",
-    "spearman_order_size",
-    "token_tfidf",
-    "unigram_nll",
-    "wilcoxon_user_shift",
-    "ann_recall",
-    "bigram_nll",
-    "bloom_semi_join",
-    "bucketed_trailing_features",
+    "bfs_levels",
+    "multiprobe_recall",
+    "multiprobe_topk",
+    "offline_store_range_scan",
+    "pagerank",
+    "revenue_gini",
+    "sliding_window_aggs",
+    "summary_stats",
+    "training_triplets",
+    "decomposition_priority",
+    "fleiss_doc_quality",
+    "ivfpq_topk",
+    "leakage_scan",
+    "ljung_box_priority",
+    "lsh_recall_report",
+    "mann_whitney_events",
+    "pettitt_priority",
+    "pq_recall",
+    "pq_topk",
+    "seasonal_strength",
+    "sssp_nations",
+    "textrank_keywords",
+    "textrank_weighted",
     "canonical_docs",
     "cluster_safe_split",
     "curation_summary",
     "dbscan_clusters",
+    "dedup_clusters",
     "dup_cluster_histogram",
-    "hard_negatives",
-    "incremental_neardup",
-    "ivf_topk",
+    "kruskal_event_types",
+    "ks_two_sample",
+    "ngram_containment",
+    "ngram_jaccard_pairs",
+    "spearman_order_size",
+    "wilcoxon_user_shift",
+    "chi2_event_weekend",
+    "decayed_user_value",
+    "dp_noisy_counts",
+    "embedding_covariance",
+    "event_mix_drift",
+    "ewma_forecast",
+    "hash_sample",
+    "l_diversity",
+    "label_filter",
+    "latest_per_key",
+    "monotonic_check",
+    "null_fill",
+    "pmi_collocations",
 ]
 
 # Round-scoped regrade waivers: queries whose code changed AFTER their
