@@ -97,6 +97,28 @@ def lit_bigint_array(vals: list[int]) -> Column:
     return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
 
 
+def lit_double_array2_sql(rows: list[list[float]]) -> str | None:
+    """The SQL text of :func:`lit_double_array2`, or None for the
+    degenerate shapes that fall back to ``F.lit`` (empty / non-finite
+    entries). Exposed so callers composing LARGER single-expression
+    strings (r13: the ANN argmin/probe expressions) can inline the
+    array without a py4j round-trip per sub-expression."""
+    import math
+
+    if not rows or any(
+        not r or any(not math.isfinite(float(x)) for x in r) for r in rows
+    ):
+        return None
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in r) + ")"
+            for r in rows
+        )
+        + ")"
+    )
+
+
 def lit_double_array2(rows: list[list[float]]) -> Column:
     """``array<array<double>>`` literal as ONE SQL expression string (the
     nested twin of :func:`lit_bigint_array` for hyperplane / centroid
@@ -106,17 +128,7 @@ def lit_double_array2(rows: list[list[float]]) -> Column:
     tests/test_r12_optimizations.py). Falls back to ``F.lit`` for shapes
     with empty/non-finite entries (degenerate callers keep old behavior).
     """
-    import math
-
-    if not rows or any(
-        not r or any(not math.isfinite(float(x)) for x in r) for r in rows
-    ):
+    sql = lit_double_array2_sql(rows)
+    if sql is None:
         return F.lit([[float(x) for x in r] for r in rows])
-    return F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(repr(float(x)) + "D" for x in r) + ")"
-            for r in rows
-        )
-        + ")"
-    )
+    return F.expr(sql)

@@ -36,6 +36,18 @@ def dot_expr(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL text of :func:`dot_expr` for callers whose operands are plain
+    column names / sub-expressions — ONE parsed expression (r13; the
+    lambda Column form costs ~25 py4j round-trips per dot product).
+    Node-for-node the same plan: the SQL lambda parses to the identical
+    higher-order aggregate."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Attach a double-typed copy of the vector and its L2 norm.
 
@@ -44,14 +56,21 @@ def with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     ANSI mode the division is a job-killing DIVIDE_BY_ZERO rather than a
     NULL (round-11 empty-embedding probe). Every cosine-ranking operator
     flows through this helper, so the contract is uniform: rows that
-    cannot be ranked are absent, never silently mis-ranked."""
-    vec_d = _to_double(F.col(vec_col))
+    cannot be ranked are absent, never silently mis-ranked.
+
+    r13: both expressions are parsed SQL text — the same plan nodes as
+    the old ``_to_double``/``dot_expr`` Column composition (which also
+    inlined the transform into every reference), minus ~60 py4j
+    round-trips per call."""
+    vec_d_sql = f"transform(`{vec_col}`, x -> cast(x as double))"
     return (
         _valid_vectors(df, vec_col)
         .select(
             F.col(id_col),
-            vec_d.alias("__vec_d"),
-            F.sqrt(dot_expr(vec_d, vec_d)).alias("__norm"),
+            F.expr(vec_d_sql).alias("__vec_d"),
+            F.expr(f"sqrt({_dot_sql(vec_d_sql, vec_d_sql)})").alias(
+                "__norm"
+            ),
         )
         .filter(F.col("__norm") > 0.0)
     )
@@ -152,7 +171,7 @@ def hyperplanes_literal(num_planes: int, dim: int) -> list[list[float]]:
 
 
 def bucket_expr(
-    vec_d: Column,
+    vec_d: Column | str,
     num_planes: int = 8,
     planes: list[list[float]] | None = None,
 ) -> Column:
@@ -171,8 +190,27 @@ def bucket_expr(
 
     if planes is not None:
         # one expression string, not per-element py4j lit calls (r12,
-        # see functions.numeric.lit_double_array2 — bit-identical)
+        # see functions.numeric.lit_double_array2 — bit-identical).
+        # r13: when the vector operand is itself SQL text, the WHOLE
+        # bucket expression renders as one parsed string (5 nested
+        # lambdas of py4j otherwise); the CASE is exactly the old
+        # F.when/otherwise node.
+        from feature_store_fraud_detection_spark.functions.numeric import (
+            lit_double_array2_sql,
+        )
+
+        pl_sql = lit_double_array2_sql(planes)
+        if isinstance(vec_d, str) and pl_sql is not None:
+            return F.expr(
+                f"element_at(transform(array({vec_d}), vb -> concat_ws('', "
+                f"transform(sequence(0, {int(num_planes) - 1}), p -> "
+                f"CASE WHEN aggregate(zip_with(vb, element_at({pl_sql}, "
+                f"cast(p + 1 as int)), (x, h) -> x * h), 0.0D, "
+                f"(acc, x) -> acc + x) > 0 THEN '1' ELSE '0' END))), 1)"
+            )
         pl = lit_double_array2(planes)
+        if isinstance(vec_d, str):  # degenerate-planes fallback
+            vec_d = F.expr(vec_d)
 
         def plane_bit(vb: Column, p: Column) -> Column:
             dot = F.aggregate(
@@ -187,6 +225,8 @@ def bucket_expr(
             return F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
 
     else:
+        if isinstance(vec_d, str):  # md5-per-row path takes a Column
+            vec_d = F.expr(vec_d)
 
         def plane_bit(vb: Column, p: Column) -> Column:
             dot = F.aggregate(
@@ -244,9 +284,11 @@ def lsh_buckets(
     planes = hyperplanes_literal(num_planes, dim) if dim is not None else None
     return df.select(
         F.col(id_col),
-        bucket_expr(_to_double(F.col(vec_col)), num_planes, planes).alias(
-            "bucket"
-        ),
+        bucket_expr(
+            f"transform(`{vec_col}`, x -> cast(x as double))",
+            num_planes,
+            planes,
+        ).alias("bucket"),
     )
 
 
@@ -335,8 +377,14 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), F.col("__vec_d").alias("__qvec")
     )
     # probe selection: same (dist2, cluster) ordering as the old per-query
-    # row_number window, as a literal array_sort (r12 — no crossJoin)
-    qd2s, _ = _nearest_centroid_exprs(cent_list, "__qvec")
+    # row_number window, as a literal array_sort (r12 — no crossJoin;
+    # r13 — one parsed SQL string, not a nested-lambda Column tree)
+    _qsqls = _nearest_centroid_sqls(cent_list, "__qvec")
+    qd2s = (
+        _qsqls[0]
+        if _qsqls is not None
+        else _nearest_centroid_exprs(cent_list, "__qvec")[0]
+    )
     probes = (
         q.select(
             "query_id",
@@ -346,24 +394,29 @@ def ivf_topk(
         .select("query_id", "__qvec", F.col("p.cluster").alias("cluster"))
     )
 
+    # dot products as parsed SQL text (r13): same sequential left-fold
+    # node-for-node as the dot_expr lambda form, one py4j round-trip
+    # per expression instead of ~25
     norms = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("__cluster").alias("cluster"),
         F.col("__vec_d").alias("__nvec"),
-        F.sqrt(dot_expr(F.col("__vec_d"), F.col("__vec_d"))).alias("__nnorm"),
+        F.expr(f"sqrt({_dot_sql('__vec_d', '__vec_d')})").alias("__nnorm"),
     ).filter(F.col("__nnorm") > 0.0)  # zero-norm has no cosine (r11 probe)
     pairs = F.broadcast(probes).join(norms, "cluster").filter(
         (F.col("query_id") != F.col("neighbor_id"))
         # zero-norm QUERY vectors rank nothing — and under ANSI the
         # division would abort the job rather than yield NULL
-        & (dot_expr(F.col("__qvec"), F.col("__qvec")) > 0.0)
+        & (F.expr(_dot_sql("__qvec", "__qvec")) > 0.0)
     )
     scored = pairs.select(
         "query_id",
         "neighbor_id",
         round4_stable(
-            dot_expr(F.col("__qvec"), F.col("__nvec"))
-            / (F.sqrt(dot_expr(F.col("__qvec"), F.col("__qvec"))) * F.col("__nnorm"))
+            F.expr(
+                f"({_dot_sql('__qvec', '__nvec')}) / "
+                f"(sqrt({_dot_sql('__qvec', '__qvec')}) * __nnorm)"
+            )
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -452,7 +505,7 @@ def lsh_topk(
     )
     v = with_norm(
         fan_out_if_few_inputs(df, id_col), id_col, vec_col
-    ).withColumn("bucket", bucket_expr(F.col("__vec_d"), num_planes, planes))
+    ).withColumn("bucket", bucket_expr("__vec_d", num_planes, planes))
     q = v.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("query_id"),
         F.col("__vec_d").alias("__qvec"),
@@ -812,7 +865,7 @@ def multiprobe_lsh_topk(
     )
     v = with_norm(
         fan_out_if_few_inputs(df, id_col), id_col, vec_col
-    ).withColumn("bucket", bucket_expr(F.col("__vec_d"), num_planes, planes))
+    ).withColumn("bucket", bucket_expr("__vec_d", num_planes, planes))
     probes = F.array(
         F.col("bucket"), *[_flip_bit(F.col("bucket"), p) for p in range(num_planes)]
     )
@@ -852,18 +905,50 @@ def multiprobe_lsh_topk(
 def _pq_subvectors(vecs: DataFrame, id_col: str, m: int, sub_dim: int) -> DataFrame:
     """(id, sub, s): each vector's m contiguous sub-vectors from ONE scan —
     an explode of an m-element struct array. A unionByName of m sliced
-    selects would scan the source m times (16 passes at m=16)."""
-    subs = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda j: F.struct(
-            j.cast("int").alias("sub"),
-            F.slice("__v", j * sub_dim + 1, F.lit(sub_dim)).alias("s"),
-        ),
+    selects would scan the source m times (16 passes at m=16). The
+    struct-array expression is ONE parsed SQL string (r13; the lambda
+    Column form cost ~80 ms of py4j per call, twice per PQ query)."""
+    subs = F.expr(
+        f"transform(sequence(0, {int(m) - 1}), j -> named_struct("
+        f"'sub', cast(j as int), "
+        f"'s', slice(__v, j * {int(sub_dim)} + 1, {int(sub_dim)})))"
     )
     return vecs.select(F.col(id_col), F.explode(subs).alias("e")).select(
         id_col, "e.sub", "e.s"
     )
 
+
+
+def _d2s_sql(cent_sql: str, vec_col: str) -> str:
+    """SQL text of the per-centroid squared-L2 distance array (the
+    sequential left-fold of the crossJoin shape, as ONE parsed
+    expression — r13: the nested-lambda Column form cost dozens of py4j
+    round-trips per build; the semantics are identical node-for-node)."""
+    return (
+        f"transform({cent_sql}, c -> aggregate("
+        f"zip_with(`{vec_col}`, c, (a, b) -> (a - b) * (a - b)), "
+        f"0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def _nearest_centroid_sqls(
+    cent_list: list[list[float]], vec_col: str
+) -> tuple[str, str] | None:
+    """SQL texts (d2s, cluster) for :func:`_nearest_centroid_exprs`, or
+    None for degenerate centroid shapes (empty / non-finite entries)
+    that must keep the ``F.lit`` Column fallback."""
+    from feature_store_fraud_detection_spark.functions.numeric import (
+        lit_double_array2_sql,
+    )
+
+    cent_sql = lit_double_array2_sql(cent_list)
+    if cent_sql is None:
+        return None
+    d2s_sql = _d2s_sql(cent_sql, vec_col)
+    cluster_sql = (
+        f"cast(array_position({d2s_sql}, array_min({d2s_sql})) - 1 as int)"
+    )
+    return d2s_sql, cluster_sql
 
 
 def _nearest_centroid_exprs(
@@ -875,26 +960,44 @@ def _nearest_centroid_exprs(
     (distance, cluster-id) tie-break as ``row_number() over (order by
     __d2, cluster)``. Replaces the corpus x centroids crossJoin + window
     (a |corpus|*k row blow-up through a shuffle) with a narrow
-    projection — r12 optimization, guide §2.4."""
-    cent_lit = lit_double_array2(cent_list)
-    d2s = F.transform(
-        cent_lit,
-        lambda c: F.aggregate(
-            F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    cluster = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
-    return d2s, cluster
+    projection — r12 optimization, guide §2.4. r13: both expressions are
+    rendered as ONE SQL string each (the Column-composition form paid
+    one py4j round-trip per operator — measured 1,610 round-trips /
+    1.25 s of driver wait for one ivf_topk build); the parsed plan nodes
+    are identical, pinned by
+    test_nearest_centroid_exprs_match_crossjoin_window."""
+    sqls = _nearest_centroid_sqls(cent_list, vec_col)
+    if sqls is None:
+        # degenerate centroid shapes keep the old Column path (F.lit
+        # fallback); these never occur for non-empty finite corpora
+        cent_lit = lit_double_array2(cent_list)
+        d2s = F.transform(
+            cent_lit,
+            lambda c: F.aggregate(
+                F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        cluster = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+        return d2s, cluster
+    return F.expr(sqls[0]), F.expr(sqls[1])
 
 
-def _nearest_probes_expr(d2s: Column, n_probe: int) -> Column:
+def _nearest_probes_expr(d2s: Column | str, n_probe: int) -> Column:
     """The ``n_probe`` nearest cluster ids from a per-centroid distance
     array — ``array_sort`` over struct<d2, cluster> sorts by (d2,
     cluster), the exact ordering of the old per-query window; slice
     keeps the probe count (all of them when there are fewer clusters,
-    matching ``row_number() <= n_probe``)."""
+    matching ``row_number() <= n_probe``). Accepts the distance array
+    as SQL text (r13, one parsed expression) or as a Column (the
+    degenerate-centroid fallback)."""
+    if isinstance(d2s, str):
+        return F.expr(
+            f"slice(array_sort(transform({d2s}, (d, i) -> "
+            f"named_struct('__d2', d, 'cluster', cast(i as int)))), "
+            f"1, {int(n_probe)})"
+        )
     structs = F.transform(
         d2s,
         lambda d, i: F.struct(
@@ -979,10 +1082,11 @@ def pq_topk(
     sv = _pq_subvectors(
         fan_out_if_few_inputs(vecs, id_col), id_col, m, sub_dim
     )
-    d2 = F.aggregate(
-        F.zip_with("s", "cent", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # one parsed SQL string (r13) — same sequential fold as the lambda
+    # Column form, without its ~20 py4j round-trips per reference
+    d2 = F.expr(
+        "aggregate(zip_with(s, cent, (a, b) -> (a - b) * (a - b)), "
+        "0.0D, (acc, x) -> acc + x)"
     )
     codes = (
         sv.join(F.broadcast(cb), "sub")
@@ -1005,10 +1109,9 @@ def pq_topk(
     # sum of m per-subspace distances via a SORTED fold: with m > 2 the
     # group-sum order would otherwise differ between engines in the last
     # bit (m values per group — the sort is O(m log m) on tiny arrays)
-    fold = F.aggregate(
-        F.array_sort(F.collect_list("__qd")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    fold = F.expr(
+        "aggregate(array_sort(collect_list(__qd)), 0.0D, "
+        "(acc, x) -> acc + x)"
     )
     scored = (
         codes.join(F.broadcast(qt), ["sub", "code"])
@@ -1166,7 +1269,12 @@ def ivfpq_topk(
     # (d2, cluster) tie-breaks; no corpus x centroids crossJoin, no
     # row_number shuffle — r12, see _nearest_centroid_exprs)
     cent_lit = lit_double_array2(cent_list)
-    cd2s, cluster_expr = _nearest_centroid_exprs(cent_list, "__v")
+    _csqls = _nearest_centroid_sqls(cent_list, "__v")
+    if _csqls is not None:
+        cd2s: Column | str = _csqls[0]
+        cluster_expr = F.expr(_csqls[1])
+    else:
+        cd2s, cluster_expr = _nearest_centroid_exprs(cent_list, "__v")
     # corpus-side assignment + encoding are CPU-bound narrow expressions
     # now — fan the corpus out so they never serialize on a one-file
     # input (no-op at scale; the old crossJoin+window got parallelism
@@ -1242,10 +1350,9 @@ def ivfpq_topk(
         ],
         "sub int, code int, cent array<double>",
     )
-    d2 = F.aggregate(
-        F.zip_with("s", "cent", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    d2 = F.expr(
+        "aggregate(zip_with(s, cent, (a, b) -> (a - b) * (a - b)), "
+        "0.0D, (acc, x) -> acc + x)"
     )
     # corpus encoding: broadcast codebook + min_by partial-agg argmin —
     # same bit-identical (d2, code) winner as the old row_number window,
@@ -1316,10 +1423,9 @@ def ivfpq_topk(
         assigned.select(F.col(id_col).alias("neighbor_id"), "cluster"),
         "cluster",
     ).select("query_id", "neighbor_id", "cluster")
-    fold = F.aggregate(
-        F.array_sort(F.collect_list("__qd")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    fold = F.expr(
+        "aggregate(array_sort(collect_list(__qd)), 0.0D, "
+        "(acc, x) -> acc + x)"
     )
     scored = (
         F.broadcast(cand)
@@ -1355,10 +1461,9 @@ def l2_topk(
     q = vecs.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("query_id"), F.col("__v").alias("__qv")
     )
-    d2 = F.aggregate(
-        F.zip_with("__qv", "__v", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    d2 = F.expr(
+        "aggregate(zip_with(__qv, __v, (a, b) -> (a - b) * (a - b)), "
+        "0.0D, (acc, x) -> acc + x)"
     )
     scored = (
         F.broadcast(q)
