@@ -15798,14 +15798,15 @@ QUERIES.update(
 _GRADING_PRIORITY: list[str] = [
     # ROUND-13 WINDOW — generated by `python tools/grading_window.py
     # --propose` at the end of optimization round 2 (the window policy
-    # stays MECHANICAL). Composition: (a) both gate canaries; (b) ALL 35
+    # stays MECHANICAL). Composition: (a) both gate canaries; (b) ALL 40
     # oracle-backed changed-since-grade rows, oldest grade first — this
     # drains the r12 overflow (the ANN/PQ family, textrank/pagerank/
     # sssp/bfs, lsh_recall_report, the rater panels, r11-graded) AND
     # covers every r13 optimization (rank-stat cuts persists, the
     # dedup_clusters symmetric explode + convergence probe, the graph
     # loop checkpoints, the ngram single-cache, the PQ dim-probe
-    # fusion); (c) 13 oldest-grade oracle-backed backfill rows. Zero
+    # fusion, the ANN single-string expression rendering);
+    # (c) 8 oldest-grade oracle-backed backfill rows. Zero
     # oracle-backed queries remain whose code postdates their grade
     # (the five rows-only changed queries — sampling/ML, no oracle —
     # rank below backfill by design: a rows-only grade is weak). EVERY
@@ -15837,14 +15838,19 @@ _GRADING_PRIORITY: list[str] = [
     "sssp_nations",
     "textrank_keywords",
     "textrank_weighted",
+    "ann_recall",
     "canonical_docs",
     "cluster_safe_split",
+    "cosine_topk",
     "curation_summary",
     "dbscan_clusters",
     "dedup_clusters",
     "dup_cluster_histogram",
+    "embedding_neardup_pairs",
+    "ivf_topk",
     "kruskal_event_types",
     "ks_two_sample",
+    "lsh_topk",
     "ngram_containment",
     "ngram_jaccard_pairs",
     "spearman_order_size",
@@ -15857,11 +15863,6 @@ _GRADING_PRIORITY: list[str] = [
     "ewma_forecast",
     "hash_sample",
     "l_diversity",
-    "label_filter",
-    "latest_per_key",
-    "monotonic_check",
-    "null_fill",
-    "pmi_collocations",
 ]
 
 # Round-scoped regrade waivers: queries whose code changed AFTER their
